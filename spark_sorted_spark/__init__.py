@@ -1,0 +1,30 @@
+"""spark_sorted_spark — a PySpark-native engine with the query and
+data-processing capabilities of tresata/spark-sorted, re-expressed in
+DataFrame/Catalyst idioms, plus large-scale training-data-pipeline
+operators (dedup, similarity search, text analysis, multimodal).
+
+Public surface:
+
+* ``group_sort(df, keys, order_by=...)`` → ``GroupSortedFrame`` — the
+  layout builder (one shuffle + partition-local secondary sort).
+* ``GroupSortedFrame`` methods: ``filter`` / ``map_values`` /
+  ``flat_map_values`` / ``map_key_values_to_values`` (narrow, layout
+  preserving); ``map_stream_by_key`` / ``fold_left_by_key`` /
+  ``reduce_left_by_key`` / ``scan_left_by_key`` (per-key streaming
+  ops); ``merge_join*`` / ``merge_union`` (sort-merge joins & union).
+* ``spark_sorted_spark.functions`` — dedup / similarity / text /
+  multimodal operator library.
+"""
+
+from .core import GroupSortedFrame, OrderSpec, assume_group_sorted, group_sort
+from .session import get_spark
+
+__all__ = [
+    "GroupSortedFrame",
+    "OrderSpec",
+    "assume_group_sorted",
+    "group_sort",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

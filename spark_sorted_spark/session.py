@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we'd set on a real cluster: AQE on
+(runtime re-plan + skew-join handling), Arrow enabled for the pandas
+paths, shuffle partitions sized to cores rather than the 200 default.
+On a 1000-executor cluster the same builder applies with
+``spark.sql.shuffle.partitions`` sized to ~2-3x total cores and
+``spark.sql.files.maxPartitionBytes`` left at 128m so scan tasks stay
+memory-bounded regardless of input size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark_sorted_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

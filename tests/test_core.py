@@ -1,0 +1,102 @@
+"""Layout construction + invariants + narrow-op metadata bookkeeping.
+
+Mirrors the reference's layout contract tests
+(GroupSortedSpec.scala:12-40, GroupSortedDatasetSpec.scala:22-53).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sorted_spark import group_sort
+from spark_sorted_spark.plans.invariants import InvariantViolation, check_group_sorted
+
+# F1 canonical literal (GroupSortedSpec.scala:94)
+F1 = [("c", "x"), ("a", "b"), ("a", "c"), ("b", "e"), ("b", "d")]
+# F2 canonical literal (GroupSortedSpec.scala:55)
+F2 = [("a", 1), ("b", 10), ("a", 3), ("b", 1), ("c", 5)]
+
+
+def test_group_sort_roundtrip_preserves_rows(spark):
+    df = spark.createDataFrame(F1, ["k", "v"])
+    gs = group_sort(df, "k", num_partitions=2)
+    assert sorted(map(tuple, gs.to_df().collect())) == sorted(F1)
+    check_group_sorted(gs)
+
+
+def test_group_sort_value_order_asc_desc(spark):
+    df = spark.createDataFrame(F2, ["k", "v"])
+    for reverse in (False, True):
+        gs = group_sort(df, "k", order_by="v", num_partitions=2, reverse=reverse)
+        check_group_sorted(gs)
+        assert sorted(map(tuple, gs.to_df().collect())) == sorted(F2)
+
+
+def test_empty_input(spark):
+    # GroupSortedDatasetSpec.scala:43-53
+    df = spark.createDataFrame([], "k string, v int")
+    gs = group_sort(df, "k", order_by="v", num_partitions=2)
+    assert gs.to_df().count() == 0
+    check_group_sorted(gs)
+
+
+def test_invariant_checker_catches_unsorted(spark):
+    df = spark.createDataFrame(F2, ["k", "v"])
+    # claim a value ordering we did not establish -> checker must trip
+    gs = group_sort(df, "k", num_partitions=1)
+    bad = type(gs)(gs.df, gs.key_cols, group_sort(df, "k", order_by="v").order_specs, 1)
+    with pytest.raises(InvariantViolation):
+        check_group_sorted(bad)
+
+
+def test_filter_preserves_order_metadata(spark):
+    df = spark.createDataFrame(F2, ["k", "v"])
+    gs = group_sort(df, "k", order_by="v", num_partitions=2)
+    filtered = gs.filter(F.col("v") > 1)
+    assert filtered.order_specs == gs.order_specs  # P1 keeps value ordering
+    check_group_sorted(filtered)
+    assert sorted(map(tuple, filtered.to_df().collect())) == sorted(
+        [t for t in F2 if t[1] > 1]
+    )
+
+
+def test_map_values_drops_order_only_when_touched(spark):
+    df = spark.createDataFrame(F2, ["k", "v"])
+    gs = group_sort(df, "k", order_by="v", num_partitions=2)
+    kept = gs.map_values(w=F.col("v") * 2)
+    assert kept.order_specs == gs.order_specs  # v untouched
+    dropped = gs.map_values(v=F.col("v") * -1)
+    assert dropped.order_specs == ()  # order column overwritten
+
+
+def test_flat_map_values(spark):
+    df = spark.createDataFrame([("a", [1, 2]), ("b", []), ("c", [3])], ["k", "vs"])
+    gs = group_sort(df, "k", num_partitions=2)
+    out = gs.flat_map_values(F.col("vs"), "v")
+    assert sorted(map(tuple, out.to_df().collect())) == [("a", 1), ("a", 2), ("c", 3)]
+    assert out.order_specs == ()
+
+
+def test_map_key_values_to_values(spark):
+    df = spark.createDataFrame(F2, ["k", "v"])
+    gs = group_sort(df, "k", num_partitions=2)
+    out = gs.map_key_values_to_values(F.concat(F.col("k"), F.col("v")).alias("kv"))
+    assert sorted(r.kv for r in out.to_df().collect()) == [
+        "a1",
+        "a3",
+        "b1",
+        "b10",
+        "c5",
+    ]
+
+
+def test_chaining_single_shuffle(spark):
+    # README.md:37 / GroupSortedSpec.scala:219-232 — chained ops reuse
+    # the one shuffle: exactly one Exchange in the physical plan.
+    df = spark.createDataFrame(F2, ["k", "v"])
+    out = (
+        group_sort(df, "k", order_by="v", num_partitions=2)
+        .filter(F.col("v") > 0)
+        .map_values(w=F.col("v") + 1)
+    )
+    plan = out.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

@@ -1,0 +1,131 @@
+"""fold/reduce/scan per-key semantics across all tiers.
+
+Golden values from the reference's tests: EMA fold
+(GroupSortedSpec.scala:103-115, README.md:18-28), string-concat reduce
+(GroupSortedSpec.scala:127-135), scanLeft n+1 rows incl. zero row
+(GroupSortedSpec.scala:169-186), mutable zero safety
+(GroupSortedSpec.scala:158-167).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sorted_spark import group_sort
+
+# FIXTURES F3 ticker/quotes analogue: (k, time, value)
+F3 = [(5, 2, 0.5), (5, 1, 1.0), (1, 1, 1.2), (1, 2, 2.0), (1, 3, 3.0)]
+F3_EMA = {1: 1.0736, 5: 0.26}  # golden fold result, zero=0.0, acc'=.8*acc+.2*v
+
+TIERS_FOLD = ["native", "pandas", "stream"]
+
+
+@pytest.fixture(scope="module")
+def f3(spark):
+    return spark.createDataFrame(F3, ["k", "t", "v"])
+
+
+@pytest.mark.parametrize("tier", TIERS_FOLD)
+def test_ema_fold(spark, f3, tier):
+    gs = group_sort(f3, "k", order_by="t", num_partitions=2)
+    if tier == "native":
+        merge = lambda acc, v: acc * F.lit(0.8) + F.lit(0.2) * v
+    else:
+        merge = lambda acc, v: 0.8 * acc + 0.2 * v
+    out = gs.fold_left_by_key(0.0, merge, value_col="v", alias="ema", tier=tier)
+    got = {r.k: r.ema for r in out.collect()}
+    assert set(got) == set(F3_EMA)
+    for k, v in F3_EMA.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12), (k, got[k], v)
+
+
+@pytest.mark.parametrize("tier", TIERS_FOLD)
+def test_reduce_left_string_concat_order_sensitive(spark, tier):
+    # GroupSortedSpec.scala:127-135: concat in value order
+    data = [("a", "3"), ("a", "1"), ("a", "2"), ("b", "9"), ("b", "8")]
+    df = spark.createDataFrame(data, ["k", "v"])
+    gs = group_sort(df, "k", order_by="v", num_partitions=2)
+    if tier == "native":
+        merge = lambda acc, v: F.concat(acc, v)
+    else:
+        merge = lambda acc, v: acc + v
+    out = gs.reduce_left_by_key(merge, value_col="v", alias="cat", tier=tier)
+    got = {r.k: r.cat for r in out.collect()}
+    assert got == {"a": "123", "b": "89"}
+
+
+@pytest.mark.parametrize("tier", TIERS_FOLD)
+def test_reduce_desc_order(spark, tier):
+    data = [("a", "3"), ("a", "1"), ("a", "2")]
+    df = spark.createDataFrame(data, ["k", "v"])
+    gs = group_sort(df, "k", order_by="v", num_partitions=2, reverse=True)
+    if tier == "native":
+        merge = lambda acc, v: F.concat(acc, v)
+    else:
+        merge = lambda acc, v: acc + v
+    out = gs.reduce_left_by_key(merge, value_col="v", alias="cat", tier=tier)
+    assert {r.k: r.cat for r in out.collect()} == {"a": "321"}
+
+
+@pytest.mark.parametrize("tier", ["pandas", "stream"])
+def test_scan_left_emits_n_plus_1_rows_with_zero(spark, tier):
+    # GroupSortedSpec.scala:169-186: scanLeft includes the initial zero
+    data = [("a", 1), ("a", 2), ("b", 5)]
+    df = spark.createDataFrame(data, ["k", "v"])
+    gs = group_sort(df, "k", order_by="v", num_partitions=2)
+    out = gs.scan_left_by_key(
+        0, lambda acc, v: acc + v, value_col="v", alias="s", tier=tier
+    )
+    rows = sorted((r.k, r.i, r.s) for r in out.collect())
+    assert rows == [("a", 0, 0), ("a", 1, 1), ("a", 2, 3), ("b", 0, 0), ("b", 1, 5)]
+
+
+@pytest.mark.parametrize("tier", ["pandas", "stream"])
+def test_fold_mutable_zero_fresh_per_key(spark, tier):
+    # GroupSortedSpec.scala:158-167: mutable zero must be deep-copied
+    # per key (newWCreate, package.scala:175-182)
+    data = [("a", "x"), ("a", "y"), ("b", "z")]
+    df = spark.createDataFrame(data, ["k", "v"])
+    gs = group_sort(df, "k", order_by="v", num_partitions=1)
+
+    def merge(acc, v):
+        acc = list(acc)
+        acc.append(v)
+        return acc
+
+    out = gs.fold_left_by_key(
+        [], merge, value_col="v", alias="vs", tier=tier, result_type="array<string>"
+    )
+    got = {r.k: list(r.vs) for r in out.collect()}
+    assert got == {"a": ["x", "y"], "b": ["z"]}
+
+
+@pytest.mark.parametrize("tier", TIERS_FOLD)
+def test_fold_matches_collections_oracle_random(spark, tier):
+    # property-style check vs a Python-collections oracle
+    # (GroupSortedSpec.scala:32-50 pattern, fixed seed)
+    import random
+
+    rng = random.Random(42)
+    data = [
+        (rng.randint(0, 9), rng.randint(0, 99), float(rng.randint(-50, 50)))
+        for _ in range(500)
+    ]
+    # make (k, t) unique so value order is deterministic
+    data = list({(k, t): (k, t, v) for k, t, v in data}.values())
+    df = spark.createDataFrame(data, ["k", "t", "v"])
+    gs = group_sort(df, "k", order_by="t", num_partitions=3)
+    if tier == "native":
+        merge = lambda acc, v: acc * F.lit(0.5) + v
+    else:
+        merge = lambda acc, v: acc * 0.5 + v
+    out = gs.fold_left_by_key(0.0, merge, value_col="v", alias="r", tier=tier)
+    got = {r.k: r.r for r in out.collect()}
+
+    expected = {}
+    for k, t, v in sorted(data, key=lambda x: (x[0], x[1])):
+        expected[k] = expected.get(k, 0.0) * 0.5 + v
+    assert set(got) == set(expected)
+    for k in expected:
+        assert math.isclose(got[k], expected[k], rel_tol=1e-9), k
