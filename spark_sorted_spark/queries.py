@@ -140,5 +140,80 @@ def combiner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A1 — map_stream_by_key, native expression: top-3 events per user by
+# value (take-n-per-key, GroupSortedSpec.scala:188-204; bench B3).
+# ---------------------------------------------------------------------------
+@query(
+    "top3_per_user",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events) t
+    WHERE rn <= 3
+    """,
+)
+def top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.map_stream import take_by_key
+
+    events = load_table(spark, "events", sf_dir)
+    gs = group_sort(
+        events.select("user_id", "event_id", "value"),
+        "user_id",
+        order_by=[("value", False), ("event_id", True)],
+    )
+    return take_by_key(gs, 3, tier="native")
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — map_stream_by_key streaming tier: sessionize each user's
+# event stream (30-minute inactivity gap) and count sessions. The
+# per-key state (prev ts, session count) crosses Arrow chunk
+# boundaries — exercises the never-materialize engine end to end.
+# ---------------------------------------------------------------------------
+_SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+@query(
+    "sessionize_stream",
+    oracle=f"""
+    SELECT user_id,
+           (1 + sum(CASE WHEN gap > {_SESSION_GAP_NS} THEN 1 ELSE 0 END))::BIGINT
+               AS n_sessions
+    FROM (
+        SELECT user_id,
+               epoch_ns(ts) - lag(epoch_ns(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events) t
+    GROUP BY user_id
+    """,
+)
+def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.map_stream import map_stream_by_key
+
+    events = load_table(spark, "events", sf_dir)
+    gs = group_sort(
+        events.select("user_id", "ts", "event_id"),
+        "user_id",
+        order_by=["ts", "event_id"],
+    )
+
+    def fn(key, chunks):
+        prev = None
+        sessions = 0
+        for c in chunks:
+            for ts in c["ts"]:
+                if prev is None or ts - prev > _SESSION_GAP_NS:
+                    sessions += 1
+                prev = ts
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [sessions]})
+
+    return map_stream_by_key(gs, fn, "user_id bigint, n_sessions bigint", tier="stream")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return ema_fold(spark, sf_dir)

@@ -1,0 +1,94 @@
+"""map_stream_by_key semantics on Spark (both tiers) — mirrors
+GroupSortedSpec.scala:64-76 (max broadcast), :137-145 (non-exhausted
+iterator / first row per key), :147-156 (empty-output keys, issue #5),
+:188-204 (take-n-per-key).
+"""
+
+import pandas as pd
+import pytest
+
+from spark_sorted_spark import group_sort
+from spark_sorted_spark.operators.map_stream import map_stream_by_key, take_by_key
+
+F2 = [("a", 1), ("b", 10), ("a", 3), ("b", 1), ("c", 5)]
+
+
+@pytest.fixture(scope="module")
+def f2(spark):
+    return spark.createDataFrame(F2, ["k", "v"])
+
+
+@pytest.mark.parametrize("tier", ["pandas", "stream"])
+def test_identity_map_stream(spark, f2, tier):
+    gs = group_sort(f2, "k", order_by="v", num_partitions=2)
+    if tier == "pandas":
+        fn = lambda key, pdf: pdf
+    else:
+        fn = lambda key, chunks: chunks
+    out = map_stream_by_key(gs, fn, "k string, v bigint", tier=tier)
+    assert sorted(map(tuple, out.collect())) == sorted(F2)
+
+
+@pytest.mark.parametrize("tier", ["pandas", "stream"])
+def test_empty_output_keys_skipped(spark, f2, tier):
+    # issue #5: keys producing no output must simply vanish
+    if tier == "pandas":
+        fn = lambda key, pdf: pdf[pdf["k"] != "a"]
+    else:
+        def fn(key, chunks):
+            for c in chunks:
+                yield c[c["k"] != "a"]
+    gs = group_sort(f2, "k", order_by="v", num_partitions=2)
+    out = map_stream_by_key(gs, fn, "k string, v bigint", tier=tier)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        [t for t in F2 if t[0] != "a"]
+    )
+
+
+def test_max_broadcast_per_key(spark, f2):
+    # GroupSortedSpec.scala:64-76: attach per-key max to every row
+    gs = group_sort(f2, "k", order_by=[("v", False)], num_partitions=2)
+
+    def fn(key, chunks):
+        mx = None
+        for c in chunks:
+            if mx is None:
+                mx = c["v"].iloc[0]  # first row = max (desc order)
+            yield c.assign(mx=mx)
+
+    out = map_stream_by_key(gs, fn, "k string, v bigint, mx bigint", tier="stream")
+    got = sorted(map(tuple, out.collect()))
+    assert got == sorted([("a", 1, 3), ("a", 3, 3), ("b", 1, 10), ("b", 10, 10), ("c", 5, 5)])
+
+
+@pytest.mark.parametrize("tier", ["native", "stream"])
+def test_take_by_key(spark, f2, tier):
+    gs = group_sort(f2, "k", order_by="v", num_partitions=2)
+    out = take_by_key(gs, 1, tier=tier)
+    assert sorted(map(tuple, out.collect())) == [("a", 1), ("b", 1), ("c", 5)]
+
+
+def test_take_native_no_extra_exchange_or_sort(spark, f2):
+    # layout reuse: window over the group-sorted frame must not add a
+    # second Exchange (one shuffle total, README.md:37 economics)
+    gs = group_sort(f2, "k", order_by="v", num_partitions=2)
+    plan = take_by_key(gs, 2, tier="native")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_per_partition_context_closure_idiom(spark, f2):
+    # A2 (mapStreamByKey with context): context allocated once per
+    # partition in the enclosing closure
+    gs = group_sort(f2, "k", order_by="v", num_partitions=2)
+    schema = "k string, n bigint"
+
+    def part_fn(key, chunks):
+        # reusable buffer lives in the generator's enclosing scope via
+        # map_stream stream tier — emulate counting rows per key
+        n = 0
+        for c in chunks:
+            n += len(c)
+        yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+    out = map_stream_by_key(gs, part_fn, schema, tier="stream")
+    assert {(r.k, r.n) for r in out.collect()} == {("a", 2), ("b", 2), ("c", 1)}
