@@ -1,0 +1,121 @@
+"""Sort-merge joins on co-partitioned group-sorted frames (J1-J5).
+
+The reference implements a hand-rolled streaming sort-merge join
+(``mergeJoinIterators``, ``package.scala:87-143``: pick smaller head
+key, build per-key sub-iterators, per-key cartesian with one side
+buffered — ``package.scala:61-79``) over co-partitioned inputs
+(``GroupSorted.scala:63-72``, ``zipPartitions``).
+
+Catalyst's ``SortMergeJoinExec`` IS that algorithm — stream one side,
+buffer the other per key, spill the buffered side when needed — so the
+equality-join flavors (J2-J5) compile to native joins and inherit
+whole-stage codegen, AQE skew-join splitting, and broadcast promotion
+for small sides. Co-partitioning is honored by ``EnsureRequirements``:
+when both inputs already hash-partition on the join key with the same
+partition count, no new Exchange is planned (tested in
+tests/test_joins.py). That is the moral equivalent of the reference's
+shuffle-free ``zipPartitions`` path.
+
+J1 (custom per-key combine of the two value streams) maps to
+``cogroup().applyInPandas`` — the exact PySpark analogue of
+``f: (Iterator[V], Iterator[W]) => TraversableOnce[U]``.
+
+Semi/anti joins are free extras the reference lacks (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core import GroupSortedFrame, assume_group_sorted
+
+__all__ = ["merge_join", "merge_join_custom"]
+
+_HOWS = {"inner", "left", "right", "full", "left_semi", "left_anti"}
+
+
+def _check_keys(left: GroupSortedFrame, right: GroupSortedFrame) -> list[str]:
+    if left.key_cols != right.key_cols:
+        raise ValueError(
+            f"merge_join requires identical key columns: "
+            f"{left.key_cols} vs {right.key_cols}"
+        )
+    return list(left.key_cols)
+
+
+def merge_join(
+    left: GroupSortedFrame,
+    right: GroupSortedFrame | DataFrame,
+    how: str = "full",
+    suffix: str = "_r",
+) -> GroupSortedFrame:
+    """Equality join on the shared key columns. ``how='full'`` mirrors
+    the reference's default ``mergeJoin`` (``GroupSorted.scala:76-79``
+    — per-key cartesian with None-padding); inner/left/right mirror
+    J3-J5; semi/anti are extras. Non-key column name collisions on the
+    right are renamed with ``suffix``.
+
+    The reference's ``bufferLeft`` flag (which side buffers per key)
+    has no user-facing analogue: Catalyst/AQE pick the build side.
+    """
+    if how not in _HOWS:
+        raise ValueError(f"how must be one of {_HOWS}")
+    if isinstance(right, DataFrame):
+        right = assume_group_sorted(right, left.key_cols)
+    keys = _check_keys(left, right)
+
+    rdf = right.df
+    if how not in ("left_semi", "left_anti"):
+        collisions = (set(left.df.columns) & set(rdf.columns)) - set(keys)
+        for c in collisions:
+            rdf = rdf.withColumnRenamed(c, c + suffix)
+
+    joined = left.df.join(rdf, on=keys, how=how)
+    # result stays partitioned by key; key-sorted within partitions for
+    # the SMJ path. Value ordering across the combined row is undefined.
+    return assume_group_sorted(joined, left.key_cols)
+
+
+def merge_join_custom(
+    left: GroupSortedFrame,
+    right: GroupSortedFrame | DataFrame,
+    func: Callable[[tuple, pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    schema: str,
+) -> DataFrame:
+    """J1: full-control per-key co-processing of both value streams
+    (``mergeJoin`` with ``f``, ``GroupSorted.scala:57-74``; test
+    ``packageSpec.scala:60-83``) via ``cogroup().applyInPandas``.
+
+    ``func(key, left_pdf, right_pdf) -> pdf`` sees each side's rows in
+    its declared value order (re-sorted in pandas — cogroup does not
+    guarantee intra-group order) and emits 0..n full output rows.
+    Keys present on only one side get an empty DataFrame for the
+    missing side (full-outer semantics, like the reference).
+    """
+    if isinstance(right, DataFrame):
+        right = assume_group_sorted(right, left.key_cols)
+    keys = _check_keys(left, right)
+
+    lsort = [(s.col, s.ascending) for s in left.order_specs]
+    rsort = [(s.col, s.ascending) for s in right.order_specs]
+
+    def apply(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lsort and len(lpdf):
+            lpdf = lpdf.sort_values(
+                [c for c, _ in lsort], ascending=[a for _, a in lsort], kind="stable"
+            )
+        if rsort and len(rpdf):
+            rpdf = rpdf.sort_values(
+                [c for c, _ in rsort], ascending=[a for _, a in rsort], kind="stable"
+            )
+        out = func(key, lpdf, rpdf)
+        return out if out is not None else lpdf.iloc[0:0]
+
+    return (
+        left.df.groupby(*keys)
+        .cogroup(right.df.groupby(*keys))
+        .applyInPandas(apply, schema)
+    )

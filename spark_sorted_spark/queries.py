@@ -215,5 +215,163 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_stream_by_key(gs, fn, "user_id bigint, n_sessions bigint", tier="stream")
 
 
+# ---------------------------------------------------------------------------
+# J2-J5 — merge joins (orders/lineitem on orderkey, customer/orders on
+# custkey for the outer flavors where one side has true misses).
+# Native SortMergeJoin / broadcast per Catalyst+AQE.
+# ---------------------------------------------------------------------------
+def _orders_li(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    lgs = group_sort(orders.withColumnRenamed("o_orderkey", "orderkey"), "orderkey")
+    rgs = group_sort(li.withColumnRenamed("l_orderkey", "orderkey"), "orderkey")
+    return lgs, rgs
+
+
+@query(
+    "merge_join_inner",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice, l_linenumber, l_extendedprice
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+def merge_join_inner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lgs, rgs = _orders_li(spark, sf_dir)
+    return lgs.merge_join_inner(rgs).to_df()
+
+
+@query(
+    "merge_join_full",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def merge_join_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .select("c_custkey", "c_acctbal")
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+    return (
+        group_sort(cust, "custkey").merge_join(group_sort(orders, "custkey")).to_df()
+    )
+
+
+@query(
+    "merge_join_left",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_acctbal, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def merge_join_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .select("c_custkey", "c_acctbal")
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_custkey", "o_orderkey")
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+    return (
+        group_sort(cust, "custkey")
+        .merge_join_left_outer(group_sort(orders, "custkey"))
+        .to_df()
+    )
+
+
+@query(
+    "merge_join_semi_anti",
+    # semi ∪ anti partition the left side; emit a flag to check both
+    oracle="""
+    SELECT c_custkey AS custkey,
+           (c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders
+    FROM customer
+    """,
+)
+def merge_join_semi_anti_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .select("c_custkey")
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_custkey")
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+    cgs, ogs = group_sort(cust, "custkey"), group_sort(orders, "custkey")
+    semi = cgs.merge_join_semi(ogs).to_df().withColumn("has_orders", F.lit(True))
+    anti = cgs.merge_join_anti(ogs).to_df().withColumn("has_orders", F.lit(False))
+    return semi.unionByName(anti)
+
+
+# ---------------------------------------------------------------------------
+# J1 — custom per-key co-processing via cogroup().applyInPandas:
+# per order, count of lineitems and sum of their linenumbers (kept
+# integral so the oracle compares exactly).
+# ---------------------------------------------------------------------------
+@query(
+    "merge_join_custom",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           count(l.l_orderkey)::BIGINT AS n_items,
+           coalesce(sum(l.l_linenumber), 0)::BIGINT AS sum_linenumber
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def merge_join_custom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    lgs, rgs = _orders_li(spark, sf_dir)
+
+    def fn(key, lpdf, rpdf):
+        if not len(lpdf):  # lineitems whose order is missing: not in oracle
+            return None
+        return pd.DataFrame(
+            {
+                "orderkey": [key[0]],
+                "n_items": [len(rpdf)],
+                "sum_linenumber": [int(rpdf["l_linenumber"].sum())],
+            }
+        )
+
+    return lgs.merge_join_custom(
+        rgs, fn, "orderkey bigint, n_items bigint, sum_linenumber bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 — merge_union: bag union (duplicates preserved) of two overlapping
+# event slices, result re-laid-out group-sorted.
+# ---------------------------------------------------------------------------
+@query(
+    "merge_union",
+    oracle="""
+    SELECT user_id, event_id, value FROM events WHERE value > 50
+    UNION ALL
+    SELECT user_id, event_id, value FROM events WHERE value < 100
+    """,
+)
+def merge_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "value"
+    )
+    a = group_sort(events.filter(F.col("value") > 50), "user_id", order_by="event_id")
+    b = group_sort(events.filter(F.col("value") < 100), "user_id", order_by="event_id")
+    return a.merge_union(b).to_df()
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return ema_fold(spark, sf_dir)

@@ -1,0 +1,159 @@
+"""Join + union semantics and plan economics — mirrors
+GroupSortedSpec.scala:234-303 (all join flavors vs a collections
+oracle, merge-union vs shuffle-union) and the co-partitioning
+reuse claim (GroupSorted.scala:63-72).
+"""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sorted_spark import group_sort
+from spark_sorted_spark.operators.joins import merge_join, merge_join_custom
+from spark_sorted_spark.operators.union import merge_union, merge_union_cogroup
+from spark_sorted_spark.plans.invariants import check_group_sorted
+
+L = [("a", 1), ("a", 2), ("b", 3), ("d", 4)]
+R = [("a", 10), ("b", 20), ("b", 30), ("c", 40)]
+
+
+def oracle_join(left, right, how):
+    lk = {k for k, _ in left}
+    rk = {k for k, _ in right}
+    out = []
+    for k in lk | rk:
+        lv = [v for kk, v in left if kk == k]
+        rv = [v for kk, v in right if kk == k]
+        if lv and rv:
+            out += [(k, a, b) for a in lv for b in rv]
+        elif lv and not rv and how in ("left", "full"):
+            out += [(k, a, None) for a in lv]
+        elif rv and not lv and how in ("right", "full"):
+            out += [(k, None, b) for b in rv]
+    return sorted(out, key=str)
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    ldf = spark.createDataFrame(L, ["k", "v"])
+    rdf = spark.createDataFrame(R, ["k", "w"])
+    return (
+        group_sort(ldf, "k", order_by="v", num_partitions=2),
+        group_sort(rdf, "k", order_by="w", num_partitions=2),
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+def test_join_flavors_vs_oracle(spark, lr, how):
+    lgs, rgs = lr
+    out = merge_join(lgs, rgs, how=how)
+    got = sorted(((r.k, r.v, r.w) for r in out.to_df().collect()), key=str)
+    assert got == oracle_join(L, R, how)
+
+
+def test_semi_anti(spark, lr):
+    lgs, rgs = lr
+    semi = sorted(map(tuple, merge_join(lgs, rgs, how="left_semi").to_df().collect()))
+    anti = sorted(map(tuple, merge_join(lgs, rgs, how="left_anti").to_df().collect()))
+    assert semi == [("a", 1), ("a", 2), ("b", 3)]
+    assert anti == [("d", 4)]
+
+
+def test_co_partitioned_join_no_extra_exchange(spark, lr):
+    # the reference's zipPartitions economics: both sides laid out on k
+    # with equal partition counts -> the join plans exactly the two
+    # input Exchanges and no more
+    lgs, rgs = lr
+    plan = (
+        merge_join(lgs, rgs, how="inner")
+        .to_df()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_join_key_mismatch_raises(spark, lr):
+    lgs, _ = lr
+    other = group_sort(spark.createDataFrame(R, ["kk", "w"]), "kk")
+    with pytest.raises(ValueError, match="identical key columns"):
+        merge_join(lgs, other)
+
+
+def test_custom_merge_join(spark, lr):
+    # J1 analogue of packageSpec.scala:60-83: custom per-key combine —
+    # here: sum(left values) paired with count(right values)
+    lgs, rgs = lr
+
+    def fn(key, lpdf, rpdf):
+        return pd.DataFrame(
+            {"k": [key[0]], "lsum": [int(lpdf["v"].sum())], "rcnt": [len(rpdf)]}
+        )
+
+    out = merge_join_custom(lgs, rgs, fn, "k string, lsum bigint, rcnt bigint")
+    got = {(r.k): (r.lsum, r.rcnt) for r in out.collect()}
+    assert got == {"a": (3, 1), "b": (3, 2), "c": (0, 1), "d": (4, 0)}
+
+
+def test_custom_join_sees_value_order(spark):
+    # right side ordered desc; custom f reads first row of each side
+    ldf = spark.createDataFrame([("a", 2), ("a", 1)], ["k", "v"])
+    rdf = spark.createDataFrame([("a", 5), ("a", 9)], ["k", "v"])
+    lgs = group_sort(ldf, "k", order_by="v", num_partitions=2)
+    rgs = group_sort(rdf, "k", order_by=[("v", False)], num_partitions=2)
+
+    def fn(key, lpdf, rpdf):
+        return pd.DataFrame(
+            {"k": [key[0]], "lfirst": [lpdf["v"].iloc[0]], "rfirst": [rpdf["v"].iloc[0]]}
+        )
+
+    out = merge_join_custom(lgs, rgs, fn, "k string, lfirst bigint, rfirst bigint")
+    assert [(r.lfirst, r.rfirst) for r in out.collect()] == [(1, 9)]
+
+
+@pytest.mark.parametrize("impl", [merge_union, merge_union_cogroup])
+def test_merge_union_bag_semantics_and_layout(spark, impl):
+    # GroupSortedSpec.scala:294-303: merge-union == bag union; result
+    # must still satisfy the full group-sorted layout contract
+    ldf = spark.createDataFrame(L, ["k", "v"])
+    rdf = spark.createDataFrame([(k, v) for k, v in R], ["k", "v"])
+    lgs = group_sort(ldf, "k", order_by="v", num_partitions=2)
+    rgs = group_sort(rdf, "k", order_by="v", num_partitions=2)
+    out = impl(lgs, rgs)
+    assert sorted(map(tuple, out.to_df().collect())) == sorted(L + R)
+    check_group_sorted(out)
+
+
+def test_merge_union_cogroup_no_extra_exchange(spark):
+    ldf = spark.createDataFrame(L, ["k", "v"])
+    rdf = spark.createDataFrame(R, ["k", "v"])
+    lgs = group_sort(ldf, "k", order_by="v", num_partitions=2)
+    rgs = group_sort(rdf, "k", order_by="v", num_partitions=2)
+    plan = (
+        merge_union_cogroup(lgs, rgs)
+        .to_df()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_random_joins_property(spark):
+    rng = random.Random(7)
+    keys = "abcdefgh"
+    lpairs = [(rng.choice(keys), rng.randint(0, 9)) for _ in range(40)]
+    rpairs = [(rng.choice(keys), rng.randint(0, 9)) for _ in range(40)]
+    lgs = group_sort(spark.createDataFrame(lpairs, ["k", "v"]), "k", num_partitions=3)
+    rgs = group_sort(
+        spark.createDataFrame(rpairs, ["k", "w"]), "k", num_partitions=3
+    )
+    for how in ("inner", "left", "right", "full"):
+        got = sorted(
+            ((r.k, r.v, r.w) for r in merge_join(lgs, rgs, how=how).to_df().collect()),
+            key=str,
+        )
+        assert got == oracle_join(lpairs, rpairs, how), how
