@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines:
+
+* exact dedup           — md5 fingerprint hash-groupBy
+* n-gram Jaccard        — exact near-dup pairs via shingle self-join
+* MinHash + LSH         — scale path: signature banding prunes the
+                          candidate space from O(n^2) to colliding
+                          buckets only, then exact verification
+* SimHash               — 60-bit sign-random-projection sketch +
+                          Hamming-distance pairs
+
+All operators are pure Catalyst expressions (no Python UDFs) and use
+portable md5-derived integer hashing so the DuckDB oracle reproduces
+results bit-for-bit. Thresholds are compared in integer arithmetic
+(``den*c >= num*(na+nb-c)``) — no float tolerance anywhere.
+
+Scale design (100 TB corpus): the shingle explode is a flat map at
+scan speed; the expensive step is the shingle/band self-join, whose
+key cardinality (distinct shingles / band buckets) is what matters,
+not document count. MinHash-LSH caps join fan-out at bucket size;
+hot buckets (boilerplate shingles) are the skew risk — AQE skew-join
+handles moderate cases, and ``max_bucket`` drops degenerate buckets
+the way production dedup pipelines drop stop-shingles.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_int32, tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "MINHASH_PERMS",
+    "MINHASH_PRIME",
+]
+
+# Fixed MinHash permutation parameters (seeded, embedded identically in
+# the DuckDB oracle). h_i(x) = (a_i * x + b_i) mod P with x < 2^32,
+# a_i < 2^30 => every intermediate < 2^62, safe in int64 for both
+# engines.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+_rng = random.Random(20260813)
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 30) | 1, _rng.randrange(0, MINHASH_PRIME))
+    for _ in range(16)
+]
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via md5 content fingerprint: one hash-aggregate
+    (map-side partial combine), keeps the smallest id per group."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (empty array when
+    the document has fewer than n tokens — guarded because Spark's
+    ``sequence(1, k)`` with k < 1 would count *down*)."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Exact near-duplicate pairs: documents whose distinct-shingle
+    Jaccard >= tau_num/tau_den. Self-join on shingle -> per-pair
+    intersection counts -> integer threshold
+    ``tau_den * c >= tau_num * (na + nb - c)``.
+
+    Exact but O(sum over shingles of bucket^2) — the baseline
+    MinHash-LSH is measured against; at corpus scale run LSH first and
+    this only on candidates."""
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("nsh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("nsh").alias("n_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(tau_den) * F.col("n_common")
+            >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: for each of the 16 fixed
+    permutations, the min of ``(a_i * h32(shingle) + b_i) mod P`` over
+    the document's shingles. Output: (id, perm, minhash) long-form.
+    Documents with no shingles (< n tokens) get no signature — they
+    can't near-dup by shingle overlap anyway."""
+    sh = _exploded_shingles(df, text_col, id_col, n).withColumn(
+        "h32", md5_int32(F.col("shingle"))
+    )
+    perms = F.array(
+        *[
+            F.struct(F.lit(i).alias("perm"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+    return (
+        sh.select(F.col(id_col), F.col("h32"), F.explode(perms).alias("p"))
+        .select(
+            F.col(id_col),
+            F.col("p.perm").alias("perm"),
+            ((F.col("p.a") * F.col("h32") + F.col("p.b")) % MINHASH_PRIME).alias(
+                "hv"
+            ),
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the 16-perm signature into 4
+    bands of 4; documents colliding on any band's full sub-signature
+    become candidates; candidates are verified with the EXACT
+    distinct-shingle Jaccard (so output precision is 1.0 — LSH only
+    affects recall). Buckets larger than ``max_bucket`` are dropped
+    (degenerate boilerplate guard, keeps worst-case fan-out bounded).
+    """
+    sig = minhash_signatures(df, text_col, id_col, n)
+    bands = (
+        sig.withColumn("band", F.col("perm") % MINHASH_BANDS)
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    small = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .drop("bn")
+    )
+    bands = bands.join(small, on=["band", "band_key"])
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+        .filter(
+            F.lit(tau_den) * F.col("n_common")
+            >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash over token counts: token hash = first 15 md5 hex
+    digits (60 bits, positive int64 in both engines); bit b of the
+    sketch is 1 iff sum over tokens of (+count if bit set else -count)
+    is positive. 60 not 64 bits keeps every value positive in signed
+    int64 for engine portability."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h60 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    counts = counts.withColumn("h60", h60)
+    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
+    per_bit = counts.select(
+        F.col(id_col),
+        F.col("cnt"),
+        F.col("h60"),
+        F.explode(bit_ids).alias("bit"),
+    ).select(
+        F.col(id_col),
+        F.col("bit"),
+        F.when(F.expr("(shiftright(h60, bit) & 1) = 1"), F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("contrib"),
+    )
+    return (
+        per_bit.groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Brute-force
+    self-join here (exact, oracle-checkable); production scale uses
+    prefix banding on sketch chunks — same pattern as MinHash bands —
+    to avoid the O(n^2) pair space."""
+    sk = simhash(df, text_col, id_col)
+    a = sk.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sk_a")
+    )
+    b = sk.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sk_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

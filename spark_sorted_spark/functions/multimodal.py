@@ -1,0 +1,100 @@
+"""Multimodal column handling: opaque ``binary`` payloads + typed
+metadata, with decode / feature-extraction as Arrow-batched Pandas
+UDFs over ``mapInPandas``.
+
+Design (the part that matters at 100 TB):
+
+* media lives in a ``binary`` column next to a ``meta`` struct
+  (modality, byte size, content hash) — the lakehouse-standard layout
+  (parquet keeps binaries page-compressed; predicate pushdown on the
+  metadata prunes scans before any byte of media is read);
+* per-batch processing via ``mapInPandas`` so a partition of large
+  blobs streams through in Arrow-batch-sized memory, never
+  materializing the partition;
+* decode is pluggable. The real decoders (PIL/torchaudio/ffmpeg) are
+  NOT in this container, so ``decode_stub`` raises
+  ``NotImplementedError`` exactly where they would plug in, and
+  ``fake_decode_features`` provides a deterministic stand-in
+  (byte-statistics "features") so the Spark-side plumbing — schema,
+  partitioning, UDF signature, batch shape — is real and testable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "attach_binary_payload",
+    "decode_stub",
+    "extract_features",
+]
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str, modality: str = "image", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build the canonical multimodal layout from any source column:
+    ``(id, payload binary, meta struct<modality, n_bytes, md5>)``.
+    (In production the payload arrives from the lake; here we encode a
+    text column so the pipeline is runnable on the driver tables.)"""
+    payload = F.encode(F.col(source_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.length(payload).alias("n_bytes"),
+            F.md5(payload).alias("md5"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, modality: str):
+    """Plug point for real decoders. Container has no media libs —
+    raising is the honest contract (callers select fake features for
+    tests)."""
+    raise NotImplementedError(
+        f"no {modality} decoder available in this environment; "
+        "install PIL/torchaudio/ffmpeg and replace decode_stub"
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fake: bool = True,
+    batch_features: int = 4,
+) -> DataFrame:
+    """Feature extraction over the multimodal layout via mapInPandas.
+
+    With ``fake=True`` computes deterministic byte-statistics
+    "features" (n_bytes, byte sum mod 2^31, first/last byte) — enough
+    to verify batch shapes, schema handling and determinism end to
+    end. With ``fake=False`` calls ``decode_stub`` (raises until a
+    real decoder is plugged in)."""
+    schema = (
+        f"{id_col} bigint, n_bytes bigint, byte_sum bigint, "
+        "first_byte bigint, last_byte bigint"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                for _, row in pdf.iterrows():
+                    decode_stub(row["payload"], row["meta"]["modality"])
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_bytes": [len(p) for p in payloads],
+                    "byte_sum": [sum(p) % (1 << 31) for p in payloads],
+                    "first_byte": [p[0] if len(p) else -1 for p in payloads],
+                    "last_byte": [p[-1] if len(p) else -1 for p in payloads],
+                }
+            )
+
+    return df.mapInPandas(op, schema)

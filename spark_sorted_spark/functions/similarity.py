@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine`` — exact-order strict-fold dot product / norms, written so
+  Spark's ``F.aggregate`` and DuckDB's ``list_reduce`` perform the
+  identical IEEE-double operation sequence => bitwise-equal scores,
+  enabling exact (no-tolerance) oracle comparison even through a
+  threshold or a rank.
+* ``cosine_topk`` — brute-force top-k vs a query vector: one narrow
+  scan + a k-limited sort (``ORDER BY ... LIMIT k`` compiles to
+  TakeOrderedAndProject — no global sort materialization).
+* ``cosine_neardup_pairs`` — all-pairs cosine threshold (exact
+  baseline; O(n^2) — for corpus scale, block first).
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH (signs of
+  md5-seeded deterministic hyperplanes) buckets vectors; search only
+  the query's bucket. Approximate in recall, deterministic in output.
+
+At 100 TB the brute-force variants are per-partition narrow ops
+(embarrassingly parallel); the LSH variant turns top-k per query into
+a bucket-equijoin, the standard trade of recall for join locality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "dot_strict",
+    "cosine",
+    "cosine_topk",
+    "cosine_neardup_pairs",
+    "ann_lsh_topk",
+]
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_strict(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product in double precision:
+    ``fold(0.0, zip_with(a, b, *), +)`` — mirrors DuckDB
+    ``list_reduce(list_prepend(0.0, list_transform(list_zip(a, b),
+    s -> s[1]*s[2])), (acc, x) -> acc + x)`` operation for operation."""
+    prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_strict(a, b) / (
+        F.sqrt(dot_strict(a, a)) * F.sqrt(dot_strict(b, b))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector. Ties broken by
+    id for determinism. Returns (id, rank, cos)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cos")
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc()))
+            .alias("rank"),
+            "cos",
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs cosine >= threshold (ids only — the threshold compare
+    happens on bitwise-identical doubles, so the output is exact).
+    Exact O(n^2) baseline; block or LSH-bucket first at scale."""
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from md5 so any engine can recompute it. (Python-side
+    constant generation — the literals are embedded in the plan.)"""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"plane{plane}-{d}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: 8 random-hyperplane sign bits -> 256 buckets;
+    rank by exact cosine within the query's bucket. Deterministic
+    (seeded hyperplanes). Recall measured against cosine_topk in
+    tests; at corpus scale, multi-probe (flip one bit) is the standard
+    recall knob — left as future work."""
+    dim = len(query_vec)
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+
+    def bucket_of(vec: Column) -> Column:
+        bits = []
+        for p, plane in enumerate(planes):
+            pv = F.array(*[F.lit(x) for x in plane])
+            bit = F.when(dot_strict(vec, pv) >= 0, 1).otherwise(0)
+            bits.append(bit * F.lit(1 << p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    import numpy as _np
+
+    qbits = 0
+    for p, plane in enumerate(planes):
+        if float(_np.dot(query_vec, plane)) >= 0:
+            qbits |= 1 << p
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_of(F.col(vec_col)).alias("bucket"),
+    ).filter(F.col("bucket") == qbits)
+    return (
+        bucketed.withColumn("cos", cosine(F.col(vec_col), q))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc()))
+            .alias("rank"),
+            "cos",
+        )
+    )

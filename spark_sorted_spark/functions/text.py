@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, language-ID heuristic, quality scoring, token counting,
+document fingerprinting.
+
+All operators are pure Catalyst column expressions (no Python UDFs) —
+whole-stage codegen end to end, so they run at scan speed on 100 TB.
+Every function here has a DuckDB-SQL-expressible twin used by the
+oracle gate; integer arithmetic and portable md5-based hashing keep
+the comparison exact (no float tolerance needed).
+
+Portable 32-bit token hash: ``conv(substr(md5(s),1,8),16,10)`` in
+Spark == ``('0x' || substr(md5(s),1,8))::BIGINT`` in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "md5_int32",
+    "text_stats",
+    "language_id",
+    "quality_score",
+    "doc_fingerprint",
+    "LANG_MARKERS",
+]
+
+FP_MOD = 1_000_000_007  # fingerprint modulus (fits h*131+2^32 in int64)
+FP_MULT = 131
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the driver corpus is space-separated;
+    ``\\s+`` regex keeps it robust to runs of whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def md5_int32(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative bigint — identical in
+    DuckDB via hex cast (verified: md5('hello') -> 1564557354)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts — all-integer outputs."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_utf8"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+    )
+
+
+# Marker stopword sets for the language-ID heuristic. Deliberately
+# tiny: the operator contract is a deterministic scoring function
+# (count marker hits per language, argmax with fixed priority, CJK
+# characters short-circuit to zh), which the oracle replicates in SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "es": ["el", "los", "las", "y", "que", "un", "es"],
+}
+_LANG_PRIORITY = ["en", "de", "fr", "es"]  # deterministic argmax tiebreak
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """n-gram/stopword language-ID heuristic. Counts marker-token
+    occurrences per language; CJK codepoints force zh; ties resolve in
+    fixed priority order; no hits -> 'und' (undetermined)."""
+    toks = tokens(text_col)
+    hit_cols = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hit_cols[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    cjk = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[一-鿿]"), 0))
+
+    scored = df.select(
+        F.col(id_col),
+        cjk.alias("n_cjk"),
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in _LANG_PRIORITY],
+    )
+    pred = F.when(F.col("n_cjk") > 0, F.lit("zh"))
+    best = F.greatest(*[F.col(f"hits_{l}") for l in _LANG_PRIORITY])
+    cond = pred
+    for lang in _LANG_PRIORITY:
+        cond = cond.when(
+            (F.col(f"hits_{lang}") > 0) & (F.col(f"hits_{lang}") == best),
+            F.lit(lang),
+        )
+    return scored.withColumn("lang_pred", cond.otherwise(F.lit("und")))
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality score, all-integer arithmetic:
+    length component (capped tokens/10) + lexical-diversity component
+    (100*uniq/tokens) + a chars-in-range bonus. Matches the classic
+    pretraining-filter shape (length / diversity / structure)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length(text_col)
+    base = f"split(trim({text_col}), '\\\\s+')"
+    len_comp = F.least(F.lit(100), F.expr(f"size({base}) div 10"))
+    # floor integer division on both sides (DuckDB oracle uses //)
+    div_comp = F.expr(f"(100 * size(array_distinct({base}))) div size({base})")
+    bonus = F.when((n_chars >= 100) & (n_chars <= 1000), 20).otherwise(0)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        (len_comp + div_comp + bonus).cast("bigint").alias("quality"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive rolling document fingerprint: left fold of
+    ``h' = (h*131 + md5_32(token)) mod 1e9+7`` over the token stream —
+    a polynomial rolling hash whose every intermediate stays in int64,
+    so Spark and DuckDB compute identical values. Being order
+    sensitive, it distinguishes permuted documents that bag-of-words
+    fingerprints collapse."""
+    toks = tokens(text_col)
+    hashed = F.transform(toks, lambda t: md5_int32(t))
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * FP_MULT + h) % FP_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

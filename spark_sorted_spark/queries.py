@@ -373,5 +373,320 @@ def merge_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.merge_union(b).to_df()
 
 
+# ===========================================================================
+# North-star: text analysis (all pure Catalyst, integer outputs)
+# ===========================================================================
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_utf8,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_uniq_tokens
+    FROM documents
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import text_stats
+
+    return text_stats(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                 t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+             (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import doc_fingerprint
+
+    return doc_fingerprint(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq_tokens,
+           (least(100, len(toks) // 10)
+            + (100 * len(list_distinct(toks))) // len(toks)
+            + CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 20 ELSE 0 END)::BIGINT
+               AS quality
+    FROM t
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score
+
+    return quality_score(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             len(regexp_extract_all(text, '[一-鿿]')) AS n_cjk
+      FROM documents),
+    h AS (
+      SELECT doc_id, n_cjk,
+        len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS hits_en,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS hits_de,
+        len(list_filter(toks, x -> list_contains(['le','la','et','les','des','un','est'], x))) AS hits_fr,
+        len(list_filter(toks, x -> list_contains(['el','los','las','y','que','un','es'], x))) AS hits_es
+      FROM t)
+    SELECT doc_id, n_cjk, hits_en, hits_de, hits_fr, hits_es,
+      CASE WHEN n_cjk > 0 THEN 'zh'
+           WHEN hits_en > 0 AND hits_en >= greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+           WHEN hits_de > 0 AND hits_de >= greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+           WHEN hits_fr > 0 AND hits_fr >= greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+           WHEN hits_es > 0 AND hits_es >= greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'es'
+           ELSE 'und' END AS lang_pred
+    FROM h
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import language_id
+
+    return language_id(load_table(spark, "documents", sf_dir))
+
+
+# ===========================================================================
+# North-star: deduplication
+# ===========================================================================
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents))
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common, sa.nsh AS n_a, sb.nsh AS n_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 2 * n_common >= 1 * (sa.nsh + sb.nsh - n_common)
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), n=3, tau_num=1, tau_den=2
+    )
+
+
+def _minhash_perm_values_sql() -> str:
+    from .functions.dedup import MINHASH_PERMS
+
+    rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))
+    return f"(VALUES {rows}) AS perms(perm, a, b)"
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM sh),
+    sig AS (
+      SELECT doc_id, perm, min((a * h32 + b) % 4294967311) AS minhash
+      FROM hashed CROSS JOIN {_minhash_perm_values_sql()}
+      GROUP BY doc_id, perm),
+    bands AS (
+      SELECT doc_id, perm % 4 AS band,
+             string_agg(minhash, '-' ORDER BY perm) AS band_key
+      FROM sig GROUP BY doc_id, perm % 4),
+    small AS (
+      SELECT band, band_key FROM bands GROUP BY band, band_key
+      HAVING count(*) <= 50),
+    sbands AS (SELECT b.* FROM bands b JOIN small USING (band, band_key)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shs, sb.shs)) AS n_common,
+           len(sa.shs) AS n_a, len(sb.shs) AS n_b
+    FROM cand JOIN sets sa ON sa.doc_id = doc_a
+              JOIN sets sb ON sb.doc_id = doc_b
+    WHERE 2 * len(list_intersect(sa.shs, sb.shs))
+          >= 1 * (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+    """,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), n=3, tau_num=1, tau_den=2
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT doc_id, tok, count(*) AS cnt,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h60
+      FROM tok GROUP BY doc_id, tok),
+    per_bit AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h60 >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+      FROM counts CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
+      GROUP BY doc_id, bit),
+    sk AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                 AS simhash
+      FROM per_bit GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    """,
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash_pairs
+
+    out = simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=12)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+# ===========================================================================
+# North-star: embedding similarity
+# ===========================================================================
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "list_zip(list_transform({a}, x -> x::DOUBLE), "
+    "list_transform({b}, x -> x::DOUBLE)), s -> s[1] * s[2])), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)})))"
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(load_table(spark, "embeddings", sf_dir), 0.4)
+
+
+@query(
+    "similarity_topk",
+    # top-10 neighbors of vec_id 0 by exact cosine (query vector
+    # inlined on the Spark side; the oracle joins to the same row).
+    # cos values are bitwise-identical strict folds on both sides.
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qe')} AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0)
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
+           cos
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+@query("similarity_ann_lsh")  # approximate → rows-only check; recall
+def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:  # vs exact
+    from .functions.similarity import ann_lsh_topk  # is pinned in tests
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+# ===========================================================================
+# North-star: multimodal plumbing (deterministic fake features; the
+# byte-statistics oracle recomputes them from the text in SQL)
+# ===========================================================================
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           (list_reduce(list_prepend(0::BIGINT,
+              list_transform(generate_series(1, length(text)),
+                             i -> ord(text[i])::BIGINT)),
+              (a, x) -> a + x) % 2147483648) AS byte_sum,
+           ord(text[1])::BIGINT AS first_byte,
+           ord(text[-1])::BIGINT AS last_byte
+    FROM documents
+    """,
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import attach_binary_payload, extract_features
+
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_features(attach_binary_payload(docs, "text"))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return ema_fold(spark, sf_dir)

@@ -1,0 +1,118 @@
+"""North-star operator tests: dedup recall/precision, similarity
+recall, multimodal plumbing, text functions — on the sf0.001 driver
+tables (fast) with semantic assertions the oracle harness can't make.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sorted_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from spark_sorted_spark.functions.multimodal import (
+    attach_binary_payload,
+    decode_stub,
+    extract_features,
+)
+from spark_sorted_spark.functions.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+)
+from spark_sorted_spark.functions.text import doc_fingerprint, language_id
+from spark_sorted_spark.sources.tpch import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir).cache()
+
+
+def test_exact_dedup_identifies_planted_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    exact = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    # precision is 1.0 by construction (exact verification); recall of
+    # 4-band/4-row at jaccard>=0.5 should be near-total on planted dups
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))
+
+
+def test_simhash_ranks_planted_dups_closest(docs):
+    pairs = simhash_pairs(docs, max_hamming=6).collect()
+    exact = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, tau_num=4, tau_den=5).collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # very-high-jaccard planted dups should appear within hamming 6
+    if exact:
+        assert len(exact & got) / len(exact) >= 0.8
+
+
+def test_ann_lsh_subset_of_bruteforce_order(emb):
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_topk(rest, qvec, k=20).collect()]
+    approx = [r.vec_id for r in ann_lsh_topk(rest, qvec, k=5).collect()]
+    # every ANN hit must be a real vector ranked by true cosine within
+    # its bucket; sanity: no duplicates, deterministic output
+    assert len(approx) == len(set(approx))
+    approx2 = [r.vec_id for r in ann_lsh_topk(rest, qvec, k=5).collect()]
+    assert approx == approx2
+    assert len(exact) == 20
+
+
+def test_multimodal_feature_shapes(docs):
+    out = extract_features(attach_binary_payload(docs, "text"))
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    one = docs.filter(F.col("doc_id") == rows[0].doc_id).head()
+    assert rows[0].n_bytes == len(one.text.encode())
+    assert rows[0].byte_sum == sum(one.text.encode()) % (1 << 31)
+
+
+def test_decode_stub_raises(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    payload = attach_binary_payload(df, "text")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_features(payload, fake=False).collect()
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the hat"),
+            (2, "der hund und die katze ist"),
+            (3, "le chat et la maison des amis"),
+            (4, "这 是 中文 文本"),
+            (5, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "zh", 5: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], ["doc_id", "text"]
+    )
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert fp[1] != fp[2]  # bag-of-words collapses these; rolling hash doesn't
