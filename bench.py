@@ -1,0 +1,193 @@
+"""Benchmark harness — BASELINE.md B1-B7 at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "bench_total_sec", "value": N, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": "<dir>"}
+
+Each query is forced end-to-end with the noop writer (computes every
+row, writes nothing) so lazy plans can't skip work. Times include plan
++ execute, excluding session startup and input cache priming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from spark_sorted_spark import group_sort
+from spark_sorted_spark.session import get_spark
+from spark_sorted_spark.sources.tpch import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def b1_layout(spark):
+    events = load_table(spark, "events", SF_DIR)
+    gs = group_sort(
+        events.select("user_id", "ts", "event_id", "value"),
+        "user_id",
+        order_by=["ts", "event_id"],
+    )
+    force(gs.to_df())
+
+
+def b2_ema(spark):
+    events = load_table(spark, "events", SF_DIR)
+    gs = group_sort(
+        events.select("user_id", "ts", "event_id", "value"),
+        "user_id",
+        order_by=["ts", "event_id"],
+    )
+    force(
+        gs.fold_left_by_key(
+            0.0,
+            lambda acc, v: acc * F.lit(0.8) + F.lit(0.2) * v,
+            value_col="value",
+            alias="ema",
+            tier="native",
+        )
+    )
+
+
+def b3_topk(spark):
+    from spark_sorted_spark.operators.map_stream import take_by_key
+
+    events = load_table(spark, "events", SF_DIR)
+    gs = group_sort(
+        events.select("user_id", "event_id", "value"),
+        "user_id",
+        order_by=[("value", False), ("event_id", True)],
+    )
+    force(take_by_key(gs, 3, tier="native"))
+
+
+def b4_join(spark):
+    orders = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    lgs = group_sort(orders.withColumnRenamed("o_orderkey", "orderkey"), "orderkey")
+    rgs = group_sort(li.withColumnRenamed("l_orderkey", "orderkey"), "orderkey")
+    force(lgs.merge_join_inner(rgs).to_df())
+    force(lgs.merge_join(rgs).to_df())  # full outer
+
+
+def _scan_gs(spark):
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return group_sort(li, "l_orderkey", order_by="l_linenumber")
+
+
+def b5_scan(spark):
+    # native tier: cumulative window + zero-row union, no Python
+    force(
+        _scan_gs(spark).scan_left_by_key(
+            0.0, None, value_col="l_quantity", alias="running_qty",
+            tier="native", agg="sum",
+        )
+    )
+
+
+def b5_scan_stream(spark):
+    # streaming tier (generic-merge path) with vectorized prefix fn
+    force(
+        _scan_gs(spark).scan_left_by_key(
+            0.0,
+            lambda acc, v: acc + v,
+            value_col="l_quantity",
+            alias="running_qty",
+            tier="stream",
+            merge_vec=lambda acc, s: acc + s.cumsum(),
+        )
+    )
+
+
+def b6_agg(spark):
+    li = load_table(spark, "lineitem", SF_DIR)
+    force(
+        li.groupBy("l_orderkey").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+def b7_stream_vs_pandas(spark):
+    # streaming tier on the full events table (never materializes a
+    # group) — the reference's core memory claim
+    import pandas as pd
+
+    from spark_sorted_spark.operators.map_stream import map_stream_by_key
+
+    events = load_table(spark, "events", SF_DIR)
+    gs = group_sort(
+        events.select("user_id", "ts", "value"),
+        "user_id",
+        order_by="ts",
+    )
+
+    def fn(key, chunks):
+        n, s = 0, 0.0
+        for c in chunks:
+            n += len(c)
+            s += float(c["value"].sum())
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "s": [s]})
+
+    force(
+        map_stream_by_key(gs, fn, "user_id bigint, n bigint, s double", tier="stream")
+    )
+
+
+BENCH = {
+    "b1_layout": b1_layout,
+    "b2_ema": b2_ema,
+    "b3_topk": b3_topk,
+    "b4_join": b4_join,
+    "b5_scan": b5_scan,
+    "b5_scan_stream": b5_scan_stream,
+    "b6_agg": b6_agg,
+    "b7_stream": b7_stream_vs_pandas,
+}
+
+
+def main():
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once so timings measure the
+    # operators, not first-touch overheads
+    for t in ("events", "orders", "lineitem"):
+        load_table(spark, t, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name, fn in BENCH.items():
+        t0 = time.perf_counter()
+        fn(spark)
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,10 +90,6 @@ def _sorted_value_array(gsf: GroupSortedFrame, value_col: str) -> tuple[Column, 
     return arr, "__v"
 
 
-def _keys_struct_df(keys: tuple, key_cols: tuple[str, ...]) -> dict:
-    return {k: v for k, v in zip(key_cols, keys)}
-
-
 def _key_schema_ddl(df: DataFrame, key_cols: tuple[str, ...]) -> str:
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     return ", ".join(f"{k} {fields[k]}" for k in key_cols)
@@ -107,6 +103,7 @@ def fold_left_by_key(
     alias: str = "fold",
     tier: str = "auto",
     result_type: str | None = None,
+    merge_vec: Callable | None = None,
 ) -> DataFrame:
     value_col = value_col or gsf.value_cols[-1]
     if tier == "auto":
@@ -140,20 +137,26 @@ def fold_left_by_key(
         return gsf.df.groupBy(*kc).applyInPandas(per_group, out_schema)
 
     if tier == "stream":
+        out_cols = list(key_cols) + [alias]
 
         def part(batches):
             def step(acc, chunk: pd.DataFrame):
+                if merge_vec is not None:
+                    return merge_vec(acc, chunk[value_col])
                 for v in chunk[value_col]:
                     acc = merge(acc, v)
                 return acc
 
-            def emit(key, acc):
-                row = _keys_struct_df(key, key_cols)
-                row[alias] = acc
-                return pd.DataFrame({k: [v] for k, v in row.items()})
+            def emit_row(key, acc):
+                return key + (acc,)
 
             yield from run_fold_partition(
-                batches, key_cols, lambda _k: copy.deepcopy(zero), step, emit
+                batches,
+                key_cols,
+                lambda _k: copy.deepcopy(zero),
+                step,
+                emit_row,
+                out_cols,
             )
 
         return gsf.df.mapInPandas(part, out_schema)
@@ -211,6 +214,7 @@ def reduce_left_by_key(
         return gsf.df.groupBy(*kc).applyInPandas(per_group, out_schema)
 
     if tier == "stream":
+        out_cols = list(key_cols) + [alias]
 
         def part(batches):
             def step(acc, chunk: pd.DataFrame):
@@ -218,13 +222,11 @@ def reduce_left_by_key(
                     acc = v if acc is _SENTINEL else merge(acc, v)
                 return acc
 
-            def emit(key, acc):
-                row = _keys_struct_df(key, key_cols)
-                row[alias] = acc
-                return pd.DataFrame({k: [v] for k, v in row.items()})
+            def emit_row(key, acc):
+                return key + (acc,)
 
             yield from run_fold_partition(
-                batches, key_cols, lambda _k: _SENTINEL, step, emit
+                batches, key_cols, lambda _k: _SENTINEL, step, emit_row, out_cols
             )
 
         return gsf.df.mapInPandas(part, out_schema)
@@ -241,15 +243,46 @@ def scan_left_by_key(
     tier: str = "auto",
     result_type: str | None = None,
     index_col: str = "i",
+    merge_vec: Callable | None = None,
+    agg: str | Callable | None = None,
 ) -> DataFrame:
     """Per-key prefix scan, n+1 rows per key INCLUDING the leading zero
     row (Scala ``scanLeft`` semantics, ``GroupSorted.scala:52-55``;
     pinned by ``GroupSortedSpec.scala:169-186``). ``index_col`` holds
     0 for the zero row, then 1..n in value order, making the output a
-    well-defined relation. No native tier: Spark has no scan HOF and
-    window functions can't emit the synthetic zero row — this is
-    exactly the "hard part (b)" called out in SURVEY §7."""
+    well-defined relation.
+
+    Tiers: when ``agg`` names a builtin aggregate ("sum"/"min"/"max"/
+    "count"/"avg" or a Column-producing callable), the native tier
+    compiles to a cumulative window over the existing layout (no new
+    exchange or sort) unioned with one zero row per key — the window
+    can't emit the synthetic zero row by itself (SURVEY §7 hard part
+    (b)), the union supplies it. Arbitrary Python ``merge`` takes the
+    pandas/stream tiers."""
     value_col = value_col or gsf.value_cols[-1]
+    if tier in ("auto", "native") and agg is not None:
+        # contract: `zero` must be the identity of `agg` (0 for
+        # sum/count, inf for min, ...) — the running window then equals
+        # the fold, and the zero row is a plain literal.
+        from pyspark.sql.window import Window
+
+        agg_fn = getattr(F, agg) if isinstance(agg, str) else agg
+        wb = Window.partitionBy(*gsf.key_cols).orderBy(
+            *[s.expr() for s in gsf.order_specs]
+        )
+        w = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rows = gsf.df.select(
+            *gsf.key_cols,
+            F.row_number().over(wb).cast("bigint").alias(index_col),
+            agg_fn(F.col(value_col)).over(w).alias(alias),
+        )
+        zeros = (
+            gsf.df.select(*gsf.key_cols)
+            .distinct()
+            .withColumn(index_col, F.lit(0).cast("bigint"))
+            .withColumn(alias, F.lit(zero).cast(rows.schema[alias].dataType))
+        )
+        return rows.unionByName(zeros)
     if tier in ("auto", "native"):
         tier = "stream"
     rtype = result_type or _python_type_ddl(zero)
@@ -280,28 +313,63 @@ def scan_left_by_key(
         return gsf.df.groupBy(*kc).applyInPandas(per_group, out_schema)
 
     if tier == "stream":
-        # Emits per input chunk (not per key), so a key with 10^9 rows
-        # streams through in O(chunk) memory — rows are never buffered
-        # for the whole key. `merge` must return a fresh accumulator
-        # rather than mutating in place (same contract as Scala's fold).
+        # One output yield per INPUT Arrow batch (not per key): with
+        # many tiny groups (e.g. ~4-row lineitem orders) a per-key
+        # yield would push ~n_keys micro-batches through Arrow — the
+        # dominant cost. Memory stays O(batch) regardless of group
+        # size; only (key, acc, index) carries across batches.
+        #
+        # `merge_vec(acc, values: pd.Series) -> sequence` is the
+        # vectorized fast path: the prefix-scan of one run given the
+        # carried accumulator (e.g. running sum:
+        # ``lambda acc, s: acc + s.cumsum()``). Falls back to the
+        # row-at-a-time `merge` loop when not supplied.
 
         def part(batches):
-            for key, chunks in iter_key_runs(batches, key_cols):
-                acc = copy.deepcopy(zero)
-                i = 0
-                for chunk in chunks:
-                    idxs, accs = [], []
-                    if i == 0:  # leading zero row, once per key
-                        idxs.append(0)
-                        accs.append(acc)
-                    for v in chunk[value_col]:
-                        i += 1
-                        acc = merge(acc, v)
-                        idxs.append(i)
-                        accs.append(acc)
-                    out = {k: [key[j]] * len(idxs) for j, k in enumerate(key_cols)}
-                    out[index_col] = idxs
-                    out[alias] = accs
+            import numpy as np
+
+            from .streaming_engine import key_of, split_runs
+
+            carry_key, carry_acc, carry_i = None, None, 0
+            for pdf in batches:
+                key_out: list[dict] = []
+                idx_arrs, acc_arrs = [], []
+                for run in split_runs(pdf, key_cols):
+                    key = key_of(run, key_cols)
+                    if key == carry_key:
+                        acc, i, fresh = carry_acc, carry_i, False
+                    else:
+                        acc, i, fresh = copy.deepcopy(zero), 0, True
+                    vals = run[value_col]
+                    n = len(vals)
+                    if merge_vec is not None:
+                        prefix = np.asarray(merge_vec(acc, vals))
+                        if n:
+                            acc = prefix[-1]
+                    else:
+                        prefix = np.empty(n, dtype=object)
+                        for j, v in enumerate(vals):
+                            acc = merge(acc, v)
+                            prefix[j] = acc
+                    idxs = np.arange(i + 1, i + 1 + n)
+                    if fresh:  # leading zero row (scanLeft n+1 contract)
+                        idxs = np.concatenate(([0], idxs))
+                        prefix = np.concatenate(
+                            ([copy.deepcopy(zero)], prefix)
+                        )
+                    key_out.append(
+                        {k: np.repeat(key[j], len(idxs)) for j, k in enumerate(key_cols)}
+                    )
+                    idx_arrs.append(idxs)
+                    acc_arrs.append(prefix)
+                    carry_key, carry_acc, carry_i = key, acc, i + n
+                if idx_arrs:
+                    out = {
+                        k: np.concatenate([d[k] for d in key_out])
+                        for k in key_cols
+                    }
+                    out[index_col] = np.concatenate(idx_arrs)
+                    out[alias] = np.concatenate(acc_arrs)
                     yield pd.DataFrame(out)
 
         return gsf.df.mapInPandas(part, out_schema)

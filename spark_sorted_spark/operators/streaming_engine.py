@@ -139,26 +139,27 @@ def run_fold_partition(
     key_cols: tuple[str, ...],
     init: Callable[[tuple], Any],
     step_chunk: Callable[[Any, pd.DataFrame], Any],
-    emit: Callable[[tuple, Any], pd.DataFrame | None],
+    emit_row: Callable[[tuple, Any], tuple | None],
+    out_cols: list[str],
     *,
-    emit_every: int = 2048,
+    emit_every: int = 8192,
 ) -> Iterator[pd.DataFrame]:
     """Generic streaming fold driver: per key run, ``acc = init(key)``,
-    ``acc = step_chunk(acc, chunk)`` per chunk, then ``emit(key, acc)``.
-    Results are buffered and yielded in batches of ``emit_every`` keys
-    to keep Arrow round-trips coarse."""
-    out: list[pd.DataFrame] = []
-    n = 0
+    ``acc = step_chunk(acc, chunk)`` per chunk, then one output row
+    ``emit_row(key, acc)`` per key. Rows are buffered as plain tuples
+    and materialized into one pandas DataFrame per ``emit_every`` keys
+    — building a 1-row DataFrame per key (and an Arrow batch per key)
+    would dominate runtime when groups are small."""
+    rows: list[tuple] = []
     for key, chunks in iter_key_runs(batches, key_cols):
         acc = init(key)
         for chunk in chunks:
             acc = step_chunk(acc, chunk)
-        row = emit(key, acc)
-        if row is not None and len(row):
-            out.append(row)
-            n += len(row)
-            if n >= emit_every:
-                yield pd.concat(out, ignore_index=True)
-                out, n = [], 0
-    if out:
-        yield pd.concat(out, ignore_index=True)
+        row = emit_row(key, acc)
+        if row is not None:
+            rows.append(row)
+            if len(rows) >= emit_every:
+                yield pd.DataFrame(rows, columns=out_cols)
+                rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=out_cols)

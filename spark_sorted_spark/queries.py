@@ -373,6 +373,47 @@ def merge_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.merge_union(b).to_df()
 
 
+# ---------------------------------------------------------------------------
+# A5 — scan_left_by_key: per-key running sum over lineitem with the
+# n+1-rows-including-zero contract (GroupSortedSpec.scala:169-186).
+# Native tier: cumulative window + union of per-key zero rows.
+# ---------------------------------------------------------------------------
+@query(
+    "scan_running_sum",
+    oracle="""
+    SELECT l_orderkey, i, running_qty FROM (
+      SELECT l_orderkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_quantity, l_extendedprice) AS i,
+             sum(l_quantity) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_quantity, l_extendedprice
+                 ROWS UNBOUNDED PRECEDING) AS running_qty
+      FROM lineitem) t
+    UNION ALL
+    SELECT DISTINCT l_orderkey, 0 AS i, 0.0 AS running_qty FROM lineitem
+    """,
+)
+def scan_running_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_linenumber is NOT unique per order in the synthetic data (up to
+    # 6 dupes) — tiebreak with (quantity, extendedprice), verified
+    # unique, so the running sum is deterministic vs the oracle.
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    gs = group_sort(
+        li, "l_orderkey",
+        order_by=["l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    return gs.scan_left_by_key(
+        0.0,
+        lambda acc, v: acc + v,
+        value_col="l_quantity",
+        alias="running_qty",
+        tier="native",
+        agg="sum",
+    )
+
+
 # ===========================================================================
 # North-star: text analysis (all pure Catalyst, integer outputs)
 # ===========================================================================

@@ -81,6 +81,24 @@ def test_scan_left_emits_n_plus_1_rows_with_zero(spark, tier):
     assert rows == [("a", 0, 0), ("a", 1, 1), ("a", 2, 3), ("b", 0, 0), ("b", 1, 5)]
 
 
+def test_scan_vectorized_matches_row_path(spark):
+    data = [("a", i, float(i)) for i in range(25)] + [("b", i, 2.0) for i in range(7)]
+    df = spark.createDataFrame(data, ["k", "t", "v"])
+    gs = group_sort(df, "k", order_by="t", num_partitions=2)
+    row = gs.scan_left_by_key(
+        0.0, lambda a, v: a + v, value_col="v", alias="s", tier="stream"
+    )
+    vec = gs.scan_left_by_key(
+        0.0,
+        lambda a, v: a + v,
+        value_col="v",
+        alias="s",
+        tier="stream",
+        merge_vec=lambda acc, s: acc + s.cumsum(),
+    )
+    assert sorted(map(tuple, row.collect())) == sorted(map(tuple, vec.collect()))
+
+
 @pytest.mark.parametrize("tier", ["pandas", "stream"])
 def test_fold_mutable_zero_fresh_per_key(spark, tier):
     # GroupSortedSpec.scala:158-167: mutable zero must be deep-copied
