@@ -731,3 +731,120 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return ema_fold(spark, sf_dir)
+
+
+# ===========================================================================
+# Structured Streaming tier (spark_sorted_spark.streaming): each query
+# drains the bounded parquet stream with trigger(availableNow=True)
+# and returns the sink relation — the oracle is the equivalent batch
+# SQL, i.e. these check the batch/stream parity contract.
+# ===========================================================================
+@query(
+    "stream_hourly_window",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS ws_us,
+           user_id, count(*) AS n, max(value) AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import run_available_now, stream_table, windowed_agg
+
+    sdf = stream_table(spark, "events", sf_dir, event_time="ts")
+    out = run_available_now(
+        windowed_agg(
+            sdf,
+            "ts",
+            "1 hour",
+            {"n": F.count(F.lit(1)), "max_v": F.max("value")},
+            keys=["user_id"],
+            watermark="30 minutes",
+        ),
+        output_mode="complete",
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("ws_us"), "user_id", "n", "max_v"
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 minutes
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sids AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts) + INTERVAL 30 minutes) AS end_us,
+           user_id, count(*) AS n
+    FROM sids GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import run_available_now, sessionize, stream_table
+
+    sdf = stream_table(spark, "events", sf_dir, event_time="ts")
+    out = run_available_now(
+        sessionize(
+            sdf, "ts", "30 minutes", {"n": F.count(F.lit(1))}, keys=["user_id"]
+        ),
+        output_mode="complete",
+    )
+    return out.select(
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "user_id",
+        "n",
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import run_available_now, stream_dedup, stream_table
+
+    sdf = stream_table(spark, "events", sf_dir)
+    return run_available_now(
+        stream_dedup(
+            sdf.select("user_id", "event_type"), ["user_id", "event_type"]
+        )
+    )
+
+
+@query(
+    "stream_fold_ema",
+    oracle="""
+    SELECT user_id,
+           list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)),
+                       (acc, x) -> acc * 0.8 + 0.2 * x) AS ema
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_fold_ema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming fold (applyInPandasWithState). Over the
+    bounded availableNow stream this equals the batch EMA bitwise:
+    both sides fold IEEE doubles in (ts, event_id) order."""
+    from .streaming import run_available_now, stream_fold_by_key, stream_table
+
+    sdf = stream_table(spark, "events", sf_dir)
+    return run_available_now(
+        stream_fold_by_key(
+            sdf,
+            "user_id",
+            0.0,
+            lambda acc, v: acc * 0.8 + 0.2 * v,
+            value_col="value",
+            alias="ema",
+            order_by=["ts", "event_id"],
+        ),
+        output_mode="update",
+    )

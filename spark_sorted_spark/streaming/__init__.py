@@ -1,0 +1,30 @@
+"""Structured Streaming tier.
+
+The reference has no continuous-query support — its "streaming" is
+iterator-based single-pass batch processing (``README.md:4``, SURVEY
+§2.6). This package extends the same key-grouped model to Spark
+Structured Streaming: the per-key ordered fold becomes a stateful
+streaming operator (``applyInPandasWithState``), the group-sorted
+layout's per-key windows become event-time windows with watermarks,
+and exact dedup becomes watermark-bounded streaming dedup.
+
+Batch/stream parity contract: every op here, run over a bounded
+stream with ``trigger(availableNow=True)``, produces the same relation
+as its batch counterpart (modulo the documented cross-batch ordering
+caveat on ``stream_fold_by_key``) — that is what the oracle gate
+checks.
+"""
+
+from .ops import sessionize, stream_dedup, windowed_agg
+from .run import run_available_now
+from .source import stream_table
+from .stateful import stream_fold_by_key
+
+__all__ = [
+    "stream_table",
+    "windowed_agg",
+    "sessionize",
+    "stream_dedup",
+    "stream_fold_by_key",
+    "run_available_now",
+]

@@ -1,0 +1,63 @@
+"""Streaming sources over the driver's parquet tables.
+
+``readStream`` needs an explicit schema; we take it from a batch read
+of the same path so the stream sees exactly the batch types (including
+the nanos-as-long timestamp handling from ``sources.tpch``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import DEFAULT_SF_DIR, load_table
+
+
+def _as_stream_dir(name: str, sf_dir: str | None) -> str:
+    """Spark's file streaming source requires a *directory*; the driver
+    lays each table out as a single parquet file. Expose it through a
+    scratch directory holding a symlink (no data copy). In production
+    the source would already be a directory of files/partitions and
+    this shim disappears."""
+    import os
+    import tempfile
+
+    src = os.path.join((sf_dir or DEFAULT_SF_DIR).rstrip("/"), f"{name}.parquet")
+    d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+    os.symlink(src, os.path.join(d, f"{name}-0.parquet"))
+    return d
+
+
+def stream_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    *,
+    max_files_per_trigger: int | None = None,
+    path: str | None = None,
+    event_time: str | None = None,
+) -> DataFrame:
+    """File-source stream over ``{sf_dir}/{name}.parquet`` (or an
+    explicit multi-file ``path``). ``max_files_per_trigger`` bounds
+    micro-batch size — on a real cluster this is the knob that keeps
+    per-batch state updates memory-bounded while backfilling 100 TB of
+    history through the same query that serves the live stream.
+
+    ``event_time`` names an epoch-nanos int64 column (the driver
+    parquet's ``ts``) to convert to a proper ``timestamp`` so
+    watermarks / ``F.window`` / ``F.session_window`` apply.
+    """
+    batch = load_table(spark, name, sf_dir)
+    reader = spark.readStream.schema(batch.schema)
+    if path is None:
+        path = _as_stream_dir(name, sf_dir)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(path)
+    if event_time is not None:
+        # integer div, not `/` — float division of epoch-nanos loses
+        # sub-ms precision and rounds, DuckDB truncates
+        sdf = sdf.withColumn(
+            event_time, F.timestamp_micros(F.expr(f"{event_time} div 1000"))
+        )
+    return sdf

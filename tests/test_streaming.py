@@ -1,0 +1,182 @@
+"""Structured Streaming tier: batch/stream parity over bounded
+streams (availableNow), state carry-over across micro-batches."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sorted_spark.sources.tpch import load_table
+from spark_sorted_spark.streaming import (
+    run_available_now,
+    sessionize,
+    stream_dedup,
+    stream_fold_by_key,
+    stream_table,
+    windowed_agg,
+)
+
+
+def _events_ts(spark, sf_dir):
+    return load_table(spark, "events", sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_windowed_agg_matches_batch(spark, sf_dir):
+    sdf = stream_table(spark, "events", sf_dir, event_time="ts")
+    agg = {"n": F.count(F.lit(1)), "max_v": F.max("value")}
+    out = run_available_now(
+        windowed_agg(sdf, "ts", "1 hour", agg, keys=["user_id"], watermark="30 minutes"),
+        output_mode="complete",
+    )
+    batch = (
+        _events_ts(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_v"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n",
+            "max_v",
+        )
+    )
+    assert _rows(out) == _rows(batch)
+
+
+def test_sessionize_matches_batch_lag_cumsum(spark, sf_dir):
+    sdf = stream_table(spark, "events", sf_dir, event_time="ts")
+    out = run_available_now(
+        sessionize(
+            sdf, "ts", "30 minutes", {"n": F.count(F.lit(1))}, keys=["user_id"]
+        ),
+        output_mode="complete",
+    )
+    # batch oracle: gap-based session ids via lag + cumsum
+    ev = _events_ts(spark, sf_dir)
+    w = F.expr(
+        "sum(case when prev_ts is null or ts - prev_ts > interval 30 minutes "
+        "then 1 else 0 end) over (partition by user_id order by ts, event_id "
+        "rows unbounded preceding)"
+    )
+    from pyspark.sql.window import Window
+
+    lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev_ts", F.lag("ts").over(lag_w))
+        .withColumn("sid", w)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("interval 30 minutes")).alias("session_end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("session_start", "session_end", "user_id", "n")
+    )
+    assert _rows(out) == _rows(batch)
+
+
+def test_stream_dedup_matches_distinct(spark, sf_dir):
+    sdf = stream_table(spark, "events", sf_dir, event_time="ts")
+    out = run_available_now(
+        stream_dedup(sdf.select("user_id", "event_type"), ["user_id", "event_type"])
+    )
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert _rows(out) == _rows(batch)
+
+
+def test_stream_fold_single_batch_equals_batch_fold(spark, sf_dir):
+    sdf = stream_table(spark, "events", sf_dir)
+    out = run_available_now(
+        stream_fold_by_key(
+            sdf,
+            "user_id",
+            0.0,
+            lambda acc, v: acc * 0.8 + 0.2 * v,
+            value_col="value",
+            alias="ema",
+            order_by=["ts", "event_id"],
+        ),
+        output_mode="update",
+    )
+    pdf = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    expected = {}
+    for uid, grp in pdf.groupby("user_id"):
+        acc = 0.0
+        for v in grp["value"]:
+            acc = acc * 0.8 + 0.2 * v
+        expected[uid] = acc
+    got = {r["user_id"]: r["ema"] for r in out.collect()}
+    assert got == pytest.approx(expected)
+
+
+def test_stream_fold_state_carries_across_microbatches(spark, tmp_path):
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1; a
+    # commutative fold (count) is exact regardless of file order, so
+    # this isolates the state carry-over.
+    df = spark.createDataFrame(
+        [(k, i) for k in ("a", "b") for i in range(30)], ["k", "v"]
+    )
+    path = str(tmp_path / "multi")
+    df.repartition(3).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = run_available_now(
+        stream_fold_by_key(
+            sdf,
+            "k",
+            0,
+            lambda acc, v: acc + 1,
+            value_col="v",
+            alias="n",
+            step_vec=lambda acc, s: acc + len(s),
+        ),
+        output_mode="update",
+    )
+    pdf = out.toPandas()
+    # >=2 progress rows per key proves multiple micro-batches ran
+    assert pdf.groupby("k").size().min() >= 2
+    final = pdf.groupby("k")["n"].max().to_dict()
+    assert final == {"a": 30, "b": 30}
+
+
+def test_stream_fold_pickled_state(spark, tmp_path):
+    # non-scalar accumulator (set) round-trips through binary state
+    import pickle
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 1), ("b", 7)], ["k", "v"]
+    )
+    path = str(tmp_path / "pick")
+    df.write.parquet(path)
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+    out = run_available_now(
+        stream_fold_by_key(
+            sdf,
+            "k",
+            set(),
+            lambda acc, v: acc | {int(v)},
+            value_col="v",
+            alias="seen",
+        ),
+        output_mode="update",
+    )
+    got = {r["k"]: pickle.loads(bytes(r["seen"])) for r in out.collect()}
+    assert got == {"a": {1, 2}, "b": {7}}
