@@ -217,6 +217,11 @@ class GroupSortedFrame:
 
         return merge_join(self, other, how="left_anti", **kw)
 
+    def merge_join_asof(self, other, time_col, **kw):
+        from .operators.joins import merge_join_asof
+
+        return merge_join_asof(self, other, time_col, **kw)
+
     def merge_join_custom(self, other, func, schema):
         from .operators.joins import merge_join_custom
 

@@ -29,10 +29,11 @@ from typing import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..core import GroupSortedFrame, assume_group_sorted
 
-__all__ = ["merge_join", "merge_join_custom"]
+__all__ = ["merge_join", "merge_join_custom", "merge_join_asof"]
 
 _HOWS = {"inner", "left", "right", "full", "left_semi", "left_anti"}
 
@@ -119,3 +120,101 @@ def merge_join_custom(
         .cogroup(right.df.groupby(*keys))
         .applyInPandas(apply, schema)
     )
+
+
+def merge_join_asof(
+    left: GroupSortedFrame,
+    right: GroupSortedFrame | DataFrame,
+    time_col: str,
+    *,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Point-in-time (as-of) join: for each left row, attach the right
+    row with the greatest ``time_col`` <= the left row's (direction
+    ``"backward"``, inclusive; ``"forward"`` = smallest >=). Left
+    outer: unmatched left rows keep nulls. An operator the reference
+    lacks (SURVEY §2.4 "not implemented: ... as-of joins") but a
+    training-data pipeline needs (feature lookup at label time without
+    leakage).
+
+    Implementation is native and skew-safe at scale: union both sides
+    tagged, one hash shuffle on the keys, one partition-local sort by
+    ``(time, side)``, then ``last(ignorenulls)`` running windows carry
+    the most recent right values onto each left row. No per-key
+    cartesian, no range-join explosion; cost is the same one
+    shuffle+sort as ``group_sort``. ``tolerance`` (in ``time_col``
+    units) voids matches older than ``left.time - tolerance``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if isinstance(right, DataFrame):
+        right = assume_group_sorted(right, left.key_cols)
+    keys = _check_keys(left, right)
+    for side, gsf in (("left", left), ("right", right)):
+        if time_col not in gsf.df.columns:
+            raise ValueError(f"{side} side lacks time column {time_col!r}")
+
+    from pyspark.sql.window import Window
+
+    lvals = [c for c in left.df.columns if c not in keys and c != time_col]
+    rvals = [c for c in right.df.columns if c not in keys and c != time_col]
+    carried = {c: (c + suffix if c in left.df.columns else c) for c in rvals}
+    carried[time_col] = time_col + suffix
+
+    # both sides keep their event time in `time_col` (it drives the
+    # sort); the right side ALSO mirrors it into the carried column so
+    # the running last() can report the matched time
+    ldf = left.df.select(
+        *keys,
+        F.col(time_col),
+        *lvals,
+        *[F.lit(None).cast(right.df.schema[c].dataType).alias(carried[c]) for c in rvals],
+        F.lit(None).cast(right.df.schema[time_col].dataType).alias(carried[time_col]),
+        F.lit(1).alias("__side"),
+    )
+    rdf = right.df.select(
+        *keys,
+        F.col(time_col),
+        *[F.lit(None).cast(left.df.schema[c].dataType).alias(c) for c in lvals],
+        *[F.col(c).alias(carried[c]) for c in rvals],
+        F.col(time_col).alias(carried[time_col]),
+        F.lit(0).alias("__side"),
+    )
+    # at equal time the right row must sort before the left row so the
+    # running window sees it (inclusive match)
+    tcol = F.col(time_col) if direction == "backward" else F.col(time_col).desc()
+    unioned = ldf.unionByName(rdf)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(tcol, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # left rows carry their own time in time_col; right rows carry null
+    # in left cols — last(ignorenulls) pulls the latest right payload
+    out = unioned.select(
+        *keys,
+        *lvals,
+        F.col(time_col),
+        *[F.last(carried[c], ignorenulls=True).over(w).alias(carried[c]) for c in rvals],
+        F.last(carried[time_col], ignorenulls=True).over(w).alias(carried[time_col]),
+        F.col("__side"),
+    ).filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        mt, lt = F.col(carried[time_col]), F.col(time_col)
+        in_tol = (
+            (lt - mt <= F.lit(tolerance))
+            if direction == "backward"
+            else (mt - lt <= F.lit(tolerance))
+        )
+        out = out.select(
+            *keys,
+            *lvals,
+            time_col,
+            *[
+                F.when(in_tol, F.col(carried[c])).alias(carried[c])
+                for c in [*rvals, time_col]
+            ],
+        )
+    return out

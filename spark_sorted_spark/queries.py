@@ -848,3 +848,34 @@ def stream_fold_ema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="update",
     )
+
+
+# ===========================================================================
+# Extension join: point-in-time (as-of) join — purchases pick up the
+# most recent prior click per user. Oracle: DuckDB's native ASOF JOIN.
+# Both sides compare microsecond timestamps (ts div 1000) so the two
+# engines make identical boundary decisions.
+# ===========================================================================
+@query(
+    "asof_join",
+    oracle="""
+    SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+           epoch_us(r.ts) AS ts_us_r, r.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("value").alias("click_value")
+    )
+    lgs = group_sort(purchases, "user_id", order_by="ts_us")
+    rgs = group_sort(clicks, "user_id", order_by="ts_us")
+    return lgs.merge_join_asof(rgs, "ts_us")

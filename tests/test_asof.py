@@ -1,0 +1,113 @@
+"""merge_join_asof: point-in-time join semantics vs a pandas oracle."""
+
+import pandas as pd
+import pytest
+
+from spark_sorted_spark import group_sort
+
+
+@pytest.fixture()
+def sides(spark):
+    trades = spark.createDataFrame(
+        [
+            ("a", 10, 1.0),
+            ("a", 20, 2.0),
+            ("a", 25, 2.5),
+            ("b", 5, 9.0),
+            ("c", 7, 7.0),  # key with no quotes at all
+        ],
+        ["k", "t", "px"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("a", 8, 100),
+            ("a", 20, 200),  # exactly at trade time -> inclusive match
+            ("a", 24, 240),
+            ("b", 9, 900),  # after the only b trade
+        ],
+        ["k", "t", "bid"],
+    )
+    return group_sort(trades, "k", order_by="t"), group_sort(quotes, "k", order_by="t")
+
+
+def _by_key(df):
+    return {(r["k"], r["t"]): (r["t_r"], r["bid"]) for r in df.collect()}
+
+
+def test_asof_backward(sides):
+    left, right = sides
+    got = _by_key(left.merge_join_asof(right, "t"))
+    assert got == {
+        ("a", 10): (8, 100),
+        ("a", 20): (20, 200),  # tie is inclusive
+        ("a", 25): (24, 240),
+        ("b", 5): (None, None),  # quote only after
+        ("c", 7): (None, None),  # no quotes for key
+    }
+
+
+def test_asof_forward(sides):
+    left, right = sides
+    got = _by_key(left.merge_join_asof(right, "t", direction="forward"))
+    assert got == {
+        ("a", 10): (20, 200),
+        ("a", 20): (20, 200),
+        ("a", 25): (None, None),
+        ("b", 5): (9, 900),
+        ("c", 7): (None, None),
+    }
+
+
+def test_asof_tolerance(sides):
+    left, right = sides
+    got = _by_key(left.merge_join_asof(right, "t", tolerance=2))
+    assert got == {
+        ("a", 10): (8, 100),  # 10-8 = 2, at the tolerance edge: kept
+        ("a", 20): (20, 200),
+        ("a", 25): (24, 240),
+        ("b", 5): (None, None),
+        ("c", 7): (None, None),
+    }
+    tight = _by_key(left.merge_join_asof(right, "t", tolerance=1))
+    assert tight[("a", 10)] == (None, None)  # 10-8 = 2 > 1: voided
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    lt = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 200),
+            "t": rng.randint(0, 1000, 200),
+            "x": rng.randn(200),
+        }
+    ).drop_duplicates(["k", "t"])
+    rt = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 150),
+            "t": rng.randint(0, 1000, 150),
+            "y": rng.randn(150),
+        }
+    ).drop_duplicates(["k", "t"])
+    left = group_sort(spark.createDataFrame(lt), "k", order_by="t")
+    right = group_sort(spark.createDataFrame(rt), "k", order_by="t")
+    got = (
+        left.merge_join_asof(right, "t")
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lt.sort_values("t"),
+        rt.sort_values("t").rename(columns={"t": "t_r"}),
+        left_on="t",
+        right_on="t_r",
+        by="k",
+        direction="backward",
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "t", "x", "t_r", "y"]],
+        exp[["k", "t", "x", "t_r", "y"]].astype({"t_r": "float64"}),
+        check_dtype=False,
+    )
