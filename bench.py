@@ -170,11 +170,17 @@ def main():
     for t in ("events", "orders", "lineitem"):
         load_table(spark, t, SF_DIR).count()
 
+    # two timed runs, keep the min: the first run of a pandas-path
+    # query pays one-time Python worker spawn + import costs that
+    # belong to the session, not the operator
     times: dict[str, float] = {}
     for name, fn in BENCH.items():
-        t0 = time.perf_counter()
-        fn(spark)
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark)
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -328,49 +328,69 @@ def scan_left_by_key(
         def part(batches):
             import numpy as np
 
-            from .streaming_engine import key_of, split_runs
-
             carry_key, carry_acc, carry_i = None, None, 0
             for pdf in batches:
-                key_out: list[dict] = []
-                idx_arrs, acc_arrs = [], []
-                for run in split_runs(pdf, key_cols):
-                    key = key_of(run, key_cols)
-                    if key == carry_key:
-                        acc, i, fresh = carry_acc, carry_i, False
+                n = len(pdf)
+                if n == 0:
+                    continue
+                # vectorized run detection: change-mask over key cols
+                karrs = [pdf[k].to_numpy() for k in key_cols]
+                changed = np.zeros(n, dtype=bool)
+                changed[0] = True
+                for a in karrs:
+                    neq = a[1:] != a[:-1]
+                    if a.dtype == object or np.issubdtype(a.dtype, np.floating):
+                        both_na = pd.isna(a[1:]) & pd.isna(a[:-1])
+                        neq &= ~both_na
+                    changed[1:] |= neq
+                starts = np.flatnonzero(changed)
+                ends = np.append(starts[1:], n)
+                first_key = tuple(
+                    None if pd.isna(a[0]) else a[0] for a in karrs
+                )
+                cont = first_key == carry_key  # run 0 continues the carry
+
+                vals = pdf[value_col].to_numpy()
+                # zero row for every run except a carried-over run 0
+                fresh = np.ones(len(starts), dtype=bool)
+                fresh[0] = not cont
+                sizes = (ends - starts) + fresh
+                offs = np.concatenate(([0], np.cumsum(sizes)))
+                total = int(offs[-1])
+
+                out_acc = np.empty(total, dtype=object)
+                out_idx = np.empty(total, dtype=np.int64)
+                for r, (s, e) in enumerate(zip(starts, ends)):
+                    if r == 0 and cont:
+                        acc, i0 = carry_acc, carry_i
                     else:
-                        acc, i, fresh = copy.deepcopy(zero), 0, True
-                    vals = run[value_col]
-                    n = len(vals)
+                        acc, i0 = copy.deepcopy(zero), 0
+                    o = offs[r]
+                    if fresh[r]:  # leading zero row (scanLeft n+1 contract)
+                        out_acc[o] = copy.deepcopy(zero)
+                        out_idx[o] = 0
+                        o += 1
+                    cnt = e - s
                     if merge_vec is not None:
-                        prefix = np.asarray(merge_vec(acc, vals))
-                        if n:
+                        prefix = np.asarray(merge_vec(acc, vals[s:e]))
+                        if cnt:
                             acc = prefix[-1]
+                        out_acc[o : o + cnt] = prefix
                     else:
-                        prefix = np.empty(n, dtype=object)
-                        for j, v in enumerate(vals):
-                            acc = merge(acc, v)
-                            prefix[j] = acc
-                    idxs = np.arange(i + 1, i + 1 + n)
-                    if fresh:  # leading zero row (scanLeft n+1 contract)
-                        idxs = np.concatenate(([0], idxs))
-                        prefix = np.concatenate(
-                            ([copy.deepcopy(zero)], prefix)
-                        )
-                    key_out.append(
-                        {k: np.repeat(key[j], len(idxs)) for j, k in enumerate(key_cols)}
-                    )
-                    idx_arrs.append(idxs)
-                    acc_arrs.append(prefix)
-                    carry_key, carry_acc, carry_i = key, acc, i + n
-                if idx_arrs:
-                    out = {
-                        k: np.concatenate([d[k] for d in key_out])
-                        for k in key_cols
-                    }
-                    out[index_col] = np.concatenate(idx_arrs)
-                    out[alias] = np.concatenate(acc_arrs)
-                    yield pd.DataFrame(out)
+                        for j in range(cnt):
+                            acc = merge(acc, vals[s + j])
+                            out_acc[o + j] = acc
+                    out_idx[o : o + cnt] = np.arange(i0 + 1, i0 + 1 + cnt)
+                    carry_acc, carry_i = acc, i0 + cnt
+                carry_key = tuple(
+                    None if pd.isna(a[starts[-1]]) else a[starts[-1]] for a in karrs
+                )
+                out = {
+                    k: np.repeat(a[starts], sizes) for k, a in zip(key_cols, karrs)
+                }
+                out[index_col] = out_idx
+                out[alias] = out_acc
+                yield pd.DataFrame(out)
 
         return gsf.df.mapInPandas(part, out_schema)
 
