@@ -232,6 +232,16 @@ class GroupSortedFrame:
 
         return merge_union(self, other)
 
+    def merge_intersect(self, other, distinct: bool = True):
+        from .operators.union import merge_intersect
+
+        return merge_intersect(self, other, distinct)
+
+    def merge_except(self, other, distinct: bool = False):
+        from .operators.union import merge_except
+
+        return merge_except(self, other, distinct)
+
     # -- introspection --------------------------------------------------
 
     def explain(self, mode: str = "formatted") -> None:

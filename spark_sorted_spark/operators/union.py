@@ -81,3 +81,28 @@ def merge_union_cogroup(
     return assume_group_sorted(
         merged, left.key_cols, order_by=[(s.col, s.ascending) for s in specs]
     )
+
+
+def merge_intersect(
+    left: GroupSortedFrame, right: GroupSortedFrame, distinct: bool = True
+) -> GroupSortedFrame:
+    """Set intersection on full rows (reference omits it, SURVEY §2.5).
+    Distinct semantics use Catalyst's native ``Intersect`` (planned as
+    an aggregate + join — one shuffle on all columns); ``distinct=False``
+    gives bag semantics (``intersectAll``). Result is re-wrapped on the
+    same keys; value ordering is gone (hash layout on all cols)."""
+    _check(left, right)
+    df = (
+        left.df.intersect(right.df) if distinct else left.df.intersectAll(right.df)
+    )
+    return assume_group_sorted(df, left.key_cols)
+
+
+def merge_except(
+    left: GroupSortedFrame, right: GroupSortedFrame, distinct: bool = False
+) -> GroupSortedFrame:
+    """Set difference (bag semantics by default — ``exceptAll`` keeps
+    surplus duplicates, matching multiset subtraction)."""
+    _check(left, right)
+    df = left.df.exceptAll(right.df) if not distinct else left.df.subtract(right.df)
+    return assume_group_sorted(df, left.key_cols)

@@ -879,3 +879,84 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lgs = group_sort(purchases, "user_id", order_by="ts_us")
     rgs = group_sort(clicks, "user_id", order_by="ts_us")
     return lgs.merge_join_asof(rgs, "ts_us")
+
+
+# ===========================================================================
+# Set operations beyond merge_union (reference omits them, SURVEY
+# §2.5): intersect (distinct) and exceptAll (bag difference) on event
+# slices, via native Catalyst Intersect/Except.
+# ===========================================================================
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT user_id, event_type FROM events WHERE value > 50
+    INTERSECT
+    SELECT user_id, event_type FROM events WHERE value <= 150
+    """,
+)
+def set_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    a = group_sort(
+        ev.filter(F.col("value") > 50).select("user_id", "event_type"), "user_id"
+    )
+    b = group_sort(
+        ev.filter(F.col("value") <= 150).select("user_id", "event_type"), "user_id"
+    )
+    return a.merge_intersect(b).to_df()
+
+
+@query(
+    "set_except",
+    # bag difference: per (user_id, event_type) the surplus multiplicity
+    # of the full table over the value<=150 slice = its count of
+    # value>150 rows — guaranteed non-vacuous
+    oracle="""
+    SELECT user_id, event_type FROM events
+    EXCEPT ALL
+    SELECT user_id, event_type FROM events WHERE value <= 150
+    """,
+)
+def set_except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    a = group_sort(ev.select("user_id", "event_type"), "user_id")
+    b = group_sort(
+        ev.filter(F.col("value") <= 150).select("user_id", "event_type"), "user_id"
+    )
+    return a.merge_except(b).to_df()
+
+
+# ===========================================================================
+# Multi-dimensional aggregation (rollup/cube — native in Spark SQL,
+# absent in the reference, SURVEY §2.6). Sums are exact: l_quantity is
+# integral, summed as bigint.
+# ===========================================================================
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity::BIGINT) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity::BIGINT) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
