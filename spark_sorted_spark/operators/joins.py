@@ -52,6 +52,7 @@ def merge_join(
     right: GroupSortedFrame | DataFrame,
     how: str = "full",
     suffix: str = "_r",
+    broadcast: bool = False,
 ) -> GroupSortedFrame:
     """Equality join on the shared key columns. ``how='full'`` mirrors
     the reference's default ``mergeJoin`` (``GroupSorted.scala:76-79``
@@ -74,6 +75,13 @@ def merge_join(
         for c in collisions:
             rdf = rdf.withColumnRenamed(c, c + suffix)
 
+    if broadcast:
+        # small right side: hash-broadcast it and skip the shuffle/sort
+        # of the left side entirely (BroadcastHashJoinExec). At 100 TB
+        # this is the difference between a full exchange of the fact
+        # table and a map-side join. AQE also auto-promotes when the
+        # built side is under spark.sql.autoBroadcastJoinThreshold.
+        rdf = F.broadcast(rdf)
     joined = left.df.join(rdf, on=keys, how=how)
     # result stays partitioned by key; key-sorted within partitions for
     # the SMJ path. Value ordering across the combined row is undefined.

@@ -960,3 +960,90 @@ def cube_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
     )
+
+
+# ===========================================================================
+# Relational headline queries (TPC-H shapes Q1/Q3 on the driver's
+# TPC-H-ish tables). Money math in cents-as-bigint: both engines
+# compute round(price * 100) on identical IEEE doubles row-wise, then
+# sum exactly — order-independent, hash-stable.
+# ===========================================================================
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::BIGINT) AS sum_qty,
+           sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+               AS sum_disc_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+               AS revenue_cents,
+           epoch_us(o_orderdate) AS odate_us,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    # customer is the small dim: broadcast; orders ⋈ lineitem co-shuffle
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    return joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "bigint"
+            )
+        ).alias("revenue_cents")
+    ).select(
+        "l_orderkey",
+        "revenue_cents",
+        # o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the
+        # cast to TIMESTAMP is identity and unix_micros matches epoch_us
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+        "o_orderpriority",
+    )

@@ -1,0 +1,108 @@
+"""Plan-shape regression tests: the physical plans we promise in the
+docstrings (pushdown reaching the scan, broadcast strategy, shuffle
+counts) must actually be the plans Catalyst emits."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_sorted_spark import group_sort
+from spark_sorted_spark.sources.tpch import load_table
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    # NB: formatted mode prints each node twice (tree + detail
+    # section) — use mode="simple" when counting node occurrences
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+    # column pruning: the scan reads exactly the two projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_broadcast_join_plans_broadcast_hash_join(spark, sf_dir):
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    lgs = group_sort(cust.withColumnRenamed("c_nationkey", "nk"), "nk")
+    rgs = group_sort(nation.withColumnRenamed("n_nationkey", "nk"), "nk")
+    plan = _plan(lgs.merge_join_inner(rgs, broadcast=True).to_df())
+    assert "BroadcastHashJoin" in plan
+    # the default path ALSO broadcasts here: nation is far below
+    # autoBroadcastJoinThreshold, Catalyst promotes it unasked
+    plan_auto = _plan(lgs.merge_join_inner(rgs).to_df())
+    assert "BroadcastHashJoin" in plan_auto
+
+
+def test_large_sides_default_to_sort_merge_join(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    lgs = group_sort(orders.withColumnRenamed("o_orderkey", "k"), "k")
+    rgs = group_sort(li.withColumnRenamed("l_orderkey", "k"), "k")
+    # disable auto-broadcast to model two at-scale fact tables (at
+    # 100 TB neither side fits the broadcast threshold)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(lgs.merge_join_inner(rgs).to_df(), "simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    # co-partitioned inputs: the join adds no Exchange beyond the two
+    # layout shuffles
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_chained_narrow_ops_plan_single_exchange(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    gs = group_sort(ev, "user_id", order_by="ts")
+    chained = (
+        gs.filter(F.col("value") > 0)
+        .map_values(v2=F.col("value") * 2)
+        .map_key_values_to_values(F.col("v2"), keep=["ts"])
+    )
+    plan = _plan(chained.to_df(), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_native_fold_plans_single_exchange_no_python(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    gs = group_sort(ev, "user_id", order_by="ts")
+    out = gs.fold_left_by_key(
+        0.0,
+        lambda acc, v: acc * F.lit(0.8) + F.lit(0.2) * v,
+        value_col="value",
+        alias="ema",
+        tier="native",
+    )
+    plan = _plan(out, "simple")
+    assert plan.count("Exchange") == 1, plan
+    for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan
+
+
+def test_asof_join_plans_single_exchange_per_side_no_cartesian(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    l = group_sort(
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us", "value"),
+        "user_id",
+        order_by="ts_us",
+    )
+    r = group_sort(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts_us", F.col("value").alias("cv")
+        ),
+        "user_id",
+        order_by="ts_us",
+    )
+    plan = _plan(l.merge_join_asof(r, "ts_us"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # union of two pre-laid-out sides + one window: no join node at all
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
