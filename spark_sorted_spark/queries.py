@@ -1047,3 +1047,36 @@ def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
         "o_orderpriority",
     )
+
+
+# ===========================================================================
+# Skew-safe salted aggregation: same relation as combiner_agg but the
+# final per-key aggregation is itself two-stage (key+salt, then key) —
+# the hot-key escape hatch when per-key state is the bottleneck.
+# ===========================================================================
+@query(
+    "salted_agg",
+    oracle="""
+    SELECT l_orderkey,
+           sum(l_quantity::BIGINT) AS sum_qty,
+           min(l_extendedprice) AS min_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_agg
+
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "l_qty_int", F.col("l_quantity").cast("bigint")
+    )
+    return salted_agg(
+        li,
+        "l_orderkey",
+        {
+            "sum_qty": ("sum", "l_qty_int"),
+            "min_price": ("min", "l_extendedprice"),
+            "n": ("count", "l_qty_int"),
+        },
+        salt=8,
+    )

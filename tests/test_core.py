@@ -100,3 +100,28 @@ def test_chaining_single_shuffle(spark):
     )
     plan = out.to_df()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.operators.skew import salted_agg
+    from spark_sorted_spark.sources.tpch import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "q", F.col("l_quantity").cast("bigint")
+    )
+    got = salted_agg(
+        li, "l_orderkey", {"s": ("sum", "q"), "mn": ("min", "q"), "n": ("count", "q")}
+    )
+    exp = li.groupBy("l_orderkey").agg(
+        F.sum("q").alias("s"), F.min("q").alias("mn"), F.count("q").alias("n")
+    )
+    # two-stage: exactly two Exchanges (key+salt, then key). Read the
+    # plan BEFORE executing — after collect, AQE's explain string
+    # repeats the tree (Final + Initial plan sections).
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") == 2, plan
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
