@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "dot_strict",
+    "ann_ivf_topk",
     "cosine",
     "cosine_topk",
     "cosine_neardup_pairs",
@@ -153,6 +154,80 @@ def ann_lsh_topk(
     ).filter(F.col("bucket") == qbits)
     return (
         bucketed.withColumn("cos", cosine(F.col(vec_col), q))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col),
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc()))
+            .alias("rank"),
+            "cos",
+        )
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard scale
+    path next to LSH. ``nlist`` centroids are picked deterministically
+    (the vectors with the smallest ``md5(id)`` — a seeded sample, no
+    training loop); every vector is assigned to its nearest centroid
+    with a native argmax over ``nlist`` strict-fold dot products
+    (array-of-structs min — no Python in the scan); the query probes
+    its ``nprobe`` nearest cells and ranks by exact cosine inside them.
+
+    At corpus scale the cell assignment is computed once and persisted
+    (bucketed by cell — see ``sources.bucketed``); per-query cost is
+    ``nprobe/nlist`` of the data, embarrassingly parallel. Driver-side
+    work is ``nlist`` centroid vectors — constants in the plan, not a
+    data-flow collect.
+    """
+    import hashlib
+
+    import numpy as _np
+
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(nlist)
+        .collect()
+    ]
+
+    def cell_of(vec: Column) -> Column:
+        # argmin over negative dot = nearest-by-dot centroid; struct
+        # ordering compares fields in order so (score, idx) min is the
+        # deterministic argmax with id tiebreak
+        scored = F.array(
+            *[
+                F.struct(
+                    (-dot_strict(vec, F.array(*[F.lit(x) for x in c]))).alias("nd"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, (_cid, c) in enumerate(cents)
+            ]
+        )
+        return F.array_min(scored)["cell"]
+
+    qn = _np.asarray(query_vec, dtype=float)
+    order = sorted(
+        range(len(cents)), key=lambda i: (-float(qn @ _np.asarray(cents[i][1])), i)
+    )
+    probe = order[:nprobe]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    celled = df.select(
+        F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("cell")
+    ).filter(F.col("cell").isin(probe))
+    return (
+        celled.withColumn("cos", cosine(F.col(vec_col), q))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
         .select(

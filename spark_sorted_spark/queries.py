@@ -1080,3 +1080,14 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt=8,
     )
+
+
+@query("similarity_ann_ivf")  # approximate → rows-only check; recall +
+def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:  # full-
+    from .functions.similarity import ann_ivf_topk  # probe==exact pinned in tests
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_ivf_topk(
+        emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10
+    )

@@ -116,3 +116,21 @@ def test_fingerprint_order_sensitive(spark):
     )
     fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
     assert fp[1] != fp[2]  # bag-of-words collapses these; rolling hash doesn't
+
+
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    from spark_sorted_spark.functions.similarity import ann_ivf_topk, cosine_topk
+
+    qvec = [float(x) for x in emb.filter(emb.vec_id == 0).head()["embedding"]]
+    rest = emb.filter(emb.vec_id != 0)
+    exact = [r.vec_id for r in cosine_topk(rest, qvec, k=10).collect()]
+    approx = [r.vec_id for r in ann_ivf_topk(rest, qvec, k=10, nlist=8, nprobe=4).collect()]
+    # determinism
+    approx2 = [r.vec_id for r in ann_ivf_topk(rest, qvec, k=10, nlist=8, nprobe=4).collect()]
+    assert approx == approx2
+    # probing half the cells: recall@10 should be decent on this data
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, (recall, exact, approx)
+    # full probe == exact search
+    full = [r.vec_id for r in ann_ivf_topk(rest, qvec, k=10, nlist=8, nprobe=8).collect()]
+    assert full == exact
