@@ -1091,3 +1091,109 @@ def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:  # full
     return ann_ivf_topk(
         emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10
     )
+
+
+# ===========================================================================
+# Scalar-function breadth: JSON extraction (events.props is a JSON
+# string) and analytic window functions (lag/rank) — SURVEY §2.6 notes
+# the reference delegates all of this to user lambdas; in our engine it
+# is native pyspark.sql.functions.
+# ===========================================================================
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id, (props->>'k')::BIGINT AS k_val
+    FROM events WHERE (props->>'k')::BIGINT > 50
+    """,
+)
+def json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    ).filter(F.col("k_val") > 50)
+
+
+@query(
+    "window_rank_lag",
+    oracle="""
+    SELECT user_id, event_id,
+           rank() OVER w AS rnk,
+           lag(event_id) OVER w AS prev_event,
+           count(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_rank_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+    )
+
+
+# ===========================================================================
+# End-to-end corpus cleaning pipeline (the composition a pretraining
+# data pipeline actually runs): exact dedup -> n-gram near-dup removal
+# -> quality/length filter. Oracle replays the identical stages in SQL.
+# ===========================================================================
+@query(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM d1))),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    confirmed AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE 2 * n_common >= 1 * (sa.nsh + sb.nsh - n_common)),
+    d2 AS (
+      SELECT * FROM d1
+      WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM confirmed)),
+    scored AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             (least(100, len(toks) // 10)
+              + (100 * len(list_distinct(toks))) // len(toks)
+              + CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 20 ELSE 0 END)::BIGINT
+                 AS quality
+      FROM (SELECT doc_id, length(text) AS n_chars,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM d2))
+    SELECT doc_id, n_tokens, quality FROM scored
+    WHERE quality >= 60 AND n_tokens >= 30
+    """,
+)
+def pipeline_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import exact_dedup, ngram_jaccard_pairs
+    from .functions.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    d1 = docs.join(keep, "doc_id", "inner")
+    near = ngram_jaccard_pairs(d1)
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    d2 = d1.join(drop, "doc_id", "left_anti")
+    scored = quality_score(d2)
+    return scored.filter(
+        (F.col("quality") >= 60) & (F.col("n_tokens") >= 30)
+    ).select("doc_id", "n_tokens", "quality")
