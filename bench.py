@@ -151,6 +151,31 @@ def b7_stream_vs_pandas(spark):
     )
 
 
+def b8_asof(spark):
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["asof_join"](spark, SF_DIR))
+
+
+def b9_tpch_q1(spark):
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["tpch_q1_pricing_summary"](spark, SF_DIR))
+
+
+def b10_clean_corpus(spark):
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["pipeline_clean_corpus"](spark, SF_DIR))
+
+
+def b11_stream_window(spark):
+    # Structured Streaming drain (availableNow) of the hourly window agg
+    from spark_sorted_spark.queries import QUERIES
+
+    QUERIES["stream_hourly_window"](spark, SF_DIR).count()
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -160,6 +185,10 @@ BENCH = {
     "b5_scan_stream": b5_scan_stream,
     "b6_agg": b6_agg,
     "b7_stream": b7_stream_vs_pandas,
+    "b8_asof": b8_asof,
+    "b9_tpch_q1": b9_tpch_q1,
+    "b10_clean_corpus": b10_clean_corpus,
+    "b11_stream_window": b11_stream_window,
 }
 
 
