@@ -185,6 +185,16 @@ class GroupSortedFrame:
 
         return scan_left_by_key(self, zero, merge, **kw)
 
+    def combine_by_key(self, *aggs: Column) -> DataFrame:
+        """C3/C4 combiner path (``groupSort(createCombiner, mergeValue,
+        mergeCombiners)``, ``PairRDDFunctions.scala:33-42``): a native
+        aggregation over the keys. Catalyst plans partial + final
+        HashAggregate — the exact analogue of the reference's
+        ``setMapSideCombine(true)`` (``GroupSorted.scala:140-144``).
+        Pass ordinary agg Columns (``F.sum(...).alias(...)``, ...);
+        for skewed keys see ``operators.skew.salted_agg``."""
+        return self.df.groupBy(*self.key_cols).agg(*aggs)
+
     # -- joins / set ops ------------------------------------------------
 
     def merge_join_inner(self, other, **kw):

@@ -15,7 +15,7 @@ caveat on ``stream_fold_by_key``) — that is what the oracle gate
 checks.
 """
 
-from .ops import sessionize, stream_dedup, windowed_agg
+from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now
 from .source import stream_table
 from .stateful import stream_fold_by_key
@@ -25,6 +25,7 @@ __all__ = [
     "windowed_agg",
     "sessionize",
     "stream_dedup",
+    "stream_stream_join",
     "stream_fold_by_key",
     "run_available_now",
 ]

@@ -96,3 +96,42 @@ def stream_dedup(
     if within_watermark:
         return sdf.dropDuplicatesWithinWatermark(list(cols))
     return sdf.dropDuplicates(list(cols))
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    time_col: str,
+    watermark: str,
+    within: str,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-bound: right
+    rows join left rows with the same keys whose event time is within
+    ``within`` (e.g. ``"1 hour"``) at or before the left time. The
+    time bound + watermark are what make unbounded stream-stream joins
+    feasible — they let the engine discard buffered state older than
+    the watermark instead of holding both streams forever.
+
+    The batch analogue is a range-predicate equi-join; the streaming
+    plan is StreamingSymmetricHashJoin with watermark-based state
+    eviction.
+    """
+    lw = left.withWatermark(time_col, watermark)
+    rcols = {c: c + suffix if c in left.columns else c for c in right.columns}
+    r = right
+    for old, new in rcols.items():
+        if new != old:
+            r = r.withColumnRenamed(old, new)
+    rw = r.withWatermark(time_col + suffix, watermark)
+    tcond = (
+        (F.col(time_col + suffix) <= F.col(time_col))
+        & (F.col(time_col + suffix) >= F.col(time_col) - F.expr(f"INTERVAL {within}"))
+    )
+    cond = tcond
+    for k in keys:
+        cond = (F.col(k) == F.col(rcols[k])) & cond
+    return lw.join(rw, cond, how)

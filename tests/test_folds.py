@@ -147,3 +147,59 @@ def test_fold_matches_collections_oracle_random(spark, tier):
     assert set(got) == set(expected)
     for k in expected:
         assert math.isclose(got[k], expected[k], rel_tol=1e-9), k
+
+
+def test_scan_left_hypothesis_vs_accumulate(spark):
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark import group_sort
+
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+            min_size=0,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def run(pairs):
+        if not pairs:
+            return
+        rows = [(k, i, v) for i, (k, v) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, ["k", "i", "v"])
+        gs = group_sort(df, "k", order_by="i", num_partitions=2)
+        got = sorted(
+            map(
+                tuple,
+                gs.scan_left_by_key(
+                    0, lambda a, v: a + v, value_col="v", alias="s", tier="stream"
+                ).collect(),
+            )
+        )
+        expected = []
+        by_key = {}
+        for k, i, v in sorted(rows):
+            by_key.setdefault(k, []).append(v)
+        for k, vs in by_key.items():
+            accs = list(itertools.accumulate(vs, initial=0))
+            expected += [(k, j, a) for j, a in enumerate(accs)]
+        assert got == sorted(expected)
+
+    run()
+
+
+def test_combine_by_key_parity(spark):
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark import group_sort
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 2), ("b", 3), ("b", 4)], ["k", "v"]
+    )
+    out = group_sort(df, "k").combine_by_key(
+        F.sum("v").alias("s"), F.max("v").alias("mx")
+    )
+    assert sorted(map(tuple, out.collect())) == [("a", 6, 5), ("b", 9, 4)]

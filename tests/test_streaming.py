@@ -180,3 +180,40 @@ def test_stream_fold_pickled_state(spark, tmp_path):
     )
     got = {r["k"]: pickle.loads(bytes(r["seen"])) for r in out.collect()}
     assert got == {"a": {1, 2}, "b": {7}}
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
+    from spark_sorted_spark.streaming import stream_stream_join
+
+    purchases = stream_table(spark, "events", sf_dir, event_time="ts").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id")
+    clicks = stream_table(spark, "events", sf_dir, event_time="ts").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id")
+    out = run_available_now(
+        stream_stream_join(
+            purchases,
+            clicks,
+            ["user_id"],
+            time_col="ts",
+            watermark="1 hour",
+            within="1 hour",
+        ).select("user_id", "event_id", "event_id_r")
+    )
+    ev = _events_ts(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("event_id_r"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts_r") <= F.col("ts"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 1 hour")),
+    ).select("user_id", "event_id", "event_id_r")
+    assert _rows(out) == _rows(batch)
