@@ -125,3 +125,27 @@ def test_salted_agg_matches_plain_groupby(spark, sf_dir):
     )
     assert plan.count("Exchange") == 2, plan
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_null_keys_group_together(spark):
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark import group_sort
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3), (None, 4), ("a", 5)],
+        "k string, v int",
+    )
+    gs = group_sort(df, "k", order_by="v", num_partitions=2)
+    # native fold: null key is one group (Spark groups nulls together)
+    out = gs.fold_left_by_key(
+        0, lambda a, v: a + v, value_col="v", alias="s", tier="native"
+    )
+    got = {r["k"]: r["s"] for r in out.collect()}
+    assert got == {None: 7, "a": 8}
+    # stream tier must agree (null-equality in the run detector)
+    out2 = gs.fold_left_by_key(
+        0, lambda a, v: a + v, value_col="v", alias="s", tier="stream",
+        result_type="bigint",
+    )
+    assert {r["k"]: r["s"] for r in out2.collect()} == {None: 7, "a": 8}

@@ -5,6 +5,7 @@ iterator / first row per key), :147-156 (empty-output keys, issue #5),
 """
 
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from spark_sorted_spark import group_sort
@@ -92,3 +93,40 @@ def test_per_partition_context_closure_idiom(spark, f2):
 
     out = map_stream_by_key(gs, part_fn, schema, tier="stream")
     assert {(r.k, r.n) for r in out.collect()} == {("a", 2), ("b", 2), ("c", 1)}
+
+
+def test_single_huge_group_streams_in_bounded_memory(spark):
+    # The reference's core claim (README.md:4): one key, many rows —
+    # the stream tier must never materialize the group. 200k rows
+    # through mapInPandas with a per-chunk running aggregate; peak
+    # per-callback allocation is O(arrow batch), asserted by observing
+    # chunk sizes rather than rss (stable across environments).
+    import pandas as pd
+
+    from spark_sorted_spark import group_sort
+    from spark_sorted_spark.operators.map_stream import map_stream_by_key
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    gs = group_sort(df, "k", order_by="v", num_partitions=2)
+
+    def fn(key, chunks):
+        total, count, max_chunk = 0, 0, 0
+        for c in chunks:
+            max_chunk = max(max_chunk, len(c))
+            total += int(c["v"].sum())
+            count += len(c)
+        yield pd.DataFrame(
+            {"k": [key[0]], "s": [total], "n": [count], "mx": [max_chunk]}
+        )
+
+    rows = map_stream_by_key(
+        gs, fn, "k string, s bigint, n bigint, mx bigint", tier="stream"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["s"], r["n"]) == (n * (n - 1) // 2, n)
+    # the group arrived as many bounded chunks, not one giant frame
+    assert r["mx"] < n, "group was materialized in a single chunk"
