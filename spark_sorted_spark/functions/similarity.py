@@ -238,3 +238,49 @@ def ann_ivf_topk(
             "cos",
         )
     )
+
+
+def cosine_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for embedding near-dup: LSH-bucket (sign bits of
+    ``n_planes`` seeded hyperplanes) then exact-cosine verify *within*
+    buckets only — candidate generation becomes a bucket equi-join
+    instead of the O(n^2) cross join of ``cosine_neardup_pairs``.
+    Approximate: pairs straddling a hyperplane are missed (recall
+    measured in tests; more planes => smaller buckets but lower
+    recall — the standard trade)."""
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+
+    def bucket_of(vec: Column) -> Column:
+        out = F.lit(0)
+        for p, plane in enumerate(planes):
+            pv = F.array(*[F.lit(x) for x in plane])
+            out = out + F.when(dot_strict(vec, pv) >= 0, 1 << p).otherwise(0)
+        return out
+
+    b = df.select(
+        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("bucket")
+    )
+    a1 = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("emb_a"),
+    )
+    a2 = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("emb_b"),
+    )
+    return (
+        a1.join(a2, on="bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )

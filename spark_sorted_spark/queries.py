@@ -1197,3 +1197,39 @@ def pipeline_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         (F.col("quality") >= 60) & (F.col("n_tokens") >= 30)
     ).select("doc_id", "n_tokens", "quality")
+
+
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _bucket_sql(col: str, n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB expression for the LSH sign-bit bucket of an embedding —
+    same seeded hyperplanes, same strict-fold dot product as the Spark
+    side, so bucket assignment is bitwise-identical."""
+    from .functions.similarity import _hyperplane
+
+    bits = []
+    for p in range(n_planes):
+        plane = _plane_sql_literal(_hyperplane(p, dim))
+        dot = _DOT_SQL.format(a=col, b=plane)
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@query(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_cos_sql('a.embedding', 'c.embedding')} >= 0.4
+    """,
+)
+def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import cosine_neardup_pairs_lsh
+
+    return cosine_neardup_pairs_lsh(load_table(spark, "embeddings", sf_dir), 0.4)

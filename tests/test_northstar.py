@@ -134,3 +134,16 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
     # full probe == exact search
     full = [r.vec_id for r in ann_ivf_topk(rest, qvec, k=10, nlist=8, nprobe=8).collect()]
     assert full == exact
+
+
+def test_embedding_neardup_lsh_recall(spark, emb):
+    from spark_sorted_spark.functions.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+
+    exact = {tuple(r) for r in cosine_neardup_pairs(emb, 0.4).collect()}
+    approx = {tuple(r) for r in cosine_neardup_pairs_lsh(emb, 0.4).collect()}
+    assert approx <= exact  # precision 1.0 by construction
+    if exact:
+        assert len(approx) / len(exact) >= 0.2  # some recall at 6 planes
