@@ -243,21 +243,31 @@ def ann_ivf_topk(
 def cosine_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Scale path for embedding near-dup: LSH-bucket (sign bits of
-    ``n_planes`` seeded hyperplanes) then exact-cosine verify *within*
-    buckets only — candidate generation becomes a bucket equi-join
-    instead of the O(n^2) cross join of ``cosine_neardup_pairs``.
-    Approximate: pairs straddling a hyperplane are missed (recall
-    measured in tests; more planes => smaller buckets but lower
-    recall — the standard trade)."""
-    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    """Scale path for embedding near-dup: multi-table sign-bit LSH
+    (OR-construction) then exact-cosine verify within buckets.
 
-    def bucket_of(vec: Column) -> Column:
+    Each of ``n_tables`` hash tables buckets every vector by the sign
+    bits of ``n_planes`` seeded hyperplanes (table ``t`` uses planes
+    ``t*n_planes .. t*n_planes+n_planes-1``); a pair is a candidate if
+    it collides in ANY table (explode + equi-join on (table, bucket) +
+    distinct), then candidates are verified with the exact strict-fold
+    cosine. Collision probability per table for angle θ is
+    ``(1-θ/π)^n_planes``; OR over tables lifts recall to
+    ``1-(1-p)^n_tables`` while candidate generation stays a bucket
+    equi-join — never the O(n^2) cross join of
+    ``cosine_neardup_pairs``. Precision is 1.0 (exact verify)."""
+    tables = [
+        [_hyperplane(t * n_planes + p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+    def bucket_of(vec: Column, planes: list[list[float]]) -> Column:
         out = F.lit(0)
         for p, plane in enumerate(planes):
             pv = F.array(*[F.lit(x) for x in plane])
@@ -265,22 +275,40 @@ def cosine_neardup_pairs_lsh(
         return out
 
     b = df.select(
-        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("bucket")
-    )
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        bucket_of(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.t", "tb.bucket")
     a1 = b.select(
-        F.col("bucket"),
+        "t",
+        "bucket",
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("emb_a"),
     )
     a2 = b.select(
-        F.col("bucket"),
+        "t",
+        "bucket",
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("emb_b"),
     )
-    return (
-        a1.join(a2, on="bucket")
+    cand = (
+        a1.join(a2, on=["t", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .select("vec_a", "emb_a", "vec_b", "emb_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b")
     )

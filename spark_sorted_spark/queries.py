@@ -1203,18 +1203,28 @@ def _plane_sql_literal(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
-def _bucket_sql(col: str, n_planes: int = 6, dim: int = 64) -> str:
-    """DuckDB expression for the LSH sign-bit bucket of an embedding —
-    same seeded hyperplanes, same strict-fold dot product as the Spark
-    side, so bucket assignment is bitwise-identical."""
+def _bucket_sql(col: str, table: int, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB expression for table ``table``'s LSH sign-bit bucket —
+    same seeded hyperplanes (indices t*n_planes..+n_planes-1), same
+    strict-fold dot product as the Spark side, so bucket assignment is
+    bitwise-identical."""
     from .functions.similarity import _hyperplane
 
     bits = []
     for p in range(n_planes):
-        plane = _plane_sql_literal(_hyperplane(p, dim))
+        plane = _plane_sql_literal(_hyperplane(table * n_planes + p, dim))
         dot = _DOT_SQL.format(a=col, b=plane)
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+_N_LSH_TABLES = 8
+_LSH_CAND_SQL = " UNION ".join(
+    f"""SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM b a JOIN b c
+      ON a.b{t} = c.b{t} AND a.vec_id < c.vec_id"""
+    for t in range(_N_LSH_TABLES)
+)
 
 
 @query(
@@ -1222,11 +1232,12 @@ def _bucket_sql(col: str, n_planes: int = 6, dim: int = 64) -> str:
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             {_bucket_sql('embedding')} AS bucket
-      FROM embeddings)
-    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {_cos_sql('a.embedding', 'c.embedding')} >= 0.4
+             {", ".join(f"{_bucket_sql('embedding', t)} AS b{t}" for t in range(_N_LSH_TABLES))}
+      FROM embeddings),
+    cand AS ({_LSH_CAND_SQL})
+    SELECT vec_a, vec_b FROM cand
+    JOIN b ba ON ba.vec_id = vec_a JOIN b bc ON bc.vec_id = vec_b
+    WHERE {_cos_sql('ba.embedding', 'bc.embedding')} >= 0.4
     """,
 )
 def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:

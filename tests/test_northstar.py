@@ -146,4 +146,6 @@ def test_embedding_neardup_lsh_recall(spark, emb):
     approx = {tuple(r) for r in cosine_neardup_pairs_lsh(emb, 0.4).collect()}
     assert approx <= exact  # precision 1.0 by construction
     if exact:
-        assert len(approx) / len(exact) >= 0.2  # some recall at 6 planes
+        # 8 tables x 4 planes OR-construction: expected per-pair
+        # collision ~1-(1-(1-θ/π)^4)^8 ≈ 0.8 at cos 0.45
+        assert len(approx) / len(exact) >= 0.5, (len(approx), len(exact))
