@@ -44,14 +44,26 @@ def md5_int32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, and single
+# non-alnum marks — the word-piece boundary pattern subword
+# tokenizers split on first. Same regex class syntax in Java regex
+# (Spark) and RE2 (DuckDB), so counts match the oracle exactly.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document token counts — all-integer outputs."""
+    """Per-document token counts — all-integer outputs. ``n_tokens``
+    is whitespace words; ``n_bpe_tokens`` counts BPE-ish word pieces
+    (the usual "how many subword tokens will this cost" estimator)."""
     toks = tokens(text_col)
     return df.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars_utf8"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
     )
 
 

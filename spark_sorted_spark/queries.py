@@ -423,7 +423,9 @@ def scan_running_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text) AS n_chars_utf8,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-           len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_uniq_tokens
+           len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_uniq_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens
     FROM documents
     """,
 )
@@ -1244,3 +1246,42 @@ def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import cosine_neardup_pairs_lsh
 
     return cosine_neardup_pairs_lsh(load_table(spark, "embeddings", sf_dir), 0.4)
+
+
+# ===========================================================================
+# Global order-by/limit (reference has "no global sort or limit",
+# SURVEY §2.6 — native in Spark: ORDER BY + LIMIT compiles to
+# TakeOrderedAndProject, a per-partition top-k + driver merge, never a
+# full global sort materialization) and distinct aggregates.
+# ===========================================================================
+@query(
+    "global_topk",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    ORDER BY value DESC, event_id LIMIT 100
+    """,
+)
+def global_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select("event_id", "user_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(100)
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle="""
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_types,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def distinct_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n"),
+    )
