@@ -1285,3 +1285,32 @@ def distinct_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "pivot_event_types",
+    # oracle as portable conditional aggregation (same relation PIVOT
+    # produces; explicit columns keep both engines' schemas identical)
+    oracle="""
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null where a (user, type) pair never occurred
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")],
+    )
