@@ -52,3 +52,20 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     aggregations on the bucket keys skip the Exchange (requires
     ``spark.sql.sources.bucketing.enabled``, default true)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | Sequence[str],
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet (``partitionBy``): the coarse
+    companion to bucketing. Partition columns become directory keys;
+    any later filter on them prunes whole directories at planning time
+    (``PartitionFilters`` in the scan — tested) — at 100 TB, the
+    difference between scanning 3 days and 3 years."""
+    if isinstance(partition_cols, str):
+        partition_cols = [partition_cols]
+    df.write.format("parquet").mode(mode).partitionBy(*partition_cols).save(path)

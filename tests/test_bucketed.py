@@ -62,3 +62,19 @@ def test_bucketed_round_trip_preserves_rows(spark, sf_dir, bucketed_tables):
         "l_orderkey", "l_linenumber", "l_quantity"
     )
     assert read_bucketed(spark, t2).count() == li.count()
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
+    from spark_sorted_spark.sources.bucketed import write_partitioned
+    from spark_sorted_spark.sources.tpch import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "value")
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, "event_type")
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    exp = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == exp

@@ -149,3 +149,38 @@ def test_null_keys_group_together(spark):
         result_type="bigint",
     )
     assert {r["k"]: r["s"] for r in out2.collect()} == {None: 7, "a": 8}
+
+
+def test_error_paths(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark import group_sort
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    with _pt.raises(ValueError, match="key columns not in"):
+        group_sort(df, "nope")
+    with _pt.raises(ValueError, match="at least one key"):
+        group_sort(df, [])
+    with _pt.raises(TypeError, match="bad order_by"):
+        group_sort(df, "k", order_by=[1.5])
+    gs = group_sort(df, "k", order_by="v")
+    with _pt.raises(ValueError, match="tier"):
+        gs.fold_left_by_key(0, lambda a, v: a, value_col="v", tier="warp")
+
+
+def test_pandas_tier_works_with_arrow_disabled(spark):
+    # Arrow off -> applyInPandas falls back to the slow serializer but
+    # must stay correct
+    from spark_sorted_spark import group_sort
+
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    try:
+        df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], ["k", "v"])
+        out = group_sort(df, "k", order_by="v").fold_left_by_key(
+            0, lambda a, v: a + v, value_col="v", alias="s", tier="pandas",
+            result_type="bigint",
+        )
+        assert {r["k"]: r["s"] for r in out.collect()} == {"a": 3, "b": 5}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
