@@ -14,6 +14,12 @@ Public surface:
   ops); ``merge_join*`` / ``merge_union`` (sort-merge joins & union).
 * ``spark_sorted_spark.functions`` — dedup / similarity / text /
   multimodal operator library.
+* ``spark_sorted_spark.streaming`` — Structured Streaming tier
+  (windowed/session aggregation, streaming dedup, stateful per-key
+  fold, stream-stream join).
+* ``spark_sorted_spark.operators.skew`` — salted two-stage
+  aggregation; ``spark_sorted_spark.sources.bucketed`` — persistent
+  bucketed/partitioned layouts.
 """
 
 from .core import GroupSortedFrame, OrderSpec, assume_group_sorted, group_sort
