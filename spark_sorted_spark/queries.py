@@ -1314,3 +1314,22 @@ def pivot_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(c), F.lit(0)).alias(c)
           for c in ("click", "error", "purchase", "signup", "view")],
     )
+
+
+@query(
+    "percentile_per_user",
+    # exact interpolated percentile: both engines sort the group and
+    # apply a + (b-a)*frac on doubles -> bitwise-comparable
+    oracle="""
+    SELECT user_id,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY user_id
+    """,
+)
+def percentile_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+    )
