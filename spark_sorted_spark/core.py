@@ -252,6 +252,23 @@ class GroupSortedFrame:
 
         return merge_except(self, other, distinct)
 
+    # -- reuse ----------------------------------------------------------
+
+    def persist(self, storage_level=None) -> "GroupSortedFrame":
+        """Cache the laid-out frame for reuse across several per-key
+        operators (pays the shuffle once, reads it many times — the
+        idiom the reference enables via RDD lineage reuse,
+        ``README.md:37``)."""
+        if storage_level is not None:
+            self.df.persist(storage_level)
+        else:
+            self.df.persist()
+        return self
+
+    def unpersist(self) -> "GroupSortedFrame":
+        self.df.unpersist()
+        return self
+
     # -- introspection --------------------------------------------------
 
     def explain(self, mode: str = "formatted") -> None:
