@@ -1333,3 +1333,45 @@ def percentile_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.9).alias("p90"),
     )
+
+
+@query(
+    "dedup_simhash_banded",
+    # same sketch as dedup_simhash; candidates restricted to pairs
+    # agreeing on >=1 of 4 15-bit bands — exact for hamming<=3 by
+    # pigeonhole, so the relation equals the brute-force one at k=3
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    counts AS (
+      SELECT doc_id, tok, count(*) AS cnt,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h60
+      FROM tok GROUP BY doc_id, tok),
+    per_bit AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h60 >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+      FROM counts CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
+      GROUP BY doc_id, bit),
+    sk AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                 AS simhash
+      FROM per_bit GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 15)) & 32767 AS bval
+      FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sk_a,
+                      b.doc_id AS doc_b, b.simhash AS sk_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sk_a, sk_b))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sk_a, sk_b)) <= 3
+    """,
+)
+def dedup_simhash_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash_pairs_banded
+
+    return simhash_pairs_banded(load_table(spark, "documents", sf_dir))

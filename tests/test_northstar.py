@@ -149,3 +149,22 @@ def test_embedding_neardup_lsh_recall(spark, emb):
         # 8 tables x 4 planes OR-construction: expected per-pair
         # collision ~1-(1-(1-θ/π)^4)^8 ≈ 0.8 at cos 0.45
         assert len(approx) / len(exact) >= 0.5, (len(approx), len(exact))
+
+
+def test_simhash_banded_equals_bruteforce_at_k3(docs):
+    from spark_sorted_spark.functions.dedup import simhash_pairs, simhash_pairs_banded
+
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs_banded(docs, max_hamming=3, n_bands=4).collect()
+    }
+    assert banded == brute  # pigeonhole: k=3 < 4 bands -> exact
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_hamming < n_bands"):
+        simhash_pairs_banded(docs, max_hamming=4, n_bands=4)
