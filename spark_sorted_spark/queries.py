@@ -1375,3 +1375,31 @@ def dedup_simhash_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import simhash_pairs_banded
 
     return simhash_pairs_banded(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id, c.event_id AS event_id_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 hour
+    """,
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import run_available_now, stream_stream_join, stream_table
+
+    p = stream_table(spark, "events", sf_dir, event_time="ts").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id")
+    c = stream_table(spark, "events", sf_dir, event_time="ts").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id")
+    out = run_available_now(
+        stream_stream_join(
+            p, c, ["user_id"], time_col="ts", watermark="1 hour", within="1 hour"
+        )
+    )
+    return out.select("user_id", "event_id", "event_id_r")
