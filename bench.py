@@ -151,6 +151,30 @@ def b7_stream_vs_pandas(spark):
     )
 
 
+def b7_arrow(spark):
+    # same workload as b7 on the zero-copy mapInArrow tier
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from spark_sorted_spark.operators.map_stream import map_stream_by_key
+
+    events = load_table(spark, "events", SF_DIR)
+    gs = group_sort(
+        events.select("user_id", "ts", "value"), "user_id", order_by="ts"
+    )
+
+    def fn(key, rbs):
+        n, s = 0, 0.0
+        for rb in rbs:
+            n += rb.num_rows
+            s += pc.sum(rb.column(rb.schema.get_field_index("value"))).as_py()
+        yield pa.RecordBatch.from_pydict({"user_id": [key[0]], "n": [n], "s": [s]})
+
+    force(
+        map_stream_by_key(gs, fn, "user_id bigint, n bigint, s double", tier="arrow")
+    )
+
+
 def b8_asof(spark):
     from spark_sorted_spark.queries import QUERIES
 
@@ -185,6 +209,7 @@ BENCH = {
     "b5_scan_stream": b5_scan_stream,
     "b6_agg": b6_agg,
     "b7_stream": b7_stream_vs_pandas,
+    "b7_arrow": b7_arrow,
     "b8_asof": b8_asof,
     "b9_tpch_q1": b9_tpch_q1,
     "b10_clean_corpus": b10_clean_corpus,

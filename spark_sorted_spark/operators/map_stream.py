@@ -26,6 +26,9 @@ key columns, matching ``schema``):
   -> Iterator[pd.DataFrame]`` (a per-partition reusable context — the
   reference's A2 ``mapStreamByKey(c)(f)`` — is the closure idiom:
   allocate state in the enclosing ``mapInPandas`` function.)
+* arrow tier:   ``f(key: tuple, rbs: Iterator[pyarrow.RecordBatch])
+  -> Iterator[pyarrow.RecordBatch]`` — zero-copy input slices via
+  ``mapInArrow``; no pandas anywhere on the hot path.
 
 Empty output for a key is fine in both tiers (the reference needed a
 dedicated fix for this — github issue #5, ``package.scala:30-38``; in
@@ -78,6 +81,24 @@ def map_stream_by_key(
                             yield pdf
 
         return gsf.df.mapInPandas(part, schema)
+
+    if tier == "arrow":
+        # zero-copy tier: func(key, record_batches) -> iterator of
+        # pyarrow RecordBatches. No pandas conversion on input — each
+        # chunk is a slice view into the Arrow buffers Spark shipped.
+        from .streaming_engine import iter_key_runs_arrow
+
+        key_cols = gsf.key_cols
+
+        def part_arrow(batches):
+            for key, rbs in iter_key_runs_arrow(batches, key_cols):
+                out = func(key, rbs)
+                if out is not None:
+                    for rb in out:
+                        if rb is not None and rb.num_rows:
+                            yield rb
+
+        return gsf.df.mapInArrow(part_arrow, schema)
 
     raise ValueError(f"unknown tier {tier!r}")
 

@@ -130,3 +130,32 @@ def test_single_huge_group_streams_in_bounded_memory(spark):
     assert (r["s"], r["n"]) == (n * (n - 1) // 2, n)
     # the group arrived as many bounded chunks, not one giant frame
     assert r["mx"] < n, "group was materialized in a single chunk"
+
+
+def test_arrow_tier_matches_stream_tier(spark):
+    import pyarrow as pa
+
+    df = spark.createDataFrame(F2 * 50, ["k", "v"])
+    gs = group_sort(df, "k", order_by="v", num_partitions=2)
+
+    def fn_arrow(key, rbs):
+        n, s = 0, 0
+        for rb in rbs:
+            col = rb.column(rb.schema.get_field_index("v"))
+            n += rb.num_rows
+            s += sum(col.to_pylist())
+        yield pa.RecordBatch.from_pydict({"k": [key[0]], "n": [n], "s": [s]})
+
+    import pandas as pd
+
+    def fn_pandas(key, chunks):
+        n, s = 0, 0
+        for c in chunks:
+            n += len(c)
+            s += int(c["v"].sum())
+        yield pd.DataFrame({"k": [key[0]], "n": [n], "s": [s]})
+
+    schema = "k string, n bigint, s bigint"
+    got_a = sorted(map(tuple, map_stream_by_key(gs, fn_arrow, schema, tier="arrow").collect()))
+    got_p = sorted(map(tuple, map_stream_by_key(gs, fn_pandas, schema, tier="stream").collect()))
+    assert got_a == got_p and len(got_a) == 3
