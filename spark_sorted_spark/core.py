@@ -185,6 +185,16 @@ class GroupSortedFrame:
 
         return scan_left_by_key(self, zero, merge, **kw)
 
+    def co_layout(self, df: DataFrame, order_by=None) -> "GroupSortedFrame":
+        """C5 (``groupSort(other)``, ``PairRDDFunctions.scala:31``):
+        lay out another DataFrame with THIS frame's keys and partition
+        count, so a subsequent join/zip plans no re-shuffle of either
+        side (Catalyst ``EnsureRequirements`` sees matching
+        ``HashPartitioning``)."""
+        return group_sort(
+            df, self.key_cols, order_by=order_by, num_partitions=self.num_partitions
+        )
+
     def combine_by_key(self, *aggs: Column) -> DataFrame:
         """C3/C4 combiner path (``groupSort(createCombiner, mergeValue,
         mergeCombiners)``, ``PairRDDFunctions.scala:33-42``): a native

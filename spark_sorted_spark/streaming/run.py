@@ -19,17 +19,26 @@ def run_available_now(
     output_mode: str = "append",
     query_name: str | None = None,
     timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion into a memory
-    sink; return the sink's contents as a batch DataFrame."""
+    sink; return the sink's contents as a batch DataFrame.
+
+    ``checkpoint_dir`` makes the run resumable: watermark, source
+    offsets, and operator state persist there, so a second call with
+    the same dir continues where the first stopped — the
+    incremental-backfill pattern (and how the watermark tests pin
+    late-data semantics deterministically)."""
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         if not q.awaitTermination(timeout_sec):
             raise TimeoutError(f"streaming query {name} did not finish")

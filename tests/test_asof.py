@@ -111,3 +111,41 @@ def test_asof_matches_pandas_merge_asof(spark):
         exp[["k", "t", "x", "t_r", "y"]].astype({"t_r": "float64"}),
         check_dtype=False,
     )
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    lt = pd.DataFrame(
+        {"k": rng.randint(0, 4, 120), "t": rng.randint(0, 500, 120)}
+    ).drop_duplicates(["k", "t"])
+    lt["x"] = np.arange(len(lt), dtype=float)
+    rt = pd.DataFrame(
+        {"k": rng.randint(0, 4, 90), "t": rng.randint(0, 500, 90)}
+    ).drop_duplicates(["k", "t"])
+    rt["y"] = np.arange(len(rt), dtype=float)
+    from spark_sorted_spark import group_sort
+
+    left = group_sort(spark.createDataFrame(lt), "k", order_by="t")
+    right = group_sort(spark.createDataFrame(rt), "k", order_by="t")
+    got = (
+        left.merge_join_asof(right, "t", tolerance=25)
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lt.sort_values("t"),
+        rt.sort_values("t").rename(columns={"t": "t_r"}),
+        left_on="t",
+        right_on="t_r",
+        by="k",
+        direction="backward",
+        tolerance=25,
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "t", "x", "t_r", "y"]],
+        exp[["k", "t", "x", "t_r", "y"]].astype({"t_r": "float64"}),
+        check_dtype=False,
+    )

@@ -184,3 +184,17 @@ def test_pandas_tier_works_with_arrow_disabled(spark):
         assert {r["k"]: r["s"] for r in out.collect()} == {"a": 3, "b": 5}
     finally:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def test_co_layout_reuses_partition_count(spark):
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark import group_sort
+
+    a = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    b = spark.createDataFrame([("a", 9)], ["k", "w"])
+    ga = group_sort(a, "k", num_partitions=3)
+    gb = ga.co_layout(b)
+    assert gb.key_cols == ga.key_cols and gb.num_partitions == 3
+    j = ga.merge_join_inner(gb).to_df()
+    assert sorted(map(tuple, j.collect())) == [("a", 1, 9)]

@@ -217,3 +217,51 @@ def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
         & (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 1 hour")),
     ).select("user_id", "event_id", "event_id_r")
     assert _rows(out) == _rows(batch)
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    # Run 1 establishes watermark = max(ts)-2h in the checkpoint; run 2
+    # (same checkpoint) delivers an event 10h older than the watermark —
+    # its window is closed and the row must be dropped, never emitted.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    on_time = [(1, base + dt.timedelta(hours=h)) for h in range(6)]
+    late = [(1, base - dt.timedelta(hours=10))]
+    d1 = spark.createDataFrame(on_time, ["k", "ts"])
+    d2 = spark.createDataFrame(late, ["k", "ts"])
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def q():
+        sdf = spark.readStream.schema(d1.schema).parquet(src)
+        return windowed_agg(
+            sdf, "ts", "1 hour", {"n": F.count(F.lit(1))}, keys=["k"],
+            watermark="2 hours",
+        )
+
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        # memory sink can't recover a checkpoint; the durable parquet
+        # sink can — that's what production backfills use anyway
+        sq = (
+            q()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert sq.awaitTermination(120)
+
+    d1.coalesce(1).write.parquet(src)
+    drain()
+    d2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    out = spark.read.parquet(sink)
+    starts = sorted(r["window_start"] for r in out.collect())
+    # run 1 finalized windows below watermark base+3h; the late row's
+    # window (base-10h) must never appear
+    assert all(s >= base for s in starts), starts
+    assert starts, "no windows finalized at all"
