@@ -1403,3 +1403,35 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select("user_id", "event_id", "event_id_r")
+
+
+# ===========================================================================
+# Deterministic (content-hash) sampling — the reproducible corpus-mix
+# step. Both engines compute the identical md5-prefix bucket, so the
+# sampled relation matches row-for-row (unlike seeded Bernoulli
+# sampling, which no other engine can replay).
+# ===========================================================================
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CASE
+      WHEN lang = 'en' THEN
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 25
+      WHEN lang = 'zh' THEN
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 < 7
+      ELSE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 < 1
+    END
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import stratified_hash_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": (25, 100), "zh": (7, 10)},
+        default=(1, 2),
+    )

@@ -168,3 +168,19 @@ def test_simhash_banded_equals_bruteforce_at_k3(docs):
 
     with _pt.raises(ValueError, match="max_hamming < n_bands"):
         simhash_pairs_banded(docs, max_hamming=4, n_bands=4)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(docs):
+    from spark_sorted_spark.functions.sampling import hash_sample
+
+    s1 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 30).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 30).collect()}
+    assert s1 == s2  # rerun-stable
+    reparted = docs.repartition(7)
+    s3 = {r["doc_id"] for r in hash_sample(reparted, "doc_id", 30).collect()}
+    assert s1 == s3  # layout-invariant (content hash, not RNG)
+    n = docs.count()
+    assert 0.15 * n <= len(s1) <= 0.45 * n  # ~30%
+    # nesting: a 10% sample is a subset of the 30% sample (same hash)
+    s10 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 10).collect()}
+    assert s10 <= s1
