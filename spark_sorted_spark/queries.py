@@ -1435,3 +1435,56 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": (25, 100), "zh": (7, 10)},
         default=(1, 2),
     )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+               AS revenue_cents
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: one fact-fact SMJ (orders ⋈ lineitem on
+    orderkey) with every dimension broadcast — the plan a 100 TB run
+    wants (dims are KBs; the only exchange is the orderkey
+    co-shuffle)."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    j = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("revenue_cents")
+    )
