@@ -161,6 +161,44 @@ def fold_left_by_key(
 
         return gsf.df.mapInPandas(part, out_schema)
 
+    if tier == "arrow":
+        # zero-copy input: per-key runs arrive as RecordBatch slices;
+        # only the value column is pulled to numpy per batch. Output
+        # rows buffer as tuples, one Arrow batch per 8192 keys.
+        out_cols = list(key_cols) + [alias]
+
+        def part_arrow(batches):
+            import pyarrow as pa
+
+            from .streaming_engine import iter_key_runs_arrow
+
+            def flush(rows):
+                cols = list(zip(*rows))
+                return pa.RecordBatch.from_pydict(
+                    {c: list(v) for c, v in zip(out_cols, cols)}
+                )
+
+            rows: list[tuple] = []
+            for key, rbs in iter_key_runs_arrow(batches, key_cols):
+                acc = copy.deepcopy(zero)
+                for rb in rbs:
+                    vals = rb.column(
+                        rb.schema.get_field_index(value_col)
+                    ).to_numpy(zero_copy_only=False)
+                    if merge_vec is not None:
+                        acc = merge_vec(acc, vals)
+                    else:
+                        for v in vals:
+                            acc = merge(acc, v)
+                rows.append(key + (acc,))
+                if len(rows) >= 8192:
+                    yield flush(rows)
+                    rows = []
+            if rows:
+                yield flush(rows)
+
+        return gsf.df.mapInArrow(part_arrow, out_schema)
+
     raise ValueError(f"unknown tier {tier!r}")
 
 

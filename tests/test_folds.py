@@ -203,3 +203,16 @@ def test_combine_by_key_parity(spark):
         F.sum("v").alias("s"), F.max("v").alias("mx")
     )
     assert sorted(map(tuple, out.collect())) == [("a", 6, 5), ("b", 9, 4)]
+
+
+def test_fold_arrow_tier_matches_stream(spark):
+    from spark_sorted_spark import group_sort
+
+    data = [("u%d" % (i % 5), i, float(i)) for i in range(200)]
+    df = spark.createDataFrame(data, ["k", "t", "v"])
+    gs = group_sort(df, "k", order_by="t", num_partitions=3)
+    kw = dict(value_col="v", alias="ema", result_type="double")
+    mrg = lambda a, v: a * 0.9 + 0.1 * v
+    got_s = sorted(map(tuple, gs.fold_left_by_key(0.0, mrg, tier="stream", **kw).collect()))
+    got_a = sorted(map(tuple, gs.fold_left_by_key(0.0, mrg, tier="arrow", **kw).collect()))
+    assert got_a == got_s and len(got_a) == 5
