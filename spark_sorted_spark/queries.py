@@ -1488,3 +1488,45 @@ def tpch_q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
         ).alias("revenue_cents")
     )
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity::BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+@query(
+    "corpus_mix",
+    # weighted mix of two "sources": src0 docs kept at 8/10, others at
+    # 3/10 — the deterministic-union corpus-mix step; both engines
+    # compute identical md5 buckets so the mix matches row-for-row
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10
+          < CASE WHEN source = 'src0' THEN 8 ELSE 3 END
+    """,
+)
+def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import hash_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    a = hash_sample(docs.filter(F.col("source") == "src0"), "doc_id", 8, 10)
+    b = hash_sample(docs.filter(F.col("source") != "src0"), "doc_id", 3, 10)
+    return a.unionByName(b)
