@@ -936,7 +936,7 @@ def set_except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           sum(l_quantity::BIGINT) AS sum_qty
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -952,7 +952,7 @@ def rollup_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           sum(l_quantity::BIGINT) AS sum_qty
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -974,9 +974,9 @@ def cube_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity::BIGINT) AS sum_qty,
-           sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
-           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+           sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
                AS sum_disc_cents,
            count(*) AS count_order
     FROM lineitem
@@ -1008,7 +1008,7 @@ def tpch_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
                AS revenue_cents,
            epoch_us(o_orderdate) AS odate_us,
            o_orderpriority
@@ -1060,7 +1060,7 @@ def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_agg",
     oracle="""
     SELECT l_orderkey,
-           sum(l_quantity::BIGINT) AS sum_qty,
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
            min(l_extendedprice) AS min_price,
            count(*) AS n
     FROM lineitem GROUP BY l_orderkey
@@ -1441,7 +1441,7 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier",
     oracle="""
     SELECT n_name,
-           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
                AS revenue_cents
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -1494,7 +1494,7 @@ def tpch_q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           sum(l_quantity::BIGINT) AS sum_qty
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
