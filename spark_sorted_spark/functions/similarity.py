@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "dot_strict",
+    "dot_py",
     "ann_ivf_topk",
     "cosine",
     "cosine_topk",
@@ -100,6 +101,18 @@ def cosine_neardup_pairs(
     )
 
 
+def dot_py(a, b) -> float:
+    """Driver-side strict left-fold dot product — the same IEEE
+    operation sequence as ``dot_strict`` / DuckDB ``list_reduce``
+    (``((0.0 + a0*b0) + a1*b1) + ...``), so driver-computed sign bits
+    and probe orderings are bitwise-consistent with the engine-side
+    folds. numpy's pairwise summation would not be."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     derived from md5 so any engine can recompute it. (Python-side
@@ -140,11 +153,9 @@ def ann_lsh_topk(
             out = out + b
         return out
 
-    import numpy as _np
-
     qbits = 0
     for p, plane in enumerate(planes):
-        if float(_np.dot(query_vec, plane)) >= 0:
+        if dot_py(query_vec, plane) >= 0:
             qbits |= 1 << p
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = df.select(
@@ -189,10 +200,6 @@ def ann_ivf_topk(
     work is ``nlist`` centroid vectors — constants in the plan, not a
     data-flow collect.
     """
-    import hashlib
-
-    import numpy as _np
-
     cents = [
         (r[0], [float(x) for x in r[1]])
         for r in df.select(F.col(id_col), F.col(vec_col))
@@ -216,9 +223,8 @@ def ann_ivf_topk(
         )
         return F.array_min(scored)["cell"]
 
-    qn = _np.asarray(query_vec, dtype=float)
     order = sorted(
-        range(len(cents)), key=lambda i: (-float(qn @ _np.asarray(cents[i][1])), i)
+        range(len(cents)), key=lambda i: (-dot_py(query_vec, cents[i][1]), i)
     )
     probe = order[:nprobe]
 

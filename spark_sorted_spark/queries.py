@@ -658,6 +658,25 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _plane_sql_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _bucket_sql(col: str, table: int, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB expression for table ``table``'s LSH sign-bit bucket —
+    same seeded hyperplanes (indices t*n_planes..+n_planes-1), same
+    strict-fold dot product as the Spark side, so bucket assignment is
+    bitwise-identical."""
+    from .functions.similarity import _hyperplane
+
+    bits = []
+    for p in range(n_planes):
+        plane = _plane_sql_literal(_hyperplane(table * n_planes + p, dim))
+        dot = _DOT_SQL.format(a=col, b=plane)
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
 @query(
     "embedding_neardup",
     oracle=f"""
@@ -697,9 +716,31 @@ def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
 
 
-@query("similarity_ann_lsh")  # approximate → rows-only check; recall
-def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:  # vs exact
-    from .functions.similarity import ann_lsh_topk  # is pinned in tests
+@query(
+    "similarity_ann_lsh",
+    # Approximate in recall, deterministic in output: the oracle
+    # replays the identical seeded 8-plane sign-bit bucket assignment
+    # (strict-fold dots — bitwise equal on both engines), filters to
+    # the query's bucket, and ranks by the same exact cosine. Recall
+    # vs the exact top-k is separately pinned in tests/test_northstar.
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    b AS (
+      SELECT vec_id, embedding, {_bucket_sql("embedding", 0, n_planes=8)} AS bucket
+      FROM embeddings WHERE vec_id != 0),
+    qb AS (SELECT {_bucket_sql("qe", 0, n_planes=8)} AS qbucket FROM q),
+    hits AS (
+      SELECT e.vec_id, {_cos_sql("e.embedding", "q.qe")} AS cos
+      FROM b e CROSS JOIN q CROSS JOIN qb
+      WHERE e.bucket = qb.qbucket)
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
+           cos
+    FROM hits ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import ann_lsh_topk  # recall pinned in tests
 
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -1084,9 +1125,48 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_ivf")  # approximate → rows-only check; recall +
-def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:  # full-
-    from .functions.similarity import ann_ivf_topk  # probe==exact pinned in tests
+@query(
+    "similarity_ann_ivf",
+    # The oracle replays the whole IVF construction in SQL: the 16
+    # "centroids" are the rows with the smallest (md5(vec_id), vec_id)
+    # — a seeded sample both engines compute identically; each vector
+    # is assigned to its max-dot centroid (strict-fold dots, ties to
+    # the lowest cell index — row_number mirrors Spark's struct
+    # argmin); the query probes its 4 best cells and ranks by exact
+    # cosine. Full-probe==exact equivalence is pinned in tests.
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS cell,
+             embedding AS cent
+      FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    scored AS (
+      SELECT b.vec_id, b.embedding, c.cell,
+             {_DOT_SQL.format(a="b.embedding", b="c.cent")} AS d
+      FROM base b CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell) AS rn
+        FROM scored) WHERE rn = 1),
+    qprobe AS (
+      SELECT c.cell FROM cents c CROSS JOIN q
+      ORDER BY {_DOT_SQL.format(a="c.cent", b="q.qe")} DESC, c.cell LIMIT 4),
+    hits AS (
+      SELECT a.vec_id, {_cos_sql("a.embedding", "q.qe")} AS cos
+      FROM assigned a CROSS JOIN q
+      WHERE a.cell IN (SELECT cell FROM qprobe))
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
+           cos
+    FROM hits ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import ann_ivf_topk  # recall pinned in tests
 
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -1199,25 +1279,6 @@ def pipeline_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         (F.col("quality") >= 60) & (F.col("n_tokens") >= 30)
     ).select("doc_id", "n_tokens", "quality")
-
-
-def _plane_sql_literal(plane: list[float]) -> str:
-    return "[" + ", ".join(repr(x) for x in plane) + "]"
-
-
-def _bucket_sql(col: str, table: int, n_planes: int = 4, dim: int = 64) -> str:
-    """DuckDB expression for table ``table``'s LSH sign-bit bucket —
-    same seeded hyperplanes (indices t*n_planes..+n_planes-1), same
-    strict-fold dot product as the Spark side, so bucket assignment is
-    bitwise-identical."""
-    from .functions.similarity import _hyperplane
-
-    bits = []
-    for p in range(n_planes):
-        plane = _plane_sql_literal(_hyperplane(table * n_planes + p, dim))
-        dot = _DOT_SQL.format(a=col, b=plane)
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
 
 
 _N_LSH_TABLES = 8
