@@ -138,34 +138,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def _with_minhash_array(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, mh) where ``mh[i] = min over shingles of
+    (a_i * h32(shingle) + b_i) mod P`` — the whole 16-perm signature as
+    one narrow projection. The md5-derived ``h32`` array is staged in
+    its own projection (used 16 times, non-cheap, so Catalyst keeps it
+    materialized rather than inlining the md5 per permutation); there
+    is NO explode and NO shuffle — per-document cost is O(shingles),
+    at scan speed. Documents with no shingles (< n tokens) are dropped
+    — they can't near-dup by shingle overlap anyway."""
+    staged = df.select(
+        F.col(id_col),
+        F.transform(shingles(text_col, n), md5_int32).alias("h32s"),
+    ).filter(F.size("h32s") > 0)
+    def _perm_hash(a: int, b: int):
+        # closure factory: F.transform inspects the callable's arity,
+        # so the lambda must take exactly the element argument
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
+    mh = F.array(
+        *[
+            F.array_min(F.transform(F.col("h32s"), _perm_hash(a, b)))
+            for (a, b) in MINHASH_PERMS
+        ]
+    )
+    return staged.select(F.col(id_col), mh.alias("mh"))
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Per-document MinHash signature: for each of the 16 fixed
-    permutations, the min of ``(a_i * h32(shingle) + b_i) mod P`` over
-    the document's shingles. Output: (id, perm, minhash) long-form.
-    Documents with no shingles (< n tokens) get no signature — they
-    can't near-dup by shingle overlap anyway."""
-    sh = _exploded_shingles(df, text_col, id_col, n).withColumn(
-        "h32", md5_int32(F.col("shingle"))
-    )
-    perms = F.array(
-        *[
-            F.struct(F.lit(i).alias("perm"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for i, (a, b) in enumerate(MINHASH_PERMS)
-        ]
-    )
-    return (
-        sh.select(F.col(id_col), F.col("h32"), F.explode(perms).alias("p"))
-        .select(
-            F.col(id_col),
-            F.col("p.perm").alias("perm"),
-            ((F.col("p.a") * F.col("h32") + F.col("p.b")) % MINHASH_PRIME).alias(
-                "hv"
-            ),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("hv").alias("minhash"))
+    """Per-document MinHash signature in long form (id, perm, minhash)
+    — a posexplode view over the array-native signature."""
+    sig = _with_minhash_array(df, text_col, id_col, n)
+    return sig.select(
+        F.col(id_col), F.posexplode("mh").alias("perm", "minhash")
     )
 
 
@@ -185,22 +194,30 @@ def minhash_lsh_pairs(
     affects recall). Buckets larger than ``max_bucket`` are dropped
     (degenerate boilerplate guard, keeps worst-case fan-out bounded).
     """
-    sig = minhash_signatures(df, text_col, id_col, n)
-    bands = (
-        sig.withColumn("band", F.col("perm") % MINHASH_BANDS)
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("band_key")
-        )
-    )
+    sig = _with_minhash_array(df, text_col, id_col, n)
+    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
+    # band b holds perms {b, b+BANDS, ...} (perm % BANDS == b), joined
+    # ascending — matches the oracle's string_agg(... ORDER BY perm)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("mh")[b + MINHASH_BANDS * r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_key")
     small = (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("bn"))

@@ -524,14 +524,20 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, "documents", sf_dir))
 
 
-_SHINGLE_SQL = """
+def _shingle_sql(src: str = "documents") -> str:
+    """Distinct word-3-gram shingles of relation ``src`` — mirrors
+    ``dedup.shingles`` (n=3) token-for-token."""
+    return f"""
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, len(toks) - 2),
                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-              FROM documents))
+              FROM {src}))
 """
+
+
+_SHINGLE_SQL = _shingle_sql("documents")
 
 
 @query(
@@ -565,10 +571,13 @@ def _minhash_perm_values_sql() -> str:
     return f"(VALUES {rows}) AS perms(perm, a, b)"
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+def _lsh_confirmed_sql(src: str = "documents") -> str:
+    """CTE chain replaying ``dedup.minhash_lsh_pairs`` over relation
+    ``src``: shingle → 16-perm MinHash → 4x4 banding → ≤50 bucket
+    guard → band-collision candidates → exact-Jaccard verify. Ends with
+    CTE ``confirmed(doc_a, doc_b, n_common, n_a, n_b)``. Embed as
+    ``WITH {_lsh_confirmed_sql(src)} SELECT ...``."""
+    return f"""sh AS ({_shingle_sql(src)}),
     hashed AS (
       SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM sh),
     sig AS (
@@ -587,14 +596,23 @@ def _minhash_perm_values_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sbands a JOIN sbands b USING (band, band_key)
       WHERE a.doc_id < b.doc_id),
-    sets AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id)
-    SELECT doc_a, doc_b,
-           len(list_intersect(sa.shs, sb.shs)) AS n_common,
-           len(sa.shs) AS n_a, len(sb.shs) AS n_b
-    FROM cand JOIN sets sa ON sa.doc_id = doc_a
-              JOIN sets sb ON sb.doc_id = doc_b
-    WHERE 2 * len(list_intersect(sa.shs, sb.shs))
-          >= 1 * (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+    sets AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id),
+    confirmed AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.shs, sb.shs)) AS n_common,
+             len(sa.shs) AS n_a, len(sb.shs) AS n_b
+      FROM cand JOIN sets sa ON sa.doc_id = doc_a
+                JOIN sets sb ON sb.doc_id = doc_b
+      WHERE 2 * len(list_intersect(sa.shs, sb.shs))
+            >= 1 * (len(sa.shs) + len(sb.shs)
+                    - len(list_intersect(sa.shs, sb.shs))))"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_lsh_confirmed_sql("documents")}
+    SELECT doc_a, doc_b, n_common, n_a, n_b FROM confirmed
     """,
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,27 +1246,14 @@ def window_rank_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 @query(
     "pipeline_clean_corpus",
-    oracle="""
+    # Candidate generation is MinHash-LSH (banded bucket equi-join,
+    # never the O(n^2) shingle self-join) + the same exact-Jaccard
+    # verify — the composition a 100 TB corpus-cleaning run would use.
+    oracle=f"""
     WITH keep AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
     d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
-    sh AS (
-      SELECT DISTINCT doc_id, sh FROM (
-        SELECT doc_id,
-               unnest(list_transform(generate_series(1, len(toks) - 2),
-                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-              FROM d1))),
-    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    confirmed AS (
-      SELECT doc_a, doc_b FROM pairs
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE 2 * n_common >= 1 * (sa.nsh + sb.nsh - n_common)),
+    {_lsh_confirmed_sql("d1")},
     d2 AS (
       SELECT * FROM d1
       WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM confirmed)),
@@ -1266,13 +1271,13 @@ def window_rank_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.dedup import exact_dedup, ngram_jaccard_pairs
+    from .functions.dedup import exact_dedup, minhash_lsh_pairs
     from .functions.text import quality_score
 
     docs = load_table(spark, "documents", sf_dir)
     keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     d1 = docs.join(keep, "doc_id", "inner")
-    near = ngram_jaccard_pairs(d1)
+    near = minhash_lsh_pairs(d1)
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
     d2 = d1.join(drop, "doc_id", "left_anti")
     scored = quality_score(d2)
