@@ -165,10 +165,10 @@ class GroupSortedFrame:
 
     # -- per-key streaming ops (operators/) -----------------------------
 
-    def map_stream_by_key(self, func, schema, tier: str = "auto"):
+    def map_stream_by_key(self, func, schema, tier: str = "auto", context=None):
         from .operators.map_stream import map_stream_by_key
 
-        return map_stream_by_key(self, func, schema, tier=tier)
+        return map_stream_by_key(self, func, schema, tier=tier, context=context)
 
     def fold_left_by_key(self, zero, merge, **kw):
         from .operators.folds import fold_left_by_key

@@ -23,12 +23,20 @@ key columns, matching ``schema``):
 
 * pandas tier:  ``f(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame``
 * stream tier:  ``f(key: tuple, chunks: Iterator[pd.DataFrame])
-  -> Iterator[pd.DataFrame]`` (a per-partition reusable context — the
-  reference's A2 ``mapStreamByKey(c)(f)`` — is the closure idiom:
-  allocate state in the enclosing ``mapInPandas`` function.)
+  -> Iterator[pd.DataFrame]``
 * arrow tier:   ``f(key: tuple, rbs: Iterator[pyarrow.RecordBatch])
   -> Iterator[pyarrow.RecordBatch]`` — zero-copy input slices via
   ``mapInArrow``; no pandas anywhere on the hot path.
+
+Per-partition reusable context (the reference's A2
+``mapStreamByKey(c: () => C)(f: (C, Iterator[V]) => ...)``,
+``GroupSorted.scala:43``, engine ``package.scala:12-13`` — context
+created ONCE per partition, passed to ``f`` for every key; reference
+test: reusable ``ArrayBuffer``, ``GroupSortedSpec.scala:78-91``): pass
+``context=factory``. The factory runs once per partition (stream/arrow
+tiers) or once per worker process serving the task (pandas tier — a
+strict superset of per-partition reuse), and ``func`` then takes the
+context as its FIRST argument: ``f(ctx, key, ...)``.
 
 Empty output for a key is fine in both tiers (the reference needed a
 dedicated fix for this — github issue #5, ``package.scala:30-38``; in
@@ -52,6 +60,7 @@ def map_stream_by_key(
     func: Callable,
     schema: str,
     tier: str = "auto",
+    context: Callable[[], object] | None = None,
 ):
     if tier == "auto":
         tier = "pandas"
@@ -60,11 +69,23 @@ def map_stream_by_key(
         sort_cols = [s.col for s in gsf.order_specs]
         sort_asc = [s.ascending for s in gsf.order_specs]
         key_cols = list(gsf.key_cols)
+        # A2 context for the pandas tier: applyInPandas offers no
+        # partition-open hook, so the context is created lazily on the
+        # first group a worker process sees and reused for every
+        # subsequent group that worker handles — at least the whole
+        # task/partition, i.e. a strict superset of the reference's
+        # per-partition reuse (GroupSorted.scala:43).
+        ctx_cell: list = []
 
         def per_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             if sort_cols:
                 pdf = pdf.sort_values(sort_cols, ascending=sort_asc, kind="stable")
-            out = func(key, pdf)
+            if context is not None:
+                if not ctx_cell:
+                    ctx_cell.append(context())
+                out = func(ctx_cell[0], key, pdf)
+            else:
+                out = func(key, pdf)
             return out if out is not None else pdf.iloc[0:0]
 
         return gsf.df.groupBy(*key_cols).applyInPandas(per_group, schema)
@@ -73,8 +94,12 @@ def map_stream_by_key(
         key_cols = gsf.key_cols
 
         def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # context created once per partition (package.scala:13)
+            ctx = context() if context is not None else None
             for key, chunks in iter_key_runs(batches, key_cols):
-                out = func(key, chunks)
+                out = func(ctx, key, chunks) if context is not None else func(
+                    key, chunks
+                )
                 if out is not None:
                     for pdf in out:
                         if pdf is not None and len(pdf):
@@ -91,8 +116,9 @@ def map_stream_by_key(
         key_cols = gsf.key_cols
 
         def part_arrow(batches):
+            ctx = context() if context is not None else None
             for key, rbs in iter_key_runs_arrow(batches, key_cols):
-                out = func(key, rbs)
+                out = func(ctx, key, rbs) if context is not None else func(key, rbs)
                 if out is not None:
                     for rb in out:
                         if rb is not None and rb.num_rows:

@@ -95,6 +95,77 @@ def test_per_partition_context_closure_idiom(spark, f2):
     assert {(r.k, r.n) for r in out.collect()} == {("a", 2), ("b", 2), ("c", 1)}
 
 
+@pytest.mark.parametrize("tier", ["pandas", "stream"])
+def test_context_reusable_buffer(spark, f2, tier):
+    # A2 first-class API, mirroring GroupSortedSpec.scala:78-91: a
+    # mutable buffer created once per partition by `context=`, cleared
+    # and refilled per key; max (first value under desc order)
+    # broadcast to every row of the key.
+    gs = group_sort(f2, "k", order_by=[("v", False)], num_partitions=2)
+
+    if tier == "pandas":
+        def fn(buf, key, pdf):
+            buf.clear()
+            buf.extend(pdf["v"].tolist())
+            mx = buf[0]
+            return pd.DataFrame({"k": [key[0]] * len(buf), "v": [mx] * len(buf)})
+    else:
+        def fn(buf, key, chunks):
+            buf.clear()
+            for c in chunks:
+                buf.extend(c["v"].tolist())
+            mx = buf[0]
+            yield pd.DataFrame({"k": [key[0]] * len(buf), "v": [mx] * len(buf)})
+
+    out = map_stream_by_key(gs, fn, "k string, v bigint", tier=tier, context=list)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        [("a", 3), ("a", 3), ("b", 10), ("b", 10), ("c", 5)]
+    )
+
+
+@pytest.mark.parametrize("tier", ["stream", "arrow"])
+def test_context_created_once_per_partition(spark, f2, tier):
+    # The factory runs once per partition and the SAME object is passed
+    # to every key (package.scala:13): a per-context counter must rise
+    # strictly across the keys of a single partition.
+    import pyarrow as pa
+
+    gs = group_sort(f2, "k", order_by="v", num_partitions=1)
+
+    if tier == "stream":
+        def fn(ctx, key, chunks):
+            for _ in chunks:
+                pass
+            ctx["n"] += 1
+            yield pd.DataFrame({"k": [key[0]], "seq": [ctx["n"]]})
+    else:
+        def fn(ctx, key, rbs):
+            for _ in rbs:
+                pass
+            ctx["n"] += 1
+            yield pa.RecordBatch.from_pydict({"k": [key[0]], "seq": [ctx["n"]]})
+
+    out = map_stream_by_key(
+        gs, fn, "k string, seq bigint", tier=tier, context=lambda: {"n": 0}
+    )
+    rows = {(r.k, r.seq) for r in out.collect()}
+    # one partition, three keys → the shared context counted 1, 2, 3
+    assert {s for _, s in rows} == {1, 2, 3} and len(rows) == 3
+
+
+def test_context_via_frame_method(spark, f2):
+    # GroupSortedFrame.map_stream_by_key forwards context=
+    gs = group_sort(f2, "k", order_by="v", num_partitions=2)
+
+    def fn(buf, key, pdf):
+        buf.clear()
+        buf.extend(pdf["v"].tolist())
+        return pd.DataFrame({"k": [key[0]], "n": [len(buf)]})
+
+    out = gs.map_stream_by_key(fn, "k string, n bigint", tier="pandas", context=list)
+    assert {(r.k, r.n) for r in out.collect()} == {("a", 2), ("b", 2), ("c", 1)}
+
+
 def test_single_huge_group_streams_in_bounded_memory(spark):
     # The reference's core claim (README.md:4): one key, many rows —
     # the stream tier must never materialize the group. 200k rows
