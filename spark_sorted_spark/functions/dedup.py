@@ -100,36 +100,50 @@ def ngram_jaccard_pairs(
     n: int = 3,
     tau_num: int = 1,
     tau_den: int = 2,
+    max_bucket: int | None = 50,
 ) -> DataFrame:
-    """Exact near-duplicate pairs: documents whose distinct-shingle
-    Jaccard >= tau_num/tau_den. Self-join on shingle -> per-pair
-    intersection counts -> integer threshold
-    ``tau_den * c >= tau_num * (na + nb - c)``.
+    """Near-duplicate pairs: documents whose distinct-shingle Jaccard
+    >= tau_num/tau_den, via shingle-collision candidates + exact
+    verify. Integer threshold ``tau_den*c >= tau_num*(na+nb-c)``.
 
-    Exact but O(sum over shingles of bucket^2) — the baseline
-    MinHash-LSH is measured against; at corpus scale run LSH first and
-    this only on candidates."""
+    Fan-out guard (mirrors ``minhash_lsh_pairs``): shingles shared by
+    more than ``max_bucket`` documents are excluded from CANDIDATE
+    generation — one boilerplate shingle would otherwise create an
+    unbounded O(bucket^2) self-join blow-up. Verification still uses
+    the FULL shingle sets (``array_intersect`` on the per-document
+    arrays), so any emitted pair's Jaccard is exact; only pairs whose
+    every common shingle is hot can be missed — the same deliberate
+    trade production dedup pipelines make when dropping stop-shingles.
+    Pass ``max_bucket=None`` for the exhaustive O(sum bucket^2)
+    baseline."""
     sh = _exploded_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    if max_bucket is not None:
+        small = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sn"))
+            .filter(F.col("sn") <= max_bucket)
+            .drop("sn")
+        )
+        sh = sh.join(small, on="shingle")
     a = sh.alias("a")
     b = sh.alias("b")
-    pairs = (
+    cand = (
         a.join(b, on="shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .distinct()
     )
-    sa = sizes.select(
-        F.col(id_col).alias("doc_a"), F.col("nsh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col(id_col).alias("doc_b"), F.col("nsh").alias("n_b")
-    )
+    sets = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        pairs.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
         .filter(
             F.lit(tau_den) * F.col("n_common")
             >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))

@@ -63,12 +63,13 @@ def salted_agg(
     """Two-stage skew-safe aggregation.
 
     ``aggs`` maps output column name to either ``("sum"|"count"|"min"|
-    "max", col)`` or a custom :class:`SaltedAgg`. Stage 1 aggregates by
-    ``(keys, crc32(random-free deterministic spread))``; we use a
-    uniform salt from ``monotonically_increasing_id`` so the spray is
-    deterministic per task layout but uniform. Stage 2 merges the ≤
-    ``salt`` partial rows per key — trivially small regardless of how
-    hot the key was.
+    "max", col)`` or a custom :class:`SaltedAgg`. Stage 1 sprays each
+    row to one of ``salt`` sub-keys via
+    ``monotonically_increasing_id() % salt`` — deterministic per task
+    layout, uniform within a partition, and salt-invariant for the
+    associative+commutative aggregates supported here — and aggregates
+    by ``(keys, __salt)``. Stage 2 merges the ≤ ``salt`` partial rows
+    per key — trivially small regardless of how hot the key was.
     """
     if isinstance(keys, str):
         keys = [keys]

@@ -572,25 +572,37 @@ _SHINGLE_SQL = _shingle_sql("documents")
 
 @query(
     "dedup_ngram_jaccard",
+    # Replays ngram_jaccard_pairs incl. the max_bucket=50 fan-out
+    # guard: hot shingles (shared by >50 docs) are excluded from
+    # candidate generation only; the Jaccard verify uses FULL shingle
+    # sets, so emitted pairs are exact.
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b, n_common, sa.nsh AS n_a, sb.nsh AS n_b
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE 2 * n_common >= 1 * (sa.nsh + sb.nsh - n_common)
+    small AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+    ssh AS (SELECT s.* FROM sh s JOIN small USING (sh)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shs, sb.shs)) AS n_common,
+           len(sa.shs) AS n_a, len(sb.shs) AS n_b
+    FROM cand JOIN sets sa ON sa.doc_id = doc_a
+              JOIN sets sb ON sb.doc_id = doc_b
+    WHERE 2 * len(list_intersect(sa.shs, sb.shs))
+          >= 1 * (len(sa.shs) + len(sb.shs)
+                  - len(list_intersect(sa.shs, sb.shs)))
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        load_table(spark, "documents", sf_dir), n=3, tau_num=1, tau_den=2
+        load_table(spark, "documents", sf_dir),
+        n=3,
+        tau_num=1,
+        tau_den=2,
+        max_bucket=50,
     )
 
 

@@ -55,6 +55,35 @@ def test_minhash_lsh_recall_vs_exact(docs):
         assert len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))
 
 
+def test_ngram_jaccard_max_bucket_guard(spark):
+    # Fan-out cap: a shingle shared by more than max_bucket docs must
+    # not generate candidates (hot-shingle guard, mirroring
+    # minhash_lsh_pairs); pairs reachable through a rare shingle stay
+    # exact against the FULL shingle sets.
+    hot = "common boilerplate header"
+    rows = [(i, f"{hot} unique{i} a b") for i in range(5)]
+    # docs 100/101 share a rare shingle path (near-identical text)
+    rows += [(100, "rare shared trigram xyz one"), (101, "rare shared trigram xyz two")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap below the hot bucket size: the 5 boilerplate docs share ONLY
+    # the hot shingle → no pairs among them; 100-101 still found
+    # tau=1/7 admits the boilerplate pairs (jaccard 1/7: 1 common of 4+4
+    # shingles) when uncapped, so the cap is what removes them
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, max_bucket=4, tau_num=1, tau_den=7).collect()
+    }
+    assert got == {(100, 101)}
+    # uncapped baseline finds the boilerplate pairs too
+    all_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            df, max_bucket=None, tau_num=1, tau_den=7
+        ).collect()
+    }
+    assert (100, 101) in all_pairs and len(all_pairs) > 1
+
+
 def test_simhash_ranks_planted_dups_closest(docs):
     pairs = simhash_pairs(docs, max_hamming=6).collect()
     exact = {
