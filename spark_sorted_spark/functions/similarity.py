@@ -33,7 +33,24 @@ __all__ = [
     "cosine_topk",
     "cosine_neardup_pairs",
     "ann_lsh_topk",
+    "build_ann_lsh_index",
+    "ann_lsh_topk_indexed",
+    "build_ann_ivf_index",
+    "ann_ivf_topk_indexed",
+    "ANN_DIM",
+    "ANN_N_PLANES",
+    "ANN_NLIST",
+    "ANN_NPROBE",
 ]
+
+# Shared ANN configuration — single source of truth for BOTH the Spark
+# implementations below and the DuckDB oracle builders in queries.py
+# (which previously hard-coded n_planes/dim by convention; drifting
+# them would silently desynchronize oracle and engine).
+ANN_DIM = 64  # embeddings.embedding dimension (driver tables, FIXTURES.md)
+ANN_N_PLANES = 8  # sign-bit planes for the single-table top-k LSH
+ANN_NLIST = 16  # IVF centroid count
+ANN_NPROBE = 4  # IVF cells probed per query
 
 
 def _to_double(arr: Column) -> Column:
@@ -106,7 +123,10 @@ def dot_py(a, b) -> float:
     operation sequence as ``dot_strict`` / DuckDB ``list_reduce``
     (``((0.0 + a0*b0) + a1*b1) + ...``), so driver-computed sign bits
     and probe orderings are bitwise-consistent with the engine-side
-    folds. numpy's pairwise summation would not be."""
+    folds. numpy's pairwise summation would not be. Fails fast on a
+    dimension mismatch (zip would silently truncate)."""
+    if len(a) != len(b):
+        raise ValueError(f"dot_py dimension mismatch: {len(a)} vs {len(b)}")
     acc = 0.0
     for x, y in zip(a, b):
         acc += float(x) * float(y)
@@ -126,43 +146,31 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return out
 
 
-def ann_lsh_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_planes: int = 8,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Approximate top-k: 8 random-hyperplane sign bits -> 256 buckets;
-    rank by exact cosine within the query's bucket. Deterministic
-    (seeded hyperplanes). Recall measured against cosine_topk in
-    tests; at corpus scale, multi-probe (flip one bit) is the standard
-    recall knob — left as future work."""
-    dim = len(query_vec)
-    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+def _sign_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Engine-side sign-bit bucket of ``vec`` under seeded hyperplanes
+    (strict-fold dots — bitwise-equal to the oracle's)."""
+    bits = []
+    for p, plane in enumerate(planes):
+        pv = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot_strict(vec, pv) >= 0, 1).otherwise(0)
+        bits.append(bit * F.lit(1 << p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
 
-    def bucket_of(vec: Column) -> Column:
-        bits = []
-        for p, plane in enumerate(planes):
-            pv = F.array(*[F.lit(x) for x in plane])
-            bit = F.when(dot_strict(vec, pv) >= 0, 1).otherwise(0)
-            bits.append(bit * F.lit(1 << p))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
 
+def _sign_bucket_bits(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side bucket of a query vector — same fold as the engine."""
     qbits = 0
     for p, plane in enumerate(planes):
         if dot_py(query_vec, plane) >= 0:
             qbits |= 1 << p
+    return qbits
+
+
+def _rank_topk(bucketed: DataFrame, query_vec, k: int, vec_col: str, id_col: str):
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    bucketed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        bucket_of(F.col(vec_col)).alias("bucket"),
-    ).filter(F.col("bucket") == qbits)
     return (
         bucketed.withColumn("cos", cosine(F.col(vec_col), q))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
@@ -177,12 +185,130 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = ANN_N_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: 8 random-hyperplane sign bits -> 256 buckets;
+    rank by exact cosine within the query's bucket. Deterministic
+    (seeded hyperplanes). Recall measured against cosine_topk in
+    tests; at corpus scale, multi-probe (flip one bit) is the standard
+    recall knob — left as future work.
+
+    This form assigns buckets AT QUERY TIME (a full scan) — fine for
+    one-off queries; for repeated queries over a large corpus, build
+    the assignment once with :func:`build_ann_lsh_index` and probe it
+    with :func:`ann_lsh_topk_indexed` (partition-pruned scan of one
+    bucket directory)."""
+    dim = len(query_vec)
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    qbits = _sign_bucket_bits(query_vec, planes)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    ).filter(F.col("bucket") == qbits)
+    return _rank_topk(bucketed, query_vec, k, vec_col, id_col)
+
+
+def build_ann_lsh_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = ANN_N_PLANES,
+    dim: int = ANN_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Compute each vector's sign-bit bucket ONCE and persist the
+    assignment directory-partitioned by ``bucket``. The build is one
+    narrow scan (no shuffle — ``partitionBy`` splits files per task);
+    afterwards every probe reads only its own bucket's directory
+    (``PartitionFilters`` pruning — pinned in tests/test_plans.py).
+    At 100 TB this turns per-query cost from O(corpus) bucket
+    assignment into O(corpus / 2^n_planes) — the persist-the-index
+    shape the query-time form documents."""
+    from ..sources.bucketed import write_partitioned
+
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    write_partitioned(assigned, path, "bucket")
+
+
+def ann_lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = ANN_N_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted LSH index (:func:`build_ann_lsh_index`):
+    compute the query's bucket driver-side, scan ONLY that bucket's
+    partition directory, rank by exact cosine. Output is identical to
+    ``ann_lsh_topk`` on the same data (same planes, same folds)."""
+    dim = len(query_vec)
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    qbits = _sign_bucket_bits(query_vec, planes)
+    idx = spark.read.parquet(index_path)
+    bucketed = idx.filter(F.col("bucket") == qbits)
+    return _rank_topk(bucketed, query_vec, k, vec_col, id_col)
+
+
+def _ivf_centroids(
+    df: DataFrame, nlist: int, vec_col: str, id_col: str
+) -> list[tuple]:
+    """Deterministic centroid pick: the ``nlist`` vectors with the
+    smallest ``(md5(id), id)`` — a seeded sample, no training loop.
+    Bounded ``nlist``-row collect after TakeOrdered (not a data-flow
+    collect)."""
+    return [
+        (r[0], [float(x) for x in r[1]])
+        for r in df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(nlist)
+        .collect()
+    ]
+
+
+def _ivf_cell_col(vec: Column, cents: list[tuple]) -> Column:
+    """Nearest-by-dot centroid as a native argmax: struct ordering
+    compares fields in order, so the array_min of (-dot, idx) structs
+    is the deterministic argmax with lowest-cell tiebreak — no Python
+    in the scan."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-dot_strict(vec, F.array(*[F.lit(x) for x in c]))).alias("nd"),
+                F.lit(i).alias("cell"),
+            )
+            for i, (_cid, c) in enumerate(cents)
+        ]
+    )
+    return F.array_min(scored)["cell"]
+
+
+def _ivf_probe_cells(query_vec, cents: list[tuple], nprobe: int) -> list[int]:
+    order = sorted(
+        range(len(cents)), key=lambda i: (-dot_py(query_vec, cents[i][1]), i)
+    )
+    return order[:nprobe]
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    nlist: int = 16,
-    nprobe: int = 4,
+    nlist: int = ANN_NLIST,
+    nprobe: int = ANN_NPROBE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -194,56 +320,70 @@ def ann_ivf_topk(
     (array-of-structs min — no Python in the scan); the query probes
     its ``nprobe`` nearest cells and ranks by exact cosine inside them.
 
-    At corpus scale the cell assignment is computed once and persisted
-    (bucketed by cell — see ``sources.bucketed``); per-query cost is
-    ``nprobe/nlist`` of the data, embarrassingly parallel. Driver-side
-    work is ``nlist`` centroid vectors — constants in the plan, not a
-    data-flow collect.
+    This form assigns cells AT QUERY TIME (a full scan); for repeated
+    queries build the assignment once with :func:`build_ann_ivf_index`
+    and probe via :func:`ann_ivf_topk_indexed` — per-query cost is then
+    ``nprobe/nlist`` of the data (partition-pruned), embarrassingly
+    parallel. Driver-side work is ``nlist`` centroid vectors —
+    constants in the plan, not a data-flow collect.
     """
-    cents = [
-        (r[0], [float(x) for x in r[1]])
-        for r in df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(nlist)
-        .collect()
-    ]
-
-    def cell_of(vec: Column) -> Column:
-        # argmin over negative dot = nearest-by-dot centroid; struct
-        # ordering compares fields in order so (score, idx) min is the
-        # deterministic argmax with id tiebreak
-        scored = F.array(
-            *[
-                F.struct(
-                    (-dot_strict(vec, F.array(*[F.lit(x) for x in c]))).alias("nd"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, (_cid, c) in enumerate(cents)
-            ]
-        )
-        return F.array_min(scored)["cell"]
-
-    order = sorted(
-        range(len(cents)), key=lambda i: (-dot_py(query_vec, cents[i][1]), i)
-    )
-    probe = order[:nprobe]
-
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = _ivf_centroids(df, nlist, vec_col, id_col)
+    probe = _ivf_probe_cells(query_vec, cents, nprobe)
     celled = df.select(
-        F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("cell")
+        F.col(id_col), F.col(vec_col), _ivf_cell_col(F.col(vec_col), cents).alias("cell")
     ).filter(F.col("cell").isin(probe))
-    return (
-        celled.withColumn("cos", cosine(F.col(vec_col), q))
-        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(
-            F.col(id_col),
-            F.row_number()
-            .over(Window.orderBy(F.col("cos").desc(), F.col(id_col).asc()))
-            .alias("rank"),
-            "cos",
-        )
+    return _rank_topk(celled, query_vec, k, vec_col, id_col)
+
+
+def build_ann_ivf_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = ANN_NLIST,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Pick centroids and assign every vector to its cell ONCE; persist
+    the assignment directory-partitioned by ``cell`` plus the centroid
+    table under ``<path>/_centroids`` (underscore-prefixed → invisible
+    to the partitioned read). Probes then scan only their ``nprobe``
+    cell directories."""
+    from ..sources.bucketed import write_partitioned
+
+    cents = _ivf_centroids(df, nlist, vec_col, id_col)
+    celled = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
     )
+    write_partitioned(celled, path, "cell")
+    cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
+    df.sparkSession.createDataFrame(
+        cent_rows, "cell int, cent_id bigint, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = ANN_NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`build_ann_ivf_index`): load
+    the (bounded, nlist-row) centroid table, order cells by query dot
+    driver-side, scan ONLY the ``nprobe`` probed cell directories, rank
+    by exact cosine. Identical output to ``ann_ivf_topk`` on the same
+    data."""
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
+    )
+    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    probe = _ivf_probe_cells(query_vec, cents, nprobe)
+    idx = spark.read.parquet(index_path)
+    celled = idx.filter(F.col("cell").isin(probe))
+    return _rank_topk(celled, query_vec, k, vec_col, id_col)
 
 
 def cosine_neardup_pairs_lsh(

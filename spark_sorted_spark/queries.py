@@ -703,6 +703,10 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # North-star: embedding similarity
 # ===========================================================================
+from .functions.similarity import ANN_N_PLANES as _ANN_N_PLANES  # noqa: E402
+from .functions.similarity import ANN_NLIST as _ANN_NLIST  # noqa: E402
+from .functions.similarity import ANN_NPROBE as _ANN_NPROBE  # noqa: E402
+
 _DOT_SQL = (
     "list_reduce(list_prepend(0.0, list_transform("
     "list_zip(list_transform({a}, x -> x::DOUBLE), "
@@ -722,19 +726,52 @@ def _plane_sql_literal(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
-def _bucket_sql(col: str, table: int, n_planes: int = 4, dim: int = 64) -> str:
+def _bucket_sql(
+    col: str, table: int, n_planes: int = 4, dim: int | None = None
+) -> str:
     """DuckDB expression for table ``table``'s LSH sign-bit bucket —
     same seeded hyperplanes (indices t*n_planes..+n_planes-1), same
     strict-fold dot product as the Spark side, so bucket assignment is
-    bitwise-identical."""
-    from .functions.similarity import _hyperplane
+    bitwise-identical. ``dim`` defaults to the shared ``ANN_DIM``
+    constant so oracle and engine can't drift apart."""
+    from .functions.similarity import ANN_DIM, _hyperplane
 
+    if dim is None:
+        dim = ANN_DIM
     bits = []
     for p in range(n_planes):
         plane = _plane_sql_literal(_hyperplane(table * n_planes + p, dim))
         dot = _DOT_SQL.format(a=col, b=plane)
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+# Build-once cache for the gated ANN queries: the driver calls each
+# query fresh per gate run; the index is built once per (kind, sf_dir)
+# per process into a tmp location, then probed — exercising the
+# persisted-index path (partition-pruned probe) end-to-end.
+_ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    import os
+    import tempfile
+
+    key = (kind, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        from .functions.similarity import build_ann_ivf_index, build_ann_lsh_index
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_ann_{os.getpid()}"
+        )
+        path = os.path.join(base, f"{kind}_{os.path.basename(os.path.normpath(sf_dir))}")
+        emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
+        if kind == "lsh":
+            build_ann_lsh_index(emb, path)
+        else:
+            build_ann_ivf_index(emb, path)
+        _ANN_INDEX_CACHE[key] = path
+    return _ANN_INDEX_CACHE[key]
 
 
 @query(
@@ -786,9 +823,10 @@ def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     b AS (
-      SELECT vec_id, embedding, {_bucket_sql("embedding", 0, n_planes=8)} AS bucket
+      SELECT vec_id, embedding,
+             {_bucket_sql("embedding", 0, n_planes=_ANN_N_PLANES)} AS bucket
       FROM embeddings WHERE vec_id != 0),
-    qb AS (SELECT {_bucket_sql("qe", 0, n_planes=8)} AS qbucket FROM q),
+    qb AS (SELECT {_bucket_sql("qe", 0, n_planes=_ANN_N_PLANES)} AS qbucket FROM q),
     hits AS (
       SELECT e.vec_id, {_cos_sql("e.embedding", "q.qe")} AS cos
       FROM b e CROSS JOIN q CROSS JOIN qb
@@ -800,11 +838,15 @@ def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.similarity import ann_lsh_topk  # recall pinned in tests
+    # Build-once persisted index, partition-pruned probe (the 100-TB
+    # shape; recall pinned in tests, identical output to the query-time
+    # form — same planes, same strict folds).
+    from .functions.similarity import ann_lsh_topk_indexed
 
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ann_lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    idx = _ann_index(spark, sf_dir, "lsh")
+    return ann_lsh_topk_indexed(spark, idx, list(qvec), k=10)
 
 
 # ===========================================================================
@@ -1198,7 +1240,7 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
                  AS cell,
              embedding AS cent
-      FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+      FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_ANN_NLIST}),
     scored AS (
       SELECT b.vec_id, b.embedding, c.cell,
              {_DOT_SQL.format(a="b.embedding", b="c.cent")} AS d
@@ -1211,7 +1253,8 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored) WHERE rn = 1),
     qprobe AS (
       SELECT c.cell FROM cents c CROSS JOIN q
-      ORDER BY {_DOT_SQL.format(a="c.cent", b="q.qe")} DESC, c.cell LIMIT 4),
+      ORDER BY {_DOT_SQL.format(a="c.cent", b="q.qe")} DESC, c.cell
+      LIMIT {_ANN_NPROBE}),
     hits AS (
       SELECT a.vec_id, {_cos_sql("a.embedding", "q.qe")} AS cos
       FROM assigned a CROSS JOIN q
@@ -1223,13 +1266,15 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.similarity import ann_ivf_topk  # recall pinned in tests
+    # Build-once persisted index (cell assignment + centroid table),
+    # partition-pruned probe of the nprobe cells; identical output to
+    # the query-time form (recall pinned in tests).
+    from .functions.similarity import ann_ivf_topk_indexed
 
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ann_ivf_topk(
-        emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10
-    )
+    idx = _ann_index(spark, sf_dir, "ivf")
+    return ann_ivf_topk_indexed(spark, idx, [float(x) for x in qvec], k=10)
 
 
 # ===========================================================================

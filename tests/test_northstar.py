@@ -199,6 +199,60 @@ def test_simhash_banded_equals_bruteforce_at_k3(docs):
         simhash_pairs_banded(docs, max_hamming=4, n_bands=4)
 
 
+def test_ann_lsh_persisted_index_pruned_probe(spark, emb, tmp_path):
+    # Scale path: bucket assignment computed once + persisted; the
+    # probe reads ONLY the query's bucket directory (PartitionFilters
+    # on `bucket` at the scan) and returns the identical result to the
+    # query-time form.
+    from spark_sorted_spark.functions.similarity import (
+        ann_lsh_topk_indexed,
+        build_ann_lsh_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    base = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "lsh_idx")
+    build_ann_lsh_index(base, path)
+
+    probe = ann_lsh_topk_indexed(spark, path, qvec, k=5)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    got = [(r.vec_id, r.rank) for r in probe.collect()]
+    exact_form = ann_lsh_topk(base, qvec, k=5)
+    assert got == [(r.vec_id, r.rank) for r in exact_form.collect()]
+
+
+def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        build_ann_ivf_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    base = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf_idx")
+    build_ann_ivf_index(base, path)
+
+    probe = ann_ivf_topk_indexed(spark, path, qvec, k=5)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    got = [(r.vec_id, r.rank) for r in probe.collect()]
+    query_time = ann_ivf_topk(base, qvec, k=5)
+    assert got == [(r.vec_id, r.rank) for r in query_time.collect()]
+
+
+def test_dot_py_dimension_mismatch_raises():
+    from spark_sorted_spark.functions.similarity import dot_py
+
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        dot_py([1.0, 2.0], [1.0])
+
+
 def test_hash_sample_deterministic_and_partition_invariant(docs):
     from spark_sorted_spark.functions.sampling import hash_sample
 
