@@ -73,18 +73,48 @@ def _python_type_ddl(zero: Any) -> str:
     )
 
 
+def _mixed_order_comparator(specs) -> Callable[[Column, Column], Column]:
+    """Comparator for ``array_sort(arr, cmp)`` realizing an arbitrary
+    per-field asc/desc mix (the reference supports any ``Ordering[V]``,
+    ``GroupSorted.scala:13``). Null placement matches Spark's sort
+    defaults: asc → nulls first, desc → nulls last — the same layout
+    ``sortWithinPartitions`` produced, so native and stream tiers
+    agree. Still a Catalyst higher-order function: no Python."""
+
+    def cmp(left: Column, right: Column) -> Column:
+        result = F.lit(0)
+        for i in reversed(range(len(specs))):
+            f = f"__o{i}"
+            lo, hi = (-1, 1) if specs[i].ascending else (1, -1)
+            lf, rf = left[f], right[f]
+            ci = (
+                F.when(lf.isNull() & rf.isNull(), 0)
+                .when(lf.isNull(), lo)
+                .when(rf.isNull(), hi)
+                .when(lf < rf, lo)
+                .when(lf > rf, hi)
+                .otherwise(0)
+            )
+            result = F.when(ci != 0, ci).otherwise(result)
+        return result
+
+    return cmp
+
+
 def _sorted_value_array(gsf: GroupSortedFrame, value_col: str) -> tuple[Column, str]:
     """``array_sort(collect_list(struct(order..., value)))`` — the
     native re-creation of per-key value order after the groupBy (which
-    Catalyst is free to not preserve). All-ascending or all-descending
-    order specs only; mixed directions take the pandas/stream tier."""
+    Catalyst is free to not preserve). Uniform direction uses the
+    default struct sort (+ reverse for desc); a mixed asc/desc spec
+    sorts with a custom comparator — still pure Catalyst."""
     specs = gsf.order_specs
-    ascs = {s.ascending for s in specs}
-    if len(ascs) > 1:
-        raise ValueError("mixed asc/desc order not supported in native tier")
     fields = [F.col(s.col).alias(f"__o{i}") for i, s in enumerate(specs)]
     fields.append(F.col(value_col).alias("__v"))
-    arr = F.array_sort(F.collect_list(F.struct(*fields)))
+    collected = F.collect_list(F.struct(*fields))
+    ascs = {s.ascending for s in specs}
+    if len(ascs) > 1:
+        return F.array_sort(collected, _mixed_order_comparator(specs)), "__v"
+    arr = F.array_sort(collected)
     if specs and not specs[0].ascending:
         arr = F.reverse(arr)
     return arr, "__v"

@@ -81,6 +81,54 @@ def test_scan_left_emits_n_plus_1_rows_with_zero(spark, tier):
     assert rows == [("a", 0, 0), ("a", 1, 1), ("a", 2, 3), ("b", 0, 0), ("b", 1, 5)]
 
 
+def test_fold_mixed_asc_desc_native(spark):
+    # Mixed per-field order (the reference allows any Ordering[V]): sort
+    # by (a asc, b desc) and concat — native tier uses the comparator
+    # array_sort; stream tier must agree.
+    rows = [
+        ("k1", 1, 2, "w"),
+        ("k1", 1, 9, "x"),
+        ("k1", 0, 1, "y"),
+        ("k2", 3, 3, "z"),
+        ("k2", 3, 7, "q"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "a", "b", "s"])
+    gs = group_sort(df, "k", order_by=[("a", True), ("b", False)], num_partitions=2)
+    out = gs.fold_left_by_key(
+        "",
+        lambda acc, v: F.concat(acc, v),
+        value_col="s",
+        alias="cat",
+        tier="native",
+    )
+    got = {r.k: r.cat for r in out.collect()}
+    # k1: (0,1,y) < (1,9,x) < (1,2,w); k2: (3,7,q) < (3,3,z)
+    assert got == {"k1": "yxw", "k2": "qz"}
+    # stream tier on the same layout agrees
+    out_s = gs.fold_left_by_key(
+        "", lambda acc, v: acc + v, value_col="s", alias="cat", tier="stream"
+    )
+    assert {r.k: r.cat for r in out_s.collect()} == got
+
+
+def test_fold_mixed_order_nulls_match_spark_sort(spark):
+    # asc -> nulls first, desc -> nulls last (Spark sort defaults): the
+    # comparator path must place the null exactly where
+    # sortWithinPartitions did so tiers agree.
+    rows = [("k", 1, None, "a"), ("k", 1, 5, "b"), ("k", 0, 9, "c")]
+    df = spark.createDataFrame(rows, "k string, a int, b int, s string")
+    gs = group_sort(df, "k", order_by=[("a", True), ("b", False)])
+    out = gs.fold_left_by_key(
+        "",
+        lambda acc, v: F.concat(acc, v),
+        value_col="s",
+        alias="cat",
+        tier="native",
+    )
+    # (0,9,c) < (1,5,b) < (1,null,a)  — null LAST under b desc
+    assert out.collect()[0].cat == "cba"
+
+
 def test_scan_vectorized_matches_row_path(spark):
     data = [("a", i, float(i)) for i in range(25)] + [("b", i, 2.0) for i in range(7)]
     df = spark.createDataFrame(data, ["k", "t", "v"])
