@@ -13,18 +13,37 @@ from pyspark.sql import functions as F
 from ..sources.tpch import DEFAULT_SF_DIR, load_table
 
 
+# One scratch dir per (table, sf_dir) per process, removed at exit —
+# repeated stream construction must not leak tempdirs/symlinks.
+_STREAM_DIRS: dict[tuple[str, str], str] = {}
+
+
 def _as_stream_dir(name: str, sf_dir: str | None) -> str:
     """Spark's file streaming source requires a *directory*; the driver
     lays each table out as a single parquet file. Expose it through a
-    scratch directory holding a symlink (no data copy). In production
-    the source would already be a directory of files/partitions and
-    this shim disappears."""
+    scratch directory holding a symlink (no data copy), memoized per
+    (table, sf_dir) and cleaned up atexit. In production the source
+    would already be a directory of files/partitions and this shim
+    disappears."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     src = os.path.join((sf_dir or DEFAULT_SF_DIR).rstrip("/"), f"{name}.parquet")
+    key = (name, src)
+    d = _STREAM_DIRS.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
     d = tempfile.mkdtemp(prefix=f"stream_{name}_")
     os.symlink(src, os.path.join(d, f"{name}-0.parquet"))
+    if not _STREAM_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _STREAM_DIRS.values()
+            ]
+        )
+    _STREAM_DIRS[key] = d
     return d
 
 

@@ -48,8 +48,11 @@ def stream_fold_by_key(
     in which the key saw data.
 
     ``state_ddl`` overrides the state-store column type for the
-    accumulator; accumulators that aren't Spark scalars round-trip
-    through pickle (``state_ddl="binary"``). ``step_vec(acc, series)``
+    accumulator (e.g. ``"array<double>"`` keeps a typed column all the
+    way through); accumulators that aren't Spark scalars and have no
+    ``state_ddl`` round-trip through pickle — in that case the output
+    column is named ``{alias}_pickled`` (type ``binary``) so callers
+    can't mistake the bytes for a value. ``step_vec(acc, series)``
     is the vectorized per-batch fast path (e.g. running sum:
     ``lambda a, s: a + s.sum()``)."""
     if isinstance(keys, str):
@@ -62,6 +65,8 @@ def stream_fold_by_key(
 
     ddl = state_ddl or _SCALAR_DDL.get(type(zero), "binary")
     pickled = ddl == "binary"
+    if pickled:
+        alias = f"{alias}_pickled"
     out_schema = ", ".join(
         [f"{k} {fields[k]}" for k in keys] + [f"{alias} {ddl if not pickled else 'binary'}"]
     )

@@ -178,8 +178,51 @@ def test_stream_fold_pickled_state(spark, tmp_path):
         ),
         output_mode="update",
     )
-    got = {r["k"]: pickle.loads(bytes(r["seen"])) for r in out.collect()}
+    # non-scalar acc without state_ddl → column renamed to seen_pickled
+    # so the binary payload is unmistakable
+    assert "seen_pickled" in out.columns
+    got = {r["k"]: pickle.loads(bytes(r["seen_pickled"])) for r in out.collect()}
     assert got == {"a": {1, 2}, "b": {7}}
+
+
+def test_stream_fold_typed_state_ddl(spark, tmp_path):
+    # state_ddl keeps a typed accumulator column end-to-end (no pickle,
+    # no binary): min/max pair as array<bigint>
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 9), ("a", 1), ("b", 7)], ["k", "v"]
+    )
+    path = str(tmp_path / "typed")
+    df.write.parquet(path)
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+    out = run_available_now(
+        stream_fold_by_key(
+            sdf,
+            "k",
+            [None, None],
+            lambda acc, v: [
+                int(v) if acc[0] is None else min(acc[0], int(v)),
+                int(v) if acc[1] is None else max(acc[1], int(v)),
+            ],
+            value_col="v",
+            alias="minmax",
+            state_ddl="array<bigint>",
+        ),
+        output_mode="update",
+    )
+    assert "minmax" in out.columns
+    assert out.schema["minmax"].dataType.simpleString() == "array<bigint>"
+    got = {r["k"]: list(r["minmax"]) for r in out.collect()}
+    assert got == {"a": [1, 9], "b": [7, 7]}
+
+
+def test_stream_dir_shim_reused_not_leaked(spark, sf_dir):
+    # repeated stream construction reuses one scratch dir per
+    # (table, sf) instead of leaking a tempdir+symlink each time
+    from spark_sorted_spark.streaming.source import _as_stream_dir
+
+    d1 = _as_stream_dir("events", sf_dir)
+    d2 = _as_stream_dir("events", sf_dir)
+    assert d1 == d2
 
 
 def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
