@@ -200,6 +200,29 @@ def b11_stream_window(spark):
     QUERIES["stream_hourly_window"](spark, SF_DIR).count()
 
 
+def b12_minhash_lsh(spark):
+    # the dedup SCALE path (banded MinHash candidates + exact verify) —
+    # benched so the 100-TB shape, not just the exact baseline, has a
+    # recorded number to regress against
+    from spark_sorted_spark.functions.dedup import minhash_lsh_pairs
+
+    force(minhash_lsh_pairs(load_table(spark, "documents", SF_DIR)))
+
+
+def b13_embedding_lsh(spark):
+    # embedding near-dup scale path: multi-table sign-bit LSH + verify
+    from spark_sorted_spark.functions.similarity import cosine_neardup_pairs_lsh
+
+    force(cosine_neardup_pairs_lsh(load_table(spark, "embeddings", SF_DIR), 0.4))
+
+
+def b14_simhash_banded(spark):
+    # SimHash scale path: pigeonhole-exact banded candidates at k=3
+    from spark_sorted_spark.functions.dedup import simhash_pairs_banded
+
+    force(simhash_pairs_banded(load_table(spark, "documents", SF_DIR)))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -214,6 +237,9 @@ BENCH = {
     "b9_tpch_q1": b9_tpch_q1,
     "b10_clean_corpus": b10_clean_corpus,
     "b11_stream_window": b11_stream_window,
+    "b12_minhash_lsh": b12_minhash_lsh,
+    "b13_embedding_lsh": b13_embedding_lsh,
+    "b14_simhash_banded": b14_simhash_banded,
 }
 
 

@@ -242,10 +242,10 @@ class GroupSortedFrame:
 
         return merge_join_asof(self, other, time_col, **kw)
 
-    def merge_join_custom(self, other, func, schema):
+    def merge_join_custom(self, other, func, schema, tier: str = "pandas"):
         from .operators.joins import merge_join_custom
 
-        return merge_join_custom(self, other, func, schema)
+        return merge_join_custom(self, other, func, schema, tier=tier)
 
     def merge_union(self, other):
         from .operators.union import merge_union

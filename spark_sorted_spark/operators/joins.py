@@ -91,18 +91,23 @@ def merge_join(
 def merge_join_custom(
     left: GroupSortedFrame,
     right: GroupSortedFrame | DataFrame,
-    func: Callable[[tuple, pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    func: Callable,
     schema: str,
+    tier: str = "pandas",
 ) -> DataFrame:
     """J1: full-control per-key co-processing of both value streams
     (``mergeJoin`` with ``f``, ``GroupSorted.scala:57-74``; test
-    ``packageSpec.scala:60-83``) via ``cogroup().applyInPandas``.
+    ``packageSpec.scala:60-83``) via ``cogroup().applyInPandas`` /
+    ``applyInArrow``.
 
-    ``func(key, left_pdf, right_pdf) -> pdf`` sees each side's rows in
-    its declared value order (re-sorted in pandas — cogroup does not
-    guarantee intra-group order) and emits 0..n full output rows.
-    Keys present on only one side get an empty DataFrame for the
-    missing side (full-outer semantics, like the reference).
+    pandas tier: ``func(key, left_pdf, right_pdf) -> pdf``; arrow tier:
+    ``func(key, left_tab, right_tab) -> pyarrow.Table`` (no pandas
+    conversion — Arrow buffers straight from the JVM). Either way
+    ``func`` sees each side's rows in its declared value order
+    (re-sorted per group — cogroup does not guarantee intra-group
+    order) and emits 0..n full output rows. Keys present on only one
+    side get an empty frame/table for the missing side (full-outer
+    semantics, like the reference).
     """
     if isinstance(right, DataFrame):
         right = assume_group_sorted(right, left.key_cols)
@@ -111,23 +116,45 @@ def merge_join_custom(
     lsort = [(s.col, s.ascending) for s in left.order_specs]
     rsort = [(s.col, s.ascending) for s in right.order_specs]
 
-    def apply(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if lsort and len(lpdf):
-            lpdf = lpdf.sort_values(
-                [c for c, _ in lsort], ascending=[a for _, a in lsort], kind="stable"
-            )
-        if rsort and len(rpdf):
-            rpdf = rpdf.sort_values(
-                [c for c, _ in rsort], ascending=[a for _, a in rsort], kind="stable"
-            )
-        out = func(key, lpdf, rpdf)
-        return out if out is not None else lpdf.iloc[0:0]
+    if tier == "pandas":
 
-    return (
-        left.df.groupby(*keys)
-        .cogroup(right.df.groupby(*keys))
-        .applyInPandas(apply, schema)
-    )
+        def apply(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            if lsort and len(lpdf):
+                lpdf = lpdf.sort_values(
+                    [c for c, _ in lsort], ascending=[a for _, a in lsort], kind="stable"
+                )
+            if rsort and len(rpdf):
+                rpdf = rpdf.sort_values(
+                    [c for c, _ in rsort], ascending=[a for _, a in rsort], kind="stable"
+                )
+            out = func(key, lpdf, rpdf)
+            return out if out is not None else lpdf.iloc[0:0]
+
+        return (
+            left.df.groupby(*keys)
+            .cogroup(right.df.groupby(*keys))
+            .applyInPandas(apply, schema)
+        )
+
+    if tier == "arrow":
+        lsort_a = [(c, "ascending" if a else "descending") for c, a in lsort]
+        rsort_a = [(c, "ascending" if a else "descending") for c, a in rsort]
+
+        def apply_arrow(key: tuple, ltab, rtab):
+            if lsort_a and ltab.num_rows:
+                ltab = ltab.sort_by(lsort_a)
+            if rsort_a and rtab.num_rows:
+                rtab = rtab.sort_by(rsort_a)
+            out = func(key, ltab, rtab)
+            return out if out is not None else ltab.slice(0, 0)
+
+        return (
+            left.df.groupby(*keys)
+            .cogroup(right.df.groupby(*keys))
+            .applyInArrow(apply_arrow, schema)
+        )
+
+    raise ValueError(f"unknown tier {tier!r}")
 
 
 def merge_join_asof(

@@ -114,6 +114,59 @@ def test_custom_join_sees_value_order(spark):
     assert [(r.lfirst, r.rfirst) for r in out.collect()] == [(1, 9)]
 
 
+def test_custom_join_arrow_tier_matches_pandas(spark, lr):
+    # same custom combine through cogroup().applyInArrow — no pandas on
+    # the hot path; results must match the pandas tier exactly
+    import pyarrow as pa
+
+    lgs, rgs = lr
+
+    def fn_pd(key, lpdf, rpdf):
+        return pd.DataFrame(
+            {"k": [key[0]], "lsum": [int(lpdf["v"].sum())], "rcnt": [len(rpdf)]}
+        )
+
+    def fn_arrow(key, ltab, rtab):
+        lsum = pa.compute.sum(ltab["v"]).as_py() if ltab.num_rows else 0
+        return pa.Table.from_pydict(
+            {"k": [key[0].as_py()], "lsum": [int(lsum or 0)], "rcnt": [rtab.num_rows]}
+        )
+
+    schema = "k string, lsum bigint, rcnt bigint"
+    got_pd = {
+        r.k: (r.lsum, r.rcnt)
+        for r in merge_join_custom(lgs, rgs, fn_pd, schema).collect()
+    }
+    got_ar = {
+        r.k: (r.lsum, r.rcnt)
+        for r in merge_join_custom(lgs, rgs, fn_arrow, schema, tier="arrow").collect()
+    }
+    assert got_ar == got_pd
+
+
+def test_custom_join_arrow_sees_value_order(spark):
+    import pyarrow as pa
+
+    ldf = spark.createDataFrame([("a", 2), ("a", 1)], ["k", "v"])
+    rdf = spark.createDataFrame([("a", 5), ("a", 9)], ["k", "v"])
+    lgs = group_sort(ldf, "k", order_by="v", num_partitions=2)
+    rgs = group_sort(rdf, "k", order_by=[("v", False)], num_partitions=2)
+
+    def fn(key, ltab, rtab):
+        return pa.Table.from_pydict(
+            {
+                "k": [key[0].as_py()],
+                "lfirst": [ltab["v"][0].as_py()],
+                "rfirst": [rtab["v"][0].as_py()],
+            }
+        )
+
+    out = merge_join_custom(
+        lgs, rgs, fn, "k string, lfirst bigint, rfirst bigint", tier="arrow"
+    )
+    assert [(r.lfirst, r.rfirst) for r in out.collect()] == [(1, 9)]
+
+
 @pytest.mark.parametrize("impl", [merge_union, merge_union_cogroup])
 def test_merge_union_bag_semantics_and_layout(spark, impl):
     # GroupSortedSpec.scala:294-303: merge-union == bag union; result
