@@ -56,6 +56,22 @@ MINHASH_PERMS: list[tuple[int, int]] = [
 MINHASH_BANDS = 4  # 4 bands x 4 rows
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy narrow stage has at least
+    ``defaultParallelism`` partitions. A small parquet table arrives as
+    one file => ONE scan partition, serializing per-document work (md5,
+    16-perm MinHash, 32 hyperplane dots) onto a single core while the
+    rest idle. At corpus scale inputs already have thousands of file
+    splits and this is a no-op; the round-robin repartition only fires
+    when partitions < cores, where the shuffle of the small input is
+    noise next to the CPU it unlocks."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -116,6 +132,7 @@ def ngram_jaccard_pairs(
     trade production dedup pipelines make when dropping stop-shingles.
     Pass ``max_bucket=None`` for the exhaustive O(sum bucket^2)
     baseline."""
+    df = spread_small_input(df)
     sh = _exploded_shingles(df, text_col, id_col, n)
     if max_bucket is not None:
         small = (
@@ -208,6 +225,7 @@ def minhash_lsh_pairs(
     affects recall). Buckets larger than ``max_bucket`` are dropped
     (degenerate boilerplate guard, keeps worst-case fan-out bounded).
     """
+    df = spread_small_input(df)
     sig = _with_minhash_array(df, text_col, id_col, n)
     rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
     # band b holds perms {b, b+BANDS, ...} (perm % BANDS == b), joined

@@ -232,7 +232,9 @@ def build_ann_lsh_index(
     assignment into O(corpus / 2^n_planes) — the persist-the-index
     shape the query-time form documents."""
     from ..sources.bucketed import write_partitioned
+    from .dedup import spread_small_input
 
+    df = spread_small_input(df)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     assigned = df.select(
         F.col(id_col),
@@ -348,8 +350,10 @@ def build_ann_ivf_index(
     to the partitioned read). Probes then scan only their ``nprobe``
     cell directories."""
     from ..sources.bucketed import write_partitioned
+    from .dedup import spread_small_input
 
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
+    df = spread_small_input(df)
     celled = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -408,6 +412,9 @@ def cosine_neardup_pairs_lsh(
     ``1-(1-p)^n_tables`` while candidate generation stays a bucket
     equi-join — never the O(n^2) cross join of
     ``cosine_neardup_pairs``. Precision is 1.0 (exact verify)."""
+    from .dedup import spread_small_input
+
+    df = spread_small_input(df)
     tables = [
         [_hyperplane(t * n_planes + p, dim) for p in range(n_planes)]
         for t in range(n_tables)
