@@ -61,7 +61,13 @@ def dot_strict(a: Column, b: Column) -> Column:
     """Strict left-fold dot product in double precision:
     ``fold(0.0, zip_with(a, b, *), +)`` — mirrors DuckDB
     ``list_reduce(list_prepend(0.0, list_transform(list_zip(a, b),
-    s -> s[1]*s[2])), (acc, x) -> acc + x)`` operation for operation."""
+    s -> s[1]*s[2])), (acc, x) -> acc + x)`` operation for operation.
+
+    (Measured dead end, do not retry: unrolling literal-plane dots into
+    flat ``v[0]*p0 + v[1]*p1 + ...`` chains to dodge the interpreted
+    higher-order ``aggregate`` blows janino's method-size limit at
+    32 planes x 64 dims — codegen falls back to interpreted for the
+    whole projection and runs ~4x SLOWER than these folds.)"""
     prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -427,9 +433,12 @@ def cosine_neardup_pairs_lsh(
             out = out + F.when(dot_strict(vec, pv) >= 0, 1 << p).otherwise(0)
         return out
 
+    # bucket table carries IDS ONLY — the 8-way explode and the
+    # (t, bucket) self-join never ship the 64-float embeddings (that
+    # would push 8 copies of every vector through the shuffle);
+    # embeddings are joined back exactly once per side for the verify.
     b = df.select(
         F.col(id_col),
-        F.col(vec_col),
         F.explode(
             F.array(
                 *[
@@ -441,27 +450,21 @@ def cosine_neardup_pairs_lsh(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, vec_col, "tb.t", "tb.bucket")
-    a1 = b.select(
-        "t",
-        "bucket",
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("emb_a"),
-    )
-    a2 = b.select(
-        "t",
-        "bucket",
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("emb_b"),
-    )
+    ).select(id_col, "tb.t", "tb.bucket")
+    a1 = b.select("t", "bucket", F.col(id_col).alias("vec_a"))
+    a2 = b.select("t", "bucket", F.col(id_col).alias("vec_b"))
     cand = (
         a1.join(a2, on=["t", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "emb_a", "vec_b", "emb_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+        .distinct()
     )
+    ea = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
+    eb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
     return (
-        cand.withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b")
     )
