@@ -191,6 +191,22 @@ def _rank_topk(bucketed: DataFrame, query_vec, k: int, vec_col: str, id_col: str
     )
 
 
+def _multiprobe_buckets(
+    query_vec: list[float], planes: list[list[float]], probe_bits: int
+) -> list[int]:
+    """Multi-probe bucket list: the query's own bucket plus the buckets
+    reached by flipping each of the ``probe_bits`` LEAST-CONFIDENT sign
+    bits (planes whose dot with the query is closest to 0 — the
+    standard multi-probe LSH heuristic: a near neighbor most likely
+    disagrees on exactly those). Deterministic: |dot| ties break on
+    plane index."""
+    qbits = _sign_bucket_bits(query_vec, planes)
+    confidence = sorted(
+        range(len(planes)), key=lambda p: (abs(dot_py(query_vec, planes[p])), p)
+    )
+    return [qbits] + [qbits ^ (1 << p) for p in confidence[:probe_bits]]
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -198,26 +214,28 @@ def ann_lsh_topk(
     n_planes: int = ANN_N_PLANES,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: 8 random-hyperplane sign bits -> 256 buckets;
-    rank by exact cosine within the query's bucket. Deterministic
-    (seeded hyperplanes). Recall measured against cosine_topk in
-    tests; at corpus scale, multi-probe (flip one bit) is the standard
-    recall knob — left as future work.
+    rank by exact cosine within the probed buckets. Deterministic
+    (seeded hyperplanes). ``probe_bits`` is the recall knob: 0 probes
+    only the query's bucket; m probes m extra buckets at one-bit flips
+    of the least-confident planes (candidate set grows ~(m+1)x, recall
+    rises accordingly — measured in tests).
 
     This form assigns buckets AT QUERY TIME (a full scan) — fine for
     one-off queries; for repeated queries over a large corpus, build
     the assignment once with :func:`build_ann_lsh_index` and probe it
-    with :func:`ann_lsh_topk_indexed` (partition-pruned scan of one
-    bucket directory)."""
+    with :func:`ann_lsh_topk_indexed` (partition-pruned scan of the
+    probed bucket directories)."""
     dim = len(query_vec)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
-    qbits = _sign_bucket_bits(query_vec, planes)
+    probes = _multiprobe_buckets(query_vec, planes, probe_bits)
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
         _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
-    ).filter(F.col("bucket") == qbits)
+    ).filter(F.col("bucket").isin(probes))
     return _rank_topk(bucketed, query_vec, k, vec_col, id_col)
 
 
@@ -258,16 +276,19 @@ def ann_lsh_topk_indexed(
     n_planes: int = ANN_N_PLANES,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Probe a persisted LSH index (:func:`build_ann_lsh_index`):
-    compute the query's bucket driver-side, scan ONLY that bucket's
-    partition directory, rank by exact cosine. Output is identical to
-    ``ann_lsh_topk`` on the same data (same planes, same folds)."""
+    compute the probed buckets driver-side (query bucket + one-bit
+    flips of the ``probe_bits`` least-confident planes), scan ONLY
+    those bucket directories (partition-pruned), rank by exact cosine.
+    Output is identical to ``ann_lsh_topk`` with the same
+    ``probe_bits`` on the same data (same planes, same folds)."""
     dim = len(query_vec)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
-    qbits = _sign_bucket_bits(query_vec, planes)
+    probes = _multiprobe_buckets(query_vec, planes, probe_bits)
     idx = spark.read.parquet(index_path)
-    bucketed = idx.filter(F.col("bucket") == qbits)
+    bucketed = idx.filter(F.col("bucket").isin(probes))
     return _rank_topk(bucketed, query_vec, k, vec_col, id_col)
 
 

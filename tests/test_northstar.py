@@ -246,6 +246,38 @@ def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
     assert got == [(r.vec_id, r.rank) for r in query_time.collect()]
 
 
+def test_ann_lsh_multiprobe_recall_monotone(spark, emb):
+    # probe_bits widens the candidate pool with one-bit-flip buckets of
+    # the least-confident planes: recall vs the exact top-k must be
+    # monotone non-decreasing in probes, and full-width probing of all
+    # 2^8 buckets would be exact by construction.
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in cosine_topk(base, qvec, k=10).collect()}
+
+    def recall(m):
+        got = {r.vec_id for r in ann_lsh_topk(base, qvec, k=10, probe_bits=m).collect()}
+        return len(got & exact) / len(exact)
+
+    r0, r2, r4 = recall(0), recall(2), recall(4)
+    assert r0 <= r2 <= r4, (r0, r2, r4)
+
+
+def test_ann_lsh_multiprobe_indexed_matches_query_time(spark, emb, tmp_path):
+    from spark_sorted_spark.functions.similarity import (
+        ann_lsh_topk_indexed,
+        build_ann_lsh_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    base = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "lsh_mp")
+    build_ann_lsh_index(base, path)
+    a = ann_lsh_topk(base, qvec, k=5, probe_bits=3).collect()
+    b = ann_lsh_topk_indexed(spark, path, qvec, k=5, probe_bits=3).collect()
+    assert [(r.vec_id, r.rank) for r in a] == [(r.vec_id, r.rank) for r in b]
+
+
 def test_dot_py_dimension_mismatch_raises():
     from spark_sorted_spark.functions.similarity import dot_py
 
