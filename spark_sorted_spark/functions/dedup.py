@@ -152,6 +152,9 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
+    # AQE coalesces the tiny id-pair shuffle to ~1 partition, which
+    # would serialize the array_intersect verify; re-spread explicitly
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sets = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -267,6 +270,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # see ngram_jaccard_pairs: keep the CPU-heavy exact verify spread
+    # across cores despite AQE's bytes-based coalescing
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sets = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))

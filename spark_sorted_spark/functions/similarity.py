@@ -420,14 +420,24 @@ def ann_ivf_topk_indexed(
 def cosine_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
-    dim: int = 64,
+    dim: int = ANN_DIM,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Scale path for embedding near-dup: multi-table sign-bit LSH
     (OR-construction) then exact-cosine verify within buckets.
+
+    ``n_planes=None`` sizes the bucket space to the corpus:
+    ``max(4, ceil(log2(n / target_bucket)))`` — bucket count must grow
+    with n or the "scale path" degenerates toward all-pairs (at 16
+    fixed buckets a 10^9-vector corpus would put ~6*10^7 vectors in
+    every bucket). More planes per table lowers per-table recall by the
+    standard ``(1-θ/π)^n_planes`` factor — the OR over ``n_tables``
+    is the compensating knob. Pass an explicit ``n_planes`` to pin the
+    construction (the oracle-gated query pins 4).
 
     Each of ``n_tables`` hash tables buckets every vector by the sign
     bits of ``n_planes`` seeded hyperplanes (table ``t`` uses planes
@@ -439,8 +449,13 @@ def cosine_neardup_pairs_lsh(
     ``1-(1-p)^n_tables`` while candidate generation stays a bucket
     equi-join — never the O(n^2) cross join of
     ``cosine_neardup_pairs``. Precision is 1.0 (exact verify)."""
+    import math
+
     from .dedup import spread_small_input
 
+    if n_planes is None:
+        n = df.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
     df = spread_small_input(df)
     tables = [
         [_hyperplane(t * n_planes + p, dim) for p in range(n_planes)]
@@ -480,12 +495,34 @@ def cosine_neardup_pairs_lsh(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
-    eb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
+    # AQE sizes post-shuffle partitions by BYTES; the candidate rows are
+    # two ids but each costs a 64-dim fold in the verify, so the
+    # coalesced 1-2 partitions would serialize the CPU-heavy stage onto
+    # as many cores. Re-spread explicitly — the id-pair shuffle is tiny.
+    sc = df.sparkSession.sparkContext
+    cand = cand.repartition(sc.defaultParallelism)
+    # per-vector norms are computed ONCE here instead of twice per
+    # candidate pair inside cosine() — sqrt(dot(v,v)) is the identical
+    # fold either way, so cos stays bitwise-equal to the oracle's
+    # inline cosine while the verify does 1 fold per pair, not 3
+    ea = df.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("emb_a"),
+        F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_a"),
+    )
+    eb = df.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("emb_b"),
+        F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_b"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "cos",
+            dot_strict(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b")
     )

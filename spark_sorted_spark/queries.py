@@ -1395,7 +1395,11 @@ _LSH_CAND_SQL = " UNION ".join(
 def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import cosine_neardup_pairs_lsh
 
-    return cosine_neardup_pairs_lsh(load_table(spark, "embeddings", sf_dir), 0.4)
+    # n_planes pinned to 4: the oracle above replays exactly the
+    # 4-plane/8-table construction (auto-sizing would desync them)
+    return cosine_neardup_pairs_lsh(
+        load_table(spark, "embeddings", sf_dir), 0.4, n_planes=4
+    )
 
 
 # ===========================================================================
