@@ -754,7 +754,9 @@ _ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    import atexit
     import os
+    import shutil
     import tempfile
 
     key = (kind, sf_dir)
@@ -764,6 +766,8 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
         base = os.path.join(
             tempfile.gettempdir(), f"spark_graft_ann_{os.getpid()}"
         )
+        if not _ANN_INDEX_CACHE:
+            atexit.register(lambda: shutil.rmtree(base, ignore_errors=True))
         path = os.path.join(base, f"{kind}_{os.path.basename(os.path.normpath(sf_dir))}")
         emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
         if kind == "lsh":
