@@ -1,0 +1,81 @@
+"""Edge-case probes for the round-3 surfaces: empty relations,
+degenerate inputs, and parameter validation on the dedup/ANN/join
+paths (the reference pins empty-input behavior at
+GroupSortedDatasetSpec.scala:43-53; these extend the same discipline
+to the extension operators).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sorted_spark import group_sort
+
+
+def test_merge_join_right_empty_left(spark):
+    left = spark.createDataFrame([], "k string, v int")
+    right = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "w"])
+    lgs = group_sort(left, "k", num_partitions=2)
+    rgs = group_sort(right, "k", num_partitions=2)
+    out = lgs.merge_join_right_outer(rgs).to_df()
+    got = {(r.k, r.v, r.w) for r in out.collect()}
+    assert got == {("a", None, 1), ("b", None, 2)}
+
+
+def test_ngram_jaccard_empty_and_short_docs(spark):
+    from spark_sorted_spark.functions.dedup import ngram_jaccard_pairs
+
+    # empty table and sub-n-token docs must both yield zero pairs, not
+    # errors (shingles() guards the descending-sequence pitfall)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_jaccard_pairs(empty).count() == 0
+    short = spark.createDataFrame([(1, "one two"), (2, "one two")], ["doc_id", "text"])
+    assert ngram_jaccard_pairs(short).count() == 0
+
+
+def test_minhash_lsh_empty(spark):
+    from spark_sorted_spark.functions.dedup import minhash_lsh_pairs
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_pairs(empty).count() == 0
+
+
+def test_embedding_lsh_explicit_planes_empty(spark):
+    from spark_sorted_spark.functions.similarity import cosine_neardup_pairs_lsh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    # auto-sizing counts the (empty) input and must not crash on log2
+    assert cosine_neardup_pairs_lsh(empty, 0.5).count() == 0
+
+
+def test_map_stream_context_with_empty_partition(spark):
+    # a context factory must be safe on partitions that hold no groups
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    gs = group_sort(df, "k", order_by="v", num_partitions=4)  # 3 empty parts
+
+    def fn(ctx, key, chunks):
+        for c in chunks:
+            ctx.append(len(c))
+        yield pd.DataFrame({"k": [key[0]], "n": [sum(ctx)]})
+
+    out = gs.map_stream_by_key(fn, "k string, n bigint", tier="stream", context=list)
+    assert [(r.k, r.n) for r in out.collect()] == [("a", 1)]
+
+
+def test_merge_join_custom_unknown_tier(spark):
+    from spark_sorted_spark.operators.joins import merge_join_custom
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    gs = group_sort(df, "k", num_partitions=2)
+    with pytest.raises(ValueError, match="unknown tier"):
+        merge_join_custom(gs, gs, lambda *a: None, "k string", tier="nope")
+
+
+def test_fold_mixed_order_single_row_groups(spark):
+    # comparator path degenerate case: every group has one row
+    df = spark.createDataFrame([("a", 1, 2, 1.0), ("b", 5, 1, 2.0)], ["k", "x", "y", "v"])
+    gs = group_sort(df, "k", order_by=[("x", True), ("y", False)])
+    out = gs.fold_left_by_key(
+        0.0, lambda acc, v: acc + v, value_col="v", alias="s", tier="native"
+    )
+    assert {(r.k, r.s) for r in out.collect()} == {("a", 1.0), ("b", 2.0)}
