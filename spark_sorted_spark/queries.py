@@ -1757,10 +1757,14 @@ _GATE_ORDER = [
     "embedding_neardup",
 ]
 
-assert set(_GATE_ORDER) == set(QUERIES), (
-    "gate order out of sync with registry: "
-    f"missing={set(QUERIES) - set(_GATE_ORDER)} "
-    f"stale={set(_GATE_ORDER) - set(QUERIES)}"
-)
-QUERIES = {name: QUERIES[name] for name in _GATE_ORDER}
-ORACLE = {name: ORACLE[name] for name in _GATE_ORDER if name in ORACLE}
+# A name in _GATE_ORDER that no longer exists is always a bug — fail
+# loudly. A REGISTERED query missing from _GATE_ORDER must NOT crash
+# the import (that would void the whole driver gate): append it after
+# the ordered block — visibly ungated — and let the pinned test
+# (tests/test_gate_order.py) fail the suite instead.
+_stale = [n for n in _GATE_ORDER if n not in QUERIES]
+assert not _stale, f"gate order references unregistered queries: {_stale}"
+UNORDERED_QUERIES = [n for n in QUERIES if n not in _GATE_ORDER]
+_full_order = _GATE_ORDER + UNORDERED_QUERIES
+QUERIES = {name: QUERIES[name] for name in _full_order}
+ORACLE = {name: ORACLE[name] for name in _full_order if name in ORACLE}

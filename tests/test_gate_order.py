@@ -1,0 +1,39 @@
+"""Pin the driver-gate window (the driver runs only the FIRST 50
+registered queries — evidence in PARITY.md "Driver gate window").
+
+These tests are Spark-free and fail the suite — rather than crashing
+the queries module import and voiding a whole gate run — when the
+registry and _GATE_ORDER drift apart.
+"""
+
+from spark_sorted_spark import queries as q
+
+
+def test_every_registered_query_is_gate_ordered():
+    # a new @query must be placed in _GATE_ORDER deliberately (inside
+    # the 50-entry window, or in the documented overflow tail)
+    assert q.UNORDERED_QUERIES == [], (
+        f"queries registered but not in _GATE_ORDER: {q.UNORDERED_QUERIES}; "
+        "add them to _GATE_ORDER (first 50 = driver-gated; past 50 needs "
+        "PARITY.md overflow justification)"
+    )
+
+
+def test_gate_window_contents():
+    names = list(q.QUERIES)
+    gated = set(names[:50])
+    # every name must have an oracle (full rows+schema+hash gate)
+    assert set(q.ORACLE) == set(names)
+    # the judge-required entries sit inside the window
+    for must in (
+        "grouping_sets_agg",
+        "corpus_mix",
+        "merge_join_right",
+        "set_ops",
+        "dedup_ngram_jaccard",
+    ):
+        assert must in gated, f"{must} fell out of the driver gate window"
+    # overflow is exactly the two declared O(n^2) oracle baselines,
+    # each with its scale-safe twin still gated
+    assert names[50:] == ["dedup_simhash", "embedding_neardup"]
+    assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
