@@ -106,3 +106,34 @@ def test_asof_join_plans_single_exchange_per_side_no_cartesian(spark, sf_dir):
     # union of two pre-laid-out sides + one window: no join node at all
     assert "SortMergeJoin" not in plan
     assert "Window" in plan
+
+
+def test_right_outer_join_co_partitioned_no_extra_exchange(spark, sf_dir):
+    # J5 flavor: same co-partition economics as the other flavors —
+    # two layout Exchanges (one per side), none added by the join
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    lgs = group_sort(orders.withColumnRenamed("o_custkey", "k"), "k")
+    rgs = group_sort(cust.withColumnRenamed("c_custkey", "k"), "k")
+    # disable auto-broadcast: model two at-scale fact tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(lgs.merge_join_right_outer(rgs).to_df(), mode="simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan and "RightOuter" in plan
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_ngram_jaccard_cap_in_plan(spark, sf_dir):
+    # the max_bucket frequency guard must appear as an aggregate +
+    # count filter feeding the shingle self-join (unbounded fan-out
+    # guard; see dedup.ngram_jaccard_pairs)
+    from spark_sorted_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _plan(ngram_jaccard_pairs(docs, max_bucket=50), mode="simple")
+    assert "count(1)" in plan and "<= 50" in plan, plan
+    # and the uncapped baseline omits it
+    plan_un = _plan(ngram_jaccard_pairs(docs, max_bucket=None), mode="simple")
+    assert "<= 50" not in plan_un
