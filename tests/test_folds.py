@@ -239,6 +239,66 @@ def test_scan_left_hypothesis_vs_accumulate(spark):
     run()
 
 
+def test_fold_mixed_order_hypothesis_vs_sorted_oracle(spark):
+    # comparator-array_sort path vs a plain-Python sorted() oracle over
+    # random rows, random per-field directions, and nullable second
+    # field (asc -> nulls first, desc -> nulls last, Spark semantics)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark import group_sort
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 2),  # key
+                st.integers(0, 3),  # a
+                st.one_of(st.none(), st.integers(0, 3)),  # b (nullable)
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        asc_a=st.booleans(),
+        asc_b=st.booleans(),
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(rows, asc_a, asc_b):
+        # order-sensitive fold: ties in (k, a, b) would make the fold
+        # order unspecified on both sides — dedupe them away
+        rows = list(dict.fromkeys(rows))
+        data = [(k, a, b, f"s{i}") for i, (k, a, b) in enumerate(rows)]
+        df = spark.createDataFrame(data, "k int, a int, b int, s string")
+        gs = group_sort(df, "k", order_by=[("a", asc_a), ("b", asc_b)])
+        got = {
+            r.k: r.cat
+            for r in gs.fold_left_by_key(
+                "",
+                lambda acc, v: F.concat(acc, v),
+                value_col="s",
+                alias="cat",
+                tier="native",
+            ).collect()
+        }
+
+        def keyfn(t):
+            _, a, b, _ = t
+            ka = a if asc_a else -a
+            # Spark: asc -> nulls first, desc -> nulls last
+            kb = (
+                (0 if b is None else 1, 0 if b is None else (b if asc_b else -b))
+                if asc_b
+                else (0 if b is not None else 1, 0 if b is None else -b)
+            )
+            return (ka, kb)
+
+        expected = {}
+        for t in sorted(data, key=keyfn):
+            expected[t[0]] = expected.get(t[0], "") + t[3]
+        assert got == expected, (asc_a, asc_b, data)
+
+    run()
+
+
 def test_combine_by_key_parity(spark):
     from pyspark.sql import functions as F
 

@@ -215,6 +215,57 @@ def test_stream_fold_typed_state_ddl(spark, tmp_path):
     assert got == {"a": [1, 9], "b": [7, 7]}
 
 
+def test_stream_fold_checkpoint_resume_across_runs(spark, tmp_path):
+    # the incremental-backfill pattern: drain, stop, add data, drain
+    # again with the SAME checkpoint — the second run must process only
+    # the new file and the state-store accumulator must carry over
+    df1 = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], ["k", "v"])
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    df1.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        # memory sink refuses checkpoint recovery; foreachBatch is the
+        # resumable collection path
+        rows = []
+        sdf = spark.readStream.schema(schema).parquet(src)
+        out = stream_fold_by_key(
+            sdf,
+            "k",
+            0,
+            lambda acc, v: acc + 1,
+            value_col="v",
+            alias="n",
+            step_vec=lambda acc, s: acc + len(s),
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda batch, _id: rows.extend(batch.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300)
+        finally:
+            q.stop()
+        return rows
+
+    first = {r.k: r.n for r in drain()}
+    assert first == {"a": 2, "b": 1}
+    # second batch of files arrives after the first drain stopped
+    spark.createDataFrame([("a", 9), ("c", 0)], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = {r.k: r.n for r in drain()}
+    # a: 2 (checkpointed) + 1 new = 3; c starts fresh at 1; b saw no
+    # new rows -> no update-mode row in the second drain
+    assert got == {"a": 3, "c": 1}
+
+
 def test_stream_dir_shim_reused_not_leaked(spark, sf_dir):
     # repeated stream construction reuses one scratch dir per
     # (table, sf) instead of leaking a tempdir+symlink each time
