@@ -151,21 +151,33 @@ def take_by_key(gsf: GroupSortedFrame, n: int, tier: str = "native"):
             gsf.df.withColumn("__rn", rn).filter(F.col("__rn") <= n).drop("__rn")
         )
 
-    if tier == "stream":
-        cols = gsf.df.columns
+    if tier in ("stream", "arrow"):
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in gsf.df.schema.fields
         )
 
-        def take_fn(key, chunks):
-            left = n
-            for pdf in chunks:
-                if left <= 0:
-                    return  # early exit: engine drains the rest
-                out = pdf.iloc[:left]
-                left -= len(out)
-                yield out
+        if tier == "stream":
 
-        return map_stream_by_key(gsf, take_fn, schema, tier="stream")
+            def take_fn(key, chunks):
+                left = n
+                for pdf in chunks:
+                    if left <= 0:
+                        return  # early exit: engine drains the rest
+                    out = pdf.iloc[:left]
+                    left -= len(out)
+                    yield out
+
+        else:
+
+            def take_fn(key, rbs):
+                left = n
+                for rb in rbs:
+                    if left <= 0:
+                        return  # early exit: engine drains the rest
+                    out = rb.slice(0, min(left, rb.num_rows))
+                    left -= out.num_rows
+                    yield out
+
+        return map_stream_by_key(gsf, take_fn, schema, tier=tier)
 
     raise ValueError(f"unknown tier {tier!r}")

@@ -62,7 +62,7 @@ def test_max_broadcast_per_key(spark, f2):
     assert got == sorted([("a", 1, 3), ("a", 3, 3), ("b", 1, 10), ("b", 10, 10), ("c", 5, 5)])
 
 
-@pytest.mark.parametrize("tier", ["native", "stream"])
+@pytest.mark.parametrize("tier", ["native", "stream", "arrow"])
 def test_take_by_key(spark, f2, tier):
     gs = group_sort(f2, "k", order_by="v", num_partitions=2)
     out = take_by_key(gs, 1, tier=tier)
