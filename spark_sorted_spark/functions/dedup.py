@@ -39,6 +39,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "simhash_pairs_banded",
+    "spread_small_input",
     "MINHASH_PERMS",
     "MINHASH_PRIME",
 ]

@@ -32,6 +32,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "cosine_neardup_pairs",
+    "cosine_neardup_pairs_lsh",
     "ann_lsh_topk",
     "build_ann_lsh_index",
     "ann_lsh_topk_indexed",
