@@ -71,6 +71,54 @@ def test_merge_join_custom_unknown_tier(spark):
         merge_join_custom(gs, gs, lambda *a: None, "k string", tier="nope")
 
 
+def test_composite_keys_end_to_end(spark):
+    # composite tuple keys (GroupSortedSpec.scala:242-248) through the
+    # Spark layer: two-column key through fold, map_stream, and a
+    # merge join on both key columns
+    rows = [
+        ("us", 1, 1, 10.0),
+        ("us", 1, 2, 20.0),
+        ("us", 2, 1, 5.0),
+        ("eu", 1, 1, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["region", "uid", "seq", "v"])
+    gs = group_sort(df, ["region", "uid"], order_by="seq", num_partitions=2)
+
+    fold = gs.fold_left_by_key(
+        0.0, lambda acc, v: acc + v, value_col="v", alias="s", tier="native"
+    )
+    got = {(r.region, r.uid): r.s for r in fold.collect()}
+    assert got == {("us", 1): 30.0, ("us", 2): 5.0, ("eu", 1): 7.0}
+
+    def fn(key, pdf):
+        return pd.DataFrame(
+            {"region": [key[0]], "uid": [key[1]], "n": [len(pdf)]}
+        )
+
+    ms = gs.map_stream_by_key(fn, "region string, uid bigint, n bigint")
+    assert {(r.region, r.uid): r.n for r in ms.collect()} == {
+        ("us", 1): 2,
+        ("us", 2): 1,
+        ("eu", 1): 1,
+    }
+
+    dim = spark.createDataFrame(
+        [("us", 1, "gold"), ("eu", 1, "silver")], ["region", "uid", "tier_name"]
+    )
+    joined = gs.merge_join_inner(
+        group_sort(dim, ["region", "uid"], num_partitions=2)
+    ).to_df()
+    assert joined.count() == 3  # (us,1) x2 rows + (eu,1) x1
+
+
+def test_spread_small_input_noop_on_wide_input(spark):
+    from spark_sorted_spark.functions.dedup import spread_small_input
+
+    sc = spark.sparkContext
+    wide = spark.range(1000).repartition(sc.defaultParallelism)
+    assert spread_small_input(wide) is wide  # no extra shuffle planned
+
+
 def test_fold_mixed_order_single_row_groups(spark):
     # comparator path degenerate case: every group has one row
     df = spark.createDataFrame([("a", 1, 2, 1.0), ("b", 5, 1, 2.0)], ["k", "x", "y", "v"])
