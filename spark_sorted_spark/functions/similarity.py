@@ -427,9 +427,17 @@ def cosine_neardup_pairs_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     target_bucket: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: multi-table sign-bit LSH
     (OR-construction) then exact-cosine verify within buckets.
+
+    ``max_bucket`` (optional) mirrors the dedup families' hot-bucket
+    guard: (table, bucket) cells holding more than ``max_bucket``
+    vectors are dropped from candidate generation — the degenerate-
+    cluster bound for corpora where one sign pattern captures a huge
+    blob. Default None keeps the construction exact w.r.t. the
+    OR-construction (the oracle-gated query relies on that).
 
     ``n_planes=None`` sizes the bucket space to the corpus:
     ``max(4, ceil(log2(n / target_bucket)))`` — bucket count must grow
@@ -488,6 +496,14 @@ def cosine_neardup_pairs_lsh(
             )
         ).alias("tb"),
     ).select(id_col, "tb.t", "tb.bucket")
+    if max_bucket is not None:
+        small = (
+            b.groupBy("t", "bucket")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .drop("bn")
+        )
+        b = b.join(small, on=["t", "bucket"])
     a1 = b.select("t", "bucket", F.col(id_col).alias("vec_a"))
     a2 = b.select("t", "bucket", F.col(id_col).alias("vec_b"))
     cand = (

@@ -246,6 +246,22 @@ def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
     assert got == [(r.vec_id, r.rank) for r in query_time.collect()]
 
 
+def test_embedding_lsh_max_bucket_guard(spark, emb):
+    from spark_sorted_spark.functions.similarity import cosine_neardup_pairs_lsh
+
+    # capped candidates are a subset of the uncapped construction, and
+    # a tiny cap still finds nothing spurious (precision 1.0 both ways)
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_neardup_pairs_lsh(emb, 0.4, n_planes=4).collect()
+    }
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_neardup_pairs_lsh(emb, 0.4, n_planes=4, max_bucket=20).collect()
+    }
+    assert capped <= full
+
+
 def test_ann_lsh_multiprobe_recall_monotone(spark, emb):
     # probe_bits widens the candidate pool with one-bit-flip buckets of
     # the least-confident planes: recall vs the exact top-k must be
