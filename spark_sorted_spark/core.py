@@ -313,6 +313,9 @@ def group_sort(
     if missing:
         raise ValueError(f"key columns not in DataFrame: {missing}")
     specs = _normalize_order(order_by, reverse)
+    missing_order = [s.col for s in specs if s.col not in df.columns]
+    if missing_order:
+        raise ValueError(f"order_by columns not in DataFrame: {missing_order}")
     key_exprs = [F.col(k) for k in keys]
     laid = (
         df.repartition(num_partitions, *key_exprs)

@@ -62,6 +62,12 @@ def test_map_stream_context_with_empty_partition(spark):
     assert [(r.k, r.n) for r in out.collect()] == [("a", 1)]
 
 
+def test_group_sort_bad_order_column_fails_fast(spark):
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    with pytest.raises(ValueError, match="order_by columns not in DataFrame"):
+        group_sort(df, "k", order_by="nope")
+
+
 def test_merge_join_custom_unknown_tier(spark):
     from spark_sorted_spark.operators.joins import merge_join_custom
 
