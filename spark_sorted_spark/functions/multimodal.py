@@ -31,6 +31,8 @@ __all__ = [
     "attach_binary_payload",
     "decode_stub",
     "extract_features",
+    "resize_images",
+    "sample_frames",
 ]
 
 
@@ -95,6 +97,110 @@ def extract_features(
                     "first_byte": [p[0] if len(p) else -1 for p in payloads],
                     "last_byte": [p[-1] if len(p) else -1 for p in payloads],
                 }
+            )
+
+    return df.mapInPandas(op, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Image resize over the multimodal layout: 1 row in → 1 row out,
+    same ``(id, payload, meta)`` shape with the payload replaced by the
+    resized encoding and ``meta`` updated (modality tagged, byte count
+    and md5 recomputed). Real pipeline = decode → resize → re-encode
+    inside the batch loop; the container has no image libs, so
+    ``fake=True`` emits a deterministic stand-in payload of exactly
+    ``width*height`` bytes derived from the input bytes (content-
+    addressed: same input → same output, any partitioning), and
+    ``fake=False`` hits ``decode_stub``."""
+    schema = (
+        f"{id_col} bigint, payload binary, "
+        "meta struct<modality string, n_bytes bigint, md5 string>"
+    )
+    target = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_payloads = []
+            metas = []
+            for _, row in pdf.iterrows():
+                src = bytes(row["payload"])
+                if not fake:
+                    decode_stub(src, row["meta"]["modality"])
+                # deterministic "resized" bytes: repeat the md5 stream
+                # of the source until width*height bytes are filled
+                stream = b""
+                seed = src
+                while len(stream) < target:
+                    seed = hashlib.md5(seed).digest()
+                    stream += seed
+                resized = stream[:target]
+                out_payloads.append(resized)
+                metas.append(
+                    {
+                        "modality": f"image/{width}x{height}",
+                        "n_bytes": len(resized),
+                        "md5": hashlib.md5(resized).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": out_payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.mapInPandas(op, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling over the multimodal layout: 1 row in → up to
+    ``n_frames`` rows out ``(id, frame_idx, frame, meta)`` — the
+    flat-map shape video/audio pipelines need (a 2-hour clip fans out
+    to k frames without ever materializing the clip list). Real
+    pipeline = demux + seek inside the batch loop; ``fake=True`` emits
+    deterministic equal-stride byte slices of the payload as "frames"
+    (empty payloads produce zero rows — flat-map semantics), and
+    ``fake=False`` hits ``decode_stub``."""
+    schema = (
+        f"{id_col} bigint, frame_idx int, frame binary, "
+        "meta struct<modality string, n_bytes bigint>"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, metas = [], [], [], []
+            for _, row in pdf.iterrows():
+                src = bytes(row["payload"])
+                if not fake:
+                    decode_stub(src, row["meta"]["modality"])
+                if not src:
+                    continue
+                k = min(n_frames, len(src))
+                stride = len(src) / k
+                for i in range(k):
+                    lo = int(i * stride)
+                    hi = max(lo + 1, int((i + 1) * stride))
+                    frame = src[lo:hi]
+                    ids.append(row[id_col])
+                    idxs.append(i)
+                    frames.append(frame)
+                    metas.append({"modality": "frame", "n_bytes": len(frame)})
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames, "meta": metas}
             )
 
     return df.mapInPandas(op, schema)

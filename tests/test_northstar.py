@@ -117,6 +117,47 @@ def test_multimodal_feature_shapes(docs):
     assert rows[0].byte_sum == sum(one.text.encode()) % (1 << 31)
 
 
+def test_resize_images_deterministic_shape(spark, docs):
+    from spark_sorted_spark.functions.multimodal import resize_images
+
+    mm = attach_binary_payload(docs.limit(20), "text")
+    out = resize_images(mm, 8, 4)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(bytes(r.payload)) == 32  # width*height bytes exactly
+        assert r.meta.modality == "image/8x4" and r.meta.n_bytes == 32
+    # content-addressed determinism: rerun produces identical payloads
+    again = {r[0]: bytes(r.payload) for r in resize_images(mm, 8, 4).collect()}
+    assert {r[0]: bytes(r.payload) for r in rows} == again
+
+
+def test_sample_frames_flatmap_shape(spark, docs):
+    from spark_sorted_spark.functions.multimodal import sample_frames
+
+    mm = attach_binary_payload(docs.limit(10), "text", modality="video")
+    out = sample_frames(mm, 5)
+    pdf = out.toPandas()
+    # up to 5 frames per doc, indices 0..k-1, frames concatenate to a
+    # prefix-partition of the source
+    assert set(pdf.groupby("doc_id").size().unique()) <= {5}
+    assert pdf.groupby("doc_id")["frame_idx"].min().eq(0).all()
+    srcs = {r[0]: bytes(r.payload) for r in mm.collect()}
+    for did, grp in pdf.sort_values(["doc_id", "frame_idx"]).groupby("doc_id"):
+        joined = b"".join(bytes(f) for f in grp["frame"])
+        assert joined == srcs[did]
+
+
+def test_resize_and_frames_stub_paths_raise(spark, docs):
+    from spark_sorted_spark.functions.multimodal import resize_images, sample_frames
+
+    mm = attach_binary_payload(docs.limit(2), "text")
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        resize_images(mm, 4, 4, fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        sample_frames(mm, 3, fake=False).collect()
+
+
 def test_decode_stub_raises(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     payload = attach_binary_payload(df, "text")
