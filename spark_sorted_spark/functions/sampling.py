@@ -20,7 +20,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample", "stratified_hash_sample"]
+__all__ = ["hash_sample", "stratified_hash_sample", "hash_split"]
 
 
 def _hash_bucket(id_col: Column, den: int) -> Column:
@@ -56,3 +56,32 @@ def stratified_hash_sample(
         cond = F.col(strata_col) == stratum
         expr = F.when(cond, _hash_bucket(F.col(id_col), d) < n).otherwise(expr)
     return df.filter(expr)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, int],
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test splitting: assign every
+    row exactly one label from ``weights`` (e.g. ``{"train": 98,
+    "val": 1, "test": 1}``) by content hash of ``id_col``. The same
+    row lands in the same split on every rerun, engine, and partition
+    layout — and splits are disjoint BY CONSTRUCTION (one bucket
+    draw, consecutive ranges), unlike three independent samples.
+    One narrow projection; no shuffle, no RNG."""
+    if not weights:
+        raise ValueError("hash_split requires at least one split weight")
+    bad = {k: w for k, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"split weights must be positive: {bad}")
+    den = sum(weights.values())
+    bucket = _hash_bucket(F.col(id_col), den)
+    expr = None
+    hi = 0
+    for name, w in weights.items():
+        hi += w
+        branch_args = (bucket < F.lit(hi), F.lit(name))
+        expr = F.when(*branch_args) if expr is None else expr.when(*branch_args)
+    return df.withColumn(split_col, expr)

@@ -342,6 +342,32 @@ def test_dot_py_dimension_mismatch_raises():
         dot_py([1.0, 2.0], [1.0])
 
 
+def test_hash_split_disjoint_exhaustive_deterministic(docs):
+    from spark_sorted_spark.functions.sampling import hash_split
+
+    out = hash_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1})
+    pdf = out.select("doc_id", "split").toPandas()
+    # exhaustive: every row labeled; disjoint by construction
+    assert pdf["split"].notna().all()
+    counts = pdf["split"].value_counts().to_dict()
+    n = len(pdf)
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # ~80% train with a loose band (hash, not RNG — but still stochastic
+    # over ids)
+    assert 0.6 * n <= counts["train"] <= 0.95 * n
+    # rerun + repartition invariance: identical assignment per id
+    again = (
+        hash_split(docs.repartition(7), "doc_id", {"train": 8, "val": 1, "test": 1})
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    assert dict(zip(pdf["doc_id"], pdf["split"])) == dict(
+        zip(again["doc_id"], again["split"])
+    )
+
+
 def test_hash_sample_deterministic_and_partition_invariant(docs):
     from spark_sorted_spark.functions.sampling import hash_sample
 
