@@ -30,6 +30,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    # Worker closures (mapInPandas etc.) reference this package by
+    # module path; ship it so any driver session resolves it (no-op
+    # after the first call per context).
+    from ..shipping import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     # The driver's parquet carries nanosecond timestamps (pyarrow
     # default), which Spark's vectorized reader rejects; read them as
     # epoch-nanos longs instead. DuckDB oracles use epoch_ns(col) so
