@@ -9,14 +9,22 @@
   scan + a k-limited sort (``ORDER BY ... LIMIT k`` compiles to
   TakeOrderedAndProject — no global sort materialization).
 * ``cosine_neardup_pairs`` — all-pairs cosine threshold (exact
-  baseline; O(n^2) — for corpus scale, block first).
-* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH (signs of
-  md5-seeded deterministic hyperplanes) buckets vectors; search only
-  the query's bucket. Approximate in recall, deterministic in output.
+  baseline; O(n^2) — for corpus scale, block first);
+  ``cosine_neardup_pairs_lsh`` — the scale path (multi-table sign-bit
+  LSH, auto-sized plane count, exact verify).
+* ``ann_lsh_topk`` / ``ann_ivf_topk`` — approximate top-k: random-
+  hyperplane LSH buckets (md5-seeded deterministic planes, multi-probe
+  ``probe_bits`` recall knob) / inverted-file cells (seeded centroids,
+  native argmax assignment). Approximate in recall, deterministic in
+  output.
+* ``build_ann_{lsh,ivf}_index`` + ``ann_{lsh,ivf}_topk_indexed`` —
+  the repeated-query form: assignment persisted once, probes scan only
+  the probed bucket/cell directories (partition-pruned).
 
 At 100 TB the brute-force variants are per-partition narrow ops
-(embarrassingly parallel); the LSH variant turns top-k per query into
-a bucket-equijoin, the standard trade of recall for join locality.
+(embarrassingly parallel); the LSH/IVF variants turn top-k per query
+into a pruned scan of ~1/2^planes (resp. nprobe/nlist) of the data,
+the standard trade of recall for locality.
 """
 
 from __future__ import annotations
