@@ -23,6 +23,7 @@ __all__ = [
     "text_stats",
     "language_id",
     "quality_score",
+    "repetition_score",
     "doc_fingerprint",
     "LANG_MARKERS",
 ]
@@ -131,6 +132,42 @@ def quality_score(
         n_uniq.alias("n_uniq_tokens"),
         (len_comp + div_comp + bonus).cast("bigint").alias("quality"),
     )
+
+
+def repetition_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Within-document repetition metrics — the Gopher-style repeated
+    n-gram filters pretraining pipelines apply before dedup. For each
+    n in ``ns``: ``dup_ngram_pct_n = 100 * (total - distinct) /
+    total`` n-grams, integer floor arithmetic (engine-portable, no
+    floats). High values flag boilerplate/spam (lists, keyword
+    stuffing, templated pages) that per-CORPUS dedup can't see.
+    Pure Catalyst: one narrow projection, scan speed."""
+    toks = tokens(text_col)
+
+    def grams(n: int) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(F.size(toks) >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    cols = [F.col(id_col), F.size(toks).alias("n_tokens")]
+    for n in ns:
+        g = grams(n)
+        total = F.size(g)
+        dup = total - F.size(F.array_distinct(g))
+        pct = F.when(total > 0, (F.lit(100) * dup).cast("bigint") / total).otherwise(
+            F.lit(0)
+        )
+        cols.append(F.floor(pct).cast("bigint").alias(f"dup_ngram_pct_{n}"))
+    return df.select(*cols)
 
 
 def doc_fingerprint(

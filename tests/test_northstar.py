@@ -180,6 +180,26 @@ def test_language_id_markers(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "zh", 5: "und"}
 
 
+def test_repetition_score_flags_boilerplate(spark):
+    from spark_sorted_spark.functions.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 30),  # pure repetition
+            (2, "the quick brown fox jumps over a lazy dog near the river bank"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.dup_ngram_pct_2, r.dup_ngram_pct_3) for r in
+           repetition_score(df).collect()}
+    assert out[1][0] > 90 and out[1][1] > 90  # spam: almost all dup bigrams
+    assert out[2][0] == 0 and out[2][1] == 0  # natural text: no dup n-grams
+    # short doc (< n tokens): defined, zero
+    short = spark.createDataFrame([(3, "one")], ["doc_id", "text"])
+    r = repetition_score(short).collect()[0]
+    assert (r.dup_ngram_pct_2, r.dup_ngram_pct_3) == (0, 0)
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha")], ["doc_id", "text"]
