@@ -12,8 +12,9 @@ Public surface:
   preserving); ``map_stream_by_key`` / ``fold_left_by_key`` /
   ``reduce_left_by_key`` / ``scan_left_by_key`` (per-key streaming
   ops); ``merge_join*`` / ``merge_union`` (sort-merge joins & union).
-* ``spark_sorted_spark.functions`` — dedup / similarity / text /
-  multimodal operator library.
+* ``spark_sorted_spark.functions`` — dedup / similarity (incl.
+  persisted ANN indices) / text / multimodal / sampling operator
+  library.
 * ``spark_sorted_spark.streaming`` — Structured Streaming tier
   (windowed/session aggregation, streaming dedup, stateful per-key
   fold, stream-stream join).
@@ -33,4 +34,4 @@ __all__ = [
     "get_spark",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
