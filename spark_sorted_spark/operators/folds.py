@@ -67,7 +67,15 @@ def _python_type_ddl(zero: Any) -> str:
     if isinstance(zero, str):
         return "string"
     if isinstance(zero, (list, tuple)):
-        return "array<string>"
+        # element type inferred from the first element so e.g. a
+        # ``zero=[0.0]`` fold gets ``array<double>`` without the caller
+        # remembering result_type=
+        if not zero:
+            raise TypeError(
+                "cannot infer element type for an empty container zero; "
+                "pass result_type= (e.g. 'array<double>')"
+            )
+        return f"array<{_python_type_ddl(zero[0])}>"
     raise TypeError(
         f"cannot infer result type for zero {zero!r}; pass result_type="
     )
