@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .core import group_sort
-from .sources.tpch import load_table
+from .sources.tpch import event_ts_us, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -53,7 +53,7 @@ def groupsort_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         order_by=["ts", "event_id"],
     )
-    return gs.map_values(ts_us=F.expr("ts div 1000")).select_values(
+    return gs.map_values(ts_us=event_ts_us(events, "ts")).select_values(
         "ts_us", "event_id", "value"
     ).to_df()
 
@@ -206,7 +206,14 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = None
         sessions = 0
         for c in chunks:
-            for ts in c["ts"]:
+            # Normalize event time to epoch-ns int64 regardless of how
+            # Arrow surfaced it (datetime64[us/ns] for timestamp
+            # parquet, int64 for the historical epoch-nanos layout).
+            vals = c["ts"].to_numpy()
+            if vals.dtype.kind == "M":
+                vals = vals.astype("datetime64[ns]")
+            vals = vals.astype("int64")
+            for ts in vals:
                 if prev is None or ts - prev > _SESSION_GAP_NS:
                     sessions += 1
                 prev = ts
@@ -1002,7 +1009,7 @@ def stream_fold_ema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Extension join: point-in-time (as-of) join — purchases pick up the
 # most recent prior click per user. Oracle: DuckDB's native ASOF JOIN.
-# Both sides compare microsecond timestamps (ts div 1000) so the two
+# Both sides compare microsecond timestamps (event_ts_us) so the two
 # engines make identical boundary decisions.
 # ===========================================================================
 @query(
@@ -1016,9 +1023,8 @@ def stream_fold_ema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, "events", sf_dir).withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    events = load_table(spark, "events", sf_dir)
+    events = events.withColumn("ts_us", event_ts_us(events, "ts"))
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts_us", "value"
     )

@@ -2,15 +2,15 @@
 
 ``readStream`` needs an explicit schema; we take it from a batch read
 of the same path so the stream sees exactly the batch types (including
-the nanos-as-long timestamp handling from ``sources.tpch``).
+whatever event-time type ``sources.tpch`` surfaces this round —
+timestamp[us] → TIMESTAMP_NTZ today, epoch-nanos int64 historically).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..sources.tpch import DEFAULT_SF_DIR, load_table
+from ..sources.tpch import DEFAULT_SF_DIR, event_ts, load_table
 
 
 # One scratch dir per (table, sf_dir) per process, removed at exit —
@@ -62,9 +62,11 @@ def stream_table(
     per-batch state updates memory-bounded while backfilling 100 TB of
     history through the same query that serves the live stream.
 
-    ``event_time`` names an epoch-nanos int64 column (the driver
-    parquet's ``ts``) to convert to a proper ``timestamp`` so
-    watermarks / ``F.window`` / ``F.session_window`` apply.
+    ``event_time`` names the event-time column (the driver parquet's
+    ``ts`` — timestamp[us] or, historically, epoch-nanos int64) to
+    normalize to a proper ``timestamp`` so watermarks / ``F.window`` /
+    ``F.session_window`` apply. Type dispatch lives in
+    ``sources.tpch.event_ts``.
     """
     batch = load_table(spark, name, sf_dir)
     reader = spark.readStream.schema(batch.schema)
@@ -74,9 +76,5 @@ def stream_table(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     sdf = reader.parquet(path)
     if event_time is not None:
-        # integer div, not `/` — float division of epoch-nanos loses
-        # sub-ms precision and rounds, DuckDB truncates
-        sdf = sdf.withColumn(
-            event_time, F.timestamp_micros(F.expr(f"{event_time} div 1000"))
-        )
+        sdf = sdf.withColumn(event_time, event_ts(sdf, event_time))
     return sdf

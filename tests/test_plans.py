@@ -6,7 +6,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from spark_sorted_spark import group_sort
-from spark_sorted_spark.sources.tpch import load_table
+from spark_sorted_spark.sources.tpch import event_ts_us, load_table
 
 
 def _plan(df, mode: str = "formatted") -> str:
@@ -86,9 +86,8 @@ def test_native_fold_plans_single_exchange_no_python(spark, sf_dir):
 
 
 def test_asof_join_plans_single_exchange_per_side_no_cartesian(spark, sf_dir):
-    ev = load_table(spark, "events", sf_dir).withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    ev = load_table(spark, "events", sf_dir)
+    ev = ev.withColumn("ts_us", event_ts_us(ev, "ts"))
     l = group_sort(
         ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us", "value"),
         "user_id",

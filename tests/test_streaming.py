@@ -5,7 +5,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from spark_sorted_spark.sources.tpch import load_table
+from spark_sorted_spark.sources.tpch import event_ts, load_table
 from spark_sorted_spark.streaming import (
     run_available_now,
     sessionize,
@@ -17,9 +17,8 @@ from spark_sorted_spark.streaming import (
 
 
 def _events_ts(spark, sf_dir):
-    return load_table(spark, "events", sf_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, "events", sf_dir)
+    return ev.withColumn("ts", event_ts(ev, "ts"))
 
 
 def _rows(df):
