@@ -67,15 +67,24 @@ def _python_type_ddl(zero: Any) -> str:
     if isinstance(zero, str):
         return "string"
     if isinstance(zero, (list, tuple)):
-        # element type inferred from the first element so e.g. a
+        # Element type inferred from the elements so e.g. a
         # ``zero=[0.0]`` fold gets ``array<double>`` without the caller
-        # remembering result_type=
+        # remembering result_type=. NB (since 0.4): an EMPTY container
+        # zero raises instead of silently defaulting to array<string>
+        # as pre-0.4 releases did — pass result_type= explicitly.
         if not zero:
             raise TypeError(
                 "cannot infer element type for an empty container zero; "
                 "pass result_type= (e.g. 'array<double>')"
             )
-        return f"array<{_python_type_ddl(zero[0])}>"
+        elem_types = {_python_type_ddl(e) for e in zero}
+        if len(elem_types) > 1:
+            raise TypeError(
+                f"container zero {zero!r} mixes element types "
+                f"{sorted(elem_types)}; pass result_type= "
+                "(e.g. 'array<double>')"
+            )
+        return f"array<{elem_types.pop()}>"
     raise TypeError(
         f"cannot infer result type for zero {zero!r}; pass result_type="
     )

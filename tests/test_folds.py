@@ -324,3 +324,18 @@ def test_fold_arrow_tier_matches_stream(spark):
     got_s = sorted(map(tuple, gs.fold_left_by_key(0.0, mrg, tier="stream", **kw).collect()))
     got_a = sorted(map(tuple, gs.fold_left_by_key(0.0, mrg, tier="arrow", **kw).collect()))
     assert got_a == got_s and len(got_a) == 5
+
+
+def test_zero_type_inference_rules():
+    # documented inference: scalars, homogeneous containers; loud
+    # TypeError (naming result_type=) for empty or mixed containers
+    from spark_sorted_spark.operators.folds import _python_type_ddl
+
+    assert _python_type_ddl(0) == "bigint"
+    assert _python_type_ddl(0.0) == "double"
+    assert _python_type_ddl(True) == "boolean"
+    assert _python_type_ddl([0.0]) == "array<double>"
+    assert _python_type_ddl(("a", "b")) == "array<string>"
+    for bad in ([], (), [0, 1.5], [1, "x"]):
+        with pytest.raises(TypeError, match="result_type="):
+            _python_type_ddl(bad)
