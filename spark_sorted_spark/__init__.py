@@ -34,4 +34,4 @@ __all__ = [
     "get_spark",
 ]
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"

@@ -72,11 +72,22 @@ def dot_strict(a: Column, b: Column) -> Column:
     ``list_reduce(list_prepend(0.0, list_transform(list_zip(a, b),
     s -> s[1]*s[2])), (acc, x) -> acc + x)`` operation for operation.
 
-    (Measured dead end, do not retry: unrolling literal-plane dots into
-    flat ``v[0]*p0 + v[1]*p1 + ...`` chains to dodge the interpreted
-    higher-order ``aggregate`` blows janino's method-size limit at
-    32 planes x 64 dims — codegen falls back to interpreted for the
-    whole projection and runs ~4x SLOWER than these folds.)"""
+    (Measured dead ends, do not retry:
+    1. unrolling literal-plane dots into flat ``v[0]*p0 + v[1]*p1 +
+       ...`` chains to dodge the interpreted higher-order ``aggregate``
+       blows janino's method-size limit at 32 planes x 64 dims —
+       codegen falls back to interpreted for the whole projection and
+       runs ~4x SLOWER than these folds.
+    2. a vectorized numpy pandas-UDF screen in front of the LSH
+       verify's exact fold (screen at threshold-1e-9, exact fold only
+       on survivors): at 64 dims the Arrow round-trip of both
+       embeddings costs ~2.5x MORE than just exact-folding all 250k
+       sf0.1 candidates across cores (3.3s vs 1.3s measured r5). Also
+       note Catalyst pushes a separate non-UDF exact filter BELOW the
+       ArrowEvalPython node, silently re-folding every candidate — any
+       future two-phase verify must guard the exact predicate inside
+       one ``F.when(screen, exact)`` filter. Revisit only if embedding
+       dim grows ~16x, where the fold/transfer ratio flips.)"""
     prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 

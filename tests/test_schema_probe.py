@@ -96,3 +96,47 @@ def test_core_column_contracts(sf_dir):
                 f"{table}.{col} is {t!r} in {sf_dir} — violates the type "
                 f"contract assumed by: {consumer}"
             )
+
+
+def test_event_ts_helpers_dispatch_both_layouts(tmp_path):
+    """event_ts_us/event_ts must agree with epoch-micros ground truth
+    for BOTH physical layouts the driver has shipped: timestamp[us]
+    (current) and epoch-nanos int64 (historical), and refuse others."""
+    import pyarrow.parquet as pq_mod
+
+    from spark_sorted_spark.session import get_spark
+    from spark_sorted_spark.sources.tpch import event_ts, event_ts_us
+
+    spark = get_spark("schema-probe-test", master="local[2]", shuffle_partitions=2)
+    micros = [0, 1, 999, 1_000_000, 1_723_500_000_123_456]
+
+    ts_us = pa.table({"ts": pa.array(micros, pa.timestamp("us"))})
+    ts_ns = pa.table({"ts": pa.array([m * 1000 for m in micros], pa.int64())})
+    p_us, p_ns = str(tmp_path / "us.parquet"), str(tmp_path / "ns.parquet")
+    pq_mod.write_table(ts_us, p_us)
+    pq_mod.write_table(ts_ns, p_ns)
+
+    for path in (p_us, p_ns):
+        df = spark.read.parquet(path)
+        got = [
+            r[0]
+            for r in df.select(event_ts_us(df, "ts")).orderBy("ts").collect()
+        ]
+        assert got == micros, (path, got)
+        # event_ts: proper TIMESTAMP, value-preserving (tz pinned UTC
+        # by load_table; pin it here since this test skips load_table)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        import pyspark.sql.functions as SF
+
+        got_ts = [
+            r[0]
+            for r in df.select(SF.unix_micros(event_ts(df, "ts"))).orderBy(
+                "ts"
+            ).collect()
+        ]
+        assert got_ts == micros, (path, got_ts)
+
+    bad = spark.createDataFrame([("x",)], ["ts"])
+    for helper in (event_ts_us, event_ts):
+        with pytest.raises(TypeError, match="sources.tpch"):
+            helper(bad, "ts")
