@@ -242,6 +242,11 @@ class GroupSortedFrame:
 
         return merge_join_asof(self, other, time_col, **kw)
 
+    def merge_join_range(self, other, time_col, **kw):
+        from .operators.joins import merge_join_range
+
+        return merge_join_range(self, other, time_col, **kw)
+
     def merge_join_custom(self, other, func, schema, tier: str = "pandas"):
         from .operators.joins import merge_join_custom
 

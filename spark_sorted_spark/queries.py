@@ -1697,6 +1697,43 @@ def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# ===========================================================================
+# Extension join: bucketed interval (range) join — every click within
+# ±30 minutes of each purchase, per user. The batch twin of
+# stream_stream_join's time bound; see operators/joins.py
+# merge_join_range for the ≤2-bucket explode construction that keeps
+# this an equi-join (no per-key cartesian). Registered past the
+# driver's 50-query gate window; covered by tools/check_correctness.py
+# + tests/test_joins.py (PARITY.md "Driver gate window").
+# ===========================================================================
+@query(
+    "range_join",
+    oracle="""
+    SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+           c.event_id AS event_id_r, epoch_us(c.ts) AS ts_us_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) - epoch_us(p.ts) BETWEEN -1800000000 AND 1800000000
+    """,
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import merge_join_range
+
+    ev = load_table(spark, "events", sf_dir)
+    ev = ev.withColumn("ts_us", event_ts_us(ev, "ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    return merge_join_range(
+        p, c, "ts_us", low=-1_800_000_000, high=1_800_000_000, keys=["user_id"]
+    )
+
+
+# ===========================================================================
 # Driver gate window. The driver's correctness gate runs exactly the
 # FIRST 50 registered queries (CORRECTNESS_r01.json and _r02.json each
 # contain precisely the first 50 names in registration order; the
@@ -1761,6 +1798,7 @@ _GATE_ORDER = [
     # --- gate cutoff (driver runs the 50 above) ---
     "dedup_simhash",
     "embedding_neardup",
+    "range_join",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

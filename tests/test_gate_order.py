@@ -33,7 +33,8 @@ def test_gate_window_contents():
         "dedup_ngram_jaccard",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
-    # overflow is exactly the two declared O(n^2) oracle baselines,
-    # each with its scale-safe twin still gated
-    assert names[50:] == ["dedup_simhash", "embedding_neardup"]
+    # overflow: the two declared O(n^2) oracle baselines (scale-safe
+    # twins still gated) plus the round-5 range-join extension (locally
+    # oracle-checked; see PARITY.md "Driver gate window")
+    assert names[50:] == ["dedup_simhash", "embedding_neardup", "range_join"]
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

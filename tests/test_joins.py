@@ -210,3 +210,87 @@ def test_random_joins_property(spark):
             key=str,
         )
         assert got == oracle_join(lpairs, rpairs, how), how
+
+
+# --- merge_join_range (bucketed interval join) ---------------------------
+
+
+def _naive_range(spark, ldata, rdata, low, high):
+    exp = []
+    for lk, lid, lt in ldata:
+        for rk, rid, rt in rdata:
+            if lk == rk and low <= rt - lt <= high:
+                exp.append((lk, lid, lt, rid, rt))
+    return sorted(exp)
+
+
+@pytest.mark.parametrize("low,high,width", [
+    (-100, 100, None),   # symmetric window, tightest buckets
+    (0, 50, None),       # past-only window
+    (-30, -10, None),    # strictly-before window
+    (7, 7, None),        # exact offset (width clamps to 1)
+    (-100, 100, 500),    # explicit wider bucket
+])
+def test_merge_join_range_matches_naive(spark, low, high, width):
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    import random
+
+    rng = random.Random(42)
+    ldata = [(f"k{i % 3}", i, rng.randrange(-200, 200)) for i in range(60)]
+    rdata = [(f"k{i % 4}", 1000 + i, rng.randrange(-200, 200)) for i in range(80)]
+    l = spark.createDataFrame(ldata, ["k", "event_id", "t"])
+    r = spark.createDataFrame(rdata, ["k", "event_id", "t"])
+    out = merge_join_range(
+        l, r, "t", low=low, high=high, keys=["k"], bucket_width=width
+    )
+    assert sorted(out.columns) == sorted(["k", "event_id", "t", "event_id_r", "t_r"])
+    got = sorted(
+        (row["k"], row["event_id"], row["t"], row["event_id_r"], row["t_r"])
+        for row in out.collect()
+    )
+    assert got == _naive_range(spark, ldata, rdata, low, high)
+
+
+def test_merge_join_range_boundary_inclusive(spark):
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    l = spark.createDataFrame([("a", 1, 0)], ["k", "event_id", "t"])
+    r = spark.createDataFrame(
+        [("a", 10, -5), ("a", 11, -4), ("a", 12, 5), ("a", 13, 6)],
+        ["k", "event_id", "t"],
+    )
+    out = merge_join_range(l, r, "t", low=-5, high=5, keys=["k"])
+    assert sorted(row["event_id_r"] for row in out.collect()) == [10, 11, 12]
+
+
+def test_merge_join_range_plan_no_cartesian(spark, sf_dir):
+    from spark_sorted_spark.operators.joins import merge_join_range
+    from spark_sorted_spark.sources.tpch import event_ts_us, load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    ev = ev.withColumn("ts_us", event_ts_us(ev, "ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts_us")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts_us")
+    out = merge_join_range(p, c, "ts_us", low=-10**9, high=10**9, keys=["user_id"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # equi-join on (key, bucket): a hash-based join node, not a range scan
+    assert "Join" in plan
+
+
+def test_merge_join_range_errors(spark):
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    l = spark.createDataFrame([("a", 0)], ["k", "t"])
+    with pytest.raises(ValueError, match="keys="):
+        merge_join_range(l, l, "t", low=0, high=1)
+    with pytest.raises(ValueError, match="low"):
+        merge_join_range(l, l, "t", low=5, high=1, keys=["k"])
+    with pytest.raises(ValueError, match="bucket_width"):
+        merge_join_range(l, l, "t", low=0, high=100, keys=["k"], bucket_width=10)
+    ts = spark.createDataFrame([("a", "2024-01-01")], ["k", "t"]).select(
+        "k", F.col("t").cast("timestamp").alias("t")
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        merge_join_range(ts, ts, "t", low=0, high=1, keys=["k"])
