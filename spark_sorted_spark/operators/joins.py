@@ -308,6 +308,10 @@ def merge_join_range(
     keys = _check_keys(left, right)
     if low > high:
         raise ValueError(f"low ({low}) must be <= high ({high})")
+    if time_col in keys:
+        raise ValueError(
+            f"time column {time_col!r} cannot also be a join key"
+        )
     for side, gsf in (("left", left), ("right", right)):
         if time_col not in gsf.df.columns:
             raise ValueError(f"{side} side lacks time column {time_col!r}")
@@ -318,9 +322,12 @@ def merge_join_range(
                 "numeric time (e.g. epoch-micros via event_ts_us)"
             )
     w = bucket_width if bucket_width is not None else max(high - low, 1)
-    if w < high - low:
+    # w <= 0 would floor-divide by zero → NULL buckets → silently empty
+    # join output under non-ANSI division; fail loudly instead
+    if w <= 0 or w < high - low:
         raise ValueError(
-            f"bucket_width ({w}) must be >= high - low ({high - low})"
+            f"bucket_width ({w}) must be positive and >= high - low "
+            f"({high - low})"
         )
 
     rvals = [c for c in right.df.columns if c not in keys]

@@ -15,3 +15,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """Physical-plan string for assertions. NB: "formatted" prints each
+    node twice (tree + detail) — use mode="simple" when counting node
+    occurrences. Single wrapper over the private PySpark surface so a
+    PySpark upgrade breaks one call site, not one per test file."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )

@@ -7,11 +7,11 @@ from pyspark.sql import functions as F
 from spark_sorted_spark.sources.bucketed import read_bucketed, write_bucketed
 from spark_sorted_spark.sources.tpch import load_table
 
+from conftest import plan_of
+
 
 def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "simple"
-    )
+    return plan_of(df, "simple")
 
 
 @pytest.fixture(scope="module")
@@ -72,9 +72,7 @@ def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     path = str(tmp_path / "ev_part")
     write_partitioned(ev, path, "event_type")
     back = spark.read.parquet(path).filter(F.col("event_type") == "click")
-    plan = back._sc._jvm.PythonSQLUtils.explainString(
-        back._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_of(back, "formatted")
     assert "PartitionFilters: [isnotnull(event_type" in plan, plan
     exp = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == exp

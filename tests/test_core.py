@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from spark_sorted_spark import group_sort
 from spark_sorted_spark.plans.invariants import InvariantViolation, check_group_sorted
 
+from conftest import plan_of
+
 # F1 canonical literal (GroupSortedSpec.scala:94)
 F1 = [("c", "x"), ("a", "b"), ("a", "c"), ("b", "e"), ("b", "d")]
 # F2 canonical literal (GroupSortedSpec.scala:55)
@@ -120,9 +122,7 @@ def test_salted_agg_matches_plain_groupby(spark, sf_dir):
     # two-stage: exactly two Exchanges (key+salt, then key). Read the
     # plan BEFORE executing — after collect, AQE's explain string
     # repeats the tree (Final + Initial plan sections).
-    plan = got._sc._jvm.PythonSQLUtils.explainString(
-        got._jdf.queryExecution(), "simple"
-    )
+    plan = plan_of(got, "simple")
     assert plan.count("Exchange") == 2, plan
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
 

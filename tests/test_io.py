@@ -8,6 +8,8 @@ from spark_sorted_spark import group_sort
 from spark_sorted_spark.sources.io import read_source, write_sink
 from spark_sorted_spark.sources.tpch import load_table
 
+from conftest import plan_of
+
 
 def _rows(df):
     return sorted(map(tuple, df.collect()))
@@ -55,9 +57,7 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     path = str(tmp_path / "by_type")
     write_sink(ev, path, partition_by="event_type")
     back = read_source(spark, path).filter(F.col("event_type") == "click")
-    plan = back._sc._jvm.PythonSQLUtils.explainString(
-        back._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_of(back, "formatted")
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
     # partition columns are appended on read — compare in fixed order
     cols = ["event_id", "event_type", "value"]

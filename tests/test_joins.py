@@ -15,6 +15,8 @@ from spark_sorted_spark.operators.joins import merge_join, merge_join_custom
 from spark_sorted_spark.operators.union import merge_union, merge_union_cogroup
 from spark_sorted_spark.plans.invariants import check_group_sorted
 
+from conftest import plan_of
+
 L = [("a", 1), ("a", 2), ("b", 3), ("d", 4)]
 R = [("a", 10), ("b", 20), ("b", 30), ("c", 40)]
 
@@ -273,7 +275,7 @@ def test_merge_join_range_plan_no_cartesian(spark, sf_dir):
     p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts_us")
     c = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts_us")
     out = merge_join_range(p, c, "ts_us", low=-10**9, high=10**9, keys=["user_id"])
-    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
+    plan = plan_of(out, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # equi-join on (key, bucket): a hash-based join node, not a range scan
     assert "Join" in plan
@@ -294,3 +296,15 @@ def test_merge_join_range_errors(spark):
     )
     with pytest.raises(ValueError, match="numeric"):
         merge_join_range(ts, ts, "t", low=0, high=1, keys=["k"])
+
+
+def test_merge_join_range_rejects_degenerate_inputs(spark):
+    # code-review r5 findings: zero-width buckets (silent NULL-bucket
+    # empty output) and time_col doubling as a key (opaque KeyError)
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    l = spark.createDataFrame([("a", 0)], ["k", "t"])
+    with pytest.raises(ValueError, match="positive"):
+        merge_join_range(l, l, "t", low=7, high=7, keys=["k"], bucket_width=0)
+    with pytest.raises(ValueError, match="join key"):
+        merge_join_range(l, l, "t", low=0, high=1, keys=["k", "t"])

@@ -24,6 +24,8 @@ from spark_sorted_spark.functions.similarity import (
 from spark_sorted_spark.functions.text import doc_fingerprint, language_id
 from spark_sorted_spark.sources.tpch import load_table
 
+from conftest import plan_of
+
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
@@ -276,9 +278,7 @@ def test_ann_lsh_persisted_index_pruned_probe(spark, emb, tmp_path):
     build_ann_lsh_index(base, path)
 
     probe = ann_lsh_topk_indexed(spark, path, qvec, k=5)
-    plan = probe._sc._jvm.PythonSQLUtils.explainString(
-        probe._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_of(probe, "formatted")
     assert "PartitionFilters" in plan and "bucket" in plan, plan
     got = [(r.vec_id, r.rank) for r in probe.collect()]
     exact_form = ann_lsh_topk(base, qvec, k=5)
@@ -298,9 +298,7 @@ def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
     build_ann_ivf_index(base, path)
 
     probe = ann_ivf_topk_indexed(spark, path, qvec, k=5)
-    plan = probe._sc._jvm.PythonSQLUtils.explainString(
-        probe._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_of(probe, "formatted")
     assert "PartitionFilters" in plan and "cell" in plan, plan
     got = [(r.vec_id, r.rank) for r in probe.collect()]
     query_time = ann_ivf_topk(base, qvec, k=5)

@@ -12,9 +12,9 @@ from spark_sorted_spark.sources.tpch import event_ts_us, load_table
 def _plan(df, mode: str = "formatted") -> str:
     # NB: formatted mode prints each node twice (tree + detail
     # section) — use mode="simple" when counting node occurrences
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+    from conftest import plan_of
+
+    return plan_of(df, mode)
 
 
 def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):

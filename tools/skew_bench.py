@@ -39,6 +39,13 @@ SKEW_DIR = "/tmp/skew_events_10x"
 UNIF_DIR = "/tmp/unif_events_10x"
 
 
+def _complete(d: str) -> bool:
+    """A scratch table is reusable only if Spark finished writing it
+    (_SUCCESS marker) — a crashed prior run leaves a partial directory
+    that `isdir` alone would happily benchmark."""
+    return os.path.isfile(os.path.join(d, "_SUCCESS"))
+
+
 def build_tables(spark):
     """10x replicas with disjoint user_ids; skewed variant reassigns
     every HOT_FRACTION-th row to user -1 (deterministic, ~10%)."""
@@ -55,9 +62,9 @@ def build_tables(spark):
         (F.col("user_id") * REPLICAS + F.col("__r")).alias("user_id"),
         "value",
     )
-    if not os.path.isdir(UNIF_DIR):
+    if not _complete(UNIF_DIR):
         replicas.write.mode("overwrite").parquet(UNIF_DIR)
-    if not os.path.isdir(SKEW_DIR):
+    if not _complete(SKEW_DIR):
         replicas.withColumn(
             "user_id",
             F.when(F.col("event_id") % HOT_FRACTION == 0, F.lit(-1)).otherwise(
@@ -169,7 +176,7 @@ def main():
     # partial aggregation makes salting pure overhead — measured and
     # reported as such above.
     big_dir = "/tmp/skew_events_100x"
-    if not os.path.isdir(big_dir):
+    if not _complete(big_dir):
         skew.select(
             F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("__r"),
             "event_id",
@@ -184,12 +191,9 @@ def main():
     results["distinct_plain_10m"] = timed(
         lambda: force(
             big.groupBy("user_id").agg(F.size(F.collect_set("m")).alias("d"))
-        ),
-        warmup=False,
+        )
     )
-    results["distinct_salted_10m"] = timed(
-        lambda: force(_set_salted(big)), warmup=False
-    )
+    results["distinct_salted_10m"] = timed(lambda: force(_set_salted(big)))
     print(json.dumps({"rows": n, "hot_rows": hot, "times": results}))
 
 
