@@ -1734,6 +1734,38 @@ def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Unpivot (melt) — the inverse of pivot_event_types, via Spark's
+# native `unpivot` (Catalyst Expand node, one scan — not a UNION of
+# per-column scans). Oracle: DuckDB UNPIVOT. Registered past the gate
+# window (see PARITY.md "Driver gate window"); locally oracle-checked.
+# ===========================================================================
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity AS quantity,
+             l_extendedprice AS extendedprice, l_discount AS discount
+      FROM lineitem)
+    UNPIVOT (value FOR measure IN (quantity, extendedprice, discount))
+    """,
+)
+def unpivot_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "value",
+    )
+
+
+# ===========================================================================
 # Driver gate window. The driver's correctness gate runs exactly the
 # FIRST 50 registered queries (CORRECTNESS_r01.json and _r02.json each
 # contain precisely the first 50 names in registration order; the
@@ -1799,6 +1831,7 @@ _GATE_ORDER = [
     "dedup_simhash",
     "embedding_neardup",
     "range_join",
+    "unpivot_measures",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail
