@@ -16,7 +16,7 @@ checks.
 """
 
 from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
-from .run import run_available_now
+from .run import run_available_now, stream_to_files
 from .source import stream_table
 from .stateful import stream_fold_by_key
 
@@ -28,4 +28,5 @@ __all__ = [
     "stream_stream_join",
     "stream_fold_by_key",
     "run_available_now",
+    "stream_to_files",
 ]

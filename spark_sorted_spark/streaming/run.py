@@ -46,3 +46,45 @@ def run_available_now(
         q.stop()
     spark: SparkSession = sdf.sparkSession
     return spark.table(name)
+
+
+def stream_to_files(
+    sdf: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    *,
+    format: str = "parquet",
+    output_mode: str = "append",
+    partition_by: list[str] | str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain a (bounded) streaming DataFrame into a file sink — the
+    production shape of `run_available_now` (which exists for oracle
+    parity via the memory sink).
+
+    The checkpoint is MANDATORY because it is what makes the file sink
+    exactly-once: source offsets committed there plus the sink's
+    transaction log (`path/_spark_metadata`) mean a crashed or
+    re-triggered run never duplicates and never loses a micro-batch —
+    re-invoking with the same checkpoint picks up exactly the files
+    that arrived since the last drain (the incremental-backfill loop a
+    100 TB ingest actually runs). ``partition_by`` lays out directory
+    partitions, composing with `sources.io.read_source` pruning.
+    """
+    writer = (
+        sdf.writeStream.format(format)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", path)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        if isinstance(partition_by, str):
+            partition_by = [partition_by]
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("streaming file-sink drain did not finish")
+    finally:
+        q.stop()

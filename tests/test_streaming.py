@@ -358,3 +358,46 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     # window (base-10h) must never appear
     assert all(s >= base for s in starts), starts
     assert starts, "no windows finalized at all"
+
+
+def test_stream_to_files_exactly_once_and_incremental(spark, sf_dir, tmp_path):
+    """File sink + checkpoint = exactly-once across re-drains, and a
+    re-drain picks up exactly the files that arrived in between."""
+    import pyspark.sql.functions as F
+
+    from spark_sorted_spark.streaming import stream_table, stream_to_files
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    def drain():
+        sdf = stream_table(spark, "events", sf_dir, path=str(src / "batch1"))
+        stream_to_files(sdf.select("event_id", "user_id", "value"), out, ckpt)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+
+    # re-drain with nothing new: checkpoint prevents duplicates
+    drain()
+    assert spark.read.parquet(out).count() == n1
+
+    # new file arrives; same checkpoint picks up exactly the delta
+    second.coalesce(1).write.mode("overwrite").parquet(str(src / "batch1") + "/../batch2")
+    # move batch2's files into the watched dir
+    import shutil
+
+    b2 = src / "batch2"
+    for f in b2.glob("*.parquet"):
+        shutil.move(str(f), str(src / "batch1" / f.name))
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
