@@ -227,22 +227,9 @@ def b14_simhash_banded(spark):
 
 def b15_range_join(spark):
     # bucketed interval join: clicks within ±30 min of each purchase
-    from spark_sorted_spark.operators.joins import merge_join_range
-    from spark_sorted_spark.sources.tpch import event_ts_us
+    from spark_sorted_spark.queries import QUERIES
 
-    ev = load_table(spark, "events", SF_DIR)
-    ev = ev.withColumn("ts_us", event_ts_us(ev, "ts"))
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts_us"
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts_us"
-    )
-    force(
-        merge_join_range(
-            p, c, "ts_us", low=-1_800_000_000, high=1_800_000_000, keys=["user_id"]
-        )
-    )
+    force(QUERIES["range_join"](spark, SF_DIR))
 
 
 BENCH = {

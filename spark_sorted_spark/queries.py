@@ -1697,7 +1697,6 @@ def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# ===========================================================================
 # Extension join: bucketed interval (range) join — every click within
 # ±30 minutes of each purchase, per user. The batch twin of
 # stream_stream_join's time bound; see operators/joins.py

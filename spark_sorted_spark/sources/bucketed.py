@@ -72,4 +72,4 @@ def write_partitioned(
     partitioned-write path)."""
     from .io import write_sink
 
-    write_sink(df, path, format="parquet", mode=mode, partition_by=list(partition_cols) if not isinstance(partition_cols, str) else partition_cols)
+    write_sink(df, path, format="parquet", mode=mode, partition_by=partition_cols)

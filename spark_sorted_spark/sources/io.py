@@ -19,6 +19,8 @@ conversion step: ``partition_by`` lays out directory partitions
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -71,7 +73,7 @@ def write_sink(
     path: str,
     format: str = "parquet",
     mode: str = "overwrite",
-    partition_by: list[str] | str | None = None,
+    partition_by: Sequence[str] | str | None = None,
     **options,
 ) -> None:
     """Write ``df`` to ``path`` as ``format``. ``partition_by`` builds
@@ -80,7 +82,6 @@ def write_sink(
     writer = df.write.format(fmt).mode(mode)
     _apply_text_defaults(fmt, options)
     if partition_by:
-        if isinstance(partition_by, str):
-            partition_by = [partition_by]
-        writer = writer.partitionBy(*partition_by)
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
     writer.options(**options).save(path)

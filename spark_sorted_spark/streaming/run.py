@@ -38,14 +38,18 @@ def run_available_now(
     )
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
+    _drain(writer, timeout_sec, name)
+    spark: SparkSession = sdf.sparkSession
+    return spark.table(name)
+
+
+def _drain(writer, timeout_sec: int, what: str) -> None:
     q = writer.start()
     try:
         if not q.awaitTermination(timeout_sec):
-            raise TimeoutError(f"streaming query {name} did not finish")
+            raise TimeoutError(f"streaming query {what} did not finish")
     finally:
         q.stop()
-    spark: SparkSession = sdf.sparkSession
-    return spark.table(name)
 
 
 def stream_to_files(
@@ -82,9 +86,4 @@ def stream_to_files(
         if isinstance(partition_by, str):
             partition_by = [partition_by]
         writer = writer.partitionBy(*partition_by)
-    q = writer.start()
-    try:
-        if not q.awaitTermination(timeout_sec):
-            raise TimeoutError("streaming file-sink drain did not finish")
-    finally:
-        q.stop()
+    _drain(writer, timeout_sec, "file-sink drain")

@@ -198,3 +198,24 @@ def test_co_layout_reuses_partition_count(spark):
     assert gb.key_cols == ga.key_cols and gb.num_partitions == 3
     j = ga.merge_join_inner(gb).to_df()
     assert sorted(map(tuple, j.collect())) == [("a", 1, 9)]
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    # the 100 TB staples: HLL++ distinct and GK-sketch percentile. No
+    # oracle row (DuckDB's approx algorithms differ); pinned here
+    # against the exact answers with their documented error bounds.
+    import pyspark.sql.functions as F
+
+    from spark_sorted_spark.sources.tpch import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    exact = ev.select(F.countDistinct("event_id")).head()[0]
+    approx = ev.select(F.approx_count_distinct("event_id", rsd=0.02)).head()[0]
+    assert abs(approx - exact) <= 0.1 * exact  # 2% rsd, 10% test margin
+
+    exact_med = ev.select(F.median("value")).head()[0]
+    approx_med = ev.select(
+        F.percentile_approx("value", 0.5, accuracy=10000)
+    ).head()[0]
+    spread = ev.select(F.max("value") - F.min("value")).head()[0]
+    assert abs(approx_med - exact_med) <= 0.01 * spread

@@ -108,11 +108,11 @@ def main():
             "user_id",
             order_by=["ts", "event_id"],
         )
+        # one lambda serves every tier: on Columns the float literals
+        # promote to lit() and build the same native expression
         return gs.fold_left_by_key(
             0.0,
-            (lambda acc, v: acc * F.lit(0.8) + F.lit(0.2) * v)
-            if tier == "native"
-            else (lambda acc, v: acc * 0.8 + 0.2 * v),
+            lambda acc, v: acc * 0.8 + 0.2 * v,
             value_col="value",
             alias="ema",
             tier=tier,
