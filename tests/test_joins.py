@@ -308,3 +308,39 @@ def test_merge_join_range_rejects_degenerate_inputs(spark):
         merge_join_range(l, l, "t", low=7, high=7, keys=["k"], bucket_width=0)
     with pytest.raises(ValueError, match="join key"):
         merge_join_range(l, l, "t", low=0, high=1, keys=["k", "t"])
+
+
+def test_merge_join_range_property_matches_naive(spark):
+    # hypothesis ≈ ScalaCheck (the reference's packageSpec strategy):
+    # random key'd timelines + random window bounds vs the quadratic
+    # naive join, including degenerate windows and negative times
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    rows = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-40, 40)),
+        min_size=1,
+        max_size=25,
+    )
+    bounds = st.tuples(st.integers(-25, 25), st.integers(0, 30)).map(
+        lambda t: (t[0], t[0] + t[1])  # low <= high by construction
+    )
+
+    @given(ldata=rows, rdata=rows, b=bounds)
+    @settings(max_examples=10, deadline=None)
+    def run(ldata, rdata, b):
+        low, high = b
+        lrows = [(f"k{k}", i, t) for i, (k, t) in enumerate(ldata)]
+        rrows = [(f"k{k}", 100 + i, t) for i, (k, t) in enumerate(rdata)]
+        l = spark.createDataFrame(lrows, ["k", "event_id", "t"])
+        r = spark.createDataFrame(rrows, ["k", "event_id", "t"])
+        out = merge_join_range(l, r, "t", low=low, high=high, keys=["k"])
+        got = sorted(
+            (row["k"], row["event_id"], row["t"], row["event_id_r"], row["t_r"])
+            for row in out.collect()
+        )
+        assert got == _naive_range(spark, lrows, rrows, low, high)
+
+    run()
