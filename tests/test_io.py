@@ -71,3 +71,22 @@ def test_schema_required_for_text_formats(spark, tmp_path):
         read_source(spark, str(tmp_path), format="csv")
     with pytest.raises(ValueError, match="schema"):
         read_source(spark, str(tmp_path), format="json")
+
+
+def test_text_roundtrip_extreme_timestamps(spark, tmp_path):
+    # pre-1970, year-1900 microsecond, near-datetime64-max, and null —
+    # the pinned SSSSSS patterns must hold across the full range
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)),
+        (2, datetime.datetime(1900, 1, 1, 0, 0, 0, 1)),
+        (3, datetime.datetime(2262, 4, 11, 23, 47, 16, 854775)),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp_ntz")
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"edge_{fmt}")
+        write_sink(df, path, format=fmt)
+        back = read_source(spark, path, format=fmt, schema=df.schema)
+        assert _rows(back) == _rows(df), fmt
