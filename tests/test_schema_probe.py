@@ -77,10 +77,19 @@ def test_core_column_contracts(sf_dir):
                 or pa.types.is_decimal(t),
                 "tpch_q1 exact sums",
             ),
+            "l_shipdate": (
+                lambda t: pa.types.is_timestamp(t) or pa.types.is_date(t),
+                "tpch_q1 shipdate predicate (both engines compare "
+                "date-literals fine against either type)",
+            ),
         },
         "orders": {
             "o_orderkey": (pa.types.is_integer, "merge joins"),
             "o_custkey": (pa.types.is_integer, "outer joins / TPC-H"),
+            "o_orderdate": (
+                lambda t: pa.types.is_timestamp(t) or pa.types.is_date(t),
+                "tpch_q3/q5 date-range predicates",
+            ),
         },
     }
     for table, cols in checks.items():
