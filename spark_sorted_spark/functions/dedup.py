@@ -35,6 +35,7 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "ngram_jaccard_pairs",
+    "ngram_overlap_across",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
@@ -132,9 +133,10 @@ def ngram_jaccard_pairs(
     ``count() over (partition by shingle)`` window "to save a pass"
     is 3.5x SLOWER at sf0.1 — WindowExec sorts and buffers every
     exploded row, while the groupBy partial-aggregates map-side into
-    a tiny bucket-size table that joins back as a broadcast.) Verification still uses
-    the FULL shingle sets (``array_intersect`` on the per-document
-    arrays), so any emitted pair's Jaccard is exact; only pairs whose
+    a tiny bucket-size table that joins back as a broadcast.)
+
+    Verification still uses the FULL shingle sets (``array_intersect``
+    on the per-document arrays), so any emitted pair's Jaccard is exact; only pairs whose
     every common shingle is hot can be missed — the same deliberate
     trade production dedup pipelines make when dropping stop-shingles.
     Pass ``max_bucket=None`` for the exhaustive O(sum bucket^2)
@@ -428,4 +430,49 @@ def simhash_pairs_banded(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_overlap_across(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_common: int = 3,
+    max_bucket: int | None = 50,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_common`` distinct n-gram shingles with any benchmark
+    document — the cross-corpus variant of ``ngram_jaccard_pairs``
+    that a pretraining pipeline runs against eval sets before
+    training. Returns ``(doc_id, bench_id, n_common)``.
+
+    Scale shape: an inverted-index equi-join on shingle (never a
+    corpus x benchmark cartesian); per-pair rows are unique because
+    ``shingles`` is distinct per document, so ``count(*)`` IS the
+    distinct-shingle overlap. ``max_bucket`` drops shingles present in
+    more than that many BENCHMARK documents from matching (boilerplate
+    text would otherwise fan every corpus doc out to the whole
+    benchmark); like the jaccard guard this bounds worst-case fan-out
+    at the cost of not counting ubiquitous shingles toward overlap —
+    the trade decontamination pipelines make deliberately.
+    """
+    c_sh = _exploded_shingles(corpus, text_col, id_col, n)
+    b_sh = _exploded_shingles(benchmark, text_col, id_col, n).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    if max_bucket is not None:
+        small = (
+            b_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .drop("bn")
+        )
+        b_sh = b_sh.join(small, on="shingle")
+    return (
+        c_sh.join(b_sh, on="shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= F.lit(min_common))
     )

@@ -1765,6 +1765,36 @@ def unpivot_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Benchmark decontamination — corpus docs sharing >= 3 distinct
+# 3-gram shingles with any "benchmark" doc (source src0 stands in for
+# the eval set). Cross-corpus inverted-index join, never a cartesian;
+# hot benchmark shingles (>50 docs) excluded like the jaccard guard.
+# Registered past the gate window; locally oracle-checked.
+# ===========================================================================
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH csh AS ({_shingle_sql("(SELECT * FROM documents WHERE source <> 'src0')")}),
+    bsh AS ({_shingle_sql("(SELECT * FROM documents WHERE source = 'src0')")}),
+    small AS (SELECT sh FROM bsh GROUP BY sh HAVING count(*) <= 50),
+    bok AS (SELECT b.* FROM bsh b JOIN small USING (sh))
+    SELECT c.doc_id, bok.doc_id AS bench_id, count(*)::BIGINT AS n_common
+    FROM csh c JOIN bok ON c.sh = bok.sh
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import ngram_overlap_across
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return ngram_overlap_across(
+        corpus, benchmark, n=3, min_common=3, max_bucket=50
+    )
+
+
+# ===========================================================================
 # RANGE-frame window — rolling 1-hour per-user sum, the time-based
 # frame flavor (`RANGE BETWEEN x PRECEDING`) that `window_rank_lag`'s
 # row-based analytics don't cover. Sums are exact (cents as bigint) so
@@ -1870,6 +1900,7 @@ _GATE_ORDER = [
     "range_join",
     "unpivot_measures",
     "window_range_frame",
+    "decontaminate",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

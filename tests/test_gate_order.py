@@ -36,5 +36,12 @@ def test_gate_window_contents():
     # overflow: the two declared O(n^2) oracle baselines (scale-safe
     # twins still gated) plus the round-5 range-join extension (locally
     # oracle-checked; see PARITY.md "Driver gate window")
-    assert names[50:] == ["dedup_simhash", "embedding_neardup", "range_join", "unpivot_measures", "window_range_frame"]
+    assert names[50:] == [
+        "dedup_simhash",
+        "embedding_neardup",
+        "range_join",
+        "unpivot_measures",
+        "window_range_frame",
+        "decontaminate",
+    ]
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
