@@ -400,3 +400,22 @@ def test_hash_sample_deterministic_and_partition_invariant(docs):
     # nesting: a 10% sample is a subset of the 30% sample (same hash)
     s10 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 10).collect()}
     assert s10 <= s1
+
+
+def test_ngram_overlap_across_guard_and_boundary(spark):
+    from spark_sorted_spark.functions.dedup import ngram_overlap_across
+
+    # corpus doc 1 shares exactly 3 shingles with bench 10 ("a b c d e"
+    # → shingles {a b c, b c d, c d e}); corpus doc 2 shares none
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e x y"), (2, "p q r s t")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "z z z z z")], ["doc_id", "text"]
+    )
+    out = ngram_overlap_across(corpus, bench, min_common=3).collect()
+    assert [(r["doc_id"], r["bench_id"], r["n_common"]) for r in out] == [(1, 10, 3)]
+    # min_common just above the overlap → empty
+    assert ngram_overlap_across(corpus, bench, min_common=4).count() == 0
+    # max_bucket=0 drops every benchmark shingle → empty (guard active)
+    assert ngram_overlap_across(corpus, bench, min_common=1, max_bucket=0).count() == 0
