@@ -28,7 +28,7 @@ from __future__ import annotations
 from typing import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..core import GroupSortedFrame, assume_group_sorted
@@ -303,6 +303,13 @@ def merge_join_range(
         if keys is None:
             raise ValueError("pass keys= when joining plain DataFrames")
         left = assume_group_sorted(left, keys)
+    elif keys is not None and list(keys) != list(left.key_cols):
+        # silently preferring left.key_cols over an explicit keys= hid
+        # caller bugs (ADVICE r5); conflicting instructions fail loudly
+        raise ValueError(
+            f"keys= {list(keys)} conflicts with the group-sorted left's "
+            f"key columns {left.key_cols}; drop keys= or regroup"
+        )
     if isinstance(right, DataFrame):
         right = assume_group_sorted(right, left.key_cols)
     keys = _check_keys(left, right)
@@ -333,19 +340,50 @@ def merge_join_range(
     rvals = [c for c in right.df.columns if c not in keys]
     carried = {c: (c + suffix if c in left.df.columns else c) for c in rvals}
 
-    ldf = left.df.withColumn("__bucket", F.floor(F.col(time_col) / F.lit(w)))
-    b_lo = F.floor((F.col(time_col) - F.lit(high)) / F.lit(w))
-    b_hi = F.floor((F.col(time_col) - F.lit(low)) / F.lit(w))
+    # working-column name that cannot collide with user data
+    taken = set(left.df.columns) | set(carried.values()) | set(keys)
+    bucket = "__bucket"
+    while bucket in taken:
+        bucket += "_"
+
+    integral = left.df.schema[time_col].dataType.simpleString() in (
+        "bigint", "int", "smallint", "tinyint",
+    ) and right.df.schema[time_col].dataType.simpleString() in (
+        "bigint", "int", "smallint", "tinyint",
+    )
+
+    def bucket_of(col: Column) -> Column:
+        # F.floor(col / w) routes int64 through double: above 2^53
+        # (epoch-nanos territory) the quotient can flip near bucket
+        # boundaries and silently drop matching pairs (ADVICE r5). For
+        # integral times stay exact: pmod is non-negative, so
+        # col - pmod(col, w) is the floor multiple of w, and dividing
+        # that exact multiple in decimal(38,0) has zero fractional
+        # part — no rounding to go wrong at any int64 magnitude.
+        if integral:
+            dec = col.cast("decimal(38,0)")
+            return ((dec - F.pmod(dec, F.lit(w))) / F.lit(w)).cast("long")
+        return F.floor(col / F.lit(w))
+
+    if not integral and w >= (1 << 53):
+        raise ValueError(
+            f"bucket_width {w} exceeds 2^53; floating-point time columns "
+            "cannot bucket exactly at that magnitude — cast to bigint"
+        )
+
+    ldf = left.df.withColumn(bucket, bucket_of(F.col(time_col)))
+    b_lo = bucket_of(F.col(time_col) - F.lit(high))
+    b_hi = bucket_of(F.col(time_col) - F.lit(low))
     rdf = (
         right.df.select(
             *keys,
             *[F.col(c).alias(carried[c]) for c in rvals],
-            F.explode(F.array_distinct(F.array(b_lo, b_hi))).alias("__bucket"),
+            F.explode(F.array_distinct(F.array(b_lo, b_hi))).alias(bucket),
         )
     )
     rt = F.col(carried[time_col])
     return (
-        ldf.join(rdf, on=[*keys, "__bucket"], how="inner")
+        ldf.join(rdf, on=[*keys, bucket], how="inner")
         .filter((rt - F.col(time_col) >= F.lit(low)) & (rt - F.col(time_col) <= F.lit(high)))
-        .drop("__bucket")
+        .drop(bucket)
     )

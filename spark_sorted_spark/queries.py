@@ -176,6 +176,28 @@ def top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP_NS = 30 * 60 * 1_000_000_000
 
 
+def _ts_epoch_ns(series):
+    """Normalize a pandas event-time column to epoch-ns int64 no matter
+    how Arrow surfaced it: datetime64[us/ns] for timestamp parquet,
+    int64 for the historical epoch-nanos layout, tz-aware datetime64
+    if the column ever becomes TIMESTAMP_LTZ (see event_ts dispatch in
+    ``sources.tpch``). Anything else fails loudly instead of
+    mis-converting (ADVICE r5)."""
+    import pandas as pd
+
+    if isinstance(series.dtype, pd.DatetimeTZDtype):
+        series = series.dt.tz_convert("UTC").dt.tz_localize(None)
+    vals = series.to_numpy()
+    if vals.dtype.kind == "M":
+        vals = vals.astype("datetime64[ns]")
+    elif vals.dtype.kind != "i":
+        raise TypeError(
+            f"unexpected ts dtype {series.dtype!r}; expected "
+            "datetime64 (naive or tz-aware) or int64"
+        )
+    return vals.astype("int64")
+
+
 @query(
     "sessionize_stream",
     oracle=f"""
@@ -206,13 +228,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = None
         sessions = 0
         for c in chunks:
-            # Normalize event time to epoch-ns int64 regardless of how
-            # Arrow surfaced it (datetime64[us/ns] for timestamp
-            # parquet, int64 for the historical epoch-nanos layout).
-            vals = c["ts"].to_numpy()
-            if vals.dtype.kind == "M":
-                vals = vals.astype("datetime64[ns]")
-            vals = vals.astype("int64")
+            vals = _ts_epoch_ns(c["ts"])
             for ts in vals:
                 if prev is None or ts - prev > _SESSION_GAP_NS:
                     sessions += 1

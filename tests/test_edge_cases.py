@@ -133,3 +133,26 @@ def test_fold_mixed_order_single_row_groups(spark):
         0.0, lambda acc, v: acc + v, value_col="v", alias="s", tier="native"
     )
     assert {(r.k, r.s) for r in out.collect()} == {("a", 1.0), ("b", 2.0)}
+
+
+def test_ts_epoch_ns_normalization_all_dtypes():
+    # ADVICE r5: tz-aware pandas input used to bypass the kind=='M'
+    # branch; anything unexpected must fail loudly, not mis-convert
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from spark_sorted_spark.queries import _ts_epoch_ns
+
+    naive = pd.Series(pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:01"]))
+    expect = naive.astype("int64").tolist()
+    assert _ts_epoch_ns(naive).tolist() == expect
+    # tz-aware, non-UTC zone: same instants → same epoch-ns
+    aware = naive.dt.tz_localize("UTC").dt.tz_convert("America/New_York")
+    assert _ts_epoch_ns(aware).tolist() == expect
+    # historical epoch-nanos int64 layout passes through
+    ints = pd.Series(np.array(expect, dtype="int64"))
+    assert _ts_epoch_ns(ints).tolist() == expect
+    # strings are a bug upstream, not something to coerce
+    with pytest.raises(TypeError, match="unexpected ts dtype"):
+        _ts_epoch_ns(pd.Series(["2024-01-01"]))

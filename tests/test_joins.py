@@ -344,3 +344,60 @@ def test_merge_join_range_property_matches_naive(spark):
         assert got == _naive_range(spark, lrows, rrows, low, high)
 
     run()
+
+
+def test_merge_join_range_exact_above_2_53(spark):
+    # ADVICE r5: floor(col / w) via double flips near bucket edges for
+    # |t| > 2^53 (epoch-nanos magnitude). These pairs sit exactly at a
+    # bucket boundary at ~2.6e18; the double path mis-buckets and drops
+    # them, the exact integral path must keep them.
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    base = 2_600_000_000_000_000_001  # > 2^53, not a multiple of w
+    l = spark.createDataFrame(
+        [("a", 1, base), ("a", 2, base + 10**9 - 1)], ["k", "event_id", "t"]
+    )
+    r = spark.createDataFrame(
+        [("a", 10, base + 1), ("a", 11, base + 10**9)], ["k", "event_id", "t"]
+    )
+    out = merge_join_range(l, r, "t", low=-2, high=2, keys=["k"])
+    got = sorted((row["event_id"], row["event_id_r"]) for row in out.collect())
+    assert got == [(1, 10), (2, 11)]
+
+
+def test_merge_join_range_negative_times_exact(spark):
+    # pmod-based floor division must behave as floor (not truncation)
+    # for negative times
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    l = spark.createDataFrame([("a", 1, -7)], ["k", "event_id", "t"])
+    r = spark.createDataFrame(
+        [("a", 10, -9), ("a", 11, -5), ("a", 12, -1)], ["k", "event_id", "t"]
+    )
+    out = merge_join_range(l, r, "t", low=-3, high=3, keys=["k"])
+    assert sorted(row["event_id_r"] for row in out.collect()) == [10, 11]
+
+
+def test_merge_join_range_keys_conflict_raises(spark):
+    # ADVICE r5: keys= alongside a group-sorted left with different key
+    # columns used to be silently ignored
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    l = spark.createDataFrame([("a", "x", 0)], ["k", "k2", "t"])
+    gs = group_sort(l, "k")
+    with pytest.raises(ValueError, match="conflicts"):
+        merge_join_range(gs, l, "t", low=0, high=1, keys=["k2"])
+    # matching keys= is fine (redundant, not conflicting)
+    merge_join_range(gs, l, "t", low=0, high=1, keys=["k"]).collect()
+
+
+def test_merge_join_range_bucket_column_collision(spark):
+    # ADVICE r5: a user column literally named __bucket must survive
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    l = spark.createDataFrame([("a", 5, 0)], ["k", "__bucket", "t"])
+    r = spark.createDataFrame([("a", 7, 1)], ["k", "__bucket", "t"])
+    out = merge_join_range(l, r, "t", low=0, high=2, keys=["k"])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["__bucket"] == 5 and rows[0]["__bucket_r"] == 7
