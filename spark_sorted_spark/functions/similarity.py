@@ -172,18 +172,45 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return out
 
 
+def _planes_lit(planes: list[list[float]]) -> Column:
+    """Plane matrix as ONE constant-folded literal (from_json of a
+    Literal folds to a plain array value in the optimizer) instead of
+    len(planes)*dim inlined F.lit() nodes — the inlined tree costs
+    whole seconds of py4j DataFrame construction per call at LSH sizes
+    (measured r6: 70% of b13's wall-clock). json round-trips float64
+    exactly, so the worker-side math is unchanged."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(planes)), "array<array<double>>")
+
+
+def _dot_dbl(a: Column, b: Column) -> Column:
+    """dot_strict minus the per-element float->double cast transforms —
+    callers pass arrays that are already double. Same products, same
+    left-fold order: bitwise-equal to dot_strict."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _sign_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     """Engine-side sign-bit bucket of ``vec`` under seeded hyperplanes
-    (strict-fold dots — bitwise-equal to the oracle's)."""
-    bits = []
-    for p, plane in enumerate(planes):
-        pv = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot_strict(vec, pv) >= 0, 1).otherwise(0)
-        bits.append(bit * F.lit(1 << p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    (strict-fold dots — bitwise-equal to the oracle's). bits and pow2
+    are zipped BEFORE the fold so the plane-dot transform is evaluated
+    once (element_at into a transform expression would re-evaluate it
+    per lookup — interpreted HOFs have no CSE inside lambdas)."""
+    vd = vec.cast("array<double>")
+    bits = F.transform(
+        _planes_lit(planes), lambda p: F.when(_dot_dbl(vd, p) >= 0, 1).otherwise(0)
+    )
+    pow2 = F.array(*[F.lit(1 << p) for p in range(len(planes))])
+    return F.aggregate(
+        F.zip_with(bits, pow2, lambda b, w: b * w),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _sign_bucket_bits(query_vec: list[float], planes: list[list[float]]) -> int:
@@ -485,36 +512,53 @@ def cosine_neardup_pairs_lsh(
         n = df.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
     df = spread_small_input(df)
-    tables = [
-        [_hyperplane(t * n_planes + p, dim) for p in range(n_planes)]
+
+    # The plane matrix rides in as ONE constant-folded literal
+    # (_planes_lit) instead of n_tables*n_planes*dim inlined F.lit()
+    # nodes. Measured (r6, sf0.1, 48 planes x 64 dims): the inlined
+    # tree cost ~4 s PER CALL of pure Python/py4j DataFrame
+    # construction before Spark ever saw the plan — 70%+ of b13's
+    # wall-clock was driver-side expression building, not execution.
+    # Worker-side math is untouched: same planes, same strict left-fold
+    # dot, bitwise-identical buckets (verified old-vs-new equal at
+    # sf0.1; the n_planes=4 gate query pins it vs DuckDB).
+    flat = [
+        _hyperplane(t * n_planes + p, dim)
         for t in range(n_tables)
+        for p in range(n_planes)
     ]
+    planes = _planes_lit(flat)
+    vec_d = F.col(vec_col).cast("array<double>")
 
-    def bucket_of(vec: Column, planes: list[list[float]]) -> Column:
-        out = F.lit(0)
-        for p, plane in enumerate(planes):
-            pv = F.array(*[F.lit(x) for x in plane])
-            out = out + F.when(dot_strict(vec, pv) >= 0, 1 << p).otherwise(0)
-        return out
-
+    # sign bits of all planes in one pass, materialized as a REAL
+    # column: element_at(<expr>, i) re-evaluates <expr> per lookup in
+    # interpreted HOF context (no CSE inside lambdas), so referencing
+    # the 48-dot transform by name is what keeps it evaluated once
+    bits = F.transform(planes, lambda p: F.when(_dot_dbl(vec_d, p) >= 0, 1).otherwise(0))
+    pow2 = F.array(*[F.lit(1 << p) for p in range(n_planes)])
+    bcol = F.col("__bits")
+    tb = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.alias("t"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0),
+                lambda acc, p: acc
+                + F.element_at(bcol, t * n_planes + p + 1)
+                * F.element_at(pow2, p + 1),
+            ).alias("bucket"),
+        ),
+    )
     # bucket table carries IDS ONLY — the 8-way explode and the
     # (t, bucket) self-join never ship the 64-float embeddings (that
     # would push 8 copies of every vector through the shuffle);
     # embeddings are joined back exactly once per side for the verify.
-    b = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        bucket_of(F.col(vec_col), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, "tb.t", "tb.bucket")
+    b = (
+        df.select(F.col(id_col), bits.alias("__bits"))
+        .select(F.col(id_col), F.explode(tb).alias("tb"))
+        .select(id_col, "tb.t", "tb.bucket")
+    )
     if max_bucket is not None:
         small = (
             b.groupBy("t", "bucket")
@@ -540,15 +584,18 @@ def cosine_neardup_pairs_lsh(
     # per-vector norms are computed ONCE here instead of twice per
     # candidate pair inside cosine() — sqrt(dot(v,v)) is the identical
     # fold either way, so cos stays bitwise-equal to the oracle's
-    # inline cosine while the verify does 1 fold per pair, not 3
+    # inline cosine while the verify does 1 fold per pair, not 3.
+    # Embeddings are likewise cast to array<double> ONCE per vector so
+    # the per-pair fold skips dot_strict's two per-element cast
+    # transforms (same products, same order — bitwise-identical cos).
     ea = df.select(
         F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("emb_a"),
+        vec_d.alias("emb_a"),
         F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_a"),
     )
     eb = df.select(
         F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("emb_b"),
+        vec_d.alias("emb_b"),
         F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_b"),
     )
     return (
@@ -556,7 +603,7 @@ def cosine_neardup_pairs_lsh(
         .join(eb, "vec_b")
         .withColumn(
             "cos",
-            dot_strict(F.col("emb_a"), F.col("emb_b"))
+            _dot_dbl(F.col("emb_a"), F.col("emb_b"))
             / (F.col("norm_a") * F.col("norm_b")),
         )
         .filter(F.col("cos") >= threshold)
