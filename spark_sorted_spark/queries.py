@@ -1890,8 +1890,12 @@ _GATE_ORDER = [
     "stream_fold_ema",
     "asof_join",
     "set_ops",
-    "rollup_agg",
-    "cube_agg",
+    # rollup_agg/cube_agg rotated to the overflow tail in round 6 (both
+    # are sugar for grouping sets — grouping_sets_agg keeps the
+    # multi-dim HashAggregate expansion path gated) to earn driver rows
+    # for the newest operators range_join + decontaminate
+    "range_join",
+    "decontaminate",
     "grouping_sets_agg",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -1913,10 +1917,10 @@ _GATE_ORDER = [
     # --- gate cutoff (driver runs the 50 above) ---
     "dedup_simhash",
     "embedding_neardup",
-    "range_join",
+    "rollup_agg",
+    "cube_agg",
     "unpivot_measures",
     "window_range_frame",
-    "decontaminate",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -31,17 +31,22 @@ def test_gate_window_contents():
         "merge_join_right",
         "set_ops",
         "dedup_ngram_jaccard",
+        "range_join",
+        "decontaminate",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # overflow: the two declared O(n^2) oracle baselines (scale-safe
-    # twins still gated) plus the round-5 range-join extension (locally
-    # oracle-checked; see PARITY.md "Driver gate window")
+    # twins still gated), rollup/cube (sugar for the still-gated
+    # grouping_sets_agg — rotated out in round 6 so range_join and
+    # decontaminate earn driver rows), and the remaining round-5
+    # extensions (locally oracle-checked; see PARITY.md "Driver gate
+    # window")
     assert names[50:] == [
         "dedup_simhash",
         "embedding_neardup",
-        "range_join",
+        "rollup_agg",
+        "cube_agg",
         "unpivot_measures",
         "window_range_frame",
-        "decontaminate",
     ]
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -41,8 +41,15 @@ def main():
     import __spark_entry__ as e
     from spark_sorted_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -63,10 +70,12 @@ def main():
             scols = sorted(sdf.columns)
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
+            results[name] = {"status": "FAIL", "err": f"spark error: {ex}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"OK?   {name}: rows-only (no oracle), {len(srows)} rows")
+            results[name] = {"status": "ROWS_ONLY", "rows": len(srows)}
             continue
         try:
             ddf = con.sql(oracles[name])
@@ -75,14 +84,20 @@ def main():
             dcols = sorted(dcols_raw)
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
+            results[name] = {"status": "FAIL", "err": f"duckdb error: {ex}"}
             failures += 1
             continue
         if scols != dcols:
             print(f"FAIL  {name}: columns {scols} vs oracle {dcols}")
+            results[name] = {"status": "FAIL", "err": f"columns {scols} vs {dcols}"}
             failures += 1
             continue
         if len(srows) != len(drows):
             print(f"FAIL  {name}: rows {len(srows)} vs oracle {len(drows)}")
+            results[name] = {
+                "status": "FAIL",
+                "err": f"rows {len(srows)} vs {len(drows)}",
+            }
             failures += 1
             continue
         sn = normalize([r.asDict() for r in srows], scols)
@@ -94,11 +109,18 @@ def main():
                 if a != b:
                     print(f"      spark : {a}\n      oracle: {b}")
                     break
+            results[name] = {"status": "FAIL", "err": f"{bad}/{len(sn)} rows differ"}
             failures += 1
             continue
         print(f"PASS  {name}: {len(srows)} rows, exact match")
+        results[name] = {"status": "PASS", "rows": len(srows)}
     print("---")
     print("ALL PASS" if failures == 0 else f"{failures} FAILURES")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
     sys.exit(1 if failures else 0)
 
 
