@@ -48,5 +48,6 @@ def test_gate_window_contents():
         "cube_agg",
         "unpivot_measures",
         "window_range_frame",
+        "stream_late_drop",
     ]
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

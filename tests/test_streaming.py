@@ -401,3 +401,47 @@ def test_stream_to_files_exactly_once_and_incremental(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_late_drop_query_matches_batch_replay(spark, sf_dir):
+    """The gated-catalog late-drop query: run 2 delivers ONLY
+    guaranteed-late rows; were they admitted they would re-emit
+    already-finalized windows into the append sink (extra + duplicate
+    rows). The end state must equal the relational replay of the drop
+    rule: windows finalized by the run-1 watermark, on-time rows only."""
+    import datetime as dt
+
+    from spark_sorted_spark.queries import QUERIES
+    from spark_sorted_spark.sources.tpch import load_table
+
+    out = QUERIES["stream_late_drop"](spark, sf_dir)
+    got = sorted(map(tuple, out.collect()))
+    assert got, "no windows finalized"
+    # duplicate (ws_us, user_id) rows are exactly what a failed drop
+    # would produce (the same window emitted by both drains)
+    keys = [(r[0], r[1]) for r in got]
+    assert len(keys) == len(set(keys)), "windows emitted twice"
+
+    ev = load_table(spark, "events", sf_dir)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    on_time = ev.filter(
+        ~(
+            (F.col("event_id") % 7 == 0)
+            & (F.col("ts") <= F.lit(mx - dt.timedelta(hours=3)))
+        )
+    )
+    wm = on_time.agg(F.max("ts")).collect()[0][0] - dt.timedelta(minutes=30)
+    replay = (
+        on_time.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_v"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(
+            # raw ts is TIMESTAMP_NTZ here (no stream_table dispatch);
+            # session tz is pinned UTC so the cast keeps the instant
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("ws_us"),
+            "user_id",
+            "n",
+            "max_v",
+        )
+    )
+    assert got == sorted(map(tuple, replay.collect()))
