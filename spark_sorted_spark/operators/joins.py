@@ -289,6 +289,21 @@ def merge_join_range(
     ``bucket_width`` widens buckets to trade fewer duplicate right
     rows for more candidate pairs (tune to data density at scale).
 
+    Skew: a burst of traffic on one ``(key, bucket)`` cell has no
+    ``max_bucket``-style cap here by design — a JOIN that silently
+    drops matching pairs is wrong, unlike the LSH families where a cap
+    only prunes *candidates* re-checked exactly. The designated
+    mitigation is AQE skew-join (``spark.sql.adaptive.skewJoin``, on
+    by default in this repo's sessions): the bucket equi-join is a
+    standard SortMergeJoin, so a hot cell is just an oversized shuffle
+    partition, and AQE splits those by map-output blocks — which works
+    even when ALL the weight sits on a single join key. Pinned by
+    ``test_merge_join_range_hot_bucket_skew`` (10x skew, exact count).
+    Note the output for a genuinely dense cell is quadratic in its row
+    count because those pairs truly match the predicate — that is the
+    query's semantics, not a plan defect; widen ``low``/``high``
+    responsibility rests with the caller.
+
     ``time_col`` must be numeric on both sides (epoch-micros via
     ``sources.tpch.event_ts_us`` in this repo) — bucket arithmetic on
     raw TIMESTAMP would silently depend on the session timezone.

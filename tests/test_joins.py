@@ -401,3 +401,35 @@ def test_merge_join_range_bucket_column_collision(spark):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0]["__bucket"] == 5 and rows[0]["__bucket_r"] == 7
+
+
+def test_merge_join_range_hot_bucket_skew(spark):
+    # 10x skew: one key concentrates 2000 rows in a single (key,
+    # bucket) cell while 10 normal keys hold 20 rows each. AQE
+    # skew-join (the documented mitigation — the bucket join is a
+    # plain SortMergeJoin, so the hot cell is a splittable oversized
+    # shuffle partition) must deliver the exact pair count; the dense
+    # cell's quadratic output is the query's true semantics.
+    import random
+
+    from spark_sorted_spark.operators.joins import merge_join_range
+
+    rng = random.Random(7)
+    times = {f"k{i}": [rng.randrange(0, 1000) for _ in range(20)] for i in range(10)}
+    times["hot"] = [500] * 2000
+    rows = [(k, t) for k, ts in times.items() for t in ts]
+    low, high = -5, 5
+    expected = sum(
+        sum(1 for lt in ts for rt in ts if low <= rt - lt <= high)
+        for ts in times.values()
+    )
+    df = spark.createDataFrame(rows, ["k", "t"]).repartition(32)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        out = merge_join_range(df, df, "t", low=low, high=high, keys=["k"])
+        plan = plan_of(out, "simple")
+        assert "SortMergeJoin" in plan and "CartesianProduct" not in plan
+        assert out.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
