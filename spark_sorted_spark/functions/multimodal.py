@@ -11,12 +11,16 @@ Design (the part that matters at 100 TB):
 * per-batch processing via ``mapInPandas`` so a partition of large
   blobs streams through in Arrow-batch-sized memory, never
   materializing the partition;
-* decode is pluggable. The real decoders (PIL/torchaudio/ffmpeg) are
-  NOT in this container, so ``decode_stub`` raises
-  ``NotImplementedError`` exactly where they would plug in, and
-  ``fake_decode_features`` provides a deterministic stand-in
-  (byte-statistics "features") so the Spark-side plumbing — schema,
-  partitioning, UDF signature, batch shape — is real and testable.
+* decode is pluggable. PIL/torchaudio/ffmpeg are NOT in this
+  container, but the stdlib ``wave`` module IS a real PCM decoder —
+  so ``decode()`` genuinely decodes RIFF/WAV audio (``audio_features``
+  is a REAL decoded-feature path end to end), PIL images are
+  import-gated (a skip-marked test activates when the sandbox gains
+  the package), and everything else raises ``NotImplementedError``
+  exactly where a decoder would plug in. ``fake=True`` paths keep the
+  deterministic byte-statistics stand-ins so the Spark-side plumbing —
+  schema, partitioning, UDF signature, batch shape — stays testable
+  for the undecodable modalities too.
 """
 
 from __future__ import annotations
@@ -29,6 +33,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "attach_binary_payload",
+    "audio_features",
+    "decode",
     "decode_stub",
     "extract_features",
     "resize_images",
@@ -55,14 +61,99 @@ def attach_binary_payload(
     )
 
 
-def decode_stub(payload: bytes, modality: str):
-    """Plug point for real decoders. Container has no media libs —
-    raising is the honest contract (callers select fake features for
-    tests)."""
+def decode(payload: bytes, modality: str):
+    """Real decode where this environment genuinely can (probed round
+    6): RIFF/WAV audio via the stdlib ``wave`` module (PCM — an actual
+    decoder, not a stand-in), images via PIL when the sandbox gains it
+    (import-gated). Everything else raises — the honest contract
+    (callers select fake features for tests).
+
+    Returns: audio → dict(sample_rate, channels, sample_width,
+    n_frames, pcm bytes); image → dict(width, height, mode, pixels
+    bytes)."""
+    import io
+
+    if modality == "audio" and payload[:4] == b"RIFF":
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            return {
+                "sample_rate": w.getframerate(),
+                "channels": w.getnchannels(),
+                "sample_width": w.getsampwidth(),
+                "n_frames": w.getnframes(),
+                "pcm": w.readframes(w.getnframes()),
+            }
+    if modality == "image":
+        try:
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                "no image decoder available in this environment; "
+                "install PIL (pytest will auto-activate "
+                "test_image_decode_with_pil when it appears)"
+            ) from None
+        img = Image.open(io.BytesIO(bytes(payload)))
+        return {
+            "width": img.width,
+            "height": img.height,
+            "mode": img.mode,
+            "pixels": img.tobytes(),
+        }
     raise NotImplementedError(
-        f"no {modality} decoder available in this environment; "
-        "install PIL/torchaudio/ffmpeg and replace decode_stub"
+        f"no {modality} decoder available for this payload in this "
+        "environment; install PIL/torchaudio/ffmpeg and extend decode()"
     )
+
+
+# Backwards-compatible name: the original plug point that always
+# raised. Still the right entry for callers that only want the "fail
+# loudly on undecodable media" behavior.
+decode_stub = decode
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decoded-audio features over the multimodal layout — the
+    one modality this container can genuinely decode (stdlib ``wave``).
+    Per WAV payload: sample_rate, channels, n_frames, duration_us
+    (exact integer micros), rms over int16 PCM. Non-WAV payloads fail
+    loudly (no silent fakes on a real-decode path).
+
+    Same 100 TB shape as the fake path: Arrow-batched ``mapInPandas``,
+    O(batch) memory, no driver involvement."""
+    schema = (
+        f"{id_col} bigint, sample_rate int, channels int, "
+        "n_frames bigint, duration_us bigint, rms double"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in
+                    (id_col, "sample_rate", "channels", "n_frames",
+                     "duration_us", "rms")}
+            for _, row in pdf.iterrows():
+                d = decode(bytes(row["payload"]), "audio")
+                if d["sample_width"] != 2:
+                    raise NotImplementedError(
+                        f"only 16-bit PCM supported, got width "
+                        f"{d['sample_width']}"
+                    )
+                pcm = np.frombuffer(d["pcm"], dtype="<i2").astype("float64")
+                rows[id_col].append(row[id_col])
+                rows["sample_rate"].append(d["sample_rate"])
+                rows["channels"].append(d["channels"])
+                rows["n_frames"].append(d["n_frames"])
+                rows["duration_us"].append(
+                    d["n_frames"] * 1_000_000 // d["sample_rate"]
+                )
+                rows["rms"].append(
+                    float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, schema)
 
 
 def extract_features(

@@ -419,3 +419,80 @@ def test_ngram_overlap_across_guard_and_boundary(spark):
     assert ngram_overlap_across(corpus, bench, min_common=4).count() == 0
     # max_bucket=0 drops every benchmark shingle → empty (guard active)
     assert ngram_overlap_across(corpus, bench, min_common=1, max_bucket=0).count() == 0
+
+
+def _wav_bytes(freq_hz: float, n_frames: int, rate: int = 8000) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        pcm = b"".join(
+            struct.pack(
+                "<h", int(12000 * math.sin(2 * math.pi * freq_hz * i / rate))
+            )
+            for i in range(n_frames)
+        )
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav_decode(spark):
+    # the one REAL decoder this container has (stdlib wave): features
+    # must match a local decode of the same payloads exactly
+    import numpy as np
+    import wave as wave_mod
+    import io
+
+    from spark_sorted_spark.functions.multimodal import audio_features, decode
+
+    payloads = {1: _wav_bytes(440.0, 800), 2: _wav_bytes(100.0, 1600), 3: _wav_bytes(0.0, 0)}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()], ["doc_id", "payload"]
+    )
+    got = {r.doc_id: r for r in audio_features(df).collect()}
+    assert set(got) == {1, 2, 3}
+    for did, payload in payloads.items():
+        with wave_mod.open(io.BytesIO(payload)) as w:
+            n, rate = w.getnframes(), w.getframerate()
+            pcm = np.frombuffer(
+                w.readframes(n), dtype="<i2"
+            ).astype("float64")
+        r = got[did]
+        assert (r.sample_rate, r.channels, r.n_frames) == (rate, 1, n)
+        assert r.duration_us == n * 1_000_000 // rate
+        expect_rms = float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0
+        assert r.rms == expect_rms
+    # driver-side decode() agrees with the distributed path
+    d = decode(payloads[1], "audio")
+    assert d["n_frames"] == 800 and d["sample_rate"] == 8000
+
+
+def test_audio_features_rejects_non_wav(spark):
+    from spark_sorted_spark.functions.multimodal import audio_features
+
+    df = spark.createDataFrame([(1, bytearray(b"not a riff"))], ["doc_id", "payload"])
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        audio_features(df).collect()
+
+
+def test_image_decode_with_pil(spark):
+    # env-gap pin: auto-activates the real image path the moment the
+    # sandbox gains PIL (round-5 verdict item 5)
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from spark_sorted_spark.functions.multimodal import decode
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), (255, 0, 0)).save(buf, format="PNG")
+    d = decode(buf.getvalue(), "image")
+    assert (d["width"], d["height"], d["mode"]) == (4, 2, "RGB")
+    assert d["pixels"] == b"\xff\x00\x00" * 8
