@@ -359,15 +359,16 @@ def _ivf_cell_col(vec: Column, cents: list[tuple]) -> Column:
     """Nearest-by-dot centroid as a native argmax: struct ordering
     compares fields in order, so the array_min of (-dot, idx) structs
     is the deterministic argmax with lowest-cell tiebreak — no Python
-    in the scan."""
-    scored = F.array(
-        *[
-            F.struct(
-                (-dot_strict(vec, F.array(*[F.lit(x) for x in c]))).alias("nd"),
-                F.lit(i).alias("cell"),
-            )
-            for i, (_cid, c) in enumerate(cents)
-        ]
+    in the scan. Centroids ride in as one constant-folded literal
+    (_planes_lit) — the nlist*dim inlined-F.lit tree costs ~1 s of
+    py4j construction per call (the b13 lesson, r6)."""
+    vd = vec.cast("array<double>")
+    cents_lit = _planes_lit([c for _cid, c in cents])
+    idxs = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    scored = F.zip_with(
+        cents_lit,
+        idxs,
+        lambda c, i: F.struct((-_dot_dbl(vd, c)).alias("nd"), i.alias("cell")),
     )
     return F.array_min(scored)["cell"]
 
