@@ -37,7 +37,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_overlap_across",
     "minhash_signatures",
+    "minhash_band_table",
     "minhash_lsh_pairs",
+    "build_minhash_band_store",
+    "dedup_against_store",
     "simhash",
     "simhash_pairs",
     "simhash_pairs_banded",
@@ -222,28 +225,18 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    tau_num: int = 1,
-    tau_den: int = 2,
-    max_bucket: int = 50,
+def minhash_band_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs: band the 16-perm signature into 4
-    bands of 4; documents colliding on any band's full sub-signature
-    become candidates; candidates are verified with the EXACT
-    distinct-shingle Jaccard (so output precision is 1.0 — LSH only
-    affects recall). Buckets larger than ``max_bucket`` are dropped
-    (degenerate boilerplate guard, keeps worst-case fan-out bounded).
-    """
-    df = spread_small_input(df)
+    """(id, band, band_key): the banded 16-perm MinHash signature —
+    band ``b`` holds perms {b, b+BANDS, ...} (perm % BANDS == b),
+    joined ascending, matching the oracle's ``string_agg(... ORDER BY
+    perm)``. This is the unit both the self-dedup
+    (:func:`minhash_lsh_pairs`) and the incremental store
+    (:func:`build_minhash_band_store`) band on."""
     sig = _with_minhash_array(df, text_col, id_col, n)
     rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
-    # band b holds perms {b, b+BANDS, ...} (perm % BANDS == b), joined
-    # ascending — matches the oracle's string_agg(... ORDER BY perm)
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -263,6 +256,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_key")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the 16-perm signature into 4
+    bands of 4; documents colliding on any band's full sub-signature
+    become candidates; candidates are verified with the EXACT
+    distinct-shingle Jaccard (so output precision is 1.0 — LSH only
+    affects recall). Buckets larger than ``max_bucket`` are dropped
+    (degenerate boilerplate guard, keeps worst-case fan-out bounded).
+    """
+    df = spread_small_input(df)
+    bands = minhash_band_table(df, text_col, id_col, n)
     small = (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("bn"))
@@ -297,6 +310,108 @@ def minhash_lsh_pairs(
             >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         )
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def build_minhash_band_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Persist the banded MinHash signature table for a corpus — the
+    INCREMENTAL-dedup store. Built once per corpus (the only pass that
+    ever shingles the existing documents); every subsequent batch
+    dedups against it via :func:`dedup_against_store` without
+    recomputing a single existing signature. The store is
+    (id, band, band_key): ~4 short rows per document, tiny next to the
+    text it indexes — at 100 TB of corpus this is the difference
+    between an O(new batch) nightly job and re-signing the world."""
+    minhash_band_table(df, text_col, id_col, n).write.mode("overwrite").parquet(path)
+
+
+def dedup_against_store(
+    new_df: DataFrame,
+    store: DataFrame | str,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Incremental near-dup detection: which NEW documents near-dup an
+    EXISTING corpus document? Returns (doc_old, doc_new, n_common,
+    n_old, n_new) with the same exact-Jaccard verify (precision 1.0)
+    as :func:`minhash_lsh_pairs`.
+
+    Scale design — the per-batch costs are O(new batch), not O(corpus):
+
+    * signatures are computed for the new batch ONLY; the corpus side
+      comes from the persisted band store (``store``: DataFrame or
+      parquet path from :func:`build_minhash_band_store`);
+    * the hot-bucket guard counts STORE + NEW members together (same
+      ``max_bucket`` semantics as self-dedup applied to the combined
+      corpus — a boilerplate bucket is degenerate no matter which side
+      its members arrived in);
+    * candidates are the store x new band equi-join (never a cartesian;
+      sides are disjoint so no self-pair filter is needed);
+    * the corpus text is shingled only for documents that actually
+      appear as candidates (semi-join on candidate ids BEFORE the
+      shingle projection — at scale this is the difference between
+      scanning 100 TB of text and reading the few candidate rows).
+
+    ``corpus_df`` must contain every id the store indexes (it is the
+    verify-time source of existing documents' text)."""
+    if isinstance(store, str):
+        store = new_df.sparkSession.read.parquet(store)
+    new_df = spread_small_input(new_df)
+    new_bands = minhash_band_table(new_df, text_col, id_col, n)
+    store_bands = store.select(id_col, "band", "band_key")
+    combined = store_bands.unionByName(new_bands)
+    small = (
+        combined.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .drop("bn")
+    )
+    cand = (
+        store_bands.join(small, on=["band", "band_key"])
+        .select(F.col(id_col).alias("doc_old"), "band", "band_key")
+        .join(
+            new_bands.join(small, on=["band", "band_key"]).select(
+                F.col(id_col).alias("doc_new"), "band", "band_key"
+            ),
+            on=["band", "band_key"],
+        )
+        .select("doc_old", "doc_new")
+        .distinct()
+    )
+    cand = cand.repartition(new_df.sparkSession.sparkContext.defaultParallelism)
+    # shingle only candidate corpus rows: ids first, text after
+    old_sets = (
+        corpus_df.join(
+            cand.select(F.col("doc_old").alias(id_col)).distinct(), on=id_col
+        )
+        .select(F.col(id_col).alias("doc_old"), shingles(text_col, n).alias("sh_old"))
+    )
+    new_sets = new_df.select(
+        F.col(id_col).alias("doc_new"), shingles(text_col, n).alias("sh_new")
+    )
+    return (
+        cand.join(old_sets, "doc_old")
+        .join(new_sets, "doc_new")
+        .withColumn("n_common", F.size(F.array_intersect("sh_old", "sh_new")))
+        .withColumn("n_old", F.size("sh_old"))
+        .withColumn("n_new", F.size("sh_new"))
+        .filter(
+            F.lit(tau_den) * F.col("n_common")
+            >= F.lit(tau_num)
+            * (F.col("n_old") + F.col("n_new") - F.col("n_common"))
+        )
+        .select("doc_old", "doc_new", "n_common", "n_old", "n_new")
     )
 
 

@@ -49,5 +49,6 @@ def test_gate_window_contents():
         "unpivot_measures",
         "window_range_frame",
         "stream_late_drop",
+        "dedup_incremental",
     ]
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -496,3 +496,55 @@ def test_image_decode_with_pil(spark):
     d = decode(buf.getvalue(), "image")
     assert (d["width"], d["height"], d["mode"]) == (4, 2, "RGB")
     assert d["pixels"] == b"\xff\x00\x00" * 8
+
+
+def test_dedup_against_store_matches_cross_batch_self_dedup(spark, docs, tmp_path):
+    """Incremental dedup must equal the cross-batch subset of a full
+    self-dedup over the combined corpus: same bands, same combined
+    bucket guard, same exact verify — only the store side's signature
+    cost moves to build time."""
+    from spark_sorted_spark.functions.dedup import (
+        build_minhash_band_store,
+        dedup_against_store,
+        minhash_lsh_pairs,
+    )
+
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    store = str(tmp_path / "bands")
+    build_minhash_band_store(existing, store)
+
+    inc = dedup_against_store(new, store, existing)
+    got = sorted(map(tuple, inc.collect()))
+
+    full = minhash_lsh_pairs(docs).collect()
+    expect = sorted(
+        # self-dedup orders pairs doc_a < doc_b; cross pairs keep
+        # (old, new) orientation regardless of id order
+        (
+            (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
+            if r.doc_a % 4 != 0
+            else (r.doc_b, r.doc_a, r.n_common, r.n_b, r.n_a)
+        )
+        for r in full
+        if (r.doc_a % 4 == 0) != (r.doc_b % 4 == 0)
+    )
+    assert got == expect
+    # the store is reusable: a second batch call recomputes nothing on
+    # the corpus side and returns the identical result
+    again = sorted(map(tuple, dedup_against_store(new, store, existing).collect()))
+    assert again == got
+
+
+def test_dedup_against_store_accepts_dataframe_store(spark, docs):
+    from spark_sorted_spark.functions.dedup import (
+        dedup_against_store,
+        minhash_band_table,
+    )
+
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    bands = minhash_band_table(existing)
+    out = dedup_against_store(new, bands, existing)
+    assert out.columns == ["doc_old", "doc_new", "n_common", "n_old", "n_new"]
+    assert out.count() >= 0
