@@ -1,0 +1,128 @@
+"""Duplicate-cluster canonicalization: connected components over
+near-dup pair edges, then one canonical document per cluster.
+
+Pair-wise dedup (``minhash_lsh_pairs`` & friends) answers "which
+documents are near-duplicates of each other"; a production corpus
+clean needs the next step — group the pairs into transitive clusters
+and KEEP exactly one representative per cluster. A near-dups B and
+B near-dups C means {A, B, C} is one cluster even when A and C never
+collide directly.
+
+Algorithm: iterative min-label propagation. Every node starts
+labelled with its own id; each round, every node takes the minimum
+label among itself and its neighbours; at fixpoint every node carries
+its component's minimum id, which becomes ``cluster_id``. Rounds
+needed = component diameter. Near-dup clusters are dense and tiny in
+diameter (a boilerplate family collides pairwise, diameter 1-2), so
+convergence is 2-4 rounds in practice; ``max_iters`` bounds the
+pathological chain case and failure is loud, not silent.
+
+Scale design (100 TB corpus):
+* The edge set is the OUTPUT of LSH dedup — orders of magnitude
+  smaller than the corpus (only colliding documents appear). The
+  iteration runs on (id, label) pairs, never on document text.
+* Each round is one shuffle (edges ⋈ labels, groupBy dst) — the
+  min-aggregate combines map-side, so traffic is bounded by the node
+  count, not the edge count.
+* ``localCheckpoint`` truncates the plan each round; without it the
+  lineage doubles per iteration and the final plan is exponential.
+* For adversarial long-chain graphs (diameter ~ n) the
+  large-star/small-star alternating algorithm [Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14] converges
+  in O(log n) rounds; near-dup graphs never look like that, so this
+  module ships the simpler propagation with a loud iteration cap.
+
+Reference parity: the reference repo stops at pair emission
+(spark-sorted has no clustering op); this module is the
+training-data-pipeline extension SURVEY.md §6 scopes in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "canonical_docs"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_name: str = "doc_id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Resolve ``edges`` into components via min-label propagation.
+
+    Returns one row per node that appears in at least one edge:
+    ``(id_name, cluster_id)`` where ``cluster_id`` is the minimum
+    node id in the component. Documents with no near-dup pair are
+    singleton clusters by definition and are NOT emitted (joining
+    them back is a left join on the corpus — cheap, and keeping the
+    output proportional to the duplicate set is what you want when
+    the corpus is 100 TB and duplicates are 1%).
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds do not reach the
+    fixpoint (component diameter exceeded the cap) — never returns a
+    partially-propagated labelling silently.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round — pin it
+    )
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["s"] == labels["id"])
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias(id_name), F.col("lbl").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds; "
+        "component diameter exceeds the cap — raise max_iters or use an "
+        "O(log n) alternating-star algorithm for chain-shaped graphs"
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every non-canonical duplicate from ``docs``.
+
+    ``clusters`` is ``connected_components`` output. A document
+    survives iff it is not in any cluster (no near-dup) or it IS its
+    cluster's canonical representative (``id == cluster_id`` — the
+    minimum id, a deterministic, join-free tie-break). One broadcast-
+    friendly left anti join: the drop list is tiny next to the corpus.
+    """
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(drop, on=id_col, how="left_anti")

@@ -25,7 +25,9 @@ __all__ = [
     "quality_score",
     "repetition_score",
     "doc_fingerprint",
+    "redact_pii",
     "LANG_MARKERS",
+    "PII_PATTERNS",
 ]
 
 FP_MOD = 1_000_000_007  # fingerprint modulus (fits h*131+2^32 in int64)
@@ -168,6 +170,46 @@ def repetition_score(
         )
         cols.append(F.floor(pct).cast("bigint").alias(f"dup_ngram_pct_{n}"))
     return df.select(*cols)
+
+
+# PII patterns, applied IN ORDER (emails first, so the IP pattern
+# never fires inside an already-redacted address). Regex syntax is the
+# common subset of Java regex (Spark) and RE2 (DuckDB) — character
+# classes, bounded repetition, and \b word boundaries only — so the
+# oracle reproduces both the replacement and the match counts exactly.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub PII (emails, IPv4 addresses, dashed phone numbers) from
+    ``text_col`` and count what was removed.
+
+    Patterns apply sequentially; each ``n_<kind>`` counts matches on
+    the text AS OF that step, so overlapping patterns never double
+    count. Pure ``regexp_replace``/``regexp_extract_all`` Catalyst
+    expressions — whole-stage codegen, scan speed at 100 TB, and an
+    exact DuckDB twin (RE2 evaluates the same pattern subset
+    identically).
+
+    Output: ``(id_col, text, n_email, n_ip, n_phone)`` with ``text``
+    fully redacted.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(
+                f"n_{kind}"
+            )
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), cur.alias(text_col), *counts)
 
 
 def doc_fingerprint(

@@ -749,6 +749,161 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    # Transitive closure over the SAME confirmed LSH pairs the gated
+    # dedup_minhash_lsh query emits: component = set of docs reachable
+    # through near-dup edges; cluster_id = component min. The
+    # recursive CTE is the relational spelling of what the Spark side
+    # computes iteratively (min-label propagation to fixpoint).
+    oracle=f"""
+    WITH RECURSIVE {_lsh_confirmed_sql("documents")},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM confirmed
+      UNION
+      SELECT doc_b, doc_a FROM confirmed),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+      FROM reach GROUP BY s)
+    SELECT doc_id, cluster_id,
+           CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_canonical
+    FROM comp
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over
+    the confirmed MinHash-LSH edges, one canonical doc per cluster
+    (the component-min id). The step a production corpus clean runs
+    after pair emission — A~B and B~C collapse to one survivor even
+    when A and C never collide directly."""
+    from .functions.clusters import connected_components
+    from .functions.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, tau_num=1, tau_den=2)
+    cc = connected_components(pairs, "doc_a", "doc_b", id_name="doc_id")
+    return cc.withColumn(
+        "is_canonical",
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0),
+    )
+
+
+# The synthetic corpus contains no PII (letters + spaces only), so the
+# query injects deterministic doc_id-derived PII on BOTH sides before
+# redacting — the operator genuinely fires (varied per-doc counts) and
+# the comparison covers the replaced text byte-for-byte.
+_PII_INJECT_SQL = """
+    SELECT doc_id,
+      text
+      || CASE WHEN doc_id % 2 = 0
+              THEN ' mail user' || doc_id || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+      || ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || '-1234'
+      AS text
+    FROM documents"""
+
+
+@query(
+    "redact_pii",
+    oracle=f"""
+    WITH injected AS ({_PII_INJECT_SQL}),
+    s1 AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+        regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+            '<EMAIL>', 'g') AS text
+      FROM injected),
+    s2 AS (
+      SELECT doc_id, n_email,
+        len(regexp_extract_all(text,
+            '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+            AS n_ip,
+        regexp_replace(text,
+            '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+            '<IP>', 'g') AS text
+      FROM s1)
+    SELECT doc_id, n_email, n_ip,
+      len(regexp_extract_all(text,
+          '\\b[0-9]{{3}}-[0-9]{{3,4}}-[0-9]{{4}}\\b')) AS n_phone,
+      regexp_replace(text,
+          '\\b[0-9]{{3}}-[0-9]{{3,4}}-[0-9]{{4}}\\b', '<PHONE>', 'g') AS text
+    FROM s2
+    """,
+)
+def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: emails -> <EMAIL>, IPv4 -> <IP>,
+    dashed phones -> <PHONE>, with per-kind removal counts. Pure
+    regexp Catalyst expressions (scan-speed at 100 TB)."""
+    from .functions.text import redact_pii
+
+    docs = load_table(spark, "documents", sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit("-1234"),
+            ),
+        ),
+    )
+    return redact_pii(injected)
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      FROM t)
+    SELECT source, doc_id, n_tokens,
+           (cum_tok - n_tokens) // 2048 AS pack_first,
+           (cum_tok - 1) // 2048 AS pack_last,
+           (cum_tok - 1) // 2048 - (cum_tok - n_tokens) // 2048 + 1 AS n_packs
+    FROM c
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: per-source
+    deterministic document stream, 2048-token packs, each doc mapped
+    to the pack range it occupies. All-integer window arithmetic."""
+    from .functions.packing import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(docs, budget=2048)
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH tok AS (
@@ -2069,6 +2224,9 @@ _GATE_ORDER = [
     "window_range_frame",
     "stream_late_drop",
     "dedup_incremental",
+    "dedup_clusters",
+    "redact_pii",
+    "pack_sequences",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -50,5 +50,8 @@ def test_gate_window_contents():
         "window_range_frame",
         "stream_late_drop",
         "dedup_incremental",
+        "dedup_clusters",
+        "redact_pii",
+        "pack_sequences",
     ]
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -1,0 +1,146 @@
+"""Tests for the round-6 pipeline operators: duplicate-cluster
+connected components, PII redaction, and sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sorted_spark.functions.clusters import canonical_docs, connected_components
+from spark_sorted_spark.functions.packing import pack_sequences
+from spark_sorted_spark.functions.text import redact_pii
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+
+
+class TestConnectedComponents:
+    def test_two_components_and_transitivity(self, spark):
+        # {1,2,3} via 1-2, 2-3 (1 and 3 never directly linked); {7,9}
+        cc = connected_components(_edges(spark, [(1, 2), (2, 3), (9, 7)]))
+        got = {(r.doc_id, r.cluster_id) for r in cc.collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+    def test_chain_needs_multiple_rounds(self, spark):
+        # a 12-node path: min label must walk the whole diameter
+        chain = [(i, i + 1) for i in range(12)]
+        cc = connected_components(_edges(spark, chain))
+        got = {(r.doc_id, r.cluster_id) for r in cc.collect()}
+        assert got == {(i, 0) for i in range(13)}
+
+    def test_iteration_cap_is_loud(self, spark):
+        chain = [(i, i + 1) for i in range(12)]
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(_edges(spark, chain), max_iters=2)
+
+    def test_empty_edges(self, spark):
+        cc = connected_components(_edges(spark, []))
+        assert cc.count() == 0
+        assert cc.columns == ["doc_id", "cluster_id"]
+
+    def test_canonical_docs_keeps_one_per_cluster(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(6)], "doc_id bigint, text string"
+        )
+        cc = connected_components(_edges(spark, [(1, 2), (2, 3), (4, 5)]))
+        kept = sorted(r.doc_id for r in canonical_docs(docs, cc).collect())
+        # 0 untouched; {1,2,3} -> 1; {4,5} -> 4
+        assert kept == [0, 1, 4]
+
+
+class TestRedactPii:
+    def test_redacts_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "write to a@b.io or c.d+x@e.org now"),
+                (2, "host 192.168.0.1 and 10.0.0.255 up"),
+                (3, "call 555-0192-1234 today"),
+                (4, "clean text with no pii at all"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in redact_pii(df).collect()}
+        assert out[1].text == "write to <EMAIL> or <EMAIL> now"
+        assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 0, 0)
+        assert out[2].text == "host <IP> and <IP> up"
+        assert out[2].n_ip == 2
+        assert out[3].text == "call <PHONE> today"
+        assert out[3].n_phone == 1
+        assert out[4].text == "clean text with no pii at all"
+        assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+
+    def test_email_domain_not_double_counted_as_ip(self, spark):
+        # the email pass swallows dotted-digit domains BEFORE the ip
+        # pass runs — sequential counts never overlap
+        df = spark.createDataFrame(
+            [(1, "x@1.2.3.44.io then 5.6.7.8")], "doc_id bigint, text string"
+        )
+        r = redact_pii(df).collect()[0]
+        assert r.text == "<EMAIL> then <IP>"
+        assert (r.n_email, r.n_ip) == (1, 1)
+
+    def test_digit_tld_address_falls_through_to_ip(self, spark):
+        # "x@1.2.3.44" is NOT an email by the pattern (TLD must be
+        # letters); the dotted quad still gets scrubbed by the ip pass
+        df = spark.createDataFrame(
+            [(1, "x@1.2.3.44 end")], "doc_id bigint, text string"
+        )
+        r = redact_pii(df).collect()[0]
+        assert r.text == "x@<IP> end"
+        assert (r.n_email, r.n_ip) == (0, 1)
+
+
+class TestPackSequences:
+    def test_chunk_accounting(self, spark):
+        # budget 10; stream: 4 + 4 + 5 + 9 tokens
+        rows = [
+            (1, "a " * 4, "s"),
+            (2, "b " * 4, "s"),
+            (3, "c " * 5, "s"),
+            (4, "d " * 9, "s"),
+        ]
+        df = spark.createDataFrame(
+            [(i, t.strip(), s) for i, t, s in rows],
+            "doc_id bigint, text string, source string",
+        )
+        out = {r.doc_id: r for r in pack_sequences(df, budget=10).collect()}
+        # offsets: [0,4) [4,8) [8,13) [13,22)
+        assert (out[1].pack_first, out[1].pack_last, out[1].n_packs) == (0, 0, 1)
+        assert (out[2].pack_first, out[2].pack_last, out[2].n_packs) == (0, 0, 1)
+        assert (out[3].pack_first, out[3].pack_last, out[3].n_packs) == (0, 1, 2)
+        assert (out[4].pack_first, out[4].pack_last, out[4].n_packs) == (1, 2, 2)
+
+    def test_groups_pack_independently(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "x"), (2, "d e f", "y")],
+            "doc_id bigint, text string, source string",
+        )
+        out = {r.doc_id: r for r in pack_sequences(df, budget=10).collect()}
+        assert out[1].pack_first == 0 and out[2].pack_first == 0
+
+    def test_sharded_packing_parallelizes_pack_space(self, spark):
+        df = spark.createDataFrame(
+            [(i, "t " * 7, "s") for i in range(8)],
+            "doc_id bigint, text string, source string",
+        )
+        out = pack_sequences(df, budget=16, n_shards=4)
+        assert "shard" in out.columns
+        rows = out.collect()
+        # 2 docs x 8 tokens per shard => every shard fills pack 0
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert set(by_shard) == {0, 1, 2, 3}
+        for docs in by_shard.values():
+            assert sorted((d.pack_first, d.pack_last) for d in docs) == [
+                (0, 0),
+                (0, 0),
+            ]
+
+    def test_rejects_bad_budget(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "s")], "doc_id bigint, text string, source string"
+        )
+        with pytest.raises(ValueError, match="budget"):
+            pack_sequences(df, budget=0)
+        with pytest.raises(ValueError, match="n_shards"):
+            pack_sequences(df, budget=8, n_shards=0)
