@@ -232,6 +232,16 @@ def b15_range_join(spark):
     force(QUERIES["range_join"](spark, SF_DIR))
 
 
+def b16_dedup_clusters(spark):
+    # the dedup close-out: LSH pair emission -> transitive clusters
+    # (iterative min-label propagation) -> canonical flags. Timed
+    # end-to-end because the iteration's per-round action cost is the
+    # number that matters at scale, not the final plan.
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["dedup_clusters"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -250,6 +260,7 @@ BENCH = {
     "b13_embedding_lsh": b13_embedding_lsh,
     "b14_simhash_banded": b14_simhash_banded,
     "b15_range_join": b15_range_join,
+    "b16_dedup_clusters": b16_dedup_clusters,
 }
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "repetition_score",
     "doc_fingerprint",
     "redact_pii",
+    "build_vocab",
     "LANG_MARKERS",
     "PII_PATTERNS",
 ]
@@ -170,6 +171,40 @@ def repetition_score(
         )
         cols.append(F.floor(pct).cast("bigint").alias(f"dup_ngram_pct_{n}"))
     return df.select(*cols)
+
+
+def build_vocab(
+    df: DataFrame,
+    max_vocab: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: the ``max_vocab`` most frequent whitespace
+    tokens with occurrence count, document frequency, and a dense
+    1-based rank (ties broken by token text, so the cut is
+    deterministic).
+
+    Scale shape (100 TB): explode + one groupBy(token) shuffle with
+    map-side partial counts, then ``orderBy(...).limit(max_vocab)`` —
+    Spark plans TakeOrderedAndProject (per-partition top-K merged on
+    the driver), never a global sort. Only the bounded ``max_vocab``
+    rows pass through the final single-partition rank window, the
+    same bounded-metadata exception the IVF centroid build uses.
+    """
+    from pyspark.sql import Window
+
+    if max_vocab <= 0:
+        raise ValueError(f"max_vocab must be positive, got {max_vocab}")
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    top = agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(max_vocab)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 # PII patterns, applied IN ORDER (emails first, so the IP pattern

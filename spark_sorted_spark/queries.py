@@ -904,6 +904,32 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "build_vocab",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    agg AS (
+      SELECT token, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM tok GROUP BY token),
+    top AS (
+      SELECT *, row_number() OVER (
+        ORDER BY n_occurrences DESC, token) AS rank
+      FROM agg)
+    SELECT token, n_occurrences, n_docs, rank FROM top WHERE rank <= 20
+    """,
+)
+def build_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus vocabulary with counts, doc frequency, and a
+    deterministic dense rank — the tokenizer-training prereq."""
+    from .functions.text import build_vocab
+
+    return build_vocab(load_table(spark, "documents", sf_dir), max_vocab=20)
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH tok AS (
@@ -2227,6 +2253,7 @@ _GATE_ORDER = [
     "dedup_clusters",
     "redact_pii",
     "pack_sequences",
+    "build_vocab",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

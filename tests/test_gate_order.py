@@ -53,5 +53,6 @@ def test_gate_window_contents():
         "dedup_clusters",
         "redact_pii",
         "pack_sequences",
+        "build_vocab",
     ]
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from spark_sorted_spark.functions.clusters import canonical_docs, connected_components
 from spark_sorted_spark.functions.packing import pack_sequences
-from spark_sorted_spark.functions.text import redact_pii
+from spark_sorted_spark.functions.text import build_vocab, redact_pii
 
 
 def _edges(spark, pairs):
@@ -87,6 +87,33 @@ class TestRedactPii:
         r = redact_pii(df).collect()[0]
         assert r.text == "x@<IP> end"
         assert (r.n_email, r.n_ip) == (0, 1)
+
+
+class TestBuildVocab:
+    def test_counts_rank_and_tie_break(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b a b c"), (2, "a b"), (3, "c a")],
+            "doc_id bigint, text string",
+        )
+        rows = build_vocab(df, max_vocab=2).orderBy("rank").collect()
+        # a: 3 occ / 3 docs; b: 3 occ / 2 docs; c: 2 occ / 2 docs —
+        # a beats b on the token tie-break, c falls below the cut
+        assert [(r.token, r.n_occurrences, r.n_docs, r.rank) for r in rows] == [
+            ("a", 3, 3, 1),
+            ("b", 3, 2, 2),
+        ]
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark):
+        from tests.conftest import plan_of
+
+        df = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
+        plan = plan_of(build_vocab(df, max_vocab=5), mode="simple")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_rejects_bad_max_vocab(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="max_vocab"):
+            build_vocab(df, max_vocab=0)
 
 
 class TestPackSequences:
