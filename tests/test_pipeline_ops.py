@@ -89,6 +89,69 @@ class TestRedactPii:
         assert (r.n_email, r.n_ip) == (0, 1)
 
 
+def test_connected_components_hypothesis_vs_union_find(spark):
+    # property check vs a pure-Python union-find oracle (the
+    # reference's ScalaCheck-vs-collections test strategy, SURVEY §5)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+        cc = connected_components(_edges(spark, edges))
+        got = {r.doc_id: r.cluster_id for r in cc.collect()}
+        assert got == expected
+
+    run()
+
+
+def test_pack_sequences_hypothesis_vs_python_accounting(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        sizes=st.lists(st.integers(1, 30), min_size=1, max_size=15),
+        budget=st.integers(1, 40),
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(sizes, budget):
+        rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(sizes)]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.pack_first, r.pack_last, r.n_packs)
+            for r in pack_sequences(df, budget=budget).collect()
+        }
+        cum = 0
+        for i, n in enumerate(sizes):
+            first, last = cum // budget, (cum + n - 1) // budget
+            assert got[i] == (n, first, last, last - first + 1)
+            cum += n
+
+    run()
+
+
 class TestBuildVocab:
     def test_counts_rank_and_tie_break(self, spark):
         df = spark.createDataFrame(
