@@ -1755,6 +1755,53 @@ def embedding_neardup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_clusters",
+    # same transitive-closure spelling as dedup_clusters, over the
+    # embedding LSH confirmed pairs — the CC operator is agnostic to
+    # where the edges came from (text shingles or embedding buckets)
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_bucket_sql('embedding', t)} AS b{t}" for t in range(_N_LSH_TABLES))}
+      FROM embeddings),
+    cand AS ({_LSH_CAND_SQL}),
+    confirmed AS (
+      SELECT vec_a, vec_b FROM cand
+      JOIN b ba ON ba.vec_id = vec_a JOIN b bc ON bc.vec_id = vec_b
+      WHERE {_cos_sql('ba.embedding', 'bc.embedding')} >= 0.4),
+    edges AS (
+      SELECT vec_a AS s, vec_b AS d FROM confirmed
+      UNION
+      SELECT vec_b, vec_a FROM confirmed),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS vec_id, least(s, min(d)) AS cluster_id
+      FROM reach GROUP BY s)
+    SELECT vec_id, cluster_id,
+           CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS is_canonical
+    FROM comp
+    """,
+)
+def embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over EMBEDDING space: connected components of
+    the confirmed cosine-LSH pairs. Identical operator to
+    dedup_clusters — edges in, canonical representatives out."""
+    from .functions.clusters import connected_components
+    from .functions.similarity import cosine_neardup_pairs_lsh
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = cosine_neardup_pairs_lsh(emb, 0.4, n_planes=4)
+    cc = connected_components(pairs, "vec_a", "vec_b", id_name="vec_id")
+    return cc.withColumn(
+        "is_canonical",
+        F.when(F.col("vec_id") == F.col("cluster_id"), 1).otherwise(0),
+    )
+
+
 # ===========================================================================
 # Global order-by/limit (reference has "no global sort or limit",
 # SURVEY §2.6 — native in Spark: ORDER BY + LIMIT compiles to
@@ -2254,6 +2301,7 @@ _GATE_ORDER = [
     "redact_pii",
     "pack_sequences",
     "build_vocab",
+    "embedding_clusters",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

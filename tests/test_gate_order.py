@@ -54,5 +54,6 @@ def test_gate_window_contents():
         "redact_pii",
         "pack_sequences",
         "build_vocab",
+        "embedding_clusters",
     ]
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
