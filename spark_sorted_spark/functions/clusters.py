@@ -84,22 +84,21 @@ def connected_components(
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        # carry the previous label through the update so convergence
+        # is a filter on the checkpointed frame, not another join
+        stepped = (
             labels.join(nbr_min, on="id", how="left")
             .select(
                 "id",
+                F.col("lbl").alias("prev_lbl"),
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("lbl") != F.col("prev_lbl")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select("id", "lbl")
         if changed == 0:
             return labels.select(
                 F.col("id").alias(id_name), F.col("lbl").alias("cluster_id")
