@@ -324,11 +324,58 @@ def build_minhash_band_store(
     INCREMENTAL-dedup store. Built once per corpus (the only pass that
     ever shingles the existing documents); every subsequent batch
     dedups against it via :func:`dedup_against_store` without
-    recomputing a single existing signature. The store is
-    (id, band, band_key): ~4 short rows per document, tiny next to the
-    text it indexes — at 100 TB of corpus this is the difference
-    between an O(new batch) nightly job and re-signing the world."""
-    minhash_band_table(df, text_col, id_col, n).write.mode("overwrite").parquet(path)
+    recomputing a single existing signature.
+
+    Layout: ``{path}/bands`` is (id, band, band_key) — ~4 short rows
+    per document, tiny next to the text it indexes; ``{path}/counts``
+    is the per-(band, band_key) member count, precomputed HERE so the
+    per-batch hot-bucket guard never re-aggregates the store (at
+    100 TB of corpus, re-counting the store every nightly batch would
+    be a full store shuffle — the counts table makes the guard
+    O(new batch))."""
+    bands = minhash_band_table(df, text_col, id_col, n)
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    spark = df.sparkSession
+    (
+        spark.read.parquet(f"{path}/bands")
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("store_n"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/counts")
+    )
+
+
+def _combined_small_keys(
+    new_bands: DataFrame, store_counts: DataFrame, max_bucket: int
+) -> DataFrame:
+    """The incremental hot-bucket guard: new-batch band keys whose
+    COMBINED (store + new) member count stays within ``max_bucket``.
+    Restricted to new-side keys — store-only keys can't form
+    candidates, so the candidate set is identical to counting the
+    whole combined corpus.
+
+    Join order matters at scale: a plain left join new_counts x
+    store_counts could only broadcast the STORE side (LeftOuter builds
+    right) — wrong at 100 TB. So store_counts is first pruned to
+    new-batch keys via an inner join that broadcasts the new keys
+    (scan + broadcast-hash-join, no store shuffle); the remaining left
+    join is between two batch-sized frames."""
+    new_counts = new_bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("new_n")
+    )
+    new_keys = new_counts.select("band", "band_key")
+    store_hits = store_counts.join(
+        F.broadcast(new_keys), on=["band", "band_key"], how="inner"
+    )
+    return (
+        new_counts.join(
+            F.broadcast(store_hits), on=["band", "band_key"], how="left"
+        )
+        .filter(
+            F.coalesce(F.col("store_n"), F.lit(0)) + F.col("new_n") <= max_bucket
+        )
+        .select("band", "band_key")
+    )
 
 
 def dedup_against_store(
@@ -350,12 +397,23 @@ def dedup_against_store(
     Scale design — the per-batch costs are O(new batch), not O(corpus):
 
     * signatures are computed for the new batch ONLY; the corpus side
-      comes from the persisted band store (``store``: DataFrame or
-      parquet path from :func:`build_minhash_band_store`);
+      comes from the persisted band store (``store``: parquet path
+      from :func:`build_minhash_band_store`, or a bare band-table
+      DataFrame as the non-persisted fallback);
     * the hot-bucket guard counts STORE + NEW members together (same
       ``max_bucket`` semantics as self-dedup applied to the combined
       corpus — a boilerplate bucket is degenerate no matter which side
-      its members arrived in);
+      its members arrived in). The store-side counts come from the
+      store's precomputed ``counts`` table, and only band keys PRESENT
+      IN THE NEW BATCH are aggregated — keys that exist only in the
+      store cannot produce a candidate, so dropping them changes
+      nothing while keeping the guard shuffle O(new batch) instead of
+      O(corpus);
+    * the surviving key set is new-batch-sized, so it BROADCASTS to
+      the store scan — the full store meets only a scan +
+      broadcast-hash-join filter; the only store rows that ever reach
+      a shuffle are the pruned subset (bounded by new keys x
+      ``max_bucket``), which is O(new batch);
     * candidates are the store x new band equi-join (never a cartesian;
       sides are disjoint so no self-pair filter is needed);
     * the corpus text is shingled only for documents that actually
@@ -365,23 +423,29 @@ def dedup_against_store(
 
     ``corpus_df`` must contain every id the store indexes (it is the
     verify-time source of existing documents' text)."""
+    spark = new_df.sparkSession
+    store_counts = None
     if isinstance(store, str):
-        store = new_df.sparkSession.read.parquet(store)
+        store_counts = spark.read.parquet(f"{store}/counts")
+        store = spark.read.parquet(f"{store}/bands")
     new_df = spread_small_input(new_df)
     new_bands = minhash_band_table(new_df, text_col, id_col, n)
     store_bands = store.select(id_col, "band", "band_key")
-    combined = store_bands.unionByName(new_bands)
-    small = (
-        combined.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .filter(F.col("bn") <= max_bucket)
-        .drop("bn")
-    )
+    if store_counts is None:
+        # DataFrame store (no persisted counts): aggregate on the fly
+        store_counts = store_bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("store_n")
+        )
+    small = _combined_small_keys(new_bands, store_counts, max_bucket)
+    # bounded by the new batch's key count; materialize once so the
+    # two candidate joins reference a leaf instead of re-planning the
+    # whole guard lineage per use
+    small = small.localCheckpoint(eager=True)
     cand = (
-        store_bands.join(small, on=["band", "band_key"])
+        store_bands.join(F.broadcast(small), on=["band", "band_key"])
         .select(F.col(id_col).alias("doc_old"), "band", "band_key")
         .join(
-            new_bands.join(small, on=["band", "band_key"]).select(
+            new_bands.join(F.broadcast(small), on=["band", "band_key"]).select(
                 F.col(id_col).alias("doc_new"), "band", "band_key"
             ),
             on=["band", "band_key"],

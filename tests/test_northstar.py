@@ -536,6 +536,45 @@ def test_dedup_against_store_matches_cross_batch_self_dedup(spark, docs, tmp_pat
     assert again == got
 
 
+def test_dedup_against_store_prunes_store_via_broadcast(spark, docs, tmp_path):
+    """The 100 TB contract of the incremental path: the persisted
+    store must meet only a scan + broadcast-hash-join against the
+    new-batch key set — never a full-store shuffle. Pinned on the
+    static plan: both guard-key joins are BroadcastHashJoin, and the
+    store's counts table is read (not re-aggregated from bands)."""
+    from tests.conftest import plan_of
+
+    from spark_sorted_spark.functions.dedup import (
+        build_minhash_band_store,
+        dedup_against_store,
+    )
+
+    from spark_sorted_spark.functions.dedup import (
+        _combined_small_keys,
+        minhash_band_table,
+    )
+
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    store = str(tmp_path / "store")
+    build_minhash_band_store(existing, store)
+
+    # guard plan: precomputed counts scanned (store_n), new keys
+    # broadcast into the store-counts scan (no store-side Exchange
+    # before the BHJ), and only BHJs touch the store side
+    store_counts = spark.read.parquet(f"{store}/counts")
+    guard = _combined_small_keys(minhash_band_table(new), store_counts, 50)
+    gplan = plan_of(guard, mode="simple")
+    assert "store_n" in gplan
+    assert gplan.count("BroadcastHashJoin") == 2
+
+    # end-to-end plan: the guard key set is a checkpointed leaf, and
+    # the store bands meet it through a broadcast join (the bands scan
+    # is never globally shuffled)
+    plan = plan_of(dedup_against_store(new, store, existing), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_dedup_against_store_accepts_dataframe_store(spark, docs):
     from spark_sorted_spark.functions.dedup import (
         dedup_against_store,
