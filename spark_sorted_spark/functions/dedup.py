@@ -40,6 +40,7 @@ __all__ = [
     "minhash_band_table",
     "minhash_lsh_pairs",
     "build_minhash_band_store",
+    "append_to_minhash_band_store",
     "dedup_against_store",
     "simhash",
     "simhash_pairs",
@@ -345,6 +346,36 @@ def build_minhash_band_store(
     )
 
 
+def append_to_minhash_band_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Append a new batch to an existing band store — the post-ingest
+    step of the nightly cycle (dedup the batch with
+    :func:`dedup_against_store`, keep the survivors, append them so
+    tomorrow's batch dedups against today's corpus too).
+
+    Bands append as-is; counts append as a PER-BATCH DELTA row set
+    rather than rewriting the merged totals (rewriting would be an
+    O(all store keys) job per batch). The guard merges deltas lazily —
+    but only for the keys a batch actually touches, after the
+    broadcast prune, so reads stay O(new batch). Run
+    :func:`build_minhash_band_store` to compact a long-appended store
+    back to one row per key."""
+    bands = minhash_band_table(df, text_col, id_col, n).persist()
+    bands.write.mode("append").parquet(f"{path}/bands")
+    (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("store_n"))
+        .write.mode("append")
+        .parquet(f"{path}/counts")
+    )
+    bands.unpersist()
+
+
 def _combined_small_keys(
     new_bands: DataFrame, store_counts: DataFrame, max_bucket: int
 ) -> DataFrame:
@@ -364,8 +395,15 @@ def _combined_small_keys(
         F.count(F.lit(1)).alias("new_n")
     )
     new_keys = new_counts.select("band", "band_key")
-    store_hits = store_counts.join(
-        F.broadcast(new_keys), on=["band", "band_key"], how="inner"
+    # sum AFTER the broadcast prune: the counts table may hold one
+    # delta row per append (append_to_minhash_band_store), and merging
+    # deltas for just the hit keys is O(new batch) work
+    store_hits = (
+        store_counts.join(
+            F.broadcast(new_keys), on=["band", "band_key"], how="inner"
+        )
+        .groupBy("band", "band_key")
+        .agg(F.sum("store_n").alias("store_n"))
     )
     return (
         new_counts.join(

@@ -575,6 +575,41 @@ def test_dedup_against_store_prunes_store_via_broadcast(spark, docs, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_dedup_against_store_after_append_matches_self_dedup(spark, docs, tmp_path):
+    """Full nightly lifecycle: build on batch A, append batch B (delta
+    counts, no rewrite), then dedup batch C against the store — must
+    equal the cross-pairs (old in A∪B, new in C) of one self-dedup
+    over the whole corpus, proving delta-count merging preserves the
+    combined bucket-guard semantics."""
+    from spark_sorted_spark.functions.dedup import (
+        append_to_minhash_band_store,
+        build_minhash_band_store,
+        dedup_against_store,
+        minhash_lsh_pairs,
+    )
+
+    a = docs.filter(F.col("doc_id") % 4 == 1)
+    b = docs.filter((F.col("doc_id") % 4 == 2) | (F.col("doc_id") % 4 == 3))
+    c = docs.filter(F.col("doc_id") % 4 == 0)
+    store = str(tmp_path / "store")
+    build_minhash_band_store(a, store)
+    append_to_minhash_band_store(b, store)
+    corpus = a.unionByName(b)
+
+    got = sorted(map(tuple, dedup_against_store(c, store, corpus).collect()))
+    full = minhash_lsh_pairs(docs).collect()
+    expect = sorted(
+        (
+            (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
+            if r.doc_a % 4 != 0
+            else (r.doc_b, r.doc_a, r.n_common, r.n_b, r.n_a)
+        )
+        for r in full
+        if (r.doc_a % 4 == 0) != (r.doc_b % 4 == 0)
+    )
+    assert got == expect
+
+
 def test_dedup_against_store_accepts_dataframe_store(spark, docs):
     from spark_sorted_spark.functions.dedup import (
         dedup_against_store,
