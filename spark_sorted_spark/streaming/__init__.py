@@ -15,6 +15,7 @@ caveat on ``stream_fold_by_key``) — that is what the oracle gate
 checks.
 """
 
+from .ingest import stream_ingest_dedup
 from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now, stream_to_files
 from .source import stream_table
@@ -27,6 +28,7 @@ __all__ = [
     "stream_dedup",
     "stream_stream_join",
     "stream_fold_by_key",
+    "stream_ingest_dedup",
     "run_available_now",
     "stream_to_files",
 ]

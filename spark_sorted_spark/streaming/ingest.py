@@ -1,0 +1,111 @@
+"""Streaming corpus ingest with incremental dedup: the production
+loop that keeps a growing corpus near-dup-free.
+
+Each micro-batch of arriving documents is (1) self-deduped within the
+batch, (2) checked against the persisted MinHash band store of
+everything already accepted, (3) survivors appended to the corpus AND
+to the band store (bands + delta counts), so the very next batch
+dedups against them. ``foreachBatch`` is the right tool: the loop
+needs batch-scoped writes to three sinks (corpus, store, audit log),
+which no single streaming sink expresses.
+
+Ordering semantics: earlier batches win. A document that near-dups
+anything already accepted is dropped and logged; within a batch the
+lower doc_id survives (same policy as ``pipeline_clean_corpus``).
+Batch boundaries therefore affect WHICH duplicate of a pair survives
+— never whether a duplicate pair escapes: cross-batch pairs are
+caught by the store check because the earlier batch's bands were
+appended before the later batch runs.
+
+Scale notes (100 TB corpus, unbounded stream):
+* per-batch cost is O(batch): batch-side signatures only, the
+  broadcast-pruned guard, candidate-only text reads (see
+  ``dedup_against_store``);
+* the corpus parquet is append-only and the store appends delta
+  counts — no per-batch rewrite of anything corpus-sized;
+* the checkpoint makes the loop restartable; foreachBatch re-runs a
+  failed batch, so the appends are at-least-once — production
+  deployments fence replays with the batch_id column written to the
+  audit log (re-appending the same batch is detectable and cheap to
+  compact, the standard trade-off of multi-sink foreachBatch loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    append_to_minhash_band_store,
+    dedup_against_store,
+    minhash_lsh_pairs,
+)
+
+__all__ = ["stream_ingest_dedup"]
+
+
+def stream_ingest_dedup(
+    stream_docs: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    audit_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 50,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain ``stream_docs`` (bounded, availableNow) through the
+    dedup-ingest loop. ``store_path`` must hold a band store built by
+    ``build_minhash_band_store`` (possibly over an empty corpus);
+    ``corpus_path`` accumulates accepted documents; ``audit_path``
+    accumulates (doc_old, doc_new, batch_id) drop records."""
+    spark = stream_docs.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # within-batch self-dedup: lower id survives
+        self_pairs = minhash_lsh_pairs(
+            batch_df, text_col, id_col, n=n, max_bucket=max_bucket
+        )
+        self_drop = self_pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        batch = batch_df.join(self_drop, on=id_col, how="left_anti")
+        # store check: anything near-dupping the accepted corpus drops
+        # (first batch ever: no corpus written yet -> empty relation)
+        try:
+            corpus = spark.read.parquet(corpus_path)
+        except Exception:
+            corpus = spark.createDataFrame([], batch_df.schema)
+        pairs = dedup_against_store(
+            batch,
+            store_path,
+            corpus,
+            text_col,
+            id_col,
+            n=n,
+            max_bucket=max_bucket,
+        )
+        store_drop = pairs.select(F.col("doc_new").alias(id_col)).distinct()
+        survivors = batch.join(store_drop, on=id_col, how="left_anti")
+        # order matters: corpus/store appends AFTER the dedup reads
+        survivors.write.mode("append").parquet(corpus_path)
+        append_to_minhash_band_store(survivors, store_path, text_col, id_col, n)
+        (
+            pairs.select("doc_old", "doc_new")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(audit_path)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("stream_ingest_dedup did not finish")
+    finally:
+        q.stop()

@@ -445,3 +445,77 @@ def test_stream_late_drop_query_matches_batch_replay(spark, sf_dir):
         )
     )
     assert got == sorted(map(tuple, replay.collect()))
+
+
+def test_stream_ingest_dedup_two_drain_lifecycle(spark, sf_dir, tmp_path):
+    """The production ingest loop: two drains (two arriving batches)
+    through foreachBatch must leave EXACTLY the corpus a sequential
+    batch pipeline computes — within-batch self-dedup, cross-batch
+    store check (earlier batch wins), store appended as it grows."""
+    import shutil
+
+    from spark_sorted_spark.functions.dedup import (
+        build_minhash_band_store,
+        minhash_lsh_pairs,
+    )
+    from spark_sorted_spark.streaming import stream_table
+    from spark_sorted_spark.streaming.ingest import stream_ingest_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(F.col("doc_id") % 2 == 0)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+    build_minhash_band_store(spark.createDataFrame([], docs.schema), store)
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain():
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_ingest_dedup(sdf, store, corpus, audit, ckpt, timeout_sec=180)
+
+    def expected_survivors(batch, prior_survivors):
+        self_drop = {
+            r.doc_b for r in minhash_lsh_pairs(batch).collect()
+        }
+        b = batch.filter(~F.col("doc_id").isin(list(self_drop) or [-1]))
+        if prior_survivors is None:
+            return b
+        union = prior_survivors.unionByName(b)
+        prior_ids = {r.doc_id for r in prior_survivors.select("doc_id").collect()}
+        cross_drop = set()
+        for r in minhash_lsh_pairs(union).collect():
+            a_old, b_old = r.doc_a in prior_ids, r.doc_b in prior_ids
+            if a_old != b_old:
+                cross_drop.add(r.doc_b if b_old is False else r.doc_a)
+        return b.filter(~F.col("doc_id").isin(list(cross_drop) or [-1]))
+
+    arrive(b1, "b1")
+    drain()
+    s1 = expected_survivors(b1, None)
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {r.doc_id for r in s1.collect()}
+
+    arrive(b2, "b2")
+    drain()
+    s2 = expected_survivors(b2, s1)
+    expect = got1 | {r.doc_id for r in s2.collect()}
+    got2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got2 == expect
+    # audit log recorded the cross-batch drops with their batch id
+    dropped = (
+        {r.doc_id for r in b2.collect()}
+        - {r.doc_id for r in s2.collect()}
+        - {r.doc_b for r in minhash_lsh_pairs(b2).collect()}
+    )
+    audit_new = {r.doc_new for r in spark.read.parquet(audit).collect()}
+    assert dropped <= audit_new
