@@ -2287,8 +2287,14 @@ _GATE_ORDER = [
     "stream_stream_join",
     "stratified_sample",
     "corpus_mix",
-    "tpch_q5_local_supplier",
+    # round-6 rotation #2: dedup_clusters (the transitive cluster
+    # close-out, the round's flagship new operator) earns a driver
+    # row; tpch_q5_local_supplier rotates out — the TPC-H composite
+    # family keeps two gated rows (q1, q3) and q5's operators
+    # (multi-join + agg) are all individually gated
+    "dedup_clusters",
     # --- gate cutoff (driver runs the 50 above) ---
+    "tpch_q5_local_supplier",
     "dedup_simhash",
     "embedding_neardup",
     "rollup_agg",
@@ -2297,7 +2303,6 @@ _GATE_ORDER = [
     "window_range_frame",
     "stream_late_drop",
     "dedup_incremental",
-    "dedup_clusters",
     "redact_pii",
     "pack_sequences",
     "build_vocab",

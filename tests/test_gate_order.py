@@ -42,6 +42,7 @@ def test_gate_window_contents():
     # extensions (locally oracle-checked; see PARITY.md "Driver gate
     # window")
     assert names[50:] == [
+        "tpch_q5_local_supplier",
         "dedup_simhash",
         "embedding_neardup",
         "rollup_agg",
@@ -50,10 +51,10 @@ def test_gate_window_contents():
         "window_range_frame",
         "stream_late_drop",
         "dedup_incremental",
-        "dedup_clusters",
         "redact_pii",
         "pack_sequences",
         "build_vocab",
         "embedding_clusters",
     ]
+    assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
