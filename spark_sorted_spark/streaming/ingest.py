@@ -54,6 +54,8 @@ def stream_ingest_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
     max_bucket: int = 50,
     timeout_sec: int = 300,
 ) -> None:
@@ -67,15 +69,26 @@ def stream_ingest_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # within-batch self-dedup: lower id survives
         self_pairs = minhash_lsh_pairs(
-            batch_df, text_col, id_col, n=n, max_bucket=max_bucket
+            batch_df,
+            text_col,
+            id_col,
+            n=n,
+            tau_num=tau_num,
+            tau_den=tau_den,
+            max_bucket=max_bucket,
         )
         self_drop = self_pairs.select(F.col("doc_b").alias(id_col)).distinct()
         batch = batch_df.join(self_drop, on=id_col, how="left_anti")
         # store check: anything near-dupping the accepted corpus drops
-        # (first batch ever: no corpus written yet -> empty relation)
+        # (first batch ever: no corpus written yet -> empty relation).
+        # ONLY the missing-path case falls back to empty — a corrupt
+        # or unreadable corpus must fail the batch, not silently admit
+        # duplicates
+        from pyspark.errors import AnalysisException
+
         try:
             corpus = spark.read.parquet(corpus_path)
-        except Exception:
+        except AnalysisException:
             corpus = spark.createDataFrame([], batch_df.schema)
         pairs = dedup_against_store(
             batch,
@@ -84,6 +97,8 @@ def stream_ingest_dedup(
             text_col,
             id_col,
             n=n,
+            tau_num=tau_num,
+            tau_den=tau_den,
             max_bucket=max_bucket,
         )
         store_drop = pairs.select(F.col("doc_new").alias(id_col)).distinct()
