@@ -465,6 +465,163 @@ def ann_ivf_topk_indexed(
     return _rank_topk(celled, query_vec, k, vec_col, id_col)
 
 
+def _multi_table_buckets(
+    df: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, t, bucket) rows for the multi-table sign-bit LSH — table
+    ``t`` buckets by the sign bits of planes ``t*n_planes ..
+    t*n_planes+n_planes-1``. Shared bitwise-identically by
+    ``cosine_neardup_pairs_lsh`` (self near-dup) and ``knn_join_lsh``
+    (cross-corpus retrieval); the gate queries pin the construction
+    against DuckDB's replay.
+
+    The plane matrix rides in as ONE constant-folded literal
+    (_planes_lit) instead of n_tables*n_planes*dim inlined F.lit()
+    nodes. Measured (r6, sf0.1, 48 planes x 64 dims): the inlined
+    tree cost ~4 s PER CALL of pure Python/py4j DataFrame
+    construction before Spark ever saw the plan — 70%+ of b13's
+    wall-clock was driver-side expression building, not execution.
+    Worker-side math is untouched: same planes, same strict left-fold
+    dot, bitwise-identical buckets."""
+    flat = [
+        _hyperplane(t * n_planes + p, dim)
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    planes = _planes_lit(flat)
+    vec_d = F.col(vec_col).cast("array<double>")
+
+    # sign bits of all planes in one pass, materialized as a REAL
+    # column: element_at(<expr>, i) re-evaluates <expr> per lookup in
+    # interpreted HOF context (no CSE inside lambdas), so referencing
+    # the 48-dot transform by name is what keeps it evaluated once
+    bits = F.transform(
+        planes, lambda p: F.when(_dot_dbl(vec_d, p) >= 0, 1).otherwise(0)
+    )
+    pow2 = F.array(*[F.lit(1 << p) for p in range(n_planes)])
+    bcol = F.col("__bits")
+    tb = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.alias("t"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0),
+                lambda acc, p: acc
+                + F.element_at(bcol, t * n_planes + p + 1)
+                * F.element_at(pow2, p + 1),
+            ).alias("bucket"),
+        ),
+    )
+    # bucket table carries IDS ONLY — the 8-way explode and the
+    # (t, bucket) join never ship the 64-float embeddings (that
+    # would push 8 copies of every vector through the shuffle);
+    # embeddings are joined back exactly once per side for the verify.
+    return (
+        df.select(F.col(id_col), bits.alias("__bits"))
+        .select(F.col(id_col), F.explode(tb).alias("tb"))
+        .select(id_col, "tb.t", "tb.bucket")
+    )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = ANN_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Batch k-NN JOIN: for every left vector, its top-``k`` cosine
+    neighbors among the right corpus that share at least one LSH
+    bucket — the retrieval shape batch pipelines run (nearest training
+    docs per eval prompt, cross-corpus contamination analysis,
+    retrieval-augmented labeling), as one relational job instead of
+    n_left separate ANN queries.
+
+    Both sides bucket with the SAME seeded planes (multi-table
+    OR-construction, shared with ``cosine_neardup_pairs_lsh``);
+    candidates are the (t, bucket) equi-join projected to id pairs —
+    never a cross join; the exact strict-fold cosine verifies each
+    candidate once; ``row_number`` over (cos desc, right id) takes the
+    deterministic top-k per left id. Like every LSH construction here,
+    recall is the banding trade-off and precision of returned
+    neighbors is exact.
+
+    Output: (left_id, right_id, cos, rank), rank 1..k. Left vectors
+    with no bucket collision produce no rows (they'd need a brute
+    fallback — compose with ``cosine_topk`` per miss if required).
+
+    Scale: shuffle volume is ids-only until the verify; the per-left
+    candidate count is bounded by n_tables x bucket occupancy
+    (``max_bucket`` caps degenerate cells); the final rank is a
+    per-left-id window over verified candidates only.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from .dedup import spread_small_input
+
+    left = spread_small_input(left)
+    right = spread_small_input(right)
+    lb = _multi_table_buckets(left, n_planes, n_tables, dim, vec_col, id_col)
+    rb = _multi_table_buckets(right, n_planes, n_tables, dim, vec_col, id_col)
+    if max_bucket is not None:
+        occ = (
+            rb.groupBy("t", "bucket")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .drop("bn")
+        )
+        rb = rb.join(occ, on=["t", "bucket"])
+    cand = (
+        lb.select("t", "bucket", F.col(id_col).alias("left_id"))
+        .join(
+            rb.select("t", "bucket", F.col(id_col).alias("right_id")),
+            on=["t", "bucket"],
+        )
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    sc = left.sparkSession.sparkContext
+    cand = cand.repartition(sc.defaultParallelism)
+    vec_d = F.col(vec_col).cast("array<double>")
+    el = left.select(
+        F.col(id_col).alias("left_id"),
+        vec_d.alias("emb_l"),
+        F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_l"),
+    )
+    er = right.select(
+        F.col(id_col).alias("right_id"),
+        vec_d.alias("emb_r"),
+        F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_r"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left_id").orderBy(
+        F.desc("cos"), F.asc("right_id")
+    )
+    return (
+        cand.join(el, "left_id")
+        .join(er, "right_id")
+        .withColumn(
+            "cos",
+            _dot_dbl(F.col("emb_l"), F.col("emb_r"))
+            / (F.col("norm_l") * F.col("norm_r")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("left_id", "right_id", "cos", "rank")
+    )
+
+
 def cosine_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float,
@@ -514,52 +671,8 @@ def cosine_neardup_pairs_lsh(
         n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
     df = spread_small_input(df)
 
-    # The plane matrix rides in as ONE constant-folded literal
-    # (_planes_lit) instead of n_tables*n_planes*dim inlined F.lit()
-    # nodes. Measured (r6, sf0.1, 48 planes x 64 dims): the inlined
-    # tree cost ~4 s PER CALL of pure Python/py4j DataFrame
-    # construction before Spark ever saw the plan — 70%+ of b13's
-    # wall-clock was driver-side expression building, not execution.
-    # Worker-side math is untouched: same planes, same strict left-fold
-    # dot, bitwise-identical buckets (verified old-vs-new equal at
-    # sf0.1; the n_planes=4 gate query pins it vs DuckDB).
-    flat = [
-        _hyperplane(t * n_planes + p, dim)
-        for t in range(n_tables)
-        for p in range(n_planes)
-    ]
-    planes = _planes_lit(flat)
     vec_d = F.col(vec_col).cast("array<double>")
-
-    # sign bits of all planes in one pass, materialized as a REAL
-    # column: element_at(<expr>, i) re-evaluates <expr> per lookup in
-    # interpreted HOF context (no CSE inside lambdas), so referencing
-    # the 48-dot transform by name is what keeps it evaluated once
-    bits = F.transform(planes, lambda p: F.when(_dot_dbl(vec_d, p) >= 0, 1).otherwise(0))
-    pow2 = F.array(*[F.lit(1 << p) for p in range(n_planes)])
-    bcol = F.col("__bits")
-    tb = F.transform(
-        F.sequence(F.lit(0), F.lit(n_tables - 1)),
-        lambda t: F.struct(
-            t.alias("t"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                F.lit(0),
-                lambda acc, p: acc
-                + F.element_at(bcol, t * n_planes + p + 1)
-                * F.element_at(pow2, p + 1),
-            ).alias("bucket"),
-        ),
-    )
-    # bucket table carries IDS ONLY — the 8-way explode and the
-    # (t, bucket) self-join never ship the 64-float embeddings (that
-    # would push 8 copies of every vector through the shuffle);
-    # embeddings are joined back exactly once per side for the verify.
-    b = (
-        df.select(F.col(id_col), bits.alias("__bits"))
-        .select(F.col(id_col), F.explode(tb).alias("tb"))
-        .select(id_col, "tb.t", "tb.bucket")
-    )
+    b = _multi_table_buckets(df, n_planes, n_tables, dim, vec_col, id_col)
     if max_bucket is not None:
         small = (
             b.groupBy("t", "bucket")

@@ -1802,6 +1802,58 @@ def embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_CAND_SQL = " UNION ".join(
+    f"""SELECT a.vec_id AS left_id, c.vec_id AS right_id
+    FROM lb a JOIN rb c ON a.b{t} = c.b{t}"""
+    for t in range(_N_LSH_TABLES)
+)
+
+
+@query(
+    "knn_join",
+    # replay of the bucketed construction: both sides bucket with the
+    # SAME planes, candidates from any-table collision, exact cosine,
+    # deterministic top-k per left id (cos desc, right_id tie-break —
+    # cos is the identical strict fold on both engines, so the order
+    # is bitwise-reproducible)
+    oracle=f"""
+    WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    lb AS (
+      SELECT vec_id,
+             {", ".join(f"{_bucket_sql('embedding', t)} AS b{t}" for t in range(_N_LSH_TABLES))}
+      FROM l),
+    rb AS (
+      SELECT vec_id,
+             {", ".join(f"{_bucket_sql('embedding', t)} AS b{t}" for t in range(_N_LSH_TABLES))}
+      FROM r),
+    cand AS ({_KNN_CAND_SQL}),
+    scored AS (
+      SELECT left_id, right_id,
+             {_cos_sql('la.embedding', 'ra.embedding')} AS cos
+      FROM cand JOIN l la ON la.vec_id = left_id
+                JOIN r ra ON ra.vec_id = right_id),
+    ranked AS (
+      SELECT left_id, right_id, cos,
+             row_number() OVER (
+               PARTITION BY left_id ORDER BY cos DESC, right_id) AS rank
+      FROM scored)
+    SELECT left_id, right_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: odd vec_ids (queries) x even vec_ids (index),
+    top-3 cosine neighbors per query among LSH bucket collisions —
+    the cross-corpus retrieval shape as one relational job."""
+    from .functions.similarity import knn_join_lsh
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    left = emb.filter(F.col("vec_id") % 2 == 1)
+    right = emb.filter(F.col("vec_id") % 2 == 0)
+    out = knn_join_lsh(left, right, k=3, n_planes=4)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # ===========================================================================
 # Global order-by/limit (reference has "no global sort or limit",
 # SURVEY §2.6 — native in Spark: ORDER BY + LIMIT compiles to
@@ -2307,6 +2359,7 @@ _GATE_ORDER = [
     "pack_sequences",
     "build_vocab",
     "embedding_clusters",
+    "knn_join",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

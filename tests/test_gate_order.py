@@ -55,6 +55,7 @@ def test_gate_window_contents():
         "pack_sequences",
         "build_vocab",
         "embedding_clusters",
+        "knn_join",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

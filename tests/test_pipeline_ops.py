@@ -234,3 +234,42 @@ class TestPackSequences:
             pack_sequences(df, budget=0)
         with pytest.raises(ValueError, match="n_shards"):
             pack_sequences(df, budget=8, n_shards=0)
+
+
+class TestKnnJoin:
+    def test_topk_rank_semantics(self, spark):
+        from spark_sorted_spark.functions.similarity import knn_join_lsh
+
+        # axis-aligned-ish vectors in 4 dims: left doc should rank
+        # right neighbors by exact cosine among bucket collisions
+        import random
+
+        rng = random.Random(7)
+        dim = 8
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        left = emb.filter("vec_id % 2 = 1")
+        right = emb.filter("vec_id % 2 = 0")
+        out = knn_join_lsh(left, right, k=2, n_planes=2, n_tables=4, dim=dim)
+        rows_out = out.collect()
+        assert rows_out, "no collisions at 2 planes / 4 tables is implausible"
+        by_left = {}
+        for r in rows_out:
+            by_left.setdefault(r.left_id, []).append(r)
+        for lid, rs in by_left.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= 2
+            # ranks ordered by non-increasing cosine
+            assert all(
+                rs[i].cos >= rs[i + 1].cos for i in range(len(rs) - 1)
+            )
+
+    def test_rejects_bad_k(self, spark):
+        from spark_sorted_spark.functions.similarity import knn_join_lsh
+
+        emb = spark.createDataFrame(
+            [(1, [0.1, 0.2])], "vec_id bigint, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="k must be"):
+            knn_join_lsh(emb, emb, k=0, dim=2)
