@@ -1498,6 +1498,44 @@ def tpch_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q6_forecast_revenue",
+    # the canonical scan-filter-agg: every predicate pushes to the
+    # parquet scan (PushedFilters on shipdate/discount/quantity), one
+    # partial+final aggregate, no joins, no shuffle beyond the final
+    # single-group exchange. Money math in exact 1e-4 units (price x
+    # discount each carry 2 decimals).
+    oracle="""
+    SELECT sum(round(l_extendedprice * l_discount * 10000)::BIGINT)::BIGINT
+               AS revenue_e4,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+                .cast("bigint")
+            ).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
@@ -2360,6 +2398,7 @@ _GATE_ORDER = [
     "build_vocab",
     "embedding_clusters",
     "knn_join",
+    "tpch_q6_forecast_revenue",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

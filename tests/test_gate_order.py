@@ -56,6 +56,7 @@ def test_gate_window_contents():
         "build_vocab",
         "embedding_clusters",
         "knn_join",
+        "tpch_q6_forecast_revenue",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
