@@ -78,7 +78,13 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    # max_iters bounds CHANGE rounds: diameter-D propagation makes its
+    # last change in round D and needs one further no-change round to
+    # detect the fixpoint, so the loop runs until max_iters rounds have
+    # actually changed something (a diameter == max_iters graph still
+    # converges; max_iters + 1 total rounds worst case)
+    change_rounds = 0
+    while True:
         nbr_min = (
             sym.join(labels, sym["s"] == labels["id"])
             .groupBy(F.col("d").alias("id"))
@@ -98,16 +104,23 @@ def connected_components(
         changed = (
             stepped.filter(F.col("lbl") != F.col("prev_lbl")).limit(1).count()
         )
+        # rebinding `labels` drops the only reference to the previous
+        # round's checkpoint — its blocks are reclaimed by the
+        # ContextCleaner on GC, so at most ~2 label tables are live
+        # (plus `sym`, which every round reuses by design)
         labels = stepped.select("id", "lbl")
         if changed == 0:
             return labels.select(
                 F.col("id").alias(id_name), F.col("lbl").alias("cluster_id")
             )
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds; "
-        "component diameter exceeds the cap — raise max_iters or use an "
-        "O(log n) alternating-star algorithm for chain-shaped graphs"
-    )
+        change_rounds += 1
+        if change_rounds > max_iters:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "change rounds; component diameter exceeds the cap — "
+                "raise max_iters or use an O(log n) alternating-star "
+                "algorithm for chain-shaped graphs"
+            )
 
 
 def canonical_docs(

@@ -140,6 +140,11 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         f"only 16-bit PCM supported, got width "
                         f"{d['sample_width']}"
                     )
+                if d["sample_rate"] <= 0:
+                    raise ValueError(
+                        f"corrupt WAV: declared sample_rate "
+                        f"{d['sample_rate']} (id={row[id_col]})"
+                    )
                 pcm = np.frombuffer(d["pcm"], dtype="<i2").astype("float64")
                 rows[id_col].append(row[id_col])
                 rows["sample_rate"].append(d["sample_rate"])
@@ -167,18 +172,28 @@ def extract_features(
     With ``fake=True`` computes deterministic byte-statistics
     "features" (n_bytes, byte sum mod 2^31, first/last byte) — enough
     to verify batch shapes, schema handling and determinism end to
-    end. With ``fake=False`` calls ``decode_stub`` (raises until a
-    real decoder is plugged in)."""
+    end. ``fake=False`` raises — byte stats are not decoded features,
+    and WAV audio has its own real path (``audio_features``)."""
     schema = (
         f"{id_col} bigint, n_bytes bigint, byte_sum bigint, "
         "first_byte bigint, last_byte bigint"
     )
 
+    # fail at PLAN time, not per-row: byte-stats are not decoded
+    # features, so a non-fake request must raise even for payloads
+    # decode() could open (WAV audio has its own REAL path,
+    # audio_features) — otherwise fabricated stats pass as decoded
+    # output on an explicitly non-fake path
+    if not fake:
+        raise NotImplementedError(
+            "extract_features has no real decoded-feature path for "
+            "images/video in this environment (PIL/ffmpeg absent); "
+            "use audio_features for WAV payloads, or fake=True for "
+            "the byte-stats plumbing check"
+        )
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                for _, row in pdf.iterrows():
-                    decode_stub(row["payload"], row["meta"]["modality"])
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -208,12 +223,22 @@ def resize_images(
     ``fake=True`` emits a deterministic stand-in payload of exactly
     ``width*height`` bytes derived from the input bytes (content-
     addressed: same input → same output, any partitioning), and
-    ``fake=False`` hits ``decode_stub``."""
+    ``fake=False`` raises (no real decoder+resizer here)."""
     schema = (
         f"{id_col} bigint, payload binary, "
         "meta struct<modality string, n_bytes bigint, md5 string>"
     )
     target = width * height
+    # no real decode+resize+re-encode exists in this container; a
+    # non-fake request raises at plan time — decode() succeeding on a
+    # WAV payload must NOT let fabricated "resized" bytes through a
+    # declared non-fake path
+    if not fake:
+        raise NotImplementedError(
+            "resize_images has no real decoder+resizer in this "
+            "environment (PIL absent); fake=True exercises the "
+            "Spark-side plumbing with content-addressed stand-ins"
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -223,8 +248,6 @@ def resize_images(
             metas = []
             for _, row in pdf.iterrows():
                 src = bytes(row["payload"])
-                if not fake:
-                    decode_stub(src, row["meta"]["modality"])
                 # deterministic "resized" bytes: repeat the md5 stream
                 # of the source until width*height bytes are filled
                 stream = b""
@@ -265,19 +288,24 @@ def sample_frames(
     pipeline = demux + seek inside the batch loop; ``fake=True`` emits
     deterministic equal-stride byte slices of the payload as "frames"
     (empty payloads produce zero rows — flat-map semantics), and
-    ``fake=False`` hits ``decode_stub``."""
+    ``fake=False`` raises (no real demuxer in this environment)."""
     schema = (
         f"{id_col} bigint, frame_idx int, frame binary, "
         "meta struct<modality string, n_bytes bigint>"
     )
+    if not fake:
+        raise NotImplementedError(
+            "sample_frames has no real demuxer/decoder in this "
+            "environment (ffmpeg absent); fake=True exercises the "
+            "1->k flat-map plumbing with deterministic byte-slice "
+            "frames"
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames, metas = [], [], [], []
             for _, row in pdf.iterrows():
                 src = bytes(row["payload"])
-                if not fake:
-                    decode_stub(src, row["meta"]["modality"])
                 if not src:
                     continue
                 k = min(n_frames, len(src))

@@ -63,7 +63,8 @@ def stream_ingest_dedup(
     dedup-ingest loop. ``store_path`` must hold a band store built by
     ``build_minhash_band_store`` (possibly over an empty corpus);
     ``corpus_path`` accumulates accepted documents; ``audit_path``
-    accumulates (doc_old, doc_new, batch_id) drop records."""
+    accumulates (doc_old, doc_new, kind, batch_id) drop records —
+    ``kind`` is 'store' (cross-batch) or 'self' (within-batch)."""
     spark = stream_docs.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -77,18 +78,31 @@ def stream_ingest_dedup(
             tau_den=tau_den,
             max_bucket=max_bucket,
         )
+        # materialize the pair set once: it feeds the drop filter AND
+        # the audit write, and its lineage is the whole LSH job
+        self_pairs = self_pairs.localCheckpoint(eager=True)
         self_drop = self_pairs.select(F.col("doc_b").alias(id_col)).distinct()
         batch = batch_df.join(self_drop, on=id_col, how="left_anti")
         # store check: anything near-dupping the accepted corpus drops
         # (first batch ever: no corpus written yet -> empty relation).
         # ONLY the missing-path case falls back to empty — a corrupt
-        # or unreadable corpus must fail the batch, not silently admit
-        # duplicates
+        # or unreadable corpus must fail the batch, and a MISSING
+        # corpus alongside a non-empty store means the caller pointed
+        # at the wrong corpus dir: an empty substitute would void the
+        # verify join and silently admit every duplicate
         from pyspark.errors import AnalysisException
 
         try:
             corpus = spark.read.parquet(corpus_path)
         except AnalysisException:
+            bands = spark.read.parquet(f"{store_path}/bands")
+            if bands.limit(1).count() > 0:
+                raise ValueError(
+                    f"corpus path {corpus_path!r} is unreadable but the "
+                    f"band store at {store_path!r} is non-empty — wrong "
+                    "corpus dir? Refusing to treat the corpus as empty "
+                    "(that would admit every duplicate)."
+                )
             corpus = spark.createDataFrame([], batch_df.schema)
         pairs = dedup_against_store(
             batch,
@@ -100,15 +114,30 @@ def stream_ingest_dedup(
             tau_num=tau_num,
             tau_den=tau_den,
             max_bucket=max_bucket,
-        )
+        ).localCheckpoint(eager=True)  # reused by drop filter + audit
         store_drop = pairs.select(F.col("doc_new").alias(id_col)).distinct()
-        survivors = batch.join(store_drop, on=id_col, how="left_anti")
+        # materialize survivors before the two appends: without this,
+        # each write re-runs the batch dedup lineage (and the second
+        # one would run AFTER the corpus append — correct only by
+        # virtue of Spark's cached file listing)
+        survivors = batch.join(
+            store_drop, on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
         # order matters: corpus/store appends AFTER the dedup reads
         survivors.write.mode("append").parquet(corpus_path)
         append_to_minhash_band_store(survivors, store_path, text_col, id_col, n)
+        # audit BOTH drop kinds: cross-batch (store) and within-batch
+        # (self) — a provenance consumer must account for every doc
+        # that entered the stream but not the corpus
+        audit = pairs.select("doc_old", "doc_new").withColumn(
+            "kind", F.lit("store")
+        ).unionByName(
+            self_pairs.select(
+                F.col("doc_a").alias("doc_old"), F.col("doc_b").alias("doc_new")
+            ).withColumn("kind", F.lit("self"))
+        )
         (
-            pairs.select("doc_old", "doc_new")
-            .withColumn("batch_id", F.lit(batch_id))
+            audit.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(audit_path)
         )

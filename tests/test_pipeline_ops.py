@@ -32,6 +32,16 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(_edges(spark, chain), max_iters=2)
 
+    def test_diameter_exactly_max_iters_converges(self, spark):
+        # max_iters bounds CHANGE rounds, not total rounds: a path of
+        # diameter D converges with max_iters == D (the detection
+        # round is free)
+        chain = [(i, i + 1) for i in range(5)]
+        cc = connected_components(_edges(spark, chain), max_iters=5)
+        assert {(r.doc_id, r.cluster_id) for r in cc.collect()} == {
+            (i, 0) for i in range(6)
+        }
+
     def test_empty_edges(self, spark):
         cc = connected_components(_edges(spark, []))
         assert cc.count() == 0
