@@ -1,0 +1,123 @@
+"""Portable sketches: approximate distinct counting whose result is
+BIT-REPRODUCIBLE across engines.
+
+``approx_count_distinct`` (Spark) and ``approx_count_distinct``
+(DuckDB) both speak HyperLogLog but with incompatible hash functions
+and register layouts — their estimates can't be compared, which
+makes them untestable against an oracle and irreproducible across
+stack upgrades. This module implements HLL from scratch on the
+engine's own relational primitives so the SAME documents always
+produce the SAME estimate, in Spark and in DuckDB:
+
+* hash: the repo's portable md5-derived integer (60 bits);
+* register index: low ``b`` bits; rank (rho): leading-zero count of
+  the remaining window + 1, computed EXACTLY via the binary-string
+  length (``F.bin`` / DuckDB ``bin`` agree bit for bit) — no
+  float log2 anywhere;
+* per-register max is an integer aggregate (order-insensitive by
+  definition);
+* the harmonic sum folds ``2^-M[j]`` in FIXED register order via a
+  strict left fold — each term is an exact power of two
+  (``1.0 / (1 << M[j])``, never ``pow``), so the float sum is the
+  identical IEEE sequence on both engines;
+* the final estimate is one constant multiply-divide
+  (``alpha_m * m^2 / hsum`` with the constant folded in Python), so
+  no libm call whose last ulp could differ between engines.
+
+The standard small-range linear-counting correction needs ``ln`` —
+a libm call with no cross-engine bit guarantee — so this operator
+returns the RAW estimate plus ``zero_registers``; callers that want
+the correction apply ``m * ln(m / V)`` themselves, accepting
+engine-local rounding in that branch.
+
+Scale: one explode + one 2^b-register aggregate — the shuffle
+carries at most m rows per partition after partial aggregation,
+regardless of input size. That is the whole point of HLL at 100 TB:
+count distinct shingles/tokens/urls with m registers of state
+instead of a distinct shuffle of the values themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_distinct"]
+
+_HASH_BITS = 60  # md5-derived h60 (15 hex chars), nonnegative in int64
+
+
+def _alpha_const(m: int) -> float:
+    # alpha_m * m^2 folded to ONE Python-computed literal, embedded
+    # identically in the Spark plan and the SQL oracle
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m
+
+
+def hll_distinct(
+    df: DataFrame, value: Column | str, b: int = 8
+) -> DataFrame:
+    """One-row DataFrame ``(zero_registers, harmonic_sum, estimate,
+    exact_distinct)`` estimating the distinct count of ``value`` with
+    ``m = 2^b`` registers. ``exact_distinct`` (a plain distinct count)
+    rides along so accuracy is auditable in the same result; at 100 TB
+    drop it and keep only the sketch.
+
+    See the module docstring for why every step is integer-exact or a
+    fixed-order float fold — the estimate is bitwise-reproducible
+    against the DuckDB oracle.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    m = 1 << b
+    window = _HASH_BITS - b  # rank window width
+    v = F.col(value) if isinstance(value, str) else value
+    h60 = F.conv(F.substring(F.md5(v), 1, 15), 16, 10).cast("bigint")
+    bucket = h60 % m
+    # rest = h60 div m via shiftright — m is 2^b and h60 is 60 bits,
+    # so this stays exact where float division (h60 > 2^53) would not.
+    # length(bin(rest)) = floor(log2(rest)) + 1 for rest > 0
+    rest_int = F.shiftright(h60, b)
+    rho = F.when(
+        rest_int > 0, F.lit(window + 1) - F.length(F.bin(rest_int))
+    ).otherwise(F.lit(window + 1))
+    regs = (
+        df.select(bucket.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    # single-row reduce: registers -> lookup map -> fixed-order fold.
+    # 2^-M comes from a literal lookup table of exact powers of two
+    # (Python doubles are exact for 2^-k), indexed by rank — no pow(),
+    # no shift-by-column
+    pows = F.array(*[F.lit(1.0 / (1 << k)) for k in range(window + 2)])
+    reg_map = F.map_from_entries(F.collect_list(F.struct("reg", "max_rho")))
+    folded = regs.agg(
+        (F.lit(m) - F.count(F.lit(1))).alias("zero_registers"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                pows,
+                F.coalesce(F.element_at(reg_map, j.cast("bigint")), F.lit(0))
+                + 1,
+            ),
+        ).alias("harmonic_sum"),
+    )
+    exact = df.select(v.alias("__v")).agg(
+        F.countDistinct("__v").alias("exact_distinct")
+    )
+    const = _alpha_const(m)
+    return (
+        folded.crossJoin(exact)
+        .withColumn("estimate", F.lit(const) / F.col("harmonic_sum"))
+        .select("zero_registers", "harmonic_sum", "estimate", "exact_distinct")
+    )

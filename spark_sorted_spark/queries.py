@@ -929,6 +929,52 @@ def build_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(load_table(spark, "documents", sf_dir), max_vocab=20)
 
 
+def _hll_oracle_sql() -> str:
+    from .functions.sketches import _alpha_const
+
+    return f"""
+    WITH sh AS ({_shingle_sql("documents")}),
+    h AS (SELECT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h60 FROM sh),
+    r AS (
+      SELECT h60 % 256 AS reg,
+             CASE WHEN (h60 // 256) > 0
+                  THEN 53 - length(bin(h60 // 256)) ELSE 53 END AS rho
+      FROM h),
+    mx AS (SELECT reg, max(rho) AS max_rho FROM r GROUP BY reg),
+    grid AS (SELECT range AS reg FROM range(0, 256)),
+    lst AS (
+      SELECT
+        sum(CASE WHEN mx.reg IS NULL THEN 1 ELSE 0 END)::BIGINT
+            AS zero_registers,
+        list(1.0 / ((1::BIGINT << coalesce(mx.max_rho, 0))::DOUBLE)
+             ORDER BY g.reg) AS terms
+      FROM grid g LEFT JOIN mx ON g.reg = mx.reg)
+    SELECT zero_registers,
+           list_reduce(list_prepend(0.0, terms), (a, x) -> a + x)
+               AS harmonic_sum,
+           {_alpha_const(256)!r} /
+             list_reduce(list_prepend(0.0, terms), (a, x) -> a + x)
+               AS estimate,
+           (SELECT count(DISTINCT sh) FROM sh) AS exact_distinct
+    FROM lst
+    """
+
+
+@query("hll_distinct_shingles", oracle=_hll_oracle_sql())
+def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog over the corpus's distinct 3-gram
+    shingles: 256 integer registers, fixed-order harmonic fold —
+    the estimate is bitwise-identical to the DuckDB replay (see
+    functions/sketches.py for why every step is integer-exact or a
+    strict fold). exact_distinct rides along to audit accuracy."""
+    from .functions.dedup import shingles
+    from .functions.sketches import hll_distinct
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(F.explode(shingles("text", 3)).alias("sh"))
+    return hll_distinct(sh, "sh", b=8)
+
+
 @query(
     "dedup_simhash",
     oracle="""
@@ -2399,6 +2445,7 @@ _GATE_ORDER = [
     "embedding_clusters",
     "knn_join",
     "tpch_q6_forecast_revenue",
+    "hll_distinct_shingles",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

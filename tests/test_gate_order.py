@@ -57,6 +57,7 @@ def test_gate_window_contents():
         "embedding_clusters",
         "knn_join",
         "tpch_q6_forecast_revenue",
+        "hll_distinct_shingles",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

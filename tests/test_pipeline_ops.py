@@ -283,3 +283,26 @@ class TestKnnJoin:
         )
         with pytest.raises(ValueError, match="k must be"):
             knn_join_lsh(emb, emb, k=0, dim=2)
+
+
+class TestHllDistinct:
+    def test_partition_invariance_and_accuracy(self, spark):
+        from spark_sorted_spark.functions.sketches import hll_distinct
+
+        rows = [(i, f"value_{i % 700}") for i in range(5000)]
+        df = spark.createDataFrame(rows, "i bigint, v string")
+        r1 = hll_distinct(df.repartition(1), "v").collect()[0]
+        r8 = hll_distinct(df.repartition(8), "v").collect()[0]
+        # the sketch is a max-aggregate + fixed-order fold: identical
+        # bits regardless of partitioning
+        assert r1 == r8
+        assert r1.exact_distinct == 700
+        # 256 registers -> ~6.5% standard error; allow 3 sigma
+        assert abs(r1.estimate - 700) / 700 < 0.2
+
+    def test_rejects_bad_b(self, spark):
+        from spark_sorted_spark.functions.sketches import hll_distinct
+
+        df = spark.createDataFrame([(1, "a")], "i bigint, v string")
+        with pytest.raises(ValueError, match="b must be"):
+            hll_distinct(df, "v", b=2)
