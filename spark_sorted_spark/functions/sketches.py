@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_distinct"]
+__all__ = ["hll_distinct", "bloom_build", "bloom_members"]
 
 _HASH_BITS = 60  # md5-derived h60 (15 hex chars), nonnegative in int64
 
@@ -121,3 +121,101 @@ def hll_distinct(
         .withColumn("estimate", F.lit(const) / F.col("harmonic_sum"))
         .select("zero_registers", "harmonic_sum", "estimate", "exact_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter: set-membership prefilter whose bit pattern is
+# identical across Spark and DuckDB (native bloom_filter_agg / Spark's
+# Bloom join hints use engine-private hashing — untestable against an
+# oracle). Same design rules as the HLL above: md5-derived integer
+# hashes, double hashing pos_i = (h1 + i*h2) mod m, 32-bit words so
+# every bit constant fits int64, and bit_or integer aggregation —
+# no floats anywhere.
+#
+# Scale: the built filter is m/32 rows (a few KB for m=2^15) — it
+# BROADCASTS to the probe side, so membership is a scan + broadcast
+# join with zero shuffle of the probed data. The decontamination
+# prefilter use: build over the benchmark's shingles (small), probe
+# 100 TB of corpus shingles at scan speed, and only bloom-positive
+# docs proceed to the exact inverted-index join. No false negatives
+# by construction; false-positive rate ~ (1 - e^{-kn/m})^k.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 32
+
+
+def _bloom_positions(v: Column, m_bits: int, k: int) -> Column:
+    """Array of ``k`` bit positions for value ``v`` via double hashing
+    over two independent 60-bit md5 windows (chars 1-15 and 16-30).
+    All arithmetic stays under 2^62 in int64 for k <= 4."""
+    h1 = F.conv(F.substring(F.md5(v), 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(v), 16, 15), 16, 10).cast("bigint")
+    return F.array(*[((h1 + F.lit(i) * h2) % m_bits) for i in range(k)])
+
+
+def bloom_build(
+    df: DataFrame, value: Column | str, m_bits: int = 1 << 15, k: int = 4
+) -> DataFrame:
+    """Build the filter: ``(word, bits)`` rows (32-bit words, absent
+    word = 0). ``m_bits`` must be a power of two."""
+    if m_bits & (m_bits - 1) or m_bits <= 0:
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4], got {k}")
+    v = F.col(value) if isinstance(value, str) else value
+    pow2 = F.array(*[F.lit(1 << b) for b in range(_BLOOM_WORD_BITS)])
+    pos = F.explode(_bloom_positions(v, m_bits, k)).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.element_at(
+                pow2, ((F.col("pos") % _BLOOM_WORD_BITS) + 1).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_members(
+    probe: DataFrame,
+    value: Column | str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 15,
+    k: int = 4,
+) -> DataFrame:
+    """DISTINCT rows of ``probe`` whose ``value`` the filter MIGHT
+    contain (all ``k`` probed bits set — no false negatives, bounded
+    false positives). Membership is ``min(bit hit) == 1`` per group of
+    probe columns, so duplicate probe rows are safe (they collapse to
+    one output row). The filter broadcasts; the probe is never
+    shuffled beyond the membership groupBy."""
+    v = F.col(value) if isinstance(value, str) else value
+    pow2 = F.array(*[F.lit(1 << b) for b in range(_BLOOM_WORD_BITS)])
+    probed = probe.select(
+        "*", F.explode(_bloom_positions(v, m_bits, k)).alias("__pos")
+    ).select(
+        "*",
+        F.shiftright(F.col("__pos"), 5).alias("__word"),
+        F.element_at(
+            pow2, ((F.col("__pos") % _BLOOM_WORD_BITS) + 1).cast("int")
+        ).alias("__bit"),
+    )
+    hits = (
+        probed.join(
+            F.broadcast(bloom.withColumnRenamed("word", "__word")),
+            on="__word",
+            how="left",
+        )
+        .withColumn(
+            "__hit",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__bit"))
+                != 0
+            ).cast("int"),
+        )
+        .groupBy(*[c for c in probe.columns])
+        .agg(F.min("__hit").alias("__member"))
+    )
+    return hits.filter(F.col("__member") == 1).drop("__member")

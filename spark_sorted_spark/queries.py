@@ -960,6 +960,73 @@ def _hll_oracle_sql() -> str:
     """
 
 
+@query(
+    "decontaminate_bloom",
+    # the bloom PREFILTER stage of decontamination, bit-for-bit: the
+    # benchmark's distinct shingles populate a 2^15-bit filter (double
+    # hashing over two md5 windows, 32-bit words, bit_or); corpus docs
+    # whose distinct shingles score >= 3 might-contain hits are the
+    # candidate set the exact inverted-index join then verifies. No
+    # false negatives by construction (exact decontamination's doc set
+    # is test-pinned as a subset).
+    oracle=f"""
+    WITH bsh AS (
+      SELECT DISTINCT sh FROM
+        ({_shingle_sql("(SELECT * FROM documents WHERE source = 'src0')")})),
+    bpos AS (
+      SELECT (('0x' || substr(md5(sh), 1, 15))::BIGINT
+              + i * ('0x' || substr(md5(sh), 16, 15))::BIGINT) % 32768 AS pos
+      FROM bsh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+    words AS (
+      SELECT pos // 32 AS word,
+             bit_or(1::BIGINT << (pos % 32)::INTEGER) AS bits
+      FROM bpos GROUP BY 1),
+    csh AS (
+      SELECT DISTINCT doc_id, sh FROM
+        ({_shingle_sql("(SELECT * FROM documents WHERE source <> 'src0')")})),
+    cpos AS (
+      SELECT doc_id, sh,
+             (('0x' || substr(md5(sh), 1, 15))::BIGINT
+              + i * ('0x' || substr(md5(sh), 16, 15))::BIGINT) % 32768 AS pos
+      FROM csh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+    probed AS (
+      SELECT c.doc_id, c.sh,
+             min(CASE WHEN (coalesce(w.bits, 0)
+                            & (1::BIGINT << (c.pos % 32)::INTEGER)) != 0
+                      THEN 1 ELSE 0 END) AS member
+      FROM cpos c LEFT JOIN words w ON w.word = c.pos // 32
+      GROUP BY c.doc_id, c.sh)
+    SELECT doc_id, sum(member)::BIGINT AS n_hit_shingles
+    FROM probed GROUP BY doc_id HAVING sum(member) >= 3
+    """,
+)
+def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter stage of decontamination: per corpus doc, how
+    many of its distinct shingles the benchmark bloom might contain;
+    docs with >= 3 hits are the exact join's candidate set."""
+    from .functions.dedup import shingles
+    from .functions.sketches import bloom_build, bloom_members
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench_sh = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    bloom = bloom_build(bench_sh, "sh", m_bits=1 << 15, k=4)
+    corpus_sh = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    flagged = bloom_members(corpus_sh, "sh", bloom, m_bits=1 << 15, k=4)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+        .filter(F.col("n_hit_shingles") >= 3)
+    )
+
+
 @query("hll_distinct_shingles", oracle=_hll_oracle_sql())
 def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog over the corpus's distinct 3-gram
@@ -2446,6 +2513,7 @@ _GATE_ORDER = [
     "knn_join",
     "tpch_q6_forecast_revenue",
     "hll_distinct_shingles",
+    "decontaminate_bloom",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -58,6 +58,7 @@ def test_gate_window_contents():
         "knn_join",
         "tpch_q6_forecast_revenue",
         "hll_distinct_shingles",
+        "decontaminate_bloom",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -306,3 +306,53 @@ class TestHllDistinct:
         df = spark.createDataFrame([(1, "a")], "i bigint, v string")
         with pytest.raises(ValueError, match="b must be"):
             hll_distinct(df, "v", b=2)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_membership(self, spark):
+        from spark_sorted_spark.functions.sketches import bloom_build, bloom_members
+
+        inserted = [(f"member_{i}",) for i in range(300)]
+        df = spark.createDataFrame(inserted, "v string")
+        bloom = bloom_build(df, "v", m_bits=1 << 12, k=4)
+        probe = spark.createDataFrame(
+            inserted + [(f"absent_{i}",) for i in range(300)], "v string"
+        )
+        got = {r.v for r in bloom_members(probe, "v", bloom, m_bits=1 << 12, k=4).collect()}
+        # every inserted value MUST be found (no false negatives)
+        assert {v for (v,) in inserted} <= got
+        # false positives bounded: 300 keys in 4096 bits, k=4 ->
+        # fp ~ (1-e^{-0.29})^4 ~ 0.4%; allow a generous margin
+        extras = got - {v for (v,) in inserted}
+        assert len(extras) < 30
+
+    def test_duplicate_probe_rows_collapse(self, spark):
+        from spark_sorted_spark.functions.sketches import bloom_build, bloom_members
+
+        df = spark.createDataFrame([("x",)], "v string")
+        bloom = bloom_build(df, "v")
+        probe = spark.createDataFrame([("x",), ("x",), ("y",)], "v string")
+        rows = bloom_members(probe, "v", bloom).collect()
+        assert [r.v for r in rows].count("x") == 1
+
+    def test_exact_decontamination_is_subset_of_bloom_prefilter(self, spark, sf_dir):
+        from spark_sorted_spark.queries import QUERIES
+
+        exact = {
+            r.doc_id
+            for r in QUERIES["decontaminate"](spark, sf_dir).collect()
+        }
+        bloomed = {
+            r.doc_id
+            for r in QUERIES["decontaminate_bloom"](spark, sf_dir).collect()
+        }
+        assert exact <= bloomed
+
+    def test_rejects_bad_params(self, spark):
+        from spark_sorted_spark.functions.sketches import bloom_build
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError, match="power of two"):
+            bloom_build(df, "v", m_bits=1000)
+        with pytest.raises(ValueError, match="k must be"):
+            bloom_build(df, "v", k=9)
