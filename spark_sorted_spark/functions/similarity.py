@@ -37,6 +37,7 @@ __all__ = [
     "dot_strict",
     "dot_py",
     "ann_ivf_topk",
+    "knn_join_lsh",
     "cosine",
     "cosine_topk",
     "cosine_neardup_pairs",
@@ -529,6 +530,20 @@ def _multi_table_buckets(
     )
 
 
+def _occupancy_filter(b: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop (t, bucket) cells holding more than ``max_bucket`` members
+    — the degenerate-cluster guard shared by the self near-dup and
+    knn-join constructions (one implementation so the two can't
+    diverge)."""
+    occ = (
+        b.groupBy("t", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .drop("bn")
+    )
+    return b.join(occ, on=["t", "bucket"])
+
+
 def knn_join_lsh(
     left: DataFrame,
     right: DataFrame,
@@ -574,13 +589,7 @@ def knn_join_lsh(
     lb = _multi_table_buckets(left, n_planes, n_tables, dim, vec_col, id_col)
     rb = _multi_table_buckets(right, n_planes, n_tables, dim, vec_col, id_col)
     if max_bucket is not None:
-        occ = (
-            rb.groupBy("t", "bucket")
-            .agg(F.count(F.lit(1)).alias("bn"))
-            .filter(F.col("bn") <= max_bucket)
-            .drop("bn")
-        )
-        rb = rb.join(occ, on=["t", "bucket"])
+        rb = _occupancy_filter(rb, max_bucket)
     cand = (
         lb.select("t", "bucket", F.col(id_col).alias("left_id"))
         .join(
@@ -593,18 +602,19 @@ def knn_join_lsh(
     sc = left.sparkSession.sparkContext
     cand = cand.repartition(sc.defaultParallelism)
     vec_d = F.col(vec_col).cast("array<double>")
+    # zero-norm vectors (empty documents) have no defined cosine and
+    # under ANSI mode 1.0/0.0 aborts the whole job — exclude them from
+    # the verify on BOTH sides (the oracle mirrors this filter)
     el = left.select(
         F.col(id_col).alias("left_id"),
         vec_d.alias("emb_l"),
         F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_l"),
-    )
+    ).filter(F.col("norm_l") > 0)
     er = right.select(
         F.col(id_col).alias("right_id"),
         vec_d.alias("emb_r"),
         F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_r"),
-    )
-    from pyspark.sql import Window
-
+    ).filter(F.col("norm_r") > 0)
     w = Window.partitionBy("left_id").orderBy(
         F.desc("cos"), F.asc("right_id")
     )
@@ -674,13 +684,7 @@ def cosine_neardup_pairs_lsh(
     vec_d = F.col(vec_col).cast("array<double>")
     b = _multi_table_buckets(df, n_planes, n_tables, dim, vec_col, id_col)
     if max_bucket is not None:
-        small = (
-            b.groupBy("t", "bucket")
-            .agg(F.count(F.lit(1)).alias("bn"))
-            .filter(F.col("bn") <= max_bucket)
-            .drop("bn")
-        )
-        b = b.join(small, on=["t", "bucket"])
+        b = _occupancy_filter(b, max_bucket)
     a1 = b.select("t", "bucket", F.col(id_col).alias("vec_a"))
     a2 = b.select("t", "bucket", F.col(id_col).alias("vec_b"))
     cand = (

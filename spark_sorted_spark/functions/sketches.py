@@ -175,6 +175,12 @@ def bloom_build(
         )
         .groupBy("word")
         .agg(F.bit_or("bit").alias("bits"))
+        # parameter metadata rides IN the filter so a probe with
+        # mismatched m_bits/k fails loudly instead of silently
+        # reporting false negatives (positions computed mod a
+        # different m map to words the filter never wrote)
+        .withColumn("m_bits", F.lit(m_bits))
+        .withColumn("k", F.lit(k))
     )
 
 
@@ -190,7 +196,21 @@ def bloom_members(
     false positives). Membership is ``min(bit hit) == 1`` per group of
     probe columns, so duplicate probe rows are safe (they collapse to
     one output row). The filter broadcasts; the probe is never
-    shuffled beyond the membership groupBy."""
+    shuffled beyond the membership groupBy.
+
+    Raises ``ValueError`` when ``m_bits``/``k`` disagree with the
+    parameters the filter was BUILT with (carried in the filter
+    itself) — a mismatched probe computes positions in a different
+    bit space and would silently report false negatives otherwise.
+    """
+    meta = bloom.select("m_bits", "k").limit(1).collect()
+    if meta and (meta[0].m_bits != m_bits or meta[0].k != k):
+        raise ValueError(
+            f"bloom filter was built with m_bits={meta[0].m_bits}, "
+            f"k={meta[0].k}; probing with m_bits={m_bits}, k={k} would "
+            "produce false negatives"
+        )
+    bloom = bloom.select("word", "bits")
     v = F.col(value) if isinstance(value, str) else value
     pow2 = F.array(*[F.lit(1 << b) for b in range(_BLOOM_WORD_BITS)])
     probed = probe.select(

@@ -1008,16 +1008,15 @@ def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sketches import bloom_build, bloom_members
 
     docs = load_table(spark, "documents", sf_dir)
-    bench_sh = (
-        docs.filter(F.col("source") == "src0")
-        .select(F.explode(shingles("text", 3)).alias("sh"))
-        .distinct()
+    # no .distinct() on either side: bloom_build's bit_or is
+    # duplicate-idempotent and bloom_members groups by the probe
+    # columns anyway — pre-distincting would just add a shuffle
+    bench_sh = docs.filter(F.col("source") == "src0").select(
+        F.explode(shingles("text", 3)).alias("sh")
     )
     bloom = bloom_build(bench_sh, "sh", m_bits=1 << 15, k=4)
-    corpus_sh = (
-        docs.filter(F.col("source") != "src0")
-        .select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
-        .distinct()
+    corpus_sh = docs.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(shingles("text", 3)).alias("sh")
     )
     flagged = bloom_members(corpus_sh, "sh", bloom, m_bits=1 << 15, k=4)
     return (
@@ -1983,7 +1982,9 @@ _KNN_CAND_SQL = " UNION ".join(
       SELECT left_id, right_id,
              {_cos_sql('la.embedding', 'ra.embedding')} AS cos
       FROM cand JOIN l la ON la.vec_id = left_id
-                JOIN r ra ON ra.vec_id = right_id),
+                JOIN r ra ON ra.vec_id = right_id
+      WHERE {_DOT_SQL.format(a='la.embedding', b='la.embedding')} > 0
+        AND {_DOT_SQL.format(a='ra.embedding', b='ra.embedding')} > 0),
     ranked AS (
       SELECT left_id, right_id, cos,
              row_number() OVER (

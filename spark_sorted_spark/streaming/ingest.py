@@ -64,7 +64,10 @@ def stream_ingest_dedup(
     ``build_minhash_band_store`` (possibly over an empty corpus);
     ``corpus_path`` accumulates accepted documents; ``audit_path``
     accumulates (doc_old, doc_new, kind, batch_id) drop records —
-    ``kind`` is 'store' (cross-batch) or 'self' (within-batch)."""
+    ``kind`` is 'store' (cross-batch) or 'self' (within-batch).
+    NB: audit dirs written before the ``kind`` column existed hold
+    3-column files; read such mixed dirs with
+    ``option("mergeSchema", "true")`` (old rows read kind=null)."""
     spark = stream_docs.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -284,6 +284,24 @@ class TestKnnJoin:
         with pytest.raises(ValueError, match="k must be"):
             knn_join_lsh(emb, emb, k=0, dim=2)
 
+    def test_zero_norm_vectors_are_skipped_not_fatal(self, spark):
+        # an all-zero embedding collides readily (sign bit 1 on every
+        # plane) and its cosine divides by zero — under ANSI mode that
+        # aborted the whole job; now zero-norm vectors are excluded
+        from spark_sorted_spark.functions.similarity import knn_join_lsh
+
+        left = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0, 0.0]), (3, [1.0, 0.5, 0.2, 0.1])],
+            "vec_id bigint, embedding array<float>",
+        )
+        right = spark.createDataFrame(
+            [(2, [0.0, 0.0, 0.0, 0.0]), (4, [0.9, 0.4, 0.3, 0.2])],
+            "vec_id bigint, embedding array<float>",
+        )
+        rows = knn_join_lsh(left, right, k=2, n_planes=2, n_tables=2, dim=4).collect()
+        ids = {(r.left_id, r.right_id) for r in rows}
+        assert all(1 not in pair and 2 not in pair for pair in ids)
+
 
 class TestHllDistinct:
     def test_partition_invariance_and_accuracy(self, spark):
@@ -356,3 +374,16 @@ class TestBloom:
             bloom_build(df, "v", m_bits=1000)
         with pytest.raises(ValueError, match="k must be"):
             bloom_build(df, "v", k=9)
+
+    def test_probe_param_mismatch_is_loud(self, spark):
+        # a probe with different m_bits/k computes positions in a
+        # different bit space -> silent false negatives; the filter
+        # carries its build params and the probe must match them
+        from spark_sorted_spark.functions.sketches import bloom_build, bloom_members
+
+        df = spark.createDataFrame([("x",)], "v string")
+        bloom = bloom_build(df, "v", m_bits=1 << 12, k=4)
+        with pytest.raises(ValueError, match="false negatives"):
+            bloom_members(df, "v", bloom, m_bits=1 << 15, k=4)
+        with pytest.raises(ValueError, match="false negatives"):
+            bloom_members(df, "v", bloom, m_bits=1 << 12, k=2)
