@@ -42,7 +42,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_distinct", "bloom_build", "bloom_members"]
+__all__ = [
+    "hll_distinct",
+    "bloom_build",
+    "bloom_members",
+    "cms_build",
+    "cms_estimate",
+]
 
 _HASH_BITS = 60  # md5-derived h60 (15 hex chars), nonnegative in int64
 
@@ -239,3 +245,78 @@ def bloom_members(
         .agg(F.min("__hit").alias("__member"))
     )
     return hits.filter(F.col("__member") == 1).drop("__member")
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch: approximate frequency counting with the
+# same cross-engine guarantees as the HLL and Bloom above. Counters
+# are plain integer counts (order-insensitive aggregation), positions
+# come from the same md5 double-hashing as the Bloom filter, so the
+# whole sketch — and every estimate read from it — is reproducible in
+# DuckDB.
+#
+# Guarantee: estimate >= true count always (never undercounts);
+# overcount bounded by eps*N with prob 1-delta for w = ceil(e/eps),
+# d = ceil(ln(1/delta)). Heavy-hitter use at 100 TB: d*w integer
+# cells of state (a few KB) instead of a full groupBy over trillions
+# of token occurrences; the sketch broadcasts to the estimate side.
+# ---------------------------------------------------------------------------
+
+
+def _cms_positions(v: Column, width: int, depth: int) -> Column:
+    """Array of ``depth`` column positions (row i probes position i of
+    the array) — same double-hashing family as the Bloom filter."""
+    return _bloom_positions(v, width, depth)
+
+
+def cms_build(
+    df: DataFrame, value: Column | str, width: int = 1 << 12, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch of ``value`` occurrences: ``(row, col, cnt)``
+    cells (absent cell = 0). ``width`` must be a power of two;
+    ``depth`` <= 4 (the double-hash family's int64 headroom)."""
+    if width & (width - 1) or width <= 0:
+        raise ValueError(f"width must be a power of two, got {width}")
+    if not 1 <= depth <= 4:
+        raise ValueError(f"depth must be in [1, 4], got {depth}")
+    v = F.col(value) if isinstance(value, str) else value
+    return (
+        df.select(
+            F.posexplode(_cms_positions(v, width, depth)).alias("row", "col")
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("width", F.lit(width))
+        .withColumn("depth", F.lit(depth))
+    )
+
+
+def cms_estimate(
+    probe: DataFrame,
+    value: Column | str,
+    cms: DataFrame,
+    width: int = 1 << 12,
+    depth: int = 4,
+) -> DataFrame:
+    """DISTINCT probe rows with an ``est_count`` column: the minimum
+    of the ``depth`` probed counters (the classic CMS read — never
+    under the true count). The sketch broadcasts; raises on
+    ``width``/``depth`` mismatch with the sketch's build parameters
+    (same loud-failure contract as ``bloom_members``)."""
+    meta = cms.select("width", "depth").limit(1).collect()
+    if meta and (meta[0].width != width or meta[0].depth != depth):
+        raise ValueError(
+            f"cms was built with width={meta[0].width}, "
+            f"depth={meta[0].depth}; probing with width={width}, "
+            f"depth={depth} would read the wrong counters"
+        )
+    cells = cms.select("row", "col", "cnt")
+    v = F.col(value) if isinstance(value, str) else value
+    probed = probe.select(
+        "*", F.posexplode(_cms_positions(v, width, depth)).alias("row", "col")
+    )
+    return (
+        probed.join(F.broadcast(cells), on=["row", "col"], how="left")
+        .groupBy(*[c for c in probe.columns])
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

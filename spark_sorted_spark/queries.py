@@ -1026,6 +1026,59 @@ def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cms_token_counts",
+    # count-min replay: per token occurrence, depth=4 counter
+    # positions via the same md5 double hashing the Spark side uses;
+    # estimate = min over rows of the probed counters (never under
+    # the true count); exact counts ride along for the audit
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    pos AS (
+      SELECT token, i,
+             (('0x' || substr(md5(token), 1, 15))::BIGINT
+              + i * ('0x' || substr(md5(token), 16, 15))::BIGINT) % 4096
+                 AS col
+      FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+    cells AS (SELECT i, col, count(*) AS cnt FROM pos GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT token FROM tok),
+    ppos AS (
+      SELECT token, i,
+             (('0x' || substr(md5(token), 1, 15))::BIGINT
+              + i * ('0x' || substr(md5(token), 16, 15))::BIGINT) % 4096
+                 AS col
+      FROM probe CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+    est AS (
+      SELECT p.token, min(coalesce(c.cnt, 0))::BIGINT AS est_count
+      FROM ppos p LEFT JOIN cells c ON c.i = p.i AND c.col = p.col
+      GROUP BY p.token),
+    exact AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY token)
+    SELECT e.token, e.est_count, x.exact_count
+    FROM est e JOIN exact x ON x.token = e.token
+    """,
+)
+def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for every distinct corpus
+    token vs the exact counts — the heavy-hitter path that keeps
+    depth x width integer cells of state instead of a full token
+    groupBy at 100 TB. est_count >= exact_count always; at this
+    vocabulary/width the sketch is collision-free and exact."""
+    from .functions.sketches import cms_build, cms_estimate
+    from .functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    cms = cms_build(tok, "token", width=1 << 12, depth=4)
+    probe = tok.distinct()
+    est = cms_estimate(probe, "token", cms, width=1 << 12, depth=4)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, on="token").select(
+        "token", "est_count", "exact_count"
+    )
+
+
 @query("hll_distinct_shingles", oracle=_hll_oracle_sql())
 def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog over the corpus's distinct 3-gram
@@ -2515,6 +2568,7 @@ _GATE_ORDER = [
     "tpch_q6_forecast_revenue",
     "hll_distinct_shingles",
     "decontaminate_bloom",
+    "cms_token_counts",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

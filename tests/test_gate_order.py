@@ -59,6 +59,7 @@ def test_gate_window_contents():
         "tpch_q6_forecast_revenue",
         "hll_distinct_shingles",
         "decontaminate_bloom",
+        "cms_token_counts",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

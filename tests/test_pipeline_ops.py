@@ -387,3 +387,37 @@ class TestBloom:
             bloom_members(df, "v", bloom, m_bits=1 << 15, k=4)
         with pytest.raises(ValueError, match="false negatives"):
             bloom_members(df, "v", bloom, m_bits=1 << 12, k=2)
+
+
+class TestCountMin:
+    def test_never_undercounts_and_exact_at_low_load(self, spark):
+        from spark_sorted_spark.functions.sketches import cms_build, cms_estimate
+
+        rows = [(f"t{i % 50}",) for i in range(5000)]
+        df = spark.createDataFrame(rows, "v string")
+        cms = cms_build(df, "v", width=1 << 10, depth=4)
+        est = {
+            r.v: r.est_count
+            for r in cms_estimate(
+                df.distinct(), "v", cms, width=1 << 10, depth=4
+            ).collect()
+        }
+        # every token occurs 100x; 50 keys in 1024 columns -> exact
+        assert est == {f"t{i}": 100 for i in range(50)}
+
+    def test_param_mismatch_is_loud(self, spark):
+        from spark_sorted_spark.functions.sketches import cms_build, cms_estimate
+
+        df = spark.createDataFrame([("x",)], "v string")
+        cms = cms_build(df, "v", width=1 << 10, depth=4)
+        with pytest.raises(ValueError, match="wrong counters"):
+            cms_estimate(df, "v", cms, width=1 << 12, depth=4)
+
+    def test_rejects_bad_params(self, spark):
+        from spark_sorted_spark.functions.sketches import cms_build
+
+        df = spark.createDataFrame([("x",)], "v string")
+        with pytest.raises(ValueError, match="power of two"):
+            cms_build(df, "v", width=1000)
+        with pytest.raises(ValueError, match="depth must be"):
+            cms_build(df, "v", depth=5)
