@@ -242,6 +242,14 @@ def b16_dedup_clusters(spark):
     force(QUERIES["dedup_clusters"](spark, SF_DIR))
 
 
+def b17_knn_join(spark):
+    # batch retrieval: top-3 cosine neighbors per odd-id vector among
+    # even-id LSH bucket collisions — the cross-corpus knn shape
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["knn_join"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -261,6 +269,7 @@ BENCH = {
     "b14_simhash_banded": b14_simhash_banded,
     "b15_range_join": b15_range_join,
     "b16_dedup_clusters": b16_dedup_clusters,
+    "b17_knn_join": b17_knn_join,
 }
 
 
