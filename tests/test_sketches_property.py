@@ -1,0 +1,113 @@
+"""Property tests: the relational sketch implementations vs
+independent pure-Python replicas using the same md5-derived hashes —
+the collections-oracle strategy (SURVEY §5) applied to the sketch
+family. Agreement here is bit-level for HLL (same IEEE fold order)
+and exact for CMS counters."""
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_sorted_spark.functions.sketches import (
+    _alpha_const,
+    cms_build,
+    cms_estimate,
+    hll_distinct,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _h60b(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[15:30], 16)
+
+
+def _py_hll(values, b=8):
+    m = 1 << b
+    window = 60 - b
+    regs = [0] * m
+    for v in values:
+        h = _h60(v)
+        reg = h % m
+        rest = h >> b
+        rho = (window + 1) - rest.bit_length() if rest > 0 else window + 1
+        regs[reg] = max(regs[reg], rho)
+    # fixed register order, strict left fold — same IEEE sequence as
+    # the Spark F.aggregate and the DuckDB list_reduce
+    hsum = 0.0
+    for r in regs:
+        hsum = hsum + 1.0 / (1 << r)
+    zero = sum(1 for r in regs if r == 0)
+    return zero, hsum, _alpha_const(m) / hsum
+
+
+def _py_cms(values, width=1 << 10, depth=4):
+    cells = {}
+    for v in values:
+        h1, h2 = _h60(v), _h60b(v)
+        for i in range(depth):
+            key = (i, (h1 + i * h2) % width)
+            cells[key] = cells.get(key, 0) + 1
+    def est(v):
+        h1, h2 = _h60(v), _h60b(v)
+        return min(
+            cells.get((i, (h1 + i * h2) % width), 0) for i in range(depth)
+        )
+    return est
+
+
+def test_hll_matches_python_replica_bitwise(spark):
+    @given(
+        values=st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=6, deadline=None)
+    def run(values):
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        got = hll_distinct(df, "v", b=8).collect()[0]
+        zero, hsum, estimate = _py_hll(values)
+        assert got.zero_registers == zero
+        assert got.harmonic_sum == hsum  # bitwise: same fold order
+        assert got.estimate == estimate
+        assert got.exact_distinct == len(set(values))
+
+    run()
+
+
+def test_cms_matches_python_replica_exactly(spark):
+    @given(
+        values=st.lists(
+            st.sampled_from([f"k{i}" for i in range(12)]),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    @settings(max_examples=6, deadline=None)
+    def run(values):
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        cms = cms_build(df, "v", width=1 << 10, depth=4)
+        got = {
+            r.v: r.est_count
+            for r in cms_estimate(
+                df.distinct(), "v", cms, width=1 << 10, depth=4
+            ).collect()
+        }
+        est = _py_cms(values)
+        assert got == {v: est(v) for v in set(values)}
+        # CMS invariant: never under the true count
+        from collections import Counter
+
+        true = Counter(values)
+        assert all(got[v] >= true[v] for v in true)
+
+    run()
