@@ -1004,10 +1004,12 @@ def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter stage of decontamination: per corpus doc, how
     many of its distinct shingles the benchmark bloom might contain;
     docs with >= 3 hits are the exact join's candidate set."""
-    from .functions.dedup import shingles
+    from .functions.dedup import shingles, spread_small_input
     from .functions.sketches import bloom_build, bloom_members
 
-    docs = load_table(spark, "documents", sf_dir)
+    # re-spread the single-file scan before the shingle explode (the
+    # probe side is the hot path — all cores, not one)
+    docs = spread_small_input(load_table(spark, "documents", sf_dir))
     # no .distinct() on either side: bloom_build's bit_or is
     # duplicate-idempotent and bloom_members groups by the probe
     # columns anyway — pre-distincting would just add a shuffle
@@ -1086,10 +1088,12 @@ def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate is bitwise-identical to the DuckDB replay (see
     functions/sketches.py for why every step is integer-exact or a
     strict fold). exact_distinct rides along to audit accuracy."""
-    from .functions.dedup import shingles
+    from .functions.dedup import shingles, spread_small_input
     from .functions.sketches import hll_distinct
 
-    docs = load_table(spark, "documents", sf_dir)
+    # single-file scan -> one partition would run ALL the md5/shingle
+    # work on one core; re-spread first (same fix as the dedup family)
+    docs = spread_small_input(load_table(spark, "documents", sf_dir))
     sh = docs.select(F.explode(shingles("text", 3)).alias("sh"))
     return hll_distinct(sh, "sh", b=8)
 
