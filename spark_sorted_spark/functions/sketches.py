@@ -208,7 +208,12 @@ def bloom_members(
     parameters the filter was BUILT with (carried in the filter
     itself) — a mismatched probe computes positions in a different
     bit space and would silently report false negatives otherwise.
+
+    The filter is materialized once (eager localCheckpoint): the
+    parameter check is an action, and the returned plan would
+    otherwise rebuild the filter a second time when forced.
     """
+    bloom = bloom.localCheckpoint(eager=True)
     meta = bloom.select("m_bits", "k").limit(1).collect()
     if meta and (meta[0].m_bits != m_bits or meta[0].k != k):
         raise ValueError(
@@ -302,7 +307,12 @@ def cms_estimate(
     of the ``depth`` probed counters (the classic CMS read — never
     under the true count). The sketch broadcasts; raises on
     ``width``/``depth`` mismatch with the sketch's build parameters
-    (same loud-failure contract as ``bloom_members``)."""
+    (same loud-failure contract as ``bloom_members``).
+
+    The sketch is materialized once (eager localCheckpoint) — the
+    parameter check needs an action, and without the checkpoint that
+    action plus the returned plan would each run the full build."""
+    cms = cms.localCheckpoint(eager=True)
     meta = cms.select("width", "depth").limit(1).collect()
     if meta and (meta[0].width != width or meta[0].depth != depth):
         raise ValueError(
@@ -310,13 +320,20 @@ def cms_estimate(
             f"depth={meta[0].depth}; probing with width={width}, "
             f"depth={depth} would read the wrong counters"
         )
-    cells = cms.select("row", "col", "cnt")
+    # dunder working names so a probe column named row/col/cnt can't
+    # collide (same convention as bloom_members)
+    cells = cms.select(
+        F.col("row").alias("__row"),
+        F.col("col").alias("__col"),
+        F.col("cnt").alias("__cnt"),
+    )
     v = F.col(value) if isinstance(value, str) else value
     probed = probe.select(
-        "*", F.posexplode(_cms_positions(v, width, depth)).alias("row", "col")
+        "*",
+        F.posexplode(_cms_positions(v, width, depth)).alias("__row", "__col"),
     )
     return (
-        probed.join(F.broadcast(cells), on=["row", "col"], how="left")
+        probed.join(F.broadcast(cells), on=["__row", "__col"], how="left")
         .groupBy(*[c for c in probe.columns])
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("est_count"))
     )

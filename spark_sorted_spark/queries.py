@@ -1067,10 +1067,13 @@ def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth x width integer cells of state instead of a full token
     groupBy at 100 TB. est_count >= exact_count always; at this
     vocabulary/width the sketch is collision-free and exact."""
+    from .functions.dedup import spread_small_input
     from .functions.sketches import cms_build, cms_estimate
     from .functions.text import tokens
 
-    docs = load_table(spark, "documents", sf_dir)
+    # re-spread the single-file scan (same fix as the sibling sketch
+    # queries — otherwise the tokenize + 4x md5 stage runs on 1 core)
+    docs = spread_small_input(load_table(spark, "documents", sf_dir))
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     cms = cms_build(tok, "token", width=1 << 12, depth=4)
     probe = tok.distinct()
