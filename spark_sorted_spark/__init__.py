@@ -12,12 +12,15 @@ Public surface:
   preserving); ``map_stream_by_key`` / ``fold_left_by_key`` /
   ``reduce_left_by_key`` / ``scan_left_by_key`` (per-key streaming
   ops); ``merge_join*`` / ``merge_union`` (sort-merge joins & union).
-* ``spark_sorted_spark.functions`` — dedup / similarity (incl.
-  persisted ANN indices) / text / multimodal / sampling operator
-  library.
+* ``spark_sorted_spark.functions`` — dedup (incl. the appendable
+  incremental band store) / clusters (connected-components
+  canonicalization) / similarity (incl. persisted ANN indices and the
+  batch k-NN join) / text (incl. PII redaction, vocabulary) / packing
+  (sequence packing) / sketches (portable HLL, Bloom, count-min) /
+  multimodal / sampling operator library.
 * ``spark_sorted_spark.streaming`` — Structured Streaming tier
   (windowed/session aggregation, streaming dedup, stateful per-key
-  fold, stream-stream join).
+  fold, stream-stream join, and the ingest-dedup loop).
 * ``spark_sorted_spark.operators.skew`` — salted two-stage
   aggregation; ``spark_sorted_spark.sources.bucketed`` — persistent
   bucketed/partitioned layouts.
