@@ -29,8 +29,10 @@ Scale design (100 TB corpus):
 * For adversarial long-chain graphs (diameter ~ n) the
   large-star/small-star alternating algorithm [Kiveris et al.,
   "Connected Components in MapReduce and Beyond", SoCC'14] converges
-  in O(log n) rounds; near-dup graphs never look like that, so this
-  module ships the simpler propagation with a loud iteration cap.
+  in O(log n) rounds — available as ``algorithm="star"``. Near-dup
+  graphs are tiny-diameter, so ``"propagation"`` stays the default;
+  both raise loudly at the iteration cap and produce identical
+  labellings (property-pinned).
 
 Reference parity: the reference repo stops at pair emission
 (spark-sorted has no clustering op); this module is the
@@ -51,8 +53,9 @@ def connected_components(
     dst: str = "doc_b",
     id_name: str = "doc_id",
     max_iters: int = 30,
+    algorithm: str = "propagation",
 ) -> DataFrame:
-    """Resolve ``edges`` into components via min-label propagation.
+    """Resolve ``edges`` into components.
 
     Returns one row per node that appears in at least one edge:
     ``(id_name, cluster_id)`` where ``cluster_id`` is the minimum
@@ -62,16 +65,32 @@ def connected_components(
     output proportional to the duplicate set is what you want when
     the corpus is 100 TB and duplicates are 1%).
 
+    ``algorithm`` picks the iteration scheme; both produce the same
+    labelling:
+
+    * ``"propagation"`` (default) — min-label propagation, one
+      shuffle per round, rounds = component diameter. Right for
+      near-dup graphs (dense, diameter 2-4).
+    * ``"star"`` — alternating large-star/small-star [Kiveris et
+      al., SoCC'14], a few shuffles per round but O(log n) rounds
+      regardless of diameter. Right when components can be
+      chain-shaped (e.g. record-linkage graphs).
+
     Raises ``RuntimeError`` if ``max_iters`` rounds do not reach the
-    fixpoint (component diameter exceeded the cap) — never returns a
-    partially-propagated labelling silently.
+    fixpoint — never returns a partial labelling silently.
     """
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected 'propagation' or 'star'"
+        )
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
         .localCheckpoint(eager=True)  # reused every round — pin it
     )
+    if algorithm == "star":
+        return _star_components(sym, id_name, max_iters)
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()
@@ -121,6 +140,89 @@ def connected_components(
                 "raise max_iters or use an O(log n) alternating-star "
                 "algorithm for chain-shaped graphs"
             )
+
+
+def _star_components(
+    sym: DataFrame, id_name: str, max_iters: int
+) -> DataFrame:
+    """Alternating large-star/small-star over the symmetric edge set.
+
+    Each round rewrites the edge set toward stars whose center is the
+    component minimum; the edge set is a fixpoint exactly when every
+    non-root node points directly at its root. Rounds needed are
+    O(log n) in the largest component size — a million-node chain
+    converges in ~20 rounds where propagation would need a million.
+
+    ``sym`` is the distinct symmetric (s, d) edge set, already
+    checkpointed by the caller. Self-loop-only nodes fall out of the
+    canonical (big, small) form; the final left join restores them as
+    singletons, keeping the output identical to propagation's.
+    """
+    nodes = sym.select(F.col("s").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    # canonical directed form: every edge points big -> small
+    e = (
+        sym.filter(F.col("s") > F.col("d"))
+        .select(F.col("s").alias("u"), F.col("d").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # large-star: for every node, connect its LARGER neighbours to
+        # the minimum of its closed neighbourhood. Output keeps the
+        # big -> small invariant (new edge (v, m) has v > u >= m).
+        both = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            both.join(lmins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: within each node's SMALLER neighbourhood, hang
+        # everything (the node included) off the minimum.
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        with_min = large.join(smins, on="u")
+        stepped = (
+            with_min.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .union(
+                with_min.filter(F.col("v") != F.col("m")).select(
+                    F.col("v").alias("a"), F.col("m").alias("b")
+                )
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = (
+            stepped.exceptAll(e).limit(1).count()
+            + e.exceptAll(stepped).limit(1).count()
+        )
+        e = stepped
+        if changed == 0:
+            # fixpoint: e maps every non-root to its component min
+            return nodes.join(
+                e.select(F.col("u").alias("id"), F.col("v").alias("root")),
+                on="id",
+                how="left",
+            ).select(
+                F.col("id").alias(id_name),
+                F.coalesce("root", "id").alias("cluster_id"),
+            )
+    raise RuntimeError(
+        f"star connected_components did not converge in {max_iters} "
+        "rounds — with O(log n) convergence this indicates a bug or an "
+        "astronomically large component; raise max_iters to confirm"
+    )
 
 
 def canonical_docs(

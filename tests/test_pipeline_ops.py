@@ -47,6 +47,51 @@ class TestConnectedComponents:
         assert cc.count() == 0
         assert cc.columns == ["doc_id", "cluster_id"]
 
+    def test_star_matches_propagation_on_basics(self, spark):
+        pairs = [(1, 2), (2, 3), (9, 7), (10, 10), (5, 4)]
+        prop = connected_components(_edges(spark, pairs))
+        star = connected_components(_edges(spark, pairs), algorithm="star")
+        assert {(r.doc_id, r.cluster_id) for r in star.collect()} == {
+            (r.doc_id, r.cluster_id) for r in prop.collect()
+        }
+
+    def test_star_converges_logarithmically_on_chains(self, spark):
+        # a 64-node path has diameter 63: propagation needs 63 change
+        # rounds and must trip a 10-round cap, while star finishes in
+        # O(log n) rounds under the same cap — the exact regime the
+        # algorithm option exists for
+        chain = [(i, i + 1) for i in range(63)]
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(_edges(spark, chain), max_iters=10)
+        star = connected_components(
+            _edges(spark, chain), max_iters=10, algorithm="star"
+        )
+        assert {(r.doc_id, r.cluster_id) for r in star.collect()} == {
+            (i, 0) for i in range(64)
+        }
+
+    def test_star_empty_edges_and_self_loops(self, spark):
+        assert (
+            connected_components(_edges(spark, []), algorithm="star").count()
+            == 0
+        )
+        # a self-loop-only node is a singleton cluster, same as the
+        # propagation path emits
+        cc = connected_components(
+            _edges(spark, [(4, 4), (1, 2)]), algorithm="star"
+        )
+        assert {(r.doc_id, r.cluster_id) for r in cc.collect()} == {
+            (4, 4),
+            (1, 1),
+            (2, 1),
+        }
+
+    def test_unknown_algorithm_is_loud(self, spark):
+        with pytest.raises(ValueError, match="unknown algorithm"):
+            connected_components(
+                _edges(spark, [(1, 2)]), algorithm="bfs"
+            )
+
     def test_canonical_docs_keeps_one_per_cluster(self, spark):
         docs = spark.createDataFrame(
             [(i, f"d{i}") for i in range(6)], "doc_id bigint, text string"
@@ -131,6 +176,8 @@ def test_connected_components_hypothesis_vs_union_find(spark):
         cc = connected_components(_edges(spark, edges))
         got = {r.doc_id: r.cluster_id for r in cc.collect()}
         assert got == expected
+        star = connected_components(_edges(spark, edges), algorithm="star")
+        assert {r.doc_id: r.cluster_id for r in star.collect()} == expected
 
     run()
 
