@@ -333,17 +333,39 @@ def build_minhash_band_store(
     per-batch hot-bucket guard never re-aggregates the store (at
     100 TB of corpus, re-counting the store every nightly batch would
     be a full store shuffle — the counts table makes the guard
-    O(new batch))."""
+    O(new batch)).
+
+    Layout v2 (round 6): both tables are partitioned by
+    ``ingest_batch_id`` — the build writes the base partition ``-1``
+    and each append lands in its own partition. A batch-keyed
+    partition is what makes the streaming ingest loop's store append
+    IDEMPOTENT (replaying a batch overwrites its own partition
+    instead of appending twice); batch reads prune replay-tainted
+    partitions with ``before_batch``. Partition pruning makes both
+    free at read time."""
     bands = minhash_band_table(df, text_col, id_col, n)
-    bands.write.mode("overwrite").parquet(f"{path}/bands")
     spark = df.sparkSession
+    # a build is a FRESH store: clear stale append partitions first
+    # (overwriting only the base partition would leave them behind)
+    _rm_dir(spark, path)
+    bands.write.mode("overwrite").parquet(f"{path}/bands/ingest_batch_id=-1")
     (
         spark.read.parquet(f"{path}/bands")
         .groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("store_n"))
         .write.mode("overwrite")
-        .parquet(f"{path}/counts")
+        .parquet(f"{path}/counts/ingest_batch_id=-1")
     )
+
+
+def _rm_dir(spark, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API,
+    so it works on any supported scheme (local, HDFS, object stores),
+    not just the driver's local disk."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def append_to_minhash_band_store(
@@ -352,6 +374,7 @@ def append_to_minhash_band_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    batch_id: int | None = None,
 ) -> None:
     """Append a new batch to an existing band store — the post-ingest
     step of the nightly cycle (dedup the batch with
@@ -364,14 +387,23 @@ def append_to_minhash_band_store(
     but only for the keys a batch actually touches, after the
     broadcast prune, so reads stay O(new batch). Run
     :func:`build_minhash_band_store` to compact a long-appended store
-    back to one row per key."""
+    back to one row per key.
+
+    With ``batch_id`` set the write is IDEMPOTENT: the batch lands in
+    its own ``ingest_batch_id={batch_id}`` partition with overwrite
+    semantics, so re-running the same batch (streaming replay after a
+    crash) replaces its earlier partial write instead of duplicating
+    it. Without it, rows accumulate in the base partition (plain
+    at-least-once append — fine for a driver you only run once)."""
     bands = minhash_band_table(df, text_col, id_col, n).persist()
-    bands.write.mode("append").parquet(f"{path}/bands")
+    part = -1 if batch_id is None else batch_id
+    mode = "append" if batch_id is None else "overwrite"
+    bands.write.mode(mode).parquet(f"{path}/bands/ingest_batch_id={part}")
     (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("store_n"))
-        .write.mode("append")
-        .parquet(f"{path}/counts")
+        .write.mode(mode)
+        .parquet(f"{path}/counts/ingest_batch_id={part}")
     )
     bands.unpersist()
 
@@ -426,11 +458,19 @@ def dedup_against_store(
     tau_num: int = 1,
     tau_den: int = 2,
     max_bucket: int = 50,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: which NEW documents near-dup an
     EXISTING corpus document? Returns (doc_old, doc_new, n_common,
     n_old, n_new) with the same exact-Jaccard verify (precision 1.0)
     as :func:`minhash_lsh_pairs`.
+
+    ``before_batch`` (path stores only) prunes store partitions with
+    ``ingest_batch_id >= before_batch`` — the replay fence: a
+    re-delivered streaming batch must dedup against exactly the
+    pre-batch store state, not against its own earlier partial
+    append (which would make every document a duplicate of itself).
+    Partition pruning makes the fence free.
 
     Scale design — the per-batch costs are O(new batch), not O(corpus):
 
@@ -466,6 +506,22 @@ def dedup_against_store(
     if isinstance(store, str):
         store_counts = spark.read.parquet(f"{store}/counts")
         store = spark.read.parquet(f"{store}/bands")
+        if before_batch is not None:
+            if "ingest_batch_id" not in store.columns:
+                raise ValueError(
+                    "before_batch requires a layout-v2 band store "
+                    "(partitioned by ingest_batch_id); rebuild it with "
+                    "build_minhash_band_store"
+                )
+            store_counts = store_counts.filter(
+                F.col("ingest_batch_id") < before_batch
+            )
+            store = store.filter(F.col("ingest_batch_id") < before_batch)
+    elif before_batch is not None:
+        raise ValueError(
+            "before_batch only applies to a path store (the replay "
+            "fence prunes persisted partitions); got a DataFrame"
+        )
     new_df = spread_small_input(new_df)
     new_bands = minhash_band_table(new_df, text_col, id_col, n)
     store_bands = store.select(id_col, "band", "band_key")

@@ -23,11 +23,15 @@ Scale notes (100 TB corpus, unbounded stream):
   ``dedup_against_store``);
 * the corpus parquet is append-only and the store appends delta
   counts — no per-batch rewrite of anything corpus-sized;
-* the checkpoint makes the loop restartable; foreachBatch re-runs a
-  failed batch, so the appends are at-least-once — production
-  deployments fence replays with the batch_id column written to the
-  audit log (re-appending the same batch is detectable and cheap to
-  compact, the standard trade-off of multi-sink foreachBatch loops).
+* the checkpoint makes the loop restartable, and every sink write is
+  EXACTLY-ONCE under replay: each batch writes its own
+  ``ingest_batch_id={N}`` / ``batch_id={N}`` partition with overwrite
+  semantics, and every read inside the batch fences out partitions
+  ``>= N`` (``before_batch``), so a re-delivered batch sees exactly
+  the pre-batch state, recomputes the identical survivor set, and
+  REPLACES its earlier partial writes instead of appending beside
+  them. Any crash point is healed by the replay; no compaction or
+  consumer-side fencing needed.
 """
 
 from __future__ import annotations
@@ -62,13 +66,21 @@ def stream_ingest_dedup(
     """Drain ``stream_docs`` (bounded, availableNow) through the
     dedup-ingest loop. ``store_path`` must hold a band store built by
     ``build_minhash_band_store`` (possibly over an empty corpus);
-    ``corpus_path`` accumulates accepted documents; ``audit_path``
-    accumulates (doc_old, doc_new, kind, batch_id) drop records —
-    ``kind`` is 'store' (cross-batch) or 'self' (within-batch).
+    ``corpus_path`` accumulates accepted documents, one
+    ``ingest_batch_id={N}`` partition per batch; ``audit_path``
+    accumulates (doc_old, doc_new, kind) drop records partitioned by
+    ``batch_id`` — ``kind`` is 'store' (cross-batch) or 'self'
+    (within-batch). All three sinks are exactly-once under streaming
+    replay (see module docstring).
     NB: audit dirs written before the ``kind`` column existed hold
     3-column files; read such mixed dirs with
     ``option("mergeSchema", "true")`` (old rows read kind=null)."""
     spark = stream_docs.sparkSession
+    if "ingest_batch_id" in stream_docs.columns:
+        raise ValueError(
+            "stream_ingest_dedup reserves the 'ingest_batch_id' column "
+            "for the corpus partition key; rename it in the input"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # within-batch self-dedup: lower id survives
@@ -97,6 +109,14 @@ def stream_ingest_dedup(
 
         try:
             corpus = spark.read.parquet(corpus_path)
+            # replay fence: a re-delivered batch must dedup against
+            # the PRE-batch corpus — its own earlier partial write
+            # (and anything later, which can only exist if the
+            # checkpoint was deleted) is excluded by partition pruning
+            if "ingest_batch_id" in corpus.columns:
+                corpus = corpus.filter(
+                    F.col("ingest_batch_id") < batch_id
+                ).drop("ingest_batch_id")
         except AnalysisException:
             bands = spark.read.parquet(f"{store_path}/bands")
             if bands.limit(1).count() > 0:
@@ -117,6 +137,7 @@ def stream_ingest_dedup(
             tau_num=tau_num,
             tau_den=tau_den,
             max_bucket=max_bucket,
+            before_batch=batch_id,  # same replay fence, store side
         ).localCheckpoint(eager=True)  # reused by drop filter + audit
         store_drop = pairs.select(F.col("doc_new").alias(id_col)).distinct()
         # materialize survivors before the two appends: without this,
@@ -126,9 +147,15 @@ def stream_ingest_dedup(
         survivors = batch.join(
             store_drop, on=id_col, how="left_anti"
         ).localCheckpoint(eager=True)
-        # order matters: corpus/store appends AFTER the dedup reads
-        survivors.write.mode("append").parquet(corpus_path)
-        append_to_minhash_band_store(survivors, store_path, text_col, id_col, n)
+        # every sink write targets this batch's OWN partition with
+        # overwrite semantics: a replayed batch replaces its earlier
+        # partial write instead of appending beside it (exactly-once)
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_path}/ingest_batch_id={batch_id}"
+        )
+        append_to_minhash_band_store(
+            survivors, store_path, text_col, id_col, n, batch_id=batch_id
+        )
         # audit BOTH drop kinds: cross-batch (store) and within-batch
         # (self) — a provenance consumer must account for every doc
         # that entered the stream but not the corpus
@@ -139,10 +166,8 @@ def stream_ingest_dedup(
                 F.col("doc_a").alias("doc_old"), F.col("doc_b").alias("doc_new")
             ).withColumn("kind", F.lit("self"))
         )
-        (
-            audit.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(audit_path)
+        audit.write.mode("overwrite").parquet(
+            f"{audit_path}/batch_id={batch_id}"
         )
 
     q = (
