@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 from ..core import GroupSortedFrame, assume_group_sorted
 
-__all__ = ["merge_join", "merge_join_custom", "merge_join_asof", "merge_join_range"]
+__all__ = [
+    "merge_join",
+    "merge_join_custom",
+    "merge_join_asof",
+    "merge_join_range",
+    "interval_overlap_join",
+]
 
 _HOWS = {"inner", "left", "right", "full", "left_semi", "left_anti"}
 
@@ -400,5 +406,147 @@ def merge_join_range(
     return (
         ldf.join(rdf, on=[*keys, bucket], how="inner")
         .filter((rt - F.col(time_col) >= F.lit(low)) & (rt - F.col(time_col) <= F.lit(high)))
+        .drop(bucket)
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    start_col: str,
+    end_col: str,
+    keys,
+    bucket_width: int,
+    right_start: str | None = None,
+    right_end: str | None = None,
+    suffix: str = "_r",
+    max_span_buckets: int = 1024,
+) -> DataFrame:
+    """Interval-overlap join: all same-key pairs whose CLOSED intervals
+    intersect — ``l.start <= r.end AND r.start <= l.end``. The
+    two-sided sibling of :func:`merge_join_range` (point vs interval);
+    this one joins interval to interval (session overlap, ad exposure
+    vs outage windows, speaker-turn alignment).
+
+    Scale design: both sides explode into the ``bucket_width``-sized
+    time buckets their interval covers, and the join is a plain
+    equi-join on ``(keys..., bucket)`` with the exact overlap predicate
+    as a post-filter — never a per-key cartesian. A pair that shares
+    several buckets is emitted ONCE without any distinct-shuffle: the
+    join keeps a pair only in the bucket containing
+    ``greatest(l.start, r.start)``, a point that provably lies in both
+    intervals, so exactly one bucket passes. Shuffle volume is
+    sum(interval span / bucket_width) per side — pick ``bucket_width``
+    near the typical interval length so most intervals explode into
+    1-2 buckets. An interval spanning more than ``max_span_buckets``
+    buckets fails loudly at runtime (raise_error, not silent
+    truncation): widen ``bucket_width`` rather than amplify one row
+    thousands of times.
+
+    Rows whose start exceeds their end are EMPTY intervals under
+    closed-interval semantics: they can overlap nothing and are
+    dropped (documented, not an error — feeds with open-ended or
+    corrupted spans shouldn't kill the job).
+
+    Column carrying matches the merge joins: right-side non-key
+    columns that collide with left names get ``suffix``. Time columns
+    must be numeric (epoch-micros via ``sources.tpch.event_ts_us``);
+    integral times use exact decimal floor-division, safe at any int64
+    magnitude. Skew: same story as :func:`merge_join_range` — the
+    equi-join is a standard shuffle join, so AQE skew-join splits hot
+    ``(key, bucket)`` cells.
+    """
+    keys = list(keys) if keys else []
+    if not keys:
+        raise ValueError(
+            "interval_overlap_join needs at least one equality key; a "
+            "global interval join is all-pairs-dense at scale — add a "
+            "partitioning key (or a constant column if you truly mean it)"
+        )
+    rs = right_start or start_col
+    re_ = right_end or end_col
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError(f"bucket_width ({bucket_width}) must be positive")
+    for side, df, cols in (("left", left, (start_col, end_col)),
+                           ("right", right, (rs, re_))):
+        for c in cols:
+            if c not in df.columns:
+                raise ValueError(f"{side} side lacks interval column {c!r}")
+            dt = df.schema[c].dataType.simpleString()
+            if dt not in ("bigint", "int", "smallint", "tinyint",
+                          "double", "float"):
+                raise ValueError(
+                    f"{side} side interval column {c!r} is {dt}; pass "
+                    "numeric times (e.g. epoch-micros via event_ts_us)"
+                )
+        for k in keys:
+            if k not in df.columns:
+                raise ValueError(f"{side} side lacks key column {k!r}")
+
+    integral = all(
+        df.schema[c].dataType.simpleString()
+        in ("bigint", "int", "smallint", "tinyint")
+        for df, c in ((left, start_col), (left, end_col),
+                      (right, rs), (right, re_))
+    )
+    if not integral and bucket_width >= (1 << 53):
+        raise ValueError(
+            f"bucket_width {bucket_width} exceeds 2^53; floating-point "
+            "interval columns cannot bucket exactly at that magnitude"
+        )
+    w = bucket_width
+
+    def bucket_of(col: Column) -> Column:
+        # same exact integral floor-division as merge_join_range
+        if integral:
+            dec = col.cast("decimal(38,0)")
+            return ((dec - F.pmod(dec, F.lit(w))) / F.lit(w)).cast("long")
+        return F.floor(col / F.lit(w))
+
+    rvals = [c for c in right.columns if c not in keys]
+    carried = {c: (c + suffix if c in left.columns else c) for c in rvals}
+
+    taken = set(left.columns) | set(carried.values()) | set(keys)
+    bucket = "__bucket"
+    while bucket in taken:
+        bucket += "_"
+
+    def exploded(df, s, e, rename=None):
+        b_s, b_e = bucket_of(F.col(s)), bucket_of(F.col(e))
+        span = b_e - b_s + 1
+        seq = F.when(
+            span > F.lit(max_span_buckets),
+            F.raise_error(
+                F.format_string(
+                    "interval_overlap_join: an interval spans %s buckets "
+                    + f"(max_span_buckets={max_span_buckets}); widen "
+                    "bucket_width or raise the cap",
+                    span.cast("string"),
+                )
+            ).cast("array<bigint>"),
+        ).otherwise(F.sequence(b_s, b_e))
+        cols = (
+            [*keys, *[F.col(c).alias(rename[c]) for c in rvals]]
+            if rename
+            else [F.col(c) for c in df.columns]
+        )
+        return df.filter(F.col(s) <= F.col(e)).select(
+            *cols, F.explode(seq).alias(bucket)
+        )
+
+    ldf = exploded(left, start_col, end_col)
+    rdf = exploded(right, rs, re_, rename=carried)
+    l_s, l_e = F.col(start_col), F.col(end_col)
+    r_s, r_e = F.col(carried[rs]), F.col(carried[re_])
+    return (
+        ldf.join(rdf, on=[*keys, bucket], how="inner")
+        .filter(
+            (l_s <= r_e)
+            & (r_s <= l_e)
+            # single-bucket emission: greatest(starts) lies in both
+            # intervals, so exactly one shared bucket passes this
+            & (F.col(bucket) == bucket_of(F.greatest(l_s, r_s)))
+        )
         .drop(bucket)
     )

@@ -1755,6 +1755,59 @@ def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Interval-overlap join — the two-sided sibling of range_join: all
+# same-user (click, view) pairs whose 6-hour activity windows
+# intersect, with the exact overlap length. Bucketed equi-join with
+# single-bucket pair emission (no distinct shuffle); oracle is the
+# plain inequality join.
+# ===========================================================================
+@query(
+    "interval_overlap",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                      epoch_us(ts) + 21600000000 AS e
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, event_id AS event_id_r,
+                      epoch_us(ts) AS s_r, epoch_us(ts) + 21600000000 AS e_r
+               FROM events WHERE event_type = 'view')
+    SELECT c.user_id, c.event_id, v.event_id_r,
+           least(c.e, v.e_r) - greatest(c.s, v.s_r) AS overlap_us
+    FROM c JOIN v ON c.user_id = v.user_id
+                 AND c.s <= v.e_r AND v.s_r <= c.e
+    """,
+)
+def interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import interval_overlap_join
+
+    HOUR6 = 21_600_000_000
+    ev = load_table(spark, "events", sf_dir)
+    ev = ev.withColumn("ts_us", event_ts_us(ev, "ts"))
+
+    def windows(kind: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == kind).select(
+            "user_id",
+            "event_id",
+            F.col("ts_us").alias("s"),
+            (F.col("ts_us") + HOUR6).alias("e"),
+        )
+
+    j = interval_overlap_join(
+        windows("click"),
+        windows("view"),
+        start_col="s",
+        end_col="e",
+        keys=["user_id"],
+        bucket_width=2 * HOUR6,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "event_id_r",
+        (F.least("e", "e_r") - F.greatest("s", "s_r")).alias("overlap_us"),
+    )
+
+
+# ===========================================================================
 # TPC-H Q10 — returned-item reporting (adapted: this schema carries no
 # c_phone/c_address/c_comment). The scale-smart plan aggregates the
 # fact side BY CUSTKEY FIRST (orders ⋈ lineitem → per-customer
@@ -2888,6 +2941,7 @@ _GATE_ORDER = [
     # subquery-as-broadcast-join (q15), HAVING-subquery semi-join
     # (q18), cross-side disjunctive predicate with a factored part
     # prefilter (q19)
+    "interval_overlap",
     "tpch_q10_returned_items",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",

@@ -60,6 +60,16 @@ def test_gate_window_contents():
         "hll_distinct_shingles",
         "decontaminate_bloom",
         "cms_token_counts",
+        # round-6 continuation: the interval-overlap join and five
+        # more TPC-H shapes (all locally oracle-checked; the gated
+        # q1/q3 + range_join keep their families' driver rows)
+        "interval_overlap",
+        "tpch_q10_returned_items",
+        "tpch_q13_order_distribution",
+        "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier",
+        "tpch_q18_large_orders",
+        "tpch_q19_disjunctive_revenue",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -433,3 +433,103 @@ def test_merge_join_range_hot_bucket_skew(spark):
         assert out.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _naive_overlap(spark, ldata, rdata):
+    out = []
+    for lk, lid, ls, le in ldata:
+        if ls > le:
+            continue
+        for rk, rid, rs, re_ in rdata:
+            if rs > re_ or rk != lk:
+                continue
+            if ls <= re_ and rs <= le:
+                out.append((lk, lid, ls, le, rid, rs, re_))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("width", [1, 7, 50, 1000])
+def test_interval_overlap_join_matches_naive(spark, width):
+    # random intervals of wildly mixed lengths across shared and
+    # unshared keys; every bucket width must produce the same exact
+    # pair set, each pair exactly once
+    import random
+
+    from spark_sorted_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(11)
+
+    def mk(n, base):
+        rows = []
+        for i in range(n):
+            s = rng.randrange(-300, 300)
+            rows.append((f"k{i % 4}", base + i, s, s + rng.randrange(0, 80)))
+        return rows
+
+    ldata, rdata = mk(60, 0), mk(70, 1000)
+    l = spark.createDataFrame(ldata, ["k", "iid", "s", "e"])
+    r = spark.createDataFrame(rdata, ["k", "iid", "s", "e"])
+    out = interval_overlap_join(
+        l, r, start_col="s", end_col="e", keys=["k"], bucket_width=width
+    )
+    assert sorted(out.columns) == sorted(
+        ["k", "iid", "s", "e", "iid_r", "s_r", "e_r"]
+    )
+    got = sorted(
+        (row["k"], row["iid"], row["s"], row["e"], row["iid_r"], row["s_r"], row["e_r"])
+        for row in out.collect()
+    )
+    assert got == _naive_overlap(spark, ldata, rdata)
+
+
+def test_interval_overlap_join_boundary_and_empty_intervals(spark):
+    from spark_sorted_spark.operators.joins import interval_overlap_join
+
+    l = spark.createDataFrame([("a", 1, 0, 10), ("a", 2, 30, 20)], ["k", "iid", "s", "e"])
+    r = spark.createDataFrame(
+        [("a", 10, 10, 15), ("a", 11, 11, 15), ("a", 12, 25, 28)],
+        ["k", "iid", "s", "e"],
+    )
+    out = interval_overlap_join(
+        l, r, start_col="s", end_col="e", keys=["k"], bucket_width=8
+    )
+    rows = out.collect()
+    # closed intervals touch at 10; 11 misses; interval 2 (s>e) is
+    # empty and overlaps nothing even though [20,30] would hit 25-28
+    assert sorted(row["iid_r"] for row in rows) == [10]
+    assert all(row["iid"] == 1 for row in rows)
+
+
+def test_interval_overlap_join_span_guard_and_errors(spark):
+    from spark_sorted_spark.operators.joins import interval_overlap_join
+
+    l = spark.createDataFrame([("a", 1, 0, 10)], ["k", "iid", "s", "e"])
+    r = spark.createDataFrame([("a", 2, 0, 100000)], ["k", "iid", "s", "e"])
+    with pytest.raises(Exception, match="spans"):
+        interval_overlap_join(
+            l, r, start_col="s", end_col="e", keys=["k"],
+            bucket_width=10, max_span_buckets=100,
+        ).collect()
+    with pytest.raises(ValueError, match="at least one equality key"):
+        interval_overlap_join(l, r, start_col="s", end_col="e", keys=[], bucket_width=10)
+    with pytest.raises(ValueError, match="must be positive"):
+        interval_overlap_join(l, r, start_col="s", end_col="e", keys=["k"], bucket_width=0)
+    with pytest.raises(ValueError, match="lacks interval column"):
+        interval_overlap_join(l, r, start_col="nope", end_col="e", keys=["k"], bucket_width=10)
+    bad = l.withColumn("s", F.col("s").cast("string"))
+    with pytest.raises(ValueError, match="pass"):
+        interval_overlap_join(bad, r, start_col="s", end_col="e", keys=["k"], bucket_width=10)
+
+
+def test_interval_overlap_join_plan_no_cartesian_no_distinct(spark):
+    from spark_sorted_spark.operators.joins import interval_overlap_join
+
+    l = spark.createDataFrame([("a", 1, 0, 10)], ["k", "iid", "s", "e"])
+    r = spark.createDataFrame([("a", 2, 5, 15)], ["k", "iid", "s", "e"])
+    out = interval_overlap_join(
+        l, r, start_col="s", end_col="e", keys=["k"], bucket_width=10
+    )
+    plan = plan_of(out, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # single-bucket emission means NO dedup aggregate in the plan
+    assert "HashAggregate" not in plan
