@@ -27,6 +27,7 @@ __all__ = [
     "doc_fingerprint",
     "redact_pii",
     "build_vocab",
+    "doc_keywords",
     "LANG_MARKERS",
     "PII_PATTERNS",
 ]
@@ -205,6 +206,58 @@ def build_vocab(
     top = agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(max_vocab)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def doc_keywords(
+    df: DataFrame,
+    k: int,
+    max_df: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinctive terms per document: for each doc, the ``k`` tokens
+    most frequent IN that doc among tokens that are rare ACROSS the
+    corpus (document frequency <= ``max_df``), ranked by (tf desc,
+    token asc). An all-integer tf-idf surrogate: thresholding df and
+    ranking by integer tf selects the same "frequent here, rare
+    everywhere" terms a float ``tf * log(N/df)`` would, without the
+    libm ``log`` whose rounding no two engines guarantee to agree on
+    (the same portability rule the HLL estimator follows).
+
+    Output: ``(id_col, token, tf, df, rank)``, ``rank`` 1-based per
+    doc, at most ``k`` rows per doc.
+
+    Scale shape (100 TB): explode -> one (doc, token) partial-agg
+    shuffle; document frequency is a count over that already-distinct
+    pair set (token-keyed shuffle of (token, doc) PAIRS, not raw
+    occurrences); the df table filters BEFORE the join back, so only
+    rare tokens rejoin; the final per-doc window ranks the few
+    surviving (doc, rare-token) rows. No collects, no cartesian; every
+    aggregate combines map-side.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if max_df <= 0:
+        raise ValueError(f"max_df must be positive, got {max_df}")
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        tf.join(dfreq, on="token")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "rank")
+    )
 
 
 # PII patterns, applied IN ORDER (emails first, so the IP pattern

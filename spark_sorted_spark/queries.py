@@ -1755,6 +1755,43 @@ def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Per-document distinctive keywords — the all-integer tf-idf
+# surrogate: top-3 tokens by in-doc frequency among tokens whose
+# corpus document-frequency sits below the threshold. The synthetic
+# corpus has a tiny dense vocabulary (31 tokens, min df 25), so the
+# threshold is set below the median df; on a real corpus it would be
+# a small absolute count.
+# ===========================================================================
+@query(
+    "doc_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfreq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token)
+    SELECT doc_id, token, tf, df, rank FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.token
+             ) AS rank
+      FROM tf JOIN dfreq USING (token)
+      WHERE dfreq.df <= 380)
+    WHERE rank <= 3
+    """,
+)
+def doc_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import doc_keywords
+
+    return doc_keywords(
+        load_table(spark, "documents", sf_dir), k=3, max_df=380
+    )
+
+
+# ===========================================================================
 # Interval-overlap join — the two-sided sibling of range_join: all
 # same-user (click, view) pairs whose 6-hour activity windows
 # intersect, with the exact overlap length. Bucketed equi-join with
@@ -2942,6 +2979,7 @@ _GATE_ORDER = [
     # (q18), cross-side disjunctive predicate with a factored part
     # prefilter (q19)
     "interval_overlap",
+    "doc_keywords",
     "tpch_q10_returned_items",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",

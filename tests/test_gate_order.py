@@ -64,6 +64,7 @@ def test_gate_window_contents():
         # more TPC-H shapes (all locally oracle-checked; the gated
         # q1/q3 + range_join keep their families' driver rows)
         "interval_overlap",
+        "doc_keywords",
         "tpch_q10_returned_items",
         "tpch_q13_order_distribution",
         "tpch_q14_promo_revenue",

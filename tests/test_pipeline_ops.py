@@ -468,3 +468,49 @@ class TestCountMin:
             cms_build(df, "v", width=1000)
         with pytest.raises(ValueError, match="depth must be"):
             cms_build(df, "v", depth=5)
+
+
+class TestDocKeywords:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "apple apple apple banana common common"),
+                (2, "banana banana cherry common common common"),
+                (3, "common common common common date date"),
+            ],
+            "doc_id bigint, text string",
+        )
+
+    def test_rare_frequent_selection_and_rank(self, spark):
+        from spark_sorted_spark.functions.text import doc_keywords
+
+        # df: apple 1, banana 2, cherry 1, date 1, common 3
+        out = doc_keywords(self._docs(spark), k=2, max_df=2)
+        got = {
+            (r.doc_id, r.token, r.tf, r.df, r.rank) for r in out.collect()
+        }
+        # 'common' (df=3) is never a keyword; rank by tf desc, token asc
+        assert got == {
+            (1, "apple", 3, 1, 1),
+            (1, "banana", 1, 2, 2),
+            (2, "banana", 2, 2, 1),
+            (2, "cherry", 1, 1, 2),
+            (3, "date", 2, 1, 1),
+        }
+
+    def test_k_caps_per_doc_not_globally(self, spark):
+        from spark_sorted_spark.functions.text import doc_keywords
+
+        out = doc_keywords(self._docs(spark), k=1, max_df=2)
+        rows = out.collect()
+        assert len(rows) == 3 and all(r.rank == 1 for r in rows)
+
+    def test_rejects_bad_params(self, spark):
+        import pytest as _pytest
+
+        from spark_sorted_spark.functions.text import doc_keywords
+
+        with _pytest.raises(ValueError, match="k must be positive"):
+            doc_keywords(self._docs(spark), k=0, max_df=2)
+        with _pytest.raises(ValueError, match="max_df must be positive"):
+            doc_keywords(self._docs(spark), k=2, max_df=0)
