@@ -250,6 +250,22 @@ def b17_knn_join(spark):
     force(QUERIES["knn_join"](spark, SF_DIR))
 
 
+def b18_interval_overlap(spark):
+    # two-sided interval join: click/view 6-hour window intersections
+    # per user via the bucketed equi-join (single-bucket emission)
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["interval_overlap"](spark, SF_DIR))
+
+
+def b19_doc_keywords(spark):
+    # distinctive-term extraction: explode -> two aggs -> join ->
+    # per-doc rank window, all integers
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["doc_keywords"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -270,6 +286,8 @@ BENCH = {
     "b15_range_join": b15_range_join,
     "b16_dedup_clusters": b16_dedup_clusters,
     "b17_knn_join": b17_knn_join,
+    "b18_interval_overlap": b18_interval_overlap,
+    "b19_doc_keywords": b19_doc_keywords,
 }
 
 

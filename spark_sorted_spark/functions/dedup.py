@@ -41,6 +41,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "build_minhash_band_store",
     "append_to_minhash_band_store",
+    "compact_minhash_band_store",
     "dedup_against_store",
     "simhash",
     "simhash_pairs",
@@ -406,6 +407,57 @@ def append_to_minhash_band_store(
         .parquet(f"{path}/counts/ingest_batch_id={part}")
     )
     bands.unpersist()
+
+
+def compact_minhash_band_store(spark, path: str) -> None:
+    """Compact a long-appended band store back to the base layout:
+    all band partitions merge into ``ingest_batch_id=-1`` and the
+    per-append delta count rows collapse to one total per
+    ``(band, band_key)``.
+
+    Unlike rebuilding with :func:`build_minhash_band_store`, this
+    reads only the STORE (bands are ~4 short rows per document) —
+    never the corpus text, so no re-shingling and no 100 TB scan.
+    Run it when the counts table's delta-row count (one row set per
+    append) starts to matter; correctness never depends on it (the
+    guard merges deltas lazily).
+
+    Not concurrency-safe: don't compact while an ingest stream is
+    draining into the same store (the read-rewrite window would drop
+    an append that lands in between)."""
+    bands = spark.read.parquet(f"{path}/bands")
+    if "ingest_batch_id" in bands.columns:
+        bands = bands.drop("ingest_batch_id")
+    # the store fits the "bounded metadata" exception nowhere — it is
+    # corpus-proportional — so stage through a sibling dir and swap,
+    # never through driver memory
+    staging = f"{path}/bands_compacting"
+    bands.write.mode("overwrite").parquet(staging)
+    _rm_dir(spark, f"{path}/bands")
+    _rename(spark, staging, f"{path}/bands/ingest_batch_id=-1")
+    counts_staging = f"{path}/counts_compacting"
+    (
+        spark.read.parquet(f"{path}/bands")
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("store_n"))
+        .write.mode("overwrite")
+        .parquet(counts_staging)
+    )
+    _rm_dir(spark, f"{path}/counts")
+    _rename(spark, counts_staging, f"{path}/counts/ingest_batch_id=-1")
+
+
+def _rename(spark, src: str, dst: str) -> None:
+    """Rename through the Hadoop FileSystem API, creating the
+    destination's parent (rename fails, not creates, without it)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = dst_p.getFileSystem(conf)
+    fs.mkdirs(dst_p.getParent())
+    if not fs.rename(src_p, dst_p):
+        raise IOError(f"rename {src} -> {dst} failed")
 
 
 def _combined_small_keys(

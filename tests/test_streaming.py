@@ -622,3 +622,44 @@ def test_append_to_band_store_with_batch_id_is_idempotent(spark, sf_dir, tmp_pat
         dedup_against_store(
             batch, spark.read.parquet(f"{store}/bands"), base, before_batch=3
         )
+
+
+def test_compact_minhash_band_store_preserves_dedup(spark, sf_dir, tmp_path):
+    """Compaction rewrites a long-appended store into the base layout
+    (single partition, one count row per key) WITHOUT touching corpus
+    text; dedup results against the store must be identical before
+    and after."""
+    from spark_sorted_spark.functions.dedup import (
+        append_to_minhash_band_store,
+        build_minhash_band_store,
+        compact_minhash_band_store,
+        dedup_against_store,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(60).cache()
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    add1 = docs.filter(F.col("doc_id") % 3 == 1)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    store = str(tmp_path / "store")
+    build_minhash_band_store(base, store)
+    append_to_minhash_band_store(add1, store, batch_id=7)
+    append_to_minhash_band_store(add1.limit(5), store)  # base-partition append
+    corpus = base.unionByName(add1).unionByName(add1.limit(5))
+
+    before = sorted(
+        map(tuple, dedup_against_store(probe, store, corpus).collect())
+    )
+    n_count_rows_before = spark.read.parquet(f"{store}/counts").count()
+
+    compact_minhash_band_store(spark, store)
+
+    after = sorted(
+        map(tuple, dedup_against_store(probe, store, corpus).collect())
+    )
+    assert after == before
+    bands = spark.read.parquet(f"{store}/bands")
+    assert set(r.ingest_batch_id for r in bands.select("ingest_batch_id").distinct().collect()) == {-1}
+    counts = spark.read.parquet(f"{store}/counts")
+    # one merged row per (band, band_key): delta rows collapsed
+    assert counts.count() == counts.select("band", "band_key").distinct().count()
+    assert counts.count() <= n_count_rows_before
