@@ -320,6 +320,8 @@ def merge_join_range(
     natural call — passing GroupSortedFrames works but their layout
     Exchange buys nothing here.
     """
+    if isinstance(keys, str):
+        keys = [keys]  # a bare string means ONE key, never its chars
     if isinstance(left, DataFrame):
         if keys is None:
             raise ValueError("pass keys= when joining plain DataFrames")
@@ -457,7 +459,9 @@ def interval_overlap_join(
     equi-join is a standard shuffle join, so AQE skew-join splits hot
     ``(key, bucket)`` cells.
     """
-    keys = list(keys) if keys else []
+    # a bare string must mean ONE key, matching group_sort's contract
+    # (list("user_id") silently splitting into characters is the trap)
+    keys = [keys] if isinstance(keys, str) else (list(keys) if keys else [])
     if not keys:
         raise ValueError(
             "interval_overlap_join needs at least one equality key; a "
@@ -466,6 +470,10 @@ def interval_overlap_join(
         )
     rs = right_start or start_col
     re_ = right_end or end_col
+    for c in {start_col, end_col, rs, re_} & set(keys):
+        raise ValueError(
+            f"interval column {c!r} cannot also be a join key"
+        )
     if bucket_width is None or bucket_width <= 0:
         raise ValueError(f"bucket_width ({bucket_width}) must be positive")
     for side, df, cols in (("left", left, (start_col, end_col)),

@@ -516,6 +516,8 @@ def test_interval_overlap_join_span_guard_and_errors(spark):
         interval_overlap_join(l, r, start_col="s", end_col="e", keys=["k"], bucket_width=0)
     with pytest.raises(ValueError, match="lacks interval column"):
         interval_overlap_join(l, r, start_col="nope", end_col="e", keys=["k"], bucket_width=10)
+    with pytest.raises(ValueError, match="cannot also be a join key"):
+        interval_overlap_join(l, r, start_col="s", end_col="e", keys=["s"], bucket_width=10)
     bad = l.withColumn("s", F.col("s").cast("string"))
     with pytest.raises(ValueError, match="pass"):
         interval_overlap_join(bad, r, start_col="s", end_col="e", keys=["k"], bucket_width=10)
@@ -533,3 +535,24 @@ def test_interval_overlap_join_plan_no_cartesian_no_distinct(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # single-bucket emission means NO dedup aggregate in the plan
     assert "HashAggregate" not in plan
+
+
+def test_string_keys_mean_one_key_not_chars(spark):
+    # keys="user_id" must behave as ["user_id"] in both bucketed joins
+    from spark_sorted_spark.operators.joins import (
+        interval_overlap_join,
+        merge_join_range,
+    )
+
+    l = spark.createDataFrame([("a", 1, 0, 10)], ["kid", "iid", "s", "e"])
+    r = spark.createDataFrame([("a", 2, 5, 15)], ["kid", "iid", "s", "e"])
+    out = interval_overlap_join(
+        l, r, start_col="s", end_col="e", keys="kid", bucket_width=10
+    )
+    assert out.count() == 1
+    out2 = merge_join_range(
+        l.select("kid", F.col("s").alias("t")),
+        r.select("kid", F.col("s").alias("t")),
+        "t", low=-10, high=10, keys="kid",
+    )
+    assert out2.count() == 1
