@@ -1084,6 +1084,31 @@ def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cms_heavy_shingles",
+    # no sketch replay needed: CMS never undercounts, so every true
+    # heavy hitter reaches the exact pass and the HAVING removes any
+    # collision stowaways — the output is exactly GROUP BY + HAVING
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT sh, count(*) AS n_occurrences
+    FROM sh GROUP BY sh HAVING count(*) >= 40
+    """,
+)
+def cms_heavy_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-shingle detection as CMS-prefiltered exact heavy
+    hitters: shingles appearing in >= 40 documents, exact counts. The
+    sketch probe is depth broadcast joins (map-side); only candidate
+    occurrences reach the exact-count shuffle — at 100 TB the groupBy
+    carries the boilerplate shingles, not the whole shingle space."""
+    from .functions.dedup import shingles, spread_small_input
+    from .functions.sketches import cms_heavy_hitters
+
+    docs = spread_small_input(load_table(spark, "documents", sf_dir))
+    sh = docs.select(F.explode(shingles("text", 3)).alias("sh"))
+    return cms_heavy_hitters(sh, "sh", min_count=40)
+
+
 @query("hll_distinct_shingles", oracle=_hll_oracle_sql())
 def hll_distinct_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog over the corpus's distinct 3-gram
@@ -2986,6 +3011,7 @@ _GATE_ORDER = [
     "tpch_q15_top_supplier",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
+    "cms_heavy_shingles",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

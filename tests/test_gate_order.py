@@ -71,6 +71,7 @@ def test_gate_window_contents():
         "tpch_q15_top_supplier",
         "tpch_q18_large_orders",
         "tpch_q19_disjunctive_revenue",
+        "cms_heavy_shingles",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -514,3 +514,37 @@ class TestDocKeywords:
             doc_keywords(self._docs(spark), k=0, max_df=2)
         with _pytest.raises(ValueError, match="max_df must be positive"):
             doc_keywords(self._docs(spark), k=2, max_df=0)
+
+
+class TestCmsHeavyHitters:
+    def _vals(self, spark):
+        rows = (
+            [("heavy1",)] * 30 + [("heavy2",)] * 25 + [("mid",)] * 10
+            + [(f"light{i}",) for i in range(40)]
+        )
+        return spark.createDataFrame(rows, "v string")
+
+    def test_exact_and_equals_plain_having(self, spark):
+        from spark_sorted_spark.functions.sketches import cms_heavy_hitters
+
+        out = cms_heavy_hitters(self._vals(spark), "v", min_count=20)
+        got = {(r.v, r.n_occurrences) for r in out.collect()}
+        assert got == {("heavy1", 30), ("heavy2", 25)}
+
+    def test_collisions_cannot_fake_or_lose_heavy_hitters(self, spark):
+        # width=2, depth=1: massive collisions — light values WILL
+        # clear the sketch prefilter, but the exact pass removes them;
+        # true heavy hitters can never be lost (CMS never undercounts)
+        from spark_sorted_spark.functions.sketches import cms_heavy_hitters
+
+        out = cms_heavy_hitters(
+            self._vals(spark), "v", min_count=20, width=2, depth=1
+        )
+        got = {(r.v, r.n_occurrences) for r in out.collect()}
+        assert got == {("heavy1", 30), ("heavy2", 25)}
+
+    def test_rejects_bad_min_count(self, spark):
+        from spark_sorted_spark.functions.sketches import cms_heavy_hitters
+
+        with pytest.raises(ValueError, match="min_count must be positive"):
+            cms_heavy_hitters(self._vals(spark), "v", min_count=0)
