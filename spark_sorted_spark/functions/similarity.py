@@ -374,6 +374,47 @@ def _ivf_cell_col(vec: Column, cents: list[tuple]) -> Column:
     return F.array_min(scored)["cell"]
 
 
+def _lloyd_refine(
+    df: DataFrame, cents: list[tuple], iters: int, vec_col: str
+) -> list[tuple]:
+    """Refine centroids with ``iters`` Lloyd (k-means) steps: assign
+    every vector to its nearest current centroid (the same native
+    argmax the index build uses), element-wise-average per cell, and
+    collect the bounded nlist-row means as the new centroids. A cell
+    that captures no vectors keeps its previous centroid (standard
+    empty-cluster handling). Cost: one assign shuffle per iteration;
+    the collect is nlist rows — bounded metadata, like the seeded
+    pick.
+
+    Note on determinism: the per-cell averages are float sums over
+    partition-dependent order, so refined centroids can differ in
+    final bits across runs. The PERSISTED index is the reproducible
+    artifact (assignments are written once); rebuilds may place
+    borderline vectors differently — same recall, not bitwise-same
+    cells. The seeded pick (``lloyd_iters=0``) stays the fully
+    deterministic default."""
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col).alias("__v"),
+            _ivf_cell_col(F.col(vec_col), cents).alias("__cell"),
+        )
+        means = assigned.groupBy("__cell").agg(
+            *[
+                F.avg(F.col("__v")[i].cast("double")).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        ).collect()
+        new = {
+            r["__cell"]: [float(r[f"m{i}"]) for i in range(dim)]
+            for r in means
+        }
+        cents = [
+            (cid, new.get(i, vec)) for i, (cid, vec) in enumerate(cents)
+        ]
+    return cents
+
+
 def _ivf_probe_cells(query_vec, cents: list[tuple], nprobe: int) -> list[int]:
     order = sorted(
         range(len(cents)), key=lambda i: (-dot_py(query_vec, cents[i][1]), i)
@@ -419,16 +460,30 @@ def build_ann_ivf_index(
     nlist: int = ANN_NLIST,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lloyd_iters: int = 0,
 ) -> None:
     """Pick centroids and assign every vector to its cell ONCE; persist
     the assignment directory-partitioned by ``cell`` plus the centroid
     table under ``<path>/_centroids`` (underscore-prefixed → invisible
     to the partitioned read). Probes then scan only their ``nprobe``
-    cell directories."""
+    cell directories.
+
+    ``lloyd_iters`` > 0 refines the seeded centroid pick with that
+    many k-means steps before the final assignment (see
+    :func:`_lloyd_refine`): cells then track the data's actual
+    cluster structure, which evens out cell sizes and improves
+    probe recall at the cost of one assign shuffle per iteration.
+    2-3 iterations capture most of the benefit; the refined
+    centroids' ``cent_id`` keeps the seed vector's id as
+    provenance."""
     from ..sources.bucketed import write_partitioned
     from .dedup import spread_small_input
 
+    if lloyd_iters < 0:
+        raise ValueError(f"lloyd_iters must be >= 0, got {lloyd_iters}")
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
+    if lloyd_iters and cents:
+        cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
     df = spread_small_input(df)
     celled = df.select(
         F.col(id_col),

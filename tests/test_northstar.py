@@ -622,3 +622,49 @@ def test_dedup_against_store_accepts_dataframe_store(spark, docs):
     out = dedup_against_store(new, bands, existing)
     assert out.columns == ["doc_old", "doc_new", "n_common", "n_old", "n_new"]
     assert out.count() >= 0
+
+
+def test_ann_ivf_lloyd_refinement(spark, emb, tmp_path):
+    """Lloyd-refined index: probes stay exact-cosine-correct (subset
+    of exact ranking, identical given the same index), cells cover
+    every vector, recall at full probe is exact by construction, and
+    refinement must not DEGRADE single-probe recall below the seeded
+    pick on this clustered data."""
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivf_topk_indexed,
+        build_ann_ivf_index,
+        cosine_topk,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_topk(base, qvec, k=5).collect()]
+
+    def probe_ids(path, nprobe):
+        return [
+            r.vec_id
+            for r in ann_ivf_topk_indexed(
+                spark, path, qvec, k=5, nprobe=nprobe
+            ).collect()
+        ]
+
+    seeded, refined = str(tmp_path / "seed"), str(tmp_path / "lloyd")
+    build_ann_ivf_index(base, seeded)
+    build_ann_ivf_index(base, refined, lloyd_iters=3)
+
+    n_base = base.count()
+    for path in (seeded, refined):
+        # every vector landed in exactly one cell
+        assert spark.read.parquet(path).count() == n_base
+        # probing every cell is exhaustive -> exactly the exact top-k
+        assert probe_ids(path, nprobe=16) == exact
+
+    def recall(ids):
+        return len(set(ids) & set(exact)) / len(exact)
+
+    assert recall(probe_ids(refined, 1)) >= recall(probe_ids(seeded, 1))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lloyd_iters"):
+        build_ann_ivf_index(base, str(tmp_path / "bad"), lloyd_iters=-1)
