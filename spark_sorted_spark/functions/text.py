@@ -28,6 +28,7 @@ __all__ = [
     "redact_pii",
     "build_vocab",
     "doc_keywords",
+    "normalize_text",
     "LANG_MARKERS",
     "PII_PATTERNS",
 ]
@@ -206,6 +207,36 @@ def build_vocab(
     top = agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(max_vocab)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization — the step that runs BEFORE
+    near-dup detection so cosmetic variants (case, stray punctuation,
+    ragged whitespace) hash/shingle identically:
+
+    1. lowercase (ASCII + Unicode simple mapping, same rule both
+       engines apply),
+    2. strip punctuation marks (everything outside ``[a-z0-9\\s]``
+       after lowercasing — aggressive by design; dedup wants
+       canonical form, not typography),
+    3. collapse whitespace runs to single spaces and trim.
+
+    Emits ``(id_col, text, changed)`` where ``text`` is the
+    normalized form and ``changed`` marks documents the pipeline
+    actually rewrote (cheap provenance: downstream can skip re-work
+    for untouched docs). Pure Catalyst regexp expressions in the
+    Java-regex/RE2 common subset — the DuckDB oracle reproduces the
+    transform byte-for-byte."""
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias(text_col),
+        (collapsed != F.col(text_col)).alias("changed"),
+    )
 
 
 def doc_keywords(

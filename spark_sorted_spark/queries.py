@@ -1780,6 +1780,65 @@ def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Deterministic negative sampling — each anchor doc paired with m
+# pseudo-random negatives from its md5-bucket ring. Content-hash
+# determinism (not seeded RNG), so the oracle reproduces the exact
+# pair set.
+# ===========================================================================
+@query(
+    "negative_pairs",
+    oracle="""
+    WITH ring AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+      FROM documents),
+    r2 AS (
+      SELECT doc_id, h % 16 AS b,
+             row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+                 AS r,
+             count(*) OVER (PARTITION BY h % 16) AS n
+      FROM ring),
+    anchors AS (
+      SELECT doc_id, b, n, r AS ar,
+             unnest(generate_series(1, least(3, n - 1))) AS j
+      FROM r2 WHERE n > 1)
+    SELECT a.doc_id, neg.doc_id AS neg_doc_id, a.j
+    FROM anchors a JOIN r2 neg
+      ON neg.b = a.b AND neg.r = ((a.ar - 1 + a.j) % a.n) + 1
+    """,
+)
+def negative_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sampling import negative_pairs
+
+    return negative_pairs(
+        load_table(spark, "documents", sf_dir), m=3, n_buckets=16
+    )
+
+
+# ===========================================================================
+# Text normalization — the pre-dedup canonicalization step (lowercase,
+# strip punctuation, collapse whitespace) with a changed flag. Pure
+# regexp expressions in the Java-regex/RE2 common subset, so the
+# oracle reproduces the rewrite byte-for-byte.
+# ===========================================================================
+@query(
+    "normalize_text",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text AS orig,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT doc_id, norm AS text, norm <> orig AS changed FROM n
+    """,
+)
+def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import normalize_text
+
+    return normalize_text(load_table(spark, "documents", sf_dir))
+
+
+# ===========================================================================
 # Per-document distinctive keywords — the all-integer tf-idf
 # surrogate: top-3 tokens by in-doc frequency among tokens whose
 # corpus document-frequency sits below the threshold. The synthetic
@@ -3012,6 +3071,8 @@ _GATE_ORDER = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
     "cms_heavy_shingles",
+    "normalize_text",
+    "negative_pairs",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

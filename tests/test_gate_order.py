@@ -72,6 +72,8 @@ def test_gate_window_contents():
         "tpch_q18_large_orders",
         "tpch_q19_disjunctive_revenue",
         "cms_heavy_shingles",
+        "normalize_text",
+        "negative_pairs",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -548,3 +548,76 @@ class TestCmsHeavyHitters:
 
         with pytest.raises(ValueError, match="min_count must be positive"):
             cms_heavy_hitters(self._vals(spark), "v", min_count=0)
+
+
+class TestNormalizeText:
+    def test_normalizes_and_flags(self, spark):
+        from spark_sorted_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "  Hello,   WORLD!  (test) "),
+                (2, "already clean text"),
+                (3, "Tabs\tand\nnewlines  too"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: (r.text, r.changed) for r in normalize_text(df).collect()}
+        assert out[1] == ("hello world test", True)
+        assert out[2] == ("already clean text", False)
+        assert out[3] == ("tabs and newlines too", True)
+
+    def test_cosmetic_variants_become_exact_duplicates(self, spark):
+        # the reason this op exists: case/punct/whitespace variants
+        # must collapse into ONE exact-dedup group after normalization
+        from spark_sorted_spark.functions.dedup import exact_dedup
+        from spark_sorted_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "The quick brown fox."),
+                (2, "the  QUICK brown (fox)"),
+                (3, "something else entirely"),
+            ],
+            "doc_id bigint, text string",
+        )
+        groups = exact_dedup(normalize_text(df)).collect()
+        by_n = sorted((r.n_copies, r.keep_id) for r in groups)
+        assert by_n == [(1, 3), (2, 1)]
+
+
+class TestNegativePairs:
+    def test_counts_determinism_no_self_no_dups(self, spark):
+        import collections
+
+        from spark_sorted_spark.functions.sampling import negative_pairs
+
+        df = spark.createDataFrame([(i,) for i in range(60)], "doc_id bigint")
+        out = negative_pairs(df, m=3, n_buckets=4).collect()
+        per_anchor = collections.Counter(r.doc_id for r in out)
+        assert len(per_anchor) == 60 and set(per_anchor.values()) == {3}
+        assert all(r.doc_id != r.neg_doc_id for r in out)
+        pairs = collections.Counter((r.doc_id, r.neg_doc_id) for r in out)
+        assert max(pairs.values()) == 1
+        again = negative_pairs(df, m=3, n_buckets=4).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_small_buckets_cap_negatives_not_fabricate(self, spark):
+        from spark_sorted_spark.functions.sampling import negative_pairs
+
+        # 3 docs, 1 bucket: each anchor can get at most 2 negatives
+        # even though m=5; a singleton corpus yields none at all
+        df = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+        out = negative_pairs(df, m=5, n_buckets=1).collect()
+        assert len(out) == 6  # 3 anchors x 2 ring neighbors
+        one = spark.createDataFrame([(9,)], "doc_id bigint")
+        assert negative_pairs(one, m=5, n_buckets=1).count() == 0
+
+    def test_rejects_bad_params(self, spark):
+        from spark_sorted_spark.functions.sampling import negative_pairs
+
+        df = spark.createDataFrame([(1,)], "doc_id bigint")
+        with pytest.raises(ValueError, match="m must be positive"):
+            negative_pairs(df, m=0)
+        with pytest.raises(ValueError, match="n_buckets must be positive"):
+            negative_pairs(df, m=1, n_buckets=0)
