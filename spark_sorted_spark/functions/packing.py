@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_documents"]
 
 
 def pack_sequences(
@@ -71,4 +71,65 @@ def pack_sequences(
     )
     return out.select(
         *part, id_col, "n_tokens", "pack_first", "pack_last", "n_packs"
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into fixed-size token windows — the
+    context-window chunking step before embedding or training on long
+    documents. Chunk ``i`` covers tokens ``[i * stride, i * stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap``; the
+    final chunk may be short; a document shorter than one chunk
+    yields exactly one chunk (itself). An empty document yields one
+    empty chunk with ``n_chunk_tokens = 1`` — the ``tokens()``
+    contract corpus-wide (``split(trim(''))`` is ``['']``, exactly
+    as ``text_stats`` counts it and DuckDB's ``string_split_regex``
+    reproduces it), and it keeps every doc_id present in the output.
+
+    Output: ``(id_col, chunk_idx, chunk_text, n_chunk_tokens)``,
+    ``chunk_idx`` 0-based. Pure Catalyst (tokenize -> sequence ->
+    explode -> slice -> concat_ws): a flat map at scan speed, no
+    shuffle at all. Deterministic and engine-portable (DuckDB list
+    slicing reproduces chunks byte-for-byte on whitespace-clean
+    text; reconstruction loses only the original whitespace runs,
+    the same contract whitespace tokenization always has).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    from .text import tokens
+
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # chunk count: 1 + ceil((n - chunk_tokens) / stride) for n > chunk,
+    # else 1 — as integer arithmetic: 1 + max(0, ceildiv) via div
+    extra = F.greatest(
+        F.lit(0),
+        ((n - F.lit(chunk_tokens)) + F.lit(stride - 1)).cast("bigint")
+        / F.lit(stride),
+    ).cast("bigint")
+    n_chunks = (F.lit(1) + F.floor(extra)).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+            )
+        ).alias("chunk_idx", "__chunk"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("bigint"),
+        F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
     )

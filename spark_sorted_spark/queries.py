@@ -1780,6 +1780,96 @@ def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Gap-filled time-series resample — per-user daily rollup emitting
+# the DENSE bucket grid (empty days included) with the cents sum
+# carried forward into gaps. The hypertable/downsample shape.
+# ===========================================================================
+@query(
+    "resample_daily",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             round(value * 100)::BIGINT AS cents
+      FROM events),
+    per AS (
+      SELECT user_id, t // 86400000000 AS bkt,
+             count(*) AS n, sum(cents)::BIGINT AS sum_cents
+      FROM e GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, min(bkt) AS lo, max(bkt) AS hi
+      FROM per GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS bkt FROM spans)
+    SELECT g.user_id, g.bkt * 86400000000 AS bucket_ts, p.n,
+           last_value(p.sum_cents IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_cents,
+           p.n IS NULL AS is_gap
+    FROM grid g LEFT JOIN per p
+      ON p.user_id = g.user_id AND p.bkt = g.bkt
+    """,
+)
+def resample_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.timeseries import resample_with_gap_fill
+
+    ev = load_table(spark, "events", sf_dir)
+    ev = ev.select(
+        "user_id",
+        event_ts_us(ev, "ts").alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return resample_with_gap_fill(
+        ev,
+        "t",
+        86_400_000_000,
+        {
+            "n": F.count(F.lit(1)),
+            "sum_cents": F.sum("cents"),
+        },
+        keys=["user_id"],
+        fill=("sum_cents",),
+    )
+
+
+# ===========================================================================
+# Context-window chunking — split each document into 32-token windows
+# with 8-token overlap (stride 24). Pure flat-map at scan speed; the
+# oracle reproduces chunks byte-for-byte via 1-based inclusive list
+# slicing.
+# ===========================================================================
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             greatest(0, (len(toks) - 32 + 23) // 24) AS extra
+      FROM t),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, extra)) AS chunk_idx
+      FROM c)
+    SELECT doc_id, chunk_idx,
+           array_to_string(
+             toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+               AS chunk_text,
+           len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32])
+               AS n_chunk_tokens
+    FROM idx
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.packing import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, "documents", sf_dir), chunk_tokens=32, overlap=8
+    )
+
+
+# ===========================================================================
 # Deterministic negative sampling — each anchor doc paired with m
 # pseudo-random negatives from its md5-bucket ring. Content-hash
 # determinism (not seeded RNG), so the oracle reproduces the exact
@@ -3073,6 +3163,8 @@ _GATE_ORDER = [
     "cms_heavy_shingles",
     "normalize_text",
     "negative_pairs",
+    "chunk_documents",
+    "resample_daily",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

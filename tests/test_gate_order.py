@@ -74,6 +74,8 @@ def test_gate_window_contents():
         "cms_heavy_shingles",
         "normalize_text",
         "negative_pairs",
+        "chunk_documents",
+        "resample_daily",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

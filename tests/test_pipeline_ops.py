@@ -621,3 +621,130 @@ class TestNegativePairs:
             negative_pairs(df, m=0)
         with pytest.raises(ValueError, match="n_buckets must be positive"):
             negative_pairs(df, m=1, n_buckets=0)
+
+
+class TestChunkDocuments:
+    def _ref(self, text, chunk, overlap):
+        import re
+
+        toks = re.split(r"\s+", text.strip())  # tokens() contract
+        stride = chunk - overlap
+        out, i = [], 0
+        while True:
+            c = toks[i : i + chunk]
+            out.append((" ".join(c), len(c)))
+            if i + chunk >= len(toks):
+                break
+            i += stride
+        return out
+
+    @pytest.mark.parametrize("chunk,overlap", [(4, 0), (4, 2), (5, 1), (1, 0)])
+    def test_matches_reference_walk(self, spark, chunk, overlap):
+        from spark_sorted_spark.functions.packing import chunk_documents
+
+        docs = [
+            (1, "a b c d e f g h i j"),
+            (2, "x y z"),
+            (3, ""),
+            (4, "one"),
+            (5, " ".join(f"t{k}" for k in range(23))),
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {}
+        for r in chunk_documents(df, chunk, overlap).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+            )
+        for did, text in docs:
+            exp = self._ref(text, chunk, overlap)
+            g = sorted(got[did])
+            assert [(t, n) for _, t, n in g] == exp
+            assert [i for i, _, _ in g] == list(range(len(exp)))
+
+    def test_overlap_reconstructs_original(self, spark):
+        # zero-overlap chunks concatenate back to the tokenized doc
+        from spark_sorted_spark.functions.packing import chunk_documents
+
+        text = " ".join(f"w{k}" for k in range(50))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = sorted(
+            (r.chunk_idx, r.chunk_text)
+            for r in chunk_documents(df, 7, 0).collect()
+        )
+        assert " ".join(t for _, t in rows) == text
+
+    def test_rejects_bad_params(self, spark):
+        from spark_sorted_spark.functions.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="chunk_tokens must be positive"):
+            chunk_documents(df, 0)
+        with pytest.raises(ValueError, match="overlap must be in"):
+            chunk_documents(df, 4, overlap=4)
+        with pytest.raises(ValueError, match="overlap must be in"):
+            chunk_documents(df, 4, overlap=-1)
+
+
+class TestResampleWithGapFill:
+    def test_dense_grid_carry_and_gaps(self, spark):
+        from spark_sorted_spark.functions.timeseries import (
+            resample_with_gap_fill,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5, 10), ("a", 7, 20), ("a", 35, 30), ("b", 12, 5)],
+            "k string, t bigint, v bigint",
+        )
+        out = resample_with_gap_fill(
+            df, "t", 10,
+            {"n": F.count(F.lit(1)), "s": F.sum("v")},
+            keys="k", fill=("s",),
+        )
+        got = sorted(map(tuple, out.collect()))
+        assert got == [
+            ("a", 0, 2, 30, False),   # bucket with 2 events
+            ("a", 10, None, 30, True),  # gap: n null, s carried
+            ("a", 20, None, 30, True),
+            ("a", 30, 1, 30, False),
+            ("b", 10, 1, 5, False),   # key spans exactly one bucket
+        ]
+
+    def test_no_fill_leaves_gaps_null(self, spark):
+        from spark_sorted_spark.functions.timeseries import (
+            resample_with_gap_fill,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 0, 1), ("a", 25, 2)], "k string, t bigint, v bigint"
+        )
+        out = resample_with_gap_fill(
+            df, "t", 10, {"s": F.sum("v")}, keys="k"
+        )
+        rows = {r.bucket_ts: (r.s, r.is_gap) for r in out.collect()}
+        assert rows == {0: (1, False), 10: (None, True), 20: (2, False)}
+
+    def test_span_guard_and_validation(self, spark):
+        from spark_sorted_spark.functions.timeseries import (
+            resample_with_gap_fill,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 0, 1), ("a", 10**6, 2)], "k string, t bigint, v bigint"
+        )
+        with pytest.raises(Exception, match="spans"):
+            resample_with_gap_fill(
+                df, "t", 10, {"s": F.sum("v")}, keys="k", max_buckets=100
+            ).collect()
+        with pytest.raises(ValueError, match="interval must be positive"):
+            resample_with_gap_fill(df, "t", 0, {"s": F.sum("v")}, keys="k")
+        with pytest.raises(ValueError, match="at least one key"):
+            resample_with_gap_fill(df, "t", 10, {"s": F.sum("v")}, keys=[])
+        with pytest.raises(ValueError, match="at least one aggregate"):
+            resample_with_gap_fill(df, "t", 10, {}, keys="k")
+        with pytest.raises(ValueError, match="not an aggs entry"):
+            resample_with_gap_fill(
+                df, "t", 10, {"s": F.sum("v")}, keys="k", fill=("x",)
+            )
+        bad = df.withColumn("t", F.col("t").cast("double"))
+        with pytest.raises(ValueError, match="integral time"):
+            resample_with_gap_fill(bad, "t", 10, {"s": F.sum("v")}, keys="k")
