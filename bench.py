@@ -266,6 +266,21 @@ def b19_doc_keywords(spark):
     force(QUERIES["doc_keywords"](spark, SF_DIR))
 
 
+def b20_resample_daily(spark):
+    # gap-filled per-user daily grid: agg -> span explode -> left
+    # join -> carry window
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["resample_daily"](spark, SF_DIR))
+
+
+def b21_chunk_documents(spark):
+    # context-window chunking: zero-shuffle flat map at scan speed
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["chunk_documents"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -288,6 +303,8 @@ BENCH = {
     "b17_knn_join": b17_knn_join,
     "b18_interval_overlap": b18_interval_overlap,
     "b19_doc_keywords": b19_doc_keywords,
+    "b20_resample_daily": b20_resample_daily,
+    "b21_chunk_documents": b21_chunk_documents,
 }
 
 

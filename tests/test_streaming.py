@@ -663,3 +663,64 @@ def test_compact_minhash_band_store_preserves_dedup(spark, sf_dir, tmp_path):
     # one merged row per (band, band_key): delta rows collapsed
     assert counts.count() == counts.select("band", "band_key").distinct().count()
     assert counts.count() <= n_count_rows_before
+
+
+def test_stream_ingest_dedup_heals_partial_crash_writes(spark, sf_dir, tmp_path):
+    """Simulated mid-batch crash: a previous attempt left WRONG
+    partial writes in batch 0's corpus partition and band-store
+    partition before dying (the checkpoint never committed). The
+    re-delivered batch must overwrite both with the correct full
+    result — final state identical to a clean single run."""
+    import shutil
+
+    from spark_sorted_spark.functions.dedup import build_minhash_band_store
+    from spark_sorted_spark.streaming import stream_table
+    from spark_sorted_spark.streaming.ingest import stream_ingest_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def setup(root):
+        watch = root / "incoming"
+        watch.mkdir(parents=True)
+        store = str(root / "store")
+        build_minhash_band_store(spark.createDataFrame([], docs.schema), store)
+        staged = root / "stage"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f.name))
+        return watch, store, str(root / "corpus"), str(root / "audit")
+
+    def drain(watch, store, corpus, audit, ckpt):
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_ingest_dedup(sdf, store, corpus, audit, ckpt, timeout_sec=180)
+
+    # clean run -> ground truth
+    w1, s1, c1, a1 = setup(tmp_path / "clean")
+    drain(w1, s1, c1, a1, str(tmp_path / "ckpt_clean"))
+    truth_corpus = sorted(
+        (r.doc_id, r.ingest_batch_id)
+        for r in spark.read.parquet(c1).collect()
+    )
+    truth_bands = sorted(map(tuple, spark.read.parquet(f"{s1}/bands").collect()))
+
+    # crashed run: pollute batch 0's partitions with wrong partials
+    w2, s2, c2, a2 = setup(tmp_path / "crash")
+    batch.limit(3).withColumn("text", F.lit("WRONG PARTIAL")).write.mode(
+        "overwrite"
+    ).parquet(f"{c2}/ingest_batch_id=0")
+    spark.createDataFrame(
+        [(999999, 0, 12345)], "doc_id bigint, band int, band_key bigint"
+    ).write.mode("overwrite").parquet(f"{s2}/bands/ingest_batch_id=0")
+    drain(w2, s2, c2, a2, str(tmp_path / "ckpt_crash"))
+
+    assert (
+        sorted(
+            (r.doc_id, r.ingest_batch_id)
+            for r in spark.read.parquet(c2).collect()
+        )
+        == truth_corpus
+    )
+    healed_bands = sorted(map(tuple, spark.read.parquet(f"{s2}/bands").collect()))
+    assert healed_bands == truth_bands
+    assert not any(r[0] == 999999 for r in healed_bands)
