@@ -2264,6 +2264,202 @@ def tpch_q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q7 — volume shipping between two nations, by supplier nation,
+# customer nation, and ship year. Two broadcast nation dims with a
+# cross-side disjunctive pair filter; year() is identical integer
+# extraction in both engines.
+# ===========================================================================
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           sum(volume_cents)::BIGINT AS revenue_cents,
+           count(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate)::BIGINT AS l_year,
+             round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                 AS volume_cents
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')
+          OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_12")
+                & (F.col("cust_nation") == "NATION_11")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_11")
+                & (F.col("cust_nation") == "NATION_12")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ===========================================================================
+# TPC-H Q8 — national market share: NATION_2's share of PROMO-part
+# revenue sold into ASIA, by order year — the catalog's deepest join
+# tree (part, lineitem, supplier, orders, customer, nation x2,
+# region: 7 joins). Share emitted as exact numerator/denominator
+# cents. All dims broadcast; lineitem⋈orders is the only co-shuffle.
+# ===========================================================================
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           sum(CASE WHEN nation = 'NATION_2' THEN volume_cents
+                    ELSE 0 END)::BIGINT AS nation_cents,
+           sum(volume_cents)::BIGINT AS total_cents
+    FROM (
+      SELECT year(o_orderdate)::BIGINT AS o_year,
+             round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                 AS volume_cents,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nkey"), "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "ASIA"
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("nation") == "NATION_2", cents).otherwise(F.lit(0))
+        ).alias("nation_cents"),
+        F.sum(cents).alias("total_cents"),
+    )
+
+
+# ===========================================================================
+# TPC-H Q17 — small-quantity-order revenue: lineitems whose quantity
+# sits below 20% of their part's average. The correlated aggregate
+# subquery becomes a per-part (sum, count) aggregate joined back;
+# the 0.2*avg comparison is cross-multiplied into pure integers
+# (qty < 0.2*sum/n  <=>  5*qty*n < sum), so both engines agree
+# bitwise with no float division anywhere.
+# ===========================================================================
+@query(
+    "tpch_q17_small_quantity",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS pk, sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+             count(*) AS n_li
+      FROM lineitem GROUP BY l_partkey)
+    SELECT sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS total_cents,
+           count(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN per_part ON pk = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND 5 * l_quantity::BIGINT * n_li < sum_qty
+    """,
+)
+def tpch_q17_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand") == "Brand#2"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.pk)
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("n_li")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "total_cents"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# ===========================================================================
 # TPC-H Q19 — discounted revenue under a three-branch disjunctive
 # predicate spanning both join sides (adapted: p_container/shipmode
 # don't exist here, so the branches combine p_brand, p_size and
@@ -3165,6 +3361,9 @@ _GATE_ORDER = [
     "negative_pairs",
     "chunk_documents",
     "resample_daily",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

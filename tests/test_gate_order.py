@@ -76,6 +76,9 @@ def test_gate_window_contents():
         "negative_pairs",
         "chunk_documents",
         "resample_daily",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q17_small_quantity",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
