@@ -44,10 +44,15 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hll_distinct",
+    "hll_register_table",
+    "hll_merge",
+    "hll_estimate",
     "bloom_build",
     "bloom_members",
+    "bloom_merge",
     "cms_build",
     "cms_estimate",
+    "cms_merge",
     "cms_heavy_hitters",
 ]
 
@@ -68,19 +73,17 @@ def _alpha_const(m: int) -> float:
     return alpha * m * m
 
 
-def hll_distinct(
+def hll_register_table(
     df: DataFrame, value: Column | str, b: int = 8
 ) -> DataFrame:
-    """One-row DataFrame ``(zero_registers, harmonic_sum, estimate,
-    exact_distinct)`` estimating the distinct count of ``value`` with
-    ``m = 2^b`` registers. ``exact_distinct`` (a plain distinct count)
-    rides along so accuracy is auditable in the same result; at 100 TB
-    drop it and keep only the sketch.
-
-    See the module docstring for why every step is integer-exact or a
-    fixed-order float fold — the estimate is bitwise-reproducible
-    against the DuckDB oracle.
-    """
+    """The HLL SKETCH itself: ``(reg, max_rho)`` rows, at most
+    ``m = 2^b`` of them (registers never observed are absent = rank
+    0). This is the persistable, MERGEABLE artifact — build one per
+    day/partition/source, store a few hundred integer rows each, and
+    answer any union's distinct count later via :func:`hll_merge` +
+    :func:`hll_estimate` without touching the data again. That
+    composability is the whole reason to keep sketch state instead of
+    a distinct shuffle at 100 TB."""
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
     m = 1 << b
@@ -95,18 +98,47 @@ def hll_distinct(
     rho = F.when(
         rest_int > 0, F.lit(window + 1) - F.length(F.bin(rest_int))
     ).otherwise(F.lit(window + 1))
-    regs = (
+    return (
         df.select(bucket.alias("reg"), rho.alias("rho"))
         .groupBy("reg")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def hll_merge(*reg_tables: DataFrame) -> DataFrame:
+    """Merge register tables built with the SAME ``b``: element-wise
+    register max. Exact by construction — ``max`` is associative and
+    commutative, so ``hll_merge(sketch(A), sketch(B))`` is
+    row-identical to ``sketch(A UNION ALL B)``, registers and
+    estimate alike (pinned by test). Mixing different ``b`` values
+    would silently alias registers; the caller owns that contract
+    (the tables carry no parameter column by design — they are pure
+    (reg, max_rho) state)."""
+    if not reg_tables:
+        raise ValueError("hll_merge needs at least one register table")
+    merged = reg_tables[0]
+    for t in reg_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(regs: DataFrame, b: int = 8) -> DataFrame:
+    """Fold a register table into the one-row
+    ``(zero_registers, harmonic_sum, estimate)`` — the same
+    fixed-order, bitwise-reproducible fold :func:`hll_distinct`
+    performs (see module docstring)."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    m = 1 << b
+    window = _HASH_BITS - b
     # single-row reduce: registers -> lookup map -> fixed-order fold.
     # 2^-M comes from a literal lookup table of exact powers of two
     # (Python doubles are exact for 2^-k), indexed by rank — no pow(),
     # no shift-by-column
     pows = F.array(*[F.lit(1.0 / (1 << k)) for k in range(window + 2)])
     reg_map = F.map_from_entries(F.collect_list(F.struct("reg", "max_rho")))
-    folded = regs.agg(
+    const = _alpha_const(m)
+    return regs.agg(
         (F.lit(m) - F.count(F.lit(1))).alias("zero_registers"),
         F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
@@ -118,15 +150,30 @@ def hll_distinct(
                 + 1,
             ),
         ).alias("harmonic_sum"),
-    )
+    ).withColumn("estimate", F.lit(const) / F.col("harmonic_sum"))
+
+
+def hll_distinct(
+    df: DataFrame, value: Column | str, b: int = 8
+) -> DataFrame:
+    """One-row DataFrame ``(zero_registers, harmonic_sum, estimate,
+    exact_distinct)`` estimating the distinct count of ``value`` with
+    ``m = 2^b`` registers. ``exact_distinct`` (a plain distinct count)
+    rides along so accuracy is auditable in the same result; at 100 TB
+    drop it and keep only the sketch.
+
+    Composed from :func:`hll_register_table` + :func:`hll_estimate`
+    (sketch state is first-class and mergeable); the expressions are
+    the ones this function always used, so the estimate stays
+    bitwise-reproducible against the DuckDB oracle.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    folded = hll_estimate(hll_register_table(df, value, b), b)
     exact = df.select(v.alias("__v")).agg(
         F.countDistinct("__v").alias("exact_distinct")
     )
-    const = _alpha_const(m)
-    return (
-        folded.crossJoin(exact)
-        .withColumn("estimate", F.lit(const) / F.col("harmonic_sum"))
-        .select("zero_registers", "harmonic_sum", "estimate", "exact_distinct")
+    return folded.crossJoin(exact).select(
+        "zero_registers", "harmonic_sum", "estimate", "exact_distinct"
     )
 
 
@@ -189,6 +236,64 @@ def bloom_build(
         .withColumn("m_bits", F.lit(m_bits))
         .withColumn("k", F.lit(k))
     )
+
+
+def _check_merge_params(tables, cols, kind):
+    """Collect each table's parameter row and require them identical —
+    merging sketches built in different parameter spaces silently
+    corrupts state, the same failure mode the probe guards catch."""
+    metas = []
+    for t in tables:
+        rows = t.select(*cols).limit(1).collect()
+        if rows:
+            metas.append(tuple(rows[0]))
+    if len(set(metas)) > 1:
+        raise ValueError(
+            f"{kind} merge across mismatched parameters {sorted(set(metas))}"
+            f" ({'/'.join(cols)} must be identical)"
+        )
+    return metas[0] if metas else None
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge Bloom filters built with the SAME (m_bits, k): word-wise
+    ``bit_or``. Exact: OR is associative, so
+    ``bloom_merge(build(A), build(B))`` is row-identical to
+    ``build(A UNION ALL B)`` (pinned by test) — build one filter per
+    corpus shard/day, merge for any union, probe once. Raises on
+    parameter mismatch (carried in the filters)."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one filter")
+    meta = _check_merge_params(blooms, ["m_bits", "k"], "bloom")
+    merged = blooms[0].select("word", "bits")
+    for b in blooms[1:]:
+        merged = merged.unionByName(b.select("word", "bits"))
+    out = merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    if meta:
+        out = out.withColumn("m_bits", F.lit(meta[0])).withColumn(
+            "k", F.lit(meta[1])
+        )
+    return out
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (width, depth):
+    cell-wise counter sum. Exact for bag semantics:
+    ``cms_merge(build(A), build(B))`` is row-identical to
+    ``build(A UNION ALL B)`` (pinned by test). Raises on parameter
+    mismatch (carried in the sketches)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    meta = _check_merge_params(sketches, ["width", "depth"], "cms")
+    merged = sketches[0].select("row", "col", "cnt")
+    for s in sketches[1:]:
+        merged = merged.unionByName(s.select("row", "col", "cnt"))
+    out = merged.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    if meta:
+        out = out.withColumn("width", F.lit(meta[0])).withColumn(
+            "depth", F.lit(meta[1])
+        )
+    return out
 
 
 def bloom_members(

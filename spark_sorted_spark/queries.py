@@ -1092,12 +1092,12 @@ def cms_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL})
     SELECT sh, count(*) AS n_occurrences
-    FROM sh GROUP BY sh HAVING count(*) >= 40
+    FROM sh GROUP BY sh HAVING count(*) >= 5
     """,
 )
 def cms_heavy_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-shingle detection as CMS-prefiltered exact heavy
-    hitters: shingles appearing in >= 40 documents, exact counts. The
+    hitters: shingles appearing in >= 5 documents, exact counts. The
     sketch probe is depth broadcast joins (map-side); only candidate
     occurrences reach the exact-count shuffle — at 100 TB the groupBy
     carries the boilerplate shingles, not the whole shingle space."""
@@ -1106,7 +1106,7 @@ def cms_heavy_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_small_input(load_table(spark, "documents", sf_dir))
     sh = docs.select(F.explode(shingles("text", 3)).alias("sh"))
-    return cms_heavy_hitters(sh, "sh", min_count=40)
+    return cms_heavy_hitters(sh, "sh", min_count=5)
 
 
 @query("hll_distinct_shingles", oracle=_hll_oracle_sql())

@@ -556,3 +556,47 @@ def test_string_keys_mean_one_key_not_chars(spark):
         "t", low=-10, high=10, keys="kid",
     )
     assert out2.count() == 1
+
+
+def test_interval_overlap_join_property_matches_naive(spark):
+    # hypothesis sweep: arbitrary interval shapes (empty, point,
+    # long, negative-coordinate) and bucket widths — always exactly
+    # the naive pair set, each pair once
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.operators.joins import interval_overlap_join
+
+    iv = st.tuples(
+        st.integers(0, 2),            # key
+        st.integers(-50, 50),         # start
+        st.integers(-10, 60),         # length (negative => empty)
+    )
+
+    @given(
+        ldata=st.lists(iv, min_size=1, max_size=12),
+        rdata=st.lists(iv, min_size=1, max_size=12),
+        width=st.integers(1, 40),
+    )
+    @settings(max_examples=12, deadline=None)
+    def run(ldata, rdata, width):
+        lrows = [
+            (f"k{k}", i, s, s + ln) for i, (k, s, ln) in enumerate(ldata)
+        ]
+        rrows = [
+            (f"k{k}", 100 + i, s, s + ln)
+            for i, (k, s, ln) in enumerate(rdata)
+        ]
+        l = spark.createDataFrame(lrows, ["k", "iid", "s", "e"])
+        r = spark.createDataFrame(rrows, ["k", "iid", "s", "e"])
+        out = interval_overlap_join(
+            l, r, start_col="s", end_col="e", keys=["k"], bucket_width=width
+        )
+        got = sorted(
+            (row["k"], row["iid"], row["s"], row["e"],
+             row["iid_r"], row["s_r"], row["e_r"])
+            for row in out.collect()
+        )
+        assert got == _naive_overlap(spark, lrows, rrows)
+
+    run()

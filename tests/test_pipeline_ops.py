@@ -748,3 +748,91 @@ class TestResampleWithGapFill:
         bad = df.withColumn("t", F.col("t").cast("double"))
         with pytest.raises(ValueError, match="integral time"):
             resample_with_gap_fill(bad, "t", 10, {"s": F.sum("v")}, keys="k")
+
+
+class TestSketchMerge:
+    """Mergeability identities: sketch(A) ⊕ sketch(B) must be
+    ROW-IDENTICAL to sketch(A ∪ B) — the property that lets 100 TB
+    pipelines keep one sketch per day/shard and answer any range."""
+
+    def _ab(self, spark):
+        a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "v string")
+        b = spark.createDataFrame(
+            [(f"a{i}",) for i in range(150, 400)], "v string"  # overlap
+        )
+        return a, b
+
+    def test_hll_merge_equals_union_sketch(self, spark):
+        from spark_sorted_spark.functions.sketches import (
+            hll_estimate,
+            hll_merge,
+            hll_register_table,
+        )
+
+        a, b = self._ab(spark)
+        merged = hll_merge(
+            hll_register_table(a, "v"), hll_register_table(b, "v")
+        )
+        union = hll_register_table(a.unionByName(b), "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, union.collect())
+        )
+        em = hll_estimate(merged).collect()[0]
+        eu = hll_estimate(union).collect()[0]
+        assert tuple(em) == tuple(eu)  # bitwise: same registers in
+
+    def test_hll_distinct_unchanged_by_refactor(self, spark):
+        # hll_distinct is oracle-gated: the compose-from-parts
+        # refactor must keep its estimate formula intact (~450
+        # distinct, b=8 => within the 1.04/sqrt(256) error band)
+        from spark_sorted_spark.functions.sketches import hll_distinct
+
+        a, b = self._ab(spark)
+        r = hll_distinct(a.unionByName(b), "v").collect()[0]
+        assert r.exact_distinct == 400
+        assert abs(r.estimate - 400) / 400 < 0.2
+
+    def test_bloom_merge_equals_union_filter(self, spark):
+        from spark_sorted_spark.functions.sketches import (
+            bloom_build,
+            bloom_merge,
+        )
+
+        a, b = self._ab(spark)
+        merged = bloom_merge(bloom_build(a, "v"), bloom_build(b, "v"))
+        union = bloom_build(a.unionByName(b), "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, union.collect())
+        )
+
+    def test_cms_merge_equals_union_sketch(self, spark):
+        from spark_sorted_spark.functions.sketches import cms_build, cms_merge
+
+        a, b = self._ab(spark)
+        merged = cms_merge(cms_build(a, "v"), cms_build(b, "v"))
+        union = cms_build(a.unionByName(b), "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, union.collect())
+        )
+
+    def test_merge_param_mismatch_is_loud(self, spark):
+        from spark_sorted_spark.functions.sketches import (
+            bloom_build,
+            bloom_merge,
+            cms_build,
+            cms_merge,
+        )
+
+        a, b = self._ab(spark)
+        with pytest.raises(ValueError, match="mismatched parameters"):
+            bloom_merge(
+                bloom_build(a, "v", m_bits=1 << 15),
+                bloom_build(b, "v", m_bits=1 << 14),
+            )
+        with pytest.raises(ValueError, match="mismatched parameters"):
+            cms_merge(
+                cms_build(a, "v", width=1 << 12),
+                cms_build(b, "v", width=1 << 10),
+            )
+        with pytest.raises(ValueError, match="at least one"):
+            cms_merge()
