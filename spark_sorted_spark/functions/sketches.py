@@ -74,18 +74,23 @@ def _alpha_const(m: int) -> float:
 
 
 def hll_register_table(
-    df: DataFrame, value: Column | str, b: int = 8
+    df: DataFrame, value: Column | str, b: int = 8, keys=()
 ) -> DataFrame:
-    """The HLL SKETCH itself: ``(reg, max_rho)`` rows, at most
-    ``m = 2^b`` of them (registers never observed are absent = rank
-    0). This is the persistable, MERGEABLE artifact — build one per
-    day/partition/source, store a few hundred integer rows each, and
-    answer any union's distinct count later via :func:`hll_merge` +
-    :func:`hll_estimate` without touching the data again. That
-    composability is the whole reason to keep sketch state instead of
-    a distinct shuffle at 100 TB."""
+    """The HLL SKETCH itself: ``(keys..., reg, max_rho)`` rows, at
+    most ``m = 2^b`` per key group (registers never observed are
+    absent = rank 0). This is the persistable, MERGEABLE artifact —
+    build one per day/partition/source, store a few hundred integer
+    rows each, and answer any union's distinct count later via
+    :func:`hll_merge` + :func:`hll_estimate` without touching the
+    data again. That composability is the whole reason to keep
+    sketch state instead of a distinct shuffle at 100 TB.
+
+    ``keys`` makes it a GROUPED sketch (one register set per key —
+    the "distinct users per day" shape): m integer rows of state per
+    key instead of a per-key distinct."""
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
     m = 1 << b
     window = _HASH_BITS - b  # rank window width
     v = F.col(value) if isinstance(value, str) else value
@@ -99,46 +104,52 @@ def hll_register_table(
         rest_int > 0, F.lit(window + 1) - F.length(F.bin(rest_int))
     ).otherwise(F.lit(window + 1))
     return (
-        df.select(bucket.alias("reg"), rho.alias("rho"))
-        .groupBy("reg")
+        df.select(*keys, bucket.alias("reg"), rho.alias("rho"))
+        .groupBy(*keys, "reg")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
-def hll_merge(*reg_tables: DataFrame) -> DataFrame:
-    """Merge register tables built with the SAME ``b``: element-wise
-    register max. Exact by construction — ``max`` is associative and
-    commutative, so ``hll_merge(sketch(A), sketch(B))`` is
-    row-identical to ``sketch(A UNION ALL B)``, registers and
-    estimate alike (pinned by test). Mixing different ``b`` values
-    would silently alias registers; the caller owns that contract
-    (the tables carry no parameter column by design — they are pure
-    (reg, max_rho) state)."""
+def hll_merge(*reg_tables: DataFrame, keys=()) -> DataFrame:
+    """Merge register tables built with the SAME ``b`` (and, for
+    grouped sketches, the same ``keys``): element-wise register max.
+    Exact by construction — ``max`` is associative and commutative,
+    so ``hll_merge(sketch(A), sketch(B))`` is row-identical to
+    ``sketch(A UNION ALL B)``, registers and estimate alike (pinned
+    by test). Mixing different ``b`` values would silently alias
+    registers; the caller owns that contract (the tables carry no
+    parameter column by design — they are pure (reg, max_rho)
+    state)."""
     if not reg_tables:
         raise ValueError("hll_merge needs at least one register table")
+    keys = [keys] if isinstance(keys, str) else list(keys)
     merged = reg_tables[0]
     for t in reg_tables[1:]:
         merged = merged.unionByName(t)
-    return merged.groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+    return merged.groupBy(*keys, "reg").agg(
+        F.max("max_rho").alias("max_rho")
+    )
 
 
-def hll_estimate(regs: DataFrame, b: int = 8) -> DataFrame:
-    """Fold a register table into the one-row
-    ``(zero_registers, harmonic_sum, estimate)`` — the same
+def hll_estimate(regs: DataFrame, b: int = 8, keys=()) -> DataFrame:
+    """Fold a register table into
+    ``(keys..., zero_registers, harmonic_sum, estimate)`` — one row
+    per key group (one row total without ``keys``) — with the same
     fixed-order, bitwise-reproducible fold :func:`hll_distinct`
     performs (see module docstring)."""
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
     m = 1 << b
     window = _HASH_BITS - b
-    # single-row reduce: registers -> lookup map -> fixed-order fold.
+    # per-group reduce: registers -> lookup map -> fixed-order fold.
     # 2^-M comes from a literal lookup table of exact powers of two
     # (Python doubles are exact for 2^-k), indexed by rank — no pow(),
     # no shift-by-column
     pows = F.array(*[F.lit(1.0 / (1 << k)) for k in range(window + 2)])
     reg_map = F.map_from_entries(F.collect_list(F.struct("reg", "max_rho")))
     const = _alpha_const(m)
-    return regs.agg(
+    return regs.groupBy(*keys).agg(
         (F.lit(m) - F.count(F.lit(1))).alias("zero_registers"),
         F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),

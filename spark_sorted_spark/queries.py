@@ -960,6 +960,73 @@ def _hll_oracle_sql() -> str:
     """
 
 
+def _hll_grouped_oracle_sql() -> str:
+    from .functions.sketches import _alpha_const
+
+    return f"""
+    WITH shs AS (
+      SELECT DISTINCT source, doc_id, sh FROM (
+        SELECT source, doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM (SELECT source, doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents))),
+    h AS (SELECT source,
+                 ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h60
+          FROM shs),
+    r AS (
+      SELECT source, h60 % 256 AS reg,
+             CASE WHEN (h60 // 256) > 0
+                  THEN 53 - length(bin(h60 // 256)) ELSE 53 END AS rho
+      FROM h),
+    mx AS (SELECT source, reg, max(rho) AS max_rho FROM r GROUP BY 1, 2),
+    grid AS (
+      SELECT s.source, g.range AS reg
+      FROM (SELECT DISTINCT source FROM documents) s, range(0, 256) g),
+    lst AS (
+      SELECT g.source,
+             sum(CASE WHEN mx.reg IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS zero_registers,
+             list(1.0 / ((1::BIGINT << coalesce(mx.max_rho, 0))::DOUBLE)
+                  ORDER BY g.reg) AS terms
+      FROM grid g LEFT JOIN mx
+        ON g.source = mx.source AND g.reg = mx.reg
+      GROUP BY g.source),
+    ex AS (SELECT source, count(DISTINCT sh) AS exact_distinct
+           FROM shs GROUP BY source)
+    SELECT l.source, zero_registers,
+           list_reduce(list_prepend(0.0, terms), (a, x) -> a + x)
+               AS harmonic_sum,
+           {_alpha_const(256)!r} /
+             list_reduce(list_prepend(0.0, terms), (a, x) -> a + x)
+               AS estimate,
+           ex.exact_distinct
+    FROM lst l JOIN ex ON ex.source = l.source
+    """
+
+
+@query("hll_grouped_by_source", oracle=_hll_grouped_oracle_sql())
+def hll_grouped_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED portable HLL: distinct 3-gram shingles per source —
+    the "distinct X per key" shape (users per day, urls per domain)
+    with m=256 integer registers of state per key instead of a
+    per-key distinct shuffle. Same bitwise-reproducible fold as the
+    global `hll_distinct_shingles`, one row per source; exact
+    distinct rides along for the audit."""
+    from .functions.dedup import shingles, spread_small_input
+    from .functions.sketches import hll_estimate, hll_register_table
+
+    docs = spread_small_input(load_table(spark, "documents", sf_dir))
+    sh = docs.select("source", F.explode(shingles("text", 3)).alias("sh"))
+    regs = hll_register_table(sh, "sh", keys=["source"])
+    est = hll_estimate(regs, keys=["source"])
+    exact = sh.groupBy("source").agg(
+        F.countDistinct("sh").alias("exact_distinct")
+    )
+    return est.join(exact, on="source")
+
+
 @query(
     "decontaminate_bloom",
     # the bloom PREFILTER stage of decontamination, bit-for-bit: the
@@ -3364,6 +3431,7 @@ _GATE_ORDER = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q17_small_quantity",
+    "hll_grouped_by_source",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -836,3 +836,30 @@ class TestSketchMerge:
             )
         with pytest.raises(ValueError, match="at least one"):
             cms_merge()
+
+
+def test_hll_grouped_merge_equals_union_sketch(spark):
+    from spark_sorted_spark.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_register_table,
+    )
+
+    a = spark.createDataFrame(
+        [(f"g{i % 3}", f"v{i}") for i in range(200)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [(f"g{i % 3}", f"v{i}") for i in range(100, 350)], "g string, v string"
+    )
+    merged = hll_merge(
+        hll_register_table(a, "v", keys="g"),
+        hll_register_table(b, "v", keys="g"),
+        keys="g",
+    )
+    union = hll_register_table(a.unionByName(b), "v", keys="g")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+    em = sorted(map(tuple, hll_estimate(merged, keys="g").collect()))
+    eu = sorted(map(tuple, hll_estimate(union, keys="g").collect()))
+    assert em == eu and len(em) == 3
