@@ -277,7 +277,17 @@ def minhash_lsh_pairs(
     (degenerate boilerplate guard, keeps worst-case fan-out bounded).
     """
     df = spread_small_input(df)
-    bands = minhash_band_table(df, text_col, id_col, n)
+    # materialize the band table ONCE: it feeds the bucket-size guard
+    # AND both sides of the candidate self-join, and its lineage is
+    # the whole md5/min-aggregate signature build — without this the
+    # signatures are computed three times (profiled round 6: 2.7 s ->
+    # 1.8 s at sf0.1). Scale-sound because bands are ~4 short rows
+    # per document, orders of magnitude smaller than the text they
+    # index (unlike the exploded shingle table, which is
+    # corpus-sized — ngram_jaccard_pairs deliberately recomputes it).
+    bands = minhash_band_table(df, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
     small = (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("bn"))
@@ -721,7 +731,10 @@ def simhash_pairs_banded(
         )
     width = sketch_bits // n_bands
     mask = (1 << width) - 1
-    sk = simhash(df, text_col, id_col)
+    # one row per document: materialize the sketch once instead of
+    # running the 60-aggregate build on BOTH sides of the band
+    # self-join (same rationale as minhash_lsh_pairs' band table)
+    sk = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     banded = sk.select(
         F.col(id_col),
         F.col("simhash"),
