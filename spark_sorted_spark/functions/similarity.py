@@ -737,7 +737,12 @@ def cosine_neardup_pairs_lsh(
     df = spread_small_input(df)
 
     vec_d = F.col(vec_col).cast("array<double>")
-    b = _multi_table_buckets(df, n_planes, n_tables, dim, vec_col, id_col)
+    # n_tables short rows per vector: materialize once instead of
+    # running the sign-bit bucket construction on BOTH self-join
+    # sides (same build-once rationale as minhash_lsh_pairs)
+    b = _multi_table_buckets(
+        df, n_planes, n_tables, dim, vec_col, id_col
+    ).localCheckpoint(eager=True)
     if max_bucket is not None:
         b = _occupancy_filter(b, max_bucket)
     a1 = b.select("t", "bucket", F.col(id_col).alias("vec_a"))
