@@ -18,6 +18,11 @@ checks.
 from .ingest import stream_ingest_dedup
 from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now, stream_to_files
+from .sketches import (
+    read_hll_estimate,
+    read_hll_registers,
+    stream_hll_distinct,
+)
 from .source import stream_table
 from .stateful import stream_fold_by_key
 
@@ -31,4 +36,7 @@ __all__ = [
     "stream_ingest_dedup",
     "run_available_now",
     "stream_to_files",
+    "stream_hll_distinct",
+    "read_hll_registers",
+    "read_hll_estimate",
 ]

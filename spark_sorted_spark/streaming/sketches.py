@@ -1,0 +1,82 @@
+"""Streaming distinct counting with bounded state: the streaming
+consumer of the mergeable HLL sketch (``functions.sketches``).
+
+Native Structured Streaming offers ``approx_count_distinct`` inside
+windowed aggregations, but its state is engine-private (not
+readable, not mergeable with batch sketches, not reproducible across
+engines). This module keeps the register table ITSELF as the
+persisted state: each micro-batch writes its own grouped register
+table into a batch-keyed partition, and the read side merges all
+partitions with a register-wise max.
+
+Why this is replay-proof with no fencing at all: HLL merge is an
+idempotent, commutative, associative MAX. A replayed batch that
+appends its registers twice changes nothing — ``max(x, x) = x``.
+The batch-partition overwrite is still used so storage stays
+bounded (one partition per batch, replaced on replay, never
+duplicated files), but CORRECTNESS never depends on it — the
+opposite trade from ``stream_ingest_dedup``, whose survivor writes
+are not idempotent by value and need the read fence.
+
+Scale: per-batch state is at most ``m = 2^b`` integer rows per key
+group, regardless of batch size; the store grows by one tiny
+partition per batch and compacts to one partition via
+:func:`read_hll_registers` + a rewrite whenever the partition count
+itself starts to matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sketches import hll_estimate, hll_register_table
+
+__all__ = ["stream_hll_distinct", "read_hll_registers", "read_hll_estimate"]
+
+
+def stream_hll_distinct(
+    stream_df: DataFrame,
+    value: str,
+    store_path: str,
+    checkpoint_dir: str,
+    keys=(),
+    b: int = 8,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain ``stream_df`` (bounded, availableNow) into an HLL
+    register store: one ``ingest_batch_id={N}`` partition per
+    micro-batch holding that batch's grouped register table."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_register_table(batch_df, value, b=b, keys=keys)
+        regs.write.mode("overwrite").parquet(
+            f"{store_path}/ingest_batch_id={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("stream_hll_distinct did not finish")
+    finally:
+        q.stop()
+
+
+def read_hll_registers(spark, store_path: str, keys=()) -> DataFrame:
+    """Merge every batch partition of an HLL register store into one
+    register table (register-wise max across batches)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    regs = spark.read.parquet(store_path)
+    return regs.groupBy(*keys, "reg").agg(F.max("max_rho").alias("max_rho"))
+
+
+def read_hll_estimate(spark, store_path: str, b: int = 8, keys=()) -> DataFrame:
+    """The store's current distinct-count estimate(s): merge-on-read
+    then the standard bitwise-reproducible fold."""
+    return hll_estimate(read_hll_registers(spark, store_path, keys), b, keys)

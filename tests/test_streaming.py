@@ -724,3 +724,77 @@ def test_stream_ingest_dedup_heals_partial_crash_writes(spark, sf_dir, tmp_path)
     healed_bands = sorted(map(tuple, spark.read.parquet(f"{s2}/bands").collect()))
     assert healed_bands == truth_bands
     assert not any(r[0] == 999999 for r in healed_bands)
+
+
+def test_stream_hll_distinct_matches_batch_and_survives_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streaming HLL register store: after two drains the merged
+    estimate must be BITWISE the batch sketch over all data; a full
+    replay (fresh checkpoint, same files) changes nothing because
+    register merge is an idempotent max."""
+    import shutil
+
+    from spark_sorted_spark.functions.sketches import (
+        hll_estimate,
+        hll_register_table,
+    )
+    from spark_sorted_spark.streaming import (
+        read_hll_estimate,
+        read_hll_registers,
+        stream_hll_distinct,
+        stream_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(F.col("doc_id") % 2 == 0)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    store = str(tmp_path / "hll_store")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(ckpt):
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_hll_distinct(
+            sdf, "text", store, str(tmp_path / ckpt),
+            keys="source", timeout_sec=180,
+        )
+
+    arrive(b1, "b1")
+    drain("ckpt")
+    arrive(b2, "b2")
+    drain("ckpt")
+
+    batch_est = sorted(
+        map(
+            tuple,
+            hll_estimate(
+                hll_register_table(docs, "text", keys="source"),
+                keys="source",
+            ).collect(),
+        )
+    )
+    stream_est = sorted(
+        map(tuple, read_hll_estimate(spark, store, keys="source").collect())
+    )
+    assert stream_est == batch_est
+
+    # full replay with a fresh checkpoint: same estimate, max is
+    # idempotent — no fencing required for correctness
+    drain("ckpt_replay")
+    replay_est = sorted(
+        map(tuple, read_hll_estimate(spark, store, keys="source").collect())
+    )
+    assert replay_est == batch_est
+    regs = read_hll_registers(spark, store, keys="source")
+    merged_batch = hll_register_table(docs, "text", keys="source")
+    assert sorted(map(tuple, regs.collect())) == sorted(
+        map(tuple, merged_batch.collect())
+    )
