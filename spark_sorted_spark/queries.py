@@ -2719,6 +2719,46 @@ def window_rank_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Distribution window functions — ntile/percent_rank/cume_dist +
+# nth_value, the analytic family window_rank_lag doesn't cover.
+# percent_rank and cume_dist are float ratios of integers computed by
+# the same IEEE division on both engines (same operands -> same
+# bits). nth_value uses an explicit ROWS frame (both engines'
+# defaults agree, but explicit is pinned).
+# ===========================================================================
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT user_id, event_id,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(event_id, 2) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def window_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    ev = ev.withColumn("ts_us", event_ts_us(ev, "ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("event_id", 2).over(wf).alias("second_event"),
+    )
+
+
+# ===========================================================================
 # End-to-end corpus cleaning pipeline (the composition a pretraining
 # data pipeline actually runs): exact dedup -> n-gram near-dup removal
 # -> quality/length filter. Oracle replays the identical stages in SQL.
@@ -3432,6 +3472,7 @@ _GATE_ORDER = [
     "tpch_q8_market_share",
     "tpch_q17_small_quantity",
     "hll_grouped_by_source",
+    "window_distribution",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail
