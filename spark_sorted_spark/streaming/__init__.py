@@ -19,8 +19,10 @@ from .ingest import stream_ingest_dedup
 from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now, stream_to_files
 from .sketches import (
+    read_cms_cells,
     read_hll_estimate,
     read_hll_registers,
+    stream_cms_counts,
     stream_hll_distinct,
 )
 from .source import stream_table
@@ -39,4 +41,6 @@ __all__ = [
     "stream_hll_distinct",
     "read_hll_registers",
     "read_hll_estimate",
+    "stream_cms_counts",
+    "read_cms_cells",
 ]

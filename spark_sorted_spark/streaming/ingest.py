@@ -31,7 +31,12 @@ Scale notes (100 TB corpus, unbounded stream):
   the pre-batch state, recomputes the identical survivor set, and
   REPLACES its earlier partial writes instead of appending beside
   them. Any crash point is healed by the replay; no compaction or
-  consumer-side fencing needed.
+  consumer-side fencing needed. (Replay means the ENGINE's replay —
+  same checkpoint, batch ids pinned by its offsets log. Starting a
+  NEW stream with a fresh checkpoint against an already-populated
+  corpus/store is not a replay: the new stream re-batches all source
+  files from batch 0 and double-ingests — the caveat every
+  checkpointed streaming sink shares.)
 """
 
 from __future__ import annotations

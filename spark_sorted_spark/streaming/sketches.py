@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 
 from ..functions.sketches import hll_estimate, hll_register_table
 
-__all__ = ["stream_hll_distinct", "read_hll_registers", "read_hll_estimate"]
+__all__ = [
+    "stream_hll_distinct",
+    "read_hll_registers",
+    "read_hll_estimate",
+    "stream_cms_counts",
+    "read_cms_cells",
+]
 
 
 def stream_hll_distinct(
@@ -66,6 +72,60 @@ def stream_hll_distinct(
             raise TimeoutError("stream_hll_distinct did not finish")
     finally:
         q.stop()
+
+
+def stream_cms_counts(
+    stream_df: DataFrame,
+    value: str,
+    store_path: str,
+    checkpoint_dir: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain ``stream_df`` (bounded, availableNow) into a count-min
+    store: one ``ingest_batch_id={N}`` partition per micro-batch
+    holding that batch's CMS cells. Read-side merge is a cell-wise
+    SUM (:func:`read_cms_cells`) — and unlike the HLL store's
+    idempotent max, a summed counter IS corrupted by double counting,
+    so here the batch-keyed overwrite partition is what makes replay
+    exactly-once (a re-delivered batch replaces its own cells instead
+    of adding them twice). The two stores are the two halves of the
+    replay story: idempotent merges need no fencing, additive merges
+    get it from overwrite-by-batch-partition."""
+    from ..functions.sketches import cms_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cells = cms_build(batch_df, value, width=width, depth=depth)
+        cells.write.mode("overwrite").parquet(
+            f"{store_path}/ingest_batch_id={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("stream_cms_counts did not finish")
+    finally:
+        q.stop()
+
+
+def read_cms_cells(spark, store_path: str) -> DataFrame:
+    """Merge every batch partition of a CMS store into one sketch
+    (cell-wise sum), carrying the width/depth metadata so the probe
+    guards keep working."""
+    cells = spark.read.parquet(store_path)
+    meta = cells.select("width", "depth").limit(1).collect()
+    out = cells.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    if meta:
+        out = out.withColumn("width", F.lit(meta[0].width)).withColumn(
+            "depth", F.lit(meta[0].depth)
+        )
+    return out
 
 
 def read_hll_registers(spark, store_path: str, keys=()) -> DataFrame:

@@ -798,3 +798,84 @@ def test_stream_hll_distinct_matches_batch_and_survives_replay(
     assert sorted(map(tuple, regs.collect())) == sorted(
         map(tuple, merged_batch.collect())
     )
+
+
+def test_stream_cms_counts_matches_batch_and_replay_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Streaming CMS store: after two drains the summed cells must
+    equal the batch sketch over all data; a replay must NOT double
+    the counters (additive merge — the batch-partition overwrite is
+    what carries exactly-once here, unlike the HLL store's
+    idempotent max)."""
+    import shutil
+
+    from spark_sorted_spark.functions.sketches import cms_build, cms_estimate
+    from spark_sorted_spark.streaming import (
+        read_cms_cells,
+        stream_cms_counts,
+        stream_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(F.col("doc_id") % 2 == 0)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    store = str(tmp_path / "cms_store")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(ckpt):
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_cms_counts(
+            sdf, "source", store, str(tmp_path / ckpt), timeout_sec=180
+        )
+
+    arrive(b1, "b1")
+    drain("ckpt")
+    arrive(b2, "b2")
+    drain("ckpt")
+
+    batch_cells = sorted(
+        map(tuple, cms_build(docs, "source").collect())
+    )
+    stream_cells = sorted(
+        map(tuple, read_cms_cells(spark, store).collect())
+    )
+    assert stream_cells == batch_cells
+
+    # crash replay at the sink level: a replayed batch re-runs with
+    # the SAME batch id and file set (pinned in the checkpoint's
+    # offsets log — the engine's contract), so re-executing batch
+    # 1's write must leave the store unchanged: overwrite of its own
+    # partition, never a second addition. (Driving the engine itself
+    # through a deleted commit marker trips Spark 4's same-JVM
+    # concurrent-checkpoint-use guard, so the sink mechanism is
+    # pinned directly — engine-level replay delivery is covered by
+    # the ingest-loop replay test.)
+    cms_build(b2, "source").write.mode("overwrite").parquet(
+        f"{store}/ingest_batch_id=1"
+    )
+    replay_cells = sorted(
+        map(tuple, read_cms_cells(spark, store).collect())
+    )
+    assert replay_cells == batch_cells
+
+    # the merged store answers estimates exactly like the batch sketch
+    probe = docs.select("source").distinct()
+    est_stream = sorted(
+        map(
+            tuple,
+            cms_estimate(probe, "source", read_cms_cells(spark, store)).collect(),
+        )
+    )
+    est_batch = sorted(
+        map(tuple, cms_estimate(probe, "source", cms_build(docs, "source")).collect())
+    )
+    assert est_stream == est_batch
