@@ -187,9 +187,23 @@ def merge_join_asof(
     cartesian, no range-join explosion; cost is the same one
     shuffle+sort as ``group_sort``. ``tolerance`` (in ``time_col``
     units) voids matches older than ``left.time - tolerance``.
+
+    ``direction="nearest"`` attaches whichever of the backward and
+    forward candidates is temporally closer (ties prefer backward,
+    matching pandas ``merge_asof``); ``tolerance`` bounds BOTH sides.
+    Same single shuffle — the two candidates come from two window
+    passes (ascending and descending) over the identical partitioning,
+    so Catalyst plans one Exchange and two partition-local sorts.
+
+    Among several right rows sharing one timestamp the carried payload
+    is the partition-sort last — deterministic per plan, but pick a
+    unique (key, time) right relation when you need a pinned payload
+    (all directions share this caveat).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'"
+        )
     if isinstance(right, DataFrame):
         right = assume_group_sorted(right, left.key_cols)
     keys = _check_keys(left, right)
@@ -223,10 +237,59 @@ def merge_join_asof(
         F.col(time_col).alias(carried[time_col]),
         F.lit(0).alias("__side"),
     )
+    unioned = ldf.unionByName(rdf)
+    if direction == "nearest":
+        # both candidates from the SAME partitioning: ascending
+        # running-last = most recent at-or-before, descending
+        # running-last = earliest at-or-after. One Exchange, two
+        # partition-local sorts.
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(time_col).desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        both = unioned.select(
+            *keys,
+            *lvals,
+            F.col(time_col),
+            *[
+                F.last(carried[c], ignorenulls=True).over(wb).alias(f"__b_{c}")
+                for c in [*rvals, time_col]
+            ],
+            *[
+                F.last(carried[c], ignorenulls=True).over(wf).alias(f"__f_{c}")
+                for c in [*rvals, time_col]
+            ],
+            F.col("__side"),
+        ).filter(F.col("__side") == 1)
+        lt = F.col(time_col)
+        bt = F.col(f"__b_{time_col}")
+        ft = F.col(f"__f_{time_col}")
+        back_ok = bt.isNotNull()
+        fwd_ok = ft.isNotNull()
+        if tolerance is not None:
+            back_ok = back_ok & (lt - bt <= F.lit(tolerance))
+            fwd_ok = fwd_ok & (ft - lt <= F.lit(tolerance))
+        use_back = back_ok & (~fwd_ok | ((lt - bt) <= (ft - lt)))
+        return both.select(
+            *keys,
+            *lvals,
+            time_col,
+            *[
+                F.when(use_back, F.col(f"__b_{c}"))
+                .when(fwd_ok, F.col(f"__f_{c}"))
+                .alias(carried[c])
+                for c in [*rvals, time_col]
+            ],
+        )
     # at equal time the right row must sort before the left row so the
     # running window sees it (inclusive match)
     tcol = F.col(time_col) if direction == "backward" else F.col(time_col).desc()
-    unioned = ldf.unionByName(rdf)
     w = (
         Window.partitionBy(*keys)
         .orderBy(tcol, F.col("__side").asc())

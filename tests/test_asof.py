@@ -149,3 +149,105 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark):
         exp[["k", "t", "x", "t_r", "y"]].astype({"t_r": "float64"}),
         check_dtype=False,
     )
+
+
+def test_asof_nearest(sides):
+    left, right = sides
+    got = _by_key(left.merge_join_asof(right, "t", direction="nearest"))
+    assert got == {
+        ("a", 10): (8, 100),      # |10-8|=2 beats |20-10|=10
+        ("a", 20): (20, 200),     # exact match
+        ("a", 25): (24, 240),     # |25-24|=1, no forward quote
+        ("b", 5): (9, 900),       # only a forward quote exists
+        ("c", 7): (None, None),   # no quotes for key
+    }
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    l = group_sort(
+        spark.createDataFrame([("a", 10, 1.0)], ["k", "t", "px"]),
+        "k", order_by="t",
+    )
+    r = group_sort(
+        spark.createDataFrame([("a", 8, 80), ("a", 12, 120)], ["k", "t", "bid"]),
+        "k", order_by="t",
+    )
+    row = l.merge_join_asof(r, "t", direction="nearest").collect()[0]
+    assert (row["t_r"], row["bid"]) == (8, 80)  # equidistant -> backward
+
+
+def test_asof_nearest_tolerance_bounds_both_sides(sides):
+    left, right = sides
+    got = _by_key(
+        left.merge_join_asof(right, "t", direction="nearest", tolerance=2)
+    )
+    assert got == {
+        ("a", 10): (8, 100),     # delta 2 within tolerance
+        ("a", 20): (20, 200),
+        ("a", 25): (24, 240),
+        ("b", 5): (None, None),  # forward delta 4 exceeds tolerance
+        ("c", 7): (None, None),
+    }
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    lt = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 200),
+            "t": rng.randint(0, 1000, 200),
+            "x": rng.randn(200),
+        }
+    ).drop_duplicates(["k", "t"])
+    rt = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 150),
+            "t": rng.randint(0, 1000, 150),
+            "y": rng.randn(150),
+        }
+    ).drop_duplicates(["k", "t"])
+    left = group_sort(spark.createDataFrame(lt), "k", order_by="t")
+    right = group_sort(spark.createDataFrame(rt), "k", order_by="t")
+    got = (
+        left.merge_join_asof(right, "t", direction="nearest")
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lt.sort_values("t"),
+        rt.sort_values("t").rename(columns={"t": "t_r"}),
+        left_on="t",
+        right_on="t_r",
+        by="k",
+        direction="nearest",
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "t", "x", "t_r", "y"]],
+        exp[["k", "t", "x", "t_r", "y"]].astype({"t_r": "float64"}),
+        check_dtype=False,
+    )
+
+
+def test_asof_nearest_no_extra_exchange(sides):
+    # nearest pays ONE extra partition-local sort over backward —
+    # never an extra shuffle (both candidates ride the same
+    # partitioning)
+    left, right = sides
+
+    def counts(direction):
+        out = left.merge_join_asof(right, "t", direction=direction)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        return (
+            plan.count("Exchange") - plan.count("BroadcastExchange"),
+            plan.count("Sort "),
+        )
+
+    b_ex, b_sort = counts("backward")
+    n_ex, n_sort = counts("nearest")
+    assert n_ex == b_ex
+    assert n_sort == b_sort + 1
