@@ -1644,6 +1644,49 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# As-of nearest — each purchase attached to its temporally CLOSEST
+# click (either direction; equidistant prefers backward, pandas
+# semantics). Oracle ranks the per-purchase candidate clicks by
+# (abs delta, backward-first); (user_id, ts) is unique per event
+# type in this data, so the rank partition is well-defined.
+# ===========================================================================
+@query(
+    "asof_nearest",
+    oracle="""
+    WITH p AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, epoch_us(ts) AS t, value AS click_value
+          FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.user_id, p.t, p.value, c.t AS t_r, c.click_value,
+             row_number() OVER (
+               PARTITION BY p.user_id, p.t
+               ORDER BY abs(c.t - p.t),
+                        CASE WHEN c.t <= p.t THEN 0 ELSE 1 END
+             ) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id)
+    SELECT user_id, t AS ts_us, value, t_r AS ts_us_r, click_value
+    FROM cand WHERE rn = 1
+    UNION ALL
+    SELECT p.user_id, p.t, p.value, NULL, NULL
+    FROM p ANTI JOIN c USING (user_id)
+    """,
+)
+def asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    events = events.withColumn("ts_us", event_ts_us(events, "ts"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("value").alias("click_value")
+    )
+    lgs = group_sort(purchases, "user_id", order_by="ts_us")
+    rgs = group_sort(clicks, "user_id", order_by="ts_us")
+    return lgs.merge_join_asof(rgs, "ts_us", direction="nearest")
+
+
+# ===========================================================================
 # Set operations beyond merge_union (reference omits them, SURVEY
 # §2.5): intersect (distinct) and exceptAll (bag difference) on event
 # slices, via native Catalyst Intersect/Except.
@@ -3473,6 +3516,7 @@ _GATE_ORDER = [
     "tpch_q17_small_quantity",
     "hll_grouped_by_source",
     "window_distribution",
+    "asof_nearest",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -81,6 +81,7 @@ def test_gate_window_contents():
         "tpch_q17_small_quantity",
         "hll_grouped_by_source",
         "window_distribution",
+        "asof_nearest",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
