@@ -250,9 +250,14 @@ def bloom_build(
 
 
 def _check_merge_params(tables, cols, kind):
-    """Collect each table's parameter row and require them identical —
-    merging sketches built in different parameter spaces silently
-    corrupts state, the same failure mode the probe guards catch."""
+    """Materialize each (tiny) sketch once, then require identical
+    build parameters — merging sketches built in different parameter
+    spaces silently corrupts state, the same failure mode the probe
+    guards catch. Returns ``(materialized_tables, params)``; the
+    eager checkpoint matters because the check is an action and the
+    merged plan would otherwise rebuild every input sketch a second
+    time."""
+    tables = [t.localCheckpoint(eager=True) for t in tables]
     metas = []
     for t in tables:
         rows = t.select(*cols).limit(1).collect()
@@ -263,7 +268,7 @@ def _check_merge_params(tables, cols, kind):
             f"{kind} merge across mismatched parameters {sorted(set(metas))}"
             f" ({'/'.join(cols)} must be identical)"
         )
-    return metas[0] if metas else None
+    return tables, (metas[0] if metas else None)
 
 
 def bloom_merge(*blooms: DataFrame) -> DataFrame:
@@ -275,7 +280,7 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     parameter mismatch (carried in the filters)."""
     if not blooms:
         raise ValueError("bloom_merge needs at least one filter")
-    meta = _check_merge_params(blooms, ["m_bits", "k"], "bloom")
+    blooms, meta = _check_merge_params(blooms, ["m_bits", "k"], "bloom")
     merged = blooms[0].select("word", "bits")
     for b in blooms[1:]:
         merged = merged.unionByName(b.select("word", "bits"))
@@ -295,7 +300,7 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     mismatch (carried in the sketches)."""
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
-    meta = _check_merge_params(sketches, ["width", "depth"], "cms")
+    sketches, meta = _check_merge_params(sketches, ["width", "depth"], "cms")
     merged = sketches[0].select("row", "col", "cnt")
     for s in sketches[1:]:
         merged = merged.unionByName(s.select("row", "col", "cnt"))
