@@ -126,9 +126,27 @@ def hll_merge(*reg_tables: DataFrame, keys=()) -> DataFrame:
     merged = reg_tables[0]
     for t in reg_tables[1:]:
         merged = merged.unionByName(t)
+    _check_register_keys(merged, keys, "hll_merge")
     return merged.groupBy(*keys, "reg").agg(
         F.max("max_rho").alias("max_rho")
     )
+
+
+def _check_register_keys(regs: DataFrame, keys, caller: str) -> None:
+    """A GROUPED register table processed without its ``keys=`` would
+    silently merge registers ACROSS key groups — a wrong estimate
+    with no error. Any column beyond (keys, reg, max_rho) — except
+    the streaming store's ``ingest_batch_id`` partition column —
+    means the caller forgot (or misspelled) the key list."""
+    extra = set(regs.columns) - {"reg", "max_rho", "ingest_batch_id"} - set(
+        keys
+    )
+    if extra:
+        raise ValueError(
+            f"{caller}: register table carries key columns "
+            f"{sorted(extra)} not listed in keys={keys}; merging or "
+            "folding across them would silently mix key groups"
+        )
 
 
 def hll_estimate(regs: DataFrame, b: int = 8, keys=()) -> DataFrame:
@@ -140,6 +158,7 @@ def hll_estimate(regs: DataFrame, b: int = 8, keys=()) -> DataFrame:
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
     keys = [keys] if isinstance(keys, str) else list(keys)
+    _check_register_keys(regs, keys, "hll_estimate")
     m = 1 << b
     window = _HASH_BITS - b
     # per-group reduce: registers -> lookup map -> fixed-order fold.

@@ -131,8 +131,11 @@ def read_cms_cells(spark, store_path: str) -> DataFrame:
 def read_hll_registers(spark, store_path: str, keys=()) -> DataFrame:
     """Merge every batch partition of an HLL register store into one
     register table (register-wise max across batches)."""
+    from ..functions.sketches import _check_register_keys
+
     keys = [keys] if isinstance(keys, str) else list(keys)
     regs = spark.read.parquet(store_path)
+    _check_register_keys(regs, keys, "read_hll_registers")
     return regs.groupBy(*keys, "reg").agg(F.max("max_rho").alias("max_rho"))
 
 

@@ -863,3 +863,24 @@ def test_hll_grouped_merge_equals_union_sketch(spark):
     em = sorted(map(tuple, hll_estimate(merged, keys="g").collect()))
     eu = sorted(map(tuple, hll_estimate(union, keys="g").collect()))
     assert em == eu and len(em) == 3
+
+
+def test_grouped_hll_forgotten_keys_is_loud(spark):
+    # a grouped register table processed without keys= would silently
+    # merge registers across key groups — must raise instead
+    from spark_sorted_spark.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_register_table,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g2", "b")], "g string, v string"
+    )
+    regs = hll_register_table(df, "v", keys="g")
+    with pytest.raises(ValueError, match="key columns"):
+        hll_estimate(regs)
+    with pytest.raises(ValueError, match="key columns"):
+        hll_merge(regs, regs)
+    # correct usage still fine
+    assert hll_estimate(regs, keys="g").count() == 2
