@@ -1027,6 +1027,58 @@ def hll_grouped_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, on="source")
 
 
+@query("stream_hll_by_source", oracle=_hll_grouped_oracle_sql())
+def stream_hll_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING grouped HLL, gate-checked against the identical
+    oracle as the batch `hll_grouped_by_source`: documents arrive in
+    two micro-batch drains (odd ids, then even), each drain writes
+    its batch's register partitions to the store, and the
+    merge-on-read estimate must be BITWISE the batch sketch over the
+    whole corpus — registers don't care how the data was batched
+    (max is associative). Streaming distinct-count state: m integer
+    rows per source per batch."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.dedup import shingles
+    from .streaming import (
+        read_hll_estimate,
+        stream_hll_distinct,
+        stream_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_hll_")
+    atexit.register(lambda: shutil.rmtree(base, ignore_errors=True))
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+
+    sh_all = docs.select(
+        "source", F.explode(shingles("text", 3)).alias("sh")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(src)
+
+    def drain():
+        sdf = stream_table(spark, "documents", sf_dir, path=src)
+        shs = sdf.select(
+            "source", F.explode(shingles("text", 3)).alias("sh")
+        )
+        stream_hll_distinct(shs, "sh", store, ckpt, keys="source")
+
+    drain()
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+    drain()
+
+    est = read_hll_estimate(spark, store, keys="source")
+    exact = sh_all.groupBy("source").agg(
+        F.countDistinct("sh").alias("exact_distinct")
+    )
+    return est.join(exact, on="source")
+
+
 @query(
     "decontaminate_bloom",
     # the bloom PREFILTER stage of decontamination, bit-for-bit: the
@@ -3517,6 +3569,7 @@ _GATE_ORDER = [
     "hll_grouped_by_source",
     "window_distribution",
     "asof_nearest",
+    "stream_hll_by_source",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

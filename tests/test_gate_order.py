@@ -82,6 +82,7 @@ def test_gate_window_contents():
         "hll_grouped_by_source",
         "window_distribution",
         "asof_nearest",
+        "stream_hll_by_source",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
