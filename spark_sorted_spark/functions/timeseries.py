@@ -25,7 +25,49 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["resample_with_gap_fill"]
+__all__ = ["resample_with_gap_fill", "assign_sessions"]
+
+
+def assign_sessions(
+    df: DataFrame,
+    time_col: str,
+    gap: int,
+    keys,
+    order_cols=(),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization, fully native: rows more than ``gap``
+    (in ``time_col`` units) after their key's previous row start a
+    new session. Adds ``session_col`` (1-based per key) to every
+    row — the NATIVE tier of the session family (the map-stream tier
+    drives the gated ``sessionize_stream``; ``streaming.sessionize``
+    is the watermark tier; this is the one you want for batch at
+    100 TB: one shuffle + one sort, lag + running conditional sum,
+    whole-stage codegen end to end).
+
+    ``order_cols`` breaks timestamp ties deterministically (e.g. an
+    event id); the gap compare itself uses only ``time_col``. A gap
+    exactly equal to ``gap`` stays in the SAME session (<=, matching
+    ``F.session_window``'s merge rule — pinned by test).
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not keys:
+        raise ValueError("assign_sessions needs at least one key")
+    if gap <= 0:
+        raise ValueError(f"gap must be positive, got {gap}")
+    w = Window.partitionBy(*keys).orderBy(time_col, *order_cols)
+    run = Window.partitionBy(*keys).orderBy(time_col, *order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag(time_col).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col(time_col) - prev > gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        session_col, F.sum(new_session).over(run).cast("bigint")
+    )
 
 
 def resample_with_gap_fill(

@@ -1942,6 +1942,57 @@ def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Native batch sessionization — gap-based session ids via lag +
+# running conditional sum, the whole-stage-codegen tier of the
+# session family (the gated sessionize_stream runs the map-stream
+# tier; stream_session_window the watermark tier). Aggregated per
+# session so the relation matches the other tiers' shape.
+# ===========================================================================
+@query(
+    "sessionize_native",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             round(value * 100)::BIGINT AS cents,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    sid AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY t, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM s)
+    SELECT user_id, session_id, min(t) AS session_start_us,
+           max(t) AS session_end_us, count(*) AS n,
+           sum(cents)::BIGINT AS sum_cents
+    FROM sid GROUP BY user_id, session_id
+    """,
+)
+def sessionize_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.timeseries import assign_sessions
+
+    ev = load_table(spark, "events", sf_dir)
+    ev = ev.select(
+        "user_id",
+        event_ts_us(ev, "ts").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    s = assign_sessions(
+        ev, "t", 1_800_000_000, keys="user_id", order_cols=("event_id",)
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("t").alias("session_start_us"),
+        F.max("t").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# ===========================================================================
 # Gap-filled time-series resample — per-user daily rollup emitting
 # the DENSE bucket grid (empty days included) with the cents sum
 # carried forward into gaps. The hypertable/downsample shape.
@@ -3570,6 +3621,7 @@ _GATE_ORDER = [
     "window_distribution",
     "asof_nearest",
     "stream_hll_by_source",
+    "sessionize_native",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

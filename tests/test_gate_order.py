@@ -83,6 +83,7 @@ def test_gate_window_contents():
         "window_distribution",
         "asof_nearest",
         "stream_hll_by_source",
+        "sessionize_native",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -884,3 +884,218 @@ def test_grouped_hll_forgotten_keys_is_loud(spark):
         hll_merge(regs, regs)
     # correct usage still fine
     assert hll_estimate(regs, keys="g").count() == 2
+
+
+def test_resample_negative_times_floor_exactly(spark):
+    # epoch-relative negative times: buckets must FLOOR (-25 -> -30),
+    # not truncate toward zero — the same exact decimal floor-division
+    # contract as merge_join_range
+    from spark_sorted_spark.functions.timeseries import resample_with_gap_fill
+
+    df = spark.createDataFrame(
+        [("a", -25, 1), ("a", 5, 2)], "k string, t bigint, v bigint"
+    )
+    out = resample_with_gap_fill(df, "t", 10, {"s": F.sum("v")}, keys="k")
+    got = {r.bucket_ts: (r.s, r.is_gap) for r in out.collect()}
+    assert got == {
+        -30: (1, False),
+        -20: (None, True),
+        -10: (None, True),
+        0: (2, False),
+    }
+
+
+def test_resample_hypothesis_vs_python_grid_walk(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.functions.timeseries import resample_with_gap_fill
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 2),      # key
+                st.integers(-50, 50),   # time
+                st.integers(-5, 5),     # value
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        interval=st.integers(1, 20),
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(rows, interval):
+        data = [(f"k{k}", t, v) for k, t, v in rows]
+        out = resample_with_gap_fill(
+            spark.createDataFrame(data, "k string, t bigint, v bigint"),
+            "t", interval, {"s": F.sum("v")}, keys="k", fill=("s",),
+        )
+        got = sorted((r.k, r.bucket_ts, r.s, r.is_gap) for r in out.collect())
+
+        # pure-python replica
+        import collections
+
+        per = collections.defaultdict(dict)
+        for k, t, v in data:
+            b = (t - (t % interval)) // interval  # python % is pmod
+            per[k][b] = per[k].get(b, 0) + v
+        exp = []
+        for k, buckets in per.items():
+            lo, hi = min(buckets), max(buckets)
+            carry = None
+            for b in range(lo, hi + 1):
+                if b in buckets:
+                    carry = buckets[b]
+                    exp.append((k, b * interval, carry, False))
+                else:
+                    exp.append((k, b * interval, carry, True))
+        assert got == sorted(exp)
+
+    run()
+
+
+def test_chunk_documents_hypothesis_random_texts(spark):
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.functions.packing import chunk_documents
+
+    word = st.text(alphabet="abcXYZ09", min_size=1, max_size=4)
+
+    @given(
+        texts=st.lists(
+            st.lists(word, min_size=0, max_size=30).map(" ".join),
+            min_size=1,
+            max_size=6,
+        ),
+        chunk=st.integers(1, 8),
+        overlap=st.integers(0, 7),
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(texts, chunk, overlap):
+        overlap = min(overlap, chunk - 1)
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {}
+        for r in chunk_documents(df, chunk, overlap).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.chunk_text, r.n_chunk_tokens)
+            )
+        stride = chunk - overlap
+        for did, text in docs:
+            toks = re.split(r"\s+", text.strip())
+            exp, i = [], 0
+            while True:
+                c = toks[i : i + chunk]
+                exp.append((" ".join(c), len(c)))
+                if i + chunk >= len(toks):
+                    break
+                i += stride
+            g = sorted(got[did])
+            assert [(t, n) for _, t, n in g] == exp
+
+    run()
+
+
+def test_negative_pairs_hypothesis_vs_python_ring(spark):
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.functions.sampling import negative_pairs
+
+    @given(
+        ids=st.sets(st.integers(0, 10_000), min_size=1, max_size=40),
+        m=st.integers(1, 4),
+        n_buckets=st.integers(1, 8),
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(ids, m, n_buckets):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        got = sorted(
+            (r.doc_id, r.neg_doc_id, r.j)
+            for r in negative_pairs(
+                df, m=m, n_buckets=n_buckets
+            ).collect()
+        )
+
+        # pure-python replica of the md5 ring
+        def h(i):
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+        import collections
+
+        buckets = collections.defaultdict(list)
+        for i in ids:
+            buckets[h(i) % n_buckets].append(i)
+        exp = []
+        for _, members in buckets.items():
+            ring = sorted(members, key=lambda i: (h(i), i))
+            n = len(ring)
+            for pos, anchor in enumerate(ring):
+                for j in range(1, min(m, n - 1) + 1):
+                    exp.append((anchor, ring[(pos + j) % n], j))
+        assert got == sorted(exp)
+
+    run()
+
+
+class TestAssignSessions:
+    def test_gap_boundary_inclusive_and_numbering(self, spark):
+        from spark_sorted_spark.functions.timeseries import assign_sessions
+
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 10), ("a", 20), ("a", 31), ("b", 5)],
+            "k string, t bigint",
+        )
+        out = {(r.k, r.t): r.session_id for r in
+               assign_sessions(df, "t", 10, keys="k").collect()}
+        # gap exactly 10 stays in session (<=); 11 starts a new one
+        assert out == {
+            ("a", 0): 1, ("a", 10): 1, ("a", 20): 1,
+            ("a", 31): 2, ("b", 5): 1,
+        }
+
+    def test_matches_session_window_merge_rule(self, spark, sf_dir):
+        # all three session tiers must agree on the session STRUCTURE:
+        # the native lag+cumsum sessions and F.session_window produce
+        # the same per-user session count and sizes on real data
+        from spark_sorted_spark.functions.timeseries import assign_sessions
+        from spark_sorted_spark.sources.tpch import event_ts_us, load_table
+
+        ev = load_table(spark, "events", sf_dir)
+        ev = ev.select(
+            "user_id", event_ts_us(ev, "ts").alias("t"), "event_id", "ts"
+        )
+        native = (
+            assign_sessions(
+                ev, "t", 1_800_000_000, keys="user_id",
+                order_cols=("event_id",),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        sw = (
+            ev.groupBy(
+                F.session_window(
+                    F.col("ts").cast("timestamp"), "30 minutes"
+                ),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        a = sorted((r.user_id, r.n) for r in native.collect())
+        b = sorted((r.user_id, r.n) for r in sw.collect())
+        assert a == b
+
+    def test_validation(self, spark):
+        from spark_sorted_spark.functions.timeseries import assign_sessions
+
+        df = spark.createDataFrame([("a", 1)], "k string, t bigint")
+        with pytest.raises(ValueError, match="gap must be positive"):
+            assign_sessions(df, "t", 0, keys="k")
+        with pytest.raises(ValueError, match="at least one key"):
+            assign_sessions(df, "t", 10, keys=[])
