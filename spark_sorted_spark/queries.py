@@ -2477,6 +2477,104 @@ def tpch_q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q4 — order-priority checking (adapted: no l_commitdate /
+# l_receiptdate in this schema, so the EXISTS predicate is "some
+# lineitem shipped more than 60 days after the order date" — same
+# shape: a correlated EXISTS compiled to a semi-join, counted by
+# priority).
+# ===========================================================================
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    slow = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        how="left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ===========================================================================
+# TPC-H Q22 — global sales opportunity (adapted: no c_phone, so the
+# country-code slice is a nationkey subset). Customers with
+# above-average positive account balance and NO urgent orders (this
+# synthetic data gives every customer orders, so the original
+# no-orders-at-all predicate would be vacuously empty; the urgent
+# slice keeps the anti-join shape non-vacuous). The scalar AVG
+# subquery is cross-multiplied into exact integers
+# (cents * n > sum_cents), so both engines decide every boundary
+# identically.
+# ===========================================================================
+@query(
+    "tpch_q22_sales_opportunity",
+    oracle="""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             round(c_acctbal * 100)::BIGINT AS cents
+      FROM customer
+      WHERE c_nationkey IN (1, 5, 9, 13, 17) AND c_acctbal > 0.0),
+    stats AS (
+      SELECT sum(cents)::BIGINT AS s, count(*) AS n FROM pos)
+    SELECT c_nationkey, count(*) AS numcust,
+           sum(cents)::BIGINT AS totacctbal_cents
+    FROM pos, stats
+    WHERE cents * n > s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_nationkey").isin(1, 5, 9, 13, 17)
+        & (F.col("c_acctbal") > 0.0)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    stats = cust.agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(stats)).filter(
+        F.col("cents") * F.col("n") > F.col("s")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, how="left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("cents").alias("totacctbal_cents"),
+    )
+
+
+# ===========================================================================
 # TPC-H Q7 — volume shipping between two nations, by supplier nation,
 # customer nation, and ship year. Two broadcast nation dims with a
 # cross-side disjunctive pair filter; year() is identical integer
@@ -3622,6 +3720,8 @@ _GATE_ORDER = [
     "asof_nearest",
     "stream_hll_by_source",
     "sessionize_native",
+    "tpch_q4_order_priority",
+    "tpch_q22_sales_opportunity",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -84,6 +84,8 @@ def test_gate_window_contents():
         "asof_nearest",
         "stream_hll_by_source",
         "sessionize_native",
+        "tpch_q4_order_priority",
+        "tpch_q22_sales_opportunity",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
