@@ -281,6 +281,21 @@ def b21_chunk_documents(spark):
     force(QUERIES["chunk_documents"](spark, SF_DIR))
 
 
+def b22_sessionize_native(spark):
+    # native gap sessionization: one shuffle, lag + running sum,
+    # per-session aggregates
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["sessionize_native"](spark, SF_DIR))
+
+
+def b23_negative_pairs(spark):
+    # deterministic contrastive negatives: bucket-ring windows + join
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["negative_pairs"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -305,6 +320,8 @@ BENCH = {
     "b19_doc_keywords": b19_doc_keywords,
     "b20_resample_daily": b20_resample_daily,
     "b21_chunk_documents": b21_chunk_documents,
+    "b22_sessionize_native": b22_sessionize_native,
+    "b23_negative_pairs": b23_negative_pairs,
 }
 
 
