@@ -357,8 +357,12 @@ def build_minhash_band_store(
     bands = minhash_band_table(df, text_col, id_col, n)
     spark = df.sparkSession
     # a build is a FRESH store: clear stale append partitions first
-    # (overwriting only the base partition would leave them behind)
-    _rm_dir(spark, path)
+    # (overwriting only the base partition would leave them behind).
+    # Delete ONLY the two store subdirs, never the user-supplied path
+    # itself — a mistyped path must not take unrelated data with it,
+    # and a failure between delete and write leaves the sibling intact
+    _rm_dir(spark, f"{path}/bands")
+    _rm_dir(spark, f"{path}/counts")
     bands.write.mode("overwrite").parquet(f"{path}/bands/ingest_batch_id=-1")
     (
         spark.read.parquet(f"{path}/bands")

@@ -28,20 +28,34 @@ def test_gate_window_contents():
     for must in (
         "grouping_sets_agg",
         "corpus_mix",
-        "merge_join_right",
         "set_ops",
         "dedup_ngram_jaccard",
         "range_join",
         "decontaminate",
+        # round-7 rotation #3: the round-6 flagship operators must hold
+        # their newly-earned driver rows
+        "hll_distinct_shingles",
+        "cms_token_counts",
+        "dedup_incremental",
+        "knn_join",
+        "interval_overlap",
+        "sessionize_native",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
-    # overflow: the two declared O(n^2) oracle baselines (scale-safe
-    # twins still gated), rollup/cube (sugar for the still-gated
-    # grouping_sets_agg — rotated out in round 6 so range_join and
-    # decontaminate earn driver rows), and the remaining round-5
-    # extensions (locally oracle-checked; see PARITY.md "Driver gate
-    # window")
+    # overflow: round-7 rotation #3 moved six composite-covered rows
+    # out (merge_join_left/right, tpch_q3, salted_agg,
+    # percentile_per_user, global_topk — justifications in
+    # queries.py _GATE_ORDER comments + PARITY.md); plus the two
+    # declared O(n^2) oracle baselines (scale-safe twins still gated),
+    # rollup/cube (sugar for the still-gated grouping_sets_agg), and
+    # the round-5/6 extensions (all locally oracle-checked)
     assert names[50:] == [
+        "merge_join_left",
+        "merge_join_right",
+        "tpch_q3_shipping_priority",
+        "salted_agg",
+        "percentile_per_user",
+        "global_topk",
         "tpch_q5_local_supplier",
         "dedup_simhash",
         "embedding_neardup",
@@ -50,20 +64,12 @@ def test_gate_window_contents():
         "unpivot_measures",
         "window_range_frame",
         "stream_late_drop",
-        "dedup_incremental",
         "redact_pii",
         "pack_sequences",
         "build_vocab",
         "embedding_clusters",
-        "knn_join",
         "tpch_q6_forecast_revenue",
-        "hll_distinct_shingles",
         "decontaminate_bloom",
-        "cms_token_counts",
-        # round-6 continuation: the interval-overlap join and five
-        # more TPC-H shapes (all locally oracle-checked; the gated
-        # q1/q3 + range_join keep their families' driver rows)
-        "interval_overlap",
         "doc_keywords",
         "tpch_q10_returned_items",
         "tpch_q13_order_distribution",
@@ -83,7 +89,6 @@ def test_gate_window_contents():
         "window_distribution",
         "asof_nearest",
         "stream_hll_by_source",
-        "sessionize_native",
         "tpch_q4_order_priority",
         "tpch_q22_sales_opportunity",
     ]
