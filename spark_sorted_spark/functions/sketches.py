@@ -91,6 +91,12 @@ def hll_register_table(
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if "ingest_batch_id" in keys:
+        raise ValueError(
+            "'ingest_batch_id' is reserved for the streaming register "
+            "store's partition column and cannot be a sketch key; "
+            "rename the column"
+        )
     m = 1 << b
     window = _HASH_BITS - b  # rank window width
     v = F.col(value) if isinstance(value, str) else value
@@ -132,15 +138,19 @@ def hll_merge(*reg_tables: DataFrame, keys=()) -> DataFrame:
     )
 
 
-def _check_register_keys(regs: DataFrame, keys, caller: str) -> None:
+def _check_register_keys(
+    regs: DataFrame, keys, caller: str, *, tolerate_batch_col: bool = False
+) -> None:
     """A GROUPED register table processed without its ``keys=`` would
     silently merge registers ACROSS key groups — a wrong estimate
-    with no error. Any column beyond (keys, reg, max_rho) — except
-    the streaming store's ``ingest_batch_id`` partition column —
-    means the caller forgot (or misspelled) the key list."""
-    extra = set(regs.columns) - {"reg", "max_rho", "ingest_batch_id"} - set(
-        keys
-    )
+    with no error. Any column beyond (keys, reg, max_rho) means the
+    caller forgot (or misspelled) the key list. Only the streaming
+    STORE readers may tolerate an extra ``ingest_batch_id`` column
+    (their partition key, merged away by design); tolerating it
+    generically would let a user key that happens to bear that name
+    slip past the guard and be silently merged across groups."""
+    tolerated = {"ingest_batch_id"} if tolerate_batch_col else set()
+    extra = set(regs.columns) - {"reg", "max_rho"} - tolerated - set(keys)
     if extra:
         raise ValueError(
             f"{caller}: register table carries key columns "
@@ -299,16 +309,20 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     parameter mismatch (carried in the filters)."""
     if not blooms:
         raise ValueError("bloom_merge needs at least one filter")
-    blooms, meta = _check_merge_params(blooms, ["m_bits", "k"], "bloom")
-    merged = blooms[0].select("word", "bits")
+    blooms, _ = _check_merge_params(blooms, ["m_bits", "k"], "bloom")
+    # carry the param columns THROUGH the merge (verified identical
+    # across inputs, so grouping by them changes nothing) rather than
+    # re-attaching a collected value: an all-empty merge then still
+    # emits the full (word, bits, m_bits, k) schema downstream probes
+    # and future merges expect, instead of a schema-degraded sketch
+    merged = blooms[0].select("word", "bits", "m_bits", "k")
     for b in blooms[1:]:
-        merged = merged.unionByName(b.select("word", "bits"))
-    out = merged.groupBy("word").agg(F.bit_or("bits").alias("bits"))
-    if meta:
-        out = out.withColumn("m_bits", F.lit(meta[0])).withColumn(
-            "k", F.lit(meta[1])
-        )
-    return out
+        merged = merged.unionByName(b.select("word", "bits", "m_bits", "k"))
+    return (
+        merged.groupBy("word", "m_bits", "k")
+        .agg(F.bit_or("bits").alias("bits"))
+        .select("word", "bits", "m_bits", "k")
+    )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
@@ -319,16 +333,20 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     mismatch (carried in the sketches)."""
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
-    sketches, meta = _check_merge_params(sketches, ["width", "depth"], "cms")
-    merged = sketches[0].select("row", "col", "cnt")
+    sketches, _ = _check_merge_params(sketches, ["width", "depth"], "cms")
+    # same schema-preserving trick as bloom_merge: params verified
+    # identical, so grouping by them is free and an all-empty merge
+    # keeps the full (row, col, cnt, width, depth) schema
+    merged = sketches[0].select("row", "col", "cnt", "width", "depth")
     for s in sketches[1:]:
-        merged = merged.unionByName(s.select("row", "col", "cnt"))
-    out = merged.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
-    if meta:
-        out = out.withColumn("width", F.lit(meta[0])).withColumn(
-            "depth", F.lit(meta[1])
+        merged = merged.unionByName(
+            s.select("row", "col", "cnt", "width", "depth")
         )
-    return out
+    return (
+        merged.groupBy("row", "col", "width", "depth")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("row", "col", "cnt", "width", "depth")
+    )
 
 
 def bloom_members(

@@ -218,19 +218,25 @@ def normalize_text(
 
     1. lowercase (ASCII + Unicode simple mapping, same rule both
        engines apply),
-    2. strip punctuation marks (everything outside ``[a-z0-9\\s]``
-       after lowercasing — aggressive by design; dedup wants
-       canonical form, not typography),
+    2. strip punctuation/symbol marks — everything that is not a
+       Unicode letter (``\\p{L}``), digit (``\\p{N}``), or whitespace.
+       Script-preserving by design: CJK, Cyrillic, Arabic, accented
+       text all survive (an ASCII-only class would normalize every
+       non-Latin document to the empty string, which downstream dedup
+       would then collapse into ONE duplicate group and silently
+       delete),
     3. collapse whitespace runs to single spaces and trim.
 
     Emits ``(id_col, text, changed)`` where ``text`` is the
     normalized form and ``changed`` marks documents the pipeline
     actually rewrote (cheap provenance: downstream can skip re-work
-    for untouched docs). Pure Catalyst regexp expressions in the
-    Java-regex/RE2 common subset — the DuckDB oracle reproduces the
-    transform byte-for-byte."""
+    for untouched docs). A document of pure punctuation still
+    normalizes to ``''`` — feed dedup with a ``text != ''`` guard if
+    such docs exist. Pure Catalyst regexp expressions in the
+    Java-regex/RE2 common subset (both support ``\\p{L}``/``\\p{N}``)
+    — the DuckDB oracle reproduces the transform byte-for-byte."""
     lowered = F.lower(F.col(text_col))
-    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    stripped = F.regexp_replace(lowered, r"[^\p{L}\p{N}\s]", "")
     collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
     return df.select(
         F.col(id_col),

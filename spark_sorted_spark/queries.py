@@ -2145,7 +2145,7 @@ def negative_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (
       SELECT doc_id, text AS orig,
              trim(regexp_replace(regexp_replace(lower(text),
-                  '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+                  '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
       FROM documents)
     SELECT doc_id, norm AS text, norm <> orig AS changed FROM n
     """,

@@ -23,25 +23,49 @@ Scale notes (100 TB corpus, unbounded stream):
   ``dedup_against_store``);
 * the corpus parquet is append-only and the store appends delta
   counts — no per-batch rewrite of anything corpus-sized;
-* the checkpoint makes the loop restartable, and every sink write is
-  EXACTLY-ONCE under replay: each batch writes its own
-  ``ingest_batch_id={N}`` / ``batch_id={N}`` partition with overwrite
-  semantics, and every read inside the batch fences out partitions
-  ``>= N`` (``before_batch``), so a re-delivered batch sees exactly
-  the pre-batch state, recomputes the identical survivor set, and
-  REPLACES its earlier partial writes instead of appending beside
-  them. Any crash point is healed by the replay; no compaction or
-  consumer-side fencing needed. (Replay means the ENGINE's replay —
-  same checkpoint, batch ids pinned by its offsets log. Starting a
-  NEW stream with a fresh checkpoint against an already-populated
-  corpus/store is not a replay: the new stream re-batches all source
-  files from batch 0 and double-ingests — the caveat every
-  checkpointed streaming sink shares.)
+* the checkpoint makes the loop restartable, and the corpus/audit
+  sinks are EXACTLY-ONCE *for any reader, fenced or raw*: each batch
+  writes its partition to a dot-prefixed staging dir (invisible to
+  parquet readers — Hadoop's path filter skips ``.``/``_`` names)
+  and PUBLISHES it with one filesystem rename, so a crash mid-batch
+  leaves no torn partition behind, only an invisible staging dir the
+  replay overwrites. Reads inside a batch additionally fence out
+  partitions ``>= N`` (``before_batch``) so a replayed batch
+  recomputes the identical survivor set against the pre-batch state.
+  (Rename-as-commit is atomic on local disk and HDFS; on S3-style
+  object stores, front the corpus with a rename-atomic layer or a
+  table format with a commit protocol, as for any
+  rename-committed Spark output.)
+* the band store's partitions stay overwrite-idempotent but are NOT
+  rename-published: its only supported readers
+  (``dedup_against_store`` / the store readers) fence by batch id,
+  and its merge semantics are idempotent, so a torn store partition
+  is healed by replay before any fenced reader can observe it.
+
+Restart protection (not a replay): starting a NEW stream — fresh
+checkpoint — against an already-populated corpus re-batches the
+source from batch 0. Without protection, batch 0 would silently
+OVERWRITE the prior run's ``ingest_batch_id=0`` partition and would
+NOT dedup against the existing corpus (the ``< 0`` fence excludes
+everything). This module therefore records a stream identity: a uuid
+persisted in the checkpoint dir (``__ingest_identity``) and mirrored,
+with the run's base batch offset, in ``{corpus_path}/_ingest_stream``
+(underscore prefix: invisible to parquet readers). On start:
+
+* identities match → same stream (normal continuation or engine
+  replay): reuse the recorded base;
+* mismatch, or a populated corpus with no marker → fail LOUDLY
+  unless ``allow_restart=True``, in which case the new run's batches
+  are offset past the existing max partition id — they dedup against
+  the full existing corpus and can never clobber it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import (
@@ -51,6 +75,133 @@ from ..functions.dedup import (
 )
 
 __all__ = ["stream_ingest_dedup"]
+
+# test-only hook: a callable invoked as (sink_name, batch_part) right
+# before a staging dir is published; tests raise inside it to simulate
+# a crash between the staging write and the rename-commit
+_crash_before_publish = None
+
+
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    """One small text file through the Hadoop FS API (any scheme)."""
+    fs, hpath, jvm = _fs_path(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = reader.readLine()
+        return line if line is not None else ""
+    finally:
+        stream.close()
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, hpath, _ = _fs_path(spark, path)
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(text, "utf-8"))
+    finally:
+        stream.close()
+
+
+def _publish(spark: SparkSession, staging: str, final: str) -> None:
+    """Commit a staged partition dir with one rename. The final dir is
+    replaced if present (a replayed batch re-publishing itself); the
+    staging dir's dot prefix keeps it invisible to any parquet reader
+    until the rename lands it whole."""
+    fs, final_p, _ = _fs_path(spark, final)
+    _, staging_p, _ = _fs_path(spark, staging)
+    if _crash_before_publish is not None:
+        _crash_before_publish(final, staging)
+    fs.delete(final_p, True)
+    if not fs.rename(staging_p, final_p):
+        raise IOError(f"publish rename failed: {staging} -> {final}")
+
+
+def _existing_max_batch(spark: SparkSession, corpus_path: str) -> int | None:
+    """Largest ingest_batch_id partition in the corpus dir, or None if
+    the dir is missing / has no batch partitions."""
+    fs, hpath, _ = _fs_path(spark, corpus_path)
+    if not fs.exists(hpath):
+        return None
+    best = None
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("ingest_batch_id="):
+            try:
+                n = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            best = n if best is None else max(best, n)
+    return best
+
+
+def _corpus_has_visible_data(spark: SparkSession, corpus_path: str) -> bool:
+    fs, hpath, _ = _fs_path(spark, corpus_path)
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith((".", "_")):
+            return True
+    return False
+
+
+def _resolve_stream_base(
+    spark: SparkSession,
+    corpus_path: str,
+    checkpoint_dir: str,
+    allow_restart: bool,
+) -> int:
+    """Match the checkpoint's stream identity against the corpus
+    marker and return the batch-id base offset for this run (see
+    module docstring, "Restart protection")."""
+    ident_path = f"{checkpoint_dir}/__ingest_identity"
+    ident = _read_text(spark, ident_path)
+    if ident is None:
+        ident = str(uuid.uuid4())
+        _write_text(spark, ident_path, ident)
+
+    marker_path = f"{corpus_path}/_ingest_stream"
+    raw = _read_text(spark, marker_path)
+    has_data = _corpus_has_visible_data(spark, corpus_path)
+    if raw:
+        marker = json.loads(raw)
+        if marker.get("id") == ident:
+            return int(marker.get("base", 0))
+        # a marker with no data behind it (prior run died before any
+        # batch committed) protects nothing: silently take over
+        if has_data and not allow_restart:
+            raise ValueError(
+                f"corpus at {corpus_path!r} was written by a different "
+                "ingest stream (checkpoint identity mismatch). A fresh "
+                "checkpoint restarts batch ids at 0, which would clobber "
+                "the existing partitions and skip dedup against the "
+                "existing corpus. Reuse the original checkpoint dir to "
+                "resume, or pass allow_restart=True to continue past the "
+                "existing corpus with offset batch ids."
+            )
+    elif has_data and not allow_restart:
+        raise ValueError(
+            f"corpus at {corpus_path!r} already holds data but carries no "
+            "_ingest_stream marker (written by another tool or an older "
+            "version). Refusing to ingest on top of it; pass "
+            "allow_restart=True to continue past it with offset batch ids."
+        )
+    existing = _existing_max_batch(spark, corpus_path)
+    base = 0 if existing is None else existing + 1
+    _write_text(spark, marker_path, json.dumps({"id": ident, "base": base}))
+    return base
 
 
 def stream_ingest_dedup(
@@ -67,6 +218,7 @@ def stream_ingest_dedup(
     tau_den: int = 2,
     max_bucket: int = 50,
     timeout_sec: int = 300,
+    allow_restart: bool = False,
 ) -> None:
     """Drain ``stream_docs`` (bounded, availableNow) through the
     dedup-ingest loop. ``store_path`` must hold a band store built by
@@ -75,8 +227,10 @@ def stream_ingest_dedup(
     ``ingest_batch_id={N}`` partition per batch; ``audit_path``
     accumulates (doc_old, doc_new, kind) drop records partitioned by
     ``batch_id`` — ``kind`` is 'store' (cross-batch) or 'self'
-    (within-batch). All three sinks are exactly-once under streaming
-    replay (see module docstring).
+    (within-batch). Corpus and audit partitions are staged and
+    rename-published, so even a raw reader never sees a torn batch;
+    a fresh-checkpoint restart against a populated corpus fails
+    loudly unless ``allow_restart=True`` (see module docstring).
     NB: audit dirs written before the ``kind`` column existed hold
     3-column files; read such mixed dirs with
     ``option("mergeSchema", "true")`` (old rows read kind=null)."""
@@ -86,8 +240,13 @@ def stream_ingest_dedup(
             "stream_ingest_dedup reserves the 'ingest_batch_id' column "
             "for the corpus partition key; rename it in the input"
         )
+    base = _resolve_stream_base(spark, corpus_path, checkpoint_dir, allow_restart)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # all partition ids and fences use the base-offset id, so an
+        # allow_restart run continues PAST the prior run's partitions
+        # instead of colliding with them
+        part = base + batch_id
         # within-batch self-dedup: lower id survives
         self_pairs = minhash_lsh_pairs(
             batch_df,
@@ -115,12 +274,11 @@ def stream_ingest_dedup(
         try:
             corpus = spark.read.parquet(corpus_path)
             # replay fence: a re-delivered batch must dedup against
-            # the PRE-batch corpus — its own earlier partial write
-            # (and anything later, which can only exist if the
-            # checkpoint was deleted) is excluded by partition pruning
+            # the PRE-batch corpus — its own earlier write (published
+            # whole or not at all) is excluded by partition pruning
             if "ingest_batch_id" in corpus.columns:
                 corpus = corpus.filter(
-                    F.col("ingest_batch_id") < batch_id
+                    F.col("ingest_batch_id") < part
                 ).drop("ingest_batch_id")
         except AnalysisException:
             bands = spark.read.parquet(f"{store_path}/bands")
@@ -142,7 +300,7 @@ def stream_ingest_dedup(
             tau_num=tau_num,
             tau_den=tau_den,
             max_bucket=max_bucket,
-            before_batch=batch_id,  # same replay fence, store side
+            before_batch=part,  # same replay fence, store side
         ).localCheckpoint(eager=True)  # reused by drop filter + audit
         store_drop = pairs.select(F.col("doc_new").alias(id_col)).distinct()
         # materialize survivors before the two appends: without this,
@@ -152,14 +310,17 @@ def stream_ingest_dedup(
         survivors = batch.join(
             store_drop, on=id_col, how="left_anti"
         ).localCheckpoint(eager=True)
-        # every sink write targets this batch's OWN partition with
-        # overwrite semantics: a replayed batch replaces its earlier
-        # partial write instead of appending beside it (exactly-once)
-        survivors.write.mode("overwrite").parquet(
-            f"{corpus_path}/ingest_batch_id={batch_id}"
+        # corpus/audit: stage to a dot-prefixed dir (invisible to
+        # readers), then rename-publish whole — a crash at ANY point
+        # leaves either the complete pre-batch state or the complete
+        # post-batch state visible, never a torn partition
+        corpus_staging = f"{corpus_path}/.staging-ingest-{part}"
+        survivors.write.mode("overwrite").parquet(corpus_staging)
+        _publish(
+            spark, corpus_staging, f"{corpus_path}/ingest_batch_id={part}"
         )
         append_to_minhash_band_store(
-            survivors, store_path, text_col, id_col, n, batch_id=batch_id
+            survivors, store_path, text_col, id_col, n, batch_id=part
         )
         # audit BOTH drop kinds: cross-batch (store) and within-batch
         # (self) — a provenance consumer must account for every doc
@@ -171,9 +332,9 @@ def stream_ingest_dedup(
                 F.col("doc_a").alias("doc_old"), F.col("doc_b").alias("doc_new")
             ).withColumn("kind", F.lit("self"))
         )
-        audit.write.mode("overwrite").parquet(
-            f"{audit_path}/batch_id={batch_id}"
-        )
+        audit_staging = f"{audit_path}/.staging-audit-{part}"
+        audit.write.mode("overwrite").parquet(audit_staging)
+        _publish(spark, audit_staging, f"{audit_path}/batch_id={part}")
 
     q = (
         stream_docs.writeStream.foreachBatch(process)

@@ -135,7 +135,9 @@ def read_hll_registers(spark, store_path: str, keys=()) -> DataFrame:
 
     keys = [keys] if isinstance(keys, str) else list(keys)
     regs = spark.read.parquet(store_path)
-    _check_register_keys(regs, keys, "read_hll_registers")
+    _check_register_keys(
+        regs, keys, "read_hll_registers", tolerate_batch_col=True
+    )
     return regs.groupBy(*keys, "reg").agg(F.max("max_rho").alias("max_rho"))
 
 

@@ -585,6 +585,32 @@ class TestNormalizeText:
         by_n = sorted((r.n_copies, r.keep_id) for r in groups)
         assert by_n == [(1, 3), (2, 1)]
 
+    def test_non_latin_scripts_survive(self, spark):
+        # script-preserving: \p{L}\p{N} keeps CJK/Cyrillic/Arabic/
+        # accented text intact. An ASCII-only strip would normalize
+        # ALL of these to '' and dedup would collapse + delete them
+        # as one duplicate group (the failure this test pins out).
+        from spark_sorted_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "日本語のテキスト。"),
+                (2, "Привет, мир!"),
+                (3, "mélange de café"),
+                (4, "نص عربي"),
+                (5, "...!!!"),  # pure punctuation -> genuinely empty
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r.text for r in normalize_text(df).collect()}
+        assert out[1] == "日本語のテキスト"
+        assert out[2] == "привет мир"
+        assert out[3] == "mélange de café"
+        assert out[4] == "نص عربي"
+        assert out[5] == ""
+        # distinct scripts must NOT have collapsed to a common form
+        assert len({v for k, v in out.items() if k != 5}) == 4
+
 
 class TestNegativePairs:
     def test_counts_determinism_no_self_no_dups(self, spark):
@@ -836,6 +862,52 @@ class TestSketchMerge:
             )
         with pytest.raises(ValueError, match="at least one"):
             cms_merge()
+
+    def test_merge_of_all_empty_sketches_keeps_param_schema(self, spark):
+        # an all-empty merge must NOT degrade the schema by dropping
+        # the parameter columns — downstream probes and future merges
+        # key on m_bits/k (bloom) and width/depth (cms)
+        from spark_sorted_spark.functions.sketches import (
+            bloom_build,
+            bloom_merge,
+            cms_build,
+            cms_merge,
+        )
+
+        empty = spark.createDataFrame([], "doc_id bigint, v string")
+        be = bloom_build(empty, "v")
+        bm = bloom_merge(be, bloom_build(empty, "v"))
+        assert bm.columns == be.columns and bm.count() == 0
+        ce = cms_build(empty, "v")
+        cm = cms_merge(ce, cms_build(empty, "v"))
+        assert cm.columns == ce.columns and cm.count() == 0
+        # and a later merge with a NON-empty sketch still works
+        a, _ = self._ab(spark)
+        again = bloom_merge(bm, bloom_build(a, "v"))
+        assert sorted(map(tuple, again.collect())) == sorted(
+            map(tuple, bloom_build(a, "v").collect())
+        )
+
+    def test_register_key_named_batch_col_is_rejected(self, spark):
+        # 'ingest_batch_id' is the streaming store's partition column;
+        # a user key with that name would slip past the forgotten-keys
+        # guard and merge across groups — reject it at build time
+        from spark_sorted_spark.functions.sketches import (
+            hll_merge,
+            hll_register_table,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x")], "ingest_batch_id bigint, v string"
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            hll_register_table(df, "v", keys=["ingest_batch_id"])
+        # and the generic guard no longer tolerates the column
+        regs = hll_register_table(
+            df.withColumnRenamed("ingest_batch_id", "grp"), "v", keys=["grp"]
+        ).withColumnRenamed("grp", "ingest_batch_id")
+        with pytest.raises(ValueError, match="key columns"):
+            hll_merge(regs)
 
 
 def test_hll_grouped_merge_equals_union_sketch(spark):

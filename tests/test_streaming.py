@@ -522,20 +522,104 @@ def test_stream_ingest_dedup_two_drain_lifecycle(spark, sf_dir, tmp_path):
 
 
 def test_stream_ingest_dedup_replay_is_exactly_once(spark, sf_dir, tmp_path):
-    """Replaying a batch (fresh checkpoint, same files — what the
-    engine does after a crash between sink writes) must leave corpus,
-    store, and audit byte-identical to the single run: each batch
-    overwrites its own ingest_batch_id partition and its reads fence
-    out partitions >= its batch id, so the re-run recomputes the same
-    survivor set against the same pre-batch state."""
+    """A crash between the staging write and the rename-publish of a
+    batch's corpus partition must (a) leave a RAW corpus reader — no
+    before_batch fencing — seeing exactly the pre-batch rows (never a
+    torn batch: the staging dir is dot-prefixed and invisible), and
+    (b) heal to the clean two-batch state when the engine replays the
+    batch from the SAME checkpoint."""
     import shutil
+
+    import pytest
+
+    from spark_sorted_spark.functions.dedup import build_minhash_band_store
+    from spark_sorted_spark.streaming import ingest as ing
+    from spark_sorted_spark.streaming import stream_table
+    from spark_sorted_spark.streaming.ingest import stream_ingest_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+
+    def setup(root):
+        watch = root / "incoming"
+        watch.mkdir(parents=True)
+        store = str(root / "store")
+        build_minhash_band_store(spark.createDataFrame([], docs.schema), store)
+        return watch, store, str(root / "corpus"), str(root / "audit"), str(
+            root / "ckpt"
+        )
+
+    def arrive(watch, batch, name):
+        staged = watch.parent / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(watch, store, corpus, audit, ckpt):
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_ingest_dedup(sdf, store, corpus, audit, ckpt, timeout_sec=180)
+
+    def corpus_rows(corpus):
+        return sorted(
+            (r.doc_id, r.ingest_batch_id)
+            for r in spark.read.parquet(corpus).collect()
+        )
+
+    # clean run (both batches, two drains, one checkpoint) -> truth
+    cw, cs, cc, ca, cck = setup(tmp_path / "clean")
+    arrive(cw, b1, "b1")
+    drain(cw, cs, cc, ca, cck)
+    arrive(cw, b2, "b2")
+    drain(cw, cs, cc, ca, cck)
+    truth = corpus_rows(cc)
+    truth_audit = sorted(map(tuple, spark.read.parquet(ca).collect()))
+
+    # crash run: batch 0 lands clean, batch 1 crashes before publish
+    xw, xs, xc, xa, xck = setup(tmp_path / "crash")
+    arrive(xw, b1, "b1")
+    drain(xw, xs, xc, xa, xck)
+    pre_batch = corpus_rows(xc)
+    assert len(pre_batch) > 0
+
+    def boom(final, staging):
+        if "/ingest_batch_id=1" in final:
+            raise RuntimeError("injected crash before publish")
+
+    arrive(xw, b2, "b2")
+    ing._crash_before_publish = boom
+    try:
+        with pytest.raises(Exception):
+            drain(xw, xs, xc, xa, xck)
+    finally:
+        ing._crash_before_publish = None
+    # RAW read, no fencing: exactly the pre-batch rows — the staged
+    # batch-1 data is invisible, nothing torn
+    assert corpus_rows(xc) == pre_batch
+    # engine replay from the SAME checkpoint heals to the clean state
+    drain(xw, xs, xc, xa, xck)
+    assert corpus_rows(xc) == truth
+    assert sorted(map(tuple, spark.read.parquet(xa).collect())) == truth_audit
+
+
+def test_stream_ingest_fresh_checkpoint_restart_guard(spark, sf_dir, tmp_path):
+    """A NEW stream (fresh checkpoint) pointed at a populated corpus
+    is NOT a replay: batch ids restart at 0 and would clobber the
+    prior run's partitions and skip dedup against the existing corpus.
+    The identity marker must fail this loudly; with allow_restart=True
+    the new run's batches are offset past the existing partitions and
+    dedup against the full existing corpus."""
+    import shutil
+
+    import pytest
 
     from spark_sorted_spark.functions.dedup import build_minhash_band_store
     from spark_sorted_spark.streaming import stream_table
     from spark_sorted_spark.streaming.ingest import stream_ingest_dedup
 
     docs = load_table(spark, "documents", sf_dir)
-    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
 
     watch = tmp_path / "incoming"
     watch.mkdir()
@@ -544,40 +628,54 @@ def test_stream_ingest_dedup_replay_is_exactly_once(spark, sf_dir, tmp_path):
     audit = str(tmp_path / "audit")
     build_minhash_band_store(spark.createDataFrame([], docs.schema), store)
 
-    staged = tmp_path / "stage"
-    batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
-    for f in staged.glob("*.parquet"):
-        shutil.move(str(f), str(watch / f.name))
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
 
-    def drain(ckpt_name):
+    def drain(ckpt_name, **kw):
         sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
         stream_ingest_dedup(
             sdf, store, corpus, audit, str(tmp_path / ckpt_name),
-            timeout_sec=180,
+            timeout_sec=180, **kw,
         )
 
-    def snapshot():
-        return (
-            sorted(
-                (r.doc_id, r.ingest_batch_id)
-                for r in spark.read.parquet(corpus).collect()
-            ),
-            sorted(
-                map(tuple, spark.read.parquet(f"{store}/bands").collect())
-            ),
-            sorted(
-                map(tuple, spark.read.parquet(f"{store}/counts").collect())
-            ),
-            sorted(map(tuple, spark.read.parquet(audit).collect())),
-        )
+    arrive(b1, "b1")
+    drain("ckptA")
+    first = sorted(
+        (r.doc_id, r.ingest_batch_id)
+        for r in spark.read.parquet(corpus).collect()
+    )
+    assert first and all(p == 0 for _, p in first)
 
-    drain("ckpt1")
-    first = snapshot()
-    assert len(first[0]) > 0  # the batch actually landed
-    # fresh checkpoint => the file source re-delivers everything as
-    # batch 0 again: a faithful stand-in for post-crash batch replay
-    drain("ckpt2")
-    assert snapshot() == first
+    # fresh checkpoint, populated corpus -> loud failure, corpus intact
+    arrive(b2, "b2")
+    with pytest.raises(ValueError, match="different ingest stream"):
+        drain("ckptB")
+    assert sorted(
+        (r.doc_id, r.ingest_batch_id)
+        for r in spark.read.parquet(corpus).collect()
+    ) == first
+
+    # explicit opt-in: the restarted stream re-reads ALL files as its
+    # batch 0 but lands in partition base+0=1, deduping the b1 re-reads
+    # against the existing corpus instead of clobbering partition 0
+    drain("ckptB", allow_restart=True)
+    rows = [
+        (r.doc_id, r.ingest_batch_id)
+        for r in spark.read.parquet(corpus).collect()
+    ]
+    ids = [d for d, _ in rows]
+    assert len(ids) == len(set(ids)), "restart duplicated documents"
+    assert sorted(r for r in rows if r[1] == 0) == first, (
+        "restart clobbered the prior run's partition"
+    )
+    new_parts = {p for _, p in rows if p != 0}
+    assert new_parts == {1}, new_parts
+    # every b1 doc the prior run accepted was deduped, not re-ingested
+    b1_ids = {r.doc_id for r in b1.collect()}
+    assert not (b1_ids & {d for d, p in rows if p == 1})
 
 
 def test_append_to_band_store_with_batch_id_is_idempotent(spark, sf_dir, tmp_path):
@@ -712,6 +810,17 @@ def test_stream_ingest_dedup_heals_partial_crash_writes(spark, sf_dir, tmp_path)
     spark.createDataFrame(
         [(999999, 0, 12345)], "doc_id bigint, band int, band_key bigint"
     ).write.mode("overwrite").parquet(f"{s2}/bands/ingest_batch_id=0")
+    # a real crashed run would have written its stream identity at
+    # start; seed it so the replay is recognized as the SAME stream
+    # (a fresh checkpoint against a populated corpus now fails loudly
+    # by design — covered by the restart-guard test)
+    import json as _json
+    import os as _os
+
+    _os.makedirs(str(tmp_path / "ckpt_crash"), exist_ok=True)
+    (tmp_path / "ckpt_crash" / "__ingest_identity").write_text("crashed-run")
+    with open(f"{c2}/_ingest_stream", "w") as fh:
+        fh.write(_json.dumps({"id": "crashed-run", "base": 0}))
     drain(w2, s2, c2, a2, str(tmp_path / "ckpt_crash"))
 
     assert (
