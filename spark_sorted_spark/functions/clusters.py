@@ -54,6 +54,7 @@ def connected_components(
     id_name: str = "doc_id",
     max_iters: int = 30,
     algorithm: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve ``edges`` into components.
 
@@ -78,6 +79,13 @@ def connected_components(
 
     Raises ``RuntimeError`` if ``max_iters`` rounds do not reach the
     fixpoint — never returns a partial labelling silently.
+
+    ``stats``, if given a dict, receives ``{"rounds": N}`` — the
+    number of iteration rounds actually run (including the final
+    no-change detection round). The iteration executes EAGERLY
+    (localCheckpoint per round), so static EXPLAIN of the returned
+    frame cannot see it; this counter is how the plan-regression
+    suite pins the iteration budget (tests/test_plan_regression.py).
     """
     if algorithm not in ("propagation", "star"):
         raise ValueError(
@@ -90,7 +98,7 @@ def connected_components(
         .localCheckpoint(eager=True)  # reused every round — pin it
     )
     if algorithm == "star":
-        return _star_components(sym, id_name, max_iters)
+        return _star_components(sym, id_name, max_iters, stats)
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()
@@ -103,7 +111,9 @@ def connected_components(
     # actually changed something (a diameter == max_iters graph still
     # converges; max_iters + 1 total rounds worst case)
     change_rounds = 0
+    total_rounds = 0
     while True:
+        total_rounds += 1
         nbr_min = (
             sym.join(labels, sym["s"] == labels["id"])
             .groupBy(F.col("d").alias("id"))
@@ -129,6 +139,8 @@ def connected_components(
         # (plus `sym`, which every round reuses by design)
         labels = stepped.select("id", "lbl")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = total_rounds
             return labels.select(
                 F.col("id").alias(id_name), F.col("lbl").alias("cluster_id")
             )
@@ -143,7 +155,7 @@ def connected_components(
 
 
 def _star_components(
-    sym: DataFrame, id_name: str, max_iters: int
+    sym: DataFrame, id_name: str, max_iters: int, stats: dict | None = None
 ) -> DataFrame:
     """Alternating large-star/small-star over the symmetric edge set.
 
@@ -168,7 +180,7 @@ def _star_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    for round_no in range(1, max_iters + 1):
         # large-star: for every node, connect its LARGER neighbours to
         # the minimum of its closed neighbourhood. Output keeps the
         # big -> small invariant (new edge (v, m) has v > u >= m).
@@ -209,6 +221,8 @@ def _star_components(
         )
         e = stepped
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = round_no
             # fixpoint: e maps every non-root to its component min
             return nodes.join(
                 e.select(F.col("u").alias("id"), F.col("v").alias("root")),

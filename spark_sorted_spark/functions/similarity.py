@@ -240,19 +240,36 @@ def _rank_topk(bucketed: DataFrame, query_vec, k: int, vec_col: str, id_col: str
 
 
 def _multiprobe_buckets(
-    query_vec: list[float], planes: list[list[float]], probe_bits: int
+    query_vec: list[float],
+    planes: list[list[float]],
+    probe_bits: int,
+    probe_hamming: int = 1,
 ) -> list[int]:
     """Multi-probe bucket list: the query's own bucket plus the buckets
     reached by flipping each of the ``probe_bits`` LEAST-CONFIDENT sign
     bits (planes whose dot with the query is closest to 0 — the
     standard multi-probe LSH heuristic: a near neighbor most likely
-    disagrees on exactly those). Deterministic: |dot| ties break on
-    plane index."""
+    disagrees on exactly those). ``probe_hamming=2`` also probes every
+    PAIR flip among those planes (1 + m + C(m,2) buckets): measured on
+    clustered data this is what lifts sign-LSH recall@10 from ~0.6 to
+    >0.9 at m=6 (tools/ann_recall.py; PARITY.md "ANN recall") — a near
+    neighbor of a query sitting near TWO plane boundaries disagrees on
+    both. Deterministic: |dot| ties break on plane index."""
+    if probe_hamming not in (1, 2):
+        raise ValueError(f"probe_hamming must be 1 or 2, got {probe_hamming}")
     qbits = _sign_bucket_bits(query_vec, planes)
     confidence = sorted(
         range(len(planes)), key=lambda p: (abs(dot_py(query_vec, planes[p])), p)
     )
-    return [qbits] + [qbits ^ (1 << p) for p in confidence[:probe_bits]]
+    flip = confidence[:probe_bits]
+    probes = [qbits] + [qbits ^ (1 << p) for p in flip]
+    if probe_hamming == 2:
+        probes += [
+            qbits ^ (1 << flip[i]) ^ (1 << flip[j])
+            for i in range(len(flip))
+            for j in range(i + 1, len(flip))
+        ]
+    return probes
 
 
 def ann_lsh_topk(
@@ -263,13 +280,19 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_bits: int = 0,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: 8 random-hyperplane sign bits -> 256 buckets;
     rank by exact cosine within the probed buckets. Deterministic
     (seeded hyperplanes). ``probe_bits`` is the recall knob: 0 probes
     only the query's bucket; m probes m extra buckets at one-bit flips
     of the least-confident planes (candidate set grows ~(m+1)x, recall
-    rises accordingly — measured in tests).
+    rises accordingly — measured in tests). ``probe_hamming=2`` adds
+    the pair flips among those m planes — required to reach
+    recall@10 >= 0.9 on clustered corpora (see
+    :func:`_multiprobe_buckets` and PARITY.md "ANN recall"; on
+    isotropic data recall ~= scanned fraction for ANY setting — an
+    information-theoretic property of the data, not a knob problem).
 
     This form assigns buckets AT QUERY TIME (a full scan) — fine for
     one-off queries; for repeated queries over a large corpus, build
@@ -278,7 +301,7 @@ def ann_lsh_topk(
     probed bucket directories)."""
     dim = len(query_vec)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
-    probes = _multiprobe_buckets(query_vec, planes, probe_bits)
+    probes = _multiprobe_buckets(query_vec, planes, probe_bits, probe_hamming)
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -325,16 +348,18 @@ def ann_lsh_topk_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_bits: int = 0,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Probe a persisted LSH index (:func:`build_ann_lsh_index`):
-    compute the probed buckets driver-side (query bucket + one-bit
-    flips of the ``probe_bits`` least-confident planes), scan ONLY
-    those bucket directories (partition-pruned), rank by exact cosine.
-    Output is identical to ``ann_lsh_topk`` with the same
-    ``probe_bits`` on the same data (same planes, same folds)."""
+    compute the probed buckets driver-side (query bucket + one/two-bit
+    flips of the ``probe_bits`` least-confident planes, see
+    :func:`_multiprobe_buckets`), scan ONLY those bucket directories
+    (partition-pruned), rank by exact cosine. Output is identical to
+    ``ann_lsh_topk`` with the same probe settings on the same data
+    (same planes, same folds)."""
     dim = len(query_vec)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
-    probes = _multiprobe_buckets(query_vec, planes, probe_bits)
+    probes = _multiprobe_buckets(query_vec, planes, probe_bits, probe_hamming)
     idx = spark.read.parquet(index_path)
     bucketed = idx.filter(F.col("bucket").isin(probes))
     return _rank_topk(bucketed, query_vec, k, vec_col, id_col)
@@ -430,6 +455,7 @@ def ann_ivf_topk(
     nprobe: int = ANN_NPROBE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other standard scale
     path next to LSH. ``nlist`` centroids are picked deterministically
@@ -447,6 +473,11 @@ def ann_ivf_topk(
     constants in the plan, not a data-flow collect.
     """
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
+    if lloyd_iters and cents:
+        # same refinement the index build offers (one assign shuffle
+        # per iteration); on clustered corpora this lifts probe recall
+        # to ~1.0 at the default nprobe (tools/ann_recall.py)
+        cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
     probe = _ivf_probe_cells(query_vec, cents, nprobe)
     celled = df.select(
         F.col(id_col), F.col(vec_col), _ivf_cell_col(F.col(vec_col), cents).alias("cell")

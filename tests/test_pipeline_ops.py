@@ -372,6 +372,33 @@ class TestHllDistinct:
         with pytest.raises(ValueError, match="b must be"):
             hll_distinct(df, "v", b=2)
 
+    def test_small_cardinality_raw_vs_linear_counting(self, spark):
+        # PINS the small-n contract (module docstring): at n << m the
+        # RAW estimate is known-biased and the operator deliberately
+        # does NOT apply the linear-counting correction (it needs ln,
+        # a libm call with no cross-engine bit guarantee). The caller
+        # applies m * ln(m / zero_registers); this test documents both
+        # the raw error and that the consumer-side formula recovers n.
+        import math
+
+        from spark_sorted_spark.functions.sketches import hll_distinct
+
+        m = 256
+        for n in (5, 20, 60):
+            rows = [(i, f"small_{i % n}") for i in range(3 * n)]
+            df = spark.createDataFrame(rows, "i bigint, v string")
+            r = hll_distinct(df, "v").collect()[0]
+            assert r.exact_distinct == n
+            # the zero-register count is exact state, not an estimate
+            assert r.zero_registers >= m - n
+            corrected = m * math.log(m / r.zero_registers)
+            # linear counting is tight at n << m (std err ~ sqrt(m)/m)
+            assert abs(corrected - n) <= max(3, 0.15 * n), (n, corrected)
+            # and the raw estimate at n=5 is visibly biased — the
+            # reason the correction branch exists at all
+            if n == 5:
+                assert abs(r.estimate - n) > abs(corrected - n)
+
 
 class TestBloom:
     def test_no_false_negatives_and_membership(self, spark):
