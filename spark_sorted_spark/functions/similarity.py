@@ -665,6 +665,14 @@ def knn_join_lsh(
     candidate count is bounded by n_tables x bucket occupancy
     (``max_bucket`` caps degenerate cells); the final rank is a
     per-left-id window over verified candidates only.
+
+    OPERATING RULE — ``n_planes`` must scale with corpus size, like
+    shuffle partition count: bucket occupancy is N / 2^n_planes, so
+    candidate pairs grow ~|L||R|/2^n_planes. Measured
+    (tools/scale_probe.py, PARITY.md round-7 scaling rows): 10x both
+    sides at a FIXED n_planes=4 is 11.1x wall-clock (the quadratic
+    term); deepening to n_planes=7 for the 10x corpus restores 2.2x.
+    Pick n_planes ~ log2(N / target_bucket_size).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")

@@ -3620,6 +3620,280 @@ def window_range_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q9 — product-type profit by nation and year (adapted: the
+# driver testdata has no partsupp table, so profit omits the
+# ps_supplycost term — the SHAPE is the point: a LIKE-filtered part
+# prefilter under a 4-way fact join, grouped by a dimension attribute
+# and a derived year). Money in integral cents. No broadcast hints on
+# SF-growing tables (module-docstring rule); nation is constant.
+# Q2 and Q11 are the two classic shapes NOT represented: both are
+# partsupp-relation queries (min-cost supplier / stock value) with no
+# faithful adaptation over the available tables.
+# ===========================================================================
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+               AS profit_cents
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("red%")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year(F.col("o_orderdate").cast("timestamp"))
+        .cast("bigint")
+        .alias("o_year"),
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("profit_cents")
+    )
+
+
+# ===========================================================================
+# TPC-H Q12 — late-shipment priority histogram (adapted: no
+# l_shipmode/l_commitdate/l_receiptdate in this testdata, so
+# "ship mode" is l_linestatus and "late" is shipped > 30 days after
+# the order date — the shape is the ON-join + conditional-count
+# CASE aggregation).
+# ===========================================================================
+@query(
+    "tpch_q12_late_shipments",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+            "high_line_count"
+        ),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+            "low_line_count"
+        ),
+    )
+
+
+# ===========================================================================
+# TPC-H Q16 — supplier diversity per part attribute (adapted: no
+# partsupp, so lineitem is the part-supplier relation; the exclusion
+# subquery — NOT IN suppliers with negative balance — keeps the
+# anti-join-under-distinct-agg shape).
+# ===========================================================================
+@query(
+    "tpch_q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size <= 15
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def tpch_q16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 15)
+    )
+    bad = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    # the exclusion set is a filtered slice of a SF-growing table: no
+    # forced broadcast (rule); a left_anti equals NOT IN here because
+    # s_suppkey is non-null
+    kept = li.join(bad, li.l_suppkey == F.col("bad_key"), how="left_anti")
+    return (
+        kept.join(part, kept.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ===========================================================================
+# TPC-H Q20 — potential part promotion (adapted: the partsupp
+# availability threshold becomes a shipped-quantity threshold from
+# lineitem): suppliers in one nation whose 1997 shipments of
+# 'small%'-named parts exceed 300 units — the nested
+# semi-join-chain shape (nation -> supplier -> qualifying aggregate).
+# ===========================================================================
+@query(
+    "tpch_q20_part_promotion",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 300)
+    """,
+)
+def tpch_q20_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("small%")
+    )
+    qualifying = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    return (
+        supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            qualifying,
+            supp.s_suppkey == qualifying.l_suppkey,
+            how="left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ===========================================================================
+# TPC-H Q21 — suppliers who kept orders waiting (adapted: "late" is
+# shipped > 60 days after order date, since l_commitdate /
+# l_receiptdate are absent). The classic EXISTS + NOT-EXISTS double
+# self-join on lineitem, expressed relationally as one per-order
+# aggregate: an order qualifies for supplier S when it has >1 distinct
+# supplier and S is the ONLY late one. The oracle keeps the literal
+# correlated EXISTS form, proving the relational rewrite equivalent.
+# ===========================================================================
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lo.filter(F.col("late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            on="l_orderkey",
+            how="left_semi",
+        )
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9")
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ===========================================================================
 # Driver gate window. The driver's correctness gate runs exactly the
 # FIRST 50 registered queries (CORRECTNESS_r01.json and _r02.json each
 # contain precisely the first 50 names in registration order; the
@@ -3757,6 +4031,17 @@ _GATE_ORDER = [
     "stream_hll_by_source",
     "tpch_q4_order_priority",
     "tpch_q22_sales_opportunity",
+    # round-7 continuation: the five remaining expressible TPC-H
+    # shapes (q2/q11 need the absent partsupp table — documented at
+    # tpch_q9): LIKE-prefiltered profit rollup (q9), conditional-count
+    # late-shipment histogram (q12), anti-join under distinct-agg
+    # (q16), nested semi-join chain (q20), EXISTS/NOT-EXISTS double
+    # self-join via per-order aggregate (q21)
+    "tpch_q9_product_profit",
+    "tpch_q12_late_shipments",
+    "tpch_q16_supplier_diversity",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -91,6 +91,11 @@ def test_gate_window_contents():
         "stream_hll_by_source",
         "tpch_q4_order_priority",
         "tpch_q22_sales_opportunity",
+        "tpch_q9_product_profit",
+        "tpch_q12_late_shipments",
+        "tpch_q16_supplier_diversity",
+        "tpch_q20_part_promotion",
+        "tpch_q21_waiting_suppliers",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -1,0 +1,160 @@
+"""10x scaling probe for the heavyweight dedup/similarity operators
+(PARITY.md "Scaling observations"): measure b14 (simhash banded),
+b16 (dedup clusters), b17 (knn join) at sf0.1 and at a 10x replica,
+so cluster-scale extrapolation claims rest on measured slopes.
+
+Replication preserves each workload's WITHIN-replica duplicate
+structure while keeping replicas disjoint from each other:
+
+* documents: per-replica bijective character translation (a rolled
+  alphabet via ``F.translate``). A bijection preserves every shingle
+  equality inside a replica — the near-dup pair set per replica is
+  exactly the base pair set — while any shingle containing a
+  translated character differs across replicas, so pair counts scale
+  ~10x (NOT the ~45x explosion of replicating identical text, which
+  would measure pair-explosion, not the operator).
+* embeddings: per-replica dimension roll (``i * 7`` positions). A
+  coordinate permutation preserves all within-replica cosines
+  exactly; rolled copies of isotropic vectors are decorrelated
+  across replicas.
+
+knn_join is the one with a REAL quadratic term at fixed parameters:
+candidates per bucket ~ |L||R| / n_buckets, so 10x both sides at the
+same n_planes is ~100x candidate pairs. The probe measures default
+params AND n_planes+3 (8x more buckets per table) to show the knob
+restores the slope — the documented operating rule: banding depth
+must scale with corpus size.
+
+Usage: python tools/scale_probe.py [sf_dir] [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+ALPHA = string.ascii_lowercase + string.ascii_uppercase
+
+
+def _rolled(i: int) -> str:
+    n = (i * 3) % len(ALPHA)
+    return ALPHA[n:] + ALPHA[:n]
+
+
+def replicate_docs(docs, n: int = 10):
+    parts = []
+    for i in range(n):
+        d = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            (
+                F.translate(F.col("text"), ALPHA, _rolled(i))
+                if i
+                else F.col("text")
+            ).alias("text"),
+        )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_embeddings(emb, n: int = 10, dim: int = 64):
+    parts = []
+    for i in range(n):
+        roll = (i * 7) % dim
+        vec = (
+            F.concat(
+                F.slice("embedding", roll + 1, dim - roll),
+                F.slice("embedding", 1, roll),
+            )
+            if roll
+            else F.col("embedding")
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                vec.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(fn, runs: int = 2) -> tuple[float, int]:
+    fn()  # warmup
+    best, n = None, 0
+    for _ in range(runs):
+        t0 = time.monotonic()
+        n = fn()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return best, n
+
+
+def main():
+    from spark_sorted_spark.functions.clusters import connected_components
+    from spark_sorted_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs_banded,
+    )
+    from spark_sorted_spark.functions.similarity import knn_join_lsh
+    from spark_sorted_spark.session import get_spark
+    from spark_sorted_spark.sources.tpch import load_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    replicate_docs(docs).write.parquet(f"{work}/documents10")
+    replicate_embeddings(emb).write.parquet(f"{work}/embeddings10")
+    docs10 = spark.read.parquet(f"{work}/documents10")
+    emb10 = spark.read.parquet(f"{work}/embeddings10")
+    print(f"docs {docs.count()} -> {docs10.count()}; "
+          f"emb {emb.count()} -> {emb10.count()}")
+
+    def b14(d):
+        return lambda: simhash_pairs_banded(d).count()
+
+    def b16(d):
+        return lambda: connected_components(minhash_lsh_pairs(d)).count()
+
+    def b17(e, n_planes=4):
+        left = e.filter(F.col("vec_id") % 2 == 1)
+        right = e.filter(F.col("vec_id") % 2 == 0)
+        return lambda: knn_join_lsh(left, right, k=3, n_planes=n_planes).count()
+
+    rows = []
+    for name, f1, f10 in (
+        ("b14_simhash_banded", b14(docs), b14(docs10)),
+        ("b16_dedup_clusters", b16(docs), b16(docs10)),
+        ("b17_knn_join (n_planes=4)", b17(emb), b17(emb10)),
+        ("b17_knn_join 10x n_planes=7", None, b17(emb10, n_planes=7)),
+    ):
+        t1, n1 = timed(f1) if f1 else (None, None)
+        t10, n10 = timed(f10)
+        ratio = f"{t10 / t1:.1f}x" if t1 else "—"
+        base = f"{t1:.2f} s ({n1} rows)" if t1 else "—"
+        rows.append((name, base, f"{t10:.2f} s ({n10} rows)", ratio))
+    print("| workload | 1x (sf0.1) | 10x | ratio |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print("| " + " | ".join(r) + " |")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
