@@ -296,6 +296,22 @@ def b23_negative_pairs(spark):
     force(QUERIES["negative_pairs"](spark, SF_DIR))
 
 
+def b24_tpch_q9(spark):
+    # widest TPC-H fact join in the catalog: lineitem x part x
+    # supplier x orders x nation under a LIKE prefilter, year rollup
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["tpch_q9_product_profit"](spark, SF_DIR))
+
+
+def b25_tpch_q21(spark):
+    # the exists/not-exists double self-join shape as one per-order
+    # aggregate + two semi-joins — heaviest of the round-7 TPC-H adds
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["tpch_q21_waiting_suppliers"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -322,6 +338,8 @@ BENCH = {
     "b21_chunk_documents": b21_chunk_documents,
     "b22_sessionize_native": b22_sessionize_native,
     "b23_negative_pairs": b23_negative_pairs,
+    "b24_tpch_q9": b24_tpch_q9,
+    "b25_tpch_q21": b25_tpch_q21,
 }
 
 

@@ -144,14 +144,24 @@ def repetition_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     ns: tuple[int, ...] = (2, 3),
+    top_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """Within-document repetition metrics — the Gopher-style repeated
     n-gram filters pretraining pipelines apply before dedup. For each
     n in ``ns``: ``dup_ngram_pct_n = 100 * (total - distinct) /
     total`` n-grams, integer floor arithmetic (engine-portable, no
-    floats). High values flag boilerplate/spam (lists, keyword
-    stuffing, templated pages) that per-CORPUS dedup can't see.
-    Pure Catalyst: one narrow projection, scan speed."""
+    floats). For each n in ``top_ns``: ``top_ngram_pct_n = 100 *
+    count(most frequent n-gram) / total`` — the OTHER Gopher rule,
+    catching a document dominated by one repeated phrase even when
+    its overall duplicate fraction is low. High values flag
+    boilerplate/spam (lists, keyword stuffing, templated pages) that
+    per-CORPUS dedup can't see.
+
+    Pure Catalyst, ZERO shuffle: the most-frequent count is the
+    longest run in the array_sort'ed gram array, computed with one
+    per-row ``F.aggregate`` fold — no explode/groupBy, so the whole
+    operator stays a narrow projection at scan speed (at 100 TB an
+    explode would multiply the shuffle by tokens-per-doc)."""
     toks = tokens(text_col)
 
     def grams(n: int) -> Column:
@@ -163,6 +173,29 @@ def repetition_score(
             F.array().cast("array<string>")
         )
 
+    def max_run(arr: Column) -> Column:
+        # count of the most frequent element = longest equal-run in
+        # the sorted array; one in-row left fold, no shuffle
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(
+                x.eqNullSafe(acc.getField("prev")), acc.getField("run") + 1
+            ).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc.getField("best"), run).alias("best"),
+            )
+
+        return F.aggregate(
+            F.array_sort(arr), acc0, step, lambda acc: acc.getField("best")
+        )
+
     cols = [F.col(id_col), F.size(toks).alias("n_tokens")]
     for n in ns:
         g = grams(n)
@@ -172,6 +205,13 @@ def repetition_score(
             F.lit(0)
         )
         cols.append(F.floor(pct).cast("bigint").alias(f"dup_ngram_pct_{n}"))
+    for n in top_ns:
+        g = grams(n)
+        total = F.size(g)
+        pct = F.when(
+            total > 0, (F.lit(100) * max_run(g)).cast("bigint") / total
+        ).otherwise(F.lit(0))
+        cols.append(F.floor(pct).cast("bigint").alias(f"top_ngram_pct_{n}"))
     return df.select(*cols)
 
 

@@ -3620,6 +3620,57 @@ def window_range_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Within-document repetition profile — the Gopher-style pre-dedup
+# quality filters: duplicate n-gram percentage (n=2,3) and the
+# most-frequent-2-gram percentage, all integer floor arithmetic.
+# ZERO shuffle on the Spark side: the top-gram count is a per-row
+# fold over the sorted gram array (no explode/groupBy); the oracle
+# uses the relational unnest+group form, proving the in-row fold
+# equivalent.
+# ===========================================================================
+@query(
+    "repetition_profile",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM t),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS g
+      FROM t),
+    a2 AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+           FROM g2 GROUP BY doc_id),
+    top2 AS (SELECT doc_id, max(cnt) AS top FROM
+             (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+             GROUP BY doc_id),
+    a3 AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+           FROM g3 GROUP BY doc_id)
+    SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+           coalesce(floor(100.0 * (a2.total - a2.dist) / a2.total), 0)::BIGINT
+               AS dup_ngram_pct_2,
+           coalesce(floor(100.0 * (a3.total - a3.dist) / a3.total), 0)::BIGINT
+               AS dup_ngram_pct_3,
+           coalesce(floor(100.0 * top2.top / a2.total), 0)::BIGINT
+               AS top_ngram_pct_2
+    FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+           LEFT JOIN top2 USING (doc_id)
+    """,
+)
+def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import repetition_score
+
+    return repetition_score(
+        load_table(spark, "documents", sf_dir), top_ns=(2,)
+    )
+
+
+# ===========================================================================
 # TPC-H Q9 — product-type profit by nation and year (adapted: the
 # driver testdata has no partsupp table, so profit omits the
 # ps_supplycost term — the SHAPE is the point: a LIKE-filtered part
@@ -4042,6 +4093,8 @@ _GATE_ORDER = [
     "tpch_q16_supplier_diversity",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers",
+    # Gopher repetition filters (dup + top n-gram pct, zero-shuffle)
+    "repetition_profile",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail
