@@ -54,6 +54,9 @@ __all__ = [
     "cms_estimate",
     "cms_merge",
     "cms_heavy_hitters",
+    "histogram_sketch",
+    "histogram_merge",
+    "histogram_quantiles",
 ]
 
 _HASH_BITS = 60  # md5-derived h60 (15 hex chars), nonnegative in int64
@@ -547,3 +550,129 @@ def cms_estimate(
         .groupBy(*[c for c in probe.columns])
         .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: HDR-style integer histogram. Completes the sketch
+# family — HLL (distinct), Bloom (membership), CMS (frequency),
+# histogram (DISTRIBUTION): "what's the p99 document length over
+# 100 TB" as a few-thousand-row mergeable state table instead of a
+# global sort. Engine-portable by the same rule as the others: the
+# bucket function is PURE INTEGER ops (binary-string bit length +
+# dynamic shifts, identical in Spark SQL and DuckDB — no log/pow
+# whose last ulp could differ), so sketches built by either engine
+# are row-identical.
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value: Column | str,
+    sub_bits: int = 4,
+    keys=(),
+) -> DataFrame:
+    """Build the histogram sketch: ``(keys..., bucket, cnt)`` with
+    ``bucket`` the integer lower bound of the value's HDR bucket —
+    all but the top ``1 + sub_bits`` significant bits dropped:
+    ``b = (v >> s) << s`` with ``s = max(bitlen(v)-1-sub_bits, 0)``.
+    Values below ``2^(sub_bits+1)`` are exact (s = 0); above,
+    relative bucket width is ``2^-sub_bits``. Pure integer ops:
+    bitlen via base-2 string length (``conv``/``bin``, identical in
+    both engines), shifts via SQL shiftright/shiftleft with column
+    shift counts — no log/pow anywhere, so the sketch is
+    row-identical across engines. Requires v >= 0 (raises per-row —
+    a silent wrap would corrupt the histogram).
+    ~``(64 - sub_bits) * 2^sub_bits`` buckets
+    max regardless of data size, mergeable by plain count addition
+    (:func:`histogram_merge` of shard sketches is row-identical to
+    building on the union — pinned by test, same contract as
+    bloom/cms). Quantile answers come from
+    :func:`histogram_quantiles`, with relative error <= 2^-sub_bits
+    (values under 2^(sub_bits+1) are exact).
+
+    Scale: one narrow projection + one bounded-key aggregate. The
+    shuffle carries at most the bucket count per partition after
+    map-side partial aggregation — constant state, like every sketch
+    in this module."""
+    if not 1 <= sub_bits <= 12:
+        raise ValueError(f"sub_bits must be in [1, 12], got {sub_bits}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if "bucket" in keys or "cnt" in keys:
+        raise ValueError("'bucket'/'cnt' are reserved output columns")
+    v = (F.col(value) if isinstance(value, str) else value).cast("bigint")
+    checked = F.when(
+        v < 0, F.raise_error(F.lit("histogram_sketch requires v >= 0"))
+    ).otherwise(v)
+    tmp = df.select(*keys, checked.alias("__v")).withColumn(
+        "__s",
+        F.greatest(
+            F.length(F.conv(F.col("__v").cast("string"), 10, 2)).cast("int")
+            - F.lit(1 + sub_bits),
+            F.lit(0),
+        ),
+    )
+    bucketed = tmp.withColumn(
+        "bucket", F.expr("shiftleft(shiftright(__v, __s), __s)")
+    )
+    return bucketed.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_merge(*sketches: DataFrame, keys=()) -> DataFrame:
+    """Merge histogram sketches built with the SAME sub_bits:
+    bucket-wise count addition. Exact:
+    ``merge(build(A), build(B)) == build(A UNION ALL B)``
+    row-identically (counts are integers; buckets are value-derived,
+    not parameter-derived, so there is no parameter column to
+    check — callers own the same-sub_bits contract, documented like
+    hll_merge's)."""
+    if not sketches:
+        raise ValueError("histogram_merge needs at least one sketch")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cols = [*keys, "bucket", "cnt"]
+    merged = sketches[0].select(*cols)
+    for s in sketches[1:]:
+        merged = merged.unionByName(s.select(*cols))
+    return merged.groupBy(*keys, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: list[tuple[int, int, str]],
+    keys=(),
+) -> DataFrame:
+    """Quantiles from a histogram sketch: for each ``(num, den,
+    alias)`` in ``qs``, the smallest bucket whose cumulative count
+    covers the quantile (``cum * den >= total * num`` — exact integer
+    comparison, no float quantile arithmetic). Returns one row per
+    key group with one column per requested quantile. The answer is
+    the bucket LOWER bound: true_quantile is in [answer,
+    answer * (1 + 2^-sub_bits)) for answers >= 2^(sub_bits+1), exact
+    below."""
+    if not qs:
+        raise ValueError("histogram_quantiles needs at least one quantile")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy(*keys).orderBy("bucket")
+    w_tot = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    base = sketch.withColumn("__cum", F.sum("cnt").over(w_cum)).withColumn(
+        "__tot", F.sum("cnt").over(w_tot)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") * F.lit(den) >= F.col("__tot") * F.lit(num),
+                F.col("bucket"),
+            )
+        ).alias(alias)
+        for num, den, alias in qs
+    ]
+    return base.groupBy(*keys).agg(*aggs)

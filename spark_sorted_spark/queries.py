@@ -3671,6 +3671,53 @@ def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Distribution sketch — per-source document-length quantiles from the
+# HDR-style integer histogram (functions/sketches.py
+# histogram_sketch): p50/p90/p99 with relative error <= 2^-4, no
+# global sort, bounded state (the sketch is at most a few thousand
+# integer rows per key regardless of corpus size). The bucket
+# function is pure integer ops (binary-string bit length + dynamic
+# shifts — identical in Spark SQL and DuckDB), so the oracle
+# reproduces the sketch AND the quantile walk row-identically.
+# ===========================================================================
+@query(
+    "length_quantiles_sketch",
+    oracle="""
+    WITH v AS (SELECT source, length(text)::BIGINT AS v FROM documents),
+    b AS (SELECT source,
+            (v >> greatest(length(bin(v)) - 5, 0))
+                << greatest(length(bin(v)) - 5, 0) AS bucket
+          FROM v),
+    h AS (SELECT source, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    c AS (SELECT source, bucket,
+            sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+            sum(cnt) OVER (PARTITION BY source) AS tot
+          FROM h)
+    SELECT source,
+           min(CASE WHEN cum * 2 >= tot * 1 THEN bucket END)::BIGINT
+               AS p50_len,
+           min(CASE WHEN cum * 10 >= tot * 9 THEN bucket END)::BIGINT
+               AS p90_len,
+           min(CASE WHEN cum * 100 >= tot * 99 THEN bucket END)::BIGINT
+               AS p99_len
+    FROM c GROUP BY source
+    """,
+)
+def length_quantiles_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.sketches import histogram_quantiles, histogram_sketch
+
+    docs = load_table(spark, "documents", sf_dir)
+    sk = histogram_sketch(
+        docs, F.length("text"), sub_bits=4, keys=["source"]
+    )
+    return histogram_quantiles(
+        sk,
+        [(1, 2, "p50_len"), (9, 10, "p90_len"), (99, 100, "p99_len")],
+        keys=["source"],
+    )
+
+
+# ===========================================================================
 # TPC-H Q9 — product-type profit by nation and year (adapted: the
 # driver testdata has no partsupp table, so profit omits the
 # ps_supplycost term — the SHAPE is the point: a LIKE-filtered part
@@ -4095,6 +4142,8 @@ _GATE_ORDER = [
     "tpch_q21_waiting_suppliers",
     # Gopher repetition filters (dup + top n-gram pct, zero-shuffle)
     "repetition_profile",
+    # quantile sketch: per-source length p50/p90/p99, bounded state
+    "length_quantiles_sketch",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -97,6 +97,7 @@ def test_gate_window_contents():
         "tpch_q20_part_promotion",
         "tpch_q21_waiting_suppliers",
         "repetition_profile",
+        "length_quantiles_sketch",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

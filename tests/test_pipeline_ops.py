@@ -1198,3 +1198,94 @@ class TestAssignSessions:
             assign_sessions(df, "t", 0, keys="k")
         with pytest.raises(ValueError, match="at least one key"):
             assign_sessions(df, "t", 10, keys=[])
+
+
+class TestHistogramSketch:
+    def _vals(self, spark):
+        rows = [(i % 7, (i * 37) % 5000) for i in range(4000)]
+        return spark.createDataFrame(rows, "grp bigint, v bigint")
+
+    def test_merge_equals_union_build(self, spark):
+        from spark_sorted_spark.functions.sketches import (
+            histogram_merge,
+            histogram_sketch,
+        )
+
+        df = self._vals(spark)
+        a = df.filter("v % 2 = 0")
+        b = df.filter("v % 2 = 1")
+        merged = histogram_merge(
+            histogram_sketch(a, "v", keys=["grp"]),
+            histogram_sketch(b, "v", keys=["grp"]),
+            keys=["grp"],
+        )
+        union = histogram_sketch(a.unionByName(b), "v", keys=["grp"])
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, union.collect())
+        )
+
+    def test_partition_invariance(self, spark):
+        from spark_sorted_spark.functions.sketches import histogram_sketch
+
+        df = self._vals(spark)
+        r1 = sorted(map(tuple, histogram_sketch(df.repartition(1), "v").collect()))
+        r8 = sorted(map(tuple, histogram_sketch(df.repartition(8), "v").collect()))
+        assert r1 == r8
+
+    def test_quantile_accuracy_bound(self, spark):
+        # answer is the bucket lower bound: exact <= answer * (1 + 2^-sub_bits)
+        # and answer <= exact (sub_bits=4 -> 6.25% relative ceiling)
+        from spark_sorted_spark.functions.sketches import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        df = self._vals(spark)
+        sk = histogram_sketch(df, "v", sub_bits=4)
+        got = histogram_quantiles(
+            sk, [(1, 2, "p50"), (99, 100, "p99")]
+        ).collect()[0]
+        vals = sorted(r.v for r in df.collect())
+
+        def exact(num, den):
+            # smallest v with rank-coverage cum*den >= n*num — the same
+            # integer definition the sketch walk uses
+            n = len(vals)
+            for i, v in enumerate(vals, start=1):
+                if i * den >= n * num:
+                    return v
+
+        for alias, (num, den) in (("p50", (1, 2)), ("p99", (99, 100))):
+            ans, ex = getattr(got, alias), exact(num, den)
+            assert ans <= ex <= ans * (1 + 2 ** -4) + 1, (alias, ans, ex)
+
+    def test_small_values_exact(self, spark):
+        # below 2^(sub_bits+1) the bucket IS the value: quantiles exact
+        from spark_sorted_spark.functions.sketches import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        df = spark.createDataFrame([(v,) for v in range(32)], "v bigint")
+        sk = histogram_sketch(df, "v", sub_bits=4)
+        assert sk.count() == 32  # every small value its own bucket
+        got = histogram_quantiles(sk, [(1, 2, "p50")]).collect()[0]
+        assert got.p50 == 15
+
+    def test_guards(self, spark):
+        from spark_sorted_spark.functions.sketches import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        df = spark.createDataFrame([(1,), (-5,)], "v bigint")
+        with pytest.raises(Exception, match="requires v >= 0"):
+            histogram_sketch(df, "v").collect()
+        with pytest.raises(ValueError, match="sub_bits"):
+            histogram_sketch(df, "v", sub_bits=0)
+        with pytest.raises(ValueError, match="reserved"):
+            histogram_sketch(
+                df.withColumnRenamed("v", "bucket"), "bucket", keys=["bucket"]
+            )
+        with pytest.raises(ValueError, match="at least one"):
+            histogram_quantiles(df, [])
