@@ -20,9 +20,11 @@ from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now, stream_to_files
 from .sketches import (
     read_cms_cells,
+    read_histogram,
     read_hll_estimate,
     read_hll_registers,
     stream_cms_counts,
+    stream_histogram,
     stream_hll_distinct,
 )
 from .source import stream_table
@@ -43,4 +45,6 @@ __all__ = [
     "read_hll_estimate",
     "stream_cms_counts",
     "read_cms_cells",
+    "stream_histogram",
+    "read_histogram",
 ]

@@ -38,6 +38,8 @@ __all__ = [
     "read_hll_estimate",
     "stream_cms_counts",
     "read_cms_cells",
+    "stream_histogram",
+    "read_histogram",
 ]
 
 
@@ -117,15 +119,66 @@ def stream_cms_counts(
 def read_cms_cells(spark, store_path: str) -> DataFrame:
     """Merge every batch partition of a CMS store into one sketch
     (cell-wise sum), carrying the width/depth metadata so the probe
-    guards keep working."""
+    guards keep working. The params ride THROUGH the group-by
+    (constant across a store, so grouping by them is free) — an
+    all-empty store still yields the full probe-ready schema, same
+    fix as ``cms_merge``."""
     cells = spark.read.parquet(store_path)
-    meta = cells.select("width", "depth").limit(1).collect()
-    out = cells.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
-    if meta:
-        out = out.withColumn("width", F.lit(meta[0].width)).withColumn(
-            "depth", F.lit(meta[0].depth)
+    return (
+        cells.groupBy("row", "col", "width", "depth")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("row", "col", "cnt", "width", "depth")
+    )
+
+
+def stream_histogram(
+    stream_df: DataFrame,
+    value,
+    store_path: str,
+    checkpoint_dir: str,
+    sub_bits: int = 4,
+    keys=(),
+    timeout_sec: int = 300,
+) -> None:
+    """Drain ``stream_df`` (bounded, availableNow) into a quantile-
+    histogram store: one ``ingest_batch_id={N}`` partition per
+    micro-batch holding that batch's HDR bucket counts
+    (``functions.sketches.histogram_sketch``). Like the CMS store,
+    the merge is ADDITIVE (bucket-wise count sum), so replay safety
+    comes from the batch-keyed overwrite partition — a re-delivered
+    batch replaces its own counts instead of double-counting. Answers
+    "p99 so far" over an unbounded stream from a few thousand integer
+    rows of state."""
+    from ..functions.sketches import histogram_sketch
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sk = histogram_sketch(batch_df, value, sub_bits=sub_bits, keys=keys)
+        sk.write.mode("overwrite").parquet(
+            f"{store_path}/ingest_batch_id={batch_id}"
         )
-    return out
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("stream_histogram did not finish")
+    finally:
+        q.stop()
+
+
+def read_histogram(spark, store_path: str, keys=()) -> DataFrame:
+    """Merge every batch partition of a histogram store into one
+    sketch (bucket-wise count sum) — feed the result to
+    ``functions.sketches.histogram_quantiles``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sk = spark.read.parquet(store_path)
+    return sk.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def read_hll_registers(spark, store_path: str, keys=()) -> DataFrame:

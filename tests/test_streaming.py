@@ -988,3 +988,98 @@ def test_stream_cms_counts_matches_batch_and_replay_exactly_once(
         map(tuple, cms_estimate(probe, "source", cms_build(docs, "source")).collect())
     )
     assert est_stream == est_batch
+
+
+def test_stream_histogram_matches_batch_and_replay_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Streaming quantile-histogram store: after two drains the summed
+    buckets must equal the batch sketch over all data, the merged
+    store must answer the same quantiles, and a replayed batch write
+    must not double-count (additive merge -> exactly-once rides the
+    batch-partition overwrite, same contract as the CMS store)."""
+    import shutil
+
+    from spark_sorted_spark.functions.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from spark_sorted_spark.streaming import (
+        read_histogram,
+        stream_histogram,
+        stream_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(F.col("doc_id") % 2 == 0)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    store = str(tmp_path / "hist_store")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain():
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_histogram(
+            sdf,
+            F.length("text"),
+            store,
+            str(tmp_path / "ckpt"),
+            keys=["source"],
+            timeout_sec=180,
+        )
+
+    arrive(b1, "b1")
+    drain()
+    arrive(b2, "b2")
+    drain()
+
+    batch_sketch = sorted(
+        map(
+            tuple,
+            histogram_sketch(docs, F.length("text"), keys=["source"]).collect(),
+        )
+    )
+    stream_sketch = sorted(
+        map(tuple, read_histogram(spark, store, keys=["source"]).collect())
+    )
+    assert stream_sketch == batch_sketch
+
+    # replayed batch 1 re-writes its own partition: store unchanged
+    histogram_sketch(b2, F.length("text"), keys=["source"]).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/ingest_batch_id=1")
+    assert (
+        sorted(
+            map(tuple, read_histogram(spark, store, keys=["source"]).collect())
+        )
+        == batch_sketch
+    )
+
+    # merged store answers the same quantiles as the batch sketch
+    qs = [(1, 2, "p50"), (99, 100, "p99")]
+    got = sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                read_histogram(spark, store, keys=["source"]), qs, keys=["source"]
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                histogram_sketch(docs, F.length("text"), keys=["source"]),
+                qs,
+                keys=["source"],
+            ).collect(),
+        )
+    )
+    assert got == want
