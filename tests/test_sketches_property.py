@@ -111,3 +111,48 @@ def test_cms_matches_python_replica_exactly(spark):
         assert all(got[v] >= true[v] for v in true)
 
     run()
+
+
+def test_histogram_sketch_vs_python_oracle(spark):
+    # bucket function and quantile walk vs a pure-Python replica —
+    # same collections-oracle strategy as the HLL/CMS properties
+    from spark_sorted_spark.functions.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    @given(
+        vals=st.lists(st.integers(0, 2**40), min_size=1, max_size=60),
+        sub_bits=st.integers(2, 6),
+    )
+    @settings(max_examples=8, deadline=None)
+    def run(vals, sub_bits):
+        def py_bucket(v):
+            s = max(v.bit_length() - 1 - sub_bits, 0)
+            return (v >> s) << s
+
+        expected = {}
+        for v in vals:
+            b = py_bucket(v)
+            expected[b] = expected.get(b, 0) + 1
+
+        df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+        sk = histogram_sketch(df, "v", sub_bits=sub_bits)
+        got = {r.bucket: r.cnt for r in sk.collect()}
+        assert got == expected
+
+        # quantile walk: smallest bucket with cum*den >= tot*num
+        n = sum(expected.values())
+        order = sorted(expected)
+        for num, den in ((1, 2), (9, 10)):
+            cum = 0
+            want = None
+            for b in order:
+                cum += expected[b]
+                if cum * den >= n * num:
+                    want = b
+                    break
+            q = histogram_quantiles(sk, [(num, den, "q")]).collect()[0].q
+            assert q == want, (num, den, q, want)
+
+    run()
