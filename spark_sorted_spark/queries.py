@@ -3671,6 +3671,65 @@ def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Z-order (Morton) layout values — the multi-column clustering key
+# (functions/layout.py): quantize (user_id, ts_us) by pure shifts
+# against their global min/max, interleave the bits. At 100 TB this
+# is the write-side layout that makes parquet min/max pruning work
+# for predicates on EITHER column (see zorder_layout); the gate
+# checks the z-value computation bit-for-bit (all integer ops, so
+# the oracle replicates it exactly). The layout step itself
+# (repartitionByRange + sortWithinPartitions) is pinned by the
+# range-shrinkage test in tests/test_pipeline_ops.py.
+# ===========================================================================
+_Z_BITS = 12
+
+
+def _z_interleave_sql(q1: str, q2: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({q1} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({q2} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_values",
+    oracle=f"""
+    WITH mm AS (
+      SELECT min(user_id) AS lo1, max(user_id) AS hi1,
+             min(epoch_us(ts)) AS lo2, max(epoch_us(ts)) AS hi2
+      FROM events),
+    q AS (
+      SELECT event_id,
+             (user_id - lo1)
+                 >> greatest(length(bin(hi1 - lo1)) - {_Z_BITS}, 0) AS q1,
+             (epoch_us(ts) - lo2)
+                 >> greatest(length(bin(hi2 - lo2)) - {_Z_BITS}, 0) AS q2
+      FROM events, mm)
+    SELECT event_id, ({_z_interleave_sql("q1", "q2", _Z_BITS)})::BIGINT AS zval
+    FROM q
+    """,
+)
+def zorder_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.layout import quantize_expr, zvalue
+    from .sources.tpch import event_ts_us
+
+    ev = load_table(spark, "events", sf_dir)
+    us = event_ts_us(ev, "ts")
+    mm = ev.agg(
+        F.min("user_id").cast("bigint").alias("lo1"),
+        F.max("user_id").cast("bigint").alias("hi1"),
+        F.min(us).alias("lo2"),
+        F.max(us).alias("hi2"),
+    ).collect()[0]
+    q1 = quantize_expr(F.col("user_id"), mm.lo1, mm.hi1, _Z_BITS)
+    q2 = quantize_expr(us, mm.lo2, mm.hi2, _Z_BITS)
+    return ev.select(
+        "event_id", zvalue([q1, q2], _Z_BITS).alias("zval")
+    )
+
+
+# ===========================================================================
 # Distribution sketch — per-source document-length quantiles from the
 # HDR-style integer histogram (functions/sketches.py
 # histogram_sketch): p50/p90/p99 with relative error <= 2^-4, no
@@ -4144,6 +4203,8 @@ _GATE_ORDER = [
     "repetition_profile",
     # quantile sketch: per-source length p50/p90/p99, bounded state
     "length_quantiles_sketch",
+    # Morton-curve clustering key (multi-column pruning layout)
+    "zorder_values",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -98,6 +98,7 @@ def test_gate_window_contents():
         "tpch_q21_waiting_suppliers",
         "repetition_profile",
         "length_quantiles_sketch",
+        "zorder_values",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

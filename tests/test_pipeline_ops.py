@@ -1289,3 +1289,67 @@ class TestHistogramSketch:
             )
         with pytest.raises(ValueError, match="at least one"):
             histogram_quantiles(df, [])
+
+
+class TestZorderLayout:
+    def test_layout_bounds_ranges_on_both_columns(self, spark):
+        # 64x64 grid -> 16 partitions. A single-column range sort makes
+        # x tight but leaves y spanning the full domain in EVERY
+        # partition; the Morton layout gives every partition a small
+        # hypercube: BOTH per-partition ranges shrink to ~domain/4.
+        from spark_sorted_spark.functions.layout import zorder_layout
+
+        rows = [(x, y) for x in range(64) for y in range(64)]
+        df = spark.createDataFrame(rows, "x bigint, y bigint")
+
+        def ranges(laid):
+            import pyspark.sql.functions as F
+
+            per = (
+                laid.withColumn("p", F.spark_partition_id())
+                .groupBy("p")
+                .agg(
+                    (F.max("x") - F.min("x")).alias("rx"),
+                    (F.max("y") - F.min("y")).alias("ry"),
+                )
+                .collect()
+            )
+            n = len(per)
+            return sum(r.rx for r in per) / n, sum(r.ry for r in per) / n
+
+        laid = zorder_layout(df, ["x", "y"], bits=6, n_partitions=16)
+        zx, zy = ranges(laid)
+        naive = df.repartitionByRange(16, "x").sortWithinPartitions("x")
+        nx, ny = ranges(naive)
+        # naive: x tight (~4), y full domain (63)
+        assert ny > 55, (nx, ny)
+        # z-order: BOTH bounded near the hypercube edge (16 for a
+        # 16-way split of a 64x64 grid; allow slack for partition-
+        # boundary cells that straddle two curve squares)
+        assert zy <= 32, (zx, zy)
+        assert zx <= 32, (zx, zy)
+        # and the relation is preserved exactly
+        assert laid.count() == 4096
+        assert sorted(map(tuple, laid.collect())) == sorted(rows)
+
+    def test_zvalue_guards(self, spark):
+        from spark_sorted_spark.functions.layout import zorder_layout, zvalue
+
+        with pytest.raises(ValueError, match="does not fit"):
+            zvalue([F.lit(1)] * 8, bits=8)
+        with pytest.raises(ValueError, match="at least one"):
+            zvalue([], bits=4)
+        df = spark.createDataFrame([(1, 2)], "x bigint, y bigint")
+        with pytest.raises(ValueError, match="at least one"):
+            zorder_layout(df, [])
+
+    def test_constant_column_and_single_column(self, spark):
+        from spark_sorted_spark.functions.layout import zorder_layout
+
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(100)], "x bigint, c bigint"
+        )
+        laid = zorder_layout(df, ["x", "c"], bits=5, n_partitions=4)
+        assert laid.count() == 100
+        one = zorder_layout(df, ["x"], bits=5, n_partitions=4)
+        assert sorted(r.x for r in one.collect()) == list(range(100))
