@@ -296,6 +296,18 @@ def b23_negative_pairs(spark):
     force(QUERIES["negative_pairs"](spark, SF_DIR))
 
 
+def b26_zorder_layout(spark):
+    # write-side Morton clustering of events on (user_id, ts): one
+    # bounded min/max job + one range shuffle + in-partition sort —
+    # the cost a 100 TB re-layout pays per output file set
+    from spark_sorted_spark.functions.layout import zorder_layout
+    from spark_sorted_spark.sources.tpch import event_ts_us
+
+    ev = load_table(spark, "events", SF_DIR)
+    ev = ev.withColumn("ts_us", event_ts_us(ev, "ts"))
+    force(zorder_layout(ev, ["user_id", "ts_us"], bits=12, n_partitions=32))
+
+
 def b24_tpch_q9(spark):
     # widest TPC-H fact join in the catalog: lineitem x part x
     # supplier x orders x nation under a LIKE prefilter, year rollup
@@ -340,6 +352,7 @@ BENCH = {
     "b23_negative_pairs": b23_negative_pairs,
     "b24_tpch_q9": b24_tpch_q9,
     "b25_tpch_q21": b25_tpch_q21,
+    "b26_zorder_layout": b26_zorder_layout,
 }
 
 
