@@ -4091,7 +4091,6 @@ _GATE_ORDER = [
     "multimodal_features",
     "stream_hourly_window",
     "stream_session_window",
-    "stream_dedup",
     "stream_fold_ema",
     "asof_join",
     "set_ops",
@@ -4109,10 +4108,8 @@ _GATE_ORDER = [
     "pipeline_clean_corpus",
     "embedding_neardup_lsh",
     "distinct_agg",
-    "pivot_event_types",
     "dedup_simhash_banded",
     "stream_stream_join",
-    "stratified_sample",
     "corpus_mix",
     # round-6 rotation #2: dedup_clusters (the transitive cluster
     # close-out, the round's flagship new operator) earns a driver
@@ -4139,7 +4136,22 @@ _GATE_ORDER = [
     "knn_join",
     "interval_overlap",
     "sessionize_native",
+    # round-7 rotation #3b: the round-7 flagship operators earn driver
+    # rows in the same round they were built — repetition_profile
+    # (Gopher dup/top n-gram filters, zero-shuffle), the quantile
+    # sketch, and the Morton layout key. Out (overflow; composite-
+    # covered): pivot_event_types (Expand/conditional-agg sugar —
+    # distinct_agg + grouping_sets_agg keep the family),
+    # stream_dedup (dropDuplicates sugar; four other streaming rows
+    # stay gated), stratified_sample (the subset shape of the
+    # still-gated corpus_mix, which composes it).
+    "repetition_profile",
+    "length_quantiles_sketch",
+    "zorder_values",
     # --- gate cutoff (driver runs the 50 above) ---
+    "stream_dedup",
+    "pivot_event_types",
+    "stratified_sample",
     "merge_join_left",
     "merge_join_right",
     "tpch_q3_shipping_priority",
@@ -4199,12 +4211,6 @@ _GATE_ORDER = [
     "tpch_q16_supplier_diversity",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers",
-    # Gopher repetition filters (dup + top n-gram pct, zero-shuffle)
-    "repetition_profile",
-    # quantile sketch: per-source length p50/p90/p99, bounded state
-    "length_quantiles_sketch",
-    # Morton-curve clustering key (multi-column pruning layout)
-    "zorder_values",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

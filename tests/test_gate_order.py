@@ -40,6 +40,10 @@ def test_gate_window_contents():
         "knn_join",
         "interval_overlap",
         "sessionize_native",
+        # rotation #3b: the round-7 flagships gate in the same round
+        "repetition_profile",
+        "length_quantiles_sketch",
+        "zorder_values",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # overflow: round-7 rotation #3 moved six composite-covered rows
@@ -50,6 +54,9 @@ def test_gate_window_contents():
     # rollup/cube (sugar for the still-gated grouping_sets_agg), and
     # the round-5/6 extensions (all locally oracle-checked)
     assert names[50:] == [
+        "stream_dedup",
+        "pivot_event_types",
+        "stratified_sample",
         "merge_join_left",
         "merge_join_right",
         "tpch_q3_shipping_priority",
@@ -96,9 +103,6 @@ def test_gate_window_contents():
         "tpch_q16_supplier_diversity",
         "tpch_q20_part_promotion",
         "tpch_q21_waiting_suppliers",
-        "repetition_profile",
-        "length_quantiles_sketch",
-        "zorder_values",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
