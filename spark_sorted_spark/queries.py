@@ -3739,9 +3739,7 @@ def zorder_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shifts — identical in Spark SQL and DuckDB), so the oracle
 # reproduces the sketch AND the quantile walk row-identically.
 # ===========================================================================
-@query(
-    "length_quantiles_sketch",
-    oracle="""
+_LEN_QUANTILES_SQL = """
     WITH v AS (SELECT source, length(text)::BIGINT AS v FROM documents),
     b AS (SELECT source,
             (v >> greatest(length(bin(v)) - 5, 0))
@@ -3760,8 +3758,10 @@ def zorder_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(CASE WHEN cum * 100 >= tot * 99 THEN bucket END)::BIGINT
                AS p99_len
     FROM c GROUP BY source
-    """,
-)
+    """
+
+
+@query("length_quantiles_sketch", oracle=_LEN_QUANTILES_SQL)
 def length_quantiles_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sketches import histogram_quantiles, histogram_sketch
 
@@ -3771,6 +3771,50 @@ def length_quantiles_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return histogram_quantiles(
         sk,
+        [(1, 2, "p50_len"), (9, 10, "p90_len"), (99, 100, "p99_len")],
+        keys=["source"],
+    )
+
+
+@query("stream_len_quantiles", oracle=_LEN_QUANTILES_SQL)
+def stream_len_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING quantile-histogram store, gate-checked against
+    the identical oracle as the batch `length_quantiles_sketch`:
+    documents arrive in two micro-batch drains (odd ids, then even),
+    each drain writes its batch's bucket counts to a batch-keyed
+    partition, and the merge-on-read quantiles must equal the batch
+    sketch over the whole corpus — additive counts over disjoint
+    batches ARE the union's counts. Streaming distribution state: a
+    few thousand integer rows per batch, regardless of batch size."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.sketches import histogram_quantiles
+    from .streaming import read_histogram, stream_histogram, stream_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_hist_")
+    atexit.register(lambda: shutil.rmtree(base, ignore_errors=True))
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(src)
+
+    def drain():
+        sdf = stream_table(spark, "documents", sf_dir, path=src)
+        stream_histogram(
+            sdf, F.length("text"), store, ckpt, sub_bits=4, keys=["source"]
+        )
+
+    drain()
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+    drain()
+
+    return histogram_quantiles(
+        read_histogram(spark, store, keys=["source"]),
         [(1, 2, "p50_len"), (9, 10, "p90_len"), (99, 100, "p99_len")],
         keys=["source"],
     )
@@ -4211,6 +4255,9 @@ _GATE_ORDER = [
     "tpch_q16_supplier_diversity",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers",
+    # streaming twin of the gated length_quantiles_sketch (same
+    # oracle; merge-on-read equals build-on-union by additivity)
+    "stream_len_quantiles",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -103,6 +103,7 @@ def test_gate_window_contents():
         "tpch_q16_supplier_diversity",
         "tpch_q20_part_promotion",
         "tpch_q21_waiting_suppliers",
+        "stream_len_quantiles",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
