@@ -12,15 +12,19 @@ Design (the part that matters at 100 TB):
   blobs streams through in Arrow-batch-sized memory, never
   materializing the partition;
 * decode is pluggable. PIL/torchaudio/ffmpeg are NOT in this
-  container, but the stdlib ``wave`` module IS a real PCM decoder —
-  so ``decode()`` genuinely decodes RIFF/WAV audio (``audio_features``
-  is a REAL decoded-feature path end to end), PIL images are
-  import-gated (a skip-marked test activates when the sandbox gains
-  the package), and everything else raises ``NotImplementedError``
-  exactly where a decoder would plug in. ``fake=True`` paths keep the
-  deterministic byte-statistics stand-ins so the Spark-side plumbing —
-  schema, partitioning, UDF signature, batch shape — stays testable
-  for the undecodable modalities too.
+  container, but the stdlib genuinely decodes three formats:
+  RIFF/WAV audio (``wave`` — ``audio_features`` is a REAL
+  decoded-feature path end to end), uncompressed 24/32-bit BMP
+  (``struct``), and 8-bit non-interlaced gray/RGB/RGBA PNG
+  (``struct`` + ``zlib`` inflate + full scanline unfiltering) —
+  ``image_features`` is the real decoded-image path over those two.
+  PIL stays import-gated for every other image format (a skip-marked
+  test activates when the sandbox gains the package), and everything
+  else raises ``NotImplementedError`` exactly where a decoder would
+  plug in. ``fake=True`` paths keep the deterministic
+  byte-statistics stand-ins so the Spark-side plumbing — schema,
+  partitioning, UDF signature, batch shape — stays testable for the
+  undecodable modalities too.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ __all__ = [
     "decode",
     "decode_stub",
     "extract_features",
+    "image_features",
     "resize_images",
     "sample_frames",
 ]
@@ -61,12 +66,117 @@ def attach_binary_payload(
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_bmp(data: bytes) -> dict:
+    """REAL BMP decoder (stdlib struct only): uncompressed BI_RGB
+    24/32-bit, BITMAPINFOHEADER+. Rows are 4-byte padded and stored
+    bottom-up unless height is negative; output is top-down RGB."""
+    import struct
+
+    px_off = struct.unpack_from("<I", data, 10)[0]
+    dib = struct.unpack_from("<I", data, 14)[0]
+    if dib < 40:
+        raise NotImplementedError(f"BMP core-header size {dib} unsupported")
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported "
+            f"(bpp={bpp}, compression={comp})"
+        )
+    top_down = height < 0
+    h = abs(height)
+    step = bpp // 8
+    row_bytes = (width * step + 3) & ~3
+    out = bytearray()
+    for r in range(h):
+        src_row = r if top_down else h - 1 - r
+        base = px_off + src_row * row_bytes
+        for c in range(width):
+            i = base + c * step
+            # BMP stores BGR(A); emit RGB
+            out += bytes((data[i + 2], data[i + 1], data[i]))
+    return {"width": width, "height": h, "mode": "RGB", "pixels": bytes(out)}
+
+
+def _decode_png(data: bytes) -> dict:
+    """REAL PNG decoder (stdlib struct+zlib): 8-bit depth,
+    non-interlaced, grayscale/RGB/RGBA, all five scanline filters
+    (None/Sub/Up/Average/Paeth) per the PNG spec — an actual inflate
+    + unfilter, not a stand-in (round-trip pinned in tests)."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA PNG supported "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(h):
+        ft = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG scanline filter {ft} is invalid")
+        out += line
+        prev = line
+    mode = {0: "L", 2: "RGB", 6: "RGBA"}[ctype]
+    return {"width": w, "height": h, "mode": mode, "pixels": bytes(out)}
+
+
 def decode(payload: bytes, modality: str):
-    """Real decode where this environment genuinely can (probed round
-    6): RIFF/WAV audio via the stdlib ``wave`` module (PCM — an actual
-    decoder, not a stand-in), images via PIL when the sandbox gains it
-    (import-gated). Everything else raises — the honest contract
-    (callers select fake features for tests).
+    """Real decode where this environment genuinely can: RIFF/WAV
+    audio via the stdlib ``wave`` module, BMP (struct) and PNG
+    (struct+zlib inflate+unfilter) images via the stdlib decoders
+    above — all actual decoders, not stand-ins — plus any
+    PIL-openable image when the sandbox gains PIL (import-gated).
+    Everything else raises — the honest contract (callers select
+    fake features for tests).
 
     Returns: audio → dict(sample_rate, channels, sample_width,
     n_frames, pcm bytes); image → dict(width, height, mode, pixels
@@ -84,14 +194,19 @@ def decode(payload: bytes, modality: str):
                 "n_frames": w.getnframes(),
                 "pcm": w.readframes(w.getnframes()),
             }
+    if modality == "image" and bytes(payload[:2]) == b"BM":
+        return _decode_bmp(bytes(payload))
+    if modality == "image" and bytes(payload[:8]) == _PNG_SIG:
+        return _decode_png(bytes(payload))
     if modality == "image":
         try:
             from PIL import Image
         except ImportError:
             raise NotImplementedError(
-                "no image decoder available in this environment; "
-                "install PIL (pytest will auto-activate "
-                "test_image_decode_with_pil when it appears)"
+                "no decoder for this image format (stdlib handles BMP "
+                "and 8-bit PNG; this payload is neither); install PIL "
+                "(pytest will auto-activate test_image_decode_with_pil "
+                "when it appears)"
             ) from None
         img = Image.open(io.BytesIO(bytes(payload)))
         return {
@@ -161,6 +276,42 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(op, schema)
 
 
+def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decoded-image features over the multimodal layout, for
+    the formats the stdlib genuinely decodes (BMP, 8-bit PNG — see
+    ``decode``). Per image payload: width, height, mode, n_pixels,
+    and mean_intensity (mean over all decoded pixel bytes, exact
+    float64 mean of integers). Undecodable payloads fail loudly (no
+    silent fakes on a real-decode path).
+
+    Same 100 TB shape as ``audio_features``: Arrow-batched
+    ``mapInPandas``, O(batch) memory, no driver involvement."""
+    schema = (
+        f"{id_col} bigint, width int, height int, mode string, "
+        "n_pixels bigint, mean_intensity double"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    (id_col, "width", "height", "mode", "n_pixels",
+                     "mean_intensity")}
+            for _, row in pdf.iterrows():
+                d = decode(bytes(row["payload"]), "image")
+                px = d["pixels"]
+                rows[id_col].append(row[id_col])
+                rows["width"].append(d["width"])
+                rows["height"].append(d["height"])
+                rows["mode"].append(d["mode"])
+                rows["n_pixels"].append(d["width"] * d["height"])
+                rows["mean_intensity"].append(
+                    sum(px) / len(px) if px else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, schema)
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -186,10 +337,10 @@ def extract_features(
     # output on an explicitly non-fake path
     if not fake:
         raise NotImplementedError(
-            "extract_features has no real decoded-feature path for "
-            "images/video in this environment (PIL/ffmpeg absent); "
-            "use audio_features for WAV payloads, or fake=True for "
-            "the byte-stats plumbing check"
+            "extract_features has no generic real decoded-feature "
+            "path in this environment (PIL/ffmpeg absent); use "
+            "audio_features for WAV payloads, image_features for "
+            "BMP/PNG, or fake=True for the byte-stats plumbing check"
         )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

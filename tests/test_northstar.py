@@ -668,3 +668,147 @@ def test_ann_ivf_lloyd_refinement(spark, emb, tmp_path):
 
     with _pytest.raises(ValueError, match="lloyd_iters"):
         build_ann_ivf_index(base, str(tmp_path / "bad"), lloyd_iters=-1)
+
+
+def _bmp_bytes(pixels_rgb, width, height, bpp=24, top_down=False):
+    # minimal BITMAPINFOHEADER writer: rows 4-byte padded, bottom-up
+    # unless top_down (negative height) — the spec layout the decoder
+    # must invert
+    import struct
+
+    step = bpp // 8
+    row_bytes = (width * step + 3) & ~3
+    px = bytearray()
+    rows = [pixels_rgb[r * width : (r + 1) * width] for r in range(height)]
+    ordered = rows if top_down else rows[::-1]
+    for row in ordered:
+        line = bytearray()
+        for (r, g, b) in row:
+            line += bytes((b, g, r)) + (b"\x00" if step == 4 else b"")
+        line += b"\x00" * (row_bytes - len(line))
+        px += line
+    header_size = 14 + 40
+    h_field = -height if top_down else height
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_size + len(px), 0, 0, header_size)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, h_field, 1, bpp, 0, len(px), 0, 0, 0, 0
+        )
+        + bytes(px)
+    )
+
+
+def _png_bytes(pixels, width, height, ctype, filters):
+    # spec-faithful encoder: applies the REQUESTED filter type per
+    # scanline (forward direction per the PNG spec), so decoding must
+    # invert every filter exactly to round-trip
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = width * ch
+    flat = bytearray()
+    for p in pixels:
+        flat += bytes(p if isinstance(p, (tuple, list)) else (p,))
+    raw = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        line = flat[r * stride : (r + 1) * stride]
+        ft = filters[r % len(filters)]
+        raw.append(ft)
+        enc = bytearray()
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = (line[i] - a) & 0xFF
+            elif ft == 2:
+                v = (line[i] - b) & 0xFF
+            elif ft == 3:
+                v = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (line[i] - pred) & 0xFF
+            enc.append(v)
+        raw += enc
+        prev = line
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_bmp_decode_real(spark):
+    from spark_sorted_spark.functions.multimodal import decode
+
+    pix = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    for top_down in (False, True):
+        for bpp in (24, 32):
+            d = decode(_bmp_bytes(pix, 3, 2, bpp=bpp, top_down=top_down), "image")
+            assert (d["width"], d["height"], d["mode"]) == (3, 2, "RGB")
+            assert d["pixels"] == b"".join(bytes(p) for p in pix), (top_down, bpp)
+
+
+def test_png_decode_real_all_filters(spark):
+    # round-trip through every scanline filter (None/Sub/Up/Average/
+    # Paeth) and every supported color type — the decoder must invert
+    # the spec's forward filters exactly
+    from spark_sorted_spark.functions.multimodal import decode
+
+    w, h = 5, 5
+    rgb = [((r * 37 + c * 11) % 256, (r * 5) % 256, (c * 91) % 256)
+           for r in range(h) for c in range(w)]
+    for ctype, pix in (
+        (2, rgb),
+        (6, [(p[0], p[1], p[2], (p[0] + p[2]) % 256) for p in rgb]),
+        (0, [p[0] for p in rgb]),
+    ):
+        payload = _png_bytes(pix, w, h, ctype, filters=[0, 1, 2, 3, 4])
+        d = decode(payload, "image")
+        expect = b"".join(
+            bytes(p if isinstance(p, tuple) else (p,)) for p in pix
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["pixels"] == expect, ctype
+
+
+def test_image_features_real_decode_distributed(spark):
+    from spark_sorted_spark.functions.multimodal import image_features
+
+    bmp = _bmp_bytes([(8, 16, 24), (32, 40, 48)], 2, 1)
+    png = _png_bytes([(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)],
+                     2, 2, 2, filters=[1, 4])
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(png))], ["doc_id", "payload"]
+    )
+    got = {r.doc_id: r for r in image_features(df).collect()}
+    assert (got[1].width, got[1].height, got[1].mode, got[1].n_pixels) == (2, 1, "RGB", 2)
+    assert got[1].mean_intensity == sum((8, 16, 24, 32, 40, 48)) / 6
+    assert (got[2].width, got[2].height, got[2].mode) == (2, 2, "RGB")
+    assert got[2].mean_intensity == sum(range(1, 13)) / 12
+    # undecodable format on a real path fails loudly
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish"))], ["doc_id", "payload"]
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|decoder|PIL"):
+        image_features(bad).collect()
