@@ -359,6 +359,37 @@ def extract_features(
     return df.mapInPandas(op, schema)
 
 
+def _encode_png(pixels: bytes, width: int, height: int, mode: str) -> bytes:
+    """Minimal REAL PNG encoder (stdlib struct+zlib): 8-bit depth,
+    filter type 0 on every scanline — the inverse of ``_decode_png``
+    for round-trips (encode → decode returns the exact pixels)."""
+    import struct
+    import zlib
+
+    ctype, ch = {"L": (0, 1), "RGB": (2, 3), "RGBA": (6, 4)}[mode]
+    stride = width * ch
+    raw = bytearray()
+    for r in range(height):
+        raw.append(0)
+        raw += pixels[r * stride : (r + 1) * stride]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_images(
     df: DataFrame,
     width: int,
@@ -369,27 +400,60 @@ def resize_images(
     """Image resize over the multimodal layout: 1 row in → 1 row out,
     same ``(id, payload, meta)`` shape with the payload replaced by the
     resized encoding and ``meta`` updated (modality tagged, byte count
-    and md5 recomputed). Real pipeline = decode → resize → re-encode
-    inside the batch loop; the container has no image libs, so
-    ``fake=True`` emits a deterministic stand-in payload of exactly
-    ``width*height`` bytes derived from the input bytes (content-
-    addressed: same input → same output, any partitioning), and
-    ``fake=False`` raises (no real decoder+resizer here)."""
+    and md5 recomputed).
+
+    ``fake=False`` is a REAL pipeline for the stdlib-decodable
+    formats (BMP, 8-bit PNG): decode → nearest-neighbor resample
+    (integer source indexing ``src = out * src_dim // out_dim`` —
+    deterministic, no float filtering) → re-encode as PNG
+    (``_encode_png``). Undecodable formats fail loudly. ``fake=True``
+    keeps the deterministic content-addressed stand-in (exactly
+    ``width*height`` bytes derived from the input) so the plumbing
+    stays testable with arbitrary payloads."""
     schema = (
         f"{id_col} bigint, payload binary, "
         "meta struct<modality string, n_bytes bigint, md5 string>"
     )
     target = width * height
-    # no real decode+resize+re-encode exists in this container; a
-    # non-fake request raises at plan time — decode() succeeding on a
-    # WAV payload must NOT let fabricated "resized" bytes through a
-    # declared non-fake path
+
     if not fake:
-        raise NotImplementedError(
-            "resize_images has no real decoder+resizer in this "
-            "environment (PIL absent); fake=True exercises the "
-            "Spark-side plumbing with content-addressed stand-ins"
-        )
+
+        def op_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            for pdf in batches:
+                out_payloads = []
+                metas = []
+                for _, row in pdf.iterrows():
+                    d = decode(bytes(row["payload"]), "image")
+                    ch = {"L": 1, "RGB": 3, "RGBA": 4}[d["mode"]]
+                    sw, sh, px = d["width"], d["height"], d["pixels"]
+                    out = bytearray()
+                    for y in range(height):
+                        sy = y * sh // height
+                        base = sy * sw * ch
+                        for x in range(width):
+                            sx = x * sw // width
+                            i = base + sx * ch
+                            out += px[i : i + ch]
+                    resized = _encode_png(bytes(out), width, height, d["mode"])
+                    out_payloads.append(resized)
+                    metas.append(
+                        {
+                            "modality": f"image/png;{width}x{height}",
+                            "n_bytes": len(resized),
+                            "md5": hashlib.md5(resized).hexdigest(),
+                        }
+                    )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        "payload": out_payloads,
+                        "meta": metas,
+                    }
+                )
+
+        return df.mapInPandas(op_real, schema)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

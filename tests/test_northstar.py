@@ -151,6 +151,9 @@ def test_sample_frames_flatmap_shape(spark, docs):
 
 
 def test_resize_and_frames_stub_paths_raise(spark, docs):
+    # non-fake paths over UNDECODABLE payloads (text bytes, no image
+    # magic) must fail loudly — resize_images' real path (round 7)
+    # only accepts what decode() genuinely decodes
     from spark_sorted_spark.functions.multimodal import resize_images, sample_frames
 
     mm = attach_binary_payload(docs.limit(2), "text")
@@ -812,3 +815,29 @@ def test_image_features_real_decode_distributed(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|decoder|PIL"):
         image_features(bad).collect()
+
+
+def test_resize_images_real_roundtrip(spark):
+    # the REAL resize pipeline (round 7): decode BMP -> nearest-
+    # neighbor -> re-encode PNG; decoding the output must yield
+    # exactly the integer-indexed source pixels
+    from spark_sorted_spark.functions.multimodal import decode, resize_images
+
+    # 4x2 source with distinct pixels
+    pix = [(r * 60 + c * 10, c * 30, r * 100) for r in range(2) for c in range(4)]
+    bmp = _bmp_bytes(pix, 4, 2)
+    df = spark.createDataFrame([(1, bytearray(bmp))], ["doc_id", "payload"])
+    out = resize_images(df, 2, 2, fake=False).collect()[0]
+    assert out.meta.modality == "image/png;2x2"
+    d = decode(bytes(out.payload), "image")
+    assert (d["width"], d["height"], d["mode"]) == (2, 2, "RGB")
+    # nearest neighbor: out(x,y) <- src(x*4//2, y*2//2) = src(2x, y)
+    expect = b"".join(bytes(pix[y * 4 + 2 * x]) for y in range(2) for x in range(2))
+    assert d["pixels"] == expect
+    # upscale path too: 8x2 from the same source
+    up = resize_images(df, 8, 2, fake=False).collect()[0]
+    du = decode(bytes(up.payload), "image")
+    expect_up = b"".join(
+        bytes(pix[y * 4 + (x * 4 // 8)]) for y in range(2) for x in range(8)
+    )
+    assert du["pixels"] == expect_up
