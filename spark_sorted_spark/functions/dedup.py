@@ -647,7 +647,10 @@ def simhash(
     sketch is 1 iff sum over tokens of (+count if bit set else -count)
     is positive. 60 not 64 bits keeps every value positive in signed
     int64 for engine portability."""
-    occ = df.select(
+    # the sketch build is pure CPU (md5 + 60 bit-sums) over what is
+    # often a single-file scan: spread it so all cores participate
+    # (same fix the HLL/Bloom queries carry — round-6 measurement)
+    occ = spread_small_input(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).select(
         F.col(id_col),
@@ -655,32 +658,35 @@ def simhash(
         .cast("bigint")
         .alias("h60"),
     )
-    # ONE groupBy with 60 native conditional-sum aggregates, summing ±1
-    # per token OCCURRENCE — bit-identical to summing ±count per
-    # distinct token, so the former intermediate groupBy(id, tok) count
-    # (a whole extra shuffle of (id, tok, cnt) rows) is dead weight.
-    # Each document's tokens sit in one input row, so partial
-    # aggregation collapses to a single 60-sum row per doc map-side:
-    # the only shuffle carries one row per document. (Also beats the
-    # explode-60-rows-per-token form by ~1.6x — r3 measurement.)
+    # ONE groupBy with 60 native bit-sum aggregates + a count. Bit b
+    # of the sketch is set iff the ±1 occurrence sum is positive,
+    # and sum(±1) = 2*ones_b - n, so summing the raw BIT ((h>>b)&1,
+    # no CASE WHEN) and testing 2*ones_b > n is bit-identical to the
+    # former conditional-sum form while roughly halving the aggregate
+    # expression tree (measured r7: ~1s of driver-side plan cost at
+    # 60 aggregates). Each document's tokens sit in one input row, so
+    # partial aggregation collapses to one 61-sum row per doc
+    # map-side: the only shuffle carries one row per document.
+    # expressions ship as generated SQL strings (one F.expr each, one
+    # for the whole sketch sum) instead of per-node Column calls: the
+    # former ~500 py4j round-trips cost ~1.2 s of driver wall-clock
+    # PER CALL at 60 bits (measured r7 — the same driver-side-tree
+    # lesson as b13's plane literals)
     per_bit = occ.groupBy(id_col).agg(
+        F.expr("count(1) AS __n"),
         *[
-            F.sum(
-                F.when(
-                    F.expr(f"(shiftright(h60, {b}) & 1) = 1"), F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias(f"__s{b}")
+            F.expr(f"sum(shiftright(h60, {b}) & 1) AS __s{b}")
             for b in range(bits)
-        ]
+        ],
     )
-    sketch = None
-    for b in range(bits):
-        term = (
-            F.when(F.col(f"__s{b}") > 0, F.lit(1 << b).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
-        sketch = term if sketch is None else sketch + term
-    return per_bit.select(F.col(id_col), sketch.alias("simhash"))
+    sketch_sql = " + ".join(
+        f"(CASE WHEN __s{b} * 2 > __n THEN CAST({1 << b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return per_bit.select(
+        F.col(id_col), F.expr(sketch_sql).alias("simhash")
+    )
 
 
 def simhash_pairs(
