@@ -202,18 +202,19 @@ def _with_minhash_array(
     ex = df.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("__sh")
     ).select(F.col(id_col), md5_int32(F.col("__sh")).alias("__h32"))
+    # generated-SQL aggregates (one F.expr each + one for the array)
+    # instead of per-node Column construction: the py4j round-trips of
+    # the Column form cost real driver wall-clock per call (same
+    # lesson as the b13 plane literals and the r7 simhash fix);
+    # SQL `%` on nonnegative ints == the Column `%` — bitwise-equal
     agg = ex.groupBy(id_col).agg(
         *[
-            F.min((F.lit(a) * F.col("__h32") + F.lit(b)) % MINHASH_PRIME).alias(
-                f"__m{i}"
-            )
+            F.expr(f"min(({a} * __h32 + {b}) % {MINHASH_PRIME}) AS __m{i}")
             for i, (a, b) in enumerate(MINHASH_PERMS)
         ]
     )
-    return agg.select(
-        F.col(id_col),
-        F.array(*[f"__m{i}" for i in range(len(MINHASH_PERMS))]).alias("mh"),
-    )
+    arr = ", ".join(f"__m{i}" for i in range(len(MINHASH_PERMS)))
+    return agg.select(F.col(id_col), F.expr(f"array({arr}) AS mh"))
 
 
 def minhash_signatures(
@@ -238,25 +239,19 @@ def minhash_band_table(
     (:func:`build_minhash_band_store`) band on."""
     sig = _with_minhash_array(df, text_col, id_col, n)
     rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
+    structs = ", ".join(
+        "named_struct('band', {b}, 'band_key', concat_ws('-', {keys}))".format(
+            b=b,
+            keys=", ".join(
+                f"cast(mh[{b + MINHASH_BANDS * r}] as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    # one generated-SQL explode instead of ~50 py4j Column calls
     return sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col("mh")[b + MINHASH_BANDS * r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        F.col(id_col), F.expr(f"explode(array({structs})) AS bb")
     ).select(id_col, "bb.band", "bb.band_key")
 
 
