@@ -15,9 +15,12 @@ Public surface:
 * ``spark_sorted_spark.functions`` — dedup (incl. the appendable
   incremental band store) / clusters (connected-components
   canonicalization) / similarity (incl. persisted ANN indices and the
-  batch k-NN join) / text (incl. PII redaction, vocabulary) / packing
-  (sequence packing) / sketches (portable HLL, Bloom, count-min) /
-  multimodal / sampling operator library.
+  batch k-NN join) / text (incl. PII redaction, vocabulary, Gopher
+  repetition filters) / packing (sequence packing) / sketches
+  (portable HLL, Bloom, count-min, and the HDR-style quantile
+  histogram) / layout (Z-order clustering for multi-column parquet
+  pruning) / multimodal (real stdlib WAV/BMP/PNG decode + resize) /
+  sampling operator library.
 * ``spark_sorted_spark.streaming`` — Structured Streaming tier
   (windowed/session aggregation, streaming dedup, stateful per-key
   fold, stream-stream join, and the ingest-dedup loop).
