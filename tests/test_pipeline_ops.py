@@ -1353,3 +1353,33 @@ class TestZorderLayout:
         assert laid.count() == 100
         one = zorder_layout(df, ["x"], bits=5, n_partitions=4)
         assert sorted(r.x for r in one.collect()) == list(range(100))
+
+    def test_zvalue_interleave_roundtrip_property(self, spark):
+        # deinterleaving the Morton value must recover the exact
+        # quantized inputs (bit-level round trip vs a python oracle)
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from spark_sorted_spark.functions.layout import zvalue
+
+        @given(
+            pairs=st.lists(
+                st.tuples(st.integers(0, 2**12 - 1), st.integers(0, 2**12 - 1)),
+                min_size=1,
+                max_size=30,
+            )
+        )
+        @settings(max_examples=6, deadline=None)
+        def run(pairs):
+            df = spark.createDataFrame(pairs, "x bigint, y bigint")
+            out = df.select(
+                "x", "y", zvalue([F.col("x"), F.col("y")], 12).alias("z")
+            ).collect()
+            for r in out:
+                zx = zy = 0
+                for b in range(12):
+                    zx |= ((r.z >> (2 * b)) & 1) << b
+                    zy |= ((r.z >> (2 * b + 1)) & 1) << b
+                assert (zx, zy) == (r.x, r.y), (r.x, r.y, r.z)
+
+        run()
