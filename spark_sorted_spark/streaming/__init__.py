@@ -19,6 +19,7 @@ from .ingest import stream_ingest_dedup
 from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now, stream_to_files
 from .sketches import (
+    compact_sketch_store,
     read_cms_cells,
     read_histogram,
     read_hll_estimate,
@@ -47,4 +48,5 @@ __all__ = [
     "read_cms_cells",
     "stream_histogram",
     "read_histogram",
+    "compact_sketch_store",
 ]

@@ -40,6 +40,7 @@ __all__ = [
     "read_cms_cells",
     "stream_histogram",
     "read_histogram",
+    "compact_sketch_store",
 ]
 
 
@@ -179,6 +180,57 @@ def read_histogram(spark, store_path: str, keys=()) -> DataFrame:
     keys = [keys] if isinstance(keys, str) else list(keys)
     sk = spark.read.parquet(store_path)
     return sk.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def compact_sketch_store(spark, store_path: str, kind: str, keys=()) -> None:
+    """Collapse a long-appended sketch store (one ``ingest_batch_id``
+    partition per micro-batch) back to a single partition holding the
+    merged state — the small-files maintenance an unbounded stream
+    eventually needs. The merge is the store's own read-side merge
+    (max for HLL, sum for CMS/histogram), so the compacted store
+    answers every read identically (pinned by test).
+
+    The compacted partition keeps the store's MAX batch id, so a
+    resumed stream's next batch (max+1, ...) lands beside it and
+    merges as usual.
+
+    NOT concurrency-safe, and only run it after a CLEAN drain: don't
+    compact while a stream is draining into the store, and don't
+    compact between a crash and its replay — for the additive stores
+    (cms/histogram) a replayed batch would overwrite a partition that
+    now holds merged totals. (The same stream-stopped contract as
+    ``compact_minhash_band_store``.)"""
+    from ..functions.dedup import _rename, _rm_dir
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if kind not in ("hll", "cms", "histogram"):
+        raise ValueError(
+            f"unknown sketch store kind {kind!r}: expected "
+            "'hll', 'cms' or 'histogram'"
+        )
+    # find the max batch partition BEFORE any read: an empty dir must
+    # be a clean ValueError, not a schema-inference failure
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    max_id = None
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("ingest_batch_id="):
+            n = int(name.split("=", 1)[1])
+            max_id = n if max_id is None else max(max_id, n)
+    if max_id is None:
+        raise ValueError(f"{store_path!r} holds no batch partitions")
+    if kind == "hll":
+        merged = read_hll_registers(spark, store_path, keys)
+    elif kind == "cms":
+        merged = read_cms_cells(spark, store_path)
+    else:
+        merged = read_histogram(spark, store_path, keys)
+    staging = f"{store_path}.compacting"
+    merged.write.mode("overwrite").parquet(staging)
+    _rm_dir(spark, store_path)
+    _rename(spark, staging, f"{store_path}/ingest_batch_id={max_id}")
 
 
 def read_hll_registers(spark, store_path: str, keys=()) -> DataFrame:

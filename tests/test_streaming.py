@@ -1083,3 +1083,79 @@ def test_stream_histogram_matches_batch_and_replay_exactly_once(
         )
     )
     assert got == want
+
+
+def test_compact_sketch_store_all_kinds(spark, sf_dir, tmp_path):
+    """Compacting a multi-partition sketch store to one partition must
+    leave every read-side answer identical (max-merge for HLL, sum
+    for CMS/histogram), keep the max batch id so a resumed stream
+    appends beside it, and actually reduce to a single partition."""
+    from spark_sorted_spark.functions.sketches import (
+        cms_build,
+        histogram_sketch,
+        hll_register_table,
+    )
+    from spark_sorted_spark.streaming.sketches import (
+        compact_sketch_store,
+        read_cms_cells,
+        read_histogram,
+        read_hll_registers,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(F.col("doc_id") % 2 == 0)
+
+    def parts(path):
+        import os
+
+        return sorted(
+            d for d in os.listdir(path) if d.startswith("ingest_batch_id=")
+        )
+
+    # HLL (grouped): max-merge
+    hll = str(tmp_path / "hll")
+    for i, b in enumerate((b1, b2)):
+        hll_register_table(b, "text", keys=["source"]).write.parquet(
+            f"{hll}/ingest_batch_id={i}"
+        )
+    before = sorted(map(tuple, read_hll_registers(spark, hll, ["source"]).collect()))
+    compact_sketch_store(spark, hll, "hll", keys=["source"])
+    assert parts(hll) == ["ingest_batch_id=1"]
+    assert sorted(map(tuple, read_hll_registers(spark, hll, ["source"]).collect())) == before
+    # a later batch appends beside the compacted partition and merges
+    hll_register_table(b1, "text", keys=["source"]).write.parquet(
+        f"{hll}/ingest_batch_id=2"
+    )
+    assert sorted(map(tuple, read_hll_registers(spark, hll, ["source"]).collect())) == before
+
+    # CMS: additive
+    cms = str(tmp_path / "cms")
+    for i, b in enumerate((b1, b2)):
+        cms_build(b, "source").write.parquet(f"{cms}/ingest_batch_id={i}")
+    before = sorted(map(tuple, read_cms_cells(spark, cms).collect()))
+    compact_sketch_store(spark, cms, "cms")
+    assert parts(cms) == ["ingest_batch_id=1"]
+    assert sorted(map(tuple, read_cms_cells(spark, cms).collect())) == before
+
+    # histogram: additive
+    hist = str(tmp_path / "hist")
+    for i, b in enumerate((b1, b2)):
+        histogram_sketch(b, F.length("text"), keys=["source"]).write.parquet(
+            f"{hist}/ingest_batch_id={i}"
+        )
+    before = sorted(map(tuple, read_histogram(spark, hist, ["source"]).collect()))
+    compact_sketch_store(spark, hist, "histogram", keys=["source"])
+    assert parts(hist) == ["ingest_batch_id=1"]
+    assert sorted(map(tuple, read_histogram(spark, hist, ["source"]).collect())) == before
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown sketch store kind"):
+        compact_sketch_store(spark, hist, "bloom")
+    with _pytest.raises(ValueError, match="no batch partitions"):
+        empty = str(tmp_path / "none")
+        import os
+
+        os.makedirs(empty)
+        compact_sketch_store(spark, empty, "cms")
