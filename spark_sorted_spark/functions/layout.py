@@ -102,6 +102,12 @@ def zorder_layout(
         *[F.min(c).cast("bigint").alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("bigint").alias(f"hi_{i}") for i, c in enumerate(cols)],
     ).collect()[0]
+    for i, c in enumerate(cols):
+        if mm[f"lo_{i}"] is None:
+            raise ValueError(
+                f"zorder_layout column {c!r} has no non-null values "
+                "(empty relation or all-null column) — nothing to quantize"
+            )
     quantized = [
         quantize_expr(
             F.col(c), mm[f"lo_{i}"], mm[f"hi_{i}"], bits

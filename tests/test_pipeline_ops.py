@@ -1342,6 +1342,13 @@ class TestZorderLayout:
         df = spark.createDataFrame([(1, 2)], "x bigint, y bigint")
         with pytest.raises(ValueError, match="at least one"):
             zorder_layout(df, [])
+        # all-null / empty column must be a clean error, not a
+        # TypeError on a None min
+        nulls = spark.createDataFrame(
+            [(1, None), (2, None)], "x bigint, y bigint"
+        )
+        with pytest.raises(ValueError, match="no non-null values"):
+            zorder_layout(nulls, ["x", "y"])
 
     def test_constant_column_and_single_column(self, spark):
         from spark_sorted_spark.functions.layout import zorder_layout
