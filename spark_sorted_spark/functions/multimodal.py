@@ -195,9 +195,19 @@ def decode(payload: bytes, modality: str):
                 "pcm": w.readframes(w.getnframes()),
             }
     if modality == "image" and bytes(payload[:2]) == b"BM":
-        return _decode_bmp(bytes(payload))
+        try:
+            return _decode_bmp(bytes(payload))
+        except NotImplementedError:
+            raise
+        except Exception as ex:
+            raise ValueError(f"corrupt BMP payload: {ex}") from ex
     if modality == "image" and bytes(payload[:8]) == _PNG_SIG:
-        return _decode_png(bytes(payload))
+        try:
+            return _decode_png(bytes(payload))
+        except NotImplementedError:
+            raise
+        except Exception as ex:
+            raise ValueError(f"corrupt PNG payload: {ex}") from ex
     if modality == "image":
         try:
             from PIL import Image
@@ -292,6 +302,8 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = {k: [] for k in
                     (id_col, "width", "height", "mode", "n_pixels",
@@ -304,8 +316,12 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows["height"].append(d["height"])
                 rows["mode"].append(d["mode"])
                 rows["n_pixels"].append(d["width"] * d["height"])
+                # numpy mean, not a per-byte python loop; byte sums
+                # stay < 2^53 so the float64 mean is exact either way
                 rows["mean_intensity"].append(
-                    sum(px) / len(px) if px else 0.0
+                    float(np.frombuffer(px, dtype=np.uint8).mean())
+                    if px
+                    else 0.0
                 )
             yield pd.DataFrame(rows)
 
