@@ -20,10 +20,12 @@ from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now, stream_to_files
 from .sketches import (
     compact_sketch_store,
+    read_bloom,
     read_cms_cells,
     read_histogram,
     read_hll_estimate,
     read_hll_registers,
+    stream_bloom,
     stream_cms_counts,
     stream_histogram,
     stream_hll_distinct,
@@ -48,5 +50,7 @@ __all__ = [
     "read_cms_cells",
     "stream_histogram",
     "read_histogram",
+    "stream_bloom",
+    "read_bloom",
     "compact_sketch_store",
 ]

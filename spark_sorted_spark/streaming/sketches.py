@@ -40,6 +40,8 @@ __all__ = [
     "read_cms_cells",
     "stream_histogram",
     "read_histogram",
+    "stream_bloom",
+    "read_bloom",
     "compact_sketch_store",
 ]
 
@@ -132,6 +134,57 @@ def read_cms_cells(spark, store_path: str) -> DataFrame:
     )
 
 
+def stream_bloom(
+    stream_df: DataFrame,
+    value: str,
+    store_path: str,
+    checkpoint_dir: str,
+    m_bits: int = 1 << 15,
+    k: int = 4,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain ``stream_df`` (bounded, availableNow) into a Bloom-filter
+    store: one ``ingest_batch_id={N}`` partition per micro-batch
+    holding that batch's filter words. Like the HLL store, the merge
+    is an IDEMPOTENT bitwise OR — a replayed batch that lands twice
+    changes nothing — so correctness never depends on the batch-keyed
+    overwrite (it only bounds storage). The membership answer over an
+    unbounded stream ("have we EVER seen this url/shingle?") costs
+    m_bits/8 bytes of state total."""
+    from ..functions.sketches import bloom_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        words = bloom_build(batch_df, value, m_bits=m_bits, k=k)
+        words.write.mode("overwrite").parquet(
+            f"{store_path}/ingest_batch_id={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("stream_bloom did not finish")
+    finally:
+        q.stop()
+
+
+def read_bloom(spark, store_path: str) -> DataFrame:
+    """Merge every batch partition of a Bloom store into one filter
+    (word-wise bit_or), params carried through the group-by
+    (schema-preserving on an all-empty store, like the other
+    readers) — feed the result to ``bloom_members``."""
+    words = spark.read.parquet(store_path)
+    return (
+        words.groupBy("word", "m_bits", "k")
+        .agg(F.bit_or("bits").alias("bits"))
+        .select("word", "bits", "m_bits", "k")
+    )
+
+
 def stream_histogram(
     stream_df: DataFrame,
     value,
@@ -203,10 +256,10 @@ def compact_sketch_store(spark, store_path: str, kind: str, keys=()) -> None:
     from ..functions.dedup import _rename, _rm_dir
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    if kind not in ("hll", "cms", "histogram"):
+    if kind not in ("hll", "cms", "histogram", "bloom"):
         raise ValueError(
             f"unknown sketch store kind {kind!r}: expected "
-            "'hll', 'cms' or 'histogram'"
+            "'hll', 'bloom', 'cms' or 'histogram'"
         )
     # find the max batch partition BEFORE any read: an empty dir must
     # be a clean ValueError, not a schema-inference failure
@@ -223,6 +276,8 @@ def compact_sketch_store(spark, store_path: str, kind: str, keys=()) -> None:
         raise ValueError(f"{store_path!r} holds no batch partitions")
     if kind == "hll":
         merged = read_hll_registers(spark, store_path, keys)
+    elif kind == "bloom":
+        merged = read_bloom(spark, store_path)
     elif kind == "cms":
         merged = read_cms_cells(spark, store_path)
     else:

@@ -1159,3 +1159,66 @@ def test_compact_sketch_store_all_kinds(spark, sf_dir, tmp_path):
 
         os.makedirs(empty)
         compact_sketch_store(spark, empty, "cms")
+
+
+def test_stream_bloom_matches_batch_idempotent_replay(spark, sf_dir, tmp_path):
+    """Streaming Bloom store: two drains must leave the OR-merged
+    filter word-identical to the batch filter over all data; because
+    OR is idempotent, even a DOUBLE-counted batch (appended beside
+    its own partition — worse than any real replay) changes nothing,
+    and the merged filter answers membership like the batch one."""
+    import shutil
+
+    from spark_sorted_spark.functions.sketches import bloom_build, bloom_members
+    from spark_sorted_spark.streaming import read_bloom, stream_bloom, stream_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(F.col("doc_id") % 2 == 0)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    store = str(tmp_path / "bloom_store")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain():
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_bloom(sdf, "source", store, str(tmp_path / "ckpt"), timeout_sec=180)
+
+    arrive(b1, "b1")
+    drain()
+    arrive(b2, "b2")
+    drain()
+
+    batch_words = sorted(map(tuple, bloom_build(docs, "source").collect()))
+    assert sorted(map(tuple, read_bloom(spark, store).collect())) == batch_words
+
+    # idempotence: duplicate batch-1 words into an EXTRA partition
+    bloom_build(b2, "source").write.parquet(f"{store}/ingest_batch_id=9")
+    assert sorted(map(tuple, read_bloom(spark, store).collect())) == batch_words
+
+    # membership parity + compaction keeps answers identical
+    probe = docs.select("source").distinct()
+    want = sorted(
+        r.source
+        for r in bloom_members(probe, "source", bloom_build(docs, "source")).collect()
+    )
+    got = sorted(
+        r.source
+        for r in bloom_members(probe, "source", read_bloom(spark, store)).collect()
+    )
+    assert got == want
+    from spark_sorted_spark.streaming import compact_sketch_store
+
+    compact_sketch_store(spark, store, "bloom")
+    import os
+
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("ingest_batch_id=")
+    ) == ["ingest_batch_id=9"]
+    assert sorted(map(tuple, read_bloom(spark, store).collect())) == batch_words
