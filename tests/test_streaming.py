@@ -1152,7 +1152,7 @@ def test_compact_sketch_store_all_kinds(spark, sf_dir, tmp_path):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown sketch store kind"):
-        compact_sketch_store(spark, hist, "bloom")
+        compact_sketch_store(spark, hist, "tdigest")
     with _pytest.raises(ValueError, match="no batch partitions"):
         empty = str(tmp_path / "none")
         import os
