@@ -841,3 +841,40 @@ def test_resize_images_real_roundtrip(spark):
         bytes(pix[y * 4 + (x * 4 // 8)]) for y in range(2) for x in range(8)
     )
     assert du["pixels"] == expect_up
+
+
+def test_png_decoder_fuzz_roundtrip(spark):
+    # hypothesis fuzz: random pixels, random per-row filter choices,
+    # random small dimensions and color types — the decoder must
+    # round-trip the spec-faithful encoder exactly every time
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.functions.multimodal import decode
+
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        ctype=st.sampled_from([0, 2, 6]),
+        data=st.data(),
+    )
+    @settings(max_examples=25, deadline=None)
+    def run(w, h, ctype, data):
+        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        n = w * h
+        flat = data.draw(
+            st.lists(st.integers(0, 255), min_size=n * ch, max_size=n * ch)
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        if ctype == 0:
+            pix = flat
+        else:
+            pix = [tuple(flat[i * ch : (i + 1) * ch]) for i in range(n)]
+        payload = _png_bytes(pix, w, h, ctype, filters=filters)
+        d = decode(payload, "image")
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["pixels"] == bytes(flat)
+
+    run()
