@@ -3671,6 +3671,41 @@ def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Projection-operator chain — DEDICATED gate coverage for SURVEY
+# §2.2's P1-P4 in one observable pipeline (each step's effect is
+# visible in the output values): filter (P1, reference
+# GroupSorted.scala:29) -> map_values (P2, :35) ->
+# map_key_values_to_values (P4, :39 — the key participates in the
+# value expression) -> flat_map_values (P3, :33 — 2 rows out per row
+# in). All narrow ops over the group-sorted layout: ONE exchange in
+# the whole plan (the group_sort itself), pinned in PLANS.md.
+# ===========================================================================
+@query(
+    "projection_chain",
+    oracle="""
+    WITH f AS (SELECT user_id, value FROM events WHERE value > 50),
+    m AS (SELECT user_id, floor(value)::BIGINT * 2 AS v2 FROM f),
+    k AS (SELECT user_id, (user_id + v2) % 7 AS shard FROM m)
+    SELECT user_id, unnest([shard, shard * 10]) AS out FROM k
+    """,
+)
+def projection_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "value")
+    gs = group_sort(ev, "user_id")
+    out = (
+        gs.filter(F.col("value") > 50)  # P1
+        .map_values(v2=F.floor("value").cast("bigint") * 2)  # P2
+        .map_key_values_to_values(  # P4: key-referencing value expr
+            ((F.col("user_id") + F.col("v2")) % 7).alias("shard")
+        )
+        .flat_map_values(  # P3: 2 rows per input
+            F.array(F.col("shard"), F.col("shard") * 10), "out"
+        )
+    )
+    return out.to_df().select("user_id", "out")
+
+
+# ===========================================================================
 # Z-order (Morton) layout values — the multi-column clustering key
 # (functions/layout.py): quantize (user_id, ts_us) by pure shifts
 # against their global min/max, interleave the bits. At 100 TB this
@@ -4258,6 +4293,8 @@ _GATE_ORDER = [
     # streaming twin of the gated length_quantiles_sketch (same
     # oracle; merge-on-read equals build-on-union by additivity)
     "stream_len_quantiles",
+    # dedicated P1-P4 projection chain (SURVEY §2.2)
+    "projection_chain",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

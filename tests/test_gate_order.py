@@ -104,6 +104,7 @@ def test_gate_window_contents():
         "tpch_q20_part_promotion",
         "tpch_q21_waiting_suppliers",
         "stream_len_quantiles",
+        "projection_chain",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
