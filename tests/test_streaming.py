@@ -677,6 +677,19 @@ def test_stream_ingest_fresh_checkpoint_restart_guard(spark, sf_dir, tmp_path):
     b1_ids = {r.doc_id for r in b1.collect()}
     assert not (b1_ids & {d for d, p in rows if p == 1})
 
+    # restart OF a restart (third checkpoint): the marker now carries
+    # ckptB's identity, so ckptC must hit the guard again; with the
+    # flag, everything re-read near-dups the existing corpus -> no new
+    # rows, nothing clobbered (base advances past partition 1)
+    with pytest.raises(ValueError, match="different ingest stream"):
+        drain("ckptC")
+    drain("ckptC", allow_restart=True)
+    rows2 = sorted(
+        (r.doc_id, r.ingest_batch_id)
+        for r in spark.read.parquet(corpus).collect()
+    )
+    assert rows2 == sorted(rows), "second restart changed the corpus"
+
 
 def test_append_to_band_store_with_batch_id_is_idempotent(spark, sf_dir, tmp_path):
     from spark_sorted_spark.functions.dedup import (
