@@ -165,3 +165,24 @@ def test_broadcast_hints_bounded_only():
         f"F.broadcast applied to non-bounded relations {bad}; scale-"
         "factor-proportional tables must be left to AQE promotion"
     )
+
+
+def test_tpch_joins_correct_without_broadcast_promotion(spark, sf_dir):
+    # the other half of the broadcast-rule fix: with promotion turned
+    # off entirely (modeling the 100 TB regime where customer/part/
+    # supplier no longer fit under autoBroadcastJoinThreshold), the
+    # unhinted TPC-H shapes must plan shuffle joins and return the
+    # IDENTICAL result — correctness never rode the broadcast
+    from spark_sorted_spark.queries import QUERIES
+
+    for name in ("tpch_q3_shipping_priority", "tpch_q18_large_orders"):
+        want = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = _plan(df, mode="simple")
+            got = sorted(map(tuple, df.collect()))
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+        assert got == want, name
