@@ -354,6 +354,17 @@ def test_ann_lsh_multiprobe_indexed_matches_query_time(spark, emb, tmp_path):
     a = ann_lsh_topk(base, qvec, k=5, probe_bits=3).collect()
     b = ann_lsh_topk_indexed(spark, path, qvec, k=5, probe_bits=3).collect()
     assert [(r.vec_id, r.rank) for r in a] == [(r.vec_id, r.rank) for r in b]
+    # the hamming-2 deep probe (round 7) must agree between the
+    # query-time and partition-pruned indexed forms too
+    a2 = ann_lsh_topk(
+        base, qvec, k=5, probe_bits=5, probe_hamming=2
+    ).collect()
+    b2 = ann_lsh_topk_indexed(
+        spark, path, qvec, k=5, probe_bits=5, probe_hamming=2
+    ).collect()
+    assert [(r.vec_id, r.rank) for r in a2] == [(r.vec_id, r.rank) for r in b2]
+    # deeper probing never returns fewer results at the same k
+    assert len(b2) >= len(b)
 
 
 def test_dot_py_dimension_mismatch_raises():
