@@ -99,6 +99,19 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _vec_lit(vec) -> Column:
+    """One query vector as ONE constant-folded literal (the
+    `_planes_lit` trick applied to a single vector): json round-trips
+    float64 exactly, and from_json of a Literal folds to a plain
+    array value — vs ~dim inlined F.lit() nodes whose py4j
+    construction costs real driver wall-clock per call."""
+    import json
+
+    return F.from_json(
+        F.lit(json.dumps([float(x) for x in vec])), "array<double>"
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -108,7 +121,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine vs a literal query vector. Ties broken by
     id for determinism. Returns (id, rank, cos)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _vec_lit(query_vec)
     scored = df.select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos")
     )
@@ -224,7 +237,7 @@ def _sign_bucket_bits(query_vec: list[float], planes: list[list[float]]) -> int:
 
 
 def _rank_topk(bucketed: DataFrame, query_vec, k: int, vec_col: str, id_col: str):
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _vec_lit(query_vec)
     return (
         bucketed.withColumn("cos", cosine(F.col(vec_col), q))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
