@@ -442,8 +442,7 @@ def compact_minhash_band_store(spark, path: str) -> None:
     # never through driver memory
     staging = f"{path}/bands_compacting"
     bands.write.mode("overwrite").parquet(staging)
-    _rm_dir(spark, f"{path}/bands")
-    _rename(spark, staging, f"{path}/bands/ingest_batch_id=-1")
+    _swap_in(spark, staging, f"{path}/bands", f"{path}/bands/ingest_batch_id=-1")
     counts_staging = f"{path}/counts_compacting"
     (
         spark.read.parquet(f"{path}/bands")
@@ -452,8 +451,32 @@ def compact_minhash_band_store(spark, path: str) -> None:
         .write.mode("overwrite")
         .parquet(counts_staging)
     )
-    _rm_dir(spark, f"{path}/counts")
-    _rename(spark, counts_staging, f"{path}/counts/ingest_batch_id=-1")
+    _swap_in(
+        spark, counts_staging, f"{path}/counts", f"{path}/counts/ingest_batch_id=-1"
+    )
+
+
+def _swap_in(spark, staged: str, live: str, dst: str) -> None:
+    """Crash-atomic directory replacement for the compact paths:
+    rename the live dir ASIDE (``{live}.old``), rename the staged dir
+    to ``dst`` (a path under ``live``), and delete the old copy LAST.
+
+    Every crash point leaves a recoverable state — the
+    delete-then-rename order it replaces had a window (after the
+    delete, before the rename) that lost the only readable copy:
+
+    * before the aside-rename: live untouched, staged is an orphan;
+    * between the renames: live missing but the FULL old store sits in
+      ``{live}.old`` (recover: rename it back) and the merged state in
+      the staged dir;
+    * after the in-rename: live is correct; a leftover ``.old`` is
+      swept by the next swap.
+    """
+    old = f"{live}.old"
+    _rm_dir(spark, old)  # leftover from a crash after a completed swap
+    _rename(spark, live, old)
+    _rename(spark, staged, dst)
+    _rm_dir(spark, old)
 
 
 def _rename(spark, src: str, dst: str) -> None:

@@ -565,6 +565,22 @@ def ann_ivf_topk_indexed(
     return _rank_topk(celled, query_vec, k, vec_col, id_col)
 
 
+def auto_planes(n: int, target_bucket: int = 32) -> int:
+    """Banding depth derived from corpus count — the LSH analogue of
+    the shuffle-partition heuristic. Bucket occupancy is
+    ``n / 2^planes``, so fixing the depth makes candidate pairs (and
+    the verify stage) grow quadratically with the corpus (measured:
+    PARITY.md round-7 scaling rows — 10x corpus at fixed depth 4 was
+    11.1x wall-clock; depth 7 restored 2.2x). This rule keeps expected
+    occupancy near ``target_bucket``: ``ceil(log2(n/target_bucket))``,
+    clamped to [4, 16] (floor: tiny corpora still spread across >= 16
+    buckets; ceiling: per-table recall ``(1-θ/π)^planes`` must stay
+    recoverable by the OR over tables)."""
+    import math
+
+    return min(16, max(4, math.ceil(math.log2(max(n, 1) / target_bucket))))
+
+
 def _multi_table_buckets(
     df: DataFrame,
     n_planes: int,
@@ -647,12 +663,13 @@ def knn_join_lsh(
     left: DataFrame,
     right: DataFrame,
     k: int,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     dim: int = ANN_DIM,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int | None = None,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Batch k-NN JOIN: for every left vector, its top-``k`` cosine
     neighbors among the right corpus that share at least one LSH
@@ -679,18 +696,27 @@ def knn_join_lsh(
     (``max_bucket`` caps degenerate cells); the final rank is a
     per-left-id window over verified candidates only.
 
-    OPERATING RULE — ``n_planes`` must scale with corpus size, like
-    shuffle partition count: bucket occupancy is N / 2^n_planes, so
-    candidate pairs grow ~|L||R|/2^n_planes. Measured
-    (tools/scale_probe.py, PARITY.md round-7 scaling rows): 10x both
-    sides at a FIXED n_planes=4 is 11.1x wall-clock (the quadratic
-    term); deepening to n_planes=7 for the 10x corpus restores 2.2x.
-    Pick n_planes ~ log2(N / target_bucket_size).
+    SCALING — ``n_planes`` must grow with corpus size, like shuffle
+    partition count: bucket occupancy is N / 2^n_planes, so candidate
+    pairs grow ~|L||R|/2^n_planes. Measured (tools/scale_probe.py,
+    PARITY.md round-7 scaling rows): 10x both sides at a FIXED
+    n_planes=4 is 11.1x wall-clock (the quadratic term); deepening to
+    n_planes=7 for the 10x corpus restores 2.2x. The default
+    ``n_planes=None`` therefore derives the depth from the corpus:
+    ``clamp(ceil(log2(max(|L|,|R|) / target_bucket)), 4, 16)`` — the
+    same rule ``cosine_neardup_pairs_lsh`` uses, auto-applied so a
+    fixed default can never become the 100 TB scale-killer. The two
+    ``count()`` jobs it costs are metadata-cheap (column-pruned scans)
+    next to the candidate join they right-size. Pass an explicit
+    ``n_planes`` to pin the construction (the oracle-gated query pins
+    4 so its DuckDB twin can mirror the exact bucket space).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     from .dedup import spread_small_input
 
+    if n_planes is None:
+        n_planes = auto_planes(max(left.count(), right.count()), target_bucket)
     left = spread_small_input(left)
     right = spread_small_input(right)
     lb = _multi_table_buckets(left, n_planes, n_tables, dim, vec_col, id_col)
@@ -760,8 +786,9 @@ def cosine_neardup_pairs_lsh(
     blob. Default None keeps the construction exact w.r.t. the
     OR-construction (the oracle-gated query relies on that).
 
-    ``n_planes=None`` sizes the bucket space to the corpus:
-    ``max(4, ceil(log2(n / target_bucket)))`` — bucket count must grow
+    ``n_planes=None`` sizes the bucket space to the corpus via
+    ``auto_planes`` (clamp(ceil(log2(n / target_bucket)), 4, 16)) —
+    bucket count must grow
     with n or the "scale path" degenerates toward all-pairs (at 16
     fixed buckets a 10^9-vector corpus would put ~6*10^7 vectors in
     every bucket). More planes per table lowers per-table recall by the
@@ -779,13 +806,10 @@ def cosine_neardup_pairs_lsh(
     ``1-(1-p)^n_tables`` while candidate generation stays a bucket
     equi-join — never the O(n^2) cross join of
     ``cosine_neardup_pairs``. Precision is 1.0 (exact verify)."""
-    import math
-
     from .dedup import spread_small_input
 
     if n_planes is None:
-        n = df.count()
-        n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket)))
+        n_planes = auto_planes(df.count(), target_bucket)
     df = spread_small_input(df)
 
     vec_d = F.col(vec_col).cast("array<double>")

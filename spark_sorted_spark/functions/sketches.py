@@ -580,8 +580,11 @@ def histogram_sketch(
     bitlen via base-2 string length (``conv``/``bin``, identical in
     both engines), shifts via SQL shiftright/shiftleft with column
     shift counts — no log/pow anywhere, so the sketch is
-    row-identical across engines. Requires v >= 0 (raises per-row —
-    a silent wrap would corrupt the histogram).
+    row-identical across engines. Requires v >= 0 and non-NULL
+    (raises per-row — a silent wrap would corrupt the histogram, and
+    a NULL slipping through ``v < 0``'s null-condition into the
+    otherwise branch would land in a null bucket that inflates every
+    quantile's denominator with no error).
     ~``(64 - sub_bits) * 2^sub_bits`` buckets
     max regardless of data size, mergeable by plain count addition
     (:func:`histogram_merge` of shard sketches is row-identical to
@@ -601,7 +604,8 @@ def histogram_sketch(
         raise ValueError("'bucket'/'cnt' are reserved output columns")
     v = (F.col(value) if isinstance(value, str) else value).cast("bigint")
     checked = F.when(
-        v < 0, F.raise_error(F.lit("histogram_sketch requires v >= 0"))
+        v.isNull() | (v < 0),
+        F.raise_error(F.lit("histogram_sketch requires non-NULL v >= 0")),
     ).otherwise(v)
     tmp = df.select(*keys, checked.alias("__v")).withColumn(
         "__s",
@@ -619,6 +623,26 @@ def histogram_sketch(
     )
 
 
+def _check_histogram_keys(
+    sk: DataFrame, keys, caller: str, *, tolerate_batch_col: bool = False
+) -> None:
+    """The histogram twin of ``_check_register_keys`` (ADVICE r7): a
+    KEYED bucket table processed with ``keys`` omitted or misspelled
+    would silently sum counts across key groups — a global answer
+    where the caller meant per-key, with no error. Any column beyond
+    (keys, bucket, cnt) means a forgotten key. Only the streaming
+    store reader tolerates its ``ingest_batch_id`` partition column
+    (merged away by design)."""
+    tolerated = {"ingest_batch_id"} if tolerate_batch_col else set()
+    extra = set(sk.columns) - {"bucket", "cnt"} - tolerated - set(keys)
+    if extra:
+        raise ValueError(
+            f"{caller}: histogram sketch carries key columns "
+            f"{sorted(extra)} not listed in keys={keys}; merging or "
+            "walking quantiles across them would silently mix key groups"
+        )
+
+
 def histogram_merge(*sketches: DataFrame, keys=()) -> DataFrame:
     """Merge histogram sketches built with the SAME sub_bits:
     bucket-wise count addition. Exact:
@@ -630,6 +654,8 @@ def histogram_merge(*sketches: DataFrame, keys=()) -> DataFrame:
     if not sketches:
         raise ValueError("histogram_merge needs at least one sketch")
     keys = [keys] if isinstance(keys, str) else list(keys)
+    for s in sketches:
+        _check_histogram_keys(s, keys, "histogram_merge")
     cols = [*keys, "bucket", "cnt"]
     merged = sketches[0].select(*cols)
     for s in sketches[1:]:
@@ -655,6 +681,7 @@ def histogram_quantiles(
     if not qs:
         raise ValueError("histogram_quantiles needs at least one quantile")
     keys = [keys] if isinstance(keys, str) else list(keys)
+    _check_histogram_keys(sketch, keys, "histogram_quantiles")
     from pyspark.sql import Window
 
     w_cum = Window.partitionBy(*keys).orderBy("bucket")

@@ -106,12 +106,19 @@ def _read_text(spark: SparkSession, path: str) -> str | None:
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
-    fs, hpath, _ = _fs_path(spark, path)
+    """Atomic text write: stream into a dot-prefixed sibling, then
+    commit with the same rename discipline as the data partitions
+    (ADVICE r7: a crash mid-write used to leave truncated JSON at the
+    final path, wedging every subsequent start on json.loads)."""
+    head, _, tail = path.rpartition("/")
+    tmp = f"{head}/.{tail}.tmp"
+    fs, hpath, _ = _fs_path(spark, tmp)
     stream = fs.create(hpath, True)
     try:
         stream.write(bytearray(text, "utf-8"))
     finally:
         stream.close()
+    _publish(spark, tmp, path)
 
 
 def _publish(spark: SparkSession, staging: str, final: str) -> None:
@@ -176,7 +183,14 @@ def _resolve_stream_base(
     raw = _read_text(spark, marker_path)
     has_data = _corpus_has_visible_data(spark, corpus_path)
     if raw:
-        marker = json.loads(raw)
+        try:
+            marker = json.loads(raw)
+        except ValueError:
+            # a marker predating the atomic _write_text could be a
+            # torn write; an unparseable marker must behave like NO
+            # marker (the friendly guard below), not wedge every start
+            # in json.loads until someone hand-deletes the file
+            marker = {}
         if marker.get("id") == ident:
             return int(marker.get("base", 0))
         # a marker with no data behind it (prior run died before any

@@ -229,9 +229,15 @@ def stream_histogram(
 def read_histogram(spark, store_path: str, keys=()) -> DataFrame:
     """Merge every batch partition of a histogram store into one
     sketch (bucket-wise count sum) — feed the result to
-    ``functions.sketches.histogram_quantiles``."""
+    ``functions.sketches.histogram_quantiles``. Reading a keyed store
+    with ``keys`` omitted raises (the HLL family's forgotten-keys
+    guard): silently merging buckets across key groups would return a
+    global answer where the caller meant per-key."""
+    from ..functions.sketches import _check_histogram_keys
+
     keys = [keys] if isinstance(keys, str) else list(keys)
     sk = spark.read.parquet(store_path)
+    _check_histogram_keys(sk, keys, "read_histogram", tolerate_batch_col=True)
     return sk.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -252,8 +258,13 @@ def compact_sketch_store(spark, store_path: str, kind: str, keys=()) -> None:
     compact between a crash and its replay — for the additive stores
     (cms/histogram) a replayed batch would overwrite a partition that
     now holds merged totals. (The same stream-stopped contract as
-    ``compact_minhash_band_store``.)"""
-    from ..functions.dedup import _rename, _rm_dir
+    ``compact_minhash_band_store``.)
+
+    Crash-atomic (ADVICE r7): the swap renames the live store ASIDE
+    before moving the staged merge in and deletes the old copy last —
+    no crash point loses the only readable copy (a crash between the
+    renames is recovered by renaming ``{store}.old`` back)."""
+    from ..functions.dedup import _swap_in
 
     keys = [keys] if isinstance(keys, str) else list(keys)
     if kind not in ("hll", "cms", "histogram", "bloom"):
@@ -284,8 +295,7 @@ def compact_sketch_store(spark, store_path: str, kind: str, keys=()) -> None:
         merged = read_histogram(spark, store_path, keys)
     staging = f"{store_path}.compacting"
     merged.write.mode("overwrite").parquet(staging)
-    _rm_dir(spark, store_path)
-    _rename(spark, staging, f"{store_path}/ingest_batch_id={max_id}")
+    _swap_in(spark, staging, store_path, f"{store_path}/ingest_batch_id={max_id}")
 
 
 def read_hll_registers(spark, store_path: str, keys=()) -> DataFrame:

@@ -35,7 +35,6 @@ def test_gate_window_contents():
         # round-7 rotation #3: the round-6 flagship operators must hold
         # their newly-earned driver rows
         "hll_distinct_shingles",
-        "cms_token_counts",
         "dedup_incremental",
         "knn_join",
         "interval_overlap",
@@ -44,21 +43,28 @@ def test_gate_window_contents():
         "repetition_profile",
         "length_quantiles_sketch",
         "zorder_values",
+        # round-8 rotation #4 (VERDICT r7 item 3): every §2 operator
+        # holds a driver row simultaneously — J4/J5 outer joins and
+        # the P1-P4 projection chain are back in the window
+        "merge_join_left",
+        "merge_join_right",
+        "projection_chain",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
-    # overflow: round-7 rotation #3 moved six composite-covered rows
-    # out (merge_join_left/right, tpch_q3, salted_agg,
-    # percentile_per_user, global_topk — justifications in
-    # queries.py _GATE_ORDER comments + PARITY.md); plus the two
-    # declared O(n^2) oracle baselines (scale-safe twins still gated),
-    # rollup/cube (sugar for the still-gated grouping_sets_agg), and
-    # the round-5/6 extensions (all locally oracle-checked)
+    # overflow: round-8 rotation #4 moved three driver-green composite-
+    # covered rows out (tpch_q1 — operators individually gated;
+    # cms_token_counts — sketch family keeps hll + length_quantiles;
+    # stream_fold_ema — fold family keeps its native tier and four
+    # other streaming rows stay gated); plus the earlier rotations'
+    # overflow (justifications in queries.py _GATE_ORDER comments +
+    # PARITY.md). All overflow stays locally oracle-checked.
     assert names[50:] == [
+        "tpch_q1_pricing_summary",
+        "cms_token_counts",
+        "stream_fold_ema",
         "stream_dedup",
         "pivot_event_types",
         "stratified_sample",
-        "merge_join_left",
-        "merge_join_right",
         "tpch_q3_shipping_priority",
         "salted_agg",
         "percentile_per_user",
@@ -104,7 +110,6 @@ def test_gate_window_contents():
         "tpch_q20_part_promotion",
         "tpch_q21_waiting_suppliers",
         "stream_len_quantiles",
-        "projection_chain",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

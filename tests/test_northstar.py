@@ -854,6 +854,70 @@ def test_resize_images_real_roundtrip(spark):
     assert du["pixels"] == expect_up
 
 
+def test_decoders_reject_crafted_payloads(spark):
+    # ADVICE r7: these decoders face UNTRUSTED payloads on executor
+    # threads — a crafted header or decompression bomb must fail
+    # loudly BEFORE allocating, not OOM/stall the executor
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.multimodal import decode
+
+    def png(ihdr_body, idat):
+        def chunk(typ, body):
+            return (
+                struct.pack(">I", len(body))
+                + typ
+                + body
+                + struct.pack(">I", zlib.crc32(typ + body))
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr_body)
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+
+    # absurd IHDR dimensions: rejected before any allocation
+    huge = png(
+        struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0),
+        zlib.compress(b"\x00"),
+    )
+    with _pytest.raises(ValueError, match="decode cap"):
+        decode(huge, "image")
+
+    # decompression bomb: 2x2 gray IHDR, IDAT inflating to ~10 MB
+    bomb = png(
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0),
+        zlib.compress(b"\x00" * 10_000_000),
+    )
+    with _pytest.raises(ValueError, match="bomb|filtered stream"):
+        decode(bomb, "image")
+
+    # short filtered stream (header promises more rows than IDAT holds)
+    short = png(
+        struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0),
+        zlib.compress(b"\x00" * 5),
+    )
+    with _pytest.raises(ValueError, match="filtered stream"):
+        decode(short, "image")
+
+    # truncated BMP pixel array
+    good = _bmp_bytes([(1, 2, 3), (4, 5, 6)], 2, 1)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode(good[:-4], "image")
+
+    # zero/negative dimensions
+    zero = png(
+        struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0), zlib.compress(b"")
+    )
+    with _pytest.raises(ValueError, match="invalid"):
+        decode(zero, "image")
+
+
 def test_png_decoder_fuzz_roundtrip(spark):
     # hypothesis fuzz: random pixels, random per-row filter choices,
     # random small dimensions and color types — the decoder must

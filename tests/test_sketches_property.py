@@ -156,3 +156,29 @@ def test_histogram_sketch_vs_python_oracle(spark):
             assert q == want, (num, den, q, want)
 
     run()
+
+
+def test_histogram_sketch_rejects_nulls_loudly(spark):
+    # ADVICE r7: F.when(v < 0, raise).otherwise(v) passes NULLs into
+    # the otherwise branch — they'd land in a null bucket that
+    # inflates histogram_quantiles' denominator and silently skews
+    # every quantile downward. The guard must fail the job instead.
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from spark_sorted_spark.functions.sketches import histogram_sketch
+
+    df = spark.createDataFrame([(1,), (None,), (7,)], "v bigint")
+    with pytest.raises(SparkRuntimeException, match="non-NULL"):
+        histogram_sketch(df, "v").collect()
+
+
+def test_histogram_sketch_rejects_negative_loudly(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from spark_sorted_spark.functions.sketches import histogram_sketch
+
+    df = spark.createDataFrame([(1,), (-3,)], "v bigint")
+    with pytest.raises(SparkRuntimeException, match="non-NULL v >= 0"):
+        histogram_sketch(df, "v").collect()

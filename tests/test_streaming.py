@@ -1235,3 +1235,74 @@ def test_stream_bloom_matches_batch_idempotent_replay(spark, sf_dir, tmp_path):
         d for d in os.listdir(store) if d.startswith("ingest_batch_id=")
     ) == ["ingest_batch_id=9"]
     assert sorted(map(tuple, read_bloom(spark, store).collect())) == batch_words
+
+
+def test_swap_in_crash_windows_are_recoverable(spark, tmp_path):
+    """ADVICE r7: the compact swap must never delete the only readable
+    copy before the replacement is in place. Pin the helper's three
+    states: a leftover ``.old`` from a completed swap is swept; a
+    crash between the renames leaves the full store in ``.old``
+    (recover by renaming back); a completed swap leaves the merged
+    partition live."""
+    import os
+
+    from spark_sorted_spark.functions.dedup import _rename, _swap_in
+
+    def mk(path, tag):
+        spark.createDataFrame([(tag,)], "v string").write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    # completed swap sweeps a leftover .old and lands the staged dir
+    live = str(tmp_path / "store")
+    mk(live, "live")
+    mk(f"{live}.old", "stale")
+    staged = str(tmp_path / "staged")
+    mk(staged, "merged")
+    _swap_in(spark, staged, live, f"{live}/ingest_batch_id=3")
+    assert not os.path.exists(f"{live}.old")
+    assert not os.path.exists(staged)
+    got = spark.read.parquet(live).collect()
+    assert [r.v for r in got] == ["merged"]
+    assert os.path.isdir(f"{live}/ingest_batch_id=3")
+
+    # mid-swap crash state (live renamed aside, staged not yet in):
+    # the old store is intact in .old and a rename restores it
+    live2 = str(tmp_path / "store2")
+    mk(live2, "precious")
+    _rename(spark, live2, f"{live2}.old")
+    assert not os.path.exists(live2)
+    _rename(spark, f"{live2}.old", live2)
+    assert [r.v for r in spark.read.parquet(live2).collect()] == ["precious"]
+
+
+def test_truncated_ingest_marker_fails_friendly_not_json_error(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r7: a torn marker write used to wedge every start in
+    json.loads. An unparseable marker must behave like NO marker: the
+    friendly identity-mismatch guard with populated data, silent
+    takeover with allow_restart."""
+    import pytest as _pytest
+
+    from spark_sorted_spark.streaming.ingest import _resolve_stream_base
+
+    corpus = tmp_path / "corpus"
+    part = corpus / "ingest_batch_id=0"
+    part.mkdir(parents=True)
+    load_table(spark, "documents", sf_dir).limit(5).write.mode(
+        "overwrite"
+    ).parquet(str(part))
+    (corpus / "_ingest_stream").write_text('{"id": "abc", "ba')  # torn JSON
+
+    ckpt = str(tmp_path / "ckpt")
+    with _pytest.raises(ValueError, match="different ingest stream"):
+        _resolve_stream_base(spark, str(corpus), ckpt, allow_restart=False)
+    # allow_restart continues past the existing partition with offset ids
+    base = _resolve_stream_base(spark, str(corpus), ckpt, allow_restart=True)
+    assert base == 1
+    # and the marker is rewritten atomically as valid JSON
+    import json
+
+    marker = json.loads((corpus / "_ingest_stream").read_text())
+    assert marker["base"] == 1

@@ -17,6 +17,73 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+# Spark simpleString -> acceptable DuckDB type names. Exact for
+# numerics: the driver's value-hash is type-sensitive (a DuckDB
+# HUGEINT `sum` over INTEGER hash-mismatches Spark's BIGINT even when
+# every value is equal — the round-7 sessionize_native failure), so an
+# uncast aggregate in an oracle is a latent driver fail this check
+# exists to surface locally. Timestamps are accepted with or without
+# a zone because normalize() strips offsets and those rows are
+# driver-green today.
+_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_FLOATS = {"FLOAT", "REAL", "DOUBLE"}
+_TYPE_COMPAT = {
+    # Integer WIDTH differences are hash-safe (driver-green evidence:
+    # r7 passed many spark-int vs oracle-BIGINT rows) — both sides
+    # render as the same integer value. HUGEINT is deliberately NOT
+    # in the class: DuckDB's pandas export turns int128 into
+    # float64/object, so `3` hashes as `3.0` (the round-7
+    # sessionize_native failure). Same for float-vs-int crossovers.
+    "bigint": _INTS,
+    "int": _INTS,
+    "smallint": _INTS,
+    "tinyint": _INTS,
+    "double": _FLOATS,
+    "float": _FLOATS,
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "binary": {"BLOB"},
+}
+
+
+def type_mismatches(spark_schema, duck_cols, duck_types):
+    """Compare a Spark schema against DuckDB result column types.
+
+    Returns a list of ``"col: spark_type vs DUCK_TYPE"`` strings for
+    columns whose types the driver's type-sensitive hash would treat
+    as different. Struct/map columns are skipped (not hash-compared
+    elementwise by the driver in a type-tagged way we can predict).
+    """
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    bad = []
+    for col, dtyp in zip(duck_cols, duck_types):
+        styp = spark_types.get(col)
+        if styp is None:
+            continue
+        d = str(dtyp).upper()
+        if styp.startswith("decimal"):
+            ok = d == styp.upper()
+        elif styp.startswith("array<"):
+            inner = styp[6:-1]
+            accept = _TYPE_COMPAT.get(inner)
+            if accept is None:
+                continue
+            ok = any(d == f"{a}[]" for a in accept)
+        elif styp.startswith(("struct<", "map<")):
+            continue
+        else:
+            accept = _TYPE_COMPAT.get(styp)
+            if accept is None:
+                continue
+            ok = d in accept
+        if not ok:
+            bad.append(f"{col}: spark {styp} vs oracle {d}")
+    return bad
+
+
 def normalize(rows, cols):
     out = []
     for r in rows:
@@ -82,6 +149,7 @@ def main():
         try:
             ddf = con.sql(oracles[name])
             dcols_raw = list(ddf.columns)
+            dtypes_raw = list(ddf.types)
             drows = [dict(zip(dcols_raw, t)) for t in ddf.fetchall()]
             dcols = sorted(dcols_raw)
         except Exception as ex:
@@ -92,6 +160,12 @@ def main():
         if scols != dcols:
             print(f"FAIL  {name}: columns {scols} vs oracle {dcols}")
             results[name] = {"status": "FAIL", "err": f"columns {scols} vs {dcols}"}
+            failures += 1
+            continue
+        tbad = type_mismatches(sdf.schema, dcols_raw, dtypes_raw)
+        if tbad:
+            print(f"FAIL  {name}: type mismatch: {'; '.join(tbad)}")
+            results[name] = {"status": "FAIL", "err": f"types: {'; '.join(tbad)}"}
             failures += 1
             continue
         if len(srows) != len(drows):

@@ -20,10 +20,11 @@ structure while keeping replicas disjoint from each other:
 
 knn_join is the one with a REAL quadratic term at fixed parameters:
 candidates per bucket ~ |L||R| / n_buckets, so 10x both sides at the
-same n_planes is ~100x candidate pairs. The probe measures default
-params AND n_planes+3 (8x more buckets per table) to show the knob
-restores the slope — the documented operating rule: banding depth
-must scale with corpus size.
+same n_planes is ~100x candidate pairs. Since round 8 the DEFAULT
+(n_planes=None) derives depth from the corpus count, so the probe
+measures the no-argument default at both scales (the round-7 rule is
+now automatic) plus the old fixed-4 at 10x as the regression
+contrast.
 
 Usage: python tools/scale_probe.py [sf_dir] [workdir]
 """
@@ -132,7 +133,7 @@ def main():
     def b16(d):
         return lambda: connected_components(minhash_lsh_pairs(d)).count()
 
-    def b17(e, n_planes=4):
+    def b17(e, n_planes=None):
         left = e.filter(F.col("vec_id") % 2 == 1)
         right = e.filter(F.col("vec_id") % 2 == 0)
         return lambda: knn_join_lsh(left, right, k=3, n_planes=n_planes).count()
@@ -141,8 +142,8 @@ def main():
     for name, f1, f10 in (
         ("b14_simhash_banded", b14(docs), b14(docs10)),
         ("b16_dedup_clusters", b16(docs), b16(docs10)),
-        ("b17_knn_join (n_planes=4)", b17(emb), b17(emb10)),
-        ("b17_knn_join 10x n_planes=7", None, b17(emb10, n_planes=7)),
+        ("b17_knn_join (auto depth)", b17(emb), b17(emb10)),
+        ("b17_knn_join 10x fixed n_planes=4", None, b17(emb10, n_planes=4)),
     ):
         t1, n1 = timed(f1) if f1 else (None, None)
         t10, n10 = timed(f10)
