@@ -371,11 +371,20 @@ def main():
     # is 2-3x their steady state purely from these, which made the r4/r5
     # min-of-2 numbers noise-dominated. Steady-state is what scales to
     # the 100 TB question; cold JIT does not.
+    #
+    # NOISY entries get min-of-3 (VERDICT r7 item 7): sub-second scans
+    # where a single scheduler hiccup doubles the number, and the
+    # streaming drains whose fixed micro-batch engine startup (~1.5 s)
+    # dominates and varies with ambient load. Declared band: deltas on
+    # these entries within BASELINE.md §4c's noise band are ambient,
+    # not regressions.
+    NOISY = {"b5_scan", "b5_scan_stream", "b6_agg", "b7_stream",
+             "b7_arrow", "b11_stream_window"}
     times: dict[str, float] = {}
     for name, fn in BENCH.items():
         fn(spark)  # warmup (untimed)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3 if name in NOISY else 2):
             t0 = time.perf_counter()
             fn(spark)
             best = min(best, time.perf_counter() - t0)

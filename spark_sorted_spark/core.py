@@ -57,13 +57,26 @@ class OrderSpec:
 
 
 def _normalize_order(
-    order_by: str | OrderSpec | Sequence[str | OrderSpec | tuple] | None,
+    order_by: str | OrderSpec | Column | Sequence | None,
     reverse: bool,
-) -> tuple[OrderSpec, ...]:
+) -> tuple[tuple[OrderSpec, ...], tuple[tuple[str, Column], ...]]:
+    """Normalize the order_by argument to ``(specs, derived)``.
+
+    A pyspark ``Column`` element (or ``(Column, asc)`` tuple) is the
+    expression-valued secondary sort of the reference's ``sortBy``
+    (``sql/GroupSortedDataset.scala:14-17``; exercised by
+    ``GroupSortedDatasetSpec.scala:182-193`` sorting by a value derived
+    from a Map column). The expression is assigned a hidden
+    ``__gs_order_{i}`` column the caller materializes before the
+    layout sort; downstream tiers then re-assert order by NAME exactly
+    as for plain columns, and the frame's ``hidden_cols`` metadata
+    keeps the helper column out of ``value_cols`` and out of
+    ``to_df()``."""
+    derived: list[tuple[str, Column]] = []
     if order_by is None:
         specs: list[OrderSpec] = []
     else:
-        if isinstance(order_by, (str, OrderSpec, tuple)):
+        if isinstance(order_by, (str, OrderSpec, tuple, Column)):
             order_by = [order_by]
         specs = []
         for o in order_by:
@@ -71,14 +84,23 @@ def _normalize_order(
                 specs.append(o)
             elif isinstance(o, str):
                 specs.append(OrderSpec(o, True))
+            elif isinstance(o, Column):
+                name = f"__gs_order_{len(derived)}"
+                derived.append((name, o))
+                specs.append(OrderSpec(name, True))
             elif isinstance(o, tuple):
                 name, asc = o
-                specs.append(OrderSpec(name, bool(asc)))
+                if isinstance(name, Column):
+                    hid = f"__gs_order_{len(derived)}"
+                    derived.append((hid, name))
+                    specs.append(OrderSpec(hid, bool(asc)))
+                else:
+                    specs.append(OrderSpec(name, bool(asc)))
             else:
                 raise TypeError(f"bad order_by element: {o!r}")
     if reverse:
         specs = [s.flipped() for s in specs]
-    return tuple(specs)
+    return tuple(specs), tuple(derived)
 
 
 @dataclass(frozen=True)
@@ -90,15 +112,21 @@ class GroupSortedFrame:
     key_cols: tuple[str, ...]
     order_specs: tuple[OrderSpec, ...] = ()
     num_partitions: int | None = None
+    # hidden __gs_order_{i} columns materialized for expression-valued
+    # order_by: part of the carried df (downstream tiers re-sort by
+    # them by name) but never part of the user-visible relation
+    hidden_cols: tuple[str, ...] = ()
 
     # -- basic plumbing -------------------------------------------------
 
     @property
     def value_cols(self) -> tuple[str, ...]:
-        ks = set(self.key_cols)
+        ks = set(self.key_cols) | set(self.hidden_cols)
         return tuple(c for c in self.df.columns if c not in ks)
 
     def to_df(self) -> DataFrame:
+        if self.hidden_cols:
+            return self.df.drop(*self.hidden_cols)
         return self.df
 
     def _rewrap(self, df: DataFrame, *, keep_order: bool) -> "GroupSortedFrame":
@@ -308,7 +336,25 @@ def group_sort(
     sort trade-off we do, per ``README.md:45``). Spark's sort-based
     shuffle + ExternalSorter spill to disk, so this scales to groups
     and partitions far larger than executor memory.
-    """
+
+    ``order_by`` also accepts pyspark ``Column`` expressions (the
+    reference's expression-valued ``sortBy``,
+    ``sql/GroupSortedDataset.scala:14-17``) — each is materialized as
+    a hidden ``__gs_order_{i}`` column (a narrow projection, computed
+    once, sorted like any named column) that rides the frame for the
+    downstream tiers' re-sorts but never appears in ``value_cols`` or
+    ``to_df()``. NB: per-group UDF tiers (map_stream / merge_join_
+    custom) see the hidden column in their input frames.
+
+    Deliberate non-goal: the reference's RDD path accepts any custom
+    ``Partitioner`` (``PairRDDFunctions.scala:14-29``); here the
+    partitioning function is Catalyst's hash partitioning, period.
+    In the DataFrame world the optimizer owns partitioning —
+    EnsureRequirements/AQE match, coalesce, and split exchanges by
+    recognizing the STANDARD HashPartitioning; an opaque custom
+    partitioner would forfeit co-partitioned join elision and AQE
+    skew handling, the very properties this layout exists to exploit.
+    Range-style layouts are served by ``functions.layout.zorder_layout``."""
     if isinstance(keys, str):
         keys = [keys]
     keys = tuple(keys)
@@ -317,7 +363,12 @@ def group_sort(
     missing = [k for k in keys if k not in df.columns]
     if missing:
         raise ValueError(f"key columns not in DataFrame: {missing}")
-    specs = _normalize_order(order_by, reverse)
+    specs, derived = _normalize_order(order_by, reverse)
+    for name, expr in derived:
+        if name in df.columns:
+            raise ValueError(f"column {name!r} collides with a hidden sort column")
+        df = df.withColumn(name, expr)
+    hidden = tuple(name for name, _ in derived)
     missing_order = [s.col for s in specs if s.col not in df.columns]
     if missing_order:
         raise ValueError(f"order_by columns not in DataFrame: {missing_order}")
@@ -329,7 +380,7 @@ def group_sort(
     )
     sort_exprs = [F.col(k).asc() for k in keys] + [s.expr() for s in specs]
     laid = laid.sortWithinPartitions(*sort_exprs)
-    return GroupSortedFrame(laid, keys, specs, num_partitions)
+    return GroupSortedFrame(laid, keys, specs, num_partitions, hidden)
 
 
 def assume_group_sorted(
@@ -346,6 +397,17 @@ def assume_group_sorted(
     partitions) produced ``df`` — Catalyst can't see that, we can."""
     if isinstance(keys, str):
         keys = [keys]
+    specs, derived = _normalize_order(order_by, reverse)
+    # Column-valued order: materialize the hidden sort column (narrow,
+    # no shuffle — consistent with this function's no-layout contract;
+    # the DATA must already be ordered by the expression, we just give
+    # the tiers a named column to re-assert it with)
+    for name, expr in derived:
+        df = df.withColumn(name, expr)
     return GroupSortedFrame(
-        df, tuple(keys), _normalize_order(order_by, reverse), num_partitions
+        df,
+        tuple(keys),
+        specs,
+        num_partitions,
+        tuple(name for name, _ in derived),
     )

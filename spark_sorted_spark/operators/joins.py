@@ -75,7 +75,11 @@ def merge_join(
         right = assume_group_sorted(right, left.key_cols)
     keys = _check_keys(left, right)
 
-    rdf = right.df
+    # hidden expression-order columns are layout metadata, not part of
+    # the relation — and value order across joined rows is undefined
+    # anyway (below), so they are dropped, never joined through
+    ldf = left.df.drop(*left.hidden_cols) if left.hidden_cols else left.df
+    rdf = right.df.drop(*right.hidden_cols) if right.hidden_cols else right.df
     if how not in ("left_semi", "left_anti"):
         collisions = (set(left.df.columns) & set(rdf.columns)) - set(keys)
         for c in collisions:
@@ -88,7 +92,7 @@ def merge_join(
         # table and a map-side join. AQE also auto-promotes when the
         # built side is under spark.sql.autoBroadcastJoinThreshold.
         rdf = F.broadcast(rdf)
-    joined = left.df.join(rdf, on=keys, how=how)
+    joined = ldf.join(rdf, on=keys, how=how)
     # result stays partitioned by key; key-sorted within partitions for
     # the SMJ path. Value ordering across the combined row is undefined.
     return assume_group_sorted(joined, left.key_cols)

@@ -148,7 +148,9 @@ def take_by_key(gsf: GroupSortedFrame, n: int, tier: str = "native"):
         )
         rn = F.row_number().over(w)
         return (
-            gsf.df.withColumn("__rn", rn).filter(F.col("__rn") <= n).drop("__rn")
+            gsf.df.withColumn("__rn", rn)
+            .filter(F.col("__rn") <= n)
+            .drop("__rn", *gsf.hidden_cols)
         )
 
     if tier in ("stream", "arrow"):
@@ -178,6 +180,9 @@ def take_by_key(gsf: GroupSortedFrame, n: int, tier: str = "native"):
                     left -= out.num_rows
                     yield out
 
-        return map_stream_by_key(gsf, take_fn, schema, tier=tier)
+        out = map_stream_by_key(gsf, take_fn, schema, tier=tier)
+        # hidden expression-order columns are layout metadata, not
+        # part of the user-visible relation
+        return out.drop(*gsf.hidden_cols) if gsf.hidden_cols else out
 
     raise ValueError(f"unknown tier {tier!r}")

@@ -26,6 +26,8 @@ cost more than the shuffle it saves). Two honest alternatives:
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 import pandas as pd
 
 from ..core import GroupSortedFrame, assume_group_sorted, group_sort
@@ -43,24 +45,46 @@ def _check(left: GroupSortedFrame, right: GroupSortedFrame) -> None:
         raise ValueError("merge_union requires identical column sets")
 
 
+def _aligned(left: GroupSortedFrame, right: GroupSortedFrame):
+    """Shared order/hidden handling for the union family: when the two
+    sides agree on order specs, the (already identically named) hidden
+    expression-order columns ride through and stay layout metadata on
+    the result; when they disagree, order is dropped and the hidden
+    columns are dropped WITH it (they exist only to carry the order)."""
+    if left.order_specs == right.order_specs:
+        return left, right, left.order_specs, left.hidden_cols
+    ldrop = (
+        replace(left, df=left.df.drop(*left.hidden_cols), hidden_cols=())
+        if left.hidden_cols
+        else left
+    )
+    rdrop = (
+        replace(right, df=right.df.drop(*right.hidden_cols), hidden_cols=())
+        if right.hidden_cols
+        else right
+    )
+    return ldrop, rdrop, (), ()
+
+
 def merge_union(left: GroupSortedFrame, right: GroupSortedFrame) -> GroupSortedFrame:
+    left, right, specs, hidden = _aligned(left, right)
     _check(left, right)
-    specs = left.order_specs if left.order_specs == right.order_specs else ()
-    return group_sort(
+    out = group_sort(
         left.df.unionByName(right.df),
         left.key_cols,
         order_by=[(s.col, s.ascending) for s in specs],
         num_partitions=left.num_partitions,
     )
+    return replace(out, hidden_cols=hidden)
 
 
 def merge_union_cogroup(
     left: GroupSortedFrame, right: GroupSortedFrame
 ) -> GroupSortedFrame:
+    left, right, specs, hidden = _aligned(left, right)
     _check(left, right)
     keys = list(left.key_cols)
     cols = left.df.columns
-    specs = left.order_specs if left.order_specs == right.order_specs else ()
     sort_cols = [s.col for s in specs]
     sort_asc = [s.ascending for s in specs]
     schema = ", ".join(
@@ -78,9 +102,10 @@ def merge_union_cogroup(
         .cogroup(right.df.select(*cols).groupby(*keys))
         .applyInPandas(apply, schema)
     )
-    return assume_group_sorted(
+    out = assume_group_sorted(
         merged, left.key_cols, order_by=[(s.col, s.ascending) for s in specs]
     )
+    return replace(out, hidden_cols=hidden)
 
 
 def merge_intersect(
@@ -90,7 +115,15 @@ def merge_intersect(
     Distinct semantics use Catalyst's native ``Intersect`` (planned as
     an aggregate + join — one shuffle on all columns); ``distinct=False``
     gives bag semantics (``intersectAll``). Result is re-wrapped on the
-    same keys; value ordering is gone (hash layout on all cols)."""
+    same keys; value ordering is gone (hash layout on all cols).
+
+    Hidden expression-order columns are dropped from BOTH sides before
+    comparing: set ops compare full rows, and a layout-metadata column
+    must not participate in row equality (it is a deterministic
+    function of the visible row, so dropping it never changes the
+    result set — it only keeps the comparison honest)."""
+    left = replace(left, df=left.df.drop(*left.hidden_cols), hidden_cols=())
+    right = replace(right, df=right.df.drop(*right.hidden_cols), hidden_cols=())
     _check(left, right)
     df = (
         left.df.intersect(right.df) if distinct else left.df.intersectAll(right.df)
@@ -102,7 +135,10 @@ def merge_except(
     left: GroupSortedFrame, right: GroupSortedFrame, distinct: bool = False
 ) -> GroupSortedFrame:
     """Set difference (bag semantics by default — ``exceptAll`` keeps
-    surplus duplicates, matching multiset subtraction)."""
+    surplus duplicates, matching multiset subtraction). Hidden
+    expression-order columns are dropped first (see merge_intersect)."""
+    left = replace(left, df=left.df.drop(*left.hidden_cols), hidden_cols=())
+    right = replace(right, df=right.df.drop(*right.hidden_cols), hidden_cols=())
     _check(left, right)
     df = left.df.exceptAll(right.df) if not distinct else left.df.subtract(right.df)
     return assume_group_sorted(df, left.key_cols)

@@ -219,3 +219,116 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).head()[0]
     spread = ev.select(F.max("value") - F.min("value")).head()[0]
     assert abs(approx_med - exact_med) <= 0.01 * spread
+
+
+def test_expression_valued_order_by(spark):
+    # the reference's sortBy takes a FUNCTION of the value
+    # (sql/GroupSortedDataset.scala:14-17; GroupSortedDatasetSpec.
+    # scala:182-193 sorts by a struct field, reverse, with a Map
+    # column riding along). order_by accepts pyspark Columns: the
+    # expression is materialized as a hidden __gs_order_{i} column
+    # that never reaches the user-visible relation.
+    rows = [
+        ("a", ("b", {"b": 1})),
+        ("a", ("a", {"a": 1})),
+        ("k", ("z", {"z": 9})),
+        ("k", ("m", {"m": 9})),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, v struct<tag:string, m:map<string,int>>"
+    )
+    gs = group_sort(
+        df, "k", order_by=F.col("v")["tag"], num_partitions=2, reverse=True
+    )
+    check_group_sorted(gs)
+    # hidden column is layout metadata: invisible to value_cols/to_df
+    assert gs.value_cols == ("v",)
+    assert gs.to_df().columns == ["k", "v"]
+    assert "__gs_order_0" in gs.df.columns
+
+    # stream tier: identity map_stream sees rows in expression order
+    import pandas as pd
+
+    def tags(key, chunks):
+        for c in chunks:
+            yield pd.DataFrame(
+                {"tag": [v["tag"] for v in c["v"]], "k": key[0]}
+            )
+
+    out = gs.map_stream_by_key(
+        tags, "tag string, k string", tier="stream"
+    ).collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r.k, []).append(r.tag)
+    assert by_k == {"a": ["b", "a"], "k": ["z", "m"]}
+
+    # native tier: fold concat follows the same expression order
+    gs2 = group_sort(
+        df.select("k", F.col("v")["tag"].alias("tag"), "v"),
+        "k",
+        order_by=[(F.col("tag"), False)],
+    )
+    folded = {
+        r.k: r.fold
+        for r in gs2.fold_left_by_key(
+            F.lit(""), lambda acc, v: F.concat(acc, v), value_col="tag",
+            tier="native", alias="fold",
+        ).collect()
+    }
+    assert folded == {"a": "ba", "k": "zm"}
+
+    # take_by_key (native + stream): top-1 by expression order, no
+    # hidden-column leak in either tier's output
+    from spark_sorted_spark.operators.map_stream import take_by_key
+
+    for tier in ("native", "stream"):
+        top = take_by_key(gs, 1, tier=tier)
+        assert set(top.columns) == {"k", "v"}, tier
+        got = {r.k: r.v.tag for r in top.collect()}
+        assert got == {"a": "b", "k": "z"}, tier
+
+
+def test_expression_order_by_name_collision_is_loud(spark):
+    df = spark.createDataFrame([("a", 1)], ["k", "__gs_order_0"])
+    with pytest.raises(ValueError, match="hidden sort column"):
+        group_sort(df, "k", order_by=F.col("__gs_order_0") + 1)
+
+
+def test_expression_order_through_union_and_set_ops(spark):
+    # hidden expression-order columns must stay layout metadata
+    # through the union family: propagated when specs agree, dropped
+    # with the order when they don't, and never part of set-op row
+    # equality or any user-visible output
+    from spark_sorted_spark.operators.union import (
+        merge_except,
+        merge_intersect,
+        merge_union,
+    )
+
+    df1 = spark.createDataFrame([("a", 5), ("a", 2)], ["k", "v"])
+    df2 = spark.createDataFrame([("a", 9), ("b", 1)], ["k", "v"])
+    g1 = group_sort(df1, "k", order_by=F.col("v") % 3)
+    g2 = group_sort(df2, "k", order_by=F.col("v") % 3)
+
+    u = merge_union(g1, g2)
+    assert u.hidden_cols == ("__gs_order_0",)
+    assert u.to_df().columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in u.to_df().collect()) == [
+        ("a", 2), ("a", 5), ("a", 9), ("b", 1),
+    ]
+    check_group_sorted(u)
+
+    i = merge_intersect(g1, g2)
+    assert i.to_df().columns == ["k", "v"]
+    assert i.to_df().count() == 0
+    e = merge_except(g1, g1)
+    assert e.to_df().columns == ["k", "v"]
+    assert e.to_df().count() == 0
+
+    # disagreeing specs: order AND hidden columns drop together
+    g3 = group_sort(df2, "k", order_by="v")
+    u2 = merge_union(g1, g3)
+    assert u2.order_specs == ()
+    assert u2.hidden_cols == ()
+    assert u2.to_df().columns == ["k", "v"]
