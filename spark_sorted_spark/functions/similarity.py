@@ -670,6 +670,7 @@ def knn_join_lsh(
     id_col: str = "vec_id",
     max_bucket: int | None = None,
     target_bucket: int = 32,
+    exact_fallback: bool = False,
 ) -> DataFrame:
     """Batch k-NN JOIN: for every left vector, its top-``k`` cosine
     neighbors among the right corpus that share at least one LSH
@@ -688,8 +689,15 @@ def knn_join_lsh(
     neighbors is exact.
 
     Output: (left_id, right_id, cos, rank), rank 1..k. Left vectors
-    with no bucket collision produce no rows (they'd need a brute
-    fallback — compose with ``cosine_topk`` per miss if required).
+    with no bucket collision produce no rows by default;
+    ``exact_fallback=True`` brute-forces ONLY those misses against the
+    full right corpus (an anti-join finds them; their candidate set
+    becomes miss x right, verified by the same exact cosine), making
+    the join total over non-zero-norm lefts. Cost is
+    |misses| * |right| verifies — safe when misses are the tail the
+    OR-construction makes them (per-left miss probability is
+    ``(1-p^n_planes)^n_tables``), which is why it is opt-in rather
+    than the default at 100 TB.
 
     Scale: shuffle volume is ids-only until the verify; the per-left
     candidate count is bounded by n_tables x bucket occupancy
@@ -732,6 +740,17 @@ def knn_join_lsh(
         .select("left_id", "right_id")
         .distinct()
     )
+    if exact_fallback:
+        # lefts with no collision in ANY table: their candidates are
+        # the whole right side (ids only — the shared verify below
+        # computes the cosines). The anti-join keys on ids, so this
+        # adds zero cost when every left collides.
+        misses = left.select(F.col(id_col).alias("left_id")).join(
+            cand.select("left_id").distinct(), "left_id", "left_anti"
+        )
+        cand = cand.unionByName(
+            misses.crossJoin(right.select(F.col(id_col).alias("right_id")))
+        )
     sc = left.sparkSession.sparkContext
     cand = cand.repartition(sc.defaultParallelism)
     vec_d = F.col(vec_col).cast("array<double>")

@@ -369,6 +369,50 @@ class TestKnnJoin:
         for r in out:
             assert r.rank in (1, 2)
 
+    def test_exact_fallback_makes_join_total(self, spark):
+        # deep single-table banding (8 planes, 1 table, 256 buckets
+        # for 20 rights) leaves most lefts with no collision; with
+        # exact_fallback=True every non-zero left must still get its
+        # full top-k, and ranked rows must match the brute-force
+        # cosine order
+        import random
+
+        from spark_sorted_spark.functions.similarity import knn_join_lsh
+
+        rng = random.Random(23)
+        dim = 8
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        left = emb.filter("vec_id % 2 = 1")
+        right = emb.filter("vec_id % 2 = 0")
+        kw = dict(k=2, n_planes=8, n_tables=1, dim=dim)
+        partial = knn_join_lsh(left, right, **kw).collect()
+        total = knn_join_lsh(left, right, exact_fallback=True, **kw).collect()
+        covered = {r.left_id for r in partial}
+        assert len(covered) < 20, "expected misses at 8 planes / 1 table"
+        got = {}
+        for r in total:
+            got.setdefault(r.left_id, []).append(r)
+        assert set(got) == {i for i in range(40) if i % 2 == 1}
+        # miss rows agree with brute-force cosine top-k
+        import math
+
+        vecs = dict(rows)
+
+        def cos(a, b):
+            num = sum(float(x) * float(y) for x, y in zip(a, b))
+            na = math.sqrt(sum(float(x) ** 2 for x in a))
+            nb = math.sqrt(sum(float(x) ** 2 for x in b))
+            return num / (na * nb)
+
+        for lid in set(got) - covered:
+            want = sorted(
+                ((cos(vecs[lid], vecs[rid]), rid) for rid in vecs if rid % 2 == 0),
+                key=lambda t: (-t[0], t[1]),
+            )[:2]
+            rs = sorted(got[lid], key=lambda r: r.rank)
+            assert [r.right_id for r in rs] == [rid for _, rid in want]
+
     def test_zero_norm_vectors_are_skipped_not_fatal(self, spark):
         # an all-zero embedding collides readily (sign bit 1 on every
         # plane) and its cosine divides by zero — under ANSI mode that
