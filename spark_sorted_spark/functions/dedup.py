@@ -724,6 +724,8 @@ def simhash_pairs(
     b = sk.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sk_b")
     )
+    # declared-crossjoin: the O(n^2) ORACLE BASELINE this module
+    # documents; the gated scale path is simhash_pairs_banded
     return (
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -98,6 +98,8 @@ def zorder_layout(
     as the write itself computes statistics."""
     if not cols:
         raise ValueError("zorder_layout needs at least one column")
+    # bounded-collect: 2*len(cols) min/max scalars (1 row), the
+    # quantization bounds metadata
     mm = df.agg(
         *[F.min(c).cast("bigint").alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("bigint").alias(f"hi_{i}") for i, c in enumerate(cols)],

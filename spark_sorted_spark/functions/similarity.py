@@ -149,6 +149,8 @@ def cosine_neardup_pairs(
     Exact O(n^2) baseline; block or LSH-bucket first at scale."""
     a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
     b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
+    # declared-crossjoin: the O(n^2) ORACLE BASELINE this module
+    # documents; the gated scale path is cosine_neardup_pairs_lsh
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -385,6 +387,7 @@ def _ivf_centroids(
     smallest ``(md5(id), id)`` — a seeded sample, no training loop.
     Bounded ``nlist``-row collect after TakeOrdered (not a data-flow
     collect)."""
+    # bounded-collect: nlist centroid seed rows (limit above)
     return [
         (r[0], [float(x) for x in r[1]])
         for r in df.select(F.col(id_col), F.col(vec_col))
@@ -437,6 +440,7 @@ def _lloyd_refine(
             F.col(vec_col).alias("__v"),
             _ivf_cell_col(F.col(vec_col), cents).alias("__cell"),
         )
+        # bounded-collect: nlist mean rows (one per IVF cell)
         means = assigned.groupBy("__cell").agg(
             *[
                 F.avg(F.col("__v")[i].cast("double")).alias(f"m{i}")
@@ -555,6 +559,7 @@ def ann_ivf_topk_indexed(
     driver-side, scan ONLY the ``nprobe`` probed cell directories, rank
     by exact cosine. Identical output to ``ann_ivf_topk`` on the same
     data."""
+    # bounded-collect: nlist centroid rows from the index metadata
     cent_rows = (
         spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
     )
@@ -749,6 +754,7 @@ def knn_join_lsh(
             cand.select("left_id").distinct(), "left_id", "left_anti"
         )
         cand = cand.unionByName(
+            # declared-crossjoin: opt-in exact fallback, misses only
             misses.crossJoin(right.select(F.col(id_col).alias("right_id")))
         )
     sc = left.sparkSession.sparkContext

@@ -215,6 +215,7 @@ def hll_distinct(
     exact = df.select(v.alias("__v")).agg(
         F.countDistinct("__v").alias("exact_distinct")
     )
+    # declared-crossjoin: both sides are ONE-row aggregates
     return folded.crossJoin(exact).select(
         "zero_registers", "harmonic_sum", "estimate", "exact_distinct"
     )
@@ -292,6 +293,7 @@ def _check_merge_params(tables, cols, kind):
     tables = [t.localCheckpoint(eager=True) for t in tables]
     metas = []
     for t in tables:
+        # bounded-collect: one parameter row per sketch (limit 1)
         rows = t.select(*cols).limit(1).collect()
         if rows:
             metas.append(tuple(rows[0]))
@@ -376,6 +378,7 @@ def bloom_members(
     otherwise rebuild the filter a second time when forced.
     """
     bloom = bloom.localCheckpoint(eager=True)
+    # bounded-collect: one parameter row (limit 1)
     meta = bloom.select("m_bits", "k").limit(1).collect()
     if meta and (meta[0].m_bits != m_bits or meta[0].k != k):
         raise ValueError(
@@ -526,6 +529,7 @@ def cms_estimate(
     parameter check needs an action, and without the checkpoint that
     action plus the returned plan would each run the full build."""
     cms = cms.localCheckpoint(eager=True)
+    # bounded-collect: one parameter row (limit 1)
     meta = cms.select("width", "depth").limit(1).collect()
     if meta and (meta[0].width != width or meta[0].depth != depth):
         raise ValueError(

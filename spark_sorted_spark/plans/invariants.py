@@ -44,6 +44,8 @@ def check_group_sorted(gsf: GroupSortedFrame) -> None:
             yield pdf
 
     parts: dict[int, pd.DataFrame] = {}
+    # bounded-collect: TEST-ONLY invariant checker — materializes the
+    # whole frame by design; never called on a production data path
     rows = gsf.df.rdd.glom().collect()
     cols = gsf.df.columns
     for pid, part_rows in enumerate(rows):

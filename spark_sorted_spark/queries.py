@@ -1641,7 +1641,7 @@ def stream_late_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import stream_table, stream_to_files, windowed_agg
 
     ev = load_table(spark, "events", sf_dir)
-    # bounded driver scalar (1 row), not a data collect
+    # bounded-collect: driver scalar (1 row), not a data collect
     mx = ev.agg(F.max("ts")).collect()[0][0]
     late = (F.col("event_id") % 7 == 0) & (
         F.col("ts") <= F.lit(mx - dt.timedelta(hours=3))
@@ -2581,6 +2581,7 @@ def tpch_q22_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).select("o_custkey")
+    # declared-crossjoin: scalar broadcast (stats is ONE row)
     rich = cust.crossJoin(F.broadcast(stats)).filter(
         F.col("cents") * F.col("n") > F.col("s")
     )
@@ -3752,6 +3753,8 @@ def zorder_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     us = event_ts_us(ev, "ts")
+    # bounded-collect: four min/max scalars (1 row), the z-order
+    # quantization bounds
     mm = ev.agg(
         F.min("user_id").cast("bigint").alias("lo1"),
         F.max("user_id").cast("bigint").alias("hi1"),
