@@ -593,13 +593,17 @@ def _multi_table_buckets(
     dim: int,
     vec_col: str,
     id_col: str,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """(id, t, bucket) rows for the multi-table sign-bit LSH — table
     ``t`` buckets by the sign bits of planes ``t*n_planes ..
     t*n_planes+n_planes-1``. Shared bitwise-identically by
     ``cosine_neardup_pairs_lsh`` (self near-dup) and ``knn_join_lsh``
     (cross-corpus retrieval); the gate queries pin the construction
-    against DuckDB's replay.
+    against DuckDB's replay. ``probe_bits=m`` additionally emits, per
+    table, the ``m`` buckets at one-bit flips of the least-confident
+    planes — the query-side multiprobe expansion (1+m rows per
+    (vector, table) instead of 1).
 
     The plane matrix rides in as ONE constant-folded literal
     (_planes_lit) instead of n_tables*n_planes*dim inlined F.lit()
@@ -626,27 +630,75 @@ def _multi_table_buckets(
     )
     pow2 = F.array(*[F.lit(1 << p) for p in range(n_planes)])
     bcol = F.col("__bits")
+
+    def base_bucket(t):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0),
+            lambda acc, p: acc
+            + F.element_at(bcol, t * n_planes + p + 1)
+            * F.element_at(pow2, p + 1),
+        )
+
+    if probe_bits == 0:
+        tb = F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.struct(t.alias("t"), base_bucket(t).alias("bucket")),
+        )
+        # bucket table carries IDS ONLY — the 8-way explode and the
+        # (t, bucket) join never ship the 64-float embeddings (that
+        # would push 8 copies of every vector through the shuffle);
+        # embeddings are joined back exactly once per side for the verify.
+        return (
+            df.select(F.col(id_col), bits.alias("__bits"))
+            .select(F.col(id_col), F.explode(tb).alias("tb"))
+            .select(id_col, "tb.t", "tb.bucket")
+        )
+
+    # multiprobe: per table, also emit the buckets reached by flipping
+    # each of the probe_bits LEAST-CONFIDENT sign bits (smallest |dot|
+    # — the engine-side twin of the driver-side _multiprobe_buckets
+    # heuristic; ties break on plane index via the struct sort). All
+    # pure Catalyst array ops: dots are computed once per vector,
+    # ranked per table with array_sort, and each flip is one XOR of
+    # the base bucket with that plane's power of two.
+    dots = F.transform(planes, lambda p: _dot_dbl(vec_d, p))
+    dcol = F.col("__dots")
+    bits_from_dots = F.transform(
+        dcol, lambda d: F.when(d >= 0, 1).otherwise(0)
+    )
+
+    def probed(t):
+        base = base_bucket(t)
+        conf = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda p: F.struct(
+                    F.abs(
+                        F.element_at(dcol, t * n_planes + p + 1)
+                    ).alias("a"),
+                    p.alias("p"),
+                ),
+            )
+        )
+        flips = F.slice(conf, 1, min(probe_bits, n_planes))
+        return F.concat(
+            F.array(base),
+            F.transform(
+                flips,
+                lambda s: base.bitwiseXOR(F.element_at(pow2, s["p"] + 1)),
+            ),
+        )
+
     tb = F.transform(
         F.sequence(F.lit(0), F.lit(n_tables - 1)),
-        lambda t: F.struct(
-            t.alias("t"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                F.lit(0),
-                lambda acc, p: acc
-                + F.element_at(bcol, t * n_planes + p + 1)
-                * F.element_at(pow2, p + 1),
-            ).alias("bucket"),
-        ),
+        lambda t: F.struct(t.alias("t"), probed(t).alias("buckets")),
     )
-    # bucket table carries IDS ONLY — the 8-way explode and the
-    # (t, bucket) join never ship the 64-float embeddings (that
-    # would push 8 copies of every vector through the shuffle);
-    # embeddings are joined back exactly once per side for the verify.
     return (
-        df.select(F.col(id_col), bits.alias("__bits"))
+        df.select(F.col(id_col), dots.alias("__dots"))
+        .select(F.col(id_col), bits_from_dots.alias("__bits"), dcol)
         .select(F.col(id_col), F.explode(tb).alias("tb"))
-        .select(id_col, "tb.t", "tb.bucket")
+        .select(id_col, "tb.t", F.explode("tb.buckets").alias("bucket"))
     )
 
 
@@ -676,6 +728,7 @@ def knn_join_lsh(
     max_bucket: int | None = None,
     target_bucket: int = 32,
     exact_fallback: bool = False,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Batch k-NN JOIN: for every left vector, its top-``k`` cosine
     neighbors among the right corpus that share at least one LSH
@@ -692,6 +745,15 @@ def knn_join_lsh(
     deterministic top-k per left id. Like every LSH construction here,
     recall is the banding trade-off and precision of returned
     neighbors is exact.
+
+    ``probe_bits=m`` is the recall knob the single-query ANN path has
+    (:func:`ann_lsh_topk`): each left vector also probes, per table,
+    the ``m`` buckets at one-bit flips of its least-confident planes —
+    computed engine-side in pure Catalyst (dots ranked with
+    array_sort, flips as XORs), so candidate lookups grow (1+m)x on
+    the left side only while the right corpus is bucketed once.
+    Compose with the auto depth: deeper banding for cost, probes to
+    buy the recall back.
 
     Output: (left_id, right_id, cos, rank), rank 1..k. Left vectors
     with no bucket collision produce no rows by default;
@@ -732,7 +794,12 @@ def knn_join_lsh(
         n_planes = auto_planes(max(left.count(), right.count()), target_bucket)
     left = spread_small_input(left)
     right = spread_small_input(right)
-    lb = _multi_table_buckets(left, n_planes, n_tables, dim, vec_col, id_col)
+    # probe_bits expands only the LEFT (query) side — the standard
+    # query-side multiprobe: recall rises with (1 + probe_bits) bucket
+    # lookups per table while the right corpus is bucketed exactly once
+    lb = _multi_table_buckets(
+        left, n_planes, n_tables, dim, vec_col, id_col, probe_bits
+    )
     rb = _multi_table_buckets(right, n_planes, n_tables, dim, vec_col, id_col)
     if max_bucket is not None:
         rb = _occupancy_filter(rb, max_bucket)

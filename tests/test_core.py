@@ -332,3 +332,51 @@ def test_expression_order_through_union_and_set_ops(spark):
     assert u2.order_specs == ()
     assert u2.hidden_cols == ()
     assert u2.to_df().columns == ["k", "v"]
+
+
+def test_expression_order_equals_materialized_column_property(spark):
+    # property: group_sort(df, k, order_by=EXPR) must order values
+    # exactly like materializing EXPR as a column first and ordering
+    # by name — across random multisets with ties (ties fall back to
+    # Spark's partition-internal order in BOTH layouts, so compare
+    # the sort KEY sequence, which is total)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(rows):
+        df = spark.createDataFrame(rows, "k int, v int")
+        expr_gs = group_sort(df, "k", order_by=F.abs(F.col("v")) % 7)
+        mat_gs = group_sort(
+            df.withColumn("sk", F.abs(F.col("v")) % 7), "k", order_by="sk"
+        )
+        out_e = expr_gs.fold_left_by_key(
+            [],
+            lambda acc, v: acc + [int(v)],
+            value_col="v",
+            alias="seq",
+            tier="pandas",
+            result_type="array<bigint>",
+        ).collect()
+        out_m = mat_gs.fold_left_by_key(
+            [],
+            lambda acc, v: acc + [int(v)],
+            value_col="v",
+            alias="seq",
+            tier="pandas",
+            result_type="array<bigint>",
+        ).collect()
+        key_e = {r.k: [abs(v) % 7 for v in r.seq] for r in out_e}
+        key_m = {r.k: [abs(v) % 7 for v in r.seq] for r in out_m}
+        assert key_e == key_m
+        for ks in key_e.values():
+            assert ks == sorted(ks)
+
+    run()

@@ -413,6 +413,60 @@ class TestKnnJoin:
             rs = sorted(got[lid], key=lambda r: r.rank)
             assert [r.right_id for r in rs] == [rid for _, rid in want]
 
+    def test_engine_multiprobe_matches_driver_heuristic(self, spark):
+        # the engine-side least-confident flip expansion must emit
+        # EXACTLY the buckets the driver-side _multiprobe_buckets
+        # heuristic computes (same |dot| ranking, same tie-break) —
+        # dot_py and _dot_dbl are bitwise-identical folds, so the two
+        # paths must agree bucket for bucket
+        import random
+
+        from spark_sorted_spark.functions.similarity import (
+            _hyperplane,
+            _multi_table_buckets,
+            _multiprobe_buckets,
+        )
+
+        rng = random.Random(31)
+        dim, n_planes, m = 8, 5, 2
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(6)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        got = _multi_table_buckets(
+            emb, n_planes, 1, dim, "embedding", "vec_id", probe_bits=m
+        ).collect()
+        by_id = {}
+        for r in got:
+            by_id.setdefault(r.vec_id, set()).add(r.bucket)
+        planes = [_hyperplane(p, dim) for p in range(n_planes)]
+        for vid, vec in rows:
+            # driver heuristic uses float64 of the float32-cast values
+            v64 = [float(__import__("numpy").float32(x)) for x in vec]
+            want = set(_multiprobe_buckets(v64, planes, m))
+            assert by_id[vid] == want, vid
+
+    def test_probe_bits_only_grows_candidates(self, spark):
+        # probing more buckets can only improve each left's top-k
+        # (same exact verify over a superset of candidates)
+        import random
+
+        from spark_sorted_spark.functions.similarity import knn_join_lsh
+
+        rng = random.Random(37)
+        dim = 8
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        left = emb.filter("vec_id % 2 = 1")
+        right = emb.filter("vec_id % 2 = 0")
+        kw = dict(k=1, n_planes=6, n_tables=1, dim=dim)
+        base = {r.left_id: r.cos for r in knn_join_lsh(left, right, **kw).collect()}
+        probed = {
+            r.left_id: r.cos
+            for r in knn_join_lsh(left, right, probe_bits=3, **kw).collect()
+        }
+        assert set(base) <= set(probed)
+        for lid, c in base.items():
+            assert probed[lid] >= c
+
     def test_zero_norm_vectors_are_skipped_not_fatal(self, spark):
         # an all-zero embedding collides readily (sign bit 1 on every
         # plane) and its cosine divides by zero — under ANSI mode that
