@@ -44,6 +44,7 @@ __all__ = [
     "cosine_neardup_pairs_lsh",
     "ann_lsh_topk",
     "build_ann_lsh_index",
+    "append_to_ann_lsh_index",
     "ann_lsh_topk_indexed",
     "build_ann_ivf_index",
     "ann_ivf_topk_indexed",
@@ -340,7 +341,74 @@ def build_ann_lsh_index(
     (``PartitionFilters`` pruning — pinned in tests/test_plans.py).
     At 100 TB this turns per-query cost from O(corpus) bucket
     assignment into O(corpus / 2^n_planes) — the persist-the-index
-    shape the query-time form documents."""
+    shape the query-time form documents.
+
+    Layout v2 (round 8): batch-partitioned like the MinHash band
+    store — the build writes base partition ``ingest_batch_id=-1``;
+    :func:`append_to_ann_lsh_index` adds later corpus batches in
+    their own partitions (idempotent when ``batch_id`` is set).
+    Probes read the whole index; bucket pruning still applies (the
+    bucket directory level is inside each batch partition)."""
+    from ..sources.bucketed import write_partitioned
+    from .dedup import _rm_dir, spread_small_input
+
+    # a build is a FRESH index: clear prior batch partitions (and any
+    # pre-v2 bucket=* dirs) or overwrite would leave stale appends
+    # beside the new base. Only known child dirs are deleted, never
+    # the user-supplied path itself (mistyped-path protection, same
+    # rule as build_minhash_band_store).
+    spark = df.sparkSession
+    _rm_index_children(spark, path)
+    df = spread_small_input(df)
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    write_partitioned(assigned, f"{path}/ingest_batch_id=-1", "bucket")
+
+
+def _rm_index_children(spark, path: str) -> None:
+    """Delete the known index partition dirs (``ingest_batch_id=*``
+    and pre-v2 ``bucket=*``) under ``path`` — never ``path`` itself."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith(("ingest_batch_id=", "bucket=")):
+            fs.delete(status.getPath(), True)
+
+
+def append_to_ann_lsh_index(
+    df: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    n_planes: int = ANN_N_PLANES,
+    dim: int = ANN_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Add a corpus batch to a persisted LSH index WITHOUT touching
+    the existing assignments — the growing-corpus maintenance path: at
+    100 TB, re-running :func:`build_ann_lsh_index` per nightly batch
+    would re-scan and re-write the whole corpus for vectors whose
+    buckets never change (the planes are seeded constants).
+
+    Same idempotency contract as ``append_to_minhash_band_store``:
+    with ``batch_id`` set, the batch lands in its own
+    ``ingest_batch_id={batch_id}`` partition with overwrite semantics
+    — a streaming replay replaces its earlier partial write instead
+    of duplicating vectors (duplicated index rows would surface as
+    duplicate candidates and corrupt ranks). Without it, rows append
+    to the base partition (plain at-least-once).
+
+    Probes (:func:`ann_lsh_topk_indexed`) need no change: partition
+    discovery surfaces all batches, bucket pruning applies within
+    each."""
     from ..sources.bucketed import write_partitioned
     from .dedup import spread_small_input
 
@@ -351,7 +419,11 @@ def build_ann_lsh_index(
         F.col(vec_col),
         _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
-    write_partitioned(assigned, path, "bucket")
+    part = -1 if batch_id is None else batch_id
+    mode = "append" if batch_id is None else "overwrite"
+    write_partitioned(
+        assigned, f"{path}/ingest_batch_id={part}", "bucket", mode=mode
+    )
 
 
 def ann_lsh_topk_indexed(

@@ -288,6 +288,47 @@ def test_ann_lsh_persisted_index_pruned_probe(spark, emb, tmp_path):
     assert got == [(r.vec_id, r.rank) for r in exact_form.collect()]
 
 
+def test_ann_lsh_index_incremental_append(spark, emb, tmp_path):
+    # growing-corpus maintenance: build over half, append the rest —
+    # probes must equal the full build; replaying the same batch_id
+    # must be idempotent (a duplicated index row would surface as a
+    # duplicate candidate and corrupt ranks); a fresh build must
+    # clear stale append partitions
+    from spark_sorted_spark.functions.similarity import (
+        ann_lsh_topk_indexed,
+        append_to_ann_lsh_index,
+        build_ann_lsh_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    half_a = corpus.filter(F.col("vec_id") % 2 == 1)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 0)
+
+    full = str(tmp_path / "full_idx")
+    build_ann_lsh_index(corpus, full)
+    want = [(r.vec_id, r.rank) for r in ann_lsh_topk_indexed(spark, full, qvec, k=5).collect()]
+
+    inc = str(tmp_path / "inc_idx")
+    build_ann_lsh_index(half_a, inc)
+    append_to_ann_lsh_index(half_b, inc, batch_id=0)
+    probe = ann_lsh_topk_indexed(spark, inc, qvec, k=5)
+    plan = plan_of(probe, "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    assert [(r.vec_id, r.rank) for r in probe.collect()] == want
+
+    # replay the same batch: identical result, no duplicate rows
+    append_to_ann_lsh_index(half_b, inc, batch_id=0)
+    again = ann_lsh_topk_indexed(spark, inc, qvec, k=5)
+    assert [(r.vec_id, r.rank) for r in again.collect()] == want
+    n_rows = spark.read.parquet(inc).count()
+    assert n_rows == corpus.count()
+
+    # a rebuild clears the append partitions (fresh-store contract)
+    build_ann_lsh_index(half_a, inc)
+    assert spark.read.parquet(inc).count() == half_a.count()
+
+
 def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
     from spark_sorted_spark.functions.similarity import (
         ann_ivf_topk,
