@@ -45,6 +45,7 @@ __all__ = [
     "ann_lsh_topk",
     "build_ann_lsh_index",
     "append_to_ann_lsh_index",
+    "append_to_ann_ivf_index",
     "ann_lsh_topk_indexed",
     "build_ann_ivf_index",
     "ann_ivf_topk_indexed",
@@ -369,17 +370,19 @@ def build_ann_lsh_index(
     write_partitioned(assigned, f"{path}/ingest_batch_id=-1", "bucket")
 
 
-def _rm_index_children(spark, path: str) -> None:
+def _rm_index_children(spark, path: str, extra: tuple = ()) -> None:
     """Delete the known index partition dirs (``ingest_batch_id=*``
-    and pre-v2 ``bucket=*``) under ``path`` — never ``path`` itself."""
+    and pre-v2 ``bucket=*``/``cell=*``) under ``path`` — never
+    ``path`` itself (mistyped-path protection)."""
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return
+    prefixes = ("ingest_batch_id=", "bucket=") + extra
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
-        if name.startswith(("ingest_batch_id=", "bucket=")):
+        if name.startswith(prefixes):
             fs.delete(status.getPath(), True)
 
 
@@ -595,7 +598,14 @@ def build_ann_ivf_index(
     probe recall at the cost of one assign shuffle per iteration.
     2-3 iterations capture most of the benefit; the refined
     centroids' ``cent_id`` keeps the seed vector's id as
-    provenance."""
+    provenance.
+
+    Layout v2 (round 8): batch-partitioned like the LSH index —
+    base partition ``ingest_batch_id=-1``;
+    :func:`append_to_ann_ivf_index` assigns later batches to the
+    PERSISTED centroids in their own partitions. The centroid table
+    stays at ``<path>/_centroids`` (underscore → hidden from the
+    partitioned read)."""
     from ..sources.bucketed import write_partitioned
     from .dedup import spread_small_input
 
@@ -604,17 +614,61 @@ def build_ann_ivf_index(
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
     if lloyd_iters and cents:
         cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
+    spark = df.sparkSession
+    _rm_index_children(spark, path, extra=("cell=",))
     df = spread_small_input(df)
     celled = df.select(
         F.col(id_col),
         F.col(vec_col),
         _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
     )
-    write_partitioned(celled, path, "cell")
+    write_partitioned(celled, f"{path}/ingest_batch_id=-1", "cell")
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
-    df.sparkSession.createDataFrame(
+    spark.createDataFrame(
         cent_rows, "cell int, cent_id bigint, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def append_to_ann_ivf_index(
+    df: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Assign a new corpus batch to a persisted IVF index's EXISTING
+    centroids (read back from ``<path>/_centroids``) and land it in
+    its own batch partition — the growing-corpus path that skips both
+    the centroid pick and the full-corpus re-assignment. Centroids
+    intentionally do NOT move on append (the standard IVF trade-off:
+    quantization drifts as the corpus grows; rebuild with
+    ``lloyd_iters`` when cell-size skew warrants it).
+
+    Same idempotency contract as the LSH twin: ``batch_id`` set →
+    overwrite-own-partition (replay-safe); unset → at-least-once
+    append to the base partition."""
+    from ..sources.bucketed import write_partitioned
+    from .dedup import spread_small_input
+
+    spark = df.sparkSession
+    # bounded-collect: nlist centroid rows from the index metadata
+    cent_rows = (
+        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+    )
+    if not cent_rows:
+        raise ValueError(f"{path!r} holds no centroid table; build first")
+    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    df = spread_small_input(df)
+    celled = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
+    )
+    part = -1 if batch_id is None else batch_id
+    mode = "append" if batch_id is None else "overwrite"
+    write_partitioned(
+        celled, f"{path}/ingest_batch_id={part}", "cell", mode=mode
+    )
 
 
 def ann_ivf_topk_indexed(

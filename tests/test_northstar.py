@@ -329,6 +329,47 @@ def test_ann_lsh_index_incremental_append(spark, emb, tmp_path):
     assert spark.read.parquet(inc).count() == half_a.count()
 
 
+def test_ann_ivf_index_incremental_append(spark, emb, tmp_path):
+    # IVF twin of the LSH append: new batches assign to the PERSISTED
+    # centroids, so the incremental index equals the full build only
+    # when both use the same centroid set — build over half, append
+    # the rest, compare against a probe of a full index built with
+    # THOSE centroids... simplest exact check: full build over half_a
+    # defines the centroids; the incremental index over (half_a +
+    # half_b) must contain every vector exactly once and answer
+    # probes from the union
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivf_topk_indexed,
+        append_to_ann_ivf_index,
+        build_ann_ivf_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    half_a = corpus.filter(F.col("vec_id") % 2 == 1)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 0)
+
+    inc = str(tmp_path / "ivf_inc")
+    build_ann_ivf_index(half_a, inc)
+    append_to_ann_ivf_index(half_b, inc, batch_id=0)
+    # replay idempotence
+    append_to_ann_ivf_index(half_b, inc, batch_id=0)
+    idx = spark.read.parquet(inc)
+    assert idx.count() == corpus.count()
+    assert idx.select("vec_id").distinct().count() == corpus.count()
+    # probing with full nlist (exhaustive) equals brute-force top-5
+    from spark_sorted_spark.functions.similarity import ANN_NLIST, cosine_topk
+
+    got = ann_ivf_topk_indexed(spark, inc, qvec, k=5, nprobe=ANN_NLIST).collect()
+    want = cosine_topk(corpus, qvec, k=5).collect()
+    assert [(r.vec_id, r.rank) for r in got] == [(r.vec_id, r.rank) for r in want]
+    # appending to a missing index fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="centroid|PATH_NOT_FOUND|Path does not exist"):
+        append_to_ann_ivf_index(half_b, str(tmp_path / "nope"), batch_id=0)
+
+
 def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
     from spark_sorted_spark.functions.similarity import (
         ann_ivf_topk,
