@@ -15,6 +15,7 @@ caveat on ``stream_fold_by_key``) — that is what the oracle gate
 checks.
 """
 
+from .ann import stream_index_embeddings
 from .ingest import stream_ingest_dedup
 from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now, stream_to_files
@@ -34,6 +35,7 @@ from .source import stream_table
 from .stateful import stream_fold_by_key
 
 __all__ = [
+    "stream_index_embeddings",
     "stream_table",
     "windowed_agg",
     "sessionize",

@@ -1306,3 +1306,76 @@ def test_truncated_ingest_marker_fails_friendly_not_json_error(
 
     marker = json.loads((corpus / "_ingest_stream").read_text())
     assert marker["base"] == 1
+
+
+def test_stream_index_embeddings_lifecycle(spark, sf_dir, tmp_path):
+    """Streaming ANN index maintenance: two drains over a growing
+    vector stream must leave an index whose bucket assignment (and
+    probe answers) equal a one-shot batch build over the same
+    vectors; a second drain of the same checkpoint with no new files
+    must change nothing; a fresh checkpoint against the populated
+    index fails loudly and allow_restart offsets past it."""
+    import shutil
+
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_lsh_topk_indexed,
+        build_ann_lsh_index,
+    )
+    from spark_sorted_spark.streaming import stream_index_embeddings, stream_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    b1 = corpus.filter(F.col("vec_id") % 2 == 1)
+    b2 = corpus.filter(F.col("vec_id") % 2 == 0)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(ckpt_dir, **kw):
+        sdf = stream_table(spark, "embeddings", sf_dir, path=str(watch))
+        stream_index_embeddings(sdf, idx, ckpt_dir, timeout_sec=180, **kw)
+
+    arrive(b1, "b1")
+    drain(ckpt)
+    arrive(b2, "b2")
+    drain(ckpt)
+
+    built = str(tmp_path / "batch_idx")
+    build_ann_lsh_index(corpus, built)
+    got_assign = {
+        (r.vec_id, r.bucket) for r in spark.read.parquet(idx).collect()
+    }
+    want_assign = {
+        (r.vec_id, r.bucket) for r in spark.read.parquet(built).collect()
+    }
+    assert got_assign == want_assign
+    got = ann_lsh_topk_indexed(spark, idx, qvec, k=5).collect()
+    want = ann_lsh_topk_indexed(spark, built, qvec, k=5).collect()
+    assert [(r.vec_id, r.rank) for r in got] == [(r.vec_id, r.rank) for r in want]
+
+    # idle drain: no new files, nothing changes
+    drain(ckpt)
+    assert {
+        (r.vec_id, r.bucket) for r in spark.read.parquet(idx).collect()
+    } == want_assign
+
+    # fresh checkpoint against the populated index: loud
+    with _pytest.raises(ValueError, match="different ingest stream"):
+        drain(str(tmp_path / "ckpt2"))
+    # allow_restart: new batches offset past the existing partitions
+    arrive(b1.limit(0), "b3")  # empty arrival just to run a batch
+    drain(str(tmp_path / "ckpt2"), allow_restart=True)
+    assert {
+        (r.vec_id, r.bucket) for r in spark.read.parquet(idx).collect()
+    } == want_assign
