@@ -4134,6 +4134,54 @@ def tpch_q21_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Streaming ANN index maintenance (round 8) — the streamed index's
+# bucket assignment gate-checked against the same seeded-plane SQL
+# replay the batch ANN oracle uses: vectors arrive in two micro-batch
+# drains, each landing in its own idempotent index partition, and the
+# resulting (vec_id, bucket) relation must be bitwise the one-shot
+# SQL assignment over the whole corpus — assignment is batch-invariant
+# because the planes are seeded constants.
+# ===========================================================================
+@query(
+    "stream_ann_index",
+    oracle=f"""
+    SELECT vec_id,
+           {_bucket_sql("embedding", 0, n_planes=_ANN_N_PLANES)} AS bucket
+    FROM embeddings WHERE vec_id != 0
+    """,
+)
+def stream_ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import stream_index_embeddings, stream_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
+    base = tempfile.mkdtemp(prefix="stream_ann_")
+    atexit.register(lambda: shutil.rmtree(base, ignore_errors=True))
+    src = os.path.join(base, "src")
+    idx = os.path.join(base, "idx")
+    ckpt = os.path.join(base, "ckpt")
+
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(src)
+
+    def drain():
+        sdf = stream_table(spark, "embeddings", sf_dir, path=src)
+        stream_index_embeddings(
+            sdf.filter(F.col("vec_id") != 0), idx, ckpt, timeout_sec=180
+        )
+
+    drain()
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("append").parquet(src)
+    drain()
+    return spark.read.parquet(idx).select(
+        "vec_id", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
+# ===========================================================================
 # Driver gate window. The driver's correctness gate runs exactly the
 # FIRST 50 registered queries (CORRECTNESS_r01.json and _r02.json each
 # contain precisely the first 50 names in registration order; the
@@ -4314,6 +4362,10 @@ _GATE_ORDER = [
     # streaming twin of the gated length_quantiles_sketch (same
     # oracle; merge-on-read equals build-on-union by additivity)
     "stream_len_quantiles",
+    # round-8: streamed LSH index maintenance vs the seeded-plane SQL
+    # replay (overflow; the gated similarity_ann_lsh pins the same
+    # bucket construction)
+    "stream_ann_index",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

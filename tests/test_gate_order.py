@@ -110,6 +110,7 @@ def test_gate_window_contents():
         "tpch_q20_part_promotion",
         "tpch_q21_waiting_suppliers",
         "stream_len_quantiles",
+        "stream_ann_index",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
