@@ -74,7 +74,7 @@ from ..functions.dedup import (
     minhash_lsh_pairs,
 )
 
-__all__ = ["stream_ingest_dedup"]
+__all__ = ["stream_ingest_dedup", "compact_corpus"]
 
 # test-only hook: a callable invoked as (sink_name, batch_part) right
 # before a staging dir is published; tests raise inside it to simulate
@@ -361,3 +361,46 @@ def stream_ingest_dedup(
             raise TimeoutError("stream_ingest_dedup did not finish")
     finally:
         q.stop()
+
+
+def compact_corpus(spark: SparkSession, corpus_path: str) -> None:
+    """Collapse a long-appended ingest corpus (one ``ingest_batch_id``
+    partition per micro-batch) into a single partition holding the
+    identical rows — the small-files maintenance an unbounded ingest
+    eventually needs (at one partition per batch, a year of 5-minute
+    batches is ~100k directories of tiny files).
+
+    The compacted partition keeps the corpus's MAX batch id, so a
+    resumed stream's next batch (max+1, ...) lands beside it and the
+    ``ingest_batch_id < part`` replay fence still includes every
+    compacted row.
+
+    NOT concurrency-safe, and only run it after a CLEAN drain (the
+    same stopped-stream contract as ``compact_sketch_store`` /
+    ``compact_minhash_band_store``): compacting between a crash and
+    its replay would fold a torn batch's rows into the base where the
+    replay fence can no longer exclude them.
+
+    Crash-atomic via the same rename-aside swap as the sketch stores
+    (``_swap_in``: live aside -> staged in -> delete old LAST). The
+    ``_ingest_stream`` identity marker is re-written (atomically)
+    after the swap; a crash in between leaves the full corpus in
+    ``{corpus_path}.old`` and a marker-less live dir — the loud
+    restart guard fires on the next start instead of anything
+    silently clobbering (recover: rename ``.old`` back)."""
+    from ..functions.dedup import _swap_in
+
+    max_id = _existing_max_batch(spark, corpus_path)
+    if max_id is None:
+        raise ValueError(f"{corpus_path!r} holds no batch partitions")
+    marker = _read_text(spark, f"{corpus_path}/_ingest_stream")
+    df = spark.read.parquet(corpus_path)
+    if "ingest_batch_id" in df.columns:
+        df = df.drop("ingest_batch_id")
+    staging = f"{corpus_path}.compacting"
+    df.write.mode("overwrite").parquet(staging)
+    _swap_in(
+        spark, staging, corpus_path, f"{corpus_path}/ingest_batch_id={max_id}"
+    )
+    if marker is not None:
+        _write_text(spark, f"{corpus_path}/_ingest_stream", marker)

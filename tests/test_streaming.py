@@ -1379,3 +1379,90 @@ def test_stream_index_embeddings_lifecycle(spark, sf_dir, tmp_path):
     assert {
         (r.vec_id, r.bucket) for r in spark.read.parquet(idx).collect()
     } == want_assign
+
+
+def test_compact_corpus_preserves_rows_marker_and_stream(spark, sf_dir, tmp_path):
+    """Corpus compaction: after two drains, compact to one partition —
+    identical rows, max batch id kept, identity marker preserved so
+    the SAME stream continues (a third drain dedups against the
+    compacted corpus and lands beside it)."""
+    import os
+    import shutil
+
+    from spark_sorted_spark.functions.dedup import build_minhash_band_store
+    from spark_sorted_spark.streaming import stream_table
+    from spark_sorted_spark.streaming.ingest import (
+        compact_corpus,
+        stream_ingest_dedup,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    def setup(root):
+        watch = root / "incoming"
+        watch.mkdir(parents=True)
+        store = str(root / "store")
+        build_minhash_band_store(spark.createDataFrame([], docs.schema), store)
+        return watch, store, str(root / "corpus"), str(root / "audit"), str(
+            root / "ckpt"
+        )
+
+    def arrive(watch, batch, name):
+        staged = watch.parent / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(watch, store, corpus, audit, ckpt):
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_ingest_dedup(sdf, store, corpus, audit, ckpt, timeout_sec=180)
+
+    # control: same three batches, never compacted -> the truth
+    cw, cs, cc, ca, cck = setup(tmp_path / "control")
+    arrive(cw, b1, "b1")
+    drain(cw, cs, cc, ca, cck)
+    arrive(cw, b2, "b2")
+    drain(cw, cs, cc, ca, cck)
+    arrive(cw, b3, "b3")
+    drain(cw, cs, cc, ca, cck)
+    truth = sorted(r.doc_id for r in spark.read.parquet(cc).collect())
+
+    watch, store, corpus, audit, ckpt = setup(tmp_path / "compacted")
+    arrive(watch, b1, "b1")
+    drain(watch, store, corpus, audit, ckpt)
+    arrive(watch, b2, "b2")
+    drain(watch, store, corpus, audit, ckpt)
+    before = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    marker_before = (tmp_path / "compacted" / "corpus" / "_ingest_stream").read_text()
+    max_id = max(
+        int(d.split("=")[1])
+        for d in os.listdir(corpus)
+        if d.startswith("ingest_batch_id=")
+    )
+
+    compact_corpus(spark, corpus)
+    parts = [d for d in os.listdir(corpus) if d.startswith("ingest_batch_id=")]
+    assert parts == [f"ingest_batch_id={max_id}"]
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == before
+    assert (tmp_path / "compacted" / "corpus" / "_ingest_stream").read_text() == marker_before
+    assert not os.path.exists(f"{corpus}.old")
+    assert not os.path.exists(f"{corpus}.compacting")
+
+    # the SAME stream continues: the next batch lands beside the
+    # compacted partition and dedups against it — final corpus equals
+    # the never-compacted control run's
+    arrive(watch, b3, "b3")
+    drain(watch, store, corpus, audit, ckpt)
+    after = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert after == truth
+
+    # empty corpus: loud
+    import pytest as _pytest
+
+    empty = str(tmp_path / "none")
+    os.makedirs(empty)
+    with _pytest.raises(ValueError, match="no batch partitions"):
+        compact_corpus(spark, empty)
