@@ -739,6 +739,8 @@ def _multi_table_buckets(
     wall-clock was driver-side expression building, not execution.
     Worker-side math is untouched: same planes, same strict left-fold
     dot, bitwise-identical buckets."""
+    if probe_bits < 0:
+        raise ValueError(f"probe_bits must be >= 0, got {probe_bits}")
     flat = [
         _hyperplane(t * n_planes + p, dim)
         for t in range(n_tables)

@@ -327,6 +327,9 @@ def test_ann_lsh_index_incremental_append(spark, emb, tmp_path):
     # a rebuild clears the append partitions (fresh-store contract)
     build_ann_lsh_index(half_a, inc)
     assert spark.read.parquet(inc).count() == half_a.count()
+    # batch_id=None: plain at-least-once append into the base partition
+    append_to_ann_lsh_index(half_b, inc)
+    assert spark.read.parquet(inc).count() == corpus.count()
 
 
 def test_ann_ivf_index_incremental_append(spark, emb, tmp_path):
