@@ -213,6 +213,11 @@ class GroupSortedFrame:
 
         return scan_left_by_key(self, zero, merge, **kw)
 
+    def take_by_key(self, n: int, tier: str = "native"):
+        from .operators.map_stream import take_by_key
+
+        return take_by_key(self, n, tier=tier)
+
     def co_layout(self, df: DataFrame, order_by=None) -> "GroupSortedFrame":
         """C5 (``groupSort(other)``, ``PairRDDFunctions.scala:31``):
         lay out another DataFrame with THIS frame's keys and partition

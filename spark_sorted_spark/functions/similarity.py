@@ -42,6 +42,7 @@ __all__ = [
     "cosine_topk",
     "cosine_neardup_pairs",
     "cosine_neardup_pairs_lsh",
+    "cosine_neardup_against_index",
     "ann_lsh_topk",
     "build_ann_lsh_index",
     "append_to_ann_lsh_index",
@@ -982,6 +983,81 @@ def knn_join_lsh(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("left_id", "right_id", "cos", "rank")
+    )
+
+
+def cosine_neardup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    threshold: float,
+    n_planes: int = ANN_N_PLANES,
+    dim: int = ANN_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_bits: int = 0,
+) -> DataFrame:
+    """Incremental embedding near-dup: new-batch vectors vs a
+    PERSISTED LSH index (built by ``build_ann_lsh_index``, grown by
+    ``append_to_ann_lsh_index`` / ``stream_index_embeddings``) — the
+    embedding-modality twin of the text pipeline's
+    ``dedup_against_store``. Per nightly batch the cost is O(batch
+    buckets ⋈ index buckets): the batch is sign-bucketed with the
+    SAME seeded planes the index stores, candidates are the bucket
+    equi-join projected to id pairs (ids only through the shuffle),
+    and the exact strict-fold cosine verifies each candidate once.
+    The full index embedding column is read only for bucket-colliding
+    rows.
+
+    ``probe_bits`` lifts recall exactly as in :func:`knn_join_lsh`
+    (measured there: 0.67 -> 0.96 @ 2 probes): the batch side also
+    joins the buckets at one-bit flips of its least-confident planes.
+    Exact duplicates are ALWAYS found at any setting (identical
+    vectors share identical sign bits). Precision is 1.0 (exact
+    verify).
+
+    Returns ``(doc_old, doc_new, cos)`` — index id, batch id, cosine
+    >= threshold — the same earlier-wins orientation as
+    ``dedup_against_store``: drop/flag ``doc_new``. Assumes batch and
+    index ids are distinct namespaces; identical ids are filtered
+    defensively (a vector must not near-dup itself)."""
+    spark = batch.sparkSession
+    from .dedup import spread_small_input
+
+    batch = spread_small_input(batch)
+    idx = spark.read.parquet(index_path)
+    bb = _multi_table_buckets(
+        batch, n_planes, 1, dim, vec_col, id_col, probe_bits
+    ).select(F.col(id_col).alias("doc_new"), "bucket")
+    cand = (
+        bb.join(
+            idx.select(F.col(id_col).alias("doc_old"), "bucket"), on="bucket"
+        )
+        .filter(F.col("doc_old") != F.col("doc_new"))
+        .select("doc_old", "doc_new")
+        .distinct()
+    )
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
+    vec_d = F.col(vec_col).cast("array<double>")
+    eb = batch.select(
+        F.col(id_col).alias("doc_new"),
+        vec_d.alias("emb_new"),
+        F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_new"),
+    ).filter(F.col("norm_new") > 0)
+    ei = idx.select(
+        F.col(id_col).alias("doc_old"),
+        vec_d.alias("emb_old"),
+        F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_old"),
+    ).filter(F.col("norm_old") > 0)
+    return (
+        cand.join(eb, "doc_new")
+        .join(ei, "doc_old")
+        .withColumn(
+            "cos",
+            _dot_dbl(F.col("emb_old"), F.col("emb_new"))
+            / (F.col("norm_old") * F.col("norm_new")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_old", "doc_new", "cos")
     )
 
 

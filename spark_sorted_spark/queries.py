@@ -1366,6 +1366,11 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
         emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
         if kind == "lsh":
             build_ann_lsh_index(emb, path)
+        elif kind == "dedup_lsh":
+            # the incremental-dedup scenario: only the "already
+            # accepted" half (odd ids) is indexed; even ids arrive
+            # as the new batch
+            build_ann_lsh_index(emb.filter(F.col("vec_id") % 2 == 1), path)
         else:
             build_ann_ivf_index(emb, path)
         _ANN_INDEX_CACHE[key] = path
@@ -4182,6 +4187,40 @@ def stream_ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Incremental embedding near-dup (round 8) — new-batch vectors vs a
+# persisted single-table LSH index, the embedding twin of
+# dedup_incremental: candidates are the bucket equi-join between the
+# indexed half (odd ids) and the arriving half (even ids), verified
+# by the exact strict-fold cosine. The oracle replays the identical
+# seeded 8-plane bucket assignment on both sides.
+# ===========================================================================
+@query(
+    "embedding_dedup_incremental",
+    oracle=f"""
+    WITH idx AS (
+      SELECT vec_id, embedding,
+             {_bucket_sql("embedding", 0, n_planes=_ANN_N_PLANES)} AS bucket
+      FROM embeddings WHERE vec_id != 0 AND vec_id % 2 = 1),
+    nb AS (
+      SELECT vec_id, embedding,
+             {_bucket_sql("embedding", 0, n_planes=_ANN_N_PLANES)} AS bucket
+      FROM embeddings WHERE vec_id != 0 AND vec_id % 2 = 0)
+    SELECT i.vec_id AS doc_old, n.vec_id AS doc_new,
+           {_cos_sql("i.embedding", "n.embedding")} AS cos
+    FROM idx i JOIN nb n ON i.bucket = n.bucket
+    WHERE {_cos_sql("i.embedding", "n.embedding")} >= 0.4
+    """,
+)
+def embedding_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import cosine_neardup_against_index
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
+    idx_path = _ann_index(spark, sf_dir, "dedup_lsh")
+    batch = emb.filter(F.col("vec_id") % 2 == 0)
+    return cosine_neardup_against_index(batch, idx_path, 0.4)
+
+
+# ===========================================================================
 # Driver gate window. The driver's correctness gate runs exactly the
 # FIRST 50 registered queries (CORRECTNESS_r01.json and _r02.json each
 # contain precisely the first 50 names in registration order; the
@@ -4366,6 +4405,9 @@ _GATE_ORDER = [
     # replay (overflow; the gated similarity_ann_lsh pins the same
     # bucket construction)
     "stream_ann_index",
+    # round-8: incremental embedding near-dup vs the persisted index
+    # (overflow; the gated dedup_incremental covers the text twin)
+    "embedding_dedup_incremental",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

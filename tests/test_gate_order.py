@@ -111,6 +111,7 @@ def test_gate_window_contents():
         "tpch_q21_waiting_suppliers",
         "stream_len_quantiles",
         "stream_ann_index",
+        "embedding_dedup_incremental",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -373,6 +373,59 @@ def test_ann_ivf_index_incremental_append(spark, emb, tmp_path):
         append_to_ann_ivf_index(half_b, str(tmp_path / "nope"), batch_id=0)
 
 
+def test_cosine_neardup_against_index(spark, emb, tmp_path):
+    # incremental embedding near-dup: batch vs persisted index. Exact
+    # copies are always caught (identical vectors share identical sign
+    # bits); every returned pair must satisfy the exact threshold
+    # (precision 1.0); and the pair set is a subset of brute force
+    from spark_sorted_spark.functions.similarity import (
+        build_ann_lsh_index,
+        cosine_neardup_against_index,
+        dot_py,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    indexed = corpus.filter(F.col("vec_id") % 2 == 1)
+    fresh = corpus.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") <= 40))
+    # plant exact copies of three indexed vectors under new ids
+    copies = indexed.filter(F.col("vec_id").isin(1, 3, 5)).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    batch = fresh.unionByName(copies)
+
+    path = str(tmp_path / "dedup_idx")
+    build_ann_lsh_index(indexed, path)
+    got = cosine_neardup_against_index(batch, path, 0.9).collect()
+    pairs = {(r.doc_old, r.doc_new) for r in got}
+    for vid in (1, 3, 5):
+        assert (vid, vid + 1_000_000) in pairs, pairs
+
+    # precision: recompute every returned cosine exactly
+    import math
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in indexed.unionByName(batch).collect()
+    }
+
+    def cos(a, b):
+        return dot_py(a, b) / (
+            math.sqrt(dot_py(a, a)) * math.sqrt(dot_py(b, b))
+        )
+
+    for r in got:
+        assert cos(vecs[r.doc_old], vecs[r.doc_new]) >= 0.9
+    # subset of brute force over (indexed x batch)
+    brute = {
+        (i, j)
+        for i in vecs
+        if i < 1_000_000 and i % 2 == 1
+        for j in vecs
+        if (j >= 1_000_000 or j % 2 == 0) and cos(vecs[i], vecs[j]) >= 0.9
+    }
+    assert pairs <= brute
+
+
 def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
     from spark_sorted_spark.functions.similarity import (
         ann_ivf_topk,
