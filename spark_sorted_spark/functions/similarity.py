@@ -19,7 +19,12 @@
   output.
 * ``build_ann_{lsh,ivf}_index`` + ``ann_{lsh,ivf}_topk_indexed`` —
   the repeated-query form: assignment persisted once, probes scan only
-  the probed bucket/cell directories (partition-pruned).
+  the probed bucket/cell directories (partition-pruned). Both indexes
+  grow incrementally (``append_to_ann_{lsh,ivf}_index`` — batch-
+  partitioned, replay-idempotent; see also
+  ``streaming.stream_index_embeddings``), and
+  ``cosine_neardup_against_index`` runs incremental embedding
+  near-dup of a new batch against the persisted index.
 
 At 100 TB the brute-force variants are per-partition narrow ops
 (embarrassingly parallel); the LSH/IVF variants turn top-k per query
