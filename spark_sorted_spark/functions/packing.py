@@ -13,6 +13,11 @@ every pack it touches (``pack_first``..``pack_last``).
 All integer arithmetic (token counts, running sums, ``div`` pack
 ids) — bit-exact against the DuckDB oracle with no float tolerance.
 
+``pack_sequences_bestfit`` is the complementary NO-SPLIT mode
+(best-fit-decreasing bin packing): every document lands in exactly
+one pack — SFT/eval assembly where an example must not straddle
+context windows.
+
 Scale design (100 TB corpus): a single global document order is
 inherently sequential, so the window would funnel each group through
 one task. ``n_shards`` subdivides every group by ``doc_id % n_shards``
@@ -30,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["pack_sequences", "chunk_documents"]
+__all__ = ["pack_sequences", "pack_sequences_bestfit", "chunk_documents"]
 
 
 def pack_sequences(
@@ -72,6 +77,94 @@ def pack_sequences(
     return out.select(
         *part, id_col, "n_tokens", "pack_first", "pack_last", "n_packs"
     )
+
+
+def pack_sequences_bestfit(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """NO-SPLIT pack assignment: every document lands in exactly ONE
+    pack — the SFT/eval assembly mode where an example must not
+    straddle context windows (complementary to ``pack_sequences``,
+    whose concat-and-chunk accounting lets documents span packs).
+
+    Heuristic: best-fit-decreasing — documents sorted by
+    ``(n_tokens desc, id asc)``, each placed in the open pack with the
+    SMALLEST remaining capacity that still fits (lowest pack id on
+    ties), else a new pack. Deterministic; within the classic
+    11/9·OPT+1 bin-packing bound. A document longer than ``budget``
+    raises (a silent overflow pack would emit training rows the
+    loader truncates unpredictably — loud beats wrong).
+
+    Scale design: bin packing is inherently sequential, so like
+    ``pack_sequences`` the parallel unit is the (group[, shard]) —
+    ``n_shards`` subdivides groups by ``id % n_shards`` and each
+    shard packs independently in one task, ``O(n log n)`` per shard
+    (capacity search via bisect). Only ``(id, n_tokens)`` pairs flow
+    through Python — token counting stays Catalyst-side and the text
+    never leaves the JVM.
+
+    Output per document: ``(group_col[, shard], id_col, n_tokens,
+    pack_id)``, pack ids 0-based per group/shard.
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    part = [group_col]
+    pre = df.withColumn("n_tokens", F.size(tokens(text_col)).cast("bigint"))
+    if n_shards is not None:
+        if n_shards <= 0:
+            raise ValueError(f"n_shards must be positive, got {n_shards}")
+        pre = pre.withColumn("shard", F.col(id_col) % n_shards)
+        part = [group_col, "shard"]
+    slim = pre.select(*part, id_col, "n_tokens")
+    fields = {f.name: f.dataType.simpleString() for f in slim.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in (*part, id_col, "n_tokens")]
+        + ["pack_id bigint"]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="stable"
+        )
+        # open packs as a sorted list of (remaining, pack_id)
+        open_packs: list[tuple[int, int]] = []
+        next_id = 0
+        assigned = []
+        for size in pdf["n_tokens"]:
+            s = int(size)
+            if s > budget:
+                raise ValueError(
+                    f"document of {s} tokens exceeds the pack budget "
+                    f"{budget}; split it first (chunk_documents) or "
+                    "raise the budget"
+                )
+            i = bisect.bisect_left(open_packs, (s, -1))
+            if i < len(open_packs):
+                rem, pid = open_packs.pop(i)
+                rem -= s
+                if rem > 0:
+                    bisect.insort(open_packs, (rem, pid))
+            else:
+                pid = next_id
+                next_id += 1
+                rem = budget - s
+                if rem > 0:
+                    bisect.insort(open_packs, (rem, pid))
+            assigned.append(pid)
+        pdf = pdf.copy()
+        pdf["pack_id"] = assigned
+        return pdf
+
+    return slim.groupBy(*part).applyInPandas(pack, out_schema)
 
 
 def chunk_documents(

@@ -256,6 +256,64 @@ class TestPackSequences:
         assert (out[3].pack_first, out[3].pack_last, out[3].n_packs) == (0, 1, 2)
         assert (out[4].pack_first, out[4].pack_last, out[4].n_packs) == (1, 2, 2)
 
+    def test_bestfit_no_split_known_example(self, spark):
+        # sizes 9,5,4,4 into budget 10: BFD sorts 9,5,4,4 -> packs
+        # {9},{5,4},{4}... best-fit: 9 opens p0 (rem 1); 5 opens p1
+        # (rem 5); 4 fits p1 (rem 1); 4 opens p2. 3 packs (optimal:
+        # {9},{5,4},{4} is also 3 — {9+?}, nothing fits with 9)
+        from spark_sorted_spark.functions.packing import pack_sequences_bestfit
+
+        rows = [
+            (1, "a " * 4, "s"),
+            (2, "b " * 4, "s"),
+            (3, "c " * 5, "s"),
+            (4, "d " * 9, "s"),
+        ]
+        df = spark.createDataFrame(
+            [(i, t.strip(), s) for i, t, s in rows],
+            "doc_id bigint, text string, source string",
+        )
+        out = {r.doc_id: r.pack_id for r in pack_sequences_bestfit(df, 10).collect()}
+        assert out == {4: 0, 3: 1, 1: 1, 2: 2}
+
+    def test_bestfit_properties_and_determinism(self, spark):
+        # every pack's token sum <= budget; every doc exactly once;
+        # identical assignment across re-runs and repartitioning
+        import random
+
+        from spark_sorted_spark.functions.packing import pack_sequences_bestfit
+
+        rng = random.Random(5)
+        rows = [
+            (i, "w " * rng.randrange(1, 40), f"s{i % 2}") for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            [(i, t.strip(), s) for i, t, s in rows],
+            "doc_id bigint, text string, source string",
+        )
+        a = pack_sequences_bestfit(df, 64, n_shards=3).collect()
+        sums: dict = {}
+        seen = set()
+        for r in a:
+            assert r.doc_id not in seen
+            seen.add(r.doc_id)
+            key = (r.source, r.shard, r.pack_id)
+            sums[key] = sums.get(key, 0) + r.n_tokens
+        assert len(seen) == 120
+        assert all(v <= 64 for v in sums.values()), max(sums.values())
+        b = pack_sequences_bestfit(df.repartition(7), 64, n_shards=3).collect()
+        key_of = lambda r: (r.source, r.shard, r.doc_id, r.pack_id)  # noqa: E731
+        assert sorted(map(key_of, a)) == sorted(map(key_of, b))
+
+    def test_bestfit_oversized_doc_is_loud(self, spark):
+        from spark_sorted_spark.functions.packing import pack_sequences_bestfit
+
+        df = spark.createDataFrame(
+            [(1, "x " * 20, "s")], "doc_id bigint, text string, source string"
+        )
+        with pytest.raises(Exception, match="exceeds the pack budget"):
+            pack_sequences_bestfit(df, 10).collect()
+
     def test_groups_pack_independently(self, spark):
         df = spark.createDataFrame(
             [(1, "a b c", "x"), (2, "d e f", "y")],
