@@ -324,6 +324,15 @@ def b25_tpch_q21(spark):
     force(QUERIES["tpch_q21_waiting_suppliers"](spark, SF_DIR))
 
 
+def b27_embed_dedup_incremental(spark):
+    # incremental embedding near-dup: even-id batch vs the persisted
+    # odd-id index — the per-nightly-batch cost of the embedding
+    # dedup loop (ids-only bucket join + exact verify)
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["embedding_dedup_incremental"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -353,6 +362,7 @@ BENCH = {
     "b24_tpch_q9": b24_tpch_q9,
     "b25_tpch_q21": b25_tpch_q21,
     "b26_zorder_layout": b26_zorder_layout,
+    "b27_embed_dedup_incremental": b27_embed_dedup_incremental,
 }
 
 

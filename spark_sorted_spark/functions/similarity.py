@@ -355,9 +355,17 @@ def build_ann_lsh_index(
     :func:`append_to_ann_lsh_index` adds later corpus batches in
     their own partitions (idempotent when ``batch_id`` is set).
     Probes read the whole index; bucket pruning still applies (the
-    bucket directory level is inside each batch partition)."""
+    bucket directory level is inside each batch partition).
+
+    The build also persists its construction parameters at
+    ``{path}/_lsh_meta`` (underscore — hidden from the partitioned
+    read, the IVF ``_centroids`` pattern): appends/probes/dedup reads
+    default to the RECORDED ``n_planes``/``dim`` and RAISE on an
+    explicit mismatch — without the metadata, a probe with the wrong
+    plane count silently computes garbage buckets and returns
+    empty/wrong neighbors with no error."""
     from ..sources.bucketed import write_partitioned
-    from .dedup import _rm_dir, spread_small_input
+    from .dedup import spread_small_input
 
     # a build is a FRESH index: clear prior batch partitions (and any
     # pre-v2 bucket=* dirs) or overwrite would leave stale appends
@@ -365,7 +373,7 @@ def build_ann_lsh_index(
     # the user-supplied path itself (mistyped-path protection, same
     # rule as build_minhash_band_store).
     spark = df.sparkSession
-    _rm_index_children(spark, path)
+    _rm_index_children(spark, path, extra=("_lsh_meta",))
     df = spread_small_input(df)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     assigned = df.select(
@@ -374,6 +382,45 @@ def build_ann_lsh_index(
         _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
     write_partitioned(assigned, f"{path}/ingest_batch_id=-1", "bucket")
+    spark.createDataFrame(
+        [(int(n_planes), int(dim))], "n_planes int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_lsh_meta")
+
+
+def _resolve_lsh_params(
+    spark, path: str, n_planes: int | None, dim: int | None, caller: str
+) -> tuple[int, int]:
+    """Resolve (n_planes, dim) against the index's persisted
+    ``_lsh_meta``: explicit args must MATCH the recorded construction
+    (a mismatch means garbage buckets — raise); ``None`` adopts the
+    recorded values; a pre-metadata index falls back to the shared
+    ANN constants, as before."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        # bounded-collect: one parameter row from the index metadata
+        meta = spark.read.parquet(f"{path}/_lsh_meta").collect()
+    except AnalysisException:
+        meta = []
+    if meta:
+        mp, md = int(meta[0].n_planes), int(meta[0].dim)
+        if n_planes is not None and n_planes != mp:
+            raise ValueError(
+                f"{caller}: index at {path!r} was built with "
+                f"n_planes={mp}, got n_planes={n_planes} — mismatched "
+                "planes bucket silently wrong; pass None to adopt the "
+                "recorded construction"
+            )
+        if dim is not None and dim != md:
+            raise ValueError(
+                f"{caller}: index at {path!r} was built with dim={md}, "
+                f"got dim={dim}"
+            )
+        return mp, md
+    return (
+        ANN_N_PLANES if n_planes is None else n_planes,
+        ANN_DIM if dim is None else dim,
+    )
 
 
 def _rm_index_children(spark, path: str, extra: tuple = ()) -> None:
@@ -396,8 +443,8 @@ def append_to_ann_lsh_index(
     df: DataFrame,
     path: str,
     batch_id: int | None = None,
-    n_planes: int = ANN_N_PLANES,
-    dim: int = ANN_DIM,
+    n_planes: int | None = None,
+    dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> None:
@@ -421,6 +468,9 @@ def append_to_ann_lsh_index(
     from ..sources.bucketed import write_partitioned
     from .dedup import spread_small_input
 
+    n_planes, dim = _resolve_lsh_params(
+        df.sparkSession, path, n_planes, dim, "append_to_ann_lsh_index"
+    )
     df = spread_small_input(df)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     assigned = df.select(
@@ -440,7 +490,7 @@ def ann_lsh_topk_indexed(
     index_path: str,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = ANN_N_PLANES,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_bits: int = 0,
@@ -454,6 +504,9 @@ def ann_lsh_topk_indexed(
     ``ann_lsh_topk`` with the same probe settings on the same data
     (same planes, same folds)."""
     dim = len(query_vec)
+    n_planes, _ = _resolve_lsh_params(
+        spark, index_path, n_planes, dim, "ann_lsh_topk_indexed"
+    )
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     probes = _multiprobe_buckets(query_vec, planes, probe_bits, probe_hamming)
     idx = spark.read.parquet(index_path)
@@ -995,8 +1048,8 @@ def cosine_neardup_against_index(
     batch: DataFrame,
     index_path: str,
     threshold: float,
-    n_planes: int = ANN_N_PLANES,
-    dim: int = ANN_DIM,
+    n_planes: int | None = None,
+    dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_bits: int = 0,
@@ -1028,6 +1081,9 @@ def cosine_neardup_against_index(
     spark = batch.sparkSession
     from .dedup import spread_small_input
 
+    n_planes, dim = _resolve_lsh_params(
+        spark, index_path, n_planes, dim, "cosine_neardup_against_index"
+    )
     batch = spread_small_input(batch)
     idx = spark.read.parquet(index_path)
     bb = _multi_table_buckets(

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..functions.similarity import ANN_DIM, ANN_N_PLANES, append_to_ann_lsh_index
+from ..functions.similarity import append_to_ann_lsh_index
 from .ingest import _resolve_stream_base
 
 __all__ = ["stream_index_embeddings"]
@@ -42,8 +42,8 @@ def stream_index_embeddings(
     index_path: str,
     checkpoint_dir: str,
     *,
-    n_planes: int = ANN_N_PLANES,
-    dim: int = ANN_DIM,
+    n_planes: int | None = None,
+    dim: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     timeout_sec: int = 300,
@@ -53,9 +53,10 @@ def stream_index_embeddings(
     batch-partitioned LSH index at ``index_path``. The index may
     start empty (the first batch creates it) or hold a prior
     ``build_ann_lsh_index`` base — either way every batch lands in
-    its own idempotent partition. ``n_planes``/``dim`` must match
-    the existing index's construction (the planes are seeded
-    constants, so equal parameters mean equal buckets)."""
+    its own idempotent partition. ``n_planes``/``dim`` default to the
+    index's persisted ``_lsh_meta`` (explicit mismatches raise — see
+    ``_resolve_lsh_params``); a stream-created index with no prior
+    build uses the shared ANN constants."""
     spark = stream_emb.sparkSession
     if "ingest_batch_id" in stream_emb.columns:
         raise ValueError(

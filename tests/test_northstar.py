@@ -373,6 +373,46 @@ def test_ann_ivf_index_incremental_append(spark, emb, tmp_path):
         append_to_ann_ivf_index(half_b, str(tmp_path / "nope"), batch_id=0)
 
 
+def test_lsh_index_meta_prevents_plane_mismatch(spark, emb, tmp_path):
+    # the index persists its construction (n_planes, dim); a probe or
+    # append with mismatched planes would silently compute garbage
+    # buckets — it must raise instead, and None must adopt the
+    # recorded construction
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_lsh_topk_indexed,
+        append_to_ann_lsh_index,
+        build_ann_lsh_index,
+        cosine_neardup_against_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    path = str(tmp_path / "meta_idx")
+    build_ann_lsh_index(corpus, path, n_planes=6)
+
+    # None adopts the recorded 6-plane construction
+    got = ann_lsh_topk_indexed(spark, path, qvec, k=3).collect()
+    assert got  # non-empty: buckets computed with the right planes
+
+    with _pytest.raises(ValueError, match="built with n_planes=6"):
+        ann_lsh_topk_indexed(spark, path, qvec, k=3, n_planes=8)
+    with _pytest.raises(ValueError, match="built with n_planes=6"):
+        append_to_ann_lsh_index(corpus.limit(1), path, batch_id=0, n_planes=8)
+    with _pytest.raises(ValueError, match="built with n_planes=6"):
+        cosine_neardup_against_index(corpus.limit(1), path, 0.9, n_planes=8)
+    # matching explicit value passes
+    append_to_ann_lsh_index(
+        corpus.limit(1).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        ),
+        path,
+        batch_id=0,
+        n_planes=6,
+    )
+
+
 def test_cosine_neardup_against_index(spark, emb, tmp_path):
     # incremental embedding near-dup: batch vs persisted index. Exact
     # copies are always caught (identical vectors share identical sign
