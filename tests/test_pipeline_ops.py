@@ -305,6 +305,57 @@ class TestPackSequences:
         key_of = lambda r: (r.source, r.shard, r.doc_id, r.pack_id)  # noqa: E731
         assert sorted(map(key_of, a)) == sorted(map(key_of, b))
 
+    def test_bestfit_hypothesis_vs_python_replica(self, spark):
+        # the Spark assignment must equal a pure-Python best-fit-
+        # decreasing replica on random size multisets (the same
+        # collections-oracle strategy the sketches use)
+        import bisect
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from spark_sorted_spark.functions.packing import pack_sequences_bestfit
+
+        def py_bfd(sizes_by_id, budget):
+            order = sorted(sizes_by_id.items(), key=lambda kv: (-kv[1], kv[0]))
+            open_packs = []
+            next_id = 0
+            out = {}
+            for did, s in order:
+                i = bisect.bisect_left(open_packs, (s, -1))
+                if i < len(open_packs):
+                    rem, pid = open_packs.pop(i)
+                    rem -= s
+                    if rem > 0:
+                        bisect.insort(open_packs, (rem, pid))
+                else:
+                    pid = next_id
+                    next_id += 1
+                    if budget - s > 0:
+                        bisect.insort(open_packs, (budget - s, pid))
+                out[did] = pid
+            return out
+
+        @given(
+            sizes=st.lists(st.integers(1, 16), min_size=1, max_size=40),
+            budget=st.integers(16, 48),
+        )
+        @settings(max_examples=8, deadline=None)
+        def run(sizes, budget):
+            rows = [(i, "w " * s, "s") for i, s in enumerate(sizes)]
+            df = spark.createDataFrame(
+                [(i, t.strip(), s) for i, t, s in rows],
+                "doc_id bigint, text string, source string",
+            )
+            got = {
+                r.doc_id: r.pack_id
+                for r in pack_sequences_bestfit(df, budget).collect()
+            }
+            want = py_bfd(dict(enumerate(sizes)), budget)
+            assert got == want
+
+        run()
+
     def test_bestfit_oversized_doc_is_loud(self, spark):
         from spark_sorted_spark.functions.packing import pack_sequences_bestfit
 
