@@ -336,10 +336,11 @@ def ann_lsh_topk(
 def build_ann_lsh_index(
     df: DataFrame,
     path: str,
-    n_planes: int = ANN_N_PLANES,
+    n_planes: int | None = ANN_N_PLANES,
     dim: int = ANN_DIM,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_bucket: int = 32,
 ) -> None:
     """Compute each vector's sign-bit bucket ONCE and persist the
     assignment directory-partitioned by ``bucket``. The build is one
@@ -373,6 +374,14 @@ def build_ann_lsh_index(
     # the user-supplied path itself (mistyped-path protection, same
     # rule as build_minhash_band_store).
     spark = df.sparkSession
+    # n_planes=None derives the depth from the corpus count (the same
+    # auto_planes rule as the banded constructions — a fixed depth is
+    # the measured quadratic at 10x); the persisted _lsh_meta then
+    # makes the choice sticky for every append/probe. The default
+    # stays the shared constant so the oracle-gated queries keep a
+    # bucket space DuckDB can replay from the same constant.
+    if n_planes is None:
+        n_planes = auto_planes(df.count(), target_bucket)
     _rm_index_children(spark, path, extra=("_lsh_meta",))
     df = spread_small_input(df)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]

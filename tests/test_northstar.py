@@ -1131,3 +1131,21 @@ def test_png_decoder_fuzz_roundtrip(spark):
         assert d["pixels"] == bytes(flat)
 
     run()
+
+
+def test_lsh_index_auto_depth_build(spark, emb, tmp_path):
+    # n_planes=None at build time derives the depth from the corpus
+    # count and records it in _lsh_meta; probes adopt it transparently
+    from spark_sorted_spark.functions.similarity import (
+        ann_lsh_topk_indexed,
+        auto_planes,
+        build_ann_lsh_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    path = str(tmp_path / "auto_idx")
+    build_ann_lsh_index(corpus, path, n_planes=None)
+    meta = spark.read.parquet(f"{path}/_lsh_meta").collect()[0]
+    assert meta.n_planes == auto_planes(corpus.count())
+    assert ann_lsh_topk_indexed(spark, path, qvec, k=3).collect()
