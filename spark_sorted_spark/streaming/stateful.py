@@ -39,7 +39,7 @@ def stream_fold_by_key(
     *,
     value_col: str,
     alias: str = "fold",
-    order_by: Sequence[str] = (),
+    order_by: Sequence = (),
     state_ddl: str | None = None,
     step_vec: Callable | None = None,
 ) -> DataFrame:
@@ -54,12 +54,26 @@ def stream_fold_by_key(
     column is named ``{alias}_pickled`` (type ``binary``) so callers
     can't mistake the bytes for a value. ``step_vec(acc, series)``
     is the vectorized per-batch fast path (e.g. running sum:
-    ``lambda a, s: a + s.sum()``)."""
+    ``lambda a, s: a + s.sum()``).
+
+    ``order_by`` takes the same forms as ``group_sort``: column
+    names, ``(name, ascending)`` pairs, or pyspark ``Column``
+    expressions (materialized as hidden columns on the stream; they
+    feed the within-batch sort and never reach the output)."""
     if isinstance(keys, str):
         keys = [keys]
     keys = list(keys)
+    from ..core import _normalize_order
+
+    specs, derived = _normalize_order(list(order_by), reverse=False)
+    for name, expr in derived:
+        sdf = sdf.withColumn(name, expr)
     fields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
-    missing = [c for c in [*keys, value_col, *order_by] if c not in fields]
+    missing = [
+        c
+        for c in [*keys, value_col, *[s.col for s in specs]]
+        if c not in fields
+    ]
     if missing:
         raise ValueError(f"columns not in stream: {missing}")
 
@@ -71,7 +85,8 @@ def stream_fold_by_key(
         [f"{k} {fields[k]}" for k in keys] + [f"{alias} {ddl if not pickled else 'binary'}"]
     )
     state_schema = f"acc {ddl}"
-    sort_cols = list(order_by)
+    sort_cols = [s.col for s in specs]
+    sort_asc = [s.ascending for s in specs]
 
     def fold_key(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -83,7 +98,9 @@ def stream_fold_by_key(
             acc = pickle.loads(pickle.dumps(zero)) if pickled else zero
         batch = pd.concat(list(pdfs), ignore_index=True)
         if sort_cols:
-            batch = batch.sort_values(sort_cols, kind="mergesort")
+            batch = batch.sort_values(
+                sort_cols, ascending=sort_asc, kind="mergesort"
+            )
         if step_vec is not None:
             acc = step_vec(acc, batch[value_col])
         else:

@@ -1466,3 +1466,33 @@ def test_compact_corpus_preserves_rows_marker_and_stream(spark, sf_dir, tmp_path
     os.makedirs(empty)
     with _pytest.raises(ValueError, match="no batch partitions"):
         compact_corpus(spark, empty)
+
+
+def test_stream_fold_expression_order_by(spark, tmp_path):
+    """order_by accepts Column expressions (matching group_sort):
+    fold rows within each batch by a derived sort key; hidden columns
+    never reach the output."""
+    df = spark.createDataFrame(
+        [("a", 3, "t1"), ("a", 1, "t0"), ("a", 2, "t2")], ["k", "v", "tag"]
+    )
+    path = str(tmp_path / "exprsrc")
+    df.coalesce(1).write.parquet(path)
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+    # fold concatenates v in order of tag DESC via an expression
+    out = run_available_now(
+        stream_fold_by_key(
+            sdf,
+            "k",
+            "",
+            lambda acc, v: acc + str(v),
+            value_col="v",
+            alias="seq",
+            order_by=[(F.substring(F.col("tag"), 2, 1), False)],
+            state_ddl="string",
+        ),
+        output_mode="update",
+    )
+    rows = out.collect()
+    assert [r.k for r in rows] == ["a"]
+    assert rows[0].seq == "231"  # tag t2, t1, t0 -> v 2, 3, 1
+    assert "__gs_order_0" not in out.columns
