@@ -333,6 +333,15 @@ def b27_embed_dedup_incremental(spark):
     force(QUERIES["embedding_dedup_incremental"](spark, SF_DIR))
 
 
+def b28_jaccard_prefix(spark):
+    # lossless prefix-filtered Jaccard self-join (AllPairs/PPJoin):
+    # the exact-answer price to compare against the b12 MinHash
+    # approximation — candidates from rare-first prefixes only
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["dedup_jaccard_prefix"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -363,6 +372,7 @@ BENCH = {
     "b25_tpch_q21": b25_tpch_q21,
     "b26_zorder_layout": b26_zorder_layout,
     "b27_embed_dedup_incremental": b27_embed_dedup_incremental,
+    "b28_jaccard_prefix": b28_jaccard_prefix,
 }
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "ngram_jaccard_pairs",
+    "jaccard_prefix_pairs",
     "ngram_overlap_across",
     "minhash_signatures",
     "minhash_band_table",
@@ -172,6 +173,150 @@ def ngram_jaccard_pairs(
     sets = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_a", F.size("sh_a"))
+        .withColumn("n_b", F.size("sh_b"))
+        .filter(
+            F.lit(tau_den) * F.col("n_common")
+            >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """LOSSLESS near-duplicate pairs via prefix filtering (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    returns EXACTLY the pairs with distinct-shingle Jaccard >=
+    tau_num/tau_den — same output as the exhaustive
+    ``ngram_jaccard_pairs(max_bucket=None)`` baseline, unlike the
+    ``max_bucket``/LSH paths which can miss pairs.
+
+    Why it's subquadratic anyway: order every document's shingles by a
+    single global total order (corpus document-frequency asc, shingle
+    asc — rarest first). If Jaccard(A,B) >= t then
+    ``|A∩B| >= ceil(t·max(|A|,|B|))``, and by the prefix lemma the
+    first ``|X| - ceil(t·|X|) + 1`` shingles of each side must share
+    at least one element — so candidates are generated only from these
+    short, rare-first prefixes (at t=1/2, half a document's shingles;
+    the rarest half, so collisions are few). Three further LOSSLESS
+    prunes run before the distinct (all standard PPJoin lemmas,
+    measured 3.3x fewer candidates on the sf0.1 corpus):
+
+    - size filter: ``tau_num·max(na,nb) <= tau_den·min(na,nb)``
+      (implied by J >= t);
+    - index prefix: orient each colliding pair so the (nsh, id)-
+      smaller doc is the "index" side; its collision must fall in the
+      SHORTER prefix ``|y| - ceil(2t/(1+t)·|y|) + 1`` (valid because
+      the partner is at least as large, so the required overlap
+      ``alpha = ceil(t/(1+t)·(na+nb)) >= ceil(2t/(1+t)·|y|)``);
+    - positional filter: a collision at ordered positions (ra, rb)
+      caps the achievable overlap at ``1 + min(na-ra, nb-rb)``; prune
+      if that is below alpha. The FIRST common shingle of a truly
+      qualifying pair sits inside both alpha-prefixes and survives,
+      so the pair always reaches the verifier.
+
+    Verification then computes exact Jaccard on the full shingle
+    sets, identical to ``ngram_jaccard_pairs``.
+
+    All-integer thresholds: ``ceil(t·s) = (tau_num·s + tau_den - 1)
+    DIV tau_den`` — no floats, so the DuckDB oracle (which replays the
+    brute-force DEFINITION, not this algorithm) matches bit-for-bit.
+
+    Scale shape (100 TB): one df-count aggregate over exploded
+    shingles (map-side combine), one per-document sort (window keyed
+    by document — state bounded by document length), one equi-join on
+    prefix shingles whose fan-out is bounded by prefix-bucket sizes
+    (rare shingles by construction), candidates carry ids only, exact
+    verify on candidates only. Truly identical-document groups still
+    collide (they must — the answer contains all their pairs), so run
+    :func:`exact_dedup` first to collapse verbatim copies, as the
+    clean-corpus pipeline does.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(
+            f"threshold must satisfy 0 < tau_num <= tau_den, got "
+            f"{tau_num}/{tau_den}"
+        )
+    df = spread_small_input(df)
+    # Explode WITHOUT materializing the shingle array as a filtered
+    # column: Filter(size(sh) > 0) over Project(sh) makes Catalyst
+    # inline the whole shingles() expression into the pushed-down
+    # predicate, evaluating the (array_distinct-quadratic) expression
+    # repeatedly per row — measured 8x slower at sf0.1 (0.47 s -> 3.73 s
+    # for the bare select). explode() drops empty arrays natively, and
+    # nsh is recovered by an unordered count window that shares the
+    # rn window's exchange, so the fast path loses nothing.
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    # (sdf, shingle) is a TOTAL order within a document (shingles are
+    # distinct), so row_number is deterministic in both engines
+    w_doc = Window.partitionBy(id_col)
+    w = Window.partitionBy(id_col).orderBy("sdf", "shingle")
+    prefix_len = (
+        F.col("nsh")
+        - F.expr(f"({tau_num} * nsh + {tau_den - 1}) DIV {tau_den}")
+        + F.lit(1)
+    )
+    pref = (
+        ex.join(dfreq, on="shingle")
+        .withColumn("nsh", F.count(F.lit(1)).over(w_doc))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(id_col, "nsh", "shingle", "rn")
+    )
+    # DataFrame aliases (not pre-renamed columns) keep the two join
+    # children plan-identical, so the prefix subtree's exchange is
+    # computed once and reused (same pattern as ngram_jaccard_pairs).
+    # The index-prefix cut is applied POST-join for the same reason:
+    # pre-filtering one side to the shorter prefix would desymmetrize
+    # the children and force the subtree to compute twice.
+    a = pref.alias("a")
+    b = pref.alias("b")
+    na, nb = F.col("a.nsh"), F.col("b.nsh")
+    ra, rb = F.col("a.rn"), F.col("b.rn")
+    # orient: a is the (nsh, id)-smaller "index" side, b the "probe"
+    oriented = (na < nb) | (
+        (na == nb) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    tsum = tau_num + tau_den
+    # index prefix: ra <= na - ceil(2t/(1+t)*na) + 1, integer form
+    index_prefix = ra <= na - F.expr(
+        f"(2 * {tau_num} * a.nsh + {tsum - 1}) DIV {tsum}"
+    ) + F.lit(1)
+    # alpha = ceil(t/(1+t) * (na+nb)): the minimum overlap J >= t needs
+    alpha = F.expr(f"({tau_num} * (a.nsh + b.nsh) + {tsum - 1}) DIV {tsum}")
+    positional = F.lit(1) + F.least(na - ra, nb - rb) >= alpha
+    size_ok = F.lit(tau_num) * nb <= F.lit(tau_den) * na
+    cand = (
+        a.join(b, on="shingle")
+        .filter(oriented & size_ok & index_prefix & positional)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
+    # AQE coalesces the tiny id-pair shuffle to ~1 partition, which
+    # would serialize the array_intersect verify; re-spread explicitly
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    full = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sa = full.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = full.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

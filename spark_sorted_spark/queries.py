@@ -642,6 +642,41 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_jaccard_prefix",
+    # The oracle is the brute-force DEFINITION (every shingle-sharing
+    # pair, exact Jaccard filter) — NOT a replay of the prefix-filter
+    # algorithm. Passing this gate proves jaccard_prefix_pairs is
+    # lossless: the AllPairs prefix + size filters prune candidates
+    # without dropping a single qualifying pair.
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.shs, sb.shs)) AS n_common,
+           len(sa.shs) AS n_a, len(sb.shs) AS n_b
+    FROM cand JOIN sets sa ON sa.doc_id = doc_a
+              JOIN sets sb ON sb.doc_id = doc_b
+    WHERE 2 * len(list_intersect(sa.shs, sb.shs))
+          >= 1 * (len(sa.shs) + len(sb.shs)
+                  - len(list_intersect(sa.shs, sb.shs)))
+    """,
+)
+def dedup_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless subquadratic near-dup join (AllPairs/PPJoin prefix
+    filtering) — same answer as the exhaustive baseline, candidates
+    from rare-first prefixes only (functions/dedup.py
+    jaccard_prefix_pairs)."""
+    from .functions.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        load_table(spark, "documents", sf_dir), n=3, tau_num=1, tau_den=2
+    )
+
+
 def _minhash_perm_values_sql() -> str:
     from .functions.dedup import MINHASH_PERMS
 
@@ -4261,6 +4296,10 @@ _GATE_ORDER = [
     "lang_id",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    # round-8 addition: the lossless prefix-filtered Jaccard join
+    # (AllPairs/PPJoin) gates against the brute-force definitional
+    # oracle — the strongest correctness statement in the dedup family
+    "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "similarity_topk",
     "similarity_ann_lsh",
@@ -4290,7 +4329,10 @@ _GATE_ORDER = [
     "window_rank_lag",
     "pipeline_clean_corpus",
     "embedding_neardup_lsh",
-    "distinct_agg",
+    # round-8: distinct_agg rotated to overflow to make room for
+    # dedup_jaccard_prefix — the agg family keeps combiner_agg +
+    # grouping_sets_agg gated, and the distinct-agg expansion path is
+    # composite-covered by tpch_q16 (locally oracle-checked)
     "dedup_simhash_banded",
     "stream_stream_join",
     "corpus_mix",
@@ -4336,6 +4378,9 @@ _GATE_ORDER = [
     "zorder_values",
     # --- gate cutoff (driver runs the 50 above) ---
     "tpch_q1_pricing_summary",
+    # round-8: rotated out for dedup_jaccard_prefix (driver-green
+    # r1-r7; distinct-agg expansion composite-covered by tpch_q16)
+    "distinct_agg",
     "cms_token_counts",
     "stream_fold_ema",
     "stream_dedup",

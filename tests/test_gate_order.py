@@ -49,17 +49,24 @@ def test_gate_window_contents():
         "merge_join_left",
         "merge_join_right",
         "projection_chain",
+        # round-8 addition: the lossless prefix-filtered Jaccard join
+        # gates against the brute-force definitional oracle
+        "dedup_jaccard_prefix",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # overflow: round-8 rotation #4 moved three driver-green composite-
     # covered rows out (tpch_q1 — operators individually gated;
     # cms_token_counts — sketch family keeps hll + length_quantiles;
     # stream_fold_ema — fold family keeps its native tier and four
-    # other streaming rows stay gated); plus the earlier rotations'
+    # other streaming rows stay gated); later in round 8 distinct_agg
+    # rotated out for dedup_jaccard_prefix (agg family keeps
+    # combiner_agg + grouping_sets_agg; distinct-agg expansion is
+    # composite-covered by tpch_q16); plus the earlier rotations'
     # overflow (justifications in queries.py _GATE_ORDER comments +
     # PARITY.md). All overflow stays locally oracle-checked.
     assert names[50:] == [
         "tpch_q1_pricing_summary",
+        "distinct_agg",
         "cms_token_counts",
         "stream_fold_ema",
         "stream_dedup",

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from spark_sorted_spark.functions.dedup import (
     exact_dedup,
+    jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -84,6 +85,53 @@ def test_ngram_jaccard_max_bucket_guard(spark):
         ).collect()
     }
     assert (100, 101) in all_pairs and len(all_pairs) > 1
+
+
+def test_jaccard_prefix_is_lossless_vs_exhaustive(docs):
+    # the headline guarantee: the prefix-filtered join returns EXACTLY
+    # the exhaustive baseline's pairs (all five columns), at both the
+    # default and a tighter threshold
+    for tn, td in ((1, 2), (4, 5)):
+        exp = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, max_bucket=None, tau_num=tn, tau_den=td
+            ).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in jaccard_prefix_pairs(docs, tau_num=tn, tau_den=td).collect()
+        )
+        assert got == exp, (tn, td, len(got), len(exp))
+
+
+def test_jaccard_prefix_finds_pair_with_hot_common_shingles(spark):
+    # the max_bucket guard's blind spot: a qualifying pair whose EVERY
+    # common shingle is hot is missed by ngram_jaccard_pairs(max_bucket)
+    # but MUST be found by the lossless prefix join. 6 filler docs make
+    # the shared shingles hot (bucket > 4); docs 100/101 are identical
+    # 8-token texts (jaccard 1.0) built ONLY from those hot shingles.
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(100, dup), (101, dup)]
+    rows += [(i, dup + f" filler{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, max_bucket=4, tau_num=9, tau_den=10).collect()
+    }
+    assert (100, 101) not in capped  # the guard drops it — by design
+    lossless = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_pairs(df, tau_num=9, tau_den=10).collect()
+    }
+    assert lossless == {(100, 101)}
+
+
+def test_jaccard_prefix_threshold_validation(docs):
+    with pytest.raises(ValueError, match="tau_num"):
+        jaccard_prefix_pairs(docs, tau_num=0, tau_den=2)
+    with pytest.raises(ValueError, match="tau_num"):
+        jaccard_prefix_pairs(docs, tau_num=3, tau_den=2)
 
 
 def test_simhash_ranks_planted_dups_closest(docs):
