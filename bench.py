@@ -342,6 +342,15 @@ def b28_jaccard_prefix(spark):
     force(QUERIES["dedup_jaccard_prefix"](spark, SF_DIR))
 
 
+def b29_decontaminate_exact(spark):
+    # cross-corpus lossless Jaccard join (R-S PPJoin) at tau=1/5:
+    # the exact-guarantee price vs the b-free screening pass; right-
+    # side-only frequency order keeps the corpus out of candidates
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["decontaminate_exact"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -373,6 +382,7 @@ BENCH = {
     "b26_zorder_layout": b26_zorder_layout,
     "b27_embed_dedup_incremental": b27_embed_dedup_incremental,
     "b28_jaccard_prefix": b28_jaccard_prefix,
+    "b29_decontaminate_exact": b29_decontaminate_exact,
 }
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "shingles",
     "ngram_jaccard_pairs",
     "jaccard_prefix_pairs",
+    "jaccard_prefix_join",
     "ngram_overlap_across",
     "minhash_signatures",
     "minhash_band_table",
@@ -328,6 +329,146 @@ def jaccard_prefix_pairs(
             >= F.lit(tau_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         )
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def jaccard_prefix_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Cross-corpus (R-S) form of :func:`jaccard_prefix_pairs`:
+    EXACTLY the (left, right) document pairs with distinct-shingle
+    Jaccard >= tau_num/tau_den — the LOSSLESS decontamination join.
+    ``ngram_overlap_across`` counts common shingles with a
+    ``max_bucket`` fan-out guard that deliberately ignores ubiquitous
+    shingles; this join misses nothing at its threshold, so it is the
+    "prove the training corpus is clean at J >= t" primitive rather
+    than the cheap screening pass. Returns
+    ``(left_id, right_id, n_common, n_left, n_right)``.
+
+    Same AllPairs/PPJoin lemmas as the self-join, adapted to two
+    relations:
+
+    - ONE global shingle order shared by both sides — document
+      frequency over the RIGHT relation only (asc, shingle asc;
+      shingles absent from the right count 0). Any shared total order
+      is correct; this one is chosen for the asymmetric decontamination
+      shape where right is the small benchmark: the frequency
+      aggregate never touches the big corpus, and corpus shingles the
+      benchmark lacks sort FIRST (count 0) — they fill the corpus
+      prefix budget while being incapable of colliding, so they are
+      dropped from candidate generation outright (lossless: a
+      shingle-equijoin row needs the shingle on both sides) and most
+      corpus documents contribute nothing to the candidate shuffle;
+    - each side keeps only its basic prefix
+      ``|X| - ceil(t·|X|) + 1``; candidates come from prefix-prefix
+      shingle collisions only;
+    - size filter in BOTH directions (no orientation exists:
+      pair identity is (left, right), not an unordered pair);
+    - the mid-prefix cut applies to whichever side of the pair is
+      smaller (``alpha >= ceil(2t/(1+t)·min(nl,nr))``), via
+      ``when(nl <= nr, ...)`` rather than the self-join's (nsh, id)
+      orientation — ties are safe because ``nl == nr`` makes the
+      bound valid for either side;
+    - positional filter unchanged.
+
+    Thresholds are practical down to ~1/10 (typical decontamination
+    bars); the prefix shrinks as t grows, so LOW thresholds cost more
+    candidates — that trade is fundamental to lossless joins, and the
+    screening pass (``ngram_overlap_across``) remains the right first
+    filter at 100 TB, with this join run on its survivors when an
+    exact guarantee is required.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(
+            f"threshold must satisfy 0 < tau_num <= tau_den, got "
+            f"{tau_num}/{tau_den}"
+        )
+    left = spread_small_input(left)
+    right = spread_small_input(right)
+    # explode() (not a filtered array column) for the same
+    # Catalyst-inlining reason documented in jaccard_prefix_pairs
+    exl = left.select(
+        F.col(id_col).alias("left_id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    )
+    exr = right.select(
+        F.col(id_col).alias("right_id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    )
+    dfreq = exr.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+
+    def prefix_table(ex: DataFrame, idc: str) -> DataFrame:
+        w_doc = Window.partitionBy(idc)
+        w = Window.partitionBy(idc).orderBy("sdf", "shingle")
+        prefix_len = (
+            F.col("nsh")
+            - F.expr(f"({tau_num} * nsh + {tau_den - 1}) DIV {tau_den}")
+            + F.lit(1)
+        )
+        return (
+            # left join + coalesce 0: the shared order must rank every
+            # shingle, including corpus shingles the benchmark lacks
+            ex.join(dfreq, on="shingle", how="left")
+            .withColumn("sdf", F.coalesce("sdf", F.lit(0)))
+            .withColumn("nsh", F.count(F.lit(1)).over(w_doc))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= prefix_len)
+            # sdf = 0 rows hold prefix positions (rn is computed) but
+            # can never equijoin — drop them before the shuffle
+            .filter(F.col("sdf") > 0)
+            .select(idc, "nsh", "shingle", "rn")
+        )
+
+    a = prefix_table(exl, "left_id").alias("a")
+    b = prefix_table(exr, "right_id").alias("b")
+    nl, nr = F.col("a.nsh"), F.col("b.nsh")
+    rl, rr = F.col("a.rn"), F.col("b.rn")
+    tsum = tau_num + tau_den
+    size_ok = (F.lit(tau_num) * F.greatest(nl, nr)) <= (
+        F.lit(tau_den) * F.least(nl, nr)
+    )
+    mid_a = rl <= nl - F.expr(
+        f"(2 * {tau_num} * a.nsh + {tsum - 1}) DIV {tsum}"
+    ) + F.lit(1)
+    mid_b = rr <= nr - F.expr(
+        f"(2 * {tau_num} * b.nsh + {tsum - 1}) DIV {tsum}"
+    ) + F.lit(1)
+    mid_prefix = F.when(nl <= nr, mid_a).otherwise(mid_b)
+    alpha = F.expr(f"({tau_num} * (a.nsh + b.nsh) + {tsum - 1}) DIV {tsum}")
+    positional = F.lit(1) + F.least(nl - rl, nr - rr) >= alpha
+    cand = (
+        a.join(b, on="shingle")
+        .filter(size_ok & mid_prefix & positional)
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    cand = cand.repartition(left.sparkSession.sparkContext.defaultParallelism)
+    sl = left.select(
+        F.col(id_col).alias("left_id"), shingles(text_col, n).alias("sh_l")
+    )
+    sr = right.select(
+        F.col(id_col).alias("right_id"), shingles(text_col, n).alias("sh_r")
+    )
+    return (
+        cand.join(sl, "left_id")
+        .join(sr, "right_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_l", "sh_r")))
+        .withColumn("n_left", F.size("sh_l"))
+        .withColumn("n_right", F.size("sh_r"))
+        .filter(
+            F.lit(tau_den) * F.col("n_common")
+            >= F.lit(tau_num)
+            * (F.col("n_left") + F.col("n_right") - F.col("n_common"))
+        )
+        .select("left_id", "right_id", "n_common", "n_left", "n_right")
     )
 
 

@@ -3624,6 +3624,44 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decontaminate_exact",
+    # The oracle is the brute-force cross-corpus DEFINITION (every
+    # shingle-sharing (corpus, benchmark) pair, exact Jaccard filter)
+    # — passing proves jaccard_prefix_join is lossless across two
+    # relations, the guarantee `decontaminate`'s max_bucket screening
+    # pass deliberately trades away.
+    oracle=f"""
+    WITH csh AS ({_shingle_sql("(SELECT * FROM documents WHERE source <> 'src0')")}),
+    bsh AS ({_shingle_sql("(SELECT * FROM documents WHERE source = 'src0')")}),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS left_id, b.doc_id AS right_id
+      FROM csh c JOIN bsh b ON c.sh = b.sh),
+    csets AS (SELECT doc_id, list(sh) AS shs FROM csh GROUP BY doc_id),
+    bsets AS (SELECT doc_id, list(sh) AS shs FROM bsh GROUP BY doc_id)
+    SELECT left_id, right_id,
+           len(list_intersect(cs.shs, bs.shs)) AS n_common,
+           len(cs.shs) AS n_left, len(bs.shs) AS n_right
+    FROM cand JOIN csets cs ON cs.doc_id = left_id
+              JOIN bsets bs ON bs.doc_id = right_id
+    WHERE 5 * len(list_intersect(cs.shs, bs.shs))
+          >= 1 * (len(cs.shs) + len(bs.shs)
+                  - len(list_intersect(cs.shs, bs.shs)))
+    """,
+)
+def decontaminate_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless decontamination: EXACTLY the (corpus, benchmark) pairs
+    with shingle Jaccard >= 1/5 via the cross-corpus AllPairs/PPJoin
+    prefix filter (functions/dedup.py jaccard_prefix_join) — the
+    prove-it's-clean pass run on the screening pass's survivors."""
+    from .functions.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return jaccard_prefix_join(corpus, benchmark, n=3, tau_num=1, tau_den=5)
+
+
 # ===========================================================================
 # RANGE-frame window — rolling 1-hour per-user sum, the time-based
 # frame flavor (`RANGE BETWEEN x PRECEDING`) that `window_rank_lag`'s
@@ -4453,6 +4491,10 @@ _GATE_ORDER = [
     # round-8: incremental embedding near-dup vs the persisted index
     # (overflow; the gated dedup_incremental covers the text twin)
     "embedding_dedup_incremental",
+    # round-8: cross-corpus lossless Jaccard join vs the brute-force
+    # definitional oracle (overflow; the gated dedup_jaccard_prefix
+    # pins the same prefix-filter lemmas on the self-join)
+    "decontaminate_exact",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -119,6 +119,7 @@ def test_gate_window_contents():
         "stream_len_quantiles",
         "stream_ann_index",
         "embedding_dedup_incremental",
+        "decontaminate_exact",
     ]
     assert "dedup_clusters" in gated
     assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated

@@ -8,9 +8,11 @@ from pyspark.sql import functions as F
 
 from spark_sorted_spark.functions.dedup import (
     exact_dedup,
+    jaccard_prefix_join,
     jaccard_prefix_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingles,
     simhash_pairs,
 )
 from spark_sorted_spark.functions.multimodal import (
@@ -125,6 +127,48 @@ def test_jaccard_prefix_finds_pair_with_hot_common_shingles(spark):
         for r in jaccard_prefix_pairs(df, tau_num=9, tau_den=10).collect()
     }
     assert lossless == {(100, 101)}
+
+
+def test_jaccard_prefix_join_is_lossless_vs_brute_force(docs):
+    # cross-corpus twin: split the fixture corpus by parity, compare
+    # against an in-test crossJoin brute force at a loose (1/5) and a
+    # tight (4/5) threshold — exact pair set, all five columns
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    sl = left.select(
+        F.col("doc_id").alias("left_id"), shingles("text", 3).alias("sh_l")
+    ).filter(F.size("sh_l") > 0)
+    sr = right.select(
+        F.col("doc_id").alias("right_id"), shingles("text", 3).alias("sh_r")
+    ).filter(F.size("sh_r") > 0)
+    for tn, td in ((1, 5), (4, 5)):
+        exp = sorted(
+            tuple(r)
+            for r in sl.crossJoin(sr)
+            .withColumn("n_common", F.size(F.array_intersect("sh_l", "sh_r")))
+            .withColumn("n_left", F.size("sh_l"))
+            .withColumn("n_right", F.size("sh_r"))
+            .filter(
+                F.lit(td) * F.col("n_common")
+                >= F.lit(tn)
+                * (F.col("n_left") + F.col("n_right") - F.col("n_common"))
+            )
+            .select("left_id", "right_id", "n_common", "n_left", "n_right")
+            .collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in jaccard_prefix_join(
+                left, right, tau_num=tn, tau_den=td
+            ).collect()
+        )
+        assert got == exp, (tn, td, len(got), len(exp))
+        assert exp, (tn, td)  # the fixture must actually exercise pairs
+
+
+def test_jaccard_prefix_join_threshold_validation(docs):
+    with pytest.raises(ValueError, match="tau_num"):
+        jaccard_prefix_join(docs, docs, tau_num=0, tau_den=2)
 
 
 def test_jaccard_prefix_threshold_validation(docs):
