@@ -116,6 +116,11 @@ class GroupSortedFrame:
     # order_by: part of the carried df (downstream tiers re-sort by
     # them by name) but never part of the user-visible relation
     hidden_cols: tuple[str, ...] = ()
+    # which Catalyst partitioning laid the frame out: "hash" (default)
+    # or "range" (global key order across partitions). Both satisfy
+    # ClusteredDistribution, so every per-key operator runs shuffle-
+    # free on either; co_layout replicates the scheme.
+    partitioning: str = "hash"
 
     # -- basic plumbing -------------------------------------------------
 
@@ -225,7 +230,11 @@ class GroupSortedFrame:
         side (Catalyst ``EnsureRequirements`` sees matching
         ``HashPartitioning``)."""
         return group_sort(
-            df, self.key_cols, order_by=order_by, num_partitions=self.num_partitions
+            df,
+            self.key_cols,
+            order_by=order_by,
+            num_partitions=self.num_partitions,
+            partition_by=self.partitioning,
         )
 
     def combine_by_key(self, *aggs: Column) -> DataFrame:
@@ -329,6 +338,7 @@ def group_sort(
     order_by: str | OrderSpec | Sequence | None = None,
     num_partitions: int | None = None,
     reverse: bool = False,
+    partition_by: str = "hash",
 ) -> GroupSortedFrame:
     """Build the group-sorted layout: one hash shuffle on ``keys`` plus
     a partition-local sort on ``(keys, order_by)``.
@@ -351,15 +361,24 @@ def group_sort(
     ``to_df()``. NB: per-group UDF tiers (map_stream / merge_join_
     custom) see the hidden column in their input frames.
 
-    Deliberate non-goal: the reference's RDD path accepts any custom
-    ``Partitioner`` (``PairRDDFunctions.scala:14-29``); here the
-    partitioning function is Catalyst's hash partitioning, period.
-    In the DataFrame world the optimizer owns partitioning —
+    ``partition_by`` maps the reference's custom-``Partitioner``
+    overloads (``PairRDDFunctions.scala:14-29``) onto the TWO
+    partitionings Catalyst recognizes: ``"hash"`` (default — the
+    co-partitioned-join / AQE-skew workhorse) and ``"range"``
+    (``repartitionByRange``: sampled boundaries give GLOBAL key order
+    across partitions — the classic use of a custom RangePartitioner,
+    e.g. producing a totally-ordered/sorted-file layout). Both satisfy
+    ``ClusteredDistribution`` (equal keys share a partition), so every
+    per-key operator runs shuffle-free on either layout; range's
+    boundaries are sample-derived, so two separately range-laid frames
+    are NOT co-partitioned for joins — keep hash for join-prep.
+    Deliberate non-goal: OPAQUE user partition functions. In the
+    DataFrame world the optimizer owns partitioning —
     EnsureRequirements/AQE match, coalesce, and split exchanges by
-    recognizing the STANDARD HashPartitioning; an opaque custom
-    partitioner would forfeit co-partitioned join elision and AQE
-    skew handling, the very properties this layout exists to exploit.
-    Range-style layouts are served by ``functions.layout.zorder_layout``."""
+    recognizing the standard partitionings; an opaque custom
+    partitioner would forfeit exactly those properties.
+    Multi-column locality layouts are served by
+    ``functions.layout.zorder_layout``."""
     if isinstance(keys, str):
         keys = [keys]
     keys = tuple(keys)
@@ -378,14 +397,25 @@ def group_sort(
     if missing_order:
         raise ValueError(f"order_by columns not in DataFrame: {missing_order}")
     key_exprs = [F.col(k) for k in keys]
-    laid = (
-        df.repartition(num_partitions, *key_exprs)
-        if num_partitions
-        else df.repartition(*key_exprs)
-    )
+    if partition_by == "hash":
+        laid = (
+            df.repartition(num_partitions, *key_exprs)
+            if num_partitions
+            else df.repartition(*key_exprs)
+        )
+    elif partition_by == "range":
+        laid = (
+            df.repartitionByRange(num_partitions, *key_exprs)
+            if num_partitions
+            else df.repartitionByRange(*key_exprs)
+        )
+    else:
+        raise ValueError(
+            f"partition_by must be 'hash' or 'range', got {partition_by!r}"
+        )
     sort_exprs = [F.col(k).asc() for k in keys] + [s.expr() for s in specs]
     laid = laid.sortWithinPartitions(*sort_exprs)
-    return GroupSortedFrame(laid, keys, specs, num_partitions, hidden)
+    return GroupSortedFrame(laid, keys, specs, num_partitions, hidden, partition_by)
 
 
 def assume_group_sorted(
@@ -394,6 +424,7 @@ def assume_group_sorted(
     order_by=None,
     num_partitions: int | None = None,
     reverse: bool = False,
+    partition_by: str = "hash",
 ) -> GroupSortedFrame:
     """Wrap a DataFrame already known to satisfy the layout invariants
     WITHOUT planning a shuffle (the analogue of the reference trusting
@@ -402,6 +433,10 @@ def assume_group_sorted(
     partitions) produced ``df`` — Catalyst can't see that, we can."""
     if isinstance(keys, str):
         keys = [keys]
+    if partition_by not in ("hash", "range"):
+        raise ValueError(
+            f"partition_by must be 'hash' or 'range', got {partition_by!r}"
+        )
     specs, derived = _normalize_order(order_by, reverse)
     # Column-valued order: materialize the hidden sort column (narrow,
     # no shuffle — consistent with this function's no-layout contract;
@@ -415,4 +450,5 @@ def assume_group_sorted(
         specs,
         num_partitions,
         tuple(name for name, _ in derived),
+        partition_by,
     )

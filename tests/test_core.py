@@ -200,6 +200,76 @@ def test_co_layout_reuses_partition_count(spark):
     assert sorted(map(tuple, j.collect())) == [("a", 1, 9)]
 
 
+def test_range_layout_gives_global_key_order(spark):
+    # partition_by="range" (the reference's RangePartitioner use case,
+    # PairRDDFunctions.scala:14-29): partitions hold disjoint,
+    # ordered key ranges, so partition-major read order IS global
+    # key order — while equal keys still share one partition
+    rows = [(k, v) for k in range(50) for v in range(3)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    gs = group_sort(df, "k", order_by="v", num_partitions=4, partition_by="range")
+    assert gs.partitioning == "range"
+    check_group_sorted(gs)
+    got = gs.df.select(
+        F.spark_partition_id().alias("pid"), "k", "v"
+    ).collect()
+    # within-partition key/value sort + disjoint ascending pid ranges
+    by_pid = {}
+    for r in got:
+        by_pid.setdefault(r.pid, []).append((r.k, r.v))
+    for pid, kv in by_pid.items():
+        assert kv == sorted(kv), pid
+    spans = sorted(
+        (min(k for k, _ in kv), max(k for k, _ in kv), pid)
+        for pid, kv in by_pid.items()
+    )
+    assert len(spans) > 1  # the layout actually spread partitions
+    for (_, hi_prev, _), (lo_next, _, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next
+    # global order: concatenating partitions in pid order is sorted
+    flat = [kv for _, _, pid in spans for kv in by_pid[pid]]
+    assert flat == sorted(flat)
+
+
+def test_range_layout_per_key_ops_shuffle_free_and_equal(spark):
+    # RangePartitioning satisfies ClusteredDistribution, so the fold
+    # runs on the layout shuffle alone (one Exchange) and matches the
+    # hash layout's result exactly
+    df = spark.createDataFrame(F2, ["k", "v"])
+    outs = {}
+    for scheme in ("hash", "range"):
+        gs = group_sort(df, "k", order_by="v", num_partitions=2, partition_by=scheme)
+        out = gs.fold_left_by_key(
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+            value_col="v",
+            alias="total",
+            tier="native",
+        )
+        plan = plan_of(out, mode="simple")
+        assert plan.count("Exchange") == 1, (scheme, plan)
+        outs[scheme] = sorted(map(tuple, out.collect()))
+    assert outs["hash"] == outs["range"]
+
+
+def test_co_layout_replicates_range_scheme(spark):
+    a = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    b = spark.createDataFrame([("a", 9)], ["k", "w"])
+    ga = group_sort(a, "k", num_partitions=3, partition_by="range")
+    gb = ga.co_layout(b)
+    assert gb.partitioning == "range" and gb.num_partitions == 3
+
+
+def test_partition_by_validation_is_loud(spark):
+    df = spark.createDataFrame(F2, ["k", "v"])
+    with pytest.raises(ValueError, match="partition_by"):
+        group_sort(df, "k", partition_by="zorder")
+    from spark_sorted_spark.core import assume_group_sorted
+
+    with pytest.raises(ValueError, match="partition_by"):
+        assume_group_sorted(df, "k", partition_by="modulo")
+
+
 def test_approx_aggregates_within_tolerance(spark, sf_dir):
     # the 100 TB staples: HLL++ distinct and GK-sketch percentile. No
     # oracle row (DuckDB's approx algorithms differ); pinned here
