@@ -691,6 +691,13 @@ def append_to_minhash_band_store(
     crash) replaces its earlier partial write instead of duplicating
     it. Without it, rows accumulate in the base partition (plain
     at-least-once append — fine for a driver you only run once)."""
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0, got {batch_id}: negative ids are "
+            "reserved (ingest_batch_id=-1 is the base partition the "
+            "build wrote — overwriting it would replace the whole base "
+            "store with one batch)"
+        )
     bands = minhash_band_table(df, text_col, id_col, n).persist()
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"

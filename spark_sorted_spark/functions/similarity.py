@@ -366,13 +366,18 @@ def build_ann_lsh_index(
     plane count silently computes garbage buckets and returns
     empty/wrong neighbors with no error."""
     from ..sources.bucketed import write_partitioned
-    from .dedup import spread_small_input
+    from .dedup import _rm_dir, spread_small_input
 
-    # a build is a FRESH index: clear prior batch partitions (and any
-    # pre-v2 bucket=* dirs) or overwrite would leave stale appends
-    # beside the new base. Only known child dirs are deleted, never
-    # the user-supplied path itself (mistyped-path protection, same
-    # rule as build_minhash_band_store).
+    # a build is a FRESH index, replacing any prior batch partitions
+    # (or overwrite would leave stale appends beside the new base).
+    # The replacement is STAGED: the new assignment is written to a
+    # sibling ``{path}.building`` dir and swapped in only after the
+    # build's plan has fully executed — so a rebuild whose input ``df``
+    # READS the live index (the rebuild/compaction flow streaming/
+    # ann.py recommends: the index holds id+embedding) scans the old
+    # copy intact. An eager pre-delete here would destroy the only
+    # copy before the lazy write ever ran (ADVICE r8), and it also
+    # bypassed Spark's own cannot-read-and-overwrite-same-path check.
     spark = df.sparkSession
     # n_planes=None derives the depth from the corpus count (the same
     # auto_planes rule as the banded constructions — a fixed depth is
@@ -382,7 +387,8 @@ def build_ann_lsh_index(
     # bucket space DuckDB can replay from the same constant.
     if n_planes is None:
         n_planes = auto_planes(df.count(), target_bucket)
-    _rm_index_children(spark, path, extra=("_lsh_meta",))
+    staging = f"{path}.building"
+    _rm_dir(spark, staging)  # stale staging from a crashed build
     df = spread_small_input(df)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     assigned = df.select(
@@ -390,10 +396,11 @@ def build_ann_lsh_index(
         F.col(vec_col),
         _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
-    write_partitioned(assigned, f"{path}/ingest_batch_id=-1", "bucket")
+    write_partitioned(assigned, f"{staging}/ingest_batch_id=-1", "bucket")
     spark.createDataFrame(
         [(int(n_planes), int(dim))], "n_planes int, dim int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_lsh_meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_lsh_meta")
+    _publish_index(spark, staging, path)
 
 
 def _resolve_lsh_params(
@@ -432,20 +439,21 @@ def _resolve_lsh_params(
     )
 
 
-def _rm_index_children(spark, path: str, extra: tuple = ()) -> None:
-    """Delete the known index partition dirs (``ingest_batch_id=*``
-    and pre-v2 ``bucket=*``/``cell=*``) under ``path`` — never
-    ``path`` itself (mistyped-path protection)."""
+def _publish_index(spark, staged: str, path: str) -> None:
+    """Swap a fully-written staged index directory into the live
+    ``path``: rename-aside → rename-in → delete-old-last (the
+    crash-atomic ``_swap_in`` protocol the sketch/band-store compactors
+    use; every crash point leaves a complete copy either live or at
+    ``{path}.old``). A fresh build (no live dir) is a single rename."""
+    from .dedup import _rename, _swap_in
+
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return
-    prefixes = ("ingest_batch_id=", "bucket=") + extra
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if name.startswith(prefixes):
-            fs.delete(status.getPath(), True)
+    if fs.exists(hpath):
+        _swap_in(spark, staged, path, path)
+    else:
+        _rename(spark, staged, path)
 
 
 def append_to_ann_lsh_index(
@@ -477,6 +485,13 @@ def append_to_ann_lsh_index(
     from ..sources.bucketed import write_partitioned
     from .dedup import spread_small_input
 
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0, got {batch_id}: negative ids are "
+            "reserved (ingest_batch_id=-1 is the base partition the "
+            "build wrote — overwriting it would replace the whole base "
+            "corpus assignment with one batch)"
+        )
     n_planes, dim = _resolve_lsh_params(
         df.sparkSession, path, n_planes, dim, "append_to_ann_lsh_index"
     )
@@ -675,7 +690,7 @@ def build_ann_ivf_index(
     stays at ``<path>/_centroids`` (underscore → hidden from the
     partitioned read)."""
     from ..sources.bucketed import write_partitioned
-    from .dedup import spread_small_input
+    from .dedup import _rm_dir, spread_small_input
 
     if lloyd_iters < 0:
         raise ValueError(f"lloyd_iters must be >= 0, got {lloyd_iters}")
@@ -683,18 +698,23 @@ def build_ann_ivf_index(
     if lloyd_iters and cents:
         cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
     spark = df.sparkSession
-    _rm_index_children(spark, path, extra=("cell=",))
+    # staged rebuild, same rationale as build_ann_lsh_index: the input
+    # may READ the live index (rebuild-from-index flow), so the old
+    # copy must survive until the new assignment is fully written
+    staging = f"{path}.building"
+    _rm_dir(spark, staging)  # stale staging from a crashed build
     df = spread_small_input(df)
     celled = df.select(
         F.col(id_col),
         F.col(vec_col),
         _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
     )
-    write_partitioned(celled, f"{path}/ingest_batch_id=-1", "cell")
+    write_partitioned(celled, f"{staging}/ingest_batch_id=-1", "cell")
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
     spark.createDataFrame(
         cent_rows, "cell int, cent_id bigint, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_centroids")
+    _publish_index(spark, staging, path)
 
 
 def append_to_ann_ivf_index(
@@ -718,6 +738,12 @@ def append_to_ann_ivf_index(
     from ..sources.bucketed import write_partitioned
     from .dedup import spread_small_input
 
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0, got {batch_id}: negative ids are "
+            "reserved (ingest_batch_id=-1 is the base partition the "
+            "build wrote)"
+        )
     spark = df.sparkSession
     # bounded-collect: nlist centroid rows from the index metadata
     cent_rows = (
@@ -988,8 +1014,16 @@ def knn_join_lsh(
 
     if n_planes is None:
         n_planes = auto_planes(max(left.count(), right.count()), target_bucket)
-    left = spread_small_input(left)
-    right = spread_small_input(right)
+    # zero-norm vectors have no defined cosine: the verify below drops
+    # them anyway, so bucketing them is pure waste — and worse, a left
+    # whose ONLY bucket collisions were zero-norm rights would not be
+    # counted a miss by the exact_fallback anti-join (it HAD candidates,
+    # all dropped at verify), silently voiding the documented totality
+    # over non-zero-norm lefts (ADVICE r8). Exclude them BEFORE
+    # candidate generation on both sides.
+    nz = dot_strict(F.col(vec_col), F.col(vec_col)) > 0
+    left = spread_small_input(left.filter(nz))
+    right = spread_small_input(right.filter(nz))
     # probe_bits expands only the LEFT (query) side — the standard
     # query-side multiprobe: recall rises with (1 + probe_bits) bucket
     # lookups per table while the right corpus is bucketed exactly once

@@ -14,24 +14,38 @@ Reference semantics (``GroupSorted.scala:45-55`` +
   (0 for the zero row, 1..n after) so results are well-defined
   relations rather than order-dependent streams.
 
-Each operator has up to three physical tiers:
+Each operator has up to three physical tiers — with DIFFERENT memory
+models; the distinction is the whole point of the reference
+(``README.md:4``: never materialize the group):
 
 * ``native``  — pure Catalyst: ``groupBy(keys).agg(F.aggregate(
   F.array_sort(F.collect_list(struct(order..., value))), zero, merge))``.
   Whole-stage codegen, partial aggregation of the list builds, no
-  Python. Materializes each group as an in-memory array, so it's the
-  fast path for bounded group sizes (the common case).
+  Python — the fastest tier at bounded group sizes (BASELINE §5). BUT
+  it holds each key's ENTIRE value array in one aggregation buffer:
+  memory is O(largest group) per in-flight key, and a 10^8-row hot key
+  is an executor OOM no spill can save (a single agg buffer can't
+  spill mid-merge).
 * ``pandas``  — ``applyInPandas``: materializes each group as a pandas
-  DataFrame. For arbitrary Python ``merge``.
+  DataFrame — also O(group) memory, Python-side. For arbitrary Python
+  ``merge`` that wants the whole group at once.
 * ``stream``  — ``mapInPandas`` over the group-sorted partitions via
-  the streaming engine: O(chunk) memory per key regardless of group
+  the streaming engine: O(Arrow batch) memory regardless of group
   size — the faithful port of the reference's never-materialize design
-  (``README.md:4``) and the only tier that survives a single key with
-  10^9 rows at 100 TB scale.
+  and the only tier that survives a single key with 10^9 rows at
+  100 TB scale.
 
 A merge given as a Column-lambda ``(acc: Column, v: Column) -> Column``
 selects the native tier under ``tier="auto"``; a plain Python callable
-selects ``stream``.
+selects ``stream``. Because native's O(group) buffer is a silent
+scale trap, ``tier="auto"`` additionally applies a GROUP-SIZE GUARD
+(``max_group_rows``, default :data:`DEFAULT_MAX_GROUP_ROWS`): a cheap
+sampled estimate of the largest group's row count (skippable via
+``group_rows_hint`` when the caller knows the bound) demotes auto to
+the stream tier past the bound — dual-use merge lambdas built from
+operators (``acc * 0.9 + v * 0.1``) execute identically on scalars,
+bitwise-equal results. An explicit ``tier="native"`` is never
+second-guessed.
 """
 
 from __future__ import annotations
@@ -46,7 +60,25 @@ from pyspark.sql import functions as F
 from ..core import GroupSortedFrame
 from .streaming_engine import iter_key_runs, run_fold_partition
 
-__all__ = ["fold_left_by_key", "reduce_left_by_key", "scan_left_by_key"]
+__all__ = [
+    "fold_left_by_key",
+    "reduce_left_by_key",
+    "scan_left_by_key",
+    "DEFAULT_MAX_GROUP_ROWS",
+]
+
+# Auto-tier group-size bound: past this, the native tier's per-key
+# collect_list aggregation buffer (~48 bytes/row of struct overhead on
+# top of the values) is hundreds of MB inside ONE buffer — the regime
+# where a hot key becomes an executor OOM rather than a spill. Chosen
+# so ordinary groups (sessions, per-user event streams: 10^2..10^6
+# rows) stay native and only genuine skew demotes.
+DEFAULT_MAX_GROUP_ROWS = 8_000_000
+
+# Fraction for the sampled largest-group estimate: at 0.001 a
+# guard-relevant group (>= 8M rows) shows ~8k sampled rows — far above
+# sampling noise — while the estimate job reads only the key columns.
+GUARD_SAMPLE_FRACTION = 0.001
 
 
 def _is_column_lambda(merge: Callable) -> bool:
@@ -55,6 +87,87 @@ def _is_column_lambda(merge: Callable) -> bool:
         return isinstance(res, Column)
     except Exception:
         return False
+
+
+def _works_on_scalars(merge: Callable) -> bool:
+    """True if the merge lambda ALSO executes on plain Python scalars
+    (operator-built lambdas like ``acc * 0.9 + v * 0.1`` do; lambdas
+    calling ``F.*`` functions do not) — the prerequisite for demoting a
+    Column-lambda fold to the stream tier."""
+    for probe in (0, 0.0, ""):
+        try:
+            res = merge(probe, probe)
+        except Exception:
+            continue
+        if not isinstance(res, Column):
+            return True
+    return False
+
+
+def _estimate_max_group_rows(gsf: GroupSortedFrame, sample_fraction: float) -> int:
+    """Sampled estimate of the largest group's row count: count keys in
+    a ``sample_fraction`` sample of the KEY COLUMNS ONLY (column-pruned
+    scan; the shuffled sample is fraction-sized) and scale the max back
+    up. A guard-relevant hot key (>> bound) is impossible to miss at
+    the default fraction; small groups under-resolve to ~1/fraction,
+    far below any sane bound."""
+    sampled = gsf.df.select(*gsf.key_cols).sample(
+        fraction=sample_fraction, seed=42
+    )
+    row = (
+        sampled.groupBy(*gsf.key_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c").alias("__m"))
+        .first()
+    )
+    m = row["__m"] if row is not None else None
+    return int((m or 0) / sample_fraction)
+
+
+def _guarded_native_tier(
+    gsf: GroupSortedFrame,
+    merge: Callable,
+    max_group_rows: int | None,
+    group_rows_hint: int | None,
+    sample_fraction: float,
+    op: str,
+) -> str:
+    """Resolve ``tier="auto"`` for a Column-lambda merge: native unless
+    the (hinted or sampled) largest group exceeds ``max_group_rows``,
+    in which case the stream tier's O(batch) memory wins — provided the
+    lambda also runs on scalars. A Column-only lambda past the bound
+    keeps native with a loud warning (the caller must rewrite the merge
+    or raise the bound consciously)."""
+    if max_group_rows is None:
+        return "native"
+    est = (
+        group_rows_hint
+        if group_rows_hint is not None
+        else _estimate_max_group_rows(gsf, sample_fraction)
+    )
+    if est <= max_group_rows:
+        return "native"
+    import warnings
+
+    if _works_on_scalars(merge):
+        warnings.warn(
+            f"{op}: estimated largest group ~{est} rows exceeds "
+            f"max_group_rows={max_group_rows}; auto tier demoted from "
+            "native (O(group) aggregation buffer) to stream (O(batch)). "
+            "Pass tier='native' or a larger max_group_rows to override.",
+            stacklevel=3,
+        )
+        return "stream"
+    warnings.warn(
+        f"{op}: estimated largest group ~{est} rows exceeds "
+        f"max_group_rows={max_group_rows}, but the merge lambda only "
+        "executes on Columns — keeping the native tier, whose per-key "
+        "aggregation buffer holds the WHOLE group (executor OOM risk at "
+        "this size). Rewrite the merge with plain operators (runs on "
+        "scalars too) or pass an explicit tier.",
+        stacklevel=3,
+    )
+    return "native"
 
 
 def _python_type_ddl(zero: Any) -> str:
@@ -151,10 +264,27 @@ def fold_left_by_key(
     tier: str = "auto",
     result_type: str | None = None,
     merge_vec: Callable | None = None,
+    max_group_rows: int | None = DEFAULT_MAX_GROUP_ROWS,
+    group_rows_hint: int | None = None,
+    sample_fraction: float = GUARD_SAMPLE_FRACTION,
 ) -> DataFrame:
+    """Left fold per key in value order (see module docstring for the
+    tier memory models). ``tier="auto"``: Column-lambda merge → native,
+    guarded by ``max_group_rows`` (a sampled largest-group estimate —
+    or ``group_rows_hint``, which skips the estimate job — past the
+    bound demotes to the O(batch) stream tier); Python merge → stream.
+    ``max_group_rows=None`` disables the guard (and the estimate job).
+    """
     value_col = value_col or gsf.value_cols[-1]
     if tier == "auto":
-        tier = "native" if _is_column_lambda(merge) else "stream"
+        tier = (
+            _guarded_native_tier(
+                gsf, merge, max_group_rows, group_rows_hint,
+                sample_fraction, "fold_left_by_key",
+            )
+            if _is_column_lambda(merge)
+            else "stream"
+        )
 
     if tier == "native":
         arr, vfield = _sorted_value_array(gsf, value_col)
@@ -256,13 +386,25 @@ def reduce_left_by_key(
     alias: str = "reduce",
     tier: str = "auto",
     result_type: str | None = None,
+    max_group_rows: int | None = DEFAULT_MAX_GROUP_ROWS,
+    group_rows_hint: int | None = None,
+    sample_fraction: float = GUARD_SAMPLE_FRACTION,
 ) -> DataFrame:
     """Left reduce: the first value (in value order) seeds the fold
     (``GroupSorted.scala:50``). Every key has >= 1 row, so no empty-group
-    case exists (same argument as the reference)."""
+    case exists (same argument as the reference). ``tier="auto"``
+    applies the same group-size guard as :func:`fold_left_by_key` (the
+    native tier buffers the whole group's value array per key)."""
     value_col = value_col or gsf.value_cols[-1]
     if tier == "auto":
-        tier = "native" if _is_column_lambda(merge) else "stream"
+        tier = (
+            _guarded_native_tier(
+                gsf, merge, max_group_rows, group_rows_hint,
+                sample_fraction, "reduce_left_by_key",
+            )
+            if _is_column_lambda(merge)
+            else "stream"
+        )
 
     if tier == "native":
         arr, vfield = _sorted_value_array(gsf, value_col)
@@ -343,7 +485,16 @@ def scan_left_by_key(
     exchange or sort) unioned with one zero row per key — the window
     can't emit the synthetic zero row by itself (SURVEY §7 hard part
     (b)), the union supplies it. Arbitrary Python ``merge`` takes the
-    pandas/stream tiers."""
+    pandas/stream tiers.
+
+    Memory model note (why the fold/reduce group-size guard does NOT
+    apply here): the window path buffers each key's rows in
+    WindowExec's ``ExternalAppendOnlyUnsafeRowArray``, which SPILLS to
+    disk past ``spark.sql.windowExec.buffer.spill.threshold`` — a hot
+    key degrades to disk throughput instead of an executor OOM, unlike
+    the fold's single in-heap aggregation buffer. Auto without ``agg``
+    already routes to the O(batch) stream tier (below), so scan has no
+    unguarded O(group)-heap path."""
     value_col = value_col or gsf.value_cols[-1]
     if tier in ("auto", "native") and agg is not None:
         # contract: `zero` must be the identity of `agg` (0 for

@@ -81,7 +81,10 @@ def merge_join(
     ldf = left.df.drop(*left.hidden_cols) if left.hidden_cols else left.df
     rdf = right.df.drop(*right.hidden_cols) if right.hidden_cols else right.df
     if how not in ("left_semi", "left_anti"):
-        collisions = (set(left.df.columns) & set(rdf.columns)) - set(keys)
+        # collisions against the POST-drop left columns: a right-side
+        # visible column that merely shares a left HIDDEN column's name
+        # (e.g. __gs_order_0) needs no suffix — the left copy is gone
+        collisions = (set(ldf.columns) & set(rdf.columns)) - set(keys)
         for c in collisions:
             rdf = rdf.withColumnRenamed(c, c + suffix)
 

@@ -370,16 +370,25 @@ def compact_corpus(spark: SparkSession, corpus_path: str) -> None:
     eventually needs (at one partition per batch, a year of 5-minute
     batches is ~100k directories of tiny files).
 
-    The compacted partition keeps the corpus's MAX batch id, so a
-    resumed stream's next batch (max+1, ...) lands beside it and the
-    ``ingest_batch_id < part`` replay fence still includes every
-    compacted row.
+    The compacted rows land in the RESERVED base partition
+    ``ingest_batch_id=-1`` (the id no stream batch can ever produce:
+    parts are ``base + batch_id`` with both >= 0). The
+    ``ingest_batch_id < part`` replay fence includes -1 for every
+    future part, so compacted rows stay dedup-visible; a resumed
+    stream's next batch lands beside the base; and — the reason the
+    id is reserved rather than the corpus's max id (ADVICE r8) — a
+    crashed stream's REPLAYED last batch overwrites only its own
+    ``ingest_batch_id={part}`` partition, never the partition now
+    holding the whole compacted corpus.
 
     NOT concurrency-safe, and only run it after a CLEAN drain (the
     same stopped-stream contract as ``compact_sketch_store`` /
     ``compact_minhash_band_store``): compacting between a crash and
     its replay would fold a torn batch's rows into the base where the
-    replay fence can no longer exclude them.
+    replay fence can no longer exclude them (the replay then re-dedups
+    against its own earlier rows — duplicates dropped, but the batch's
+    provenance audit double-counts). With the reserved base id the
+    worst case is that anomaly, not corpus loss.
 
     Crash-atomic via the same rename-aside swap as the sketch stores
     (``_swap_in``: live aside -> staged in -> delete old LAST). The
@@ -390,8 +399,7 @@ def compact_corpus(spark: SparkSession, corpus_path: str) -> None:
     silently clobbering (recover: rename ``.old`` back)."""
     from ..functions.dedup import _swap_in
 
-    max_id = _existing_max_batch(spark, corpus_path)
-    if max_id is None:
+    if _existing_max_batch(spark, corpus_path) is None:
         raise ValueError(f"{corpus_path!r} holds no batch partitions")
     marker = _read_text(spark, f"{corpus_path}/_ingest_stream")
     df = spark.read.parquet(corpus_path)
@@ -400,7 +408,7 @@ def compact_corpus(spark: SparkSession, corpus_path: str) -> None:
     staging = f"{corpus_path}.compacting"
     df.write.mode("overwrite").parquet(staging)
     _swap_in(
-        spark, staging, corpus_path, f"{corpus_path}/ingest_batch_id={max_id}"
+        spark, staging, corpus_path, f"{corpus_path}/ingest_batch_id=-1"
     )
     if marker is not None:
         _write_text(spark, f"{corpus_path}/_ingest_stream", marker)

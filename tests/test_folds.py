@@ -339,3 +339,115 @@ def test_zero_type_inference_rules():
     for bad in ([], (), [0, 1.5], [1, "x"]):
         with pytest.raises(TypeError, match="result_type="):
             _python_type_ddl(bad)
+
+
+# ---------------------------------------------------------------------------
+# auto-tier group-size guard (VERDICT r8 item 1)
+# ---------------------------------------------------------------------------
+
+
+def _hot_cold_frame(spark, n_hot=20_000, n_cold=5):
+    # int values: the native tier requires the zero literal's type (int
+    # for 0) to match the merge result type exactly
+    hot = spark.range(n_hot).select(
+        F.lit("hot").alias("k"), F.col("id").cast("int").alias("v")
+    )
+    cold = spark.range(n_cold).select(
+        F.lit("cold").alias("k"), F.col("id").cast("int").alias("v")
+    )
+    return group_sort(hot.unionByName(cold), "k", order_by="v")
+
+
+def test_fold_auto_guard_demotes_hot_key_to_stream(spark):
+    """auto + Column-lambda: below the bound -> native (agg plan); past
+    the bound -> stream (MapInPandas plan) with a loud warning; results
+    identical both sides (dual-use lambda, same IEEE double ops)."""
+    import warnings
+
+    gsf = _hot_cold_frame(spark)
+    merge = lambda acc, v: acc * 1 + v  # noqa: E731 — dual-use on scalars
+
+    native = gsf.fold_left_by_key(0, merge, value_col="v", max_group_rows=10**6)
+    assert "MapInPandas" not in native._jdf.queryExecution().executedPlan().toString()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        demoted = gsf.fold_left_by_key(
+            0, merge, value_col="v", max_group_rows=1000, group_rows_hint=20_000
+        )
+    assert any("demoted" in str(w.message) for w in caught)
+    assert "MapInPandas" in demoted._jdf.queryExecution().executedPlan().toString()
+
+    want = sorted((r.k, r.fold) for r in native.collect())
+    assert sorted((r.k, r.fold) for r in demoted.collect()) == want
+    assert want == [("cold", 10), ("hot", 20_000 * 19_999 // 2)]
+
+
+def test_fold_auto_guard_sampled_estimate_finds_hot_key(spark):
+    """No hint: the sampled largest-group estimate itself must catch
+    the hot key (seeded sample — deterministic)."""
+    import warnings
+
+    gsf = _hot_cold_frame(spark)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = gsf.fold_left_by_key(
+            0,
+            lambda acc, v: acc + v,
+            value_col="v",
+            max_group_rows=1000,
+            sample_fraction=0.05,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any("demoted" in str(w.message) for w in caught)
+    assert "MapInPandas" in plan
+
+
+def test_fold_auto_guard_column_only_lambda_keeps_native_loudly(spark):
+    """A Column-only merge (calls F.*) cannot run on the stream tier:
+    past the bound, auto keeps native but WARNS about the O(group)
+    buffer instead of silently choosing it."""
+    import warnings
+
+    gsf = _hot_cold_frame(spark, n_hot=50)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = gsf.fold_left_by_key(
+            0,
+            lambda acc, v: F.greatest(acc, v),
+            value_col="v",
+            max_group_rows=10,
+            group_rows_hint=50,
+        )
+        rows = {r.k: r.fold for r in out.collect()}
+    assert any("only" in str(w.message) and "Column" in str(w.message) for w in caught)
+    assert rows == {"hot": 49, "cold": 4}
+
+
+def test_reduce_auto_guard_demotes(spark):
+    """Same guard on reduce_left_by_key."""
+    gsf = _hot_cold_frame(spark, n_hot=200)
+    native = gsf.reduce_left_by_key(
+        lambda acc, v: acc + v, value_col="v", max_group_rows=None
+    )
+    demoted = gsf.reduce_left_by_key(
+        lambda acc, v: acc + v,
+        value_col="v",
+        max_group_rows=100,
+        group_rows_hint=200,
+    )
+    assert "MapInPandas" in demoted._jdf.queryExecution().executedPlan().toString()
+    assert sorted((r.k, r.reduce) for r in demoted.collect()) == sorted(
+        (r.k, r.reduce) for r in native.collect()
+    )
+
+
+def test_fold_guard_disabled_runs_no_estimate_job(spark):
+    """max_group_rows=None must not launch the sampling job (bench/
+    known-bounded paths): assert by plan construction being pure native
+    even for the hot frame."""
+    gsf = _hot_cold_frame(spark)
+    out = gsf.fold_left_by_key(
+        0, lambda acc, v: acc + v, value_col="v", max_group_rows=None
+    )
+    assert "MapInPandas" not in out._jdf.queryExecution().executedPlan().toString()

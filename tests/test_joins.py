@@ -600,3 +600,20 @@ def test_interval_overlap_join_property_matches_naive(spark):
         assert got == _naive_overlap(spark, lrows, rrows)
 
     run()
+
+
+def test_merge_join_right_column_named_like_left_hidden_col(spark):
+    """A right-side VISIBLE column that merely shares a left HIDDEN
+    column's name (__gs_order_0, from an expression-valued order_by)
+    must not be suffixed: the left copy is dropped before the join, so
+    there is no collision (ADVICE r8)."""
+    ldf = spark.createDataFrame([(1, 5), (1, 3), (2, 7)], ["k", "v"])
+    rdf = spark.createDataFrame(
+        [(1, "x"), (2, "y")], ["k", "__gs_order_0"]
+    )
+    lgs = group_sort(ldf, "k", order_by=[(F.col("v") * -1, True)])
+    assert lgs.hidden_cols == ("__gs_order_0",)
+    out = merge_join(lgs, group_sort(rdf, "k"), how="inner").to_df()
+    assert out.columns == ["k", "v", "__gs_order_0"]
+    got = sorted((r["k"], r["v"], r["__gs_order_0"]) for r in out.collect())
+    assert got == [(1, 3, "x"), (1, 5, "x"), (2, 7, "y")]

@@ -1241,3 +1241,170 @@ def test_lsh_index_auto_depth_build(spark, emb, tmp_path):
     meta = spark.read.parquet(f"{path}/_lsh_meta").collect()[0]
     assert meta.n_planes == auto_planes(corpus.count())
     assert ann_lsh_topk_indexed(spark, path, qvec, k=3).collect()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_ann_index_rebuild_from_own_read_survives(spark, emb, tmp_path):
+    """The rebuild/compaction flow streaming/ann.py recommends feeds
+    build_ann_lsh_index a df READ FROM THE INDEX ITSELF (it holds
+    id+embedding). The build must stage the new assignment and swap —
+    an eager pre-delete would destroy the only copy before the lazy
+    write ever scanned it (ADVICE r8, medium)."""
+    import os
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_lsh_topk_indexed,
+        build_ann_lsh_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    path = str(tmp_path / "rebuild_idx")
+    build_ann_lsh_index(corpus, path)
+    want = [
+        (r.vec_id, r.rank)
+        for r in ann_lsh_topk_indexed(spark, path, qvec, k=5).collect()
+    ]
+
+    # rebuild straight from the live index (lazy scan of `path`)
+    relaid = spark.read.parquet(path).select("vec_id", "embedding")
+    build_ann_lsh_index(relaid, path)
+
+    assert spark.read.parquet(path).count() == corpus.count()
+    got = [
+        (r.vec_id, r.rank)
+        for r in ann_lsh_topk_indexed(spark, path, qvec, k=5).collect()
+    ]
+    assert got == want
+    # staged/aside dirs are cleaned up after the swap
+    assert not os.path.exists(f"{path}.building")
+    assert not os.path.exists(f"{path}.old")
+
+
+def test_ann_ivf_rebuild_from_own_read_survives(spark, emb, tmp_path):
+    """IVF twin of the rebuild-from-own-read pin."""
+    import os
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivf_topk_indexed,
+        build_ann_ivf_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    path = str(tmp_path / "rebuild_ivf")
+    build_ann_ivf_index(corpus, path)
+    want = [
+        (r.vec_id, r.rank)
+        for r in ann_ivf_topk_indexed(spark, path, qvec, k=5).collect()
+    ]
+
+    relaid = spark.read.parquet(path).select("vec_id", "embedding")
+    build_ann_ivf_index(relaid, path)
+
+    assert spark.read.parquet(path).count() == corpus.count()
+    got = [
+        (r.vec_id, r.rank)
+        for r in ann_ivf_topk_indexed(spark, path, qvec, k=5).collect()
+    ]
+    assert got == want
+    assert not os.path.exists(f"{path}.building")
+    assert not os.path.exists(f"{path}.old")
+
+
+def test_append_negative_batch_id_is_reserved(spark, emb, tmp_path):
+    """batch_id=-1 (or any negative) on the append paths would silently
+    OVERWRITE the ingest_batch_id=-1 base partition the build wrote —
+    the whole base corpus assignment replaced by one batch (ADVICE r8).
+    All three appenders must refuse."""
+    from spark_sorted_spark.functions.dedup import (
+        append_to_minhash_band_store,
+        build_minhash_band_store,
+    )
+    from spark_sorted_spark.functions.similarity import (
+        append_to_ann_ivf_index,
+        append_to_ann_lsh_index,
+        build_ann_ivf_index,
+        build_ann_lsh_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    lsh = str(tmp_path / "lsh")
+    ivf = str(tmp_path / "ivf")
+    build_ann_lsh_index(corpus, lsh)
+    build_ann_ivf_index(corpus, ivf)
+    with pytest.raises(ValueError, match="reserved"):
+        append_to_ann_lsh_index(corpus, lsh, batch_id=-1)
+    with pytest.raises(ValueError, match="reserved"):
+        append_to_ann_ivf_index(corpus, ivf, batch_id=-2)
+
+    docs = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    store = str(tmp_path / "store")
+    build_minhash_band_store(docs, store)
+    with pytest.raises(ValueError, match="reserved"):
+        append_to_minhash_band_store(docs, store, batch_id=-1)
+    # base partitions untouched by the refused appends
+    assert spark.read.parquet(lsh).count() == corpus.count()
+
+
+def test_knn_exact_fallback_total_despite_zero_norm_collisions(spark):
+    """A left vector whose ONLY bucket collisions are zero-norm rights
+    must still be treated as a miss by exact_fallback (its candidates
+    all die at the norm filter): pre-fix the anti-join keyed on
+    PRE-verify candidates and returned no rows for it, contradicting
+    the documented totality over non-zero-norm lefts (ADVICE r8).
+
+    Construction: bit p of a bucket is 1 iff dot(v, plane_p) >= 0, so
+    the ZERO vector lands in the all-ones bucket of every table. A left
+    vector with strictly positive dots against all planes of the single
+    table shares that bucket; its negation (all-negative dots) lands in
+    bucket 0 — no collision."""
+    import numpy as np
+
+    from spark_sorted_spark.functions.similarity import (
+        _hyperplane,
+        knn_join_lsh,
+    )
+
+    dim, n_planes = 8, 4
+    planes = np.array([_hyperplane(p, dim) for p in range(n_planes)])
+    v = planes.sum(axis=0)
+    dots = planes @ v
+    # premise of the construction (deterministic: seeded planes)
+    assert (dots > 0).all(), dots
+
+    left = spark.createDataFrame(
+        [(1, [float(x) for x in v])], "vec_id bigint, embedding array<float>"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, [0.0] * dim),  # zero-norm: shares left's bucket
+            (11, [float(-x) for x in v]),  # opposite bucket: no collision
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    # without fallback: left's only collision is the zero vector, which
+    # the verify drops -> no rows
+    none = knn_join_lsh(
+        left, right, k=1, n_planes=n_planes, n_tables=1, dim=dim
+    )
+    assert none.count() == 0
+
+    # with fallback: left must be recognized as a miss and brute-forced
+    # against the (non-zero-norm) right corpus
+    out = knn_join_lsh(
+        left,
+        right,
+        k=1,
+        n_planes=n_planes,
+        n_tables=1,
+        dim=dim,
+        exact_fallback=True,
+    ).collect()
+    assert [(r.left_id, r.right_id, r.rank) for r in out] == [(1, 11, 1)]
+    assert abs(out[0].cos - (-1.0)) < 1e-9

@@ -1383,9 +1383,11 @@ def test_stream_index_embeddings_lifecycle(spark, sf_dir, tmp_path):
 
 def test_compact_corpus_preserves_rows_marker_and_stream(spark, sf_dir, tmp_path):
     """Corpus compaction: after two drains, compact to one partition —
-    identical rows, max batch id kept, identity marker preserved so
-    the SAME stream continues (a third drain dedups against the
-    compacted corpus and lands beside it)."""
+    identical rows, compacted into the RESERVED base id -1 (so a
+    replayed crash batch can never overwrite the compacted corpus,
+    ADVICE r8), identity marker preserved so the SAME stream continues
+    (a third drain dedups against the compacted corpus and lands
+    beside it)."""
     import os
     import shutil
 
@@ -1437,15 +1439,10 @@ def test_compact_corpus_preserves_rows_marker_and_stream(spark, sf_dir, tmp_path
     drain(watch, store, corpus, audit, ckpt)
     before = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
     marker_before = (tmp_path / "compacted" / "corpus" / "_ingest_stream").read_text()
-    max_id = max(
-        int(d.split("=")[1])
-        for d in os.listdir(corpus)
-        if d.startswith("ingest_batch_id=")
-    )
 
     compact_corpus(spark, corpus)
     parts = [d for d in os.listdir(corpus) if d.startswith("ingest_batch_id=")]
-    assert parts == [f"ingest_batch_id={max_id}"]
+    assert parts == ["ingest_batch_id=-1"]
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == before
     assert (tmp_path / "compacted" / "corpus" / "_ingest_stream").read_text() == marker_before
     assert not os.path.exists(f"{corpus}.old")
