@@ -4315,9 +4315,9 @@ _GATE_ORDER = [
     "merge_join_inner",
     "merge_join_full",
     # round-8 rotation #4 (VERDICT r7 item 3): merge_join_left/right
-    # (J4/J5, GroupSorted.scala:86-98) return to the window so every
-    # §2 operator holds a driver row simultaneously — left-outer is
-    # the most-used join flavor and should not live outside the gate
+    # (J4/J5, GroupSorted.scala:86-98) in the window so every §2
+    # operator holds a driver row simultaneously — kept through
+    # rotation #5 (§2 rows are permanent residents)
     "merge_join_left",
     "merge_join_right",
     "merge_join_semi_anti",
@@ -4326,98 +4326,98 @@ _GATE_ORDER = [
     "scan_running_sum",
     # round-8 rotation #4: the dedicated P1-P4 projection chain
     # (filter/mapValues/flatMapValues/mapKeyValuesToValues,
-    # GroupSorted.scala:29-39) earns a permanent driver row
+    # GroupSorted.scala:29-39) holds a permanent driver row
     "projection_chain",
+    # ---- round-9 rotation #5 (VERDICT r8 item 2): driver-gate the
+    # never-gated. 38 catalog queries had never held a driver row in
+    # r1-r8 (the driver gates a 50-query window); 14 of them gate now,
+    # led by the two whose latent oracle-type bugs only the LOCAL audit
+    # caught (window_range_frame, pack_sequences — driver confirmation
+    # is the point), the new lossless decontamination pair, and three
+    # join-heavy TPC-H shapes (q9/q18/q21). Out (overflow; every family
+    # keeps gated rows, all rotated rows driver-green in r8 and all
+    # stay locally oracle-checked): doc_fingerprint + lang_id +
+    # repetition_profile (text family keeps text_stats, quality_score,
+    # + normalize_text incoming), dedup_ngram_jaccard +
+    # dedup_simhash_banded (dedup keeps exact/jaccard_prefix/minhash/
+    # clusters/incremental), decontaminate (superseded in-window by the
+    # lossless decontaminate_exact + decontaminate_bloom pair),
+    # similarity_ann_ivf + embedding_neardup_lsh (similarity keeps
+    # topk/ann_lsh/knn_join + the two incoming incremental rows),
+    # asof_join (asof_nearest gates the same operator's harder mode),
+    # set_ops (merge_union keeps the family), interval_overlap
+    # (range_join keeps the family), json_extract (green r2-r8;
+    # one-off extraction shape), zorder_values + hll_distinct_shingles
+    # (green r7-r8; sketch family keeps length_quantiles_sketch).
     "text_stats",
-    "doc_fingerprint",
     "quality_score",
-    "lang_id",
+    "normalize_text",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    # round-8 addition: the lossless prefix-filtered Jaccard join
-    # (AllPairs/PPJoin) gates against the brute-force definitional
-    # oracle — the strongest correctness statement in the dedup family
     "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
+    # lossless decontamination pair: exact R-S PPJoin vs brute-force
+    # definitional oracle + the Bloom-screened variant
+    "decontaminate_exact",
+    "decontaminate_bloom",
     "similarity_topk",
     "similarity_ann_lsh",
     "multimodal_features",
     "stream_hourly_window",
     "stream_session_window",
-    # round-8 rotation #4: stream_fold_ema rotated to overflow — the
-    # fold family keeps its native tier gated (ema_fold, reduce_concat,
-    # scan_running_sum) and the streaming engine keeps four gated rows
-    # (hourly_window, session_window, stream_stream_join, and the
-    # map-stream tier via sessionize_stream)
-    "asof_join",
-    "set_ops",
-    # rollup_agg/cube_agg rotated to the overflow tail in round 6 (both
-    # are sugar for grouping sets — grouping_sets_agg keeps the
-    # multi-dim HashAggregate expansion path gated) to earn driver rows
-    # for the newest operators range_join + decontaminate
+    # first driver rows for the late-data drop path and the streamed
+    # ANN index maintenance (bitwise-equal to the one-shot build)
+    "stream_late_drop",
+    "stream_ann_index",
+    "asof_nearest",
     "range_join",
-    "decontaminate",
     "grouping_sets_agg",
-    # round-8 rotation #4: tpch_q1 rotated to overflow (driver-green
-    # r1-r7; a composite whose operators — groupBy/agg/decimal folds —
-    # are all individually gated; the TPC-H family is locally
-    # oracle-checked across 18 shapes)
-    "similarity_ann_ivf",
-    "json_extract",
     "window_rank_lag",
+    # first driver row for the RANGE frame window (its oracle-type bug
+    # was caught only by the local audit — exactly the row that most
+    # deserves the driver's independent confirmation)
+    "window_range_frame",
     "pipeline_clean_corpus",
-    "embedding_neardup_lsh",
-    # round-8: distinct_agg rotated to overflow to make room for
-    # dedup_jaccard_prefix — the agg family keeps combiner_agg +
-    # grouping_sets_agg gated, and the distinct-agg expansion path is
-    # composite-covered by tpch_q16 (locally oracle-checked)
-    "dedup_simhash_banded",
     "stream_stream_join",
     "corpus_mix",
-    # round-6 rotation #2: dedup_clusters (the transitive cluster
-    # close-out, the round's flagship new operator) earns a driver
-    # row; tpch_q5_local_supplier rotates out — the TPC-H composite
-    # family keeps two gated rows (q1, q3) and q5's operators
-    # (multi-join + agg) are all individually gated
     "dedup_clusters",
-    # round-7 rotation #3 (VERDICT r6 item 1): the round-6 flagship
-    # operators earn driver rows. In: both sketch representatives
-    # (hll_distinct_shingles — register-table distinct; cms_token_counts
-    # — cell-table frequency), the incremental band-store dedup, the
-    # LSH k-NN join, the interval-overlap join, and the native batch
-    # sessionizer. Out (overflow; all composite-covered):
-    # merge_join_left/right (SMJ family keeps inner/full/semi_anti/
-    # custom), tpch_q3 (q1 keeps the family row; q3's multi-join+agg
-    # ops all individually gated), salted_agg (same output contract as
-    # the gated combiner_agg; the salting plan is test-pinned),
-    # percentile_per_user (window/agg family keeps window_rank_lag +
-    # distinct_agg), global_topk (TakeOrderedAndProject plan shape is
-    # test-pinned; per-key top-k stays gated via top3_per_user).
-    "hll_distinct_shingles",
-    # round-8 rotation #4: cms_token_counts rotated to overflow
-    # (driver-green r7; the sketch family keeps hll_distinct_shingles
-    # and length_quantiles_sketch gated; CMS stays locally checked
-    # plus the cms_heavy_shingles composite)
     "dedup_incremental",
+    "embedding_dedup_incremental",
     "knn_join",
-    "interval_overlap",
     "sessionize_native",
-    # round-7 rotation #3b: the round-7 flagship operators earn driver
-    # rows in the same round they were built — repetition_profile
-    # (Gopher dup/top n-gram filters, zero-shuffle), the quantile
-    # sketch, and the Morton layout key. Out (overflow; composite-
-    # covered): pivot_event_types (Expand/conditional-agg sugar —
-    # distinct_agg + grouping_sets_agg keep the family),
-    # stream_dedup (dropDuplicates sugar; four other streaming rows
-    # stay gated), stratified_sample (the subset shape of the
-    # still-gated corpus_mix, which composes it).
-    "repetition_profile",
     "length_quantiles_sketch",
-    "zorder_values",
+    # first driver rows: token packing (local-audit-caught oracle-type
+    # bug, same argument as window_range_frame), doc chunking,
+    # time-grid resampling
+    "pack_sequences",
+    "chunk_documents",
+    "resample_daily",
+    # three join-heavy TPC-H shapes earn first driver rows: q9
+    # (LIKE-prefiltered 5-way profit rollup), q18 (HAVING-subquery
+    # semi-join), q21 (EXISTS/NOT-EXISTS double self-join)
+    "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
     # --- gate cutoff (driver runs the 50 above) ---
+    # round-9 rotation #5 overflow (all driver-green in r8, families
+    # still represented in-window — justifications in the rotation
+    # comment above):
+    "doc_fingerprint",
+    "lang_id",
+    "repetition_profile",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_banded",
+    "decontaminate",
+    "similarity_ann_ivf",
+    "embedding_neardup_lsh",
+    "asof_join",
+    "set_ops",
+    "interval_overlap",
+    "json_extract",
+    "zorder_values",
+    "hll_distinct_shingles",
+    # earlier rotations' overflow (all locally oracle-checked; origin
+    # comments preserved in git history):
     "tpch_q1_pricing_summary",
-    # round-8: rotated out for dedup_jaccard_prefix (driver-green
-    # r1-r7; distinct-agg expansion composite-covered by tpch_q16)
     "distinct_agg",
     "cms_token_counts",
     "stream_fold_ema",
@@ -4434,67 +4434,30 @@ _GATE_ORDER = [
     "rollup_agg",
     "cube_agg",
     "unpivot_measures",
-    "window_range_frame",
-    "stream_late_drop",
     "redact_pii",
-    "pack_sequences",
     "build_vocab",
     "embedding_clusters",
     "tpch_q6_forecast_revenue",
-    "decontaminate_bloom",
-    # round-6 continuation: five more classic TPC-H shapes (overflow —
-    # locally oracle-checked; the gated q1/q3 keep the family's driver
-    # rows): agg-below-dim-join top-k (q10), outer-join histogram with
-    # an ON-clause filter (q13), conditional-sum ratio (q14), scalar-
-    # subquery-as-broadcast-join (q15), HAVING-subquery semi-join
-    # (q18), cross-side disjunctive predicate with a factored part
-    # prefilter (q19)
     "doc_keywords",
     "tpch_q10_returned_items",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
     "cms_heavy_shingles",
-    "normalize_text",
     "negative_pairs",
-    "chunk_documents",
-    "resample_daily",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q17_small_quantity",
     "hll_grouped_by_source",
     "window_distribution",
-    "asof_nearest",
     "stream_hll_by_source",
     "tpch_q4_order_priority",
     "tpch_q22_sales_opportunity",
-    # round-7 continuation: the five remaining expressible TPC-H
-    # shapes (q2/q11 need the absent partsupp table — documented at
-    # tpch_q9): LIKE-prefiltered profit rollup (q9), conditional-count
-    # late-shipment histogram (q12), anti-join under distinct-agg
-    # (q16), nested semi-join chain (q20), EXISTS/NOT-EXISTS double
-    # self-join via per-order aggregate (q21)
-    "tpch_q9_product_profit",
     "tpch_q12_late_shipments",
     "tpch_q16_supplier_diversity",
     "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    # streaming twin of the gated length_quantiles_sketch (same
-    # oracle; merge-on-read equals build-on-union by additivity)
     "stream_len_quantiles",
-    # round-8: streamed LSH index maintenance vs the seeded-plane SQL
-    # replay (overflow; the gated similarity_ann_lsh pins the same
-    # bucket construction)
-    "stream_ann_index",
-    # round-8: incremental embedding near-dup vs the persisted index
-    # (overflow; the gated dedup_incremental covers the text twin)
-    "embedding_dedup_incremental",
-    # round-8: cross-corpus lossless Jaccard join vs the brute-force
-    # definitional oracle (overflow; the gated dedup_jaccard_prefix
-    # pins the same prefix-filter lemmas on the self-join)
-    "decontaminate_exact",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

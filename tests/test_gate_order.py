@@ -26,45 +26,76 @@ def test_gate_window_contents():
     assert set(q.ORACLE) == set(names)
     # the judge-required entries sit inside the window
     for must in (
-        "grouping_sets_agg",
-        "corpus_mix",
-        "set_ops",
-        "dedup_ngram_jaccard",
-        "range_join",
-        "decontaminate",
-        # round-7 rotation #3: the round-6 flagship operators must hold
-        # their newly-earned driver rows
-        "hll_distinct_shingles",
-        "dedup_incremental",
-        "knn_join",
-        "interval_overlap",
-        "sessionize_native",
-        # rotation #3b: the round-7 flagships gate in the same round
-        "repetition_profile",
-        "length_quantiles_sketch",
-        "zorder_values",
-        # round-8 rotation #4 (VERDICT r7 item 3): every §2 operator
-        # holds a driver row simultaneously — J4/J5 outer joins and
-        # the P1-P4 projection chain are back in the window
+        # §2 reference operators are PERMANENT residents: every one of
+        # C1-C6/P1-P4/A1-A5/J1-J5/S1 must hold a driver row in every
+        # round (first achieved by round-8 rotation #4; rotation #5
+        # deliberately rotated only non-§2 rows)
+        "groupsort_layout",
+        "ema_fold",
+        "reduce_concat",
+        "combiner_agg",
+        "top3_per_user",
+        "sessionize_stream",
+        "merge_join_inner",
+        "merge_join_full",
         "merge_join_left",
         "merge_join_right",
+        "merge_join_semi_anti",
+        "merge_join_custom",
+        "merge_union",
+        "scan_running_sum",
         "projection_chain",
-        # round-8 addition: the lossless prefix-filtered Jaccard join
-        # gates against the brute-force definitional oracle
+        # round-9 rotation #5 (VERDICT r8 item 2): 14 first-time rows —
+        # the never-gated queries earn driver confirmation, led by the
+        # two whose oracle-type bugs only the local audit caught
+        "window_range_frame",
+        "pack_sequences",
+        "decontaminate_exact",
+        "decontaminate_bloom",
+        "asof_nearest",
+        "resample_daily",
+        "stream_late_drop",
+        "stream_ann_index",
+        "embedding_dedup_incremental",
+        "normalize_text",
+        "chunk_documents",
+        "tpch_q9_product_profit",
+        "tpch_q18_large_orders",
+        "tpch_q21_waiting_suppliers",
+        # standing residents (operator families' gate representatives)
+        "grouping_sets_agg",
+        "corpus_mix",
+        "range_join",
         "dedup_jaccard_prefix",
+        "dedup_incremental",
+        "dedup_clusters",
+        "knn_join",
+        "sessionize_native",
+        "length_quantiles_sketch",
+        "window_rank_lag",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
-    # overflow: round-8 rotation #4 moved three driver-green composite-
-    # covered rows out (tpch_q1 — operators individually gated;
-    # cms_token_counts — sketch family keeps hll + length_quantiles;
-    # stream_fold_ema — fold family keeps its native tier and four
-    # other streaming rows stay gated); later in round 8 distinct_agg
-    # rotated out for dedup_jaccard_prefix (agg family keeps
-    # combiner_agg + grouping_sets_agg; distinct-agg expansion is
-    # composite-covered by tpch_q16); plus the earlier rotations'
-    # overflow (justifications in queries.py _GATE_ORDER comments +
-    # PARITY.md). All overflow stays locally oracle-checked.
+    # overflow: round-9 rotation #5 rotated 14 driver-green rows out to
+    # make room for the 14 first-time rows (family-representation
+    # justifications in queries.py _GATE_ORDER comments); earlier
+    # rotations' overflow follows. All overflow stays locally
+    # oracle-checked (CORRECTNESS_LOCAL_r{N}.json covers the full
+    # catalog).
     assert names[50:] == [
+        "doc_fingerprint",
+        "lang_id",
+        "repetition_profile",
+        "dedup_ngram_jaccard",
+        "dedup_simhash_banded",
+        "decontaminate",
+        "similarity_ann_ivf",
+        "embedding_neardup_lsh",
+        "asof_join",
+        "set_ops",
+        "interval_overlap",
+        "json_extract",
+        "zorder_values",
+        "hll_distinct_shingles",
         "tpch_q1_pricing_summary",
         "distinct_agg",
         "cms_token_counts",
@@ -82,44 +113,62 @@ def test_gate_window_contents():
         "rollup_agg",
         "cube_agg",
         "unpivot_measures",
-        "window_range_frame",
-        "stream_late_drop",
         "redact_pii",
-        "pack_sequences",
         "build_vocab",
         "embedding_clusters",
         "tpch_q6_forecast_revenue",
-        "decontaminate_bloom",
         "doc_keywords",
         "tpch_q10_returned_items",
         "tpch_q13_order_distribution",
         "tpch_q14_promo_revenue",
         "tpch_q15_top_supplier",
-        "tpch_q18_large_orders",
         "tpch_q19_disjunctive_revenue",
         "cms_heavy_shingles",
-        "normalize_text",
         "negative_pairs",
-        "chunk_documents",
-        "resample_daily",
         "tpch_q7_volume_shipping",
         "tpch_q8_market_share",
         "tpch_q17_small_quantity",
         "hll_grouped_by_source",
         "window_distribution",
-        "asof_nearest",
         "stream_hll_by_source",
         "tpch_q4_order_priority",
         "tpch_q22_sales_opportunity",
-        "tpch_q9_product_profit",
         "tpch_q12_late_shipments",
         "tpch_q16_supplier_diversity",
         "tpch_q20_part_promotion",
-        "tpch_q21_waiting_suppliers",
         "stream_len_quantiles",
-        "stream_ann_index",
-        "embedding_dedup_incremental",
-        "decontaminate_exact",
     ]
-    assert "dedup_clusters" in gated
-    assert {"dedup_simhash_banded", "embedding_neardup_lsh"} <= gated
+
+
+def test_local_correctness_artifact_covers_full_registry():
+    """The checked-in CORRECTNESS_LOCAL_r{N}.json (the per-round "full
+    catalog all-PASS" artifact) must cover EXACTLY the registered
+    queries — an end-of-round query addition without regenerating the
+    artifact fails here instead of shipping a stale artifact (the r8
+    artifact stopped at 104/105; VERDICT r8 item 3)."""
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    arts = sorted(
+        repo.glob("CORRECTNESS_LOCAL_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert arts, "no CORRECTNESS_LOCAL_r*.json artifact checked in"
+    latest = arts[-1]
+    data = json.loads(latest.read_text())
+    results = data.get("results", data)
+    missing = sorted(set(q.QUERIES) - set(results))
+    extra = sorted(set(results) - set(q.QUERIES))
+    assert not missing, (
+        f"{latest.name} is stale: registered queries missing from the "
+        f"artifact: {missing}; regenerate with "
+        "`python tools/check_correctness.py /root/testdata/sf0.01 "
+        f"--json {latest.name}`"
+    )
+    assert not extra, f"{latest.name} holds unregistered queries: {extra}"
+    bad = sorted(
+        n for n, r in results.items() if r.get("status") != "PASS"
+    )
+    assert not bad, f"{latest.name} records non-PASS rows: {bad}"

@@ -62,3 +62,45 @@ def test_type_mismatch_detects_hugeint():
     assert not type_mismatches(schema, ["session_id"], ["BIGINT"])
     assert not type_mismatches(schema, ["session_id"], ["INTEGER"])
     assert type_mismatches(schema, ["session_id"], ["DOUBLE"])
+
+
+def test_scratch_registration_cannot_bypass_audit(spark, sf_dir, duck):
+    """VERDICT r8 item 6 pin: the audit iterates the LIVE registry, so
+    a newly @query-registered entry with an uncast integer-sum oracle
+    (DuckDB widens to HUGEINT -> float in the pandas export -> driver
+    hash-fail) is flagged the moment it exists. Simulated by inserting
+    a scratch entry and running the exact audit loop body."""
+    scratch_q = lambda sp, d: sp.range(3).selectExpr(  # noqa: E731
+        "sum(id) AS s"
+    )
+    scratch_oracle = "SELECT sum(x) AS s FROM (SELECT 1 AS x UNION ALL SELECT 2)"
+    q.QUERIES["__scratch_uncast_sum"] = scratch_q
+    q.ORACLE["__scratch_uncast_sum"] = scratch_oracle
+    try:
+        bad = {}
+        for name, fn in q.QUERIES.items():
+            if name != "__scratch_uncast_sum":
+                continue
+            sdf = fn(spark, sf_dir)
+            ddf = duck.sql(f"SELECT * FROM ({q.ORACLE[name]}) LIMIT 0")
+            mism = type_mismatches(
+                sdf.schema, list(ddf.columns), list(ddf.types)
+            )
+            if mism:
+                bad[name] = mism
+        assert "__scratch_uncast_sum" in bad, (
+            "an uncast integer-sum oracle was NOT flagged — the "
+            "HUGEINT audit class regressed"
+        )
+        # and the cast form passes, so the audit is not a false alarm
+        ddf = duck.sql(
+            "SELECT * FROM "
+            "(SELECT sum(x)::BIGINT AS s FROM (SELECT 1 AS x)) LIMIT 0"
+        )
+        sdf = scratch_q(spark, sf_dir)
+        assert not type_mismatches(
+            sdf.schema, list(ddf.columns), list(ddf.types)
+        )
+    finally:
+        del q.QUERIES["__scratch_uncast_sum"]
+        del q.ORACLE["__scratch_uncast_sum"]
