@@ -764,6 +764,17 @@ def _swap_in(spark, staged: str, live: str, dst: str) -> None:
       the staged dir;
     * after the in-rename: live is correct; a leftover ``.old`` is
       swept by the next swap.
+
+    STORAGE CONTRACT: this protocol's atomicity rests on
+    ``FileSystem.rename`` being atomic — true on HDFS and local
+    filesystems, NOT on S3-style object stores (directory rename there
+    is per-object copy+delete; a crash or concurrent reader mid-swap
+    sees a torn store). On object stores, either run compactions
+    offline (no readers during the swap window — the compact functions
+    already require a stopped stream) or use a manifest-committed
+    layout where available (the ANN indexes support
+    ``commit="manifest"``; see ``sources/manifest.py`` for the
+    generation-pointer protocol).
     """
     old = f"{live}.old"
     _rm_dir(spark, old)  # leftover from a crash after a completed swap

@@ -341,6 +341,7 @@ def build_ann_lsh_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     target_bucket: int = 32,
+    commit: str = "rename",
 ) -> None:
     """Compute each vector's sign-bit bucket ONCE and persist the
     assignment directory-partitioned by ``bucket``. The build is one
@@ -364,9 +365,24 @@ def build_ann_lsh_index(
     default to the RECORDED ``n_planes``/``dim`` and RAISE on an
     explicit mismatch — without the metadata, a probe with the wrong
     plane count silently computes garbage buckets and returns
-    empty/wrong neighbors with no error."""
+    empty/wrong neighbors with no error.
+
+    STORAGE CONTRACT (``commit=``): the default ``"rename"`` publish
+    stages to a sibling dir and swaps via ``FileSystem.rename`` —
+    atomic on HDFS and local filesystems, NOT on S3-style object
+    stores (directory rename there is per-object copy+delete; a crash
+    or reader mid-swap sees a torn index). On object stores pass
+    ``commit="manifest"``: the index is written to a fresh
+    ``{path}/gen-{k}`` generation and published by writing the small
+    ``{path}/_current`` pointer LAST (one atomic PUT) — see
+    ``sources/manifest.py``. Appends and probes resolve the pointer
+    transparently, on both layouts."""
     from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import begin_generation, commit_generation
     from .dedup import _rm_dir, spread_small_input
+
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
 
     # a build is a FRESH index, replacing any prior batch partitions
     # (or overwrite would leave stale appends beside the new base).
@@ -387,8 +403,11 @@ def build_ann_lsh_index(
     # bucket space DuckDB can replay from the same constant.
     if n_planes is None:
         n_planes = auto_planes(df.count(), target_bucket)
-    staging = f"{path}.building"
-    _rm_dir(spark, staging)  # stale staging from a crashed build
+    if commit == "manifest":
+        staging = begin_generation(spark, path)
+    else:
+        staging = f"{path}.building"
+        _rm_dir(spark, staging)  # stale staging from a crashed build
     df = spread_small_input(df)
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     assigned = df.select(
@@ -400,7 +419,10 @@ def build_ann_lsh_index(
     spark.createDataFrame(
         [(int(n_planes), int(dim))], "n_planes int, dim int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_lsh_meta")
-    _publish_index(spark, staging, path)
+    if commit == "manifest":
+        commit_generation(spark, path, staging)
+    else:
+        _publish_index(spark, staging, path)
 
 
 def _resolve_lsh_params(
@@ -492,6 +514,12 @@ def append_to_ann_lsh_index(
             "build wrote — overwriting it would replace the whole base "
             "corpus assignment with one batch)"
         )
+    from ..sources.manifest import resolve_root
+
+    # manifest-committed index: the append mutates the CURRENT
+    # generation in place (partition-level overwrite — same replay
+    # contract as the legacy layout)
+    path = resolve_root(df.sparkSession, path)
     n_planes, dim = _resolve_lsh_params(
         df.sparkSession, path, n_planes, dim, "append_to_ann_lsh_index"
     )
@@ -527,6 +555,9 @@ def ann_lsh_topk_indexed(
     (partition-pruned), rank by exact cosine. Output is identical to
     ``ann_lsh_topk`` with the same probe settings on the same data
     (same planes, same folds)."""
+    from ..sources.manifest import resolve_root
+
+    index_path = resolve_root(spark, index_path)
     dim = len(query_vec)
     n_planes, _ = _resolve_lsh_params(
         spark, index_path, n_planes, dim, "ann_lsh_topk_indexed"
@@ -667,6 +698,7 @@ def build_ann_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     lloyd_iters: int = 0,
+    commit: str = "rename",
 ) -> None:
     """Pick centroids and assign every vector to its cell ONCE; persist
     the assignment directory-partitioned by ``cell`` plus the centroid
@@ -688,12 +720,20 @@ def build_ann_ivf_index(
     :func:`append_to_ann_ivf_index` assigns later batches to the
     PERSISTED centroids in their own partitions. The centroid table
     stays at ``<path>/_centroids`` (underscore → hidden from the
-    partitioned read)."""
+    partitioned read).
+
+    ``commit``: same storage contract as :func:`build_ann_lsh_index` —
+    ``"rename"`` (default; atomic on HDFS/local only) or
+    ``"manifest"`` (generation + pointer; the object-store-safe
+    publish, see ``sources/manifest.py``)."""
     from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import begin_generation, commit_generation
     from .dedup import _rm_dir, spread_small_input
 
     if lloyd_iters < 0:
         raise ValueError(f"lloyd_iters must be >= 0, got {lloyd_iters}")
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
     if lloyd_iters and cents:
         cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
@@ -701,8 +741,11 @@ def build_ann_ivf_index(
     # staged rebuild, same rationale as build_ann_lsh_index: the input
     # may READ the live index (rebuild-from-index flow), so the old
     # copy must survive until the new assignment is fully written
-    staging = f"{path}.building"
-    _rm_dir(spark, staging)  # stale staging from a crashed build
+    if commit == "manifest":
+        staging = begin_generation(spark, path)
+    else:
+        staging = f"{path}.building"
+        _rm_dir(spark, staging)  # stale staging from a crashed build
     df = spread_small_input(df)
     celled = df.select(
         F.col(id_col),
@@ -714,7 +757,10 @@ def build_ann_ivf_index(
     spark.createDataFrame(
         cent_rows, "cell int, cent_id bigint, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_centroids")
-    _publish_index(spark, staging, path)
+    if commit == "manifest":
+        commit_generation(spark, path, staging)
+    else:
+        _publish_index(spark, staging, path)
 
 
 def append_to_ann_ivf_index(
@@ -736,6 +782,7 @@ def append_to_ann_ivf_index(
     overwrite-own-partition (replay-safe); unset → at-least-once
     append to the base partition."""
     from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import resolve_root
     from .dedup import spread_small_input
 
     if batch_id is not None and batch_id < 0:
@@ -745,6 +792,7 @@ def append_to_ann_ivf_index(
             "build wrote)"
         )
     spark = df.sparkSession
+    path = resolve_root(spark, path)
     # bounded-collect: nlist centroid rows from the index metadata
     cent_rows = (
         spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
@@ -779,6 +827,9 @@ def ann_ivf_topk_indexed(
     driver-side, scan ONLY the ``nprobe`` probed cell directories, rank
     by exact cosine. Identical output to ``ann_ivf_topk`` on the same
     data."""
+    from ..sources.manifest import resolve_root
+
+    index_path = resolve_root(spark, index_path)
     # bounded-collect: nlist centroid rows from the index metadata
     cent_rows = (
         spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
@@ -1122,8 +1173,10 @@ def cosine_neardup_against_index(
     index ids are distinct namespaces; identical ids are filtered
     defensively (a vector must not near-dup itself)."""
     spark = batch.sparkSession
+    from ..sources.manifest import resolve_root
     from .dedup import spread_small_input
 
+    index_path = resolve_root(spark, index_path)
     n_planes, dim = _resolve_lsh_params(
         spark, index_path, n_planes, dim, "cosine_neardup_against_index"
     )
