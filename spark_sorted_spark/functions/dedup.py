@@ -195,6 +195,8 @@ def jaccard_prefix_pairs(
     n: int = 3,
     tau_num: int = 1,
     tau_den: int = 2,
+    hot_shingle_rows: int | None = 100_000,
+    hot_salt: int = 16,
 ) -> DataFrame:
     """LOSSLESS near-duplicate pairs via prefix filtering (AllPairs /
     PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
@@ -243,6 +245,24 @@ def jaccard_prefix_pairs(
     collide (they must — the answer contains all their pairs), so run
     :func:`exact_dedup` first to collapse verbatim copies, as the
     clean-corpus pipeline does.
+
+    SKEW (``hot_shingle_rows`` / ``hot_salt``): a shingle that stays
+    hot even after rare-first ranking puts its whole bucket into ONE
+    shuffle partition of the candidate self-join, and AQE's skew-join
+    splitter canNOT rescue it — measured on this Spark build: a
+    self-join is skewed on BOTH sides in the SAME partitions, a shape
+    ``OptimizeSkewedJoin`` skips (and even the one-sided R-S form did
+    not engage; tools/skew_probe evidence in PARITY.md). So the split
+    is done explicitly and LOSSLESSLY: shingles whose corpus document
+    frequency exceeds ``hot_shingle_rows`` (a free test — ``dfreq`` is
+    already computed; df upper-bounds the prefix bucket) take a
+    block-salted path where side A keeps one block ``hash(id) %
+    hot_salt`` and side B is replicated to all ``hot_salt`` blocks —
+    every ordered pair still meets EXACTLY once, now spread over
+    ``hot_salt`` partitions per hot shingle. Cold shingles keep the
+    plain (exchange-reused) join. ``hot_shingle_rows=None`` disables
+    the split; the default never triggers at test scale so the
+    oracle-gated construction is byte-identical.
     """
     from pyspark.sql import Window
 
@@ -301,17 +321,46 @@ def jaccard_prefix_pairs(
     alpha = F.expr(f"({tau_num} * (a.nsh + b.nsh) + {tsum - 1}) DIV {tsum}")
     positional = F.lit(1) + F.least(na - ra, nb - rb) >= alpha
     size_ok = F.lit(tau_num) * nb <= F.lit(tau_den) * na
-    cand = (
-        a.join(b, on="shingle")
-        .filter(oriented & size_ok & index_prefix & positional)
-        .select(
+
+    def _pairs_of(joined: DataFrame) -> DataFrame:
+        return joined.filter(
+            oriented & size_ok & index_prefix & positional
+        ).select(
             F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
                 "doc_b"
             ),
         )
-        .distinct()
-    )
+
+    if hot_shingle_rows is not None and hot_salt > 1:
+        # hot split (see docstring): detection is free — dfreq exists;
+        # the hot-key set is bounded (<= shingle rows / threshold), so
+        # the flag join broadcasts
+        hot_keys = F.broadcast(
+            dfreq.filter(F.col("sdf") > hot_shingle_rows)
+            .select("shingle")
+            .withColumn("__hot", F.lit(True))
+        )
+        flagged = pref.join(hot_keys, on="shingle", how="left")
+        cold = flagged.filter(F.col("__hot").isNull()).drop("__hot")
+        hotp = flagged.filter(F.col("__hot").isNotNull()).drop("__hot")
+        ha = hotp.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(hot_salt))
+        )
+        hb = hotp.withColumn(
+            "__blk", F.explode(F.sequence(F.lit(0), F.lit(hot_salt - 1)))
+        )
+        cand = (
+            _pairs_of(cold.alias("a").join(cold.alias("b"), on="shingle"))
+            .unionByName(
+                _pairs_of(
+                    ha.alias("a").join(hb.alias("b"), on=["shingle", "__blk"])
+                )
+            )
+            .distinct()
+        )
+    else:
+        cand = _pairs_of(a.join(b, on="shingle")).distinct()
     # AQE coalesces the tiny id-pair shuffle to ~1 partition, which
     # would serialize the array_intersect verify; re-spread explicitly
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -340,6 +389,7 @@ def jaccard_prefix_join(
     n: int = 3,
     tau_num: int = 1,
     tau_den: int = 2,
+    hot_salt: int = 8,
 ) -> DataFrame:
     """Cross-corpus (R-S) form of :func:`jaccard_prefix_pairs`:
     EXACTLY the (left, right) document pairs with distinct-shingle
@@ -383,6 +433,20 @@ def jaccard_prefix_join(
     screening pass (``ngram_overlap_across``) remains the right first
     filter at 100 TB, with this join run on its survivors when an
     exact guarantee is required.
+
+    SKEW (``hot_salt``): a shingle shared by a large corpus bucket
+    lands that whole bucket in ONE candidate-join task, and AQE's skew
+    splitter measurably does not engage on this join (PARITY.md skew
+    adjudication). The asymmetric shape admits an always-on lossless
+    fix with no detection pass: the candidate join keys on
+    ``(shingle, blk)`` where each LEFT (corpus) prefix row keeps one
+    block ``hash(left_id) % hot_salt`` and each RIGHT (benchmark)
+    prefix row is replicated to all ``hot_salt`` blocks — every
+    (left, right) pair still meets exactly once, every bucket is
+    split ``hot_salt`` ways, and the replication cost is ``hot_salt``
+    x the SMALL side's prefix rows only. AQE coalesces the resulting
+    small partitions back together. ``hot_salt=1`` restores the plain
+    join.
     """
     from pyspark.sql import Window
 
@@ -427,8 +491,23 @@ def jaccard_prefix_join(
             .select(idc, "nsh", "shingle", "rn")
         )
 
-    a = prefix_table(exl, "left_id").alias("a")
-    b = prefix_table(exr, "right_id").alias("b")
+    pl = prefix_table(exl, "left_id")
+    pr = prefix_table(exr, "right_id")
+    if hot_salt > 1:
+        # always-on block salt (see docstring): corpus rows keep one
+        # block, benchmark rows replicate to all blocks — pair meets
+        # exactly once, buckets split hot_salt ways
+        pl = pl.withColumn(
+            "__blk", F.pmod(F.xxhash64(F.col("left_id")), F.lit(hot_salt))
+        )
+        pr = pr.withColumn(
+            "__blk", F.explode(F.sequence(F.lit(0), F.lit(hot_salt - 1)))
+        )
+        join_on = ["shingle", "__blk"]
+    else:
+        join_on = ["shingle"]
+    a = pl.alias("a")
+    b = pr.alias("b")
     nl, nr = F.col("a.nsh"), F.col("b.nsh")
     rl, rr = F.col("a.rn"), F.col("b.rn")
     tsum = tau_num + tau_den
@@ -445,7 +524,7 @@ def jaccard_prefix_join(
     alpha = F.expr(f"({tau_num} * (a.nsh + b.nsh) + {tsum - 1}) DIV {tsum}")
     positional = F.lit(1) + F.least(nl - rl, nr - rr) >= alpha
     cand = (
-        a.join(b, on="shingle")
+        a.join(b, on=join_on)
         .filter(size_ok & mid_prefix & positional)
         .select("left_id", "right_id")
         .distinct()

@@ -1408,3 +1408,80 @@ def test_knn_exact_fallback_total_despite_zero_norm_collisions(spark):
     ).collect()
     assert [(r.left_id, r.right_id, r.rank) for r in out] == [(1, 11, 1)]
     assert abs(out[0].cos - (-1.0)) < 1e-9
+
+
+def test_jaccard_prefix_hot_split_is_lossless(spark):
+    """The block-salted hot path (skew mitigation — PARITY.md skew
+    adjudication: AQE's splitter measurably cannot split this join)
+    must return EXACTLY the default path's pairs. Forced by a tiny
+    hot threshold so every shingle takes the salted path, plus a mixed
+    corpus where only the identical-document group is hot."""
+    hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, hot) for i in range(40)] + [
+        (1000 + i, f"unique doc {i} tells {i * 13} of {i * 7} and {i * 3}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    want = sorted(
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_pairs(df, hot_shingle_rows=None).collect()
+    )
+    assert len(want) >= 40 * 39 // 2
+    # every shingle hot -> pure salted path
+    all_hot = sorted(
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_pairs(
+            df, hot_shingle_rows=1, hot_salt=4
+        ).collect()
+    )
+    assert all_hot == want
+    # mixed: only the identical group's shingles exceed df > 30
+    mixed = sorted(
+        (r.doc_a, r.doc_b)
+        for r in jaccard_prefix_pairs(
+            df, hot_shingle_rows=30, hot_salt=4
+        ).collect()
+    )
+    assert mixed == want
+    # default threshold never triggers at this scale: same answer
+    dflt = sorted(
+        (r.doc_a, r.doc_b) for r in jaccard_prefix_pairs(df).collect()
+    )
+    assert dflt == want
+
+
+def test_jaccard_prefix_join_salt_is_lossless_and_splits_key(spark):
+    """R-S form: the always-on (shingle, blk) salt returns exactly the
+    unsalted join's pairs, and the candidate join really keys on the
+    block column (the skew split is structural, not cosmetic)."""
+    hot = "alpha beta gamma delta epsilon zeta eta theta"
+    left = spark.createDataFrame(
+        [(i, hot) for i in range(50)]
+        + [(500 + i, f"left {i} has {i * 13} and {i * 7}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, hot + f" tail {i}") for i in range(5)]
+        + [(2000 + i, f"right {i} shows {i * 11}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    unsalted = sorted(
+        (r.left_id, r.right_id)
+        for r in jaccard_prefix_join(
+            left, right, tau_num=1, tau_den=5, hot_salt=1
+        ).collect()
+    )
+    assert len(unsalted) == 50 * 5
+    for salt in (2, 8):
+        salted = sorted(
+            (r.left_id, r.right_id)
+            for r in jaccard_prefix_join(
+                left, right, tau_num=1, tau_den=5, hot_salt=salt
+            ).collect()
+        )
+        assert salted == unsalted
+    # plan pin: the candidate equi-join includes __blk in its keys
+    out = jaccard_prefix_join(left, right, tau_num=1, tau_den=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__blk" in plan

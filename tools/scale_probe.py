@@ -1,7 +1,9 @@
 """10x scaling probe for the heavyweight dedup/similarity operators
 (PARITY.md "Scaling observations"): measure b14 (simhash banded),
-b16 (dedup clusters), b17 (knn join) at sf0.1 and at a 10x replica,
-so cluster-scale extrapolation claims rest on measured slopes.
+b16 (dedup clusters), b17 (knn join), b28 (lossless prefix Jaccard
+self-join), b29 (lossless R-S decontamination join) at sf0.1 and at a
+10x replica, so cluster-scale extrapolation claims rest on measured
+slopes.
 
 Replication preserves each workload's WITHIN-replica duplicate
 structure while keeping replicas disjoint from each other:
@@ -50,6 +52,9 @@ def _rolled(i: int) -> str:
 
 
 def replicate_docs(docs, n: int = 10):
+    # `source` rides through unchanged (b29 splits corpus vs benchmark
+    # on it) — each replica keeps the base corpus's source mix
+    extra = [c for c in ("source",) if c in docs.columns]
     parts = []
     for i in range(n):
         d = docs.select(
@@ -59,6 +64,7 @@ def replicate_docs(docs, n: int = 10):
                 if i
                 else F.col("text")
             ).alias("text"),
+            *extra,
         )
         parts.append(d)
     out = parts[0]
@@ -158,12 +164,31 @@ def main():
         batch = e.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
         return lambda: cosine_neardup_against_index(batch, path, 0.4).count()
 
+    def b28(d):
+        from spark_sorted_spark.functions.dedup import jaccard_prefix_pairs
+
+        return lambda: jaccard_prefix_pairs(
+            d, n=3, tau_num=1, tau_den=2
+        ).count()
+
+    def b29(d, hot_salt=8):
+        from spark_sorted_spark.functions.dedup import jaccard_prefix_join
+
+        corpus = d.filter(F.col("source") != "src0")
+        benchmark = d.filter(F.col("source") == "src0")
+        return lambda: jaccard_prefix_join(
+            corpus, benchmark, n=3, tau_num=1, tau_den=5, hot_salt=hot_salt
+        ).count()
+
     rows = []
     for name, f1, f10 in (
         ("b14_simhash_banded", b14(docs), b14(docs10)),
         ("b16_dedup_clusters", b16(docs), b16(docs10)),
         ("b17_knn_join (auto depth)", b17(emb), b17(emb10)),
         ("b17_knn_join 10x fixed n_planes=4", None, b17(emb10, n_planes=4)),
+        ("b28_jaccard_prefix", b28(docs), b28(docs10)),
+        ("b29_decontaminate_exact (salt 8)", b29(docs), b29(docs10)),
+        ("b29_decontaminate_exact 10x unsalted", None, b29(docs10, hot_salt=1)),
         (
             "b27_embed_dedup (auto-depth index)",
             b27(emb, "1x", None),
