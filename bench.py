@@ -342,6 +342,14 @@ def b28_jaccard_prefix(spark):
     force(QUERIES["dedup_jaccard_prefix"](spark, SF_DIR))
 
 
+def b30_decontaminate_verbatim(spark):
+    # token-aligned verbatim containment (single min-df probe per
+    # prompt, broadcast candidates, contains verify on candidates only)
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["decontaminate_verbatim"](spark, SF_DIR))
+
+
 def b29_decontaminate_exact(spark):
     # cross-corpus lossless Jaccard join (R-S PPJoin) at tau=1/5:
     # the exact-guarantee price vs the b-free screening pass; right-
@@ -383,6 +391,7 @@ BENCH = {
     "b27_embed_dedup_incremental": b27_embed_dedup_incremental,
     "b28_jaccard_prefix": b28_jaccard_prefix,
     "b29_decontaminate_exact": b29_decontaminate_exact,
+    "b30_decontaminate_verbatim": b30_decontaminate_verbatim,
 }
 
 

@@ -33,10 +33,12 @@ from .text import md5_int32, tokens
 
 __all__ = [
     "exact_dedup",
+    "dedup_normalize",
     "shingles",
     "ngram_jaccard_pairs",
     "jaccard_prefix_pairs",
     "jaccard_prefix_join",
+    "contains_join",
     "ngram_overlap_across",
     "minhash_signatures",
     "minhash_band_table",
@@ -82,13 +84,47 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+# Conservative punctuation class for near-exact normalization — the
+# regex subset common to Java regex (Spark) and RE2-ish engines
+# (DuckDB), so the oracle replays byte-for-byte.
+_DEDUP_PUNCT = r"[.,!?;:'\"()\[\]{}]"
+
+
+def dedup_normalize(col: Column | str) -> Column:
+    """C4-style near-exact normalization: strip common punctuation,
+    collapse whitespace runs, trim, lowercase — the canonical form
+    under which "Hello, world!" and "hello world" are the same
+    document. Pure Catalyst string expressions; the DuckDB twin is the
+    same four functions, so normalized fingerprints are
+    oracle-replayable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(c, _DEDUP_PUNCT, ""), r"\s+", " "
+            )
+        )
+    )
+
+
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
 ) -> DataFrame:
     """Exact dedup via md5 content fingerprint: one hash-aggregate
-    (map-side partial combine), keeps the smallest id per group."""
+    (map-side partial combine), keeps the smallest id per group.
+    ``normalize=True`` fingerprints :func:`dedup_normalize`'s canonical
+    form instead of the raw bytes — near-exact dedup (case /
+    punctuation / whitespace variants collapse) at identical cost: the
+    normalization is a per-row scan expression, the aggregate is
+    unchanged."""
+    content = F.col(text_col)
+    if normalize:
+        content = dedup_normalize(content)
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        df.select(F.col(id_col), F.md5(content).alias("content_md5"))
         .groupBy("content_md5")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -188,6 +224,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def _probably_has_hot_shingle(
+    df: DataFrame, text_col: str, n: int, threshold: int,
+    sample_fraction: float = 0.001,
+) -> bool:
+    """Cheap seeded-sample probe for the self-join's plan choice: does
+    any shingle PLAUSIBLY exceed ``threshold`` document frequency? A
+    genuinely hot shingle (df >= threshold) shows ~threshold x
+    fraction sampled hits — unmissable at the default threshold
+    (100k x 0.001 = ~100); the trigger uses a 2x safety margin for
+    borderline keys. Cost is ~fraction of one shingle aggregate.
+    Both candidate plans are lossless; this probe only picks the
+    cheaper one, so a wrong guess costs time, never answers."""
+    est = (
+        df.sample(fraction=sample_fraction, seed=42)
+        .select(F.explode(shingles(text_col, n)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .first()
+    )
+    m = (est["m"] if est is not None else None) or 0
+    return (m / sample_fraction) > threshold / 2
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -197,6 +257,7 @@ def jaccard_prefix_pairs(
     tau_den: int = 2,
     hot_shingle_rows: int | None = 100_000,
     hot_salt: int = 16,
+    hot_probe_fraction: float = 0.001,
 ) -> DataFrame:
     """LOSSLESS near-duplicate pairs via prefix filtering (AllPairs /
     PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
@@ -254,14 +315,18 @@ def jaccard_prefix_pairs(
     ``OptimizeSkewedJoin`` skips (and even the one-sided R-S form did
     not engage; tools/skew_probe evidence in PARITY.md). So the split
     is done explicitly and LOSSLESSLY: shingles whose corpus document
-    frequency exceeds ``hot_shingle_rows`` (a free test — ``dfreq`` is
-    already computed; df upper-bounds the prefix bucket) take a
+    frequency exceeds ``hot_shingle_rows`` (exact detection — ``dfreq``
+    is already computed; df upper-bounds the prefix bucket) take a
     block-salted path where side A keeps one block ``hash(id) %
     hot_salt`` and side B is replicated to all ``hot_salt`` blocks —
     every ordered pair still meets EXACTLY once, now spread over
     ``hot_salt`` partitions per hot shingle. Cold shingles keep the
-    plain (exchange-reused) join. ``hot_shingle_rows=None`` disables
-    the split; the default never triggers at test scale so the
+    plain (exchange-reused) join. Because the two-path PLAN costs ~2x
+    the single-path plan when no hot key exists (measured at sf0.1),
+    a ``hot_probe_fraction`` seeded-sample probe picks the plan
+    driver-side first — both plans are lossless, so the probe decides
+    cost only. ``hot_shingle_rows=None`` disables everything (no
+    probe job); the default never triggers at test scale so the
     oracle-gated construction is byte-identical.
     """
     from pyspark.sql import Window
@@ -332,10 +397,21 @@ def jaccard_prefix_pairs(
             ),
         )
 
-    if hot_shingle_rows is not None and hot_salt > 1:
-        # hot split (see docstring): detection is free — dfreq exists;
-        # the hot-key set is bounded (<= shingle rows / threshold), so
-        # the flag join broadcasts
+    if (
+        hot_shingle_rows is not None
+        and hot_salt > 1
+        and _probably_has_hot_shingle(
+            df, text_col, n, hot_shingle_rows, hot_probe_fraction
+        )
+    ):
+        # hot split (see docstring): the two-path plan costs ~2x the
+        # plain join when NO hot key exists (the prefix subtree
+        # appears in both branches; only parts reuse), so a cheap
+        # sampled driver-side probe picks the plan — both plans are
+        # lossless, the probe only chooses on cost. Once chosen, the
+        # DETECTION set is exact (full dfreq, already computed); the
+        # hot-key set is bounded (<= shingle rows / threshold), so the
+        # flag join broadcasts.
         hot_keys = F.broadcast(
             dfreq.filter(F.col("sdf") > hot_shingle_rows)
             .select("shingle")
@@ -548,6 +624,158 @@ def jaccard_prefix_join(
             * (F.col("n_left") + F.col("n_right") - F.col("n_common"))
         )
         .select("left_id", "right_id", "n_common", "n_left", "n_right")
+    )
+
+
+def contains_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    short_docs: str = "drop",
+) -> DataFrame:
+    """Token-aligned VERBATIM containment join — the exact-leak form of
+    decontamination: ``(left_id, right_id)`` pairs where RIGHT's
+    whitespace token sequence appears contiguously inside LEFT's
+    (benchmark prompt copied verbatim into a training document). The
+    Jaccard joins measure set overlap; a short prompt pasted into a
+    long document has LOW Jaccard yet is the worst kind of leak — this
+    operator catches exactly that.
+
+    Containment is TOKEN-aligned, not raw-character (`` cat `` inside
+    `` concat `` does not match): both sides are normalized to
+    ``" tok tok ... "`` (single spaces, sentinel-padded) and matched
+    with ``contains`` — byte-equal semantics in DuckDB, so the oracle
+    is the brute-force cross-join DEFINITION, independent of this
+    algorithm.
+
+    LOSSLESS single-probe construction: if RIGHT's token sequence
+    (length >= ``n``) is contained in LEFT, then EVERY word ``n``-gram
+    of RIGHT is in LEFT's shingle set — in particular RIGHT's
+    corpus-RAREST one. So:
+
+    1. one map-side-combined aggregate computes each shingle's corpus
+       document frequency (the same aggregate the self near-dup ops
+       run);
+    2. each right doc picks its df-minimal shingle (ties by shingle)
+       as its single PROBE; a right doc with any shingle ABSENT from
+       the corpus is dropped outright — it cannot be contained
+       anywhere (the strongest prune, free);
+    3. candidates are ``corpus shingles ⋈ broadcast(probes)`` — one
+       probe row per right doc, so the join BROADCASTS and the corpus
+       is never shuffled for candidate generation; each right doc's
+       fan-out is the MINIMAL achievable for single-shingle probing
+       (its rarest shingle's df);
+    4. the exact ``contains`` verify runs on candidates only.
+
+    Right docs with fewer than ``n`` tokens have no shingles; with the
+    default ``short_docs="drop"`` they are EXCLUDED (the zero-cost
+    contract). ``short_docs="probe"`` adds the dedicated short-text
+    pass: those docs probe by their min-corpus-df TOKEN instead (same
+    lemma one level down — a contained token sequence's every token is
+    in the container's token set), at the cost of one extra
+    corpus-token aggregate. Fan-out is the min token df, which for
+    1-2-token fragments can legitimately be large — that is the
+    answer's size, not a plan artifact.
+
+    Scale: aggregate shuffle is (shingle, count) with map-side
+    combine; candidate generation is a broadcast hash join on the
+    corpus scan (no corpus shuffle, no skew surface — fan-out per
+    right doc is its min-df, and a right doc whose EVERY shingle is
+    corpus-hot is itself evidence of boilerplate worth special-casing);
+    the verify joins full texts for candidate ids only.
+    """
+    left = spread_small_input(left)
+    right = spread_small_input(right)
+    exl = left.select(
+        F.col(id_col).alias("left_id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    )
+    dfreq = exl.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    exr = right.select(
+        F.col(id_col).alias("right_id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    )
+    probes = (
+        exr.join(dfreq, on="shingle", how="left")
+        .groupBy("right_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.coalesce("sdf", F.lit(0)).alias("sdf"),
+                    F.col("shingle").alias("shingle"),
+                )
+            ).alias("m")
+        )
+        .filter(F.col("m.sdf") > 0)
+        .select("right_id", F.col("m.shingle").alias("shingle"))
+    )
+    cand = exl.join(F.broadcast(probes), on="shingle").select(
+        "left_id", "right_id"
+    )
+
+    if short_docs == "probe":
+        # 1..n-1-token right docs: probe by min-corpus-df TOKEN (same
+        # construction one level down). The corpus-token aggregate only
+        # exists in this mode.
+        exlt = left.select(
+            F.col(id_col).alias("left_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        )
+        tfreq = exlt.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+        exrt = (
+            right.filter(
+                (F.size(tokens(text_col)) < n)
+                & (F.size(tokens(text_col)) >= 1)
+                & (F.trim(F.col(text_col)) != "")
+            )
+            .select(
+                F.col(id_col).alias("right_id"),
+                F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+            )
+        )
+        short_probes = (
+            exrt.join(tfreq, on="token", how="left")
+            .groupBy("right_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.coalesce("tdf", F.lit(0)).alias("tdf"),
+                        F.col("token").alias("token"),
+                    )
+                ).alias("m")
+            )
+            .filter(F.col("m.tdf") > 0)
+            .select("right_id", F.col("m.token").alias("token"))
+        )
+        cand_short = exlt.join(F.broadcast(short_probes), on="token").select(
+            "left_id", "right_id"
+        )
+        cand = cand.unionByName(cand_short)
+    elif short_docs != "drop":
+        raise ValueError(
+            f"short_docs must be 'drop' or 'probe', got {short_docs!r}"
+        )
+
+    def norm(c: Column) -> Column:
+        return F.concat(F.lit(" "), F.concat_ws(" ", tokens(c)), F.lit(" "))
+
+    tl = left.select(
+        F.col(id_col).alias("left_id"), norm(F.col(text_col)).alias("__tl")
+    )
+    tr = right.select(
+        F.col(id_col).alias("right_id"), norm(F.col(text_col)).alias("__tr")
+    )
+    # AQE would coalesce the small candidate id-pair set onto few
+    # partitions and serialize the contains verify — re-spread, as the
+    # other candidate-verify pipelines do
+    cand = cand.repartition(left.sparkSession.sparkContext.defaultParallelism)
+    return (
+        cand.join(tl, "left_id")
+        .join(tr, "right_id")
+        .filter(F.contains(F.col("__tl"), F.col("__tr")))
+        .select("left_id", "right_id")
     )
 
 

@@ -590,6 +590,49 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, "documents", sf_dir))
 
 
+@query(
+    "dedup_exact_normalized",
+    # near-exact dedup: fingerprint the C4-style canonical form
+    # (strip punct -> collapse ws -> trim -> lower). The synthetic
+    # corpus has no natural case/punct variants, so the query PLANTS
+    # them: an uppercased, punctuation-suffixed copy of every src0 doc
+    # under shifted ids — each must collapse into its origin's group.
+    oracle="""
+    WITH variants AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             '  ' || upper(text) || ' !!' AS text
+      FROM documents WHERE source = 'src0'),
+    alld AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM variants),
+    canon AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(regexp_replace(text,
+               '[.,!?;:''"()\\[\\]{}]', '', 'g'), '\\s+', ' ', 'g'))) AS c
+      FROM alld)
+    SELECT md5(c) AS content_md5, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM canon GROUP BY md5(c)
+    """,
+)
+def dedup_exact_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup (functions/dedup.py exact_dedup(normalize=True)
+    over dedup_normalize's canonical form): case, punctuation, and
+    whitespace variants collapse at exact-dedup cost."""
+    from .functions.dedup import exact_dedup
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    variants = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("source") == "src0")
+        .select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
+        )
+    )
+    return exact_dedup(docs.unionByName(variants), normalize=True)
+
+
 def _shingle_sql(src: str = "documents") -> str:
     """Distinct word-3-gram shingles of relation ``src`` — mirrors
     ``dedup.shingles`` (n=3) token-for-token."""
@@ -3662,6 +3705,91 @@ def decontaminate_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join(corpus, benchmark, n=3, tau_num=1, tau_den=5)
 
 
+@query(
+    "decontaminate_verbatim",
+    # Brute-force DEFINITIONAL oracle (cross join + token-normalized
+    # contains — independent of the operator's probe construction, so
+    # a pass proves contains_join is lossless). The synthetic corpus
+    # has no natural verbatim leaks, so the query PLANTS them
+    # deterministically: the "benchmark" is an 8-token slice (tokens
+    # 4-11) of every >=11-token src0 document — each slice is contained
+    # in its origin document at minimum, plus any doc repeating that
+    # token run.
+    oracle="""
+    WITH prompts AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(toks[4:11], ' ') AS text
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE source = 'src0')
+      WHERE len(toks) >= 11)
+    SELECT d.doc_id AS left_id, p.doc_id AS right_id
+    FROM documents d, prompts p
+    WHERE contains(
+        ' ' || array_to_string(string_split_regex(trim(d.text), '\\s+'), ' ') || ' ',
+        ' ' || array_to_string(string_split_regex(trim(p.text), '\\s+'), ' ') || ' ')
+    """,
+)
+def decontaminate_verbatim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-leak detection (functions/dedup.py contains_join):
+    token-aligned substring containment of planted benchmark prompts
+    (8-token slices of src0 docs) inside the full corpus — the
+    exact-copy decontamination pass the Jaccard thresholds can't
+    express for short prompts."""
+    from .functions.dedup import contains_join
+    from .functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    prompts = (
+        docs.filter(F.col("source") == "src0")
+        .filter(F.size(toks) >= 11)
+        .select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 4, 8)).alias("text"),
+        )
+    )
+    return contains_join(docs, prompts, n=3)
+
+
+@query(
+    "decontaminate_verbatim_short",
+    # the short-text pass: 2-token prompts (below the n=3 shingle
+    # width) probe by their min-corpus-df TOKEN. Brute-force
+    # definitional oracle again.
+    oracle="""
+    WITH prompts AS (
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(toks[4:5], ' ') AS text
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE source = 'src0')
+      WHERE len(toks) >= 5)
+    SELECT d.doc_id AS left_id, p.doc_id AS right_id
+    FROM documents d, prompts p
+    WHERE contains(
+        ' ' || array_to_string(string_split_regex(trim(d.text), '\\s+'), ' ') || ' ',
+        ' ' || array_to_string(string_split_regex(trim(p.text), '\\s+'), ' ') || ' ')
+    """,
+)
+def decontaminate_verbatim_short_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-prompt verbatim pass (contains_join(short_docs='probe')):
+    fragments below the shingle width probe by min-corpus-df token —
+    completes the containment contract down to 1-token prompts."""
+    from .functions.dedup import contains_join
+    from .functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    prompts = (
+        docs.filter(F.col("source") == "src0")
+        .filter(F.size(toks) >= 5)
+        .select(
+            (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 4, 2)).alias("text"),
+        )
+    )
+    return contains_join(docs, prompts, n=3, short_docs="probe")
+
+
 # ===========================================================================
 # RANGE-frame window — rolling 1-hour per-user sum, the time-based
 # frame flavor (`RANGE BETWEEN x PRECEDING`) that `window_rank_lag`'s
@@ -4458,6 +4586,14 @@ _GATE_ORDER = [
     "tpch_q16_supplier_diversity",
     "tpch_q20_part_promotion",
     "stream_len_quantiles",
+    # round-9: token-aligned verbatim containment (contains_join) vs
+    # the brute-force definitional cross join (overflow; the gated
+    # decontaminate_exact covers the lossless cross-corpus family),
+    # its short-prompt token-probe pass, and near-exact normalized
+    # dedup (exact_dedup(normalize=True))
+    "decontaminate_verbatim",
+    "decontaminate_verbatim_short",
+    "dedup_exact_normalized",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -137,6 +137,9 @@ def test_gate_window_contents():
         "tpch_q16_supplier_diversity",
         "tpch_q20_part_promotion",
         "stream_len_quantiles",
+        "decontaminate_verbatim",
+        "decontaminate_verbatim_short",
+        "dedup_exact_normalized",
     ]
 
 

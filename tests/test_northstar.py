@@ -1428,11 +1428,12 @@ def test_jaccard_prefix_hot_split_is_lossless(spark):
         for r in jaccard_prefix_pairs(df, hot_shingle_rows=None).collect()
     )
     assert len(want) >= 40 * 39 // 2
-    # every shingle hot -> pure salted path
+    # every shingle hot -> pure salted path (probe at fraction 1.0 so
+    # the tiny corpus reliably triggers the two-path plan)
     all_hot = sorted(
         (r.doc_a, r.doc_b)
         for r in jaccard_prefix_pairs(
-            df, hot_shingle_rows=1, hot_salt=4
+            df, hot_shingle_rows=1, hot_salt=4, hot_probe_fraction=1.0
         ).collect()
     )
     assert all_hot == want
@@ -1440,7 +1441,7 @@ def test_jaccard_prefix_hot_split_is_lossless(spark):
     mixed = sorted(
         (r.doc_a, r.doc_b)
         for r in jaccard_prefix_pairs(
-            df, hot_shingle_rows=30, hot_salt=4
+            df, hot_shingle_rows=30, hot_salt=4, hot_probe_fraction=1.0
         ).collect()
     )
     assert mixed == want
@@ -1485,3 +1486,121 @@ def test_jaccard_prefix_join_salt_is_lossless_and_splits_key(spark):
     out = jaccard_prefix_join(left, right, tau_num=1, tau_den=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__blk" in plan
+
+
+def test_contains_join_token_aligned_and_lossless(spark):
+    """Verbatim containment: finds planted token-aligned leaks, does
+    NOT match raw-character substrings across token boundaries, drops
+    sub-shingle-width prompts, and equals the brute-force definition
+    on a random-ish corpus."""
+    from spark_sorted_spark.functions.dedup import contains_join
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "prefix words then quick brown fox appears here"),
+            (3, "concatenated tokens catastrophe avoided"),
+            (4, "entirely unrelated content about databases"),
+            # multi-space + leading whitespace: tokenization normalizes
+            (5, "  the   quick brown fox   jumps again  "),
+        ],
+        ["doc_id", "text"],
+    )
+    prompts = spark.createDataFrame(
+        [
+            (100, "quick brown fox"),          # in 1, 2, 5
+            (101, "the lazy dog"),             # in 1
+            (102, "tokens cat"),               # char-substring of 3 ONLY across a token boundary -> no match
+            (103, "brown fox jumps"),          # in 1 and 5 (not 2)
+            (104, "two words"),                # < 3 tokens: excluded
+            (105, "absent ngram entirely"),    # nowhere
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.left_id, r.right_id)
+        for r in contains_join(corpus, prompts).collect()
+    )
+    assert got == [
+        (1, 100), (1, 101), (1, 103), (2, 100), (5, 100), (5, 103),
+    ]
+
+    # brute-force definitional equality on the same inputs
+    def toks(s):
+        return s.split()
+
+    brute = sorted(
+        (c.doc_id, p.doc_id)
+        for c in corpus.collect()
+        for p in prompts.collect()
+        if len(toks(p.text)) >= 3
+        and " " + " ".join(toks(p.text)) + " "
+        in " " + " ".join(toks(c.text)) + " "
+    )
+    assert got == brute
+
+    # candidate generation broadcasts the one-probe-per-prompt side:
+    # the corpus is never shuffled for candidates
+    plan = contains_join(corpus, prompts)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contains_join_short_docs_probe(spark):
+    """short_docs='probe': 1-2-token prompts probe by min-corpus-df
+    token; default 'drop' excludes them; both equal brute force on
+    their respective domains."""
+    from spark_sorted_spark.functions.dedup import contains_join
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "beta gamma epsilon"),
+            (3, "zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    prompts = spark.createDataFrame(
+        [
+            (100, "beta gamma"),   # in 1, 2
+            (101, "eta"),          # in 3
+            (102, "beta epsilon"), # tokens exist but never contiguous
+            (103, "omega"),        # token absent from corpus -> dropped free
+            (104, "   "),          # blank: excluded
+            (105, "alpha beta gamma"),  # 3 tokens: normal shingle path
+        ],
+        ["doc_id", "text"],
+    )
+    dropped = sorted(
+        (r.left_id, r.right_id)
+        for r in contains_join(corpus, prompts).collect()
+    )
+    assert dropped == [(1, 105)]  # only the >=3-token prompt survives
+
+    probed = sorted(
+        (r.left_id, r.right_id)
+        for r in contains_join(corpus, prompts, short_docs="probe").collect()
+    )
+    assert probed == [(1, 100), (1, 105), (2, 100), (3, 101)]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="short_docs"):
+        contains_join(corpus, prompts, short_docs="bogus")
+
+
+def test_exact_dedup_normalized_collapses_variants(spark):
+    from spark_sorted_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, world!"),
+            (2, "  hello   world  "),
+            (3, 'HELLO "WORLD"'),
+            (4, "different doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    raw = exact_dedup(df).collect()
+    assert sorted(r.n_copies for r in raw) == [1, 1, 1, 1]
+    norm = {r.keep_id: r.n_copies for r in exact_dedup(df, normalize=True).collect()}
+    assert norm == {1: 3, 4: 1}
