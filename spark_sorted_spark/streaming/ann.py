@@ -63,6 +63,14 @@ def stream_index_embeddings(
             "stream_index_embeddings reserves the 'ingest_batch_id' "
             "column for the index partition key; rename it in the input"
         )
+    # a manifest-committed index (build_ann_lsh_index commit="manifest")
+    # keeps its data under a generation dir: resolve ONCE up front so
+    # the identity marker, the batch-id base detection, and every
+    # append all address the same generation. Rebuilds (which flip the
+    # pointer) require a stopped stream, same as every compact path.
+    from ..sources.manifest import resolve_root
+
+    index_path = resolve_root(spark, index_path)
     base = _resolve_stream_base(spark, index_path, checkpoint_dir, allow_restart)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
