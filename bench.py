@@ -350,6 +350,15 @@ def b30_decontaminate_verbatim(spark):
     force(QUERIES["decontaminate_verbatim"](spark, SF_DIR))
 
 
+def b31_ann_pq(spark):
+    # product-quantization ANN, query-time form (seeded codebooks +
+    # native argmin encode + ADC rank) — the compressed-scan third
+    # path of the LSH/IVF/PQ triad
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["similarity_ann_pq"](spark, SF_DIR))
+
+
 def b29_decontaminate_exact(spark):
     # cross-corpus lossless Jaccard join (R-S PPJoin) at tau=1/5:
     # the exact-guarantee price vs the b-free screening pass; right-
@@ -392,6 +401,7 @@ BENCH = {
     "b28_jaccard_prefix": b28_jaccard_prefix,
     "b29_decontaminate_exact": b29_decontaminate_exact,
     "b30_decontaminate_verbatim": b30_decontaminate_verbatim,
+    "b31_ann_pq": b31_ann_pq,
 }
 
 

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "canonical_docs"]
+__all__ = ["connected_components", "merge_clusters", "canonical_docs"]
 
 
 def connected_components(
@@ -152,6 +152,57 @@ def connected_components(
                 "raise max_iters or use an O(log n) alternating-star "
                 "algorithm for chain-shaped graphs"
             )
+
+
+def merge_clusters(
+    prior_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_name: str = "doc_id",
+    cluster_name: str = "cluster_id",
+    max_iters: int = 30,
+    algorithm: str = "propagation",
+    stats: dict | None = None,
+) -> DataFrame:
+    """INCREMENTAL clustering: merge a new batch of near-dup edges
+    into an existing labelling without re-clustering the full edge
+    history — the clusters step of the nightly incremental loop
+    (``dedup_against_store`` / ``cosine_neardup_against_index`` emit
+    the new edges; this folds them in).
+
+    Correctness is by graph identity, not approximation: a prior
+    component is connected through its label (each member has a
+    ``(id, cluster_id)`` row, and ``cluster_id`` is itself a member
+    id), so components of ``new_edges ∪ prior-label-edges`` are
+    EXACTLY the components of ``all-old-edges ∪ new_edges`` — the
+    one-shot answer — while the propagation runs over
+    ``|prior labels| + |new edges|`` rows instead of the full edge
+    history. Prior components enter as stars (diameter <= 2), so
+    convergence is governed by the NEW merges, not history depth.
+
+    Returns the same ``(id_name, cluster_id)`` relation as
+    :func:`connected_components` over the union graph: every node of
+    any prior component or new edge appears; ``cluster_id`` is the
+    component-minimum id (labels can CHANGE for prior members when a
+    new edge bridges two old components — that is the point).
+
+    Equality with the one-shot clustering is property-pinned in
+    tests/test_pipeline_ops.py across random edge splits.
+    """
+    label_edges = prior_labels.select(
+        F.col(id_name).alias(src), F.col(cluster_name).alias(dst)
+    )
+    combined = new_edges.select(src, dst).unionByName(label_edges)
+    return connected_components(
+        combined,
+        src=src,
+        dst=dst,
+        id_name=id_name,
+        max_iters=max_iters,
+        algorithm=algorithm,
+        stats=stats,
+    )
 
 
 def _star_components(

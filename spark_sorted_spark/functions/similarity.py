@@ -841,6 +841,277 @@ def ann_ivf_topk_indexed(
     return _rank_topk(celled, query_vec, k, vec_col, id_col)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third standard ANN path next to LSH
+# and IVF [Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011]. The vector is split into m subvectors;
+# each subvector is quantized to one of ksub codewords (seeded pick,
+# same md5 rule as the IVF centroids); a vector is then m small ints —
+# at the defaults (m=4, ksub=16) 64 float32 dims compress to 4 bytes of
+# code. Queries rank by ADC (asymmetric distance computation): a
+# per-query table of subspace dots is computed driver-side, and each
+# stored vector's approximate dot is m table lookups — the scan reads
+# CODES ONLY (columnar pruning skips the embedding column entirely),
+# which is the 100 TB story: ~16x less IO than exact ranking, with an
+# optional exact rerank that reads embeddings for the top-R ids alone.
+# Every float path is a strict left fold ((x-y)*(x-y) products — no
+# pow), so the construction is bitwise-replayable by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+ANN_PQ_M = 4
+ANN_PQ_KSUB = 16
+
+
+def _flat_lit(vals: list[float]) -> Column:
+    """Flat double-array literal via the same constant-folded
+    from_json trick as :func:`_planes_lit`."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(vals)), "array<double>")
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = ANN_PQ_M,
+    ksub: int = ANN_PQ_KSUB,
+    dim: int = ANN_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Seeded PQ codebooks: the ``ksub`` vectors with the smallest
+    ``(md5(id), id)`` (the IVF centroid rule — deterministic, no
+    training loop, oracle-replayable) sliced into ``m`` subvectors:
+    ``codebooks[j][c]`` is seed ``c``'s ``j``-th subvector. Bounded
+    ksub-row collect."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = _ivf_centroids(df, ksub, vec_col, id_col)
+    if len(seeds) < ksub:
+        raise ValueError(
+            f"corpus has only {len(seeds)} rows; need >= ksub={ksub}"
+        )
+    return [
+        [vec[j * dsub : (j + 1) * dsub] for _cid, vec in seeds]
+        for j in range(m)
+    ]
+
+
+def _d2_strict(a: Column, b: Column) -> Column:
+    """Strict left-fold squared L2 distance: ``fold(0.0,
+    zip_with(a, b, (x,y) -> (x-y)*(x-y)), +)`` — multiplication, not
+    pow, so DuckDB's replay is bitwise-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_code_col(
+    vec: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Native PQ encoding: per subspace, the argmin-L2 codeword index
+    (ties to the lowest code — array_min over (d2, c) structs, the
+    ``_ivf_cell_col`` pattern). Returns ``array<int>`` of length m.
+    The codebook rides in as one constant-folded literal."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    flat = _planes_lit([c for j in range(m) for c in codebooks[j]])
+    vd = vec.cast("array<double>")
+    idxs = F.sequence(F.lit(0), F.lit(ksub - 1))
+
+    def code_j(j: int) -> Column:
+        sub = F.slice(vd, j * dsub + 1, dsub)
+        scored = F.transform(
+            idxs,
+            lambda c: F.struct(
+                _d2_strict(
+                    sub, F.element_at(flat, F.lit(j * ksub) + c + 1)
+                ).alias("d2"),
+                c.alias("c"),
+            ),
+        )
+        return F.array_min(scored)["c"]
+
+    return F.array(*[code_j(j) for j in range(m)])
+
+
+def _pq_query_table(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[float]:
+    """Driver-side ADC table: ``table[j*ksub + c]`` = strict ascending
+    dot of the query's j-th subvector with codeword c — python float64
+    in the same IEEE order as the engine/oracle folds."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    out: list[float] = []
+    for j in range(m):
+        q = query_vec[j * dsub : (j + 1) * dsub]
+        for c in range(ksub):
+            acc = 0.0
+            for x, y in zip(q, codebooks[j][c]):
+                acc = acc + x * y
+            out.append(acc)
+    return out
+
+
+def _pq_adc_rank(
+    coded: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """ADC ranking over a (id, code) relation: approximate dot = strict
+    fold over subspaces of table lookups; deterministic top-k by
+    (adot desc, id)."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    tbl = _flat_lit(_pq_query_table(query_vec, codebooks))
+    adot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(tbl, j * ksub + F.element_at(F.col("code"), j + 1) + 1),
+    )
+    ranked = (
+        coded.withColumn("adot", adot)
+        .orderBy(F.desc("adot"), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("adot"), F.col(id_col))
+    return ranked.select(
+        id_col, F.row_number().over(w).alias("rank"), "adot"
+    )
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = ANN_PQ_M,
+    ksub: int = ANN_PQ_KSUB,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by ADC (query-time form: encodes at query
+    time — build the code table once with :func:`build_ann_pq_index`
+    for repeated queries). Returns ``(id, rank, adot)`` — rank by
+    approximate dot, descending, id tie-break. Approximation error is
+    the quantization error; recall floors are pinned in tests and the
+    indexed form offers exact rerank."""
+    dim = len(query_vec)
+    if codebooks is None:
+        codebooks = pq_codebooks(df, m, ksub, dim, vec_col, id_col)
+    coded = df.select(
+        F.col(id_col), _pq_code_col(F.col(vec_col), codebooks).alias("code")
+    )
+    return _pq_adc_rank(coded, query_vec, codebooks, k, id_col)
+
+
+def build_ann_pq_index(
+    df: DataFrame,
+    path: str,
+    m: int = ANN_PQ_M,
+    ksub: int = ANN_PQ_KSUB,
+    dim: int = ANN_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    commit: str = "rename",
+) -> None:
+    """Encode the corpus ONCE and persist ``(id, code, embedding)``
+    plus the codebooks (``_pq_codebooks``) and construction params
+    (``_pq_meta``). ADC probes read the CODE column only (parquet
+    column pruning — the embedding bytes stay on disk); exact rerank
+    reads embeddings for the top-R candidate ids alone. Same staged
+    publish contract as the LSH/IVF builds (``commit="rename"`` |
+    ``"manifest"``)."""
+    from ..sources.manifest import begin_generation, commit_generation
+    from .dedup import _rm_dir, spread_small_input
+
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
+    cbs = pq_codebooks(df, m, ksub, dim, vec_col, id_col)
+    spark = df.sparkSession
+    if commit == "manifest":
+        staging = begin_generation(spark, path)
+    else:
+        staging = f"{path}.building"
+        _rm_dir(spark, staging)
+    df = spread_small_input(df)
+    coded = df.select(
+        F.col(id_col),
+        _pq_code_col(F.col(vec_col), cbs).alias("code"),
+        F.col(vec_col),
+    )
+    coded.write.parquet(f"{staging}/codes")
+    rows = [
+        (j, c, cbs[j][c])
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, sub array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_pq_codebooks")
+    spark.createDataFrame(
+        [(int(m), int(ksub), int(dim))], "m int, ksub int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_pq_meta")
+    if commit == "manifest":
+        commit_generation(spark, path, staging)
+    else:
+        _publish_index(spark, staging, path)
+
+
+def _load_pq_index(spark, path: str):
+    from ..sources.manifest import resolve_root
+
+    path = resolve_root(spark, path)
+    meta = spark.read.parquet(f"{path}/_pq_meta").collect()
+    if not meta:
+        raise ValueError(f"{path!r} holds no _pq_meta; build first")
+    m, ksub, dim = int(meta[0].m), int(meta[0].ksub), int(meta[0].dim)
+    # bounded-collect: m*ksub codebook rows from the index metadata
+    cb_rows = spark.read.parquet(f"{path}/_pq_codebooks").collect()
+    cbs: list[list[list[float]]] = [
+        [None] * ksub for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in cb_rows:
+        cbs[int(r.j)][int(r.c)] = [float(x) for x in r.sub]
+    return path, m, ksub, dim, cbs
+
+
+def ann_pq_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted PQ index: ADC over the code column (the
+    embedding column is pruned from the scan), identical output to
+    ``ann_pq_topk`` with the same codebooks. ``rerank=R`` re-ranks the
+    top-R ADC candidates by EXACT cosine (reads embeddings for those R
+    ids only) and returns ``(id, rank, cos)`` — the standard
+    compressed-scan-then-exact-tail pattern."""
+    path, m, ksub, dim, cbs = _load_pq_index(spark, index_path)
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query dim {len(query_vec)} != index dim {dim}"
+        )
+    idx = spark.read.parquet(f"{path}/codes")
+    coded = idx.select(id_col, "code")
+    if rerank is None:
+        return _pq_adc_rank(coded, query_vec, cbs, k, id_col)
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    cand = _pq_adc_rank(coded, query_vec, cbs, rerank, id_col).select(id_col)
+    vecs = idx.select(id_col, vec_col).join(cand, id_col)
+    return _rank_topk(vecs, query_vec, k, vec_col, id_col)
+
+
 def auto_planes(n: int, target_bucket: int = 32) -> int:
     """Banding depth derived from corpus count — the LSH analogue of
     the shuffle-partition heuristic. Bucket occupancy is

@@ -882,6 +882,47 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters_incremental",
+    # The INCREMENTAL clustering path must equal the one-shot answer:
+    # the oracle is the SAME recursive-CTE closure over ALL confirmed
+    # pairs as dedup_clusters; the Spark side clusters a deterministic
+    # HALF of the edges first, then merges the rest via merge_clusters
+    # (prior labels enter as star edges). A pass proves the merged
+    # labelling is exactly the full-history clustering.
+    oracle=f"""
+    WITH RECURSIVE {_lsh_confirmed_sql("documents")},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM confirmed
+      UNION
+      SELECT doc_b, doc_a FROM confirmed),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+      FROM reach GROUP BY s)
+    SELECT doc_id, cluster_id FROM comp
+    """,
+)
+def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-loop clustering (functions/clusters.py merge_clusters):
+    fold a new batch of near-dup edges into an existing labelling —
+    prior components enter as (id, cluster_id) star edges, so the
+    propagation cost is |prior labels| + |new edges|, never the full
+    edge history — and the result equals the one-shot clustering."""
+    from .functions.clusters import connected_components, merge_clusters
+    from .functions.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, tau_num=1, tau_den=2)
+    first = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 == 0)
+    second = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 == 1)
+    prior = connected_components(first, "doc_a", "doc_b", id_name="doc_id")
+    return merge_clusters(prior, second, "doc_a", "doc_b", id_name="doc_id")
+
+
 # The synthetic corpus contains no PII (letters + spaces only), so the
 # query injects deterministic doc_id-derived PII on BOTH sides before
 # redacting — the operator genuinely fires (varied per-doc counts) and
@@ -2966,6 +3007,74 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D2_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "list_zip({a}, {b}), s -> (s[1]-s[2])*(s[1]-s[2]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "similarity_ann_pq",
+    # Full SQL replay of the PQ construction: seeded codebooks (the
+    # md5-smallest 16 vectors, sliced into 4 subvectors each), argmin-L2
+    # encoding (strict (x-y)*(x-y) folds, ties to the lowest code —
+    # row_number mirrors Spark's struct min), ADC = ordered sum over
+    # subspaces of the chosen codeword's dot with the query subvector
+    # (list_reduce over list(dj ORDER BY j) — the same ascending IEEE
+    # fold as the engine's table lookups). Bitwise determinism is the
+    # whole design: every float op is a strict ordered fold.
+    oracle=f"""
+    WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+             FROM embeddings WHERE vec_id != 0),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS c, e
+      FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    cb AS (
+      SELECT js.j, s.c, list_slice(s.e, js.j*16+1, (js.j+1)*16) AS sub
+      FROM seeds s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT b.vec_id, cb.j, cb.c,
+               row_number() OVER (PARTITION BY b.vec_id, cb.j ORDER BY
+                 {_D2_SQL.format(a="list_slice(b.e, cb.j*16+1, (cb.j+1)*16)", b="cb.sub")},
+                 cb.c) AS rn
+        FROM base b CROSS JOIN cb) WHERE rn = 1),
+    dots AS (
+      SELECT e.vec_id, e.j,
+             {_DOT_SQL.format(a="list_slice(q.qe, e.j*16+1, (e.j+1)*16)", b="cb.sub")} AS dj
+      FROM enc e JOIN cb ON cb.j = e.j AND cb.c = e.c CROSS JOIN q),
+    scored AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(0.0, list(dj ORDER BY j)),
+                         (acc, x) -> acc + x) AS adot
+      FROM dots GROUP BY vec_id)
+    SELECT vec_id,
+           row_number() OVER (ORDER BY adot DESC, vec_id) AS rank, adot
+    FROM scored ORDER BY adot DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (functions/similarity.py ann_pq_topk):
+    seeded per-subspace codebooks, native argmin encoding, ADC ranking
+    — the compressed-scan path of the LSH/IVF/PQ triad (Jegou et al.,
+    TPAMI 2011). The indexed twin reads 4 ints per vector instead of
+    64 floats."""
+    from .functions.similarity import ann_pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    base = emb.filter(F.col("vec_id") != 0)
+    out = ann_pq_topk(base, qvec, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @query(
     "similarity_ann_ivf",
     # The oracle replays the whole IVF construction in SQL: the 16
@@ -4594,6 +4703,14 @@ _GATE_ORDER = [
     "decontaminate_verbatim",
     "decontaminate_verbatim_short",
     "dedup_exact_normalized",
+    # round-9: incremental cluster merge (merge_clusters) vs the
+    # one-shot recursive-CTE closure over ALL edges (overflow; the
+    # gated dedup_clusters covers the one-shot family)
+    "dedup_clusters_incremental",
+    # round-9: product-quantization ANN vs the full SQL replay of the
+    # seeded-codebook/argmin-encode/ADC construction (overflow; the
+    # gated similarity_ann_lsh + similarity_topk keep the family)
+    "similarity_ann_pq",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -140,6 +140,8 @@ def test_gate_window_contents():
         "decontaminate_verbatim",
         "decontaminate_verbatim_short",
         "dedup_exact_normalized",
+        "dedup_clusters_incremental",
+        "similarity_ann_pq",
     ]
 
 

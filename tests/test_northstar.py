@@ -1604,3 +1604,138 @@ def test_exact_dedup_normalized_collapses_variants(spark):
     assert sorted(r.n_copies for r in raw) == [1, 1, 1, 1]
     norm = {r.keep_id: r.n_copies for r in exact_dedup(df, normalize=True).collect()}
     assert norm == {1: 3, 4: 1}
+
+
+def test_contains_join_hypothesis_vs_brute_force(spark):
+    """Fuzz both short_docs modes against the Python brute-force
+    definition over random small-vocab corpora (small vocab maximizes
+    repeated n-grams and containment hits)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.functions.dedup import contains_join
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @given(
+        ldocs=st.lists(doc, min_size=1, max_size=6),
+        rdocs=st.lists(doc, min_size=1, max_size=5),
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(ldocs, rdocs):
+        left = spark.createDataFrame(
+            list(enumerate(ldocs)), "doc_id bigint, text string"
+        )
+        right = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(rdocs)],
+            "doc_id bigint, text string",
+        )
+
+        def brute(min_toks, max_toks=None):
+            out = set()
+            for li, lt in enumerate(ldocs):
+                for ri, rt in enumerate(rdocs):
+                    ntok = len(rt.split())
+                    if ntok < min_toks:
+                        continue
+                    if max_toks is not None and ntok >= max_toks:
+                        continue
+                    if " " + " ".join(rt.split()) + " " in " " + " ".join(
+                        lt.split()
+                    ) + " ":
+                        out.add((li, 100 + ri))
+            return out
+
+        got_drop = {
+            (r.left_id, r.right_id)
+            for r in contains_join(left, right).collect()
+        }
+        assert got_drop == brute(3)
+
+        got_probe = {
+            (r.left_id, r.right_id)
+            for r in contains_join(left, right, short_docs="probe").collect()
+        }
+        assert got_probe == brute(3) | brute(1, 3)
+
+    run()
+
+
+def test_ann_pq_indexed_equals_query_form_and_prunes_scan(spark, emb, tmp_path):
+    """PQ: the persisted-index ADC probe equals the query-time form
+    bitwise (same seeded codebooks), and the ADC scan reads the CODE
+    column only — the embedding bytes never leave disk (the 16x IO
+    story)."""
+    from spark_sorted_spark.functions.similarity import (
+        ann_pq_topk,
+        ann_pq_topk_indexed,
+        build_ann_pq_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    base = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    want = [
+        (r.vec_id, r.rank, r.adot)
+        for r in ann_pq_topk(base, qvec, k=8).collect()
+    ]
+
+    path = str(tmp_path / "pq_idx")
+    build_ann_pq_index(base, path)
+    probe = ann_pq_topk_indexed(spark, path, qvec, k=8)
+    got = [(r.vec_id, r.rank, r.adot) for r in probe.collect()]
+    assert got == want
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("embedding" not in l for l in read_schemas)
+
+    # dim mismatch raises instead of computing garbage codes
+    with pytest.raises(ValueError, match="dim"):
+        ann_pq_topk_indexed(spark, path, qvec[:32], k=8)
+    with pytest.raises(ValueError, match="rerank"):
+        ann_pq_topk_indexed(spark, path, qvec, k=8, rerank=4)
+
+
+def test_ann_pq_rerank_finds_exact_duplicate(spark, emb, tmp_path):
+    """Exact rerank: a query IDENTICAL to a stored vector must return
+    that vector at rank 1 with cosine exactly 1.0 (ADC alone only
+    guarantees it a top-R candidacy; the exact tail closes it)."""
+    from spark_sorted_spark.functions.similarity import (
+        ann_pq_topk_indexed,
+        build_ann_pq_index,
+    )
+
+    base = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    target = base.filter(F.col("vec_id") == 77).head()
+    qvec = [float(x) for x in target[1]]
+    path = str(tmp_path / "pq_rr")
+    build_ann_pq_index(base, path)
+    top = ann_pq_topk_indexed(spark, path, qvec, k=3, rerank=100).collect()
+    assert top[0].vec_id == 77 and abs(top[0].cos - 1.0) < 1e-12
+
+
+def test_ann_pq_manifest_commit(spark, emb, tmp_path):
+    import os
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_pq_topk_indexed,
+        build_ann_pq_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    base = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    ref = str(tmp_path / "pq_ref")
+    build_ann_pq_index(base, ref)
+    want = [
+        (r.vec_id, r.rank)
+        for r in ann_pq_topk_indexed(spark, ref, qvec, k=5).collect()
+    ]
+    man = str(tmp_path / "pq_man")
+    build_ann_pq_index(base, man, commit="manifest")
+    assert os.path.exists(f"{man}/_current")
+    got = [
+        (r.vec_id, r.rank)
+        for r in ann_pq_topk_indexed(spark, man, qvec, k=5).collect()
+    ]
+    assert got == want

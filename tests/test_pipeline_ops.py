@@ -1665,3 +1665,44 @@ class TestZorderLayout:
                 assert (zx, zy) == (r.x, r.y), (r.x, r.y, r.z)
 
         run()
+
+
+class TestMergeClusters:
+    def test_bridge_merges_two_prior_components(self, spark):
+        from spark_sorted_spark.functions.clusters import merge_clusters
+
+        prior = connected_components(_edges(spark, [(1, 2), (5, 6)]))
+        assert {(r.doc_id, r.cluster_id) for r in prior.collect()} == {
+            (1, 1), (2, 1), (5, 5), (6, 5),
+        }
+        # the new edge bridges both old components and adds a new node
+        merged = merge_clusters(prior, _edges(spark, [(2, 5), (8, 9)]))
+        assert {(r.doc_id, r.cluster_id) for r in merged.collect()} == {
+            (1, 1), (2, 1), (5, 1), (6, 1), (8, 8), (9, 8),
+        }
+
+    def test_equals_one_shot_on_random_splits(self, spark):
+        import random
+
+        from spark_sorted_spark.functions.clusters import merge_clusters
+
+        rng = random.Random(20260815)
+        nodes = list(range(60))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        for seed in (1, 2, 3):
+            r = random.Random(seed)
+            first = [e for e in edges if r.random() < 0.5]
+            second = [e for e in edges if e not in first]
+            one_shot = {
+                (x.doc_id, x.cluster_id)
+                for x in connected_components(_edges(spark, edges)).collect()
+            }
+            prior = connected_components(_edges(spark, first))
+            merged = {
+                (x.doc_id, x.cluster_id)
+                for x in merge_clusters(prior, _edges(spark, second)).collect()
+            }
+            assert merged == one_shot, f"seed {seed}"
