@@ -877,12 +877,23 @@ def pq_codebooks(
     dim: int = ANN_DIM,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lloyd_iters: int = 0,
 ) -> list[list[list[float]]]:
     """Seeded PQ codebooks: the ``ksub`` vectors with the smallest
     ``(md5(id), id)`` (the IVF centroid rule — deterministic, no
     training loop, oracle-replayable) sliced into ``m`` subvectors:
     ``codebooks[j][c]`` is seed ``c``'s ``j``-th subvector. Bounded
-    ksub-row collect."""
+    ksub-row collect.
+
+    ``lloyd_iters > 0`` runs that many per-subspace k-means steps —
+    the standard PQ training that makes codewords track the data's
+    subspace structure (measured on the clustered recall corpus:
+    ADC recall 0.13 -> see PARITY "ANN recall" — untrained PQ is a
+    poor quantizer, trained PQ is the shipped recommendation at
+    scale). Same determinism caveat as IVF's ``_lloyd_refine``:
+    float means over partition order — the PERSISTED index is the
+    reproducible artifact; the seeded pick stays the default so the
+    oracle-gated query replays bit-for-bit."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -891,10 +902,60 @@ def pq_codebooks(
         raise ValueError(
             f"corpus has only {len(seeds)} rows; need >= ksub={ksub}"
         )
-    return [
+    cbs = [
         [vec[j * dsub : (j + 1) * dsub] for _cid, vec in seeds]
         for j in range(m)
     ]
+    if lloyd_iters:
+        cbs = _pq_lloyd_refine(df, cbs, lloyd_iters, vec_col)
+    return cbs
+
+
+def _pq_lloyd_refine(
+    df: DataFrame,
+    cbs: list[list[list[float]]],
+    iters: int,
+    vec_col: str,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd steps: assign every subvector to its current
+    argmin codeword (the same native encode the index uses), average
+    per (subspace, code), collect the bounded m*ksub means as the new
+    codewords; empty codes keep their previous codeword. One
+    assign+aggregate shuffle per iteration over (j, c, subvector)
+    rows — m rows per input vector, ids-free."""
+    m, ksub = len(cbs), len(cbs[0])
+    dsub = len(cbs[0][0])
+    for _ in range(iters):
+        code = _pq_code_col(F.col(vec_col), cbs)
+        vd = F.col(vec_col).cast("array<double>")
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.element_at(code, j + 1).alias("c"),
+                    F.slice(vd, j * dsub + 1, dsub).alias("sub"),
+                )
+                for j in range(m)
+            ]
+        )
+        ex = df.select(F.explode(pairs).alias("p")).select(
+            "p.j", "p.c", "p.sub"
+        )
+        # bounded-collect: m*ksub mean rows
+        means = (
+            ex.groupBy("j", "c")
+            .agg(*[F.avg(F.col("sub")[i]).alias(f"m{i}") for i in range(dsub)])
+            .collect()
+        )
+        new = {
+            (int(r.j), int(r.c)): [float(r[f"m{i}"]) for i in range(dsub)]
+            for r in means
+        }
+        cbs = [
+            [new.get((j, c), cbs[j][c]) for c in range(ksub)]
+            for j in range(m)
+        ]
+    return cbs
 
 
 def _d2_strict(a: Column, b: Column) -> Column:
@@ -1019,6 +1080,7 @@ def build_ann_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     commit: str = "rename",
+    lloyd_iters: int = 0,
 ) -> None:
     """Encode the corpus ONCE and persist ``(id, code, embedding)``
     plus the codebooks (``_pq_codebooks``) and construction params
@@ -1032,7 +1094,7 @@ def build_ann_pq_index(
 
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
-    cbs = pq_codebooks(df, m, ksub, dim, vec_col, id_col)
+    cbs = pq_codebooks(df, m, ksub, dim, vec_col, id_col, lloyd_iters)
     spark = df.sparkSession
     if commit == "manifest":
         staging = begin_generation(spark, path)
@@ -1067,6 +1129,7 @@ def _load_pq_index(spark, path: str):
     from ..sources.manifest import resolve_root
 
     path = resolve_root(spark, path)
+    # bounded-collect: one construction-parameter row
     meta = spark.read.parquet(f"{path}/_pq_meta").collect()
     if not meta:
         raise ValueError(f"{path!r} holds no _pq_meta; build first")

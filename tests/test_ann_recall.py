@@ -113,3 +113,35 @@ def test_multiprobe_hamming_contract():
     assert len(set(h2)) == len(h2)
     with pytest.raises(ValueError, match="probe_hamming"):
         _multiprobe_buckets(q, planes, 4, probe_hamming=3)
+
+
+def test_pq_trained_rerank_recall_floor(spark):
+    """PQ contract on clustered data: trained codewords sit on cluster
+    centers, so ADC alone ranks CLUSTERS (same-cluster members share a
+    code — recall@10 ~ k/cluster_size by construction, NOT a bug);
+    the shipped pattern is ADC-screen + exact rerank with R >= the
+    tie-set size, which must clear the same 0.9 floor as LSH/IVF.
+    Measured 1.000 at these settings (tools/ann_recall.py)."""
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_pq_topk,
+        pq_codebooks,
+    )
+
+    emb = _clustered(spark).persist()  # 16 clusters x 40
+    queries = [
+        list(r.embedding)
+        for r in emb.filter("vec_id % 160 = 3").orderBy("vec_id").collect()
+    ]
+    cbs = pq_codebooks(emb, lloyd_iters=3)
+
+    def pq_rerank(q, R=60):  # R > cluster size 40 = the tie set
+        cand = [
+            r.vec_id for r in ann_pq_topk(emb, q, k=R, codebooks=cbs).collect()
+        ]
+        return cosine_topk(emb.filter(F.col("vec_id").isin(cand)), q, k=10)
+
+    rec = _recall(emb, queries, pq_rerank)
+    assert rec >= 0.9, f"trained-PQ rerank recall@10 fell to {rec}"
+    emb.unpersist()

@@ -104,6 +104,41 @@ def measure(
         lambda q: ann_ivf_topk(emb, q, k=k, nprobe=4, lloyd_iters=3)
     )
 
+    # PQ: raw ADC and the ADC->exact-rerank tail (codebooks computed
+    # once — the build-time cost, amortized over queries)
+    from spark_sorted_spark.functions.similarity import (
+        ann_pq_topk,
+        pq_codebooks,
+    )
+
+    cbs = pq_codebooks(emb)
+    cbs_trained = pq_codebooks(emb, lloyd_iters=3)
+
+    def pq_rerank(q, cb, R=50):
+        cand = [
+            r.vec_id
+            for r in ann_pq_topk(emb, q, k=R, codebooks=cb).collect()
+        ]
+        return cosine_topk(emb.filter(F.col("vec_id").isin(cand)), q, k=k)
+
+    out["pq_adc_seeded"] = mean_recall(
+        lambda q: ann_pq_topk(emb, q, k=k, codebooks=cbs)
+    )
+    out["pq_adc50_rerank_seeded"] = mean_recall(lambda q: pq_rerank(q, cbs))
+    out["pq_adc_lloyd3"] = mean_recall(
+        lambda q: ann_pq_topk(emb, q, k=k, codebooks=cbs_trained)
+    )
+    out["pq_adc50_rerank_lloyd3"] = mean_recall(
+        lambda q: pq_rerank(q, cbs_trained)
+    )
+    # R must exceed the ADC tie-set: trained codewords sit on cluster
+    # centers, so every same-cluster member shares one code and ADC
+    # ranks CLUSTERS — rerank with R >= cluster size recovers the
+    # exact within-cluster order (measured 1.000 here)
+    out["pq_adc150_rerank_lloyd3"] = mean_recall(
+        lambda q: pq_rerank(q, cbs_trained, R=150)
+    )
+
     # knn_join, catalog shape (odd queries x even index, k=3)
     kj = 3
     left = emb.filter(F.col("vec_id") % 2 == 1)
