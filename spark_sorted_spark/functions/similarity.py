@@ -1107,7 +1107,10 @@ def build_ann_pq_index(
         _pq_code_col(F.col(vec_col), cbs).alias("code"),
         F.col(vec_col),
     )
-    coded.write.parquet(f"{staging}/codes")
+    # batch-partitioned like the LSH/IVF indexes: the build writes the
+    # base partition; append_to_ann_pq_index adds later batches in
+    # their own idempotent partitions (frozen codebooks)
+    coded.write.parquet(f"{staging}/codes/ingest_batch_id=-1")
     rows = [
         (j, c, cbs[j][c])
         for j in range(m)
@@ -1123,6 +1126,42 @@ def build_ann_pq_index(
         commit_generation(spark, path, staging)
     else:
         _publish_index(spark, staging, path)
+
+
+def append_to_ann_pq_index(
+    df: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Encode a new corpus batch against a persisted PQ index's FROZEN
+    codebooks and land it in its own batch partition — the
+    growing-corpus path, same contract as the LSH/IVF appends:
+    ``batch_id`` set → overwrite-own-partition (replay-safe); unset →
+    at-least-once append to the base partition. Codebooks intentionally
+    do NOT retrain on append (quantization drifts as the corpus grows;
+    rebuild with ``lloyd_iters`` when ADC error warrants it — the same
+    trade-off as the IVF centroids)."""
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0, got {batch_id}: negative ids are "
+            "reserved (ingest_batch_id=-1 is the base partition the "
+            "build wrote)"
+        )
+    from .dedup import spread_small_input
+
+    spark = df.sparkSession
+    path, _m, _ksub, dim, cbs = _load_pq_index(spark, path)
+    df = spread_small_input(df)
+    coded = df.select(
+        F.col(id_col),
+        _pq_code_col(F.col(vec_col), cbs).alias("code"),
+        F.col(vec_col),
+    )
+    part = -1 if batch_id is None else batch_id
+    mode = "append" if batch_id is None else "overwrite"
+    coded.write.mode(mode).parquet(f"{path}/codes/ingest_batch_id={part}")
 
 
 def _load_pq_index(spark, path: str):

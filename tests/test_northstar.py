@@ -1739,3 +1739,50 @@ def test_ann_pq_manifest_commit(spark, emb, tmp_path):
         for r in ann_pq_topk_indexed(spark, man, qvec, k=5).collect()
     ]
     assert got == want
+
+
+def test_ann_pq_index_incremental_append(spark, emb, tmp_path):
+    """PQ append: new batches encode against the persisted FROZEN
+    codebooks in their own idempotent partitions — probe equals the
+    query-time form run with the base build's codebooks over the full
+    corpus; replay is idempotent; negative batch ids are reserved."""
+    from spark_sorted_spark.functions.similarity import (
+        ann_pq_topk,
+        ann_pq_topk_indexed,
+        append_to_ann_pq_index,
+        build_ann_pq_index,
+        pq_codebooks,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    half_a = corpus.filter(F.col("vec_id") % 2 == 1)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 0)
+
+    inc = str(tmp_path / "pq_inc")
+    build_ann_pq_index(half_a, inc)
+    append_to_ann_pq_index(half_b, inc, batch_id=0)
+
+    want = [
+        (r.vec_id, r.rank, r.adot)
+        for r in ann_pq_topk(
+            corpus, qvec, k=6, codebooks=pq_codebooks(half_a)
+        ).collect()
+    ]
+    got = [
+        (r.vec_id, r.rank, r.adot)
+        for r in ann_pq_topk_indexed(spark, inc, qvec, k=6).collect()
+    ]
+    assert got == want
+
+    # replay: same partition overwritten, no duplicate rows
+    append_to_ann_pq_index(half_b, inc, batch_id=0)
+    again = [
+        (r.vec_id, r.rank, r.adot)
+        for r in ann_pq_topk_indexed(spark, inc, qvec, k=6).collect()
+    ]
+    assert again == want
+    assert spark.read.parquet(f"{inc}/codes").count() == corpus.count()
+
+    with pytest.raises(ValueError, match="reserved"):
+        append_to_ann_pq_index(half_b, inc, batch_id=-1)
