@@ -350,6 +350,15 @@ def b30_decontaminate_verbatim(spark):
     force(QUERIES["decontaminate_verbatim"](spark, SF_DIR))
 
 
+def b32_ann_ivfpq(spark):
+    # composite IVF-PQ probe: cell-directory pruning x code-column
+    # pruning, residual ADC (index build cached across bench runs by
+    # the catalog's _ann_index helper)
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["similarity_ann_ivfpq"](spark, SF_DIR))
+
+
 def b31_ann_pq(spark):
     # product-quantization ANN, query-time form (seeded codebooks +
     # native argmin encode + ADC rank) — the compressed-scan third
@@ -402,6 +411,7 @@ BENCH = {
     "b29_decontaminate_exact": b29_decontaminate_exact,
     "b30_decontaminate_verbatim": b30_decontaminate_verbatim,
     "b31_ann_pq": b31_ann_pq,
+    "b32_ann_ivfpq": b32_ann_ivfpq,
 }
 
 

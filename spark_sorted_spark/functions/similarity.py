@@ -1164,6 +1164,161 @@ def append_to_ann_pq_index(
     coded.write.mode(mode).parquet(f"{path}/codes/ingest_batch_id={part}")
 
 
+def build_ann_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = ANN_NLIST,
+    m: int = ANN_PQ_M,
+    ksub: int = ANN_PQ_KSUB,
+    dim: int = ANN_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lloyd_iters: int = 0,
+    pq_lloyd_iters: int = 0,
+    commit: str = "rename",
+) -> None:
+    """IVF-PQ composite index — the canonical billion-scale ANN layout
+    (FAISS's IVFPQ; Jégou et al., TPAMI 2011 §V): vectors are
+    partitioned into ``nlist`` IVF cells (directory-partitioned, so a
+    probe PRUNES to its ``nprobe`` cell dirs) and, within each cell,
+    stored as the PQ code of their RESIDUAL ``x - centroid(cell)``
+    (residuals are small and concentrated, so shared codebooks cover
+    them far better than raw vectors — the standard accuracy trick).
+    A probe touches ``nprobe/nlist`` of the data AND reads only the
+    code column of that slice: cell pruning x columnar pruning is the
+    100 TB multiplier the flat PQ scan lacks.
+
+    ADC for dot ranking: ``dot(q, x) ~= dot(q, centroid(cell)) +
+    sum_j dot(q_j, residual_codeword_j)`` — the first term is one
+    per-cell driver-side constant, the sum is the usual table fold
+    (fixed order, so the whole score is a strict IEEE fold and the
+    DuckDB oracle replays it bit-for-bit with seeded codebooks).
+
+    ``lloyd_iters`` refines the IVF centroids, ``pq_lloyd_iters`` the
+    residual codebooks (same determinism caveat as both parents: the
+    PERSISTED index is the reproducible artifact; seeded defaults keep
+    the gated query oracle-replayable)."""
+    from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import begin_generation, commit_generation
+    from .dedup import _rm_dir, spread_small_input
+
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
+    cents = _ivf_centroids(df, nlist, vec_col, id_col)
+    if lloyd_iters and cents:
+        cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
+    cents_lit = _planes_lit([c for _cid, c in cents])
+    vd = F.col(vec_col).cast("array<double>")
+    cell = _ivf_cell_col(F.col(vec_col), cents)
+    resid = F.zip_with(
+        vd, F.element_at(cents_lit, cell + 1), lambda a, b: a - b
+    )
+    spark = df.sparkSession
+    df = spread_small_input(df)
+    rdf = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        cell.alias("cell"),
+        resid.alias("__resid"),
+    )
+    cbs = pq_codebooks(
+        rdf, m, ksub, dim, vec_col="__resid", id_col=id_col,
+        lloyd_iters=pq_lloyd_iters,
+    )
+    if commit == "manifest":
+        staging = begin_generation(spark, path)
+    else:
+        staging = f"{path}.building"
+        _rm_dir(spark, staging)
+    coded = rdf.select(
+        F.col(id_col),
+        F.col("cell"),
+        _pq_code_col(F.col("__resid"), cbs).alias("code"),
+        F.col(vec_col),
+    )
+    write_partitioned(coded, f"{staging}/ingest_batch_id=-1", "cell")
+    cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "cell int, cent_id bigint, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_centroids")
+    cb_rows = [(j, c, cbs[j][c]) for j in range(m) for c in range(ksub)]
+    spark.createDataFrame(
+        cb_rows, "j int, c int, sub array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_pq_codebooks")
+    spark.createDataFrame(
+        [(int(m), int(ksub), int(dim), int(nlist))],
+        "m int, ksub int, dim int, nlist int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_pq_meta")
+    if commit == "manifest":
+        commit_generation(spark, path, staging)
+    else:
+        _publish_index(spark, staging, path)
+
+
+def ann_ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = ANN_NPROBE,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: rank the ``nprobe`` best cells
+    by centroid dot driver-side, scan ONLY those cell directories
+    (``PartitionFilters``) reading the CODE column only, score by
+    residual ADC (``cell_dot + ordered table fold``), deterministic
+    top-k by (adot desc, id). ``rerank=R`` re-ranks the top-R by exact
+    cosine, reading embeddings for those R ids alone."""
+    from ..sources.manifest import resolve_root
+
+    path = resolve_root(spark, index_path)
+    # bounded-collect: nlist centroid rows from the index metadata
+    cent_rows = (
+        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+    )
+    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    _p, m, ksub, dim, cbs = _load_pq_index(spark, path)
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
+    probes = _ivf_probe_cells(query_vec, cents, nprobe)
+    cell_dots = []
+    for _cid, cvec in cents:
+        acc = 0.0
+        for x, y in zip(query_vec, cvec):
+            acc = acc + x * y
+        cell_dots.append(acc)
+    tbl = _flat_lit(_pq_query_table(query_vec, cbs))
+    cd_lit = _flat_lit(cell_dots)
+    idx = spark.read.parquet(path)
+    filt = idx.filter(F.col("cell").isin(probes)).select(
+        id_col, "cell", "code"
+    )
+    adot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.element_at(cd_lit, F.col("cell") + 1),
+        lambda acc, j: acc
+        + F.element_at(tbl, j * ksub + F.element_at(F.col("code"), j + 1) + 1),
+    )
+    take = k if rerank is None else rerank
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    ranked = (
+        filt.withColumn("adot", adot)
+        .orderBy(F.desc("adot"), F.col(id_col))
+        .limit(take)
+    )
+    if rerank is None:
+        w = Window.orderBy(F.desc("adot"), F.col(id_col))
+        return ranked.select(
+            id_col, F.row_number().over(w).alias("rank"), "adot"
+        )
+    cand = ranked.select(id_col)
+    vecs = idx.select(id_col, vec_col).join(cand, id_col)
+    return _rank_topk(vecs, query_vec, k, vec_col, id_col)
+
+
 def _load_pq_index(spark, path: str):
     from ..sources.manifest import resolve_root
 

@@ -1490,6 +1490,10 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
             # accepted" half (odd ids) is indexed; even ids arrive
             # as the new batch
             build_ann_lsh_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+        elif kind == "ivfpq":
+            from .functions.similarity import build_ann_ivfpq_index
+
+            build_ann_ivfpq_index(emb, path)
         else:
             build_ann_ivf_index(emb, path)
         _ANN_INDEX_CACHE[key] = path
@@ -3012,6 +3016,97 @@ _D2_SQL = (
     "list_zip({a}, {b}), s -> (s[1]-s[2])*(s[1]-s[2]))), "
     "(acc, x) -> acc + x)"
 )
+
+
+@query(
+    "similarity_ann_ivfpq",
+    # Full SQL replay of the composite IVF-PQ construction: IVF cell
+    # assignment (max-dot over seeded centroids), RESIDUAL x - cent,
+    # residual-PQ codebooks (md5-smallest rows' residuals, sliced),
+    # argmin-L2 residual encoding, and ADC = list_reduce starting FROM
+    # the per-cell dot(q, centroid) over the ordered per-subspace
+    # lookups — the exact IEEE fold order the engine uses — restricted
+    # to the 4 probed cells. Bitwise determinism end-to-end.
+    oracle=f"""
+    WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+             FROM embeddings WHERE vec_id != 0),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS cell, e AS cent
+      FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {{nlist}}),
+    scored AS (
+      SELECT b.vec_id, b.e, c.cell,
+             {_DOT_SQL.format(a="b.e", b="c.cent")} AS d
+      FROM base b CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT vec_id, e, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell) AS rn
+        FROM scored) WHERE rn = 1),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(list_zip(a.e, c.cent), s -> s[1] - s[2]) AS r
+      FROM assigned a JOIN cents c USING (cell)),
+    rseeds AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS c, r
+      FROM resid ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    cb AS (
+      SELECT js.j, s.c, list_slice(s.r, js.j*16+1, (js.j+1)*16) AS sub
+      FROM rseeds s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT rr.vec_id, cb.j, cb.c,
+               row_number() OVER (PARTITION BY rr.vec_id, cb.j ORDER BY
+                 {_D2_SQL.format(a="list_slice(rr.r, cb.j*16+1, (cb.j+1)*16)", b="cb.sub")},
+                 cb.c) AS rn
+        FROM resid rr CROSS JOIN cb) WHERE rn = 1),
+    qprobe AS (
+      SELECT c.cell FROM cents c CROSS JOIN q
+      ORDER BY {_DOT_SQL.format(a="c.cent", b="q.qe")} DESC, c.cell
+      LIMIT 4),
+    celldot AS (
+      SELECT c.cell, {_DOT_SQL.format(a="q.qe", b="c.cent")} AS cd
+      FROM cents c CROSS JOIN q),
+    dots AS (
+      SELECT e.vec_id, e.j,
+             {_DOT_SQL.format(a="list_slice(q.qe, e.j*16+1, (e.j+1)*16)", b="cb.sub")} AS dj
+      FROM enc e JOIN cb ON cb.j = e.j AND cb.c = e.c CROSS JOIN q),
+    dots2 AS (
+      SELECT d.vec_id, d.j, d.dj, cdt.cd
+      FROM dots d
+      JOIN resid rr ON rr.vec_id = d.vec_id
+      JOIN celldot cdt ON cdt.cell = rr.cell
+      WHERE rr.cell IN (SELECT cell FROM qprobe)),
+    scored2 AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(cd, list(dj ORDER BY j)),
+                         (acc, x) -> acc + x) AS adot
+      FROM dots2 GROUP BY vec_id, cd)
+    SELECT vec_id,
+           row_number() OVER (ORDER BY adot DESC, vec_id) AS rank, adot
+    FROM scored2 ORDER BY adot DESC, vec_id LIMIT 10
+    """.replace("{nlist}", str(_ANN_NLIST)),
+)
+def similarity_ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IVF-PQ probe (functions/similarity.py
+    ann_ivfpq_topk_indexed): cell-directory pruning x code-column
+    pruning, residual-ADC ranking — the canonical billion-scale ANN
+    layout (FAISS IVFPQ; Jegou et al., TPAMI 2011 SV), oracle-replayed
+    end to end."""
+    from .functions.similarity import ann_ivfpq_topk_indexed
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    idx = _ann_index(spark, sf_dir, "ivfpq")
+    out = ann_ivfpq_topk_indexed(spark, idx, qvec, k=10, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 @query(
@@ -4711,6 +4806,9 @@ _GATE_ORDER = [
     # seeded-codebook/argmin-encode/ADC construction (overflow; the
     # gated similarity_ann_lsh + similarity_topk keep the family)
     "similarity_ann_pq",
+    # round-9: composite IVF-PQ (cell pruning x code-column pruning,
+    # residual ADC) vs the end-to-end SQL replay (overflow)
+    "similarity_ann_ivfpq",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

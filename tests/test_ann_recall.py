@@ -145,3 +145,32 @@ def test_pq_trained_rerank_recall_floor(spark):
     rec = _recall(emb, queries, pq_rerank)
     assert rec >= 0.9, f"trained-PQ rerank recall@10 fell to {rec}"
     emb.unpersist()
+
+
+def test_ivfpq_trained_rerank_recall_floor(spark, tmp_path):
+    """IVF-PQ contract on clustered data: trained centroids put each
+    cluster in its own cell(s); nprobe=4 cell pruning keeps the
+    query's cluster; residual-ADC + exact rerank (R >= the tie set)
+    must clear the same 0.9 floor — now with BOTH pruning layers on."""
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivfpq_topk_indexed,
+        build_ann_ivfpq_index,
+    )
+
+    emb = _clustered(spark).persist()
+    queries = [
+        list(r.embedding)
+        for r in emb.filter("vec_id % 160 = 3").orderBy("vec_id").collect()
+    ]
+    path = str(tmp_path / "ivfpq_recall")
+    build_ann_ivfpq_index(emb, path, lloyd_iters=2, pq_lloyd_iters=2)
+
+    rec = _recall(
+        emb,
+        queries,
+        lambda q: ann_ivfpq_topk_indexed(
+            spark, path, q, k=10, nprobe=4, rerank=60
+        ),
+    )
+    assert rec >= 0.9, f"trained IVF-PQ rerank recall@10 fell to {rec}"
+    emb.unpersist()

@@ -142,6 +142,7 @@ def test_gate_window_contents():
         "dedup_exact_normalized",
         "dedup_clusters_incremental",
         "similarity_ann_pq",
+        "similarity_ann_ivfpq",
     ]
 
 

@@ -1786,3 +1786,64 @@ def test_ann_pq_index_incremental_append(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="reserved"):
         append_to_ann_pq_index(half_b, inc, batch_id=-1)
+
+
+def test_ann_ivfpq_prunes_both_layers_and_reranks_exactly(spark, emb, tmp_path):
+    """IVF-PQ: the probe must prune BOTH layers — cell directories
+    (PartitionFilters) and the embedding column (ReadSchema) — and
+    exact rerank must return an identical stored vector at rank 1
+    with cosine exactly 1.0 (its own cell is the rank-1 probe by
+    construction: assignment is argmax centroid dot)."""
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivfpq_topk_indexed,
+        build_ann_ivfpq_index,
+    )
+
+    base = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    build_ann_ivfpq_index(base, path)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    probe = ann_ivfpq_topk_indexed(spark, path, qvec, k=5)
+    import re
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN", plan), plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("embedding" not in l for l in read_schemas)
+    assert probe.count() == 5
+
+    target = base.filter(F.col("vec_id") == 77).head()
+    top = ann_ivfpq_topk_indexed(
+        spark, path, [float(x) for x in target[1]], k=3, rerank=80
+    ).collect()
+    assert top[0].vec_id == 77 and abs(top[0].cos - 1.0) < 1e-12
+
+    with pytest.raises(ValueError, match="rerank"):
+        ann_ivfpq_topk_indexed(spark, path, qvec, k=8, rerank=4)
+
+
+def test_ann_ivfpq_manifest_commit(spark, emb, tmp_path):
+    import os
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivfpq_topk_indexed,
+        build_ann_ivfpq_index,
+    )
+
+    base = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    ref = str(tmp_path / "ivfpq_ref")
+    build_ann_ivfpq_index(base, ref)
+    want = [
+        (r.vec_id, r.rank, r.adot)
+        for r in ann_ivfpq_topk_indexed(spark, ref, qvec, k=5).collect()
+    ]
+    man = str(tmp_path / "ivfpq_man")
+    build_ann_ivfpq_index(base, man, commit="manifest")
+    assert os.path.exists(f"{man}/_current")
+    got = [
+        (r.vec_id, r.rank, r.adot)
+        for r in ann_ivfpq_topk_indexed(spark, man, qvec, k=5).collect()
+    ]
+    assert got == want
