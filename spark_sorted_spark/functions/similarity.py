@@ -25,6 +25,14 @@
   ``streaming.stream_index_embeddings``), and
   ``cosine_neardup_against_index`` runs incremental embedding
   near-dup of a new batch against the persisted index.
+* ``ann_pq_topk`` / ``build_ann_pq_index`` / ``ann_pq_topk_indexed``
+  — product quantization (Jégou et al., TPAMI 2011): seeded or
+  Lloyd-trained per-subspace codebooks, native argmin encoding, ADC
+  ranking whose indexed scan reads the code column only (~4 bytes per
+  vector), exact ``rerank=R`` tail. ``build_ann_ivfpq_index`` /
+  ``ann_ivfpq_topk_indexed`` compose IVF cell pruning with
+  residual-PQ codes — the canonical billion-scale layout: a probe
+  touches ``nprobe/nlist`` of the corpus at code width.
 
 At 100 TB the brute-force variants are per-partition narrow ops
 (embarrassingly parallel); the LSH/IVF variants turn top-k per query
@@ -55,10 +63,20 @@ __all__ = [
     "ann_lsh_topk_indexed",
     "build_ann_ivf_index",
     "ann_ivf_topk_indexed",
+    "pq_codebooks",
+    "ann_pq_topk",
+    "build_ann_pq_index",
+    "append_to_ann_pq_index",
+    "ann_pq_topk_indexed",
+    "build_ann_ivfpq_index",
+    "ann_ivfpq_topk_indexed",
+    "auto_planes",
     "ANN_DIM",
     "ANN_N_PLANES",
     "ANN_NLIST",
     "ANN_NPROBE",
+    "ANN_PQ_M",
+    "ANN_PQ_KSUB",
 ]
 
 # Shared ANN configuration — single source of truth for BOTH the Spark
