@@ -40,6 +40,8 @@ __all__ = [
     "jaccard_prefix_join",
     "contains_join",
     "ngram_overlap_across",
+    "repeated_spans",
+    "remove_repeated_spans",
     "minhash_signatures",
     "minhash_band_table",
     "minhash_lsh_pairs",
@@ -1454,4 +1456,202 @@ def ngram_overlap_across(
         .groupBy(id_col, "bench_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= F.lit(min_common))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring dedup (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL 2022) — the distributed
+# n-gram-window formulation of the suffix-array ExactSubstr pass:
+# every contiguous ``min_len``-token window is fingerprinted; a window
+# whose exact token string occurs >= ``min_count`` times corpus-wide
+# is a duplicate occurrence, and overlapping duplicate windows merge
+# into maximal spans (a repeat of length m >= min_len contributes
+# m - min_len + 1 consecutive duplicated windows, so the merged span
+# recovers the full repeat exactly, like the suffix array does).
+#
+# Scale shape (the reason this formulation wins on Spark at 100 TB):
+# there is NO candidate pair structure anywhere — the duplicate-gram
+# set is ONE hash aggregate over the window table (map-side partial
+# combine absorbs boilerplate windows repeated millions of times), the
+# flag-back is a fan-out-free equi-join against DISTINCT grams, and
+# the span merge is a per-document window function whose state is
+# bounded by the document's own length. Work and shuffle are linear
+# in corpus token count; a hot gram skews nothing (it aggregates to
+# one row and joins back one-to-one).
+# ---------------------------------------------------------------------------
+
+
+def _positioned_windows(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """``(id, pos, gram_md5)`` for every contiguous ``min_len``-token
+    window; ``pos`` is the 1-based index of the window's first token.
+    Documents shorter than ``min_len`` tokens produce no rows. The
+    128-bit md5 keeps window equality collision-free in practice
+    (expected collisions ~ n^2 / 2^129 — immaterial even at 10^13
+    windows) AND DuckDB-replayable; engine-only callers wanting a
+    cheaper key can swap xxhash64 in, at the price of the oracle."""
+    toks = tokens(text_col)
+    n = int(min_len)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos0", "gram")
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.md5("gram").alias("gram_md5"),
+    )
+
+
+def _merge_islands(
+    flagged: DataFrame, id_col: str, min_len: int
+) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions into
+    maximal spans. Window at ``pos`` covers tokens
+    ``[pos, pos + min_len - 1]``; consecutive flagged positions p < q
+    merge iff q <= p + min_len (coverage overlaps or is adjacent).
+    Returns ``(id, span_start, span_end, n_windows)`` with disjoint,
+    non-adjacent spans per document."""
+    from pyspark.sql import Window
+
+    n = int(min_len)
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        flagged.withColumn(
+            "ni",
+            F.when(F.col("pos") > F.lag("pos").over(w_ord) + n, 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("ni").over(w_run))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("island")
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans (Lee et al. 2022 ExactSubstr,
+    detection half): every span of >= ``min_len`` contiguous tokens
+    whose windows each occur >= ``min_count`` times corpus-wide,
+    merged to maximal extent per document. Returns
+    ``(id, span_start, span_end, n_windows)`` — token indexes
+    1-based, span covers ``[span_start, span_end]`` inclusive.
+
+    ``min_count`` counts ALL occurrences (a string repeated twice
+    inside one document is a duplicate, matching the suffix-array
+    definition). Exactness: a window is flagged iff its exact token
+    string repeats — no hashing tolerance, no banding loss; the md5
+    fingerprint stands in for string equality only.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    w = _positioned_windows(spread_small_input(df), text_col, id_col, min_len)
+    dup = (
+        w.groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= int(min_count))
+        .select("gram_md5")
+    )
+    flagged = w.join(dup, "gram_md5").select(id_col, "pos")
+    return _merge_islands(flagged, id_col, min_len)
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut duplicated spans, keeping ONE canonical copy of each
+    (Lee et al. 2022 ExactSubstr, removal half). For every duplicated
+    window the canonical occurrence is the lexicographically smallest
+    ``(id, pos)``; all other occurrences are cut. Marked windows merge
+    into maximal spans per document (disjoint by construction) and the
+    surviving tokens are re-joined with single spaces.
+
+    Returns the input rows with ``n_tokens``, ``n_tokens_kept`` and
+    ``<text_col>_clean`` appended. Deterministic: the canonical pick
+    is a total order, so reruns and engine/oracle replays agree
+    byte-for-byte. A document that is an exact copy of an earlier one
+    cleans to the empty string while the earliest copy survives whole
+    — document-level exact dedup falls out as a special case.
+
+    Scale: one extra field in the duplicate-gram aggregate (the
+    arg-min as ``min(struct(id, pos))``, still map-side combinable),
+    one semi-join, and a per-document span merge; the cut itself is a
+    scan-side array filter against the document's own (bounded) span
+    list. Linear end-to-end, same as :func:`repeated_spans`.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    w = _positioned_windows(spread_small_input(df), text_col, id_col, min_len)
+    dup = (
+        w.groupBy("gram_md5")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep"),
+        )
+        .filter(F.col("occ") >= int(min_count))
+        .select("gram_md5", "keep")
+    )
+    marked = (
+        w.join(dup, "gram_md5")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"keep.{id_col}"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    spans = (
+        _merge_islands(marked, id_col, min_len)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("__spans")
+        )
+    )
+    toks = tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.coalesce(
+            F.exists(
+                F.col("__spans"),
+                lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return (
+        df.join(spans, on=id_col, how="left")
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("n_tokens_kept", F.size(kept).cast("long"))
+        .withColumn(f"{text_col}_clean", F.concat_ws(" ", kept))
+        .drop("__spans")
     )

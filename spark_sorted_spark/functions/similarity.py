@@ -70,6 +70,7 @@ __all__ = [
     "ann_pq_topk_indexed",
     "build_ann_ivfpq_index",
     "ann_ivfpq_topk_indexed",
+    "semantic_dedup",
     "auto_planes",
     "ANN_DIM",
     "ANN_N_PLANES",
@@ -1861,4 +1862,101 @@ def cosine_neardup_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.4,
+    nlist: int = ANN_NLIST,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and removing within-cluster
+    near-duplicates, keeping the copy FURTHEST from the centroid (the
+    paper's diversity-preserving pick).
+
+    Procedure (the paper's, made deterministic and relational):
+
+    1. cluster: the IVF assignment — seeded centroids (smallest
+       ``(md5(id), id)``; ``lloyd_iters`` k-means steps optional),
+       every vector to its max-dot cell;
+    2. order each cell by cosine-to-centroid ASC, id ASC — rank 1 is
+       the furthest-from-centroid item, the copy the paper's
+       ``keep="hard"`` default retains;
+    3. remove a vector iff some EARLIER vector in its cell has
+       ``cos >= tau`` with it (the paper's upper-triangular max-sim
+       test) — so each duplicate set's furthest-from-centroid member
+       survives.
+
+    Returns every input id with ``(id, cell, cent_rank, is_kept)`` —
+    callers semi-join ``is_kept = 1`` to materialize the survivors.
+
+    Scale shape: the deliberate cost is the within-cell pairwise
+    verify, O(sum cell^2) — SemDeDup's own design trades global O(n^2)
+    for per-cluster quadratic work, so ``nlist`` is the knob that
+    bounds cell size (the paper runs 50k clusters at web scale; at
+    100 TB size nlist ~ n/`target cell`). Everything else is linear:
+    one bounded nlist-row collect, a broadcast centroid join, one
+    within-cell window, and the pair join keys on cell — no global
+    shuffle of pairs. ``lloyd_iters=0`` keeps the whole construction
+    seeded-deterministic (and DuckDB-replayable); refined centroids
+    trade that for tighter cells like the IVF index does
+    (`_lloyd_refine` notes the float-mean caveat).
+    """
+    if nlist < 1:
+        raise ValueError(f"nlist must be >= 1, got {nlist}")
+    if not 0.0 < float(tau) <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    from pyspark.sql import Window
+
+    cents = _ivf_centroids(df, nlist, vec_col, id_col)
+    if lloyd_iters:
+        cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
+    cent_df = df.sparkSession.createDataFrame(
+        [(i, c) for i, (_cid, c) in enumerate(cents)],
+        "cell int, __cent array<double>",
+    )
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
+    ).join(F.broadcast(cent_df), "cell")
+    w_cell = Window.partitionBy("cell").orderBy(
+        F.col("__cos_cent").asc(), F.col(id_col)
+    )
+    ranked = (
+        assigned.withColumn(
+            "__cos_cent", cosine(F.col(vec_col), F.col("__cent"))
+        )
+        .withColumn("cent_rank", F.row_number().over(w_cell).cast("long"))
+        .drop("__cent")
+    )
+    p = ranked.select(
+        F.col(id_col), F.col(vec_col).alias("__vp"), "cell",
+        F.col("cent_rank").alias("__rp"),
+    )
+    q = ranked.select(
+        F.col(vec_col).alias("__vq"), "cell",
+        F.col("cent_rank").alias("__rq"),
+    )
+    removed = (
+        p.join(q, "cell")
+        .filter(F.col("__rq") < F.col("__rp"))
+        .filter(cosine(F.col("__vp"), F.col("__vq")) >= F.lit(float(tau)))
+        .select(id_col)
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    return (
+        ranked.join(removed, on=id_col, how="left")
+        .withColumn(
+            "is_kept", F.when(F.col("__rm").isNull(), 1).otherwise(0)
+        )
+        .select(
+            id_col, F.col("cell").cast("long").alias("cell"),
+            "cent_rank", "is_kept",
+        )
     )

@@ -633,6 +633,124 @@ def dedup_exact_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs.unionByName(variants), normalize=True)
 
 
+# Positioned 8-token windows of documents — mirrors
+# dedup._positioned_windows(min_len=8) md5-for-md5 (the two parallel
+# unnests zip in DuckDB; docs under 8 tokens yield no rows because
+# generate_series(1, k) is empty for k < 1).
+_WINDOW_SQL = """
+    d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents),
+    w AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 7)) AS pos,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+                    i -> md5(array_to_string(toks[i:i+7], ' ')))) AS g
+      FROM d)
+"""
+
+
+@query(
+    "dedup_repeated_spans",
+    # Lee et al. 2022 ExactSubstr, detection half: windows repeated
+    # >= 2x corpus-wide, merged gaps-and-islands into maximal spans.
+    oracle=f"""
+    WITH {_WINDOW_SQL},
+    dup AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+    flagged AS (SELECT doc_id, pos FROM w JOIN dup USING (g)),
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS ni
+      FROM flagged),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM marks)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection (functions/dedup.py
+    repeated_spans): maximal spans of >= 8 contiguous tokens whose
+    every window repeats corpus-wide — the distributed formulation of
+    the suffix-array ExactSubstr pass (Lee et al., ACL 2022). Linear:
+    one window-count aggregate, one fan-out-free flag-back join, one
+    per-document island merge."""
+    from .functions.dedup import repeated_spans
+
+    return repeated_spans(load_table(spark, "documents", sf_dir), min_len=8)
+
+
+@query(
+    "dedup_clean_repeated_spans",
+    # Removal half: cut every duplicated window occurrence except the
+    # lexicographically-first (doc_id, pos) canonical copy; exact-copy
+    # documents clean to '' while the earliest copy survives whole.
+    oracle=f"""
+    WITH {_WINDOW_SQL},
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY g) AS occ
+      FROM w),
+    marked AS (SELECT doc_id, pos FROM ranked WHERE occ >= 2 AND rn > 1),
+    marks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS ni
+      FROM marked),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM marks),
+    mspans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, island),
+    tokpos AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
+             unnest(toks) AS tok
+      FROM d),
+    kept AS (
+      SELECT t.doc_id, t.i, t.tok
+      FROM tokpos t LEFT JOIN mspans s
+        ON s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e
+      WHERE s.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens_kept,
+             md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, len(d.toks) AS n_tokens,
+           coalesce(a.n_tokens_kept, 0) AS n_tokens_kept,
+           coalesce(a.clean_md5, md5('')) AS clean_md5
+    FROM d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_clean_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring REMOVAL (functions/dedup.py
+    remove_repeated_spans): keep one canonical copy of every
+    duplicated >= 8-token span, cut the rest, re-join survivors.
+    The md5 of the cleaned token stream makes the byte-level cut
+    oracle-comparable."""
+    from .functions.dedup import remove_repeated_spans
+
+    out = remove_repeated_spans(
+        load_table(spark, "documents", sf_dir), min_len=8
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_kept",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
 def _shingle_sql(src: str = "documents") -> str:
     """Distinct word-3-gram shingles of relation ``src`` — mirrors
     ``dedup.shingles`` (n=3) token-for-token."""
@@ -3435,6 +3553,59 @@ def embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_semantic",
+    # SemDeDup (Abbas et al. 2023) replayed end-to-end in SQL: seeded
+    # centroids (smallest (md5(id), id) — the IVF rule), max-dot cell
+    # assignment (ties to lowest cell), per-cell cosine-to-centroid
+    # ranking, and the paper's upper-triangular test — removed iff an
+    # EARLIER-ranked cellmate has cos >= tau. All cosines are the
+    # strict fold, so ranks and removals match bitwise.
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS cell,
+             embedding AS cent
+      FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_ANN_NLIST}),
+    scored AS (
+      SELECT b.vec_id, b.embedding, c.cell, c.cent,
+             {_DOT_SQL.format(a="b.embedding", b="c.cent")} AS d
+      FROM base b CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, embedding, cell, cent FROM (
+        SELECT vec_id, embedding, cell, cent,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell) AS rn
+        FROM scored) WHERE rn = 1),
+    ranked AS (
+      SELECT vec_id, embedding, cell,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY cos_cent ASC, vec_id)
+                 AS cent_rank
+      FROM (SELECT vec_id, embedding, cell,
+                   {_cos_sql("embedding", "cent")} AS cos_cent
+            FROM assigned)),
+    removed AS (
+      SELECT DISTINCT p.vec_id
+      FROM ranked p JOIN ranked q
+        ON p.cell = q.cell AND q.cent_rank < p.cent_rank
+      WHERE {_cos_sql("p.embedding", "q.embedding")} >= 0.4)
+    SELECT r.vec_id, r.cell, r.cent_rank,
+           CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+    FROM ranked r LEFT JOIN removed rm ON rm.vec_id = r.vec_id
+    """,
+)
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (functions/similarity.py semantic_dedup):
+    SemDeDup's cluster-then-dedup over embedding space — within-cell
+    quadratic only, everything else linear; keeps the
+    furthest-from-centroid copy per duplicate set."""
+    from .functions.similarity import semantic_dedup
+
+    return semantic_dedup(load_table(spark, "embeddings", sf_dir), tau=0.4)
+
+
 _KNN_CAND_SQL = " UNION ".join(
     f"""SELECT a.vec_id AS left_id, c.vec_id AS right_id
     FROM lb a JOIN rb c ON a.b{t} = c.b{t}"""
@@ -4809,6 +4980,17 @@ _GATE_ORDER = [
     # round-9: composite IVF-PQ (cell pruning x code-column pruning,
     # residual ADC) vs the end-to-end SQL replay (overflow)
     "similarity_ann_ivfpq",
+    # round-9: exact repeated-substring dedup (Lee et al. 2022
+    # ExactSubstr as duplicated 8-token windows + island merge) —
+    # detection and canonical-copy removal, both vs full SQL replays
+    # (overflow; the gated dedup_exact/dedup_jaccard_prefix keep the
+    # dedup family in-window)
+    "dedup_repeated_spans",
+    "dedup_clean_repeated_spans",
+    # round-9: SemDeDup (cluster-then-dedup over embeddings) vs the
+    # end-to-end SQL replay (overflow; embedding_neardup_lsh and
+    # dedup_clusters keep the embedding-dedup family in-window)
+    "dedup_semantic",
 ]
 
 # A name in _GATE_ORDER that no longer exists is always a bug — fail

@@ -143,6 +143,9 @@ def test_gate_window_contents():
         "dedup_clusters_incremental",
         "similarity_ann_pq",
         "similarity_ann_ivfpq",
+        "dedup_repeated_spans",
+        "dedup_clean_repeated_spans",
+        "dedup_semantic",
     ]
 
 

@@ -1847,3 +1847,241 @@ def test_ann_ivfpq_manifest_commit(spark, emb, tmp_path):
         for r in ann_ivfpq_topk_indexed(spark, man, qvec, k=5).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring dedup (Lee et al. 2022 ExactSubstr as
+# duplicated min_len-token windows + island merge)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repeated_spans_recovers_exact_planted_extent(spark):
+    from spark_sorted_spark.functions.dedup import repeated_spans
+
+    phrase = " ".join(f"p{i}" for i in range(1, 11))  # 10 tokens
+    df = _mk_docs(
+        spark,
+        [
+            (1, f"a b {phrase} c d"),  # phrase at tokens 3..12
+            (2, f"{phrase} x y z"),  # phrase at tokens 1..10
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8"),  # all-unique noise
+        ],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in repeated_spans(df, min_len=4).collect()
+    }
+    # a 10-token repeat yields 10-4+1=7 consecutive duplicated windows
+    # merging to EXACTLY the phrase extent — boundary-crossing windows
+    # ("b p1 p2 p3") occur once and must not widen the span
+    assert got == {(1, 3, 12, 7), (2, 1, 10, 7)}
+
+
+def test_repeated_spans_counts_intra_document_repeats(spark):
+    from spark_sorted_spark.functions.dedup import repeated_spans
+
+    # the repeat lives TWICE inside one document (suffix-array
+    # semantics: any two occurrences count, same doc or not)
+    df = _mk_docs(spark, [(1, "r1 r2 r3 r4 mid1 mid2 r1 r2 r3 r4")])
+    got = {
+        (r.span_start, r.span_end)
+        for r in repeated_spans(df, min_len=4).collect()
+    }
+    assert got == {(1, 4), (7, 10)}
+
+
+def test_repeated_spans_min_count_three(spark):
+    from spark_sorted_spark.functions.dedup import repeated_spans
+
+    pair = "q1 q2 q3 q4"
+    df = _mk_docs(
+        spark,
+        [
+            (1, f"{pair} a1"),
+            (2, f"{pair} a2"),
+            (3, "t1 t2 t3 t4 t5"),
+        ],
+    )
+    # two occurrences corpus-wide: flagged at min_count=2, not at 3
+    assert repeated_spans(df, min_len=4, min_count=2).count() == 2
+    assert repeated_spans(df, min_len=4, min_count=3).count() == 0
+
+
+def test_repeated_spans_validation(spark):
+    from spark_sorted_spark.functions.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    df = _mk_docs(spark, [(1, "x y")])
+    with pytest.raises(ValueError, match="min_len"):
+        repeated_spans(df, min_len=0)
+    with pytest.raises(ValueError, match="min_count"):
+        repeated_spans(df, min_count=1)
+    with pytest.raises(ValueError, match="min_len"):
+        remove_repeated_spans(df, min_len=0)
+    with pytest.raises(ValueError, match="min_count"):
+        remove_repeated_spans(df, min_count=1)
+
+
+def test_remove_repeated_spans_keeps_one_canonical_copy(spark):
+    from spark_sorted_spark.functions.dedup import remove_repeated_spans
+
+    ten = " ".join(f"w{i}" for i in range(1, 11))
+    df = _mk_docs(
+        spark,
+        [
+            (1, ten),  # canonical — survives whole
+            (2, ten),  # exact copy — cleans to ''
+            (3, f"{ten} t1 t2 t3"),  # prefix repeat cut, unique tail kept
+            (4, "s1 s2"),  # shorter than min_len — untouched
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tokens_kept, r.text_clean)
+        for r in remove_repeated_spans(df, min_len=4).collect()
+    }
+    assert got[1] == (10, 10, ten)
+    assert got[2] == (10, 0, "")
+    assert got[3] == (13, 3, "t1 t2 t3")
+    assert got[4] == (2, 2, "s1 s2")
+
+
+def test_remove_repeated_spans_document_dedup_special_case(spark, docs):
+    """On a corpus with planted exact copies, document-level exact
+    dedup falls out: every doc either survives whole or cleans to ''.
+    Cross-checks kept-token totals against exact_dedup's group map."""
+    from spark_sorted_spark.functions.dedup import (
+        exact_dedup,
+        remove_repeated_spans,
+    )
+
+    base = docs.select("doc_id", "text").limit(60)
+    out = remove_repeated_spans(base, min_len=8)
+    cleaned = {r.doc_id: r for r in out.collect()}
+    # docs shorter than min_len can never be cut
+    for r in cleaned.values():
+        if r.n_tokens < 8:
+            assert r.n_tokens_kept == r.n_tokens
+    # the planted exact-copy groups: every non-keeper with an exact
+    # twin loses ALL tokens (its whole body repeats), keepers keep all
+    # (keeper = exact_dedup's min-id pick, the same canonical order)
+    keep = {r.keep_id for r in exact_dedup(base).collect()}
+    groups = {}
+    for row in base.collect():
+        groups.setdefault(row.text, []).append(row.doc_id)
+    for text, ids in groups.items():
+        if len(ids) < 2 or len(text.split()) < 8:
+            continue
+        ids = sorted(ids)
+        assert ids[0] in keep
+        assert cleaned[ids[0]].n_tokens_kept == cleaned[ids[0]].n_tokens
+        for other in ids[1:]:
+            assert cleaned[other].n_tokens_kept == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster-then-dedup over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_ref(rows, tau, nlist):
+    """Pure-Python replica of semantic_dedup's contract: seeded
+    centroids (smallest (md5(id), id)), max-dot cell (lowest-cell tie),
+    per-cell rank by cos-to-centroid ASC then id, removed iff an
+    earlier-ranked cellmate has cos >= tau."""
+    import hashlib
+    import math
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    seeded = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )[:nlist]
+    cents = [v for _vid, v in seeded]
+    out = {}
+    assign = {}
+    for vid, v in rows:
+        best, bd = 0, dot(v, cents[0])
+        for i in range(1, len(cents)):
+            d = dot(v, cents[i])
+            if d > bd:
+                best, bd = i, d
+        assign[vid] = best
+    for cell in set(assign.values()):
+        mem = sorted(
+            ((vid, v) for vid, v in rows if assign[vid] == cell),
+            key=lambda t: (cos(t[1], cents[cell]), t[0]),
+        )
+        for i, (vid, v) in enumerate(mem):
+            removed = any(cos(v, mem[j][1]) >= tau for j in range(i))
+            out[vid] = (cell, i + 1, 0 if removed else 1)
+    return out
+
+
+def test_semantic_dedup_matches_reference_replica(spark):
+    import random
+
+    from spark_sorted_spark.functions.similarity import semantic_dedup
+
+    rng = random.Random(20260815)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(40)
+    ]
+    # planted exact duplicates — cos 1.0, must dedup within their cell
+    rows += [(100 + i, list(rows[i][1])) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cell, r.cent_rank, r.is_kept)
+        for r in semantic_dedup(df, tau=0.8, nlist=4).collect()
+    }
+    assert got == _semdedup_ref(rows, 0.8, 4)
+    # every planted identical pair lost exactly one member
+    for i in range(4):
+        assert got[i][2] + got[100 + i][2] == 1
+
+
+def test_semantic_dedup_keeps_furthest_from_centroid(spark):
+    """The paper's keep="hard" pick: of an identical pair, the
+    survivor is the one ranked FIRST by ascending cos-to-centroid —
+    with equal vectors the tiebreak is the lower id."""
+    from spark_sorted_spark.functions.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cent_rank, r.is_kept)
+        for r in semantic_dedup(df, tau=0.99, nlist=1).collect()
+    }
+    kept = {vid for vid, (_r, k) in got.items() if k == 1}
+    assert 3 in kept  # orthogonal to the pair, never removed
+    assert len(kept & {1, 2}) == 1  # exactly one twin survives
+
+
+def test_semantic_dedup_validation(spark):
+    from spark_sorted_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="nlist"):
+        semantic_dedup(df, nlist=0)
+    with pytest.raises(ValueError, match="tau"):
+        semantic_dedup(df, tau=0.0)
+    with pytest.raises(ValueError, match="tau"):
+        semantic_dedup(df, tau=1.5)
