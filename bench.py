@@ -377,6 +377,24 @@ def b29_decontaminate_exact(spark):
     force(QUERIES["decontaminate_exact"](spark, SF_DIR))
 
 
+def b33_repeated_spans(spark):
+    # exact repeated-substring REMOVAL (Lee et al. 2022 ExactSubstr as
+    # duplicated 8-token windows): window-count aggregate + flag-back
+    # join + per-doc island merge + scan-side cut — linear, no
+    # candidate pairs; the removal half subsumes detection's work
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["dedup_clean_repeated_spans"](spark, SF_DIR))
+
+
+def b34_semantic_dedup(spark):
+    # SemDeDup: seeded cells + within-cell pairwise verify (the
+    # deliberate O(sum cell^2) the paper trades for global O(n^2))
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["dedup_semantic"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -412,6 +430,8 @@ BENCH = {
     "b30_decontaminate_verbatim": b30_decontaminate_verbatim,
     "b31_ann_pq": b31_ann_pq,
     "b32_ann_ivfpq": b32_ann_ivfpq,
+    "b33_repeated_spans": b33_repeated_spans,
+    "b34_semantic_dedup": b34_semantic_dedup,
 }
 
 

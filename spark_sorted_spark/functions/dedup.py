@@ -42,6 +42,10 @@ __all__ = [
     "ngram_overlap_across",
     "repeated_spans",
     "remove_repeated_spans",
+    "build_gram_store",
+    "append_to_gram_store",
+    "compact_gram_store",
+    "clean_against_gram_store",
     "minhash_signatures",
     "minhash_band_table",
     "minhash_lsh_pairs",
@@ -1626,6 +1630,16 @@ def remove_repeated_spans(
         )
         .select(id_col, "pos")
     )
+    return _cut_marked(df, marked, text_col, id_col, min_len)
+
+
+def _cut_marked(
+    df: DataFrame, marked: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """Cut the coverage of ``marked`` (id, pos) windows out of ``df``:
+    island-merge to disjoint spans, re-join per document (the span
+    list is bounded by the document's own length), filter the token
+    array scan-side, re-join survivors with single spaces."""
     spans = (
         _merge_islands(marked, id_col, min_len)
         .groupBy(id_col)
@@ -1655,3 +1669,207 @@ def remove_repeated_spans(
         .withColumn(f"{text_col}_clean", F.concat_ws(" ", kept))
         .drop("__spans")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ExactSubstr: the persisted gram-count store. The nightly
+# loop's repeated-substring twin of the MinHash band store — build
+# once over the corpus, append per batch, clean each new batch at
+# O(new batch) cost without re-windowing a byte of existing text.
+# ---------------------------------------------------------------------------
+
+
+def build_gram_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+) -> None:
+    """Persist the corpus's window-count table for incremental
+    repeated-substring dedup: ``{path}/grams`` is ``(gram_md5, occ)``
+    — ONE row per distinct window string (boilerplate repeated a
+    million times still aggregates to one row), partitioned by
+    ``ingest_batch_id`` exactly like the band store (base partition
+    ``-1``; appends land in their own partitions; replay overwrites
+    idempotently). ``{path}/_gram_meta`` records ``min_len`` — the
+    window width is structural (mismatched widths compare different
+    strings), so probes resolve it from the store and explicit
+    mismatches raise, the `_lsh_meta` discipline.
+
+    Build over the SAME corpus a one-shot
+    :func:`remove_repeated_spans` would see (raw, pre-clean): the
+    store's counts stand in for the corpus occurrences in the
+    duplicate test, and the one-shot-equivalence contract (pinned in
+    tests) is stated in :func:`clean_against_gram_store`."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    spark = df.sparkSession
+    w = _positioned_windows(spread_small_input(df), text_col, id_col, min_len)
+    _rm_dir(spark, f"{path}/grams")
+    (
+        w.groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/grams/ingest_batch_id=-1")
+    )
+    spark.createDataFrame(
+        [(int(min_len),)], "min_len int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_gram_meta")
+
+
+def _resolve_gram_meta(spark, path: str, min_len: int | None, caller: str) -> int:
+    from pyspark.errors import AnalysisException
+
+    try:
+        # bounded-collect: one parameter row from the store metadata
+        meta = spark.read.parquet(f"{path}/_gram_meta").collect()
+    except AnalysisException:
+        meta = []
+    if meta:
+        ml = int(meta[0].min_len)
+        if min_len is not None and min_len != ml:
+            raise ValueError(
+                f"{caller}: store at {path!r} was built with "
+                f"min_len={ml}, got min_len={min_len} — different window "
+                "widths fingerprint different strings; pass None to "
+                "adopt the recorded width"
+            )
+        return ml
+    if min_len is None:
+        raise ValueError(
+            f"{caller}: store at {path!r} has no _gram_meta and no "
+            "min_len was given"
+        )
+    return min_len
+
+
+def append_to_gram_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int | None = None,
+    batch_id: int | None = None,
+) -> None:
+    """Append a batch's window counts to an existing gram store (the
+    post-clean step of the nightly cycle: clean the batch with
+    :func:`clean_against_gram_store`, keep the survivors, append so
+    tomorrow's batch is checked against today's corpus too). Counts
+    append as a PER-BATCH DELTA row set — reads merge deltas lazily
+    for only the keys a batch touches; :func:`compact_gram_store`
+    collapses a long-appended store. With ``batch_id`` the write is
+    idempotent (own partition, overwrite); negative ids are rejected
+    (``-1`` is the base partition)."""
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0, got {batch_id}: negative ids are "
+            "reserved (ingest_batch_id=-1 is the base partition the "
+            "build wrote)"
+        )
+    spark = df.sparkSession
+    min_len = _resolve_gram_meta(spark, path, min_len, "append_to_gram_store")
+    w = _positioned_windows(spread_small_input(df), text_col, id_col, min_len)
+    part = -1 if batch_id is None else batch_id
+    mode = "append" if batch_id is None else "overwrite"
+    (
+        w.groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .write.mode(mode)
+        .parquet(f"{path}/grams/ingest_batch_id={part}")
+    )
+
+
+def compact_gram_store(spark, path: str) -> None:
+    """Collapse per-append delta rows to one total per gram. Reads
+    only the STORE (never corpus text). Crash-atomic via
+    :func:`_swap_in` — same storage contract (rename-atomic
+    filesystems; offline on object stores)."""
+    grams = spark.read.parquet(f"{path}/grams")
+    if "ingest_batch_id" in grams.columns:
+        grams = grams.drop("ingest_batch_id")
+    staging = f"{path}/grams_compacting"
+    (
+        grams.groupBy("gram_md5")
+        .agg(F.sum("occ").alias("occ"))
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    _swap_in(spark, staging, f"{path}/grams", f"{path}/grams/ingest_batch_id=-1")
+
+
+def clean_against_gram_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Incremental repeated-substring removal: cut from the NEW batch
+    every window whose corpus-wide occurrence count (store + batch)
+    reaches ``min_count``, keeping a batch occurrence only when the
+    gram is store-ABSENT and it is the batch's own canonical
+    ``min (id, pos)`` — the store always wins the canonical pick.
+    Same output columns as :func:`remove_repeated_spans`.
+
+    ONE-SHOT EQUIVALENCE (pinned in tests): when batch ids are GREATER
+    than every corpus id (the reserved-base discipline all the
+    incremental stores share), this equals
+    ``remove_repeated_spans(corpus UNION batch)`` restricted to batch
+    rows — the store stands in for the corpus occurrences exactly.
+    With out-of-order ids the one-shot canonical could land in the
+    batch; the store keeps no positions, so it cannot know — hence the
+    id contract.
+
+    ``before_batch`` is the replay fence (band-store semantics): a
+    re-delivered batch cleans against exactly the pre-batch store
+    state, with partition pruning making the fence free.
+
+    Scale: O(new batch) — batch windows aggregate map-side; the batch
+    key set broadcasts to the store scan (scan + broadcast-hash-join,
+    the store is never shuffled); matched counts (bounded by batch
+    keys) broadcast back; the cut is the same island-merge + scan-side
+    array filter as the one-shot."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    spark = df.sparkSession
+    min_len = _resolve_gram_meta(spark, path, None, "clean_against_gram_store")
+    grams = spark.read.parquet(f"{path}/grams")
+    if before_batch is not None:
+        if "ingest_batch_id" not in grams.columns:
+            raise ValueError(
+                "before_batch requires the partitioned store layout; "
+                "rebuild with build_gram_store"
+            )
+        grams = grams.filter(F.col("ingest_batch_id") < before_batch)
+    df = spread_small_input(df)
+    w = _positioned_windows(df, text_col, id_col, min_len)
+    batch_agg = w.groupBy("gram_md5").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep"),
+    )
+    keys = batch_agg.select("gram_md5")
+    store_hits = (
+        grams.join(F.broadcast(keys), on="gram_md5", how="inner")
+        .groupBy("gram_md5")
+        .agg(F.sum("occ").alias("sn"))
+    )
+    dup = (
+        batch_agg.join(F.broadcast(store_hits), on="gram_md5", how="left")
+        .withColumn("sn", F.coalesce(F.col("sn"), F.lit(0)))
+        .filter(F.col("sn") + F.col("bn") >= int(min_count))
+        .select("gram_md5", "sn", "keep")
+    )
+    marked = (
+        w.join(dup, "gram_md5")
+        .filter(
+            ~(
+                (F.col("sn") == 0)
+                & (F.col(id_col) == F.col(f"keep.{id_col}"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    return _cut_marked(df, marked, text_col, id_col, min_len)

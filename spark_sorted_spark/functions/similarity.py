@@ -1868,10 +1868,11 @@ def cosine_neardup_pairs_lsh(
 def semantic_dedup(
     df: DataFrame,
     tau: float = 0.4,
-    nlist: int = ANN_NLIST,
+    nlist: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     lloyd_iters: int = 0,
+    target_cell: int = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and removing within-cluster
@@ -1896,16 +1897,23 @@ def semantic_dedup(
 
     Scale shape: the deliberate cost is the within-cell pairwise
     verify, O(sum cell^2) — SemDeDup's own design trades global O(n^2)
-    for per-cluster quadratic work, so ``nlist`` is the knob that
-    bounds cell size (the paper runs 50k clusters at web scale; at
-    100 TB size nlist ~ n/`target cell`). Everything else is linear:
-    one bounded nlist-row collect, a broadcast centroid join, one
-    within-cell window, and the pair join keys on cell — no global
-    shuffle of pairs. ``lloyd_iters=0`` keeps the whole construction
+    for per-cluster quadratic work, so cell size is the knob. The
+    DEFAULT ``nlist=None`` auto-sizes it: ``ceil(n / target_cell)``
+    cells, so expected pair work stays ~n * target_cell — LINEAR in
+    corpus size (the paper scales clusters with data the same way:
+    50k clusters at 1e9 items; a fixed nlist at 10x the data is 100x
+    the pairs — the same trap the auto-sized LSH banding depth closed
+    in round 8). Everything else is linear: one bounded nlist-row
+    collect, a broadcast centroid join, one within-cell window, and
+    the pair join keys on cell — no global shuffle of pairs.
+    ``lloyd_iters=0`` keeps the whole construction
     seeded-deterministic (and DuckDB-replayable); refined centroids
     trade that for tighter cells like the IVF index does
     (`_lloyd_refine` notes the float-mean caveat).
     """
+    if nlist is None:
+        # one count job; same pattern as auto_planes for the kNN join
+        nlist = max(1, -(-df.count() // int(target_cell)))
     if nlist < 1:
         raise ValueError(f"nlist must be >= 1, got {nlist}")
     if not 0.0 < float(tau) <= 1.0:
@@ -1927,25 +1935,37 @@ def semantic_dedup(
     w_cell = Window.partitionBy("cell").orderBy(
         F.col("__cos_cent").asc(), F.col(id_col)
     )
+    # per-vector norm and double-cast computed ONCE here — the pair
+    # verify then does 1 fold per pair, not 3 (the cosine_neardup
+    # lesson); same products, same left-fold order, so cos stays
+    # bitwise-equal to the oracle's inline cosine
     ranked = (
         assigned.withColumn(
             "__cos_cent", cosine(F.col(vec_col), F.col("__cent"))
         )
         .withColumn("cent_rank", F.row_number().over(w_cell).cast("long"))
+        .withColumn("__vd", _to_double(F.col(vec_col)))
+        .withColumn(
+            "__norm", F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col)))
+        )
         .drop("__cent")
     )
     p = ranked.select(
-        F.col(id_col), F.col(vec_col).alias("__vp"), "cell",
-        F.col("cent_rank").alias("__rp"),
+        F.col(id_col), F.col("__vd").alias("__vp"), "cell",
+        F.col("cent_rank").alias("__rp"), F.col("__norm").alias("__np"),
     )
     q = ranked.select(
-        F.col(vec_col).alias("__vq"), "cell",
-        F.col("cent_rank").alias("__rq"),
+        F.col("__vd").alias("__vq"), "cell",
+        F.col("cent_rank").alias("__rq"), F.col("__norm").alias("__nq"),
     )
     removed = (
         p.join(q, "cell")
         .filter(F.col("__rq") < F.col("__rp"))
-        .filter(cosine(F.col("__vp"), F.col("__vq")) >= F.lit(float(tau)))
+        .filter(
+            _dot_dbl(F.col("__vp"), F.col("__vq"))
+            / (F.col("__np") * F.col("__nq"))
+            >= F.lit(float(tau))
+        )
         .select(id_col)
         .distinct()
         .withColumn("__rm", F.lit(1))

@@ -3603,7 +3603,11 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     furthest-from-centroid copy per duplicate set."""
     from .functions.similarity import semantic_dedup
 
-    return semantic_dedup(load_table(spark, "embeddings", sf_dir), tau=0.4)
+    # nlist pinned to 16: the oracle above replays exactly the
+    # 16-cell construction (the auto-sized default would desync them)
+    return semantic_dedup(
+        load_table(spark, "embeddings", sf_dir), tau=0.4, nlist=_ANN_NLIST
+    )
 
 
 _KNN_CAND_SQL = " UNION ".join(

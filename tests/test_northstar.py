@@ -2085,3 +2085,121 @@ def test_semantic_dedup_validation(spark):
         semantic_dedup(df, tau=0.0)
     with pytest.raises(ValueError, match="tau"):
         semantic_dedup(df, tau=1.5)
+
+
+def test_semantic_dedup_auto_nlist_matches_explicit(spark):
+    """nlist=None auto-sizes to ceil(n / target_cell) — pinned by
+    equality with the explicit construction (44 rows, target 11 -> 4
+    cells), so the linear-scale default can't silently drift."""
+    import random
+
+    from spark_sorted_spark.functions.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(44)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = {
+        tuple(r)
+        for r in semantic_dedup(df, tau=0.8, target_cell=11).collect()
+    }
+    explicit = {
+        tuple(r) for r in semantic_dedup(df, tau=0.8, nlist=4).collect()
+    }
+    assert auto == explicit
+
+
+def test_clean_against_gram_store_matches_one_shot(spark, docs, tmp_path):
+    """The incremental contract: with batch ids above every corpus id,
+    clean_against_gram_store(batch) == remove_repeated_spans(corpus
+    UNION batch) restricted to batch rows — across appends, replay,
+    the before_batch fence, and compaction."""
+    from spark_sorted_spark.functions.dedup import (
+        append_to_gram_store,
+        build_gram_store,
+        clean_against_gram_store,
+        compact_gram_store,
+        remove_repeated_spans,
+    )
+
+    corpus = docs.select("doc_id", "text").limit(40)
+    rows = corpus.collect()
+    base_max = max(r.doc_id for r in rows)
+    sample = rows[0].text
+    toks = sample.split()
+    batch1 = spark.createDataFrame(
+        [
+            (base_max + 1, sample),  # exact copy of a corpus doc
+            (base_max + 2, " ".join(toks[:12]) + " z1 z2 z3"),  # prefix leak
+            (base_max + 3, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),  # unique
+        ],
+        ["doc_id", "text"],
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (base_max + 11, sample),  # copies corpus AND batch1's copy
+            (base_max + 12, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),  # copies batch1
+            (base_max + 13, "s1 s2"),  # under the window width
+        ],
+        ["doc_id", "text"],
+    )
+
+    def snap(out_df):
+        return {
+            r.doc_id: (r.n_tokens, r.n_tokens_kept, r.text_clean)
+            for r in out_df.select(
+                "doc_id", "n_tokens", "n_tokens_kept", "text_clean"
+            ).collect()
+        }
+
+    def one_shot(*frames):
+        union = corpus
+        for f in frames:
+            union = union.unionByName(f)
+        batch_ids = {r.doc_id for r in frames[-1].collect()}
+        return {
+            k: v
+            for k, v in snap(remove_repeated_spans(union, min_len=8)).items()
+            if k in batch_ids
+        }
+
+    path = str(tmp_path / "gram_store")
+    build_gram_store(corpus, path, min_len=8)
+    got1 = snap(clean_against_gram_store(batch1, path))
+    assert got1 == one_shot(batch1)
+
+    append_to_gram_store(batch1, path, batch_id=1)
+    # replay idempotence: re-appending the same batch overwrites its
+    # own partition, so batch2's view is unchanged
+    append_to_gram_store(batch1, path, batch_id=1)
+    got2 = snap(clean_against_gram_store(batch2, path))
+    assert got2 == one_shot(batch1, batch2)
+
+    # the replay fence: batch1 re-cleaned as a re-delivery must see
+    # exactly the pre-batch store state, not its own append
+    refenced = snap(clean_against_gram_store(batch1, path, before_batch=1))
+    assert refenced == got1
+
+    compact_gram_store(spark, path)
+    assert snap(clean_against_gram_store(batch2, path)) == got2
+
+
+def test_gram_store_guards(spark, tmp_path):
+    from spark_sorted_spark.functions.dedup import (
+        append_to_gram_store,
+        build_gram_store,
+        clean_against_gram_store,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "gs")
+    build_gram_store(df, path, min_len=8)
+    with pytest.raises(ValueError, match="min_len=8"):
+        append_to_gram_store(df, path, min_len=4)
+    with pytest.raises(ValueError, match="batch_id"):
+        append_to_gram_store(df, path, batch_id=-1)
+    with pytest.raises(ValueError, match="min_count"):
+        clean_against_gram_store(df, path, min_count=1)

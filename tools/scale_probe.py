@@ -180,6 +180,27 @@ def main():
             corpus, benchmark, n=3, tau_num=1, tau_den=5, hot_salt=hot_salt
         ).count()
 
+    def b33(d):
+        # counts the documents the cut actually touched — the filter
+        # reads join-output columns, so Catalyst cannot eliminate the
+        # outer join the way a bare count() can
+        from spark_sorted_spark.functions.dedup import remove_repeated_spans
+
+        return lambda: (
+            remove_repeated_spans(d)
+            .filter(F.col("n_tokens_kept") < F.col("n_tokens"))
+            .count()
+        )
+
+    def b34(e, nlist=None):
+        from spark_sorted_spark.functions.similarity import semantic_dedup
+
+        return lambda: (
+            semantic_dedup(e, tau=0.4, nlist=nlist)
+            .filter(F.col("is_kept") == 0)
+            .count()
+        )
+
     rows = []
     for name, f1, f10 in (
         ("b14_simhash_banded", b14(docs), b14(docs10)),
@@ -199,6 +220,9 @@ def main():
             None,
             b27(emb10, "10f", 8),
         ),
+        ("b33_repeated_spans", b33(docs), b33(docs10)),
+        ("b34_semantic_dedup (auto nlist)", b34(emb), b34(emb10)),
+        ("b34_semantic_dedup 10x fixed nlist=16", None, b34(emb10, nlist=16)),
     ):
         t1, n1 = timed(f1) if f1 else (None, None)
         t10, n10 = timed(f10)
