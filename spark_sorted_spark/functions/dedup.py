@@ -1718,6 +1718,13 @@ def build_gram_store(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_gram_meta")
 
 
+def _gram_meta_exists(spark, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_gram_meta")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _resolve_gram_meta(spark, path: str, min_len: int | None, caller: str) -> int:
     from pyspark.errors import AnalysisException
 
@@ -1768,6 +1775,7 @@ def append_to_gram_store(
             "build wrote)"
         )
     spark = df.sparkSession
+    had_meta = _gram_meta_exists(spark, path)
     min_len = _resolve_gram_meta(spark, path, min_len, "append_to_gram_store")
     w = _positioned_windows(spread_small_input(df), text_col, id_col, min_len)
     part = -1 if batch_id is None else batch_id
@@ -1778,6 +1786,13 @@ def append_to_gram_store(
         .write.mode(mode)
         .parquet(f"{path}/grams/ingest_batch_id={part}")
     )
+    if not had_meta:
+        # first-batch store creation (the streaming path starts with
+        # no prior build): record the width so later appends/cleans
+        # resolve and pin it like a built store's
+        spark.createDataFrame(
+            [(int(min_len),)], "min_len int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_gram_meta")
 
 
 def compact_gram_store(spark, path: str) -> None:

@@ -29,6 +29,7 @@ __all__ = [
     "build_vocab",
     "doc_keywords",
     "normalize_text",
+    "unigram_logprob",
     "LANG_MARKERS",
     "PII_PATTERNS",
 ]
@@ -394,3 +395,81 @@ def doc_fingerprint(
         lambda acc, h: (acc * FP_MULT + h) % FP_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+) -> DataFrame:
+    """Statistical LM quality score (the CCNet/Gopher perplexity-filter
+    family, with the LM the engine can train in one aggregate): score
+    every document by its mean token log-probability under an
+    add-``alpha``-smoothed UNIGRAM model of ``corpus`` (default: the
+    scored frame itself — self-scoring, the usual "filter the corpus
+    by its own statistics" setup). Returns
+    ``(id, n_tokens, logprob_per_token)`` — higher is more typical;
+    filter the low tail the way perplexity filters do
+    (perplexity = exp(-logprob_per_token)).
+
+    Exactness: ``P(t) = (c_t + alpha) / (N + alpha * V)`` is a ratio of
+    exact integers; ``ln`` is evaluated per token and summed with a
+    STRICT in-token-order fold (array_sort by position, then a left
+    fold), so the DuckDB oracle replays the float result bit-for-bit
+    — the same discipline as the cosine folds.
+
+    Scale shape: training is ONE hash aggregate over exploded tokens
+    (map-side combine absorbs stopword skew); `N`/`V` are a bounded
+    2-scalar collect; scoring joins each token occurrence to the
+    DISTINCT-token count table — fan-out-free (a stopword matches one
+    row), so no skew — then one per-document fold whose state is the
+    document's own token list. Linear in corpus tokens, like the
+    repeated-span dedup."""
+    if alpha < 1:
+        raise ValueError(f"alpha must be >= 1, got {alpha}")
+    train = df if corpus is None else corpus
+    toks_train = train.select(
+        F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = toks_train.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # bounded-collect: the model's two normalization scalars
+    nv = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).head()
+    denom = float(nv.n + alpha * nv.v)
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    scored = occ.join(counts, on="tok", how="left").select(
+        id_col,
+        "pos",
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+            / F.lit(denom)
+        ).alias("lp"),
+    )
+    per_doc = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "lp"))
+            ).alias("__lps"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.aggregate(
+                    F.col("__lps"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["lp"],
+                )
+                / F.col("n_tokens")
+            ).alias("logprob_per_token"),
+        )
+    )
+    return per_doc

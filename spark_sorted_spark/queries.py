@@ -520,6 +520,43 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_logprob",
+    # Self-trained add-1-smoothed unigram LM score: P(t)=(c_t+1)/(N+V)
+    # is a ratio of exact integers, ln is bitwise-identical across
+    # engines (same libm on this host, verified), and the per-doc sum
+    # is a STRICT position-ordered fold — so the float compares exact.
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks))) AS pos,
+             unnest(toks) AS tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)),
+    counts AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    nv AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+    lp AS (
+      SELECT t.doc_id, t.pos,
+             ln((coalesce(c.c, 0) + 1) / ((nv.n + 1 * nv.v)::DOUBLE)) AS lp
+      FROM tk t LEFT JOIN counts c USING (tok) CROSS JOIN nv)
+    SELECT doc_id, count(*) AS n_tokens,
+           list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                       (a, x) -> a + x) / count(*) AS logprob_per_token
+    FROM lp GROUP BY doc_id
+    """,
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality filter (functions/text.py
+    unigram_logprob): mean token log-probability under the corpus's
+    own smoothed unigram model — the SQL-replayable member of the
+    CCNet/Gopher perplexity-filter family. Training is one combinable
+    aggregate; scoring is a fan-out-free join + per-document ordered
+    fold."""
+    from .functions.text import unigram_logprob
+
+    return unigram_logprob(load_table(spark, "documents", sf_dir))
+
+
+@query(
     "quality_score",
     oracle="""
     WITH t AS (
@@ -4991,6 +5028,11 @@ _GATE_ORDER = [
     # dedup family in-window)
     "dedup_repeated_spans",
     "dedup_clean_repeated_spans",
+    # round-9: self-trained unigram-LM quality score (CCNet/Gopher
+    # perplexity-filter family) vs the full SQL replay incl. the
+    # bitwise-exact ordered ln fold (overflow; quality_score and
+    # text_stats keep the text-quality family in-window)
+    "unigram_logprob",
     # round-9: SemDeDup (cluster-then-dedup over embeddings) vs the
     # end-to-end SQL replay (overflow; embedding_neardup_lsh and
     # dedup_clusters keep the embedding-dedup family in-window)

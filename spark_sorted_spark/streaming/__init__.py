@@ -16,7 +16,7 @@ checks.
 """
 
 from .ann import stream_index_embeddings
-from .ingest import stream_ingest_dedup
+from .ingest import stream_ingest_dedup, stream_maintain_gram_store
 from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now, stream_to_files
 from .sketches import (
@@ -43,6 +43,7 @@ __all__ = [
     "stream_stream_join",
     "stream_fold_by_key",
     "stream_ingest_dedup",
+    "stream_maintain_gram_store",
     "run_available_now",
     "stream_to_files",
     "stream_hll_distinct",

@@ -74,7 +74,7 @@ from ..functions.dedup import (
     minhash_lsh_pairs,
 )
 
-__all__ = ["stream_ingest_dedup", "compact_corpus"]
+__all__ = ["stream_ingest_dedup", "compact_corpus", "stream_maintain_gram_store"]
 
 # test-only hook: a callable invoked as (sink_name, batch_part) right
 # before a staging dir is published; tests raise inside it to simulate
@@ -412,3 +412,75 @@ def compact_corpus(spark: SparkSession, corpus_path: str) -> None:
     )
     if marker is not None:
         _write_text(spark, f"{corpus_path}/_ingest_stream", marker)
+
+
+def stream_maintain_gram_store(
+    stream_docs: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int | None = None,
+    timeout_sec: int = 300,
+    allow_restart: bool = False,
+) -> None:
+    """Keep a repeated-substring gram store
+    (``functions.dedup.build_gram_store`` layout) current from an
+    unbounded document stream — the ExactSubstr twin of
+    ``streaming.ann.stream_index_embeddings``, with the SAME restart
+    protection (checkpoint identity marker, idempotent
+    ``ingest_batch_id`` partitions, loud fresh-checkpoint failure,
+    ``allow_restart`` base offsetting).
+
+    The store may start empty (the first batch creates it — an
+    explicit ``min_len`` is then required and is recorded in
+    ``_gram_meta``) or hold a prior ``build_gram_store`` base;
+    ``min_len=None`` adopts the recorded width and explicit mismatches
+    raise. Per-batch cost is one narrow scan of the batch (window
+    fingerprints + one map-side-combinable count aggregate — the
+    existing store is never read). Compact with
+    ``functions.dedup.compact_gram_store`` when delta-row count
+    warrants it, stream STOPPED, like every compact path."""
+    from ..functions.dedup import _gram_meta_exists, append_to_gram_store
+
+    spark = stream_docs.sparkSession
+    if "ingest_batch_id" in stream_docs.columns:
+        raise ValueError(
+            "stream_maintain_gram_store reserves the 'ingest_batch_id' "
+            "column for the store partition key; rename it in the input"
+        )
+    # validate the width contract EAGERLY — raised inside foreachBatch
+    # it would surface as an opaque StreamingQueryException after the
+    # checkpoint is already created
+    if min_len is None and not _gram_meta_exists(spark, store_path):
+        raise ValueError(
+            f"store at {store_path!r} does not exist yet: a fresh store "
+            "needs an explicit min_len (it is recorded in _gram_meta and "
+            "adopted by every later append/clean)"
+        )
+    base = _resolve_stream_base(
+        spark, f"{store_path}/grams", checkpoint_dir, allow_restart
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_gram_store(
+            batch_df,
+            store_path,
+            text_col=text_col,
+            id_col=id_col,
+            min_len=min_len,
+            batch_id=base + batch_id,
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("stream_maintain_gram_store did not finish")
+    finally:
+        q.stop()

@@ -145,6 +145,7 @@ def test_gate_window_contents():
         "similarity_ann_ivfpq",
         "dedup_repeated_spans",
         "dedup_clean_repeated_spans",
+        "unigram_logprob",
         "dedup_semantic",
     ]
 

@@ -2203,3 +2203,114 @@ def test_gram_store_guards(spark, tmp_path):
         append_to_gram_store(df, path, batch_id=-1)
     with pytest.raises(ValueError, match="min_count"):
         clean_against_gram_store(df, path, min_count=1)
+
+
+def test_repeated_spans_hypothesis_vs_brute_force(spark):
+    """Fuzz detection AND removal against the Python brute-force
+    definition over random small-vocab corpora (small vocab maximizes
+    duplicated windows, overlaps, and intra-document repeats)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.functions.dedup import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+
+    L = 3
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=1, max_size=10).map(" ".join)
+
+    def brute(docs):
+        from collections import Counter
+
+        cnt = Counter()
+        wins = {}
+        for did, text in docs:
+            toks = text.split()
+            wins[did] = [
+                (i + 1, " ".join(toks[i : i + L]))
+                for i in range(len(toks) - L + 1)
+            ]
+            for _p, g in wins[did]:
+                cnt[g] += 1
+        # canonical occurrence per duplicated gram: min (id, pos)
+        canon = {}
+        for did in sorted(wins):
+            for p, g in wins[did]:
+                if cnt[g] >= 2 and g not in canon:
+                    canon[g] = (did, p)
+
+        def islands(flagged):
+            spans, cur = [], None
+            for p in sorted(flagged):
+                if cur and p <= cur[1] + L:
+                    cur = (cur[0], p, cur[2] + 1)
+                else:
+                    if cur:
+                        spans.append(cur)
+                    cur = (p, p, 1)
+            if cur:
+                spans.append(cur)
+            return [(s, e + L - 1, n) for s, e, n in spans]
+
+        det, cleaned = set(), {}
+        for did, text in docs:
+            toks = text.split()
+            dup_pos = [p for p, g in wins[did] if cnt[g] >= 2]
+            for s, e, n in islands(dup_pos):
+                det.add((did, s, e, n))
+            marked = [
+                p
+                for p, g in wins[did]
+                if cnt[g] >= 2 and canon[g] != (did, p)
+            ]
+            cut = set()
+            for s, e, _n in islands(marked):
+                cut.update(range(s, e + 1))
+            kept = [t for i, t in enumerate(toks, 1) if i not in cut]
+            cleaned[did] = (len(toks), len(kept), " ".join(kept))
+        return det, cleaned
+
+    @given(docs=st.lists(doc, min_size=1, max_size=7))
+    @settings(max_examples=10, deadline=None)
+    def run(docs):
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want_det, want_clean = brute(rows)
+        got_det = {
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in repeated_spans(df, min_len=L).collect()
+        }
+        assert got_det == want_det
+        got_clean = {
+            r.doc_id: (r.n_tokens, r.n_tokens_kept, r.text_clean)
+            for r in remove_repeated_spans(df, min_len=L).collect()
+        }
+        assert got_clean == want_clean
+
+    run()
+
+
+def test_semantic_dedup_lloyd_path_is_valid_partition(spark):
+    """lloyd_iters > 0 (non-deterministic float means) must still
+    return a VALID result: every id exactly once, ranks a permutation
+    of 1..|cell| within each cell, kept flags boolean, and every
+    removed id justified by a kept-or-earlier neighbor in its cell."""
+    import random
+
+    from spark_sorted_spark.functions.similarity import semantic_dedup
+
+    rng = random.Random(99)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, tau=0.9, nlist=4, lloyd_iters=2).collect()
+    assert sorted(r.vec_id for r in out) == list(range(50))
+    by_cell = {}
+    for r in out:
+        assert r.is_kept in (0, 1)
+        by_cell.setdefault(r.cell, []).append(r.cent_rank)
+    for ranks in by_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

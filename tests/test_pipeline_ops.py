@@ -1706,3 +1706,70 @@ class TestMergeClusters:
                 for x in merge_clusters(prior, _edges(spark, second)).collect()
             }
             assert merged == one_shot, f"seed {seed}"
+
+
+class TestUnigramLogprob:
+    def test_matches_python_replica_cross_corpus(self, spark):
+        """Score a batch against a SEPARATE corpus LM — unseen tokens
+        take the smoothed c=0 path — and compare against a pure-Python
+        replica (same libm, same fold order, so exact equality)."""
+        import math
+
+        from spark_sorted_spark.functions.text import unigram_logprob
+
+        corpus_rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+        ]
+        batch_rows = [
+            (10, "the cat"),
+            (11, "zebra quark the"),  # two unseen tokens
+        ]
+        corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+        batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+
+        from collections import Counter
+
+        cnt = Counter(t for _i, s in corpus_rows for t in s.split())
+        n, v = sum(cnt.values()), len(cnt)
+        denom = float(n + v)
+
+        def ref(text):
+            acc = 0.0
+            toks = text.split()
+            for t in toks:
+                acc = acc + math.log((cnt.get(t, 0) + 1) / denom)
+            return len(toks), acc / len(toks)
+
+        got = {
+            r.doc_id: (r.n_tokens, r.logprob_per_token)
+            for r in unigram_logprob(batch, corpus=corpus).collect()
+        }
+        assert got == {i: ref(s) for i, s in batch_rows}
+        # unseen-token doc scores strictly lower than the all-seen doc
+        assert got[11][1] < got[10][1]
+
+    def test_self_scoring_flags_rare_docs_low(self, spark):
+        from spark_sorted_spark.functions.text import unigram_logprob
+
+        df = spark.createDataFrame(
+            [
+                (1, "common common common common"),
+                (2, "common common common rare"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: r.logprob_per_token
+            for r in unigram_logprob(df).collect()
+        }
+        assert got[2] < got[1]
+
+    def test_alpha_validation(self, spark):
+        import pytest as _pytest
+
+        from spark_sorted_spark.functions.text import unigram_logprob
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="alpha"):
+            unigram_logprob(df, alpha=0)

@@ -1493,3 +1493,81 @@ def test_stream_fold_expression_order_by(spark, tmp_path):
     assert [r.k for r in rows] == ["a"]
     assert rows[0].seq == "231"  # tag t2, t1, t0 -> v 2, 3, 1
     assert "__gs_order_0" not in out.columns
+
+
+def test_stream_maintain_gram_store_lifecycle(spark, sf_dir, tmp_path):
+    """Streaming gram-store maintenance: two drains over a growing
+    document stream must leave a store whose clean_against_gram_store
+    answers equal a store built one-shot over the same corpus; an
+    idle drain changes nothing; a fresh checkpoint against the
+    populated store fails loudly; a fresh store requires an explicit
+    min_len which is then recorded."""
+    import shutil
+
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.dedup import (
+        build_gram_store,
+        clean_against_gram_store,
+    )
+    from spark_sorted_spark.streaming import (
+        stream_maintain_gram_store,
+        stream_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 400))
+    probe = spark.createDataFrame(
+        [(900001, docs.head().text), (900002, "u1 u2 u3 u4 u5 u6 u7 u8 u9")],
+        ["doc_id", "text"],
+    )
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    store = str(tmp_path / "stream_gram_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(ckpt_dir, **kw):
+        sdf = stream_table(
+            spark, "documents", sf_dir, path=str(watch)
+        ).select("doc_id", "text")
+        stream_maintain_gram_store(
+            sdf, store, ckpt_dir, timeout_sec=180, **kw
+        )
+
+    # fresh store: min_len is required on the first drain
+    arrive(b1, "b1")
+    with _pytest.raises(ValueError, match="min_len"):
+        drain(ckpt)
+    drain(ckpt, min_len=8)
+    arrive(b2, "b2")
+    drain(ckpt)  # width now adopted from _gram_meta
+
+    built = str(tmp_path / "batch_store")
+    build_gram_store(b1.unionByName(b2), built, min_len=8)
+
+    def snap(path):
+        return {
+            r.doc_id: (r.n_tokens_kept, r.text_clean)
+            for r in clean_against_gram_store(probe, path).collect()
+        }
+
+    want = snap(built)
+    assert snap(store) == want
+    assert want[900001][0] == 0  # corpus copy fully cut
+    assert want[900002][1] == "u1 u2 u3 u4 u5 u6 u7 u8 u9"  # unique kept
+
+    # idle drain: no new files, nothing changes
+    drain(ckpt)
+    assert snap(store) == want
+
+    # fresh checkpoint against the populated store: loud
+    with _pytest.raises(ValueError, match="different ingest stream"):
+        drain(str(tmp_path / "ckpt2"))
