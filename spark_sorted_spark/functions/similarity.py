@@ -1081,10 +1081,15 @@ def ann_pq_topk(
     approximate dot, descending, id tie-break. Approximation error is
     the quantization error; recall floors are pinned in tests and the
     indexed form offers exact rerank."""
+    from .dedup import spread_small_input
+
     dim = len(query_vec)
     if codebooks is None:
         codebooks = pq_codebooks(df, m, ksub, dim, vec_col, id_col)
-    coded = df.select(
+    # the per-vector argmin encode (m*ksub strict d2 folds) is the CPU
+    # hot spot — a one-file parquet input would serialize it on one
+    # core (measured 3.4s -> see PARITY; every other ANN entry spreads)
+    coded = spread_small_input(df).select(
         F.col(id_col), _pq_code_col(F.col(vec_col), codebooks).alias("code")
     )
     return _pq_adc_rank(coded, query_vec, codebooks, k, id_col)
