@@ -1799,7 +1799,18 @@ def compact_gram_store(spark, path: str) -> None:
     """Collapse per-append delta rows to one total per gram. Reads
     only the STORE (never corpus text). Crash-atomic via
     :func:`_swap_in` — same storage contract (rename-atomic
-    filesystems; offline on object stores)."""
+    filesystems; offline on object stores).
+
+    ``streaming.ingest.stream_maintain_gram_store`` keeps its
+    ``_ingest_stream`` identity marker INSIDE ``{path}/grams`` (the
+    dir the swap replaces), so — mirroring ``compact_corpus`` — the
+    marker is read before the swap and re-written after it; otherwise
+    the next stream resume hard-fails on the no-marker guard and the
+    ``allow_restart=True`` workaround resets the replay-fence base
+    the original marker recorded (ADVICE r9)."""
+    from ..streaming.ingest import _read_text, _write_text
+
+    marker = _read_text(spark, f"{path}/grams/_ingest_stream")
     grams = spark.read.parquet(f"{path}/grams")
     if "ingest_batch_id" in grams.columns:
         grams = grams.drop("ingest_batch_id")
@@ -1811,6 +1822,8 @@ def compact_gram_store(spark, path: str) -> None:
         .parquet(staging)
     )
     _swap_in(spark, staging, f"{path}/grams", f"{path}/grams/ingest_batch_id=-1")
+    if marker is not None:
+        _write_text(spark, f"{path}/grams/_ingest_stream", marker)
 
 
 def clean_against_gram_store(

@@ -1899,6 +1899,9 @@ def semantic_dedup(
 
     Returns every input id with ``(id, cell, cent_rank, is_kept)`` —
     callers semi-join ``is_kept = 1`` to materialize the survivors.
+    Zero-norm embeddings have no defined cosine: they are always kept
+    and carry the sentinel ``cell = -1, cent_rank = 0`` (see the
+    in-body comment; same contract as :func:`knn_join_lsh`).
 
     Scale shape: the deliberate cost is the within-cell pairwise
     verify, O(sum cell^2) — SemDeDup's own design trades global O(n^2)
@@ -1916,14 +1919,33 @@ def semantic_dedup(
     trade that for tighter cells like the IVF index does
     (`_lloyd_refine` notes the float-mean caveat).
     """
+    if not 0.0 < float(tau) <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    from pyspark.sql import Window
+
+    # zero-norm embeddings (empty documents) have no defined cosine to
+    # ANYTHING — they can neither be duplicates nor remove others — so
+    # exclude them BEFORE cell assignment (same contract as
+    # knn_join_lsh; ADVICE r9). Left in, their NULL/NaN __cos_cent
+    # desyncs cent_rank from the oracle (Spark's ascending window puts
+    # NULLS FIRST, DuckDB NULLS LAST) and the NaN pair test silently
+    # never fires. They return always-kept under the sentinel cell -1,
+    # cent_rank 0 (outside the 1..n real ranks).
+    zero_norm = df.filter(
+        dot_strict(F.col(vec_col), F.col(vec_col)) <= 0
+    ).select(
+        F.col(id_col),
+        F.lit(-1).cast("long").alias("cell"),
+        F.lit(0).cast("long").alias("cent_rank"),
+        F.lit(1).alias("is_kept"),
+    )
+    df = df.filter(dot_strict(F.col(vec_col), F.col(vec_col)) > 0)
+
     if nlist is None:
         # one count job; same pattern as auto_planes for the kNN join
         nlist = max(1, -(-df.count() // int(target_cell)))
     if nlist < 1:
         raise ValueError(f"nlist must be >= 1, got {nlist}")
-    if not 0.0 < float(tau) <= 1.0:
-        raise ValueError(f"tau must be in (0, 1], got {tau}")
-    from pyspark.sql import Window
 
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
     if lloyd_iters:
@@ -1984,4 +2006,5 @@ def semantic_dedup(
             id_col, F.col("cell").cast("long").alias("cell"),
             "cent_rank", "is_kept",
         )
+        .unionByName(zero_norm)
     )

@@ -170,6 +170,42 @@ def _guarded_native_tier(
     return "native"
 
 
+def _catalyst_result_ddl(gsf: GroupSortedFrame, agg_col: Column) -> str:
+    """Catalyst-inferred result type of a native-tier aggregate
+    expression (analysis only — touches the schema, launches no job).
+    Used when ``tier="auto"`` demotes a Column-lambda fold/reduce to the
+    stream tier: the stream tier's declared output type must be the
+    SAME type the native tier would have produced, not one re-derived
+    from ``zero``/the value column — otherwise the demotion (which only
+    triggers past the group-size bound, i.e. exactly in large-scale
+    runs) silently changes the output schema: int values with ``zero=0``
+    are ``int`` under native but ``bigint`` under a zero-derived stream
+    schema, and ``acc * 0.9 + v * 0.1`` with an integer zero is a
+    native-tier AnalysisException (Catalyst's ``aggregate`` requires
+    merge-result type == zero type) that the pre-fix stream path
+    silently swallowed into a truncating bigint run. Deriving the type
+    here also re-raises that same error on the demoted side — behavior
+    is identical on both sides of the bound by construction. An
+    explicit ``result_type=`` (or ``tier=``) bypasses this probe."""
+    schema = gsf.df.groupBy(*gsf.key_cols).agg(agg_col.alias("__r")).schema
+    return schema["__r"].dataType.simpleString()
+
+
+def _native_fold_agg(gsf: GroupSortedFrame, zero: Any, merge: Callable, value_col: str) -> Column:
+    arr, vfield = _sorted_value_array(gsf, value_col)
+    zero_col = zero if isinstance(zero, Column) else F.lit(zero)
+    return F.aggregate(arr, zero_col, lambda acc, s: merge(acc, s[vfield]))
+
+
+def _native_reduce_agg(gsf: GroupSortedFrame, merge: Callable, value_col: str) -> Column:
+    arr, vfield = _sorted_value_array(gsf, value_col)
+    return F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1)[vfield],
+        lambda acc, s: merge(acc, s[vfield]),
+    )
+
+
 def _python_type_ddl(zero: Any) -> str:
     if isinstance(zero, bool):
         return "boolean"
@@ -277,19 +313,23 @@ def fold_left_by_key(
     """
     value_col = value_col or gsf.value_cols[-1]
     if tier == "auto":
-        tier = (
-            _guarded_native_tier(
+        if _is_column_lambda(merge):
+            tier = _guarded_native_tier(
                 gsf, merge, max_group_rows, group_rows_hint,
                 sample_fraction, "fold_left_by_key",
             )
-            if _is_column_lambda(merge)
-            else "stream"
-        )
+            if tier == "stream" and result_type is None:
+                # demotion must not change the output schema: type the
+                # stream output exactly as native would have (see
+                # _catalyst_result_ddl)
+                result_type = _catalyst_result_ddl(
+                    gsf, _native_fold_agg(gsf, zero, merge, value_col)
+                )
+        else:
+            tier = "stream"
 
     if tier == "native":
-        arr, vfield = _sorted_value_array(gsf, value_col)
-        zero_col = zero if isinstance(zero, Column) else F.lit(zero)
-        agg = F.aggregate(arr, zero_col, lambda acc, s: merge(acc, s[vfield]))
+        agg = _native_fold_agg(gsf, zero, merge, value_col)
         return gsf.df.groupBy(*gsf.key_cols).agg(agg.alias(alias))
 
     rtype = result_type or _python_type_ddl(zero)
@@ -397,22 +437,24 @@ def reduce_left_by_key(
     native tier buffers the whole group's value array per key)."""
     value_col = value_col or gsf.value_cols[-1]
     if tier == "auto":
-        tier = (
-            _guarded_native_tier(
+        if _is_column_lambda(merge):
+            tier = _guarded_native_tier(
                 gsf, merge, max_group_rows, group_rows_hint,
                 sample_fraction, "reduce_left_by_key",
             )
-            if _is_column_lambda(merge)
-            else "stream"
-        )
+            if tier == "stream" and result_type is None:
+                # same schema-stability contract as fold_left_by_key:
+                # native's type is Catalyst-inferred from the merge
+                # expression, which need not equal the value column's
+                # type (e.g. acc * 0.5 + v over bigint v -> double)
+                result_type = _catalyst_result_ddl(
+                    gsf, _native_reduce_agg(gsf, merge, value_col)
+                )
+        else:
+            tier = "stream"
 
     if tier == "native":
-        arr, vfield = _sorted_value_array(gsf, value_col)
-        agg = F.aggregate(
-            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-            F.element_at(arr, 1)[vfield],
-            lambda acc, s: merge(acc, s[vfield]),
-        )
+        agg = _native_reduce_agg(gsf, merge, value_col)
         return gsf.df.groupBy(*gsf.key_cols).agg(agg.alias(alias))
 
     vtype = {f.name: f.dataType.simpleString() for f in gsf.df.schema.fields}[

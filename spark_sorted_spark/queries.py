@@ -3597,9 +3597,13 @@ def embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment (ties to lowest cell), per-cell cosine-to-centroid
     # ranking, and the paper's upper-triangular test — removed iff an
     # EARLIER-ranked cellmate has cos >= tau. All cosines are the
-    # strict fold, so ranks and removals match bitwise.
+    # strict fold, so ranks and removals match bitwise. Zero-norm
+    # embeddings (none in the testdata, but the contract is pinned in
+    # tests/test_pipeline_ops.py) sit outside the cells: always kept,
+    # sentinel cell -1 / cent_rank 0 — replayed by the trailing UNION.
     oracle=f"""
-    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE {_DOT_SQL.format(a="embedding", b="embedding")} > 0),
     cents AS (
       SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
                  AS cell,
@@ -3631,6 +3635,10 @@ def embedding_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.vec_id, r.cell, r.cent_rank,
            CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
     FROM ranked r LEFT JOIN removed rm ON rm.vec_id = r.vec_id
+    UNION ALL
+    SELECT vec_id, -1 AS cell, 0 AS cent_rank, 1 AS is_kept
+    FROM embeddings
+    WHERE NOT ({_DOT_SQL.format(a="embedding", b="embedding")} > 0)
     """,
 )
 def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -452,8 +452,16 @@ def stream_maintain_gram_store(
         )
     # validate the width contract EAGERLY — raised inside foreachBatch
     # it would surface as an opaque StreamingQueryException after the
-    # checkpoint is already created
-    if min_len is None and not _gram_meta_exists(spark, store_path):
+    # checkpoint is already created. Covers BOTH directions: a fresh
+    # store with no min_len, and an explicit min_len that mismatches an
+    # existing store's recorded _gram_meta (ADVICE r9)
+    if _gram_meta_exists(spark, store_path):
+        from ..functions.dedup import _resolve_gram_meta
+
+        _resolve_gram_meta(
+            spark, store_path, min_len, "stream_maintain_gram_store"
+        )
+    elif min_len is None:
         raise ValueError(
             f"store at {store_path!r} does not exist yet: a fresh store "
             "needs an explicit min_len (it is recorded in _gram_meta and "

@@ -442,6 +442,103 @@ def test_reduce_auto_guard_demotes(spark):
     )
 
 
+def test_fold_auto_demotion_keeps_native_result_type(spark):
+    """ADVICE r9 (medium): demotion must not change the output schema.
+    With int values and ``zero=0`` the native tier's Catalyst-inferred
+    output is ``int``; pre-fix the demoted stream tier typed it from
+    ``zero`` via ``_python_type_ddl`` -> ``bigint`` — a silent schema
+    change triggered only past the group-size bound, i.e. exactly at
+    scale. Pin: demoted schema == native schema, values equal."""
+    gsf = _hot_cold_frame(spark, n_hot=50, n_cold=5)
+    merge = lambda acc, v: acc * 1 + v  # noqa: E731 — dual-use, int-typed
+
+    native = gsf.fold_left_by_key(0, merge, value_col="v", max_group_rows=None)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        demoted = gsf.fold_left_by_key(
+            0, merge, value_col="v", max_group_rows=10, group_rows_hint=50
+        )
+    assert "MapInPandas" in demoted._jdf.queryExecution().executedPlan().toString()
+    assert demoted.schema["fold"].dataType == native.schema["fold"].dataType
+    assert demoted.schema["fold"].dataType.simpleString() == "int"
+    want = sorted((r.k, r.fold) for r in native.collect())
+    assert sorted((r.k, r.fold) for r in demoted.collect()) == want
+
+
+def test_fold_auto_demotion_raises_where_native_would(spark):
+    """The module's advertised dual-use example ``acc * 0.9 + v * 0.1``
+    with an INTEGER zero does not type-check under native (Catalyst's
+    ``aggregate`` requires the merge result type to equal the zero's
+    type). Pre-fix, the demoted stream tier silently ran it with a
+    zero-derived bigint schema — truncating every EMA, and only past
+    the bound. Post-fix both sides of the bound raise the same
+    AnalysisException; ``zero=0.0`` fixes it on both."""
+    from pyspark.errors import AnalysisException
+
+    gsf = _hot_cold_frame(spark, n_hot=50, n_cold=5)
+    merge = lambda acc, v: acc * 0.9 + v * 0.1  # noqa: E731
+
+    with pytest.raises(AnalysisException):
+        gsf.fold_left_by_key(0, merge, value_col="v", max_group_rows=None)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(AnalysisException):
+            gsf.fold_left_by_key(
+                0, merge, value_col="v", max_group_rows=10, group_rows_hint=50
+            )
+    # the documented fix works identically on both sides of the bound
+    native = gsf.fold_left_by_key(0.0, merge, value_col="v", max_group_rows=None)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        demoted = gsf.fold_left_by_key(
+            0.0, merge, value_col="v", max_group_rows=10, group_rows_hint=50
+        )
+    assert demoted.schema["fold"].dataType == native.schema["fold"].dataType
+    want = {r.k: r.fold for r in native.collect()}
+    got = {r.k: r.fold for r in demoted.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_reduce_auto_demotion_raises_where_native_would(spark):
+    """Same contract on reduce: ``(acc + v) / 2`` over int values is a
+    native-tier type error (merge result double != seed int); pre-fix
+    the demoted stream tier silently ran it with the value column's int
+    type. Post-fix: same AnalysisException both sides of the bound;
+    explicit result_type= restores the stream run."""
+    from pyspark.errors import AnalysisException
+
+    gsf = _hot_cold_frame(spark, n_hot=50, n_cold=5)
+    merge = lambda acc, v: (acc + v) / 2  # noqa: E731
+
+    with pytest.raises(AnalysisException):
+        gsf.reduce_left_by_key(merge, value_col="v", max_group_rows=None)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(AnalysisException):
+            gsf.reduce_left_by_key(
+                merge, value_col="v", max_group_rows=10, group_rows_hint=50
+            )
+        # explicit result_type bypasses the native probe (documented out)
+        out = gsf.reduce_left_by_key(
+            merge,
+            value_col="v",
+            result_type="double",
+            max_group_rows=10,
+            group_rows_hint=50,
+        )
+    assert out.schema["reduce"].dataType.simpleString() == "double"
+    rows = {r.k: r.reduce for r in out.collect()}
+    assert set(rows) == {"hot", "cold"}
+
+
 def test_fold_guard_disabled_runs_no_estimate_job(spark):
     """max_group_rows=None must not launch the sampling job (bench/
     known-bounded paths): assert by plan construction being pure native

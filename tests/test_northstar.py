@@ -2073,6 +2073,39 @@ def test_semantic_dedup_keeps_furthest_from_centroid(spark):
     assert len(kept & {1, 2}) == 1  # exactly one twin survives
 
 
+def test_semantic_dedup_zero_norm_contract(spark):
+    """ADVICE r9: zero-norm embeddings have no defined cosine — pre-fix
+    they produced NaN/NULL cos_cent (rank desync vs the oracle's NULLS
+    LAST) and could never be removed nor remove others via a
+    never-true NaN pair test. Contract: always kept, sentinel
+    cell -1 / cent_rank 0, and the REAL vectors' cells/ranks/removals
+    are exactly what they'd be with the zero vectors absent."""
+    from spark_sorted_spark.functions.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    zeros = [(7, [0.0, 0.0, 0.0]), (8, [0.0, 0.0, 0.0])]
+    mk = lambda r: spark.createDataFrame(  # noqa: E731
+        r, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: (r.cell, r.cent_rank, r.is_kept)
+        for r in semantic_dedup(mk(rows + zeros), tau=0.99, nlist=1).collect()
+    }
+    # zero-norm rows: always kept, sentinel cell/rank
+    assert got[7] == (-1, 0, 1) and got[8] == (-1, 0, 1)
+    # the real rows are unaffected by the zero vectors' presence
+    want = {
+        r.vec_id: (r.cell, r.cent_rank, r.is_kept)
+        for r in semantic_dedup(mk(rows), tau=0.99, nlist=1).collect()
+    }
+    assert {k: v for k, v in got.items() if k in want} == want
+    assert got[1][2] + got[2][2] == 1  # the twin pair still dedups
+
+
 def test_semantic_dedup_validation(spark):
     from spark_sorted_spark.functions.similarity import semantic_dedup
 

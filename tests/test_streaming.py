@@ -1571,3 +1571,29 @@ def test_stream_maintain_gram_store_lifecycle(spark, sf_dir, tmp_path):
     # fresh checkpoint against the populated store: loud
     with _pytest.raises(ValueError, match="different ingest stream"):
         drain(str(tmp_path / "ckpt2"))
+
+    # an explicit min_len mismatching the recorded width fails EAGERLY
+    # (a plain ValueError before any stream/checkpoint side effect, not
+    # an opaque StreamingQueryException from inside foreachBatch) —
+    # ADVICE r9
+    with _pytest.raises(ValueError, match="min_len=8, got min_len=9"):
+        drain(ckpt, min_len=9)
+    assert snap(store) == want
+
+    # compaction must preserve the _ingest_stream marker (it lives
+    # inside {store}/grams, the dir the swap replaces — ADVICE r9):
+    # the SAME checkpoint resumes cleanly afterwards and a post-compact
+    # batch still dedups against the compacted base
+    from spark_sorted_spark.functions.dedup import compact_gram_store
+
+    compact_gram_store(spark, store)
+    assert (tmp_path / "stream_gram_store" / "grams" / "_ingest_stream").exists()
+    assert snap(store) == want
+    b3 = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") >= 400))
+    arrive(b3, "b3")
+    drain(ckpt)  # no ValueError: marker survived the compact
+    built_all = str(tmp_path / "batch_store_all")
+    build_gram_store(
+        b1.unionByName(b2).unionByName(b3), built_all, min_len=8
+    )
+    assert snap(store) == snap(built_all)
