@@ -28,8 +28,7 @@ def test_gate_window_contents():
     for must in (
         # §2 reference operators are PERMANENT residents: every one of
         # C1-C6/P1-P4/A1-A5/J1-J5/S1 must hold a driver row in every
-        # round (first achieved by round-8 rotation #4; rotation #5
-        # deliberately rotated only non-§2 rows)
+        # round (first achieved by round-8 rotation #4)
         "groupsort_layout",
         "ema_fold",
         "reduce_concat",
@@ -45,43 +44,70 @@ def test_gate_window_contents():
         "merge_union",
         "scan_running_sum",
         "projection_chain",
-        # round-9 rotation #5 (VERDICT r8 item 2): 14 first-time rows —
-        # the never-gated queries earn driver confirmation, led by the
-        # two whose oracle-type bugs only the local audit caught
-        "window_range_frame",
-        "pack_sequences",
+        # the multimodal family representative (sole multimodal query)
+        "multimodal_features",
+        # round-10 rotation #6: the round-9 additions whose losslessness
+        # claims deserve the driver signal
+        "decontaminate_verbatim",
+        "dedup_repeated_spans",
+        "dedup_clean_repeated_spans",
+        "dedup_semantic",
+        "similarity_ann_pq",
+        "similarity_ann_ivfpq",
+        "unigram_logprob",
+        "dedup_exact_normalized",
+        "dedup_clusters_incremental",
+        # the longest-waiting carried rows
+        "embedding_clusters",
+        "stream_hll_by_source",
+        "stream_len_quantiles",
+        "window_distribution",
+        "unpivot_measures",
+        "negative_pairs",
+    ):
+        assert must in gated, f"{must} fell out of the driver gate window"
+    # after rotation #6 exactly ONE catalog query has never held a
+    # driver row: decontaminate_verbatim_short (parameter-twin of the
+    # gated decontaminate_verbatim) — rotate it in next round
+    # overflow: every rotated-out row was driver-green in the round it
+    # left (rotation #6 rows all green in CORRECTNESS_r09); family
+    # representation justified in the _GATE_ORDER comments. All
+    # overflow stays locally oracle-checked per round.
+    assert names[50:] == [
+        "text_stats",
+        "quality_score",
+        "normalize_text",
+        "dedup_exact",
+        "dedup_jaccard_prefix",
+        "dedup_minhash_lsh",
         "decontaminate_exact",
         "decontaminate_bloom",
-        "asof_nearest",
-        "resample_daily",
+        "similarity_topk",
+        "similarity_ann_lsh",
+        "stream_hourly_window",
+        "stream_session_window",
         "stream_late_drop",
         "stream_ann_index",
-        "embedding_dedup_incremental",
-        "normalize_text",
-        "chunk_documents",
-        "tpch_q9_product_profit",
-        "tpch_q18_large_orders",
-        "tpch_q21_waiting_suppliers",
-        # standing residents (operator families' gate representatives)
-        "grouping_sets_agg",
-        "corpus_mix",
+        "asof_nearest",
         "range_join",
-        "dedup_jaccard_prefix",
-        "dedup_incremental",
+        "grouping_sets_agg",
+        "window_rank_lag",
+        "window_range_frame",
+        "pipeline_clean_corpus",
+        "stream_stream_join",
+        "corpus_mix",
         "dedup_clusters",
+        "dedup_incremental",
+        "embedding_dedup_incremental",
         "knn_join",
         "sessionize_native",
         "length_quantiles_sketch",
-        "window_rank_lag",
-    ):
-        assert must in gated, f"{must} fell out of the driver gate window"
-    # overflow: round-9 rotation #5 rotated 14 driver-green rows out to
-    # make room for the 14 first-time rows (family-representation
-    # justifications in queries.py _GATE_ORDER comments); earlier
-    # rotations' overflow follows. All overflow stays locally
-    # oracle-checked (CORRECTNESS_LOCAL_r{N}.json covers the full
-    # catalog).
-    assert names[50:] == [
+        "pack_sequences",
+        "chunk_documents",
+        "resample_daily",
+        "tpch_q9_product_profit",
+        "tpch_q18_large_orders",
+        "tpch_q21_waiting_suppliers",
         "doc_fingerprint",
         "lang_id",
         "repetition_profile",
@@ -112,41 +138,7 @@ def test_gate_window_contents():
         "embedding_neardup",
         "rollup_agg",
         "cube_agg",
-        "unpivot_measures",
-        "redact_pii",
-        "build_vocab",
-        "embedding_clusters",
-        "tpch_q6_forecast_revenue",
-        "doc_keywords",
-        "tpch_q10_returned_items",
-        "tpch_q13_order_distribution",
-        "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier",
-        "tpch_q19_disjunctive_revenue",
-        "cms_heavy_shingles",
-        "negative_pairs",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q17_small_quantity",
-        "hll_grouped_by_source",
-        "window_distribution",
-        "stream_hll_by_source",
-        "tpch_q4_order_priority",
-        "tpch_q22_sales_opportunity",
-        "tpch_q12_late_shipments",
-        "tpch_q16_supplier_diversity",
-        "tpch_q20_part_promotion",
-        "stream_len_quantiles",
-        "decontaminate_verbatim",
         "decontaminate_verbatim_short",
-        "dedup_exact_normalized",
-        "dedup_clusters_incremental",
-        "similarity_ann_pq",
-        "similarity_ann_ivfpq",
-        "dedup_repeated_spans",
-        "dedup_clean_repeated_spans",
-        "unigram_logprob",
-        "dedup_semantic",
     ]
 
 
