@@ -423,6 +423,22 @@ def b35_gram_store_incremental(spark):
     force(clean_against_gram_store(batch, _GRAM_STORE_PATH))
 
 
+def b36_bm25_topk(spark):
+    # lexical retrieval: postings for 4 query terms, broadcast idf,
+    # TakeOrderedAndProject top-k
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["bm25_topk"](spark, SF_DIR))
+
+
+def b37_dsir_select(spark):
+    # DSIR: two bucketed LM aggregates, broadcast log-ratio join,
+    # per-doc strict fold, Gumbel-max take
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["dsir_select"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -461,6 +477,8 @@ BENCH = {
     "b33_repeated_spans": b33_repeated_spans,
     "b34_semantic_dedup": b34_semantic_dedup,
     "b35_gram_store_incremental": b35_gram_store_incremental,
+    "b36_bm25_topk": b36_bm25_topk,
+    "b37_dsir_select": b37_dsir_select,
 }
 
 

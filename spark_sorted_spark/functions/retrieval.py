@@ -1,0 +1,147 @@
+"""Lexical retrieval: BM25 top-k over a document corpus.
+
+The lexical complement to the embedding ANN surface
+(``functions/similarity.py``): the classic sparse-retrieval scorer
+(Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework:
+BM25 and Beyond") as ONE relational job — no inverted-index service,
+the index IS the relational algebra:
+
+    score(d, q) = sum_t idf(t) * tf(t,d) * (k1 + 1)
+                  / (tf(t,d) + k1 * (1 - b + b * dl(d) / avgdl))
+    idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+Scale shape (the 100 TB argument):
+
+* the exploded token stream is FILTERED to the query's terms
+  immediately after the explode — the per-term postings are built for
+  the handful of query terms only, never for the vocabulary;
+* ``df(t)`` is a |terms|-row aggregate and joins back by broadcast;
+* ``N``/``sum(dl)`` are one column-pruned 2-scalar aggregate
+  (bounded-metadata collect, the repo-wide pattern);
+* the final top-k is ``ORDER BY score DESC LIMIT k`` — Catalyst
+  compiles it to TakeOrderedAndProject (per-partition top-k + driver
+  merge of k-row heaps), never a global sort materialization.
+
+Float discipline: the idf's ``ln`` is evaluated on the |terms|-row
+df table through ``exactmath.ln_libm`` (bitwise the oracle's libm —
+JVM ``F.log`` rounds differently on ~4.4% of arguments); every other
+per-(doc, term) operation is a fixed-shape IEEE double expression
+over EXACT integers (tf, dl, df, N — avgdl enters as the exact
+integer pair sum_dl/N, divided inside the expression); and the
+per-document sum folds contributions in STRICT ascending-term order
+(array_sort + F.aggregate) — so the DuckDB oracle replays the floats
+bit-for-bit, same as the cosine and ln folds elsewhere in the repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for ``query`` (whitespace
+    tokenization, the corpus-wide ``tokens`` rule; duplicate query
+    terms count once, the standard short-query form). Only documents
+    matching at least one term can score — the returned relation is
+    ``(id, score, n_terms_matched)``, score-descending with the id as
+    the deterministic tiebreak."""
+    terms = sorted(set(query.split()))
+    if not terms:
+        raise ValueError("query has no terms")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (k1 > 0 and 0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
+
+    # one corpus scan for the postings: per-doc length + the doc's
+    # occurrences of QUERY terms only (the filter sits directly on the
+    # exploded stream — nothing vocabulary-sized is ever aggregated)
+    toks = tokens(text_col)
+    occ = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("__dl"),
+            F.explode(toks).alias("__tok"),
+        )
+        .filter(F.col("__tok").isin(terms))
+    )
+    tf = occ.groupBy(id_col, "__tok").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+
+    # corpus stats: bounded 2-scalar collect (column-pruned scan)
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("sum_dl")
+    ).head()
+    n_docs, sum_dl = int(stats.n), int(stats.sum_dl)
+    if n_docs == 0:
+        raise ValueError("corpus is empty")
+
+    # per-term document frequency: |terms|-row relation, broadcast
+    # back. The idf's ln runs on THIS bounded table through ln_libm
+    # (bitwise the oracle's libm; JVM F.log disagrees on ~4.4% of
+    # arguments — functions/exactmath.py); everything after it is
+    # IEEE-deterministic +|*|/ arithmetic.
+    from .exactmath import ln_libm
+
+    df_t = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    df_t = df_t.select(
+        "__tok",
+        ln_libm(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        ).alias("__idf"),
+    )
+
+    contrib = tf.join(F.broadcast(df_t), "__tok").select(
+        F.col(id_col),
+        F.col("__tok"),
+        (
+            F.col("__idf")
+            * (F.col("__tf") * F.lit(float(k1) + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(float(k1))
+                * (
+                    F.lit(1.0 - float(b))
+                    + F.lit(float(b))
+                    * F.col("__dl")
+                    / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
+                )
+            )
+        ).alias("__c"),
+    )
+    scored = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.array_sort(
+                F.collect_list(F.struct("__tok", "__c"))
+            ).alias("__cs"),
+        )
+        .select(
+            id_col,
+            F.aggregate(
+                F.col("__cs"), F.lit(0.0), lambda acc, s: acc + s["__c"]
+            ).alias("score"),
+            "n_terms_matched",
+        )
+    )
+    # TakeOrderedAndProject: per-partition top-k + driver k-heap merge
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(int(k))

@@ -165,3 +165,151 @@ def negative_pairs(
     return anchors.join(negs, on=["__b", "__nr"]).select(
         id_col, f"neg_{id_col}", "j"
     )
+
+
+def _hashed_features(text_col: str, include_bigrams: bool):
+    """The hashed bag-of-n-grams feature stream (unigrams, then
+    bigrams, in position order) as one Catalyst array expression —
+    DSIR's feature map (Xie et al. 2023, arXiv:2302.03169 §3: hashed
+    n-gram counts)."""
+    from .text import tokens
+
+    toks = tokens(text_col)
+    if not include_bigrams:
+        return toks
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): pick the ``k`` documents of ``raw`` whose
+    hashed-n-gram distribution most resembles ``target``, by Gumbel-max
+    sampling without replacement proportionally to the importance
+    weight
+
+        log w(d) = sum_{features f of d} [ln p_target(f) - ln p_raw(f)]
+
+    with add-1-smoothed bag-of-hashed-n-grams models (``n_buckets``
+    buckets; unigrams + bigrams by default, the paper's feature map)
+    fit to each corpus. The Gumbel perturbation is derandomized the
+    repo's usual way — content-determined from ``md5(id)`` — so
+    reruns, backfills, and the DuckDB oracle agree row-for-row.
+
+    Returns the selected rows ``(id, logw, sel_key)``, sel_key
+    descending (``sel_key = logw + gumbel(md5(id))``).
+
+    Scale shape: each LM fit is ONE map-side-combinable hash aggregate
+    whose result is bounded by ``n_buckets`` rows; the two
+    normalization scalars are bounded-metadata collects; scoring joins
+    the exploded feature stream to the broadcast <= n_buckets-row
+    log-ratio table, then folds per document in strict position order
+    (bitwise-reproducible float sum); the final take is ``ORDER BY
+    sel_key DESC LIMIT k`` — TakeOrderedAndProject, no global sort.
+    The target corpus is never required to be small: only its
+    BUCKETED aggregate (<= n_buckets rows) leaves the aggregation.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from .text import md5_int32
+
+    from .dedup import spread_small_input
+
+    feats = _hashed_features(text_col, include_bigrams)
+    bucket = F.pmod(md5_int32(F.col("__feat")), F.lit(n_buckets))
+    # the md5-per-feature stages are CPU-bound: make sure a small
+    # parquet input (one file => one scan partition) doesn't serialize
+    # them onto a single core (no-op at corpus scale)
+    raw = spread_small_input(raw)
+    target = spread_small_input(target)
+
+    def lm_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(feats).alias("__feat"))
+            .select(bucket.alias("__bkt"))
+            .groupBy("__bkt")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    # the two LM fits collapse to <= n_buckets rows each — bounded
+    # metadata (the same class as the IVF centroid collects), so the
+    # log-ratio table is computed DRIVER-SIDE with math.log: glibc
+    # libm, bitwise the oracle's ln (Spark's JVM F.log rounds
+    # differently on ~4.4% of arguments — functions/exactmath.py), and
+    # two aggregate jobs + two Python stages cheaper than server-side
+    # ln. The occurrence stream itself never leaves the JVM.
+    import math
+
+    from .exactmath import gumbel_libm
+
+    cr = dict(lm_counts(raw, "c").collect())
+    ct = dict(lm_counts(target, "c").collect())
+    n_raw, n_tgt = sum(cr.values()), sum(ct.values())
+    den_r, den_t = float(n_raw + n_buckets), float(n_tgt + n_buckets)
+    # every bucket a raw document can produce is present in cr (the
+    # raw LM is fit on raw itself); absent target buckets smooth to
+    # ln(1 / (n_tgt + B))
+    lam = raw.sparkSession.createDataFrame(
+        [
+            (
+                int(b),
+                math.log((ct.get(b, 0) + 1) / den_t)
+                - math.log((c + 1) / den_r),
+            )
+            for b, c in sorted(cr.items())
+        ],
+        "__bkt bigint, __lam double",
+    )
+
+    occ = raw.select(
+        F.col(id_col), F.posexplode(feats).alias("__pos", "__feat")
+    ).select(id_col, "__pos", bucket.alias("__bkt"))
+    logw = (
+        occ.join(F.broadcast(lam), "__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__lam"))
+            ).alias("__ls")
+        )
+        .select(
+            id_col,
+            F.aggregate(
+                F.col("__ls"), F.lit(0.0), lambda acc, s: acc + s["__lam"]
+            ).alias("logw"),
+        )
+    )
+    # Gumbel-max without replacement, derandomized: u in (0,1) from the
+    # id's md5 prefix, g = -ln(-ln(u)); top-k by logw + g. The gumbel
+    # runs through gumbel_libm — ONE Arrow pass over one double column
+    # at one row per document, AFTER the fold (the sanctioned per-row
+    # libm use: a JVM-log key here would make the selected row set
+    # engine-dependent at the k boundary).
+    u = (md5_int32(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    return (
+        logw.select(
+            id_col,
+            "logw",
+            (F.col("logw") + gumbel_libm(u)).alias("sel_key"),
+        )
+        .orderBy(F.col("sel_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -415,10 +415,14 @@ def unigram_logprob(
     (perplexity = exp(-logprob_per_token)).
 
     Exactness: ``P(t) = (c_t + alpha) / (N + alpha * V)`` is a ratio of
-    exact integers; ``ln`` is evaluated per token and summed with a
+    exact integers; ``ln`` is evaluated ONCE PER DISTINCT TOKEN on the
+    count table through :func:`..exactmath.ln_libm` (Python/glibc libm
+    — bitwise the oracle's ``ln``; Spark's JVM ``F.log`` disagrees
+    with libm on ~4.4% of arguments, so the pre-round-10 per-occurrence
+    ``F.log`` passed its gates on luck), and the per-document sum is a
     STRICT in-token-order fold (array_sort by position, then a left
-    fold), so the DuckDB oracle replays the float result bit-for-bit
-    — the same discipline as the cosine folds.
+    fold) — so the DuckDB oracle replays the float result bit-for-bit,
+    the same discipline as the cosine folds.
 
     Scale shape: training is ONE hash aggregate over exploded tokens
     (map-side combine absorbs stopword skew); `N`/`V` are a bounded
@@ -439,17 +443,27 @@ def unigram_logprob(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).head()
     denom = float(nv.n + alpha * nv.v)
+    # ln on the VOCABULARY table (one Arrow pass over V rows), not the
+    # occurrence stream — libm-exact vs the oracle (see docstring); a
+    # token unseen in the training corpus scores the smoothed floor,
+    # computed with the same libm driver-side
+    from .exactmath import ln_libm
+
+    import math
+
+    lp_floor = math.log(alpha / denom)
+    lp_tbl = counts.select(
+        "tok",
+        ln_libm((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("__lp"),
+    )
     occ = df.select(
         F.col(id_col),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
-    scored = occ.join(counts, on="tok", how="left").select(
+    scored = occ.join(lp_tbl, on="tok", how="left").select(
         id_col,
         "pos",
-        F.log(
-            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
-            / F.lit(denom)
-        ).alias("lp"),
+        F.coalesce(F.col("__lp"), F.lit(lp_floor)).alias("lp"),
     )
     per_doc = (
         scored.groupBy(id_col)

@@ -556,6 +556,129 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(load_table(spark, "documents", sf_dir))
 
 
+# BM25 constants, computed in Python and templated into BOTH engines
+# via repr (shortest round-trip decimal -> both parsers land on the
+# identical double), so the oracle's per-term contribution expression
+# is operand-for-operand the engine's.
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "bm25_topk",
+    # full SQL replay of functions/retrieval.py bm25_topk: postings
+    # for the 4 query terms only, ln-idf and the tf/length saturation
+    # as ONE fixed-shape double expression over exact integers, the
+    # per-doc sum a strict term-ordered fold, top-20 by (score DESC,
+    # doc_id). Constants via repr so literals match bitwise.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN ('filter', 'join', 'spark', 'window')
+      GROUP BY doc_id, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score, n_terms_matched FROM scored
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (functions/retrieval.py bm25_topk): BM25
+    top-20 for a 4-term query as one relational job — postings built
+    for the query terms only, |terms|-row broadcast idf join,
+    TakeOrderedAndProject top-k (never a global sort)."""
+    from .functions.retrieval import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, "documents", sf_dir),
+        "spark join window filter",
+        k=20,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+@query(
+    "dsir_select",
+    # full SQL replay of functions/sampling.py dsir_select (DSIR, Xie
+    # et al. 2023): hashed unigram+bigram features (md5-prefix mod
+    # 512), add-1-smoothed per-bucket LMs of raw (= documents) and
+    # target (= source 'src0'), per-doc importance weight as a strict
+    # position-ordered ln-ratio fold, Gumbel key derandomized from
+    # md5(doc_id), top-200 by (sel_key DESC, doc_id).
+    oracle="""
+    WITH rawd AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             list_concat(toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])) AS f
+      FROM rawd),
+    raw_occ AS (
+      SELECT doc_id, unnest(generate_series(1, len(f))) AS pos,
+             unnest(f) AS feat
+      FROM feats),
+    raw_b AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(feat), 1, 8))::BIGINT % 512 AS bkt
+      FROM raw_occ),
+    cr AS (SELECT bkt, count(*) AS cr FROM raw_b GROUP BY bkt),
+    ct AS (
+      SELECT bkt, count(*) AS ct
+      FROM raw_b b JOIN documents d USING (doc_id)
+      WHERE d.source = 'src0' GROUP BY bkt),
+    nn AS (SELECT (SELECT sum(cr) FROM cr) AS nr,
+                  (SELECT coalesce(sum(ct), 0) FROM ct) AS nt),
+    lam AS (
+      SELECT cr.bkt,
+             ln((coalesce(ct.ct, 0) + 1) / (nn.nt + 512)::DOUBLE)
+             - ln((cr.cr + 1) / (nn.nr + 512)::DOUBLE) AS lam
+      FROM cr LEFT JOIN ct USING (bkt) CROSS JOIN nn),
+    logw AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(lam ORDER BY pos)),
+                         (a, x) -> a + x) AS logw
+      FROM raw_b JOIN lam USING (bkt) GROUP BY doc_id)
+    SELECT doc_id, logw,
+           logw - ln(-ln(
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+             / 4294967296.0)) AS sel_key
+    FROM logw ORDER BY sel_key DESC, doc_id LIMIT 200
+    """,
+)
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (functions/sampling.py dsir_select): pick
+    the 200 documents importance-resampled toward the source-'src0'
+    slice — bucketed n-gram LMs (one bounded hash aggregate per side),
+    broadcast log-ratio join, strict position-ordered weight fold,
+    derandomized Gumbel-max take."""
+    from .functions.sampling import dsir_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_select(
+        docs, docs.filter(F.col("source") == "src0"), k=200, n_buckets=512
+    )
+
+
 @query(
     "quality_score",
     oracle="""
@@ -4980,6 +5103,12 @@ _GATE_ORDER = [
     # _short is the one never-gated row left: the gated
     # decontaminate_verbatim runs the same contains_join operator with
     # a longer probe — rotate it in next round.
+    # round-10 additions (overflow — rotation #6's window was already
+    # committed to the 34 standing never-gated rows; these two join
+    # decontaminate_verbatim_short as rotation #7 leads): BM25 lexical
+    # retrieval and DSIR importance selection, both vs full SQL replays
+    "bm25_topk",
+    "dsir_select",
     "doc_fingerprint",
     "lang_id",
     "repetition_profile",

@@ -108,6 +108,8 @@ def test_gate_window_contents():
         "tpch_q9_product_profit",
         "tpch_q18_large_orders",
         "tpch_q21_waiting_suppliers",
+        "bm25_topk",
+        "dsir_select",
         "doc_fingerprint",
         "lang_id",
         "repetition_profile",

@@ -1773,3 +1773,115 @@ class TestUnigramLogprob:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with _pytest.raises(ValueError, match="alpha"):
             unigram_logprob(df, alpha=0)
+
+
+class TestDsirSelect:
+    """DSIR importance resampling (functions/sampling.py dsir_select,
+    Xie et al. 2023)."""
+
+    @staticmethod
+    def _dsir_ref(raw, target, k, n_buckets):
+        """Pure-Python replica: hashed unigram+bigram buckets, add-1
+        bucket LMs, position-ordered ln-ratio fold, derandomized
+        Gumbel-max top-k."""
+        import hashlib
+        import math
+
+        def feats(text):
+            toks = text.strip().split()
+            return toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+
+        def bkt(f):
+            return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % n_buckets
+
+        cr, ct = {}, {}
+        for _i, t in raw:
+            for f in feats(t):
+                cr[bkt(f)] = cr.get(bkt(f), 0) + 1
+        for _i, t in target:
+            for f in feats(t):
+                ct[bkt(f)] = ct.get(bkt(f), 0) + 1
+        nr, nt = sum(cr.values()), sum(ct.values())
+        keyed = []
+        for i, t in raw:
+            lw = 0.0
+            for f in feats(t):
+                b = bkt(f)
+                lw += math.log((ct.get(b, 0) + 1) / float(nt + n_buckets))
+                lw -= math.log((cr[b] + 1) / float(nr + n_buckets))
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            u = (h + 0.5) / 4294967296.0
+            keyed.append((i, lw, lw - math.log(-math.log(u))))
+        keyed.sort(key=lambda r: (-r[2], r[0]))
+        return keyed[:k]
+
+    def test_matches_python_replica(self, spark):
+        import random
+
+        from spark_sorted_spark.functions.sampling import dsir_select
+
+        rng = random.Random(20260815)
+        voc_a = ["alpha", "beta", "gamma", "delta"]
+        voc_b = ["red", "green", "blue", "cyan"]
+        raw = [
+            (i, " ".join(rng.choices(voc_a if i % 3 == 0 else voc_b, k=12)))
+            for i in range(90)
+        ]
+        target = [(1000 + i, " ".join(rng.choices(voc_a, k=12))) for i in range(30)]
+        raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+        tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+        got = [
+            (r.doc_id, r.logw, r.sel_key)
+            for r in dsir_select(raw_df, tgt_df, k=15, n_buckets=64).collect()
+        ]
+        want = self._dsir_ref(raw, target, 15, 64)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], rel=1e-12)
+            assert g[2] == pytest.approx(w[2], rel=1e-12)
+
+    def test_selects_target_like_documents(self, spark):
+        """The point of the op: with a target drawn from vocabulary A,
+        the selected raw docs are overwhelmingly the A-like ones."""
+        import random
+
+        from spark_sorted_spark.functions.sampling import dsir_select
+
+        rng = random.Random(7)
+        voc_a = ["alpha", "beta", "gamma", "delta"]
+        voc_b = ["red", "green", "blue", "cyan"]
+        raw = [
+            (i, " ".join(rng.choices(voc_a if i < 40 else voc_b, k=15)))
+            for i in range(200)
+        ]
+        target = [(9000 + i, " ".join(rng.choices(voc_a, k=15))) for i in range(50)]
+        raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+        tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+        sel = {r.doc_id for r in dsir_select(raw_df, tgt_df, k=30).collect()}
+        a_like = sum(1 for i in sel if i < 40)
+        assert a_like >= 27  # gumbel noise may admit a stray B doc
+
+    def test_plan_shape(self, spark):
+        """Scale pins: the log-ratio table joins by BROADCAST, and the
+        final take is TakeOrderedAndProject — no global sort, no
+        shuffle of the lambda join's big side."""
+        from spark_sorted_spark.functions.sampling import dsir_select
+
+        raw_df = spark.createDataFrame(
+            [(i, "a b c") for i in range(10)], "doc_id long, text string"
+        )
+        out = dsir_select(raw_df, raw_df, k=3, n_buckets=16)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, spark):
+        from spark_sorted_spark.functions.sampling import dsir_select
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="k must"):
+            dsir_select(df, df, k=0)
+        with pytest.raises(ValueError, match="n_buckets"):
+            dsir_select(df, df, k=1, n_buckets=1)

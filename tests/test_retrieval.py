@@ -1,0 +1,157 @@
+"""BM25 top-k (functions/retrieval.py) and the libm-exact ln helpers
+(functions/exactmath.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _bm25_ref(docs, query, k1=1.2, b=0.75):
+    """Pure-Python BM25 replica (Robertson & Zaragoza 2009): same
+    tokenization, same smoothed idf, same saturation, per-doc sum in
+    ascending-term order."""
+    terms = sorted(set(query.split()))
+    toks = {i: t.strip().split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    out = {}
+    for i, v in toks.items():
+        s, matched = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (float(n) - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(v) / avgdl)
+            )
+        if matched:
+            out[i] = (s, matched)
+    return out
+
+
+def test_bm25_matches_reference_replica(spark):
+    from spark_sorted_spark.functions.retrieval import bm25_topk
+
+    docs = {
+        1: "spark shuffle join spark spark",
+        2: "join join join window",
+        3: "filter scan filter",
+        4: "window spark",
+        5: "unrelated words entirely",
+        6: "spark join window filter all four terms here",
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.score, r.n_terms_matched)
+        for r in bm25_topk(df, "spark join window filter", k=10).collect()
+    }
+    want = _bm25_ref(docs, "spark join window filter")
+    assert got.keys() == want.keys()  # doc 5 matches nothing
+    for i in want:
+        assert got[i][1] == want[i][1]
+        assert got[i][0] == pytest.approx(want[i][0], rel=1e-12)
+    # doc 6 matches all four terms -> must rank first
+    top = bm25_topk(df, "spark join window filter", k=1).collect()[0]
+    assert top.doc_id == 6
+
+
+def test_bm25_k_limits_and_order(spark):
+    from spark_sorted_spark.functions.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "common " * (i + 1)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, "common", k=5).collect()
+    assert len(rows) == 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_topk_plan_is_take_ordered(spark):
+    """The scale pin: final top-k must compile to TakeOrderedAndProject
+    (per-partition k-heaps), never a global Sort + Limit."""
+    from spark_sorted_spark.functions.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    plan = (
+        bm25_topk(df, "a b", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_validation(spark):
+    from spark_sorted_spark.functions.retrieval import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="terms"):
+        bm25_topk(df, "   ")
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(df, "a", k=0)
+    with pytest.raises(ValueError, match="k1"):
+        bm25_topk(df, "a", k1=0.0)
+    with pytest.raises(ValueError, match="k1"):
+        bm25_topk(df, "a", b=1.5)
+
+
+# ---------------------------------------------------------------------------
+# exactmath: the libm-exact ln (round-10 flake fix)
+# ---------------------------------------------------------------------------
+
+
+def test_ln_libm_matches_libm_and_duckdb(spark):
+    """ln_libm == math.log == DuckDB ln on a hostile sample, INCLUDING
+    arguments where the JVM's Math.log is known to round differently
+    (74/55890 measured on this host) — the disagreement class that let
+    a Spark-side F.log pass exact-compare gates on luck."""
+    import random
+
+    import duckdb
+
+    from spark_sorted_spark.functions.exactmath import ln_libm
+
+    rng = random.Random(7)
+    args = (
+        [74 / 55890.0, 21 / 55890.0, 7 / 3553.0]
+        + [rng.uniform(1e-9, 1.0) for _ in range(2000)]
+        + [rng.uniform(1.0, 1e6) for _ in range(2000)]
+    )
+    df = spark.createDataFrame([(a,) for a in args], "x double")
+    got = [r.y for r in df.select(ln_libm(F.col("x")).alias("y")).collect()]
+    assert got == [math.log(a) for a in args]
+    con = duckdb.connect()
+    dk = [
+        r[0]
+        for r in con.execute(
+            "SELECT ln(x) FROM (SELECT unnest(?) AS x)", [args]
+        ).fetchall()
+    ]
+    assert got == dk
+
+
+def test_ln_libm_null_passthrough(spark):
+    from spark_sorted_spark.functions.exactmath import ln_libm
+
+    df = spark.createDataFrame([(1.0,), (None,)], "x double")
+    rows = df.select(ln_libm(F.col("x")).alias("y")).collect()
+    assert rows[0].y == 0.0 and rows[1].y is None
+
+
+def test_gumbel_libm_formula(spark):
+    from spark_sorted_spark.functions.exactmath import gumbel_libm
+
+    us = [0.1, 0.5, 0.9, 0.999]
+    df = spark.createDataFrame([(u,) for u in us], "u double")
+    got = [r.g for r in df.select(gumbel_libm(F.col("u")).alias("g")).collect()]
+    assert got == [-math.log(-math.log(u)) for u in us]
