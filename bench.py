@@ -439,6 +439,13 @@ def b37_dsir_select(spark):
     force(QUERIES["dsir_select"](spark, SF_DIR))
 
 
+def b38_bm25_join(spark):
+    # batch R-S BM25: 5 queries x corpus, one scan, per-query top-5
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["bm25_join"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -479,6 +486,7 @@ BENCH = {
     "b35_gram_store_incremental": b35_gram_store_incremental,
     "b36_bm25_topk": b36_bm25_topk,
     "b37_dsir_select": b37_dsir_select,
+    "b38_bm25_join": b38_bm25_join,
 }
 
 

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "bm25_join"]
 
 
 def bm25_topk(
@@ -145,3 +145,131 @@ def bm25_topk(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def bm25_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch BM25 retrieval — the R-S form of :func:`bm25_topk`: score
+    EVERY query of ``queries`` against ``docs`` in one relational job
+    and keep each query's top ``k`` (the shape of RAG candidate
+    generation, lexical decontamination sweeps, and eval-set retrieval
+    at corpus scale, where looping ``bm25_topk`` would re-scan the
+    corpus per query). Duplicate terms within a query count once
+    (same short-query form as bm25_topk).
+
+    Returns ``(query_id, id, score, n_terms_matched, rank)`` with
+    rank 1..k per query (score DESC, id tiebreak).
+
+    Scale shape: the corpus explode is filtered by ONE semi-join
+    against the distinct term vocabulary of the whole query batch —
+    the corpus is scanned once regardless of |queries| (AQE picks the
+    join strategy; the term table is workload-bounded, typically
+    broadcast). df(t) aggregates over matched postings only; idf's ln
+    runs on that |terms|-row table via ln_libm. Per-query top-k is a
+    window over the query partitioning — per-partition state is one
+    query's candidates, spilled by WindowExec if a query matches
+    half the corpus. Floats: same discipline as bm25_topk (libm idf,
+    fixed-shape contributions, strict (term)-ordered per-(query, doc)
+    fold) — the DuckDB oracle replays bit-for-bit."""
+    from pyspark.sql import Window
+
+    from .exactmath import ln_libm
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (k1 > 0 and 0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens(query_text_col)).alias("__tok"),
+        )
+        .distinct()
+    )
+    vocab = qterms.select("__tok").distinct()
+
+    toks = tokens(text_col)
+    occ = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        F.explode(toks).alias("__tok"),
+    ).join(vocab, "__tok")
+    tf = occ.groupBy(id_col, "__tok").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+
+    # bounded-collect: two corpus scalars (count + total length)
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("sum_dl")
+    ).head()
+    n_docs, sum_dl = int(stats.n), int(stats.sum_dl)
+    if n_docs == 0:
+        raise ValueError("corpus is empty")
+
+    df_t = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    df_t = df_t.select(
+        "__tok",
+        ln_libm(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        ).alias("__idf"),
+    )
+
+    contrib = (
+        tf.join(df_t, "__tok")
+        .join(qterms, "__tok")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("__tok"),
+            (
+                F.col("__idf")
+                * (F.col("__tf") * F.lit(float(k1) + 1.0))
+                / (
+                    F.col("__tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - float(b))
+                        + F.lit(float(b))
+                        * F.col("__dl")
+                        / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
+                    )
+                )
+            ).alias("__c"),
+        )
+    )
+    scored = (
+        contrib.groupBy(query_id_col, id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.array_sort(
+                F.collect_list(F.struct("__tok", "__c"))
+            ).alias("__cs"),
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.col("__cs"), F.lit(0.0), lambda acc, s: acc + s["__c"]
+            ).alias("score"),
+            "n_terms_matched",
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

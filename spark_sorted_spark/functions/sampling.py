@@ -25,6 +25,9 @@ __all__ = [
     "stratified_hash_sample",
     "hash_split",
     "negative_pairs",
+    "dsir_select",
+    "temperature_quotas",
+    "temperature_mix",
 ]
 
 
@@ -258,7 +261,10 @@ def dsir_select(
 
     from .exactmath import gumbel_libm
 
+    # bounded-collect: each LM fit aggregate has <= n_buckets rows by
+    # construction (the hash range), independent of corpus size
     cr = dict(lm_counts(raw, "c").collect())
+    # bounded-collect: same <= n_buckets bound as cr
     ct = dict(lm_counts(target, "c").collect())
     n_raw, n_tgt = sum(cr.values()), sum(ct.values())
     den_r, den_t = float(n_raw + n_buckets), float(n_tgt + n_buckets)
@@ -313,3 +319,84 @@ def dsir_select(
         .orderBy(F.col("sel_key").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def temperature_quotas(
+    counts: Mapping[str, int], total: int, temperature: float
+) -> dict[str, int]:
+    """Per-stratum quotas for a temperature-scaled mixture (the
+    Pile/LLaMA data-mix recipe): quota_s = floor(total * w_s / sum w)
+    with w_s = c_s^(1/T). T=1 reproduces the natural mix, T->inf the
+    uniform mix; T=2 (the common choice) makes w_s = sqrt(c_s), which
+    is IEEE-CORRECTLY-ROUNDED — every float here then matches any
+    engine bit-for-bit. Other temperatures go through pow, which libm
+    does NOT correctly round: determinism is then host-libm (the same
+    caveat functions/exactmath.py documents for ln). The weight sum
+    folds in sorted-stratum order so a SQL replay can reproduce it."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    import math
+
+    if temperature == 2.0:
+        w = {s: math.sqrt(c) for s, c in counts.items()}
+    else:
+        w = {s: math.pow(c, 1.0 / temperature) for s, c in counts.items()}
+    sw = 0.0
+    for s in sorted(w):  # strict order: SQL-replayable fold
+        sw += w[s]
+    if sw == 0.0:
+        return {s: 0 for s in counts}
+    return {s: int(math.floor(total * w[s] / sw)) for s in counts}
+
+
+def temperature_mix(
+    df: DataFrame,
+    total: int,
+    temperature: float = 2.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled corpus mix: keep ``quota_s`` documents of
+    each source (see :func:`temperature_quotas`), picking each source's
+    members by the content-deterministic hash order ``(md5(id), id)``
+    — the same coin every sampler in this module flips, so reruns,
+    backfills, and other engines select identical rows. Returns
+    ``(id, source, rank)`` with rank 1..quota_s within source.
+
+    Scale shape: the per-source counts are a bounded collect (sources
+    are a bounded vocabulary); selection is ONE window over the
+    existing source partitioning — a skewed source degrades to
+    WindowExec's spill path, never a driver materialization — and the
+    quota filter is a broadcast of a |sources|-row literal relation.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        # bounded-collect: one row per source — sources are a bounded
+        # vocabulary (domains/datasets), not a data-sized relation
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    if not counts:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, {source_col} string, rank bigint"
+        )
+    quotas = temperature_quotas(counts, total, temperature)
+    from pyspark.sql import Window
+
+    qdf = df.sparkSession.createDataFrame(
+        sorted(quotas.items()), f"{source_col} string, __q bigint"
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+    return ranked.join(F.broadcast(qdf), source_col).filter(
+        F.col("rank") <= F.col("__q")
+    ).select(id_col, source_col, "rank")

@@ -616,6 +616,70 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_join",
+    # batch (R-S) BM25: 5 queries — the first 4 tokens of documents
+    # 3/7/11/19/23 — scored against the whole corpus in one job,
+    # top-5 per query. Same float discipline as bm25_topk; per-query
+    # rank by (score DESC, doc_id).
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id AS query_id, list_slice(toks, 1, 4) AS qt
+      FROM docs WHERE doc_id IN (3, 7, 11, 19, 23)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS tok FROM q),
+    vocab AS (SELECT DISTINCT tok FROM qterms),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT qt.query_id, t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) JOIN qterms qt USING (tok)
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT query_id, doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score, n_terms_matched,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    SELECT query_id, doc_id, score, n_terms_matched, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def bm25_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch lexical retrieval (functions/retrieval.py bm25_join): the
+    R-S BM25 form — one corpus scan scores a whole query batch,
+    per-query windowed top-k. The RAG-candidate / eval-retrieval shape
+    at corpus scale."""
+    from .functions.retrieval import bm25_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    queries = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    return bm25_join(
+        docs, queries, k=5, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@query(
     "dsir_select",
     # full SQL replay of functions/sampling.py dsir_select (DSIR, Xie
     # et al. 2023): hashed unigram+bigram features (md5-prefix mod
@@ -676,6 +740,47 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dsir_select(
         docs, docs.filter(F.col("source") == "src0"), k=200, n_buckets=512
+    )
+
+
+@query(
+    "temperature_mix",
+    # full replay of functions/sampling.py temperature_mix at T=2:
+    # per-source sqrt weights (sqrt is IEEE correctly rounded — exact
+    # on every engine), weight sum folded in sorted-source order (the
+    # same order the Python driver sums), floor quotas, md5-rank take.
+    oracle="""
+    WITH ws AS (
+      SELECT source, count(*) AS c, sqrt(count(*)) AS w
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                         (a, x) -> a + x) AS sw
+      FROM ws),
+    quota AS (
+      SELECT source, floor(150 * w / sw)::BIGINT AS q
+      FROM ws CROSS JOIN tot),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
+      FROM documents)
+    SELECT doc_id, source, rank
+    FROM ranked JOIN quota USING (source)
+    WHERE rank <= q
+    """,
+)
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mix (functions/sampling.py
+    temperature_mix): 150 documents at T=2 — per-source quotas
+    proportional to sqrt(count), members picked by the deterministic
+    (md5(id), id) hash order. Bounded per-source-count collect, one
+    window over the source partitioning, broadcast quota join."""
+    from .functions.sampling import temperature_mix
+
+    return temperature_mix(
+        load_table(spark, "documents", sf_dir), total=150, temperature=2.0
     )
 
 
@@ -5108,7 +5213,9 @@ _GATE_ORDER = [
     # decontaminate_verbatim_short as rotation #7 leads): BM25 lexical
     # retrieval and DSIR importance selection, both vs full SQL replays
     "bm25_topk",
+    "bm25_join",
     "dsir_select",
+    "temperature_mix",
     "doc_fingerprint",
     "lang_id",
     "repetition_profile",

@@ -109,7 +109,9 @@ def test_gate_window_contents():
         "tpch_q18_large_orders",
         "tpch_q21_waiting_suppliers",
         "bm25_topk",
+        "bm25_join",
         "dsir_select",
+        "temperature_mix",
         "doc_fingerprint",
         "lang_id",
         "repetition_profile",

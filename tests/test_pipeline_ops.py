@@ -1885,3 +1885,63 @@ class TestDsirSelect:
             dsir_select(df, df, k=0)
         with pytest.raises(ValueError, match="n_buckets"):
             dsir_select(df, df, k=1, n_buckets=1)
+
+
+class TestTemperatureMix:
+    """Temperature-scaled corpus mix (functions/sampling.py
+    temperature_mix / temperature_quotas — the Pile/LLaMA data-mix
+    recipe)."""
+
+    def test_quotas_shift_toward_uniform_with_temperature(self):
+        from spark_sorted_spark.functions.sampling import temperature_quotas
+
+        counts = {"big": 9000, "mid": 900, "small": 100}
+        nat = temperature_quotas(counts, 1000, 1.0)
+        t2 = temperature_quotas(counts, 1000, 2.0)
+        hot = temperature_quotas(counts, 1000, 100.0)
+        # T=1 reproduces the natural mix (floor rounding)
+        assert nat == {"big": 900, "mid": 90, "small": 10}
+        # higher temperature flattens: small gains share monotonically
+        assert nat["small"] < t2["small"] < hot["small"]
+        assert nat["big"] > t2["big"] > hot["big"]
+        # near-uniform at high T
+        assert max(hot.values()) - min(hot.values()) <= 60
+
+    def test_mix_is_deterministic_and_quota_exact(self, spark):
+        import random
+
+        from spark_sorted_spark.functions.sampling import (
+            temperature_mix,
+            temperature_quotas,
+        )
+
+        rng = random.Random(3)
+        rows = [(i, "a" if i < 700 else ("b" if i < 900 else "c"))
+                for i in range(1000)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out1 = temperature_mix(df, 300, 2.0).collect()
+        out2 = temperature_mix(
+            df.repartition(7), 300, 2.0
+        ).collect()  # partitioning must not matter
+        assert sorted((r.doc_id, r.source, r.rank) for r in out1) == sorted(
+            (r.doc_id, r.source, r.rank) for r in out2
+        )
+        got = {}
+        for r in out1:
+            got[r.source] = got.get(r.source, 0) + 1
+        want = temperature_quotas({"a": 700, "b": 200, "c": 100}, 300, 2.0)
+        assert got == {s: q for s, q in want.items() if q > 0}
+
+    def test_validation_and_empty(self, spark):
+        from spark_sorted_spark.functions.sampling import (
+            temperature_mix,
+            temperature_quotas,
+        )
+
+        with pytest.raises(ValueError, match="temperature"):
+            temperature_quotas({"a": 1}, 10, 0.0)
+        with pytest.raises(ValueError, match="total"):
+            temperature_quotas({"a": 1}, -1, 2.0)
+        df = spark.createDataFrame([], "doc_id long, source string")
+        assert temperature_mix(df, 10).count() == 0

@@ -155,3 +155,44 @@ def test_gumbel_libm_formula(spark):
     df = spark.createDataFrame([(u,) for u in us], "u double")
     got = [r.g for r in df.select(gumbel_libm(F.col("u")).alias("g")).collect()]
     assert got == [-math.log(-math.log(u)) for u in us]
+
+
+def test_bm25_join_matches_per_query_topk(spark):
+    """The batch form must equal running bm25_topk per query (same
+    corpus stats, same idf, same folds) — pinned by value equality on
+    every (query, doc, score) triple."""
+    from spark_sorted_spark.functions.retrieval import bm25_join, bm25_topk
+
+    docs = {
+        1: "spark shuffle join spark spark",
+        2: "join join join window",
+        3: "filter scan filter",
+        4: "window spark",
+        5: "unrelated words entirely",
+        6: "spark join window filter all four terms here",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    queries = [(100, "spark join"), (200, "filter window"), (300, "scan")]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.n_terms_matched, r.rank)
+        for r in bm25_join(df, qdf, k=3).collect()
+    }
+    for qid, qtext in queries:
+        single = bm25_topk(df, qtext, k=3).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, r.doc_id)] == (r.score, r.n_terms_matched, rank)
+    assert len(got) == sum(len(bm25_topk(df, qt, k=3).collect()) for _, qt in queries)
+
+
+def test_bm25_join_duplicate_query_terms_count_once(spark):
+    from spark_sorted_spark.functions.retrieval import bm25_join
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a a")], "doc_id long, text string"
+    )
+    q1 = spark.createDataFrame([(10, "a a a")], "query_id long, text string")
+    q2 = spark.createDataFrame([(10, "a")], "query_id long, text string")
+    r1 = sorted((r.doc_id, r.score) for r in bm25_join(df, q1, k=5).collect())
+    r2 = sorted((r.doc_id, r.score) for r in bm25_join(df, q2, k=5).collect())
+    assert r1 == r2

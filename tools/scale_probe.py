@@ -201,6 +201,33 @@ def main():
             .count()
         )
 
+    def b36(d):
+        # full collect of the k-row result (count() on a LIMIT plan
+        # could shortcut; the 20-row collect forces the scoring)
+        from spark_sorted_spark.functions.retrieval import bm25_topk
+
+        return lambda: len(
+            bm25_topk(d, "spark join window filter", k=20).collect()
+        )
+
+    def b37(d):
+        from spark_sorted_spark.functions.sampling import dsir_select
+
+        tgt = d.filter(F.col("source") == "src0")
+        return lambda: len(
+            dsir_select(d, tgt, k=200, n_buckets=512).collect()
+        )
+
+    def b38(d):
+        from spark_sorted_spark.functions.retrieval import bm25_join
+
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        q = d.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        return lambda: bm25_join(d, q, k=5).count()
+
     rows = []
     for name, f1, f10 in (
         ("b14_simhash_banded", b14(docs), b14(docs10)),
@@ -223,6 +250,9 @@ def main():
         ("b33_repeated_spans", b33(docs), b33(docs10)),
         ("b34_semantic_dedup (auto nlist)", b34(emb), b34(emb10)),
         ("b34_semantic_dedup 10x fixed nlist=16", None, b34(emb10, nlist=16)),
+        ("b36_bm25_topk", b36(docs), b36(docs10)),
+        ("b37_dsir_select", b37(docs), b37(docs10)),
+        ("b38_bm25_join", b38(docs), b38(docs10)),
     ):
         t1, n1 = timed(f1) if f1 else (None, None)
         t10, n10 = timed(f10)
