@@ -925,6 +925,7 @@ def build_minhash_band_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    commit: str = "rename",
 ) -> None:
     """Persist the banded MinHash signature table for a corpus — the
     INCREMENTAL-dedup store. Built once per corpus (the only pass that
@@ -947,16 +948,33 @@ def build_minhash_band_store(
     IDEMPOTENT (replaying a batch overwrites its own partition
     instead of appending twice); batch reads prune replay-tainted
     partitions with ``before_batch``. Partition pruning makes both
-    free at read time."""
+    free at read time.
+
+    ``commit="manifest"`` (round 10): the store is written under a
+    fresh ``{path}/gen-{k}`` generation and published by the atomic
+    ``_current`` pointer PUT — the object-store-safe layout
+    (``sources/manifest.py``, same protocol as the ANN indexes).
+    Appends, probes, and compaction resolve the pointer transparently
+    on both layouts; compaction on a manifest store publishes a NEW
+    generation, so it is also safe under concurrent readers."""
+    from ..sources.manifest import begin_generation, commit_generation
+
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
     bands = minhash_band_table(df, text_col, id_col, n)
     spark = df.sparkSession
-    # a build is a FRESH store: clear stale append partitions first
-    # (overwriting only the base partition would leave them behind).
-    # Delete ONLY the two store subdirs, never the user-supplied path
-    # itself — a mistyped path must not take unrelated data with it,
-    # and a failure between delete and write leaves the sibling intact
-    _rm_dir(spark, f"{path}/bands")
-    _rm_dir(spark, f"{path}/counts")
+    if commit == "manifest":
+        root = path
+        path = begin_generation(spark, root)
+    else:
+        # a build is a FRESH store: clear stale append partitions first
+        # (overwriting only the base partition would leave them
+        # behind). Delete ONLY the two store subdirs, never the
+        # user-supplied path itself — a mistyped path must not take
+        # unrelated data with it, and a failure between delete and
+        # write leaves the sibling intact
+        _rm_dir(spark, f"{path}/bands")
+        _rm_dir(spark, f"{path}/counts")
     bands.write.mode("overwrite").parquet(f"{path}/bands/ingest_batch_id=-1")
     (
         spark.read.parquet(f"{path}/bands")
@@ -965,6 +983,8 @@ def build_minhash_band_store(
         .write.mode("overwrite")
         .parquet(f"{path}/counts/ingest_batch_id=-1")
     )
+    if commit == "manifest":
+        commit_generation(spark, root, path)
 
 
 def _rm_dir(spark, path: str) -> None:
@@ -1011,6 +1031,12 @@ def append_to_minhash_band_store(
             "build wrote — overwriting it would replace the whole base "
             "store with one batch)"
         )
+    from ..sources.manifest import resolve_root
+
+    # manifest-committed store: the append mutates the CURRENT
+    # generation in place (partition-level overwrite — same replay
+    # contract as the legacy layout; no-op on rename-layout stores)
+    path = resolve_root(df.sparkSession, path)
     bands = minhash_band_table(df, text_col, id_col, n).persist()
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
@@ -1037,12 +1063,40 @@ def compact_minhash_band_store(spark, path: str) -> None:
     append) starts to matter; correctness never depends on it (the
     guard merges deltas lazily).
 
-    Not concurrency-safe: don't compact while an ingest stream is
-    draining into the same store (the read-rewrite window would drop
-    an append that lands in between)."""
-    bands = spark.read.parquet(f"{path}/bands")
+    On a MANIFEST-layout store (built with ``commit="manifest"``) the
+    compacted tables are written to a fresh generation and published
+    by the atomic pointer PUT — object-store safe AND safe under
+    concurrent readers (they keep resolving the old generation until
+    the flip). On the legacy rename layout this swaps in place
+    (``_swap_in``) and is NOT concurrency-safe: don't compact while an
+    ingest stream is draining into the same store (the read-rewrite
+    window would drop an append that lands in between)."""
+    from ..sources.manifest import (
+        begin_generation,
+        commit_generation,
+        resolve_root,
+    )
+
+    root = path
+    cur = resolve_root(spark, root)
+    bands = spark.read.parquet(f"{cur}/bands")
     if "ingest_batch_id" in bands.columns:
         bands = bands.drop("ingest_batch_id")
+    if cur != root:
+        # manifest layout: compacted store = next generation
+        gen = begin_generation(spark, root)
+        bands.write.mode("overwrite").parquet(
+            f"{gen}/bands/ingest_batch_id=-1"
+        )
+        (
+            spark.read.parquet(f"{gen}/bands")
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("store_n"))
+            .write.mode("overwrite")
+            .parquet(f"{gen}/counts/ingest_batch_id=-1")
+        )
+        commit_generation(spark, root, gen)
+        return
     # the store fits the "bounded metadata" exception nowhere — it is
     # corpus-proportional — so stage through a sibling dir and swap,
     # never through driver memory
@@ -1082,12 +1136,16 @@ def _swap_in(spark, staged: str, live: str, dst: str) -> None:
     ``FileSystem.rename`` being atomic — true on HDFS and local
     filesystems, NOT on S3-style object stores (directory rename there
     is per-object copy+delete; a crash or concurrent reader mid-swap
-    sees a torn store). On object stores, either run compactions
-    offline (no readers during the swap window — the compact functions
-    already require a stopped stream) or use a manifest-committed
-    layout where available (the ANN indexes support
-    ``commit="manifest"``; see ``sources/manifest.py`` for the
-    generation-pointer protocol).
+    sees a torn store). On object stores, build the store with
+    ``commit="manifest"`` (supported by the ANN indexes, the band
+    store, and the gram store since round 10; see
+    ``sources/manifest.py``) — their compact paths then publish a new
+    GENERATION instead of swapping, and this function is never
+    reached. The remaining rename-layout store is the ingest corpus
+    (``streaming/ingest.py compact_corpus``), whose stopped-stream
+    requirement already removes the concurrent-reader window; the
+    crash-mid-swap case leaves the full copy in ``.old`` (documented
+    recovery).
     """
     old = f"{live}.old"
     _rm_dir(spark, old)  # leftover from a crash after a completed swap
@@ -1205,6 +1263,9 @@ def dedup_against_store(
     spark = new_df.sparkSession
     store_counts = None
     if isinstance(store, str):
+        from ..sources.manifest import resolve_root
+
+        store = resolve_root(spark, store)
         store_counts = spark.read.parquet(f"{store}/counts")
         store = spark.read.parquet(f"{store}/bands")
         if before_batch is not None:
@@ -1685,6 +1746,7 @@ def build_gram_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 8,
+    commit: str = "rename",
 ) -> None:
     """Persist the corpus's window-count table for incremental
     repeated-substring dedup: ``{path}/grams`` is ``(gram_md5, occ)``
@@ -1702,11 +1764,22 @@ def build_gram_store(
     store's counts stand in for the corpus occurrences in the
     duplicate test, and the one-shot-equivalence contract (pinned in
     tests) is stated in :func:`clean_against_gram_store`."""
+    from ..sources.manifest import begin_generation, commit_generation
+
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
     spark = df.sparkSession
     w = _positioned_windows(spread_small_input(df), text_col, id_col, min_len)
-    _rm_dir(spark, f"{path}/grams")
+    if commit == "manifest":
+        # object-store-safe layout (sources/manifest.py): the whole
+        # store (grams + _gram_meta) lands in a fresh generation,
+        # published by the atomic _current pointer PUT
+        root = path
+        path = begin_generation(spark, root)
+    else:
+        _rm_dir(spark, f"{path}/grams")
     (
         w.groupBy("gram_md5")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -1716,6 +1789,8 @@ def build_gram_store(
     spark.createDataFrame(
         [(int(min_len),)], "min_len int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_gram_meta")
+    if commit == "manifest":
+        commit_generation(spark, root, path)
 
 
 def _gram_meta_exists(spark, path: str) -> bool:
@@ -1775,6 +1850,12 @@ def append_to_gram_store(
             "build wrote)"
         )
     spark = df.sparkSession
+    from ..sources.manifest import resolve_root
+
+    # manifest-committed store: appends mutate the CURRENT generation
+    # (partition-level overwrite, same replay contract; no-op on the
+    # rename layout)
+    path = resolve_root(spark, path)
     had_meta = _gram_meta_exists(spark, path)
     min_len = _resolve_gram_meta(spark, path, min_len, "append_to_gram_store")
     w = _positioned_windows(spread_small_input(df), text_col, id_col, min_len)
@@ -1807,20 +1888,44 @@ def compact_gram_store(spark, path: str) -> None:
     marker is read before the swap and re-written after it; otherwise
     the next stream resume hard-fails on the no-marker guard and the
     ``allow_restart=True`` workaround resets the replay-fence base
-    the original marker recorded (ADVICE r9)."""
+    the original marker recorded (ADVICE r9).
+
+    On a MANIFEST-layout store the compacted grams (+ carried
+    ``_gram_meta`` and stream marker) publish as a fresh generation
+    via the atomic pointer PUT — object-store safe and safe under
+    concurrent readers; the stopped-stream requirement still applies
+    (compacting between a crash and its replay folds a torn batch
+    into the base on either layout)."""
+    from ..sources.manifest import (
+        begin_generation,
+        commit_generation,
+        resolve_root,
+    )
     from ..streaming.ingest import _read_text, _write_text
 
-    marker = _read_text(spark, f"{path}/grams/_ingest_stream")
-    grams = spark.read.parquet(f"{path}/grams")
+    root = path
+    cur = resolve_root(spark, root)
+    marker = _read_text(spark, f"{cur}/grams/_ingest_stream")
+    grams = spark.read.parquet(f"{cur}/grams")
     if "ingest_batch_id" in grams.columns:
         grams = grams.drop("ingest_batch_id")
+    compacted = grams.groupBy("gram_md5").agg(F.sum("occ").alias("occ"))
+    if cur != root:
+        # manifest layout: the new generation is self-contained —
+        # grams, the carried _gram_meta, and the stream marker
+        gen = begin_generation(spark, root)
+        compacted.write.mode("overwrite").parquet(
+            f"{gen}/grams/ingest_batch_id=-1"
+        )
+        spark.read.parquet(f"{cur}/_gram_meta").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{gen}/_gram_meta")
+        if marker is not None:
+            _write_text(spark, f"{gen}/grams/_ingest_stream", marker)
+        commit_generation(spark, root, gen)
+        return
     staging = f"{path}/grams_compacting"
-    (
-        grams.groupBy("gram_md5")
-        .agg(F.sum("occ").alias("occ"))
-        .write.mode("overwrite")
-        .parquet(staging)
-    )
+    compacted.write.mode("overwrite").parquet(staging)
     _swap_in(spark, staging, f"{path}/grams", f"{path}/grams/ingest_batch_id=-1")
     if marker is not None:
         _write_text(spark, f"{path}/grams/_ingest_stream", marker)
@@ -1862,6 +1967,9 @@ def clean_against_gram_store(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     spark = df.sparkSession
+    from ..sources.manifest import resolve_root
+
+    path = resolve_root(spark, path)
     min_len = _resolve_gram_meta(spark, path, None, "clean_against_gram_store")
     grams = spark.read.parquet(f"{path}/grams")
     if before_batch is not None:

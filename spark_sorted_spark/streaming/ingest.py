@@ -450,6 +450,12 @@ def stream_maintain_gram_store(
             "stream_maintain_gram_store reserves the 'ingest_batch_id' "
             "column for the store partition key; rename it in the input"
         )
+    from ..sources.manifest import resolve_root
+
+    # manifest-layout store: pin THIS run to the current generation
+    # (compaction mid-stream is forbidden on both layouts, so the
+    # pointer cannot move under a draining stream)
+    store_path = resolve_root(spark, store_path)
     # validate the width contract EAGERLY — raised inside foreachBatch
     # it would surface as an opaque StreamingQueryException after the
     # checkpoint is already created. Covers BOTH directions: a fresh

@@ -151,3 +151,120 @@ def test_ann_ivf_manifest_build_probe(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="commit must be"):
         build_ann_ivf_index(corpus, man, commit="bogus")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from spark_sorted_spark.sources.tpch import load_table
+
+    return load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+
+def test_band_store_manifest_build_dedup_append_compact(spark, docs, tmp_path):
+    """Round-10 closure of the open item: the MinHash band store under
+    commit='manifest' — build, dedup-against, append, COMPACT (new
+    generation, zero renames), all answers identical to the rename
+    layout."""
+    from spark_sorted_spark.functions.dedup import (
+        append_to_minhash_band_store,
+        build_minhash_band_store,
+        compact_minhash_band_store,
+        dedup_against_store,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def pairs(store_path):
+        return sorted(
+            (r.doc_old, r.doc_new)
+            for r in dedup_against_store(batch, store_path, corpus).collect()
+        )
+
+    ref = str(tmp_path / "ref_store")
+    build_minhash_band_store(corpus, ref)
+    want = pairs(ref)
+    assert want  # the corpus contains planted near-dups at every sf
+
+    man = str(tmp_path / "man_store")
+    build_minhash_band_store(corpus, man, commit="manifest")
+    assert os.path.exists(f"{man}/_current")
+    assert pairs(man) == want
+
+    # append mutates the current generation; the store then indexes
+    # corpus + batch (batch vs itself: every batch doc self-pairs
+    # through the store, so probe with a fresh subset instead)
+    append_to_minhash_band_store(batch, man, batch_id=0)
+    append_to_minhash_band_store(batch, ref, batch_id=0)
+    probe = docs.filter(F.col("doc_id") % 7 == 1)
+    corpus_all = corpus.unionByName(batch)
+
+    def pairs2(store_path):
+        return sorted(
+            (r.doc_old, r.doc_new)
+            for r in dedup_against_store(
+                probe, store_path, corpus_all
+            ).collect()
+        )
+
+    assert pairs2(man) == pairs2(ref)
+
+    # compaction publishes a NEW generation (no renames), GC's gen-0,
+    # and answers stay identical
+    compact_minhash_band_store(spark, man)
+    assert resolve_root(spark, man).endswith("/gen-1")
+    assert not os.path.exists(f"{man}/gen-0")
+    assert pairs2(man) == pairs2(ref)
+    # compacted store is back to the single base partition
+    import pathlib
+
+    bands_dir = pathlib.Path(resolve_root(spark, man)) / "bands"
+    parts = {p.name for p in bands_dir.iterdir() if p.is_dir()}
+    assert parts == {"ingest_batch_id=-1"}
+
+
+def test_gram_store_manifest_build_clean_append_compact(spark, docs, tmp_path):
+    """Same closure for the ExactSubstr gram store: manifest build,
+    clean-against, append, compact-to-new-generation — bitwise the
+    rename layout's answers, with _gram_meta carried across
+    generations."""
+    from spark_sorted_spark.functions.dedup import (
+        append_to_gram_store,
+        build_gram_store,
+        clean_against_gram_store,
+        compact_gram_store,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    b1 = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 300))
+    probe = docs.filter(F.col("doc_id") % 7 == 1).limit(40)
+
+    def snap(store_path):
+        return sorted(
+            (r.doc_id, r.n_tokens_kept, r.text_clean)
+            for r in clean_against_gram_store(probe, store_path).collect()
+        )
+
+    ref = str(tmp_path / "ref_gram")
+    build_gram_store(corpus, ref, min_len=8)
+    man = str(tmp_path / "man_gram")
+    build_gram_store(corpus, man, min_len=8, commit="manifest")
+    assert os.path.exists(f"{man}/_current")
+    want = snap(ref)
+    assert snap(man) == want
+
+    append_to_gram_store(b1, man, batch_id=0)
+    append_to_gram_store(b1, ref, batch_id=0)
+    assert snap(man) == snap(ref)
+
+    # explicit-width mismatch still raises through the pointer
+    with pytest.raises(ValueError, match="min_len"):
+        append_to_gram_store(b1, man, min_len=9, batch_id=1)
+
+    compact_gram_store(spark, man)
+    assert resolve_root(spark, man).endswith("/gen-1")
+    assert not os.path.exists(f"{man}/gen-0")
+    assert snap(man) == snap(ref)
+    # _gram_meta carried into the new generation: width still resolves
+    append_to_gram_store(b1, man, batch_id=1)
+    assert snap(man) == snap(ref)
