@@ -446,6 +446,13 @@ def b38_bm25_join(spark):
     force(QUERIES["bm25_join"](spark, SF_DIR))
 
 
+def b39_hybrid_topk(spark):
+    # RRF fusion of BM25 top-50 and exact-cosine top-50
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["hybrid_topk"](spark, SF_DIR))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -487,6 +494,7 @@ BENCH = {
     "b36_bm25_topk": b36_bm25_topk,
     "b37_dsir_select": b37_dsir_select,
     "b38_bm25_join": b38_bm25_join,
+    "b39_hybrid_topk": b39_hybrid_topk,
 }
 
 

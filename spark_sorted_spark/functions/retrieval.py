@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk", "bm25_join"]
+__all__ = ["bm25_topk", "bm25_join", "hybrid_topk"]
 
 
 def bm25_topk(
@@ -272,4 +272,89 @@ def bm25_join(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query: str,
+    query_vec: list,
+    k: int = 10,
+    n_candidates: int = 50,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: fuse lexical (BM25) and dense (exact cosine)
+    rankings by Reciprocal Rank Fusion (Cormack et al., SIGIR'09):
+
+        rrf(d) = 1/(rrf_k + rank_lex(d)) + 1/(rrf_k + rank_dense(d))
+
+    with a side contributing 0 when ``d`` is outside its top
+    ``n_candidates``. The standard two-tower retrieval pattern — BM25
+    catches exact-term matches embeddings blur, embeddings catch
+    paraphrases BM25 misses. ``docs`` and ``embeddings`` must share an
+    id space (``id_col`` == ``vec_id_col`` values).
+
+    Returns ``(id, rrf, rank_lex, rank_dense, rank)`` — ranks NULL for
+    the side that did not retrieve the id.
+
+    Exactness: RRF is a sum of two reciprocals of exact integers,
+    added in a FIXED order — no transcendentals, so the fusion layer
+    is engine-exact by construction (the BM25 side carries its own
+    libm-idf discipline). Scale shape: each side is its own scale-safe
+    top-``n_candidates`` (TakeOrderedAndProject); the fusion then
+    joins two <= n_candidates-row relations — negligible at any corpus
+    size. The windows below run over those candidate rows only."""
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk
+
+    if rrf_k < 1:
+        raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    lex = bm25_topk(
+        docs, query, k=n_candidates, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+        .cast("bigint")
+        .alias("rank_lex"),
+    )
+    dense = cosine_topk(
+        embeddings, [float(x) for x in query_vec], k=n_candidates,
+        vec_col=vec_col, id_col=vec_id_col,
+    ).select(
+        F.col(vec_id_col).alias("__id"),
+        F.col("rank").cast("bigint").alias("rank_dense"),
+    )
+    fused = lex.join(dense, "__id", "full_outer").select(
+        F.col("__id").alias(id_col),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_lex")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_dense")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+        "rank_lex",
+        "rank_dense",
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return (
+        fused.select(
+            id_col, "rrf", "rank_lex", "rank_dense",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(int(k))
     )

@@ -1923,6 +1923,85 @@ def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_topk",
+    # RRF fusion of the bm25_topk CTE chain (top-50 candidates) and
+    # the exact-cosine top-50 vs the vec_id-0 query vector. RRF is a
+    # fixed-order sum of reciprocals of exact integer ranks — no
+    # transcendental leaves the BM25 side's libm idf.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN ('filter', 'join', 'spark', 'window')
+      GROUP BY doc_id, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) CROSS JOIN stats s),
+    lex AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 50),
+    lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rl
+      FROM lex),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT e.vec_id, {_cos_sql("e.embedding", "q.qe")} AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0
+      ORDER BY cos DESC, e.vec_id LIMIT 50),
+    denser AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rd
+      FROM dense),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.vec_id) AS doc_id,
+             coalesce(1.0e0 / (60 + l.rl), 0.0e0)
+             + coalesce(1.0e0 / (60 + d.rd), 0.0e0) AS rrf,
+             l.rl AS rank_lex, d.rd AS rank_dense
+      FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.vec_id)
+    SELECT doc_id, rrf, rank_lex, rank_dense,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (functions/retrieval.py hybrid_topk): RRF
+    fusion of BM25 top-50 and exact-cosine top-50 — each side its own
+    scale-safe TakeOrderedAndProject, the fusion a join of two
+    candidate-bounded relations."""
+    from .functions.retrieval import hybrid_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return hybrid_topk(
+        docs,
+        emb.filter(F.col("vec_id") != 0),
+        "spark join window filter",
+        qvec,
+        k=10,
+        n_candidates=50,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+@query(
     "similarity_ann_lsh",
     # Approximate in recall, deterministic in output: the oracle
     # replays the identical seeded 8-plane sign-bit bucket assignment
@@ -5214,6 +5293,7 @@ _GATE_ORDER = [
     # retrieval and DSIR importance selection, both vs full SQL replays
     "bm25_topk",
     "bm25_join",
+    "hybrid_topk",
     "dsir_select",
     "temperature_mix",
     "doc_fingerprint",

@@ -196,3 +196,56 @@ def test_bm25_join_duplicate_query_terms_count_once(spark):
     r1 = sorted((r.doc_id, r.score) for r in bm25_join(df, q1, k=5).collect())
     r2 = sorted((r.doc_id, r.score) for r in bm25_join(df, q2, k=5).collect())
     assert r1 == r2
+
+
+def test_hybrid_topk_rrf_fusion(spark):
+    """RRF: a doc present in BOTH lists outranks each list's solo
+    leader at moderate ranks; one-sided docs carry a NULL rank for the
+    missing side; rrf equals the exact reciprocal sum."""
+    from fractions import Fraction
+
+    from spark_sorted_spark.functions.retrieval import hybrid_topk
+
+    docs = [
+        (1, "alpha beta gamma"),          # lexical hit only
+        (2, "alpha alpha beta beta"),     # lexical hit, also dense hit
+        (3, "unrelated text entirely"),   # dense hit only
+        (4, "more unrelated filler"),
+    ]
+    emb = [
+        (2, [1.0, 0.0]),
+        (3, [0.9, 0.1]),
+        (4, [-1.0, 0.5]),
+        (1, [-0.5, -1.0]),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame(emb, "vec_id long, embedding array<double>")
+    out = {
+        r.doc_id: (r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_topk(
+            ddf, edf, "alpha beta", [1.0, 0.0], k=4, n_candidates=3
+        ).collect()
+    }
+    # doc 2: lexical rank (1 or 2) AND dense rank 1 -> fused rank 1
+    assert out[2][3] == 1
+    assert out[2][1] is not None and out[2][2] == 1
+    rl, rd = out[2][1], out[2][2]
+    assert out[2][0] == float(Fraction(1, 60 + rl) + Fraction(1, 60 + rd))
+    # doc 3 is dense-only: NULL lexical rank, rrf from one term
+    assert out[3][1] is None and out[3][2] is not None
+    assert out[3][0] == 1.0 / (60 + out[3][2])
+    # doc 1 sits in both lists (dense rank 3 of the top-3 cut); doc 4
+    # is in neither (no query terms, outside the dense cut) -> absent
+    assert out[1][1] is not None and out[1][2] == 3
+    assert 4 not in out
+
+
+def test_hybrid_topk_validation(spark):
+    from spark_sorted_spark.functions.retrieval import hybrid_topk
+
+    ddf = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    edf = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rrf_k"):
+        hybrid_topk(ddf, edf, "a", [1.0], rrf_k=0)
