@@ -1945,3 +1945,39 @@ class TestTemperatureMix:
             temperature_quotas({"a": 1}, -1, 2.0)
         df = spark.createDataFrame([], "doc_id long, source string")
         assert temperature_mix(df, 10).count() == 0
+
+
+def test_dsir_fuzz_vs_replica(spark):
+    """Hypothesis fuzz for dsir_select: random raw/target corpora from
+    a tiny vocabulary — full selected ordering equals the pure-Python
+    replica's (ids exactly; weights to rel 1e-12)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.functions.sampling import dsir_select
+    from tests.test_pipeline_ops import TestDsirSelect
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    doc = st.lists(st.sampled_from(vocab), min_size=1, max_size=6)
+
+    @given(
+        raw=st.lists(doc, min_size=2, max_size=10),
+        tgt=st.lists(doc, min_size=1, max_size=5),
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(raw, tgt):
+        raw_rows = [(i, " ".join(ws)) for i, ws in enumerate(raw)]
+        tgt_rows = [(100 + i, " ".join(ws)) for i, ws in enumerate(tgt)]
+        rdf = spark.createDataFrame(raw_rows, "doc_id long, text string")
+        tdf = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+        k = max(1, len(raw) // 2)
+        got = [
+            (r.doc_id, r.logw, r.sel_key)
+            for r in dsir_select(rdf, tdf, k=k, n_buckets=32).collect()
+        ]
+        want = TestDsirSelect._dsir_ref(raw_rows, tgt_rows, k, 32)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], rel=1e-12)
+
+    check()

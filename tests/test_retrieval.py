@@ -249,3 +249,42 @@ def test_hybrid_topk_validation(spark):
 
     with _pytest.raises(ValueError, match="rrf_k"):
         hybrid_topk(ddf, edf, "a", [1.0], rrf_k=0)
+
+
+def test_bm25_fuzz_vs_replica(spark):
+    """Hypothesis fuzz: random tiny corpora + random queries from the
+    same vocabulary, bm25_topk == the pure-Python replica on the full
+    score relation (rel 1e-12 — the replica's float op order is not
+    strictly identical)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_sorted_spark.functions.retrieval import bm25_topk
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=8),
+            min_size=2,
+            max_size=8,
+        ),
+        query=st.lists(st.sampled_from(vocab), min_size=1, max_size=3),
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(docs, query):
+        dmap = {i: " ".join(ws) for i, ws in enumerate(docs)}
+        df = spark.createDataFrame(
+            list(dmap.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.score, r.n_terms_matched)
+            for r in bm25_topk(df, " ".join(query), k=100).collect()
+        }
+        want = _bm25_ref(dmap, " ".join(query))
+        assert got.keys() == want.keys()
+        for i in want:
+            assert got[i][1] == want[i][1]
+            assert got[i][0] == pytest.approx(want[i][0], rel=1e-12)
+
+    check()
