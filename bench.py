@@ -453,6 +453,29 @@ def b39_hybrid_topk(spark):
     force(QUERIES["hybrid_topk"](spark, SF_DIR))
 
 
+_BM25_IDX_PATH = None
+
+
+def b40_bm25_indexed(spark):
+    # indexed lexical probe: postings-bucket pruning, no corpus text
+    # (index build amortized outside the timed body, like b27/b35)
+    global _BM25_IDX_PATH
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    if _BM25_IDX_PATH is None:
+        import tempfile
+
+        _BM25_IDX_PATH = tempfile.mkdtemp(prefix="bench_bm25_") + "/idx"
+        build_bm25_index(
+            load_table(spark, "documents", SF_DIR), _BM25_IDX_PATH
+        )
+    force(bm25_topk_indexed(spark, _BM25_IDX_PATH, "batch data order", k=15))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -495,6 +518,7 @@ BENCH = {
     "b37_dsir_select": b37_dsir_select,
     "b38_bm25_join": b38_bm25_join,
     "b39_hybrid_topk": b39_hybrid_topk,
+    "b40_bm25_indexed": b40_bm25_indexed,
 }
 
 

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk", "bm25_join", "hybrid_topk"]
+__all__ = ["bm25_topk", "bm25_join", "hybrid_topk", "build_bm25_index", "bm25_topk_indexed"]
 
 
 def bm25_topk(
@@ -358,3 +358,171 @@ def hybrid_topk(
         .orderBy("rank")
         .limit(int(k))
     )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    commit: str = "rename",
+) -> None:
+    """Persist the BM25 inverted index for a corpus — the repeated-
+    retrieval twin of :func:`bm25_topk` (which rebuilds the query
+    terms' postings from text every call). One corpus scan writes:
+
+    * ``{path}/postings`` — ``(tok, id, tf, dl)``, directory-
+      partitioned by ``tok_bucket = md5(tok) % n_buckets`` so a probe
+      reads ONLY its terms' buckets (``PartitionFilters`` prune whole
+      directories at planning time — at 100 TB, the difference between
+      scanning the corpus and reading a few term shards);
+    * ``{path}/dft``     — per-term document frequency, same bucketing;
+    * ``{path}/_bm25_stats`` — the two corpus scalars (N, sum_dl);
+    * ``{path}/_bm25_meta``  — ``n_buckets`` (probes resolve it; the
+      ``_lsh_meta`` discipline).
+
+    ``commit="manifest"`` publishes via the generation-pointer layout
+    (``sources/manifest.py``) — the same object-store contract as the
+    ANN/band/gram stores. Probes (:func:`bm25_topk_indexed`) are
+    pinned bitwise-equal to the scan form."""
+    from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import begin_generation, commit_generation
+    from .dedup import _rm_dir, spread_small_input
+    from .text import md5_int32, tokens
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
+    spark = docs.sparkSession
+    if commit == "manifest":
+        root = path
+        path = begin_generation(spark, root)
+    else:
+        _rm_dir(spark, f"{path}/postings")
+        _rm_dir(spark, f"{path}/dft")
+    toks = tokens(text_col)
+    occ = spread_small_input(docs).select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("tok"),
+    )
+    postings = (
+        occ.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("tok_bucket", F.pmod(md5_int32(F.col("tok")), F.lit(n_buckets)))
+    )
+    write_partitioned(postings, f"{path}/postings", "tok_bucket")
+    (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("tok_bucket", "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.partitionBy("tok_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/dft")
+    )
+    docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("sum_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_bm25_stats")
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_bm25_meta")
+    if commit == "manifest":
+        commit_generation(spark, root, path)
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` BM25 against a persisted index — NEVER touches corpus
+    text: the probe reads only the query terms' postings buckets
+    (directory-partition pruning on ``tok_bucket``), the |terms|-row
+    df shard (idf via ln_libm), and the 1-row stats table. Bitwise the
+    scan-form :func:`bm25_topk` answer (pinned in tests)."""
+    from ..sources.manifest import resolve_root
+    from .exactmath import ln_libm
+
+    terms = sorted(set(query.split()))
+    if not terms:
+        raise ValueError("query has no terms")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (k1 > 0 and 0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    path = resolve_root(spark, path)
+    # bounded-collect: one parameter row from the index metadata
+    n_buckets = int(spark.read.parquet(f"{path}/_bm25_meta").collect()[0][0])
+    # bounded-collect: the corpus's two normalization scalars
+    st = spark.read.parquet(f"{path}/_bm25_stats").collect()[0]
+    n_docs, sum_dl = int(st.n_docs), int(st.sum_dl)
+
+    import hashlib
+
+    buckets = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets for t in terms}
+    )
+    term_filter = F.col("tok").isin(terms)
+    bucket_filter = F.col("tok_bucket").isin(buckets)
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(bucket_filter)
+        .filter(term_filter)
+    )
+    df_t = (
+        spark.read.parquet(f"{path}/dft")
+        .filter(bucket_filter)
+        .filter(term_filter)
+        .select(
+            "tok",
+            ln_libm(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("__idf"),
+        )
+    )
+    contrib = tf.join(F.broadcast(df_t), "tok").select(
+        F.col(id_col),
+        F.col("tok").alias("__tok"),
+        (
+            F.col("__idf")
+            * (F.col("tf") * F.lit(float(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(float(k1))
+                * (
+                    F.lit(1.0 - float(b))
+                    + F.lit(float(b))
+                    * F.col("dl")
+                    / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
+                )
+            )
+        ).alias("__c"),
+    )
+    scored = (
+        contrib.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.array_sort(
+                F.collect_list(F.struct("__tok", "__c"))
+            ).alias("__cs"),
+        )
+        .select(
+            id_col,
+            F.aggregate(
+                F.col("__cs"), F.lit(0.0), lambda acc, s: acc + s["__c"]
+            ).alias("score"),
+            "n_terms_matched",
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(int(k))

@@ -1923,6 +1923,66 @@ def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_topk_indexed",
+    # definitional oracle = the SAME BM25 relation as bm25_topk (the
+    # index is a layout, not a semantics change): the Spark side
+    # builds the persisted inverted index (bucket-partitioned
+    # postings) per run and probes it — pruning to the query terms'
+    # buckets — while DuckDB scores from text. Different query/k than
+    # bm25_topk so the two gated rows exercise distinct term sets.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN ('batch', 'data', 'order')
+      GROUP BY doc_id, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score, n_terms_matched FROM scored
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed lexical retrieval (functions/retrieval.py
+    bm25_topk_indexed): probe a persisted bucket-partitioned inverted
+    index — the probe reads only the query terms' postings buckets
+    (PartitionFilters) plus two bounded metadata tables, never corpus
+    text. Bitwise the scan-form BM25 relation."""
+    import os
+    import tempfile
+
+    from .functions.retrieval import bm25_topk_indexed, build_bm25_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25_{os.getpid()}"
+    )
+    path = f"{base}/{os.path.basename(sf_dir)}"
+    if not os.path.exists(path):
+        build_bm25_index(docs, path)
+    return bm25_topk_indexed(
+        spark, path, "batch data order", k=15, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@query(
     "hybrid_topk",
     # RRF fusion of the bm25_topk CTE chain (top-50 candidates) and
     # the exact-cosine top-50 vs the vec_id-0 query vector. RRF is a
@@ -5293,6 +5353,7 @@ _GATE_ORDER = [
     # retrieval and DSIR importance selection, both vs full SQL replays
     "bm25_topk",
     "bm25_join",
+    "bm25_topk_indexed",
     "hybrid_topk",
     "dsir_select",
     "temperature_mix",

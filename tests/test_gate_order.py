@@ -110,6 +110,7 @@ def test_gate_window_contents():
         "tpch_q21_waiting_suppliers",
         "bm25_topk",
         "bm25_join",
+        "bm25_topk_indexed",
         "hybrid_topk",
         "dsir_select",
         "temperature_mix",

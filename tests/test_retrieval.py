@@ -288,3 +288,73 @@ def test_bm25_fuzz_vs_replica(spark):
             assert got[i][0] == pytest.approx(want[i][0], rel=1e-12)
 
     check()
+
+
+def test_bm25_index_build_probe_equals_scan(spark, tmp_path):
+    """Persisted inverted index: probe == scan-form bm25_topk bitwise;
+    the probe's postings scan prunes to EXACTLY the query terms'
+    buckets (PartitionFilters); manifest layout round-trips."""
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    q = "spark join window filter"
+    want = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk(docs, q, k=25).collect()
+    ]
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path, n_buckets=32)
+    probe = bm25_topk_indexed(spark, path, q, k=25)
+    got = [(r.doc_id, r.score, r.n_terms_matched) for r in probe.collect()]
+    assert got == want
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tok_bucket" in plan.replace("#", " #").replace(
+        "tok_bucket #", "tok_bucket#"
+    ) or "tok_bucket" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*tok_bucket[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan[:2000]
+    import hashlib
+
+    want_buckets = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 32 for t in q.split()}
+    )
+    got_buckets = sorted(int(x) for x in m.group(1).split(","))
+    assert got_buckets == want_buckets
+
+    # manifest layout: identical probe answers through the pointer
+    man = str(tmp_path / "man_idx")
+    build_bm25_index(docs, man, n_buckets=32, commit="manifest")
+    import os
+
+    assert os.path.exists(f"{man}/_current")
+    got2 = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_indexed(spark, man, q, k=25).collect()
+    ]
+    assert got2 == want
+
+
+def test_bm25_index_validation(spark, tmp_path):
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        build_bm25_index(df, str(tmp_path / "x"), n_buckets=0)
+    with pytest.raises(ValueError, match="commit"):
+        build_bm25_index(df, str(tmp_path / "x"), commit="copy")
+    path = str(tmp_path / "ok")
+    build_bm25_index(df, path)
+    with pytest.raises(ValueError, match="terms"):
+        bm25_topk_indexed(spark, path, "  ")

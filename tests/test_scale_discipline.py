@@ -96,4 +96,6 @@ def test_collect_allowlist_is_small_and_known():
     # 20 as of round 10: +2 for dsir_select's LM fits (each
     # <= n_buckets rows by the hash range), +1 for temperature_mix's
     # per-source counts (sources are a bounded vocabulary).
-    assert n <= 20, f"driver-collect site count grew to {n}; review for scale"
+    # 22 later in round 10: +2 for the BM25 index probe's metadata
+    # (one _bm25_meta row, one 2-scalar _bm25_stats row).
+    assert n <= 22, f"driver-collect site count grew to {n}; review for scale"

@@ -228,6 +228,21 @@ def main():
         )
         return lambda: bm25_join(d, q, k=5).count()
 
+    def b40(d, tag):
+        # indexed BM25 probe: build amortized (untimed), probe reads
+        # only the query terms' postings buckets — the pruning IS the
+        # scale story, so the probe cost should stay near-flat
+        from spark_sorted_spark.functions.retrieval import (
+            bm25_topk_indexed,
+            build_bm25_index,
+        )
+
+        path = f"{work}/bm25_idx_{tag}"
+        build_bm25_index(d, path)
+        return lambda: len(
+            bm25_topk_indexed(spark, path, "batch data order", k=15).collect()
+        )
+
     rows = []
     for name, f1, f10 in (
         ("b14_simhash_banded", b14(docs), b14(docs10)),
@@ -253,6 +268,7 @@ def main():
         ("b36_bm25_topk", b36(docs), b36(docs10)),
         ("b37_dsir_select", b37(docs), b37(docs10)),
         ("b38_bm25_join", b38(docs), b38(docs10)),
+        ("b40_bm25_indexed", b40(docs, "1x"), b40(docs10, "10x")),
     ):
         t1, n1 = timed(f1) if f1 else (None, None)
         t10, n10 = timed(f10)
