@@ -40,7 +40,15 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk", "bm25_join", "hybrid_topk", "build_bm25_index", "bm25_topk_indexed"]
+__all__ = [
+    "bm25_topk",
+    "bm25_join",
+    "hybrid_topk",
+    "build_bm25_index",
+    "append_to_bm25_index",
+    "compact_bm25_index",
+    "bm25_topk_indexed",
+]
 
 
 def bm25_topk(
@@ -373,19 +381,28 @@ def build_bm25_index(
     terms' postings from text every call). One corpus scan writes:
 
     * ``{path}/postings`` — ``(tok, id, tf, dl)``, directory-
-      partitioned by ``tok_bucket = md5(tok) % n_buckets`` so a probe
-      reads ONLY its terms' buckets (``PartitionFilters`` prune whole
-      directories at planning time — at 100 TB, the difference between
-      scanning the corpus and reading a few term shards);
-    * ``{path}/dft``     — per-term document frequency, same bucketing;
-    * ``{path}/_bm25_stats`` — the two corpus scalars (N, sum_dl);
+      partitioned by ``ingest_batch_id`` (base ``-1``; appends land in
+      their own partitions, the every-store layout) then
+      ``tok_bucket = md5(tok) % n_buckets`` so a probe reads ONLY its
+      terms' buckets (``PartitionFilters`` prune whole directories at
+      planning time — at 100 TB, the difference between scanning the
+      corpus and reading a few term shards);
+    * ``{path}/dft``     — per-term document-frequency rows, same
+      layout; appends write per-batch DELTAS which probes merge for
+      THEIR terms only (the band-store counts trick);
+    * ``{path}/_bm25_stats`` — per-batch (n_docs, sum_dl) rows, summed
+      at probe time (bounded by batch count; compaction re-totals);
     * ``{path}/_bm25_meta``  — ``n_buckets`` (probes resolve it; the
       ``_lsh_meta`` discipline).
 
     ``commit="manifest"`` publishes via the generation-pointer layout
     (``sources/manifest.py``) — the same object-store contract as the
     ANN/band/gram stores. Probes (:func:`bm25_topk_indexed`) are
-    pinned bitwise-equal to the scan form."""
+    pinned bitwise-equal to the scan form, including across appends
+    (idf and avgdl re-derive from the summed stats, so a probe after
+    ``append_to_bm25_index`` equals a text scan of the UNION corpus).
+    Append batches must hold NEW document ids (the shared
+    reserved-base contract of all the incremental stores)."""
     from ..sources.bucketed import write_partitioned
     from ..sources.manifest import begin_generation, commit_generation
     from .dedup import _rm_dir, spread_small_input
@@ -413,24 +430,155 @@ def build_bm25_index(
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
         .withColumn("tok_bucket", F.pmod(md5_int32(F.col("tok")), F.lit(n_buckets)))
     )
-    write_partitioned(postings, f"{path}/postings", "tok_bucket")
+    write_partitioned(
+        postings, f"{path}/postings/ingest_batch_id=-1", "tok_bucket"
+    )
     (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.parquet(f"{path}/postings/ingest_batch_id=-1")
         .groupBy("tok_bucket", "tok")
         .agg(F.count(F.lit(1)).alias("df"))
         .write.partitionBy("tok_bucket")
         .mode("overwrite")
-        .parquet(f"{path}/dft")
+        .parquet(f"{path}/dft/ingest_batch_id=-1")
     )
     docs.select(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).alias("sum_dl"),
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_bm25_stats")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_bm25_stats/ingest_batch_id=-1"
+    )
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_bm25_meta")
     if commit == "manifest":
         commit_generation(spark, root, path)
+
+
+def append_to_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+) -> None:
+    """Append a new batch of documents to an existing BM25 index —
+    the nightly post-ingest step, mirroring
+    ``append_to_minhash_band_store``: postings land as-is, per-term df
+    and the corpus stats append as PER-BATCH DELTA rows (probes merge
+    them lazily, for their terms only), so the append is O(new batch)
+    — the existing index is never read, let alone re-totalled.
+
+    With ``batch_id`` the write is IDEMPOTENT (partition overwrite —
+    streaming-replay safe); without it rows accumulate in the base
+    partition. Batch ids must be NEW documents (shared incremental-
+    store contract); probes after the append equal a text scan of the
+    union corpus (pinned)."""
+    from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import resolve_root
+    from .dedup import spread_small_input
+    from .text import md5_int32, tokens
+
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0, got {batch_id}: negative ids are "
+            "reserved (ingest_batch_id=-1 is the base partition)"
+        )
+    spark = docs.sparkSession
+    path = resolve_root(spark, path)
+    # bounded-collect: one parameter row from the index metadata
+    n_buckets = int(spark.read.parquet(f"{path}/_bm25_meta").collect()[0][0])
+    part = -1 if batch_id is None else batch_id
+    mode = "append" if batch_id is None else "overwrite"
+    toks = tokens(text_col)
+    occ = spread_small_input(docs).select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("tok"),
+    )
+    postings = (
+        occ.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(
+            "tok_bucket", F.pmod(md5_int32(F.col("tok")), F.lit(n_buckets))
+        )
+        .persist()
+    )
+    write_partitioned(
+        postings, f"{path}/postings/ingest_batch_id={part}", "tok_bucket",
+        mode=mode,
+    )
+    (
+        postings.groupBy("tok_bucket", "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.partitionBy("tok_bucket")
+        .mode(mode)
+        .parquet(f"{path}/dft/ingest_batch_id={part}")
+    )
+    postings.unpersist()
+    docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("sum_dl"),
+    ).coalesce(1).write.mode(mode).parquet(
+        f"{path}/_bm25_stats/ingest_batch_id={part}"
+    )
+
+
+def compact_bm25_index(spark, path: str) -> None:
+    """Collapse a long-appended BM25 index back to the base layout:
+    postings merge into ``ingest_batch_id=-1``, df deltas re-total to
+    one row per term, stats rows to one. Reads only the STORE (never
+    corpus text). Manifest-layout indexes publish a fresh generation
+    (object-store safe, concurrent-reader safe); rename-layout swaps
+    in place via ``_swap_in`` (stopped-writer contract)."""
+    from ..sources.manifest import (
+        begin_generation,
+        commit_generation,
+        resolve_root,
+    )
+    from .dedup import _swap_in
+
+    root = path
+    cur = resolve_root(spark, root)
+    postings = spark.read.parquet(f"{cur}/postings").drop("ingest_batch_id")
+    dft = (
+        spark.read.parquet(f"{cur}/dft")
+        .groupBy("tok_bucket", "tok")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+    stats = spark.read.parquet(f"{cur}/_bm25_stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+    if cur != root:
+        gen = begin_generation(spark, root)
+        postings.write.partitionBy("tok_bucket").mode("overwrite").parquet(
+            f"{gen}/postings/ingest_batch_id=-1"
+        )
+        dft.write.partitionBy("tok_bucket").mode("overwrite").parquet(
+            f"{gen}/dft/ingest_batch_id=-1"
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            f"{gen}/_bm25_stats/ingest_batch_id=-1"
+        )
+        spark.read.parquet(f"{cur}/_bm25_meta").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{gen}/_bm25_meta")
+        commit_generation(spark, root, gen)
+        return
+    for sub, df_out, pby in (
+        ("postings", postings, True),
+        ("dft", dft, True),
+        ("_bm25_stats", stats.coalesce(1), False),
+    ):
+        staging = f"{path}/{sub}_compacting"
+        w = df_out.write.mode("overwrite")
+        if pby:
+            w = w.partitionBy("tok_bucket")
+        w.parquet(staging)
+        _swap_in(
+            spark, staging, f"{path}/{sub}",
+            f"{path}/{sub}/ingest_batch_id=-1",
+        )
 
 
 def bm25_topk_indexed(
@@ -441,6 +589,7 @@ def bm25_topk_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Top-``k`` BM25 against a persisted index — NEVER touches corpus
     text: the probe reads only the query terms' postings buckets
@@ -460,8 +609,16 @@ def bm25_topk_indexed(
     path = resolve_root(spark, path)
     # bounded-collect: one parameter row from the index metadata
     n_buckets = int(spark.read.parquet(f"{path}/_bm25_meta").collect()[0][0])
-    # bounded-collect: the corpus's two normalization scalars
-    st = spark.read.parquet(f"{path}/_bm25_stats").collect()[0]
+    stats = spark.read.parquet(f"{path}/_bm25_stats")
+    if before_batch is not None:
+        stats = stats.filter(F.col("ingest_batch_id") < before_batch)
+    # bounded-collect: the summed corpus scalars (one row per batch
+    # partition pre-sum — batch count, not corpus, sized)
+    st = stats.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    ).collect()[0]
+    if st.n_docs is None:
+        raise ValueError(f"index at {path!r} holds no stats rows")
     n_docs, sum_dl = int(st.n_docs), int(st.sum_dl)
 
     import hashlib
@@ -476,10 +633,19 @@ def bm25_topk_indexed(
         .filter(bucket_filter)
         .filter(term_filter)
     )
-    df_t = (
+    dft = (
         spark.read.parquet(f"{path}/dft")
         .filter(bucket_filter)
         .filter(term_filter)
+    )
+    if before_batch is not None:
+        tf = tf.filter(F.col("ingest_batch_id") < before_batch)
+        dft = dft.filter(F.col("ingest_batch_id") < before_batch)
+    # merge per-append df DELTAS — for the probe's terms only, so the
+    # merge aggregate is |terms|-row sized regardless of append count
+    df_t = (
+        dft.groupBy("tok")
+        .agg(F.sum("df").alias("df"))
         .select(
             "tok",
             ln_libm(

@@ -358,3 +358,50 @@ def test_bm25_index_validation(spark, tmp_path):
     build_bm25_index(df, path)
     with pytest.raises(ValueError, match="terms"):
         bm25_topk_indexed(spark, path, "  ")
+
+
+def test_bm25_index_append_fence_compact_lifecycle(spark, tmp_path):
+    """Incremental index lifecycle: build(corpus) + append(batch)
+    probes equal a text scan of the UNION corpus (idf/avgdl re-derive
+    from summed stats); before_batch fences the probe to the
+    pre-append state; compaction (both layouts) re-totals without
+    changing a single answer; idempotent replay overwrites."""
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    q = "spark join window filter"
+
+    def scan(d):
+        return [(r.doc_id, r.score, r.n_terms_matched)
+                for r in bm25_topk(d, q, k=25).collect()]
+
+    def probe(path, **kw):
+        return [(r.doc_id, r.score, r.n_terms_matched)
+                for r in bm25_topk_indexed(spark, path, q, k=25, **kw).collect()]
+
+    want_union, want_corpus = scan(docs), scan(corpus)
+
+    for commit in ("rename", "manifest"):
+        path = str(tmp_path / f"idx_{commit}")
+        build_bm25_index(corpus, path, commit=commit)
+        append_to_bm25_index(batch, path, batch_id=0)
+        assert probe(path) == want_union
+        assert probe(path, before_batch=0) == want_corpus
+        # replay: overwriting the same batch partition changes nothing
+        append_to_bm25_index(batch, path, batch_id=0)
+        assert probe(path) == want_union
+        compact_bm25_index(spark, path)
+        assert probe(path) == want_union
+    # manifest compaction published a new generation
+    from spark_sorted_spark.sources.manifest import resolve_root
+
+    assert resolve_root(spark, str(tmp_path / "idx_manifest")).endswith("gen-1")
