@@ -535,10 +535,15 @@ def compact_bm25_index(spark, path: str) -> None:
         commit_generation,
         resolve_root,
     )
+    from ..streaming.ingest import _read_text, _write_text
     from .dedup import _swap_in
 
     root = path
     cur = resolve_root(spark, root)
+    # stream_maintain_bm25_index keeps its identity marker INSIDE
+    # {path}/postings (the dir this compaction replaces) — carry it
+    # across, the compact_gram_store lesson (ADVICE r9)
+    marker = _read_text(spark, f"{cur}/postings/_ingest_stream")
     postings = spark.read.parquet(f"{cur}/postings").drop("ingest_batch_id")
     dft = (
         spark.read.parquet(f"{cur}/dft")
@@ -563,6 +568,8 @@ def compact_bm25_index(spark, path: str) -> None:
         spark.read.parquet(f"{cur}/_bm25_meta").coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{gen}/_bm25_meta")
+        if marker is not None:
+            _write_text(spark, f"{gen}/postings/_ingest_stream", marker)
         commit_generation(spark, root, gen)
         return
     for sub, df_out, pby in (
@@ -579,6 +586,8 @@ def compact_bm25_index(spark, path: str) -> None:
             spark, staging, f"{path}/{sub}",
             f"{path}/{sub}/ingest_batch_id=-1",
         )
+    if marker is not None:
+        _write_text(spark, f"{path}/postings/_ingest_stream", marker)
 
 
 def bm25_topk_indexed(

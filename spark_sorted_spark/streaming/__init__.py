@@ -16,7 +16,11 @@ checks.
 """
 
 from .ann import stream_index_embeddings
-from .ingest import stream_ingest_dedup, stream_maintain_gram_store
+from .ingest import (
+    stream_ingest_dedup,
+    stream_maintain_bm25_index,
+    stream_maintain_gram_store,
+)
 from .ops import sessionize, stream_dedup, stream_stream_join, windowed_agg
 from .run import run_available_now, stream_to_files
 from .sketches import (
@@ -44,6 +48,7 @@ __all__ = [
     "stream_fold_by_key",
     "stream_ingest_dedup",
     "stream_maintain_gram_store",
+    "stream_maintain_bm25_index",
     "run_available_now",
     "stream_to_files",
     "stream_hll_distinct",

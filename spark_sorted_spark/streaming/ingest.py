@@ -74,7 +74,12 @@ from ..functions.dedup import (
     minhash_lsh_pairs,
 )
 
-__all__ = ["stream_ingest_dedup", "compact_corpus", "stream_maintain_gram_store"]
+__all__ = [
+    "stream_ingest_dedup",
+    "compact_corpus",
+    "stream_maintain_gram_store",
+    "stream_maintain_bm25_index",
+]
 
 # test-only hook: a callable invoked as (sink_name, batch_part) right
 # before a staging dir is published; tests raise inside it to simulate
@@ -153,14 +158,22 @@ def _existing_max_batch(spark: SparkSession, corpus_path: str) -> int | None:
     return best
 
 
-def _corpus_has_visible_data(spark: SparkSession, corpus_path: str) -> bool:
+def _has_foreign_stream_data(spark: SparkSession, corpus_path: str) -> bool:
+    """True if the dir holds data some OTHER stream could have written:
+    any visible entry except the reserved base partition
+    ``ingest_batch_id=-1``, which only a BATCH BUILD (or compaction)
+    writes — no stream batch can ever produce a negative id, so a
+    marker-less dir holding ONLY the base is a freshly built store a
+    new stream may adopt (first adoption is the NORMAL flow for the
+    BM25 index and a pre-built gram store), not a takeover risk."""
     fs, hpath, _ = _fs_path(spark, corpus_path)
     if not fs.exists(hpath):
         return False
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
-        if not name.startswith((".", "_")):
-            return True
+        if name.startswith((".", "_")) or name == "ingest_batch_id=-1":
+            continue
+        return True
     return False
 
 
@@ -181,7 +194,7 @@ def _resolve_stream_base(
 
     marker_path = f"{corpus_path}/_ingest_stream"
     raw = _read_text(spark, marker_path)
-    has_data = _corpus_has_visible_data(spark, corpus_path)
+    has_data = _has_foreign_stream_data(spark, corpus_path)
     if raw:
         try:
             marker = json.loads(raw)
@@ -496,5 +509,81 @@ def stream_maintain_gram_store(
     try:
         if not q.awaitTermination(timeout_sec):
             raise TimeoutError("stream_maintain_gram_store did not finish")
+    finally:
+        q.stop()
+
+
+def stream_maintain_bm25_index(
+    stream_docs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout_sec: int = 300,
+    allow_restart: bool = False,
+) -> None:
+    """Keep a BM25 inverted index
+    (``functions.retrieval.build_bm25_index`` layout) current from an
+    unbounded document stream — the lexical-retrieval twin of
+    ``stream_maintain_gram_store``, with the SAME restart protection
+    (checkpoint identity marker under ``{index}/postings``, idempotent
+    ``ingest_batch_id`` partitions, loud fresh-checkpoint failure,
+    ``allow_restart`` base offsetting).
+
+    The index must already exist (``build_bm25_index`` records
+    ``n_buckets`` in ``_bm25_meta``; a stream cannot pick the bucket
+    count). Per-batch cost is O(batch): postings + df deltas + one
+    stats row (``append_to_bm25_index``), the existing index never
+    read. Compact with ``functions.retrieval.compact_bm25_index``
+    when delta rows warrant it — stream STOPPED, like every compact
+    path (compaction preserves the stream marker on both layouts)."""
+    from ..functions.retrieval import append_to_bm25_index
+    from ..sources.manifest import resolve_root
+
+    spark = stream_docs.sparkSession
+    if "ingest_batch_id" in stream_docs.columns:
+        raise ValueError(
+            "stream_maintain_bm25_index reserves the 'ingest_batch_id' "
+            "column for the index partition key; rename it in the input"
+        )
+    # pin THIS run to the current generation (compaction mid-stream is
+    # forbidden on both layouts, so the pointer cannot move)
+    index_path = resolve_root(spark, index_path)
+    # eager existence check — a missing index raised inside
+    # foreachBatch would surface as an opaque StreamingQueryException
+    # after the checkpoint is already created
+    from pyspark.errors import AnalysisException
+
+    try:
+        # bounded-collect: one parameter row from the index metadata
+        spark.read.parquet(f"{index_path}/_bm25_meta").collect()
+    except AnalysisException:
+        raise ValueError(
+            f"no BM25 index at {index_path!r}: build it first with "
+            "build_bm25_index (the stream cannot pick n_buckets)"
+        ) from None
+    base = _resolve_stream_base(
+        spark, f"{index_path}/postings", checkpoint_dir, allow_restart
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_bm25_index(
+            batch_df,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            batch_id=base + batch_id,
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("stream_maintain_bm25_index did not finish")
     finally:
         q.stop()

@@ -1597,3 +1597,143 @@ def test_stream_maintain_gram_store_lifecycle(spark, sf_dir, tmp_path):
         b1.unionByName(b2).unionByName(b3), built_all, min_len=8
     )
     assert snap(store) == snap(built_all)
+
+
+def test_stream_maintain_bm25_index_lifecycle(spark, sf_dir, tmp_path):
+    """Streaming BM25 index maintenance: two drains over a growing
+    document stream leave an index whose probes equal a text scan of
+    the full corpus; an idle drain changes nothing; a fresh checkpoint
+    against the populated index fails loudly; a missing index fails
+    eagerly; compaction preserves the stream marker and the SAME
+    checkpoint resumes after it."""
+    import shutil
+
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+    from spark_sorted_spark.streaming import (
+        stream_maintain_bm25_index,
+        stream_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 300))
+    q = "spark join window filter"
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "stream_bm25_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(ckpt_dir):
+        sdf = stream_table(
+            spark, "documents", sf_dir, path=str(watch)
+        ).select("doc_id", "text")
+        stream_maintain_bm25_index(sdf, idx, ckpt_dir, timeout_sec=180)
+
+    def probe():
+        return [
+            (r.doc_id, r.score, r.n_terms_matched)
+            for r in bm25_topk_indexed(spark, idx, q, k=25).collect()
+        ]
+
+    def scan(d):
+        return [
+            (r.doc_id, r.score, r.n_terms_matched)
+            for r in bm25_topk(d, q, k=25).collect()
+        ]
+
+    # the stream cannot create the index (n_buckets is structural)
+    arrive(b1, "b1")
+    with _pytest.raises(ValueError, match="build_bm25_index"):
+        drain(ckpt)
+    build_bm25_index(base, idx, n_buckets=32)
+    drain(ckpt)
+    assert probe() == scan(base.unionByName(b1))
+
+    arrive(b2, "b2")
+    drain(ckpt)
+    want = scan(base.unionByName(b1).unionByName(b2))
+    assert probe() == want
+
+    # idle drain: nothing changes
+    drain(ckpt)
+    assert probe() == want
+
+    # fresh checkpoint against the populated index: loud
+    with _pytest.raises(ValueError, match="different ingest stream"):
+        drain(str(tmp_path / "ckpt2"))
+
+    # compaction preserves the marker: same checkpoint resumes, and a
+    # post-compact batch still lands correctly
+    compact_bm25_index(spark, idx)
+    assert probe() == want
+    b3 = docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") >= 300))
+    arrive(b3, "b3")
+    drain(ckpt)
+    assert probe() == scan(docs)
+
+
+def test_stream_adopts_prebuilt_gram_store(spark, sf_dir, tmp_path):
+    """A store holding ONLY the build's reserved base partition
+    (ingest_batch_id=-1) carries no stream batches to clobber — a new
+    stream must ADOPT it (the docstring's 'may hold a prior
+    build_gram_store base' promise; pre-round-10 the no-marker guard
+    refused — only the empty-store path worked). Data written by a
+    STREAM (batch partitions >= 0) still guards loudly."""
+    import shutil
+
+    from spark_sorted_spark.functions.dedup import (
+        build_gram_store,
+        clean_against_gram_store,
+    )
+    from spark_sorted_spark.streaming import (
+        stream_maintain_gram_store,
+        stream_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    store = str(tmp_path / "prebuilt_store")
+    build_gram_store(base, store, min_len=8)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    staged = tmp_path / "stage"
+    b1.coalesce(1).write.mode("overwrite").parquet(str(staged))
+    for f in staged.glob("*.parquet"):
+        shutil.move(str(f), str(watch / f.name))
+
+    sdf = stream_table(spark, "documents", sf_dir, path=str(watch)).select(
+        "doc_id", "text"
+    )
+    # fresh checkpoint + marker-less prebuilt store: adopts, no raise
+    stream_maintain_gram_store(
+        sdf, store, str(tmp_path / "ckpt"), timeout_sec=180
+    )
+    probe = docs.filter(F.col("doc_id") % 7 == 3).limit(30)
+    built_all = str(tmp_path / "batch_all")
+    build_gram_store(docs, built_all, min_len=8)
+
+    def snap(path):
+        return sorted(
+            (r.doc_id, r.n_tokens_kept)
+            for r in clean_against_gram_store(probe, path).collect()
+        )
+
+    assert snap(store) == snap(built_all)
