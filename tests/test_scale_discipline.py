@@ -98,4 +98,7 @@ def test_collect_allowlist_is_small_and_known():
     # per-source counts (sources are a bounded vocabulary).
     # 22 later in round 10: +2 for the BM25 index probe's metadata
     # (one _bm25_meta row, one 2-scalar _bm25_stats row).
-    assert n <= 22, f"driver-collect site count grew to {n}; review for scale"
+    # 24 at round-10 close: +1 append_to_bm25_index's one-row
+    # _bm25_meta resolve, +1 stream_maintain_bm25_index's eager
+    # same-row existence check.
+    assert n <= 24, f"driver-collect site count grew to {n}; review for scale"
