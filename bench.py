@@ -476,6 +476,31 @@ def b40_bm25_indexed(spark):
     force(bm25_topk_indexed(spark, _BM25_IDX_PATH, "batch data order", k=15))
 
 
+def b41_bm25_join_indexed(spark):
+    # batch probe against the shared amortized index (b40's)
+    global _BM25_IDX_PATH
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_join_indexed,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    if _BM25_IDX_PATH is None:
+        import tempfile
+
+        _BM25_IDX_PATH = tempfile.mkdtemp(prefix="bench_bm25_") + "/idx"
+        build_bm25_index(docs, _BM25_IDX_PATH)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    force(bm25_join_indexed(spark, _BM25_IDX_PATH, q, k=4))
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -519,6 +544,7 @@ BENCH = {
     "b38_bm25_join": b38_bm25_join,
     "b39_hybrid_topk": b39_hybrid_topk,
     "b40_bm25_indexed": b40_bm25_indexed,
+    "b41_bm25_join_indexed": b41_bm25_join_indexed,
 }
 
 

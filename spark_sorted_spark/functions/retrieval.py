@@ -48,6 +48,7 @@ __all__ = [
     "append_to_bm25_index",
     "compact_bm25_index",
     "bm25_topk_indexed",
+    "bm25_join_indexed",
 ]
 
 
@@ -701,3 +702,158 @@ def bm25_topk_indexed(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def bm25_join_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Batch retrieval against a persisted index — completes the
+    scan/indexed x single/batch matrix (:func:`bm25_topk` /
+    :func:`bm25_join` / :func:`bm25_topk_indexed` / this): score a
+    whole query batch reading ONLY the batch vocabulary's postings
+    buckets, never corpus text. Same output and semantics as
+    :func:`bm25_join` (pinned bitwise-equal).
+
+    Scale shape: the postings/df scans prune to the union of the query
+    batch's term buckets at PLANNING time when the vocabulary is
+    driver-enumerable — which it is here, because the query batch
+    itself must be collected to know which buckets to read
+    (bounded-collect: the batch's distinct terms — the query WORKLOAD,
+    not the corpus; a million-term batch is the point where
+    :func:`bm25_join`'s full-scan form wins anyway). df deltas merge
+    for these terms only; per-query top-k is the same spilling window
+    as bm25_join."""
+    from ..sources.manifest import resolve_root
+    from .exactmath import ln_libm
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (k1 > 0 and 0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    from pyspark.sql import Window
+
+    path = resolve_root(spark, path)
+    # bounded-collect: one parameter row from the index metadata
+    n_buckets = int(spark.read.parquet(f"{path}/_bm25_meta").collect()[0][0])
+    stats = spark.read.parquet(f"{path}/_bm25_stats")
+    if before_batch is not None:
+        stats = stats.filter(F.col("ingest_batch_id") < before_batch)
+    # bounded-collect: the summed corpus scalars (batch-count rows)
+    st = stats.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    ).collect()[0]
+    if st.n_docs is None:
+        raise ValueError(f"index at {path!r} holds no stats rows")
+    n_docs, sum_dl = int(st.n_docs), int(st.sum_dl)
+
+    from .text import tokens
+
+    # bounded-collect: the query batch's (query_id, term) pairs — the
+    # retrieval workload itself, needed driver-side to enumerate the
+    # postings buckets the scans prune to
+    qpairs = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens(query_text_col)).alias("__tok"),
+        )
+        .distinct()
+        # bounded-collect: workload-sized (the marker comment above)
+        .collect()
+    )
+    if not qpairs:
+        raise ValueError("query batch has no terms")
+    terms = sorted({r[1] for r in qpairs})
+    import hashlib
+
+    buckets = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets for t in terms}
+    )
+    qterms = spark.createDataFrame(
+        [(r[0], r[1]) for r in qpairs],
+        f"{query_id_col} long, __tok string",
+    )
+    term_filter = F.col("tok").isin(terms)
+    bucket_filter = F.col("tok_bucket").isin(buckets)
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(bucket_filter)
+        .filter(term_filter)
+    )
+    dft = (
+        spark.read.parquet(f"{path}/dft")
+        .filter(bucket_filter)
+        .filter(term_filter)
+    )
+    if before_batch is not None:
+        tf = tf.filter(F.col("ingest_batch_id") < before_batch)
+        dft = dft.filter(F.col("ingest_batch_id") < before_batch)
+    df_t = (
+        dft.groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .select(
+            "tok",
+            ln_libm(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("__idf"),
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(
+            F.broadcast(qterms.withColumnRenamed("__tok", "tok")), "tok"
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("tok").alias("__tok"),
+            (
+                F.col("__idf")
+                * (F.col("tf") * F.lit(float(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - float(b))
+                        + F.lit(float(b))
+                        * F.col("dl")
+                        / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
+                    )
+                )
+            ).alias("__c"),
+        )
+    )
+    scored = (
+        contrib.groupBy(query_id_col, id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.array_sort(
+                F.collect_list(F.struct("__tok", "__c"))
+            ).alias("__cs"),
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.col("__cs"), F.lit(0.0), lambda acc, s: acc + s["__c"]
+            ).alias("score"),
+            "n_terms_matched",
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

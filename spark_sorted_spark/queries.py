@@ -1983,6 +1983,78 @@ def bm25_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_join_indexed",
+    # batch probe against the persisted index: same definitional
+    # oracle family as bm25_join (the index is a layout), top-4 per
+    # query to keep the two gated relations distinct.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id AS query_id, list_slice(toks, 1, 4) AS qt
+      FROM docs WHERE doc_id IN (3, 7, 11, 19, 23)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS tok FROM q),
+    vocab AS (SELECT DISTINCT tok FROM qterms),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT qt.query_id, t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) JOIN qterms qt USING (tok)
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT query_id, doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score, n_terms_matched,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    SELECT query_id, doc_id, score, n_terms_matched, rank
+    FROM ranked WHERE rank <= 4
+    """,
+)
+def bm25_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval against the persisted index
+    (functions/retrieval.py bm25_join_indexed): the whole query batch
+    scored from the pruned postings buckets — no corpus text read.
+    Shares the per-run index with bm25_topk_indexed."""
+    import os
+    import tempfile
+
+    from .functions.retrieval import bm25_join_indexed, build_bm25_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25_{os.getpid()}"
+    )
+    path = f"{base}/{os.path.basename(sf_dir)}"
+    if not os.path.exists(path):
+        build_bm25_index(docs, path)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    queries = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    return bm25_join_indexed(
+        spark, path, queries, k=4, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+@query(
     "hybrid_topk",
     # RRF fusion of the bm25_topk CTE chain (top-50 candidates) and
     # the exact-cosine top-50 vs the vec_id-0 query vector. RRF is a
@@ -5354,6 +5426,7 @@ _GATE_ORDER = [
     "bm25_topk",
     "bm25_join",
     "bm25_topk_indexed",
+    "bm25_join_indexed",
     "hybrid_topk",
     "dsir_select",
     "temperature_mix",

@@ -111,6 +111,7 @@ def test_gate_window_contents():
         "bm25_topk",
         "bm25_join",
         "bm25_topk_indexed",
+        "bm25_join_indexed",
         "hybrid_topk",
         "dsir_select",
         "temperature_mix",

@@ -405,3 +405,42 @@ def test_bm25_index_append_fence_compact_lifecycle(spark, tmp_path):
     from spark_sorted_spark.sources.manifest import resolve_root
 
     assert resolve_root(spark, str(tmp_path / "idx_manifest")).endswith("gen-1")
+
+
+def test_bm25_join_indexed_equals_batch_scan(spark, tmp_path):
+    """The batch probe against the index (incl. after an append) is
+    bitwise the batch scan of the union corpus; qpairs collect is the
+    workload, not the corpus."""
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        bm25_join,
+        bm25_join_indexed,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = docs.filter(F.col("doc_id").isin([3, 7, 11])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    build_bm25_index(corpus, path, n_buckets=32)
+    append_to_bm25_index(batch, path, batch_id=0)
+    want = sorted(
+        (r.query_id, r.doc_id, r.score, r.n_terms_matched, r.rank)
+        for r in bm25_join(docs, q, k=5).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.n_terms_matched, r.rank)
+        for r in bm25_join_indexed(spark, path, q, k=5).collect()
+    )
+    assert got == want
+    import pytest as _pytest
+
+    empty_q = spark.createDataFrame([], "query_id long, text string")
+    with _pytest.raises(ValueError, match="no terms"):
+        bm25_join_indexed(spark, path, empty_q)

@@ -101,4 +101,7 @@ def test_collect_allowlist_is_small_and_known():
     # 24 at round-10 close: +1 append_to_bm25_index's one-row
     # _bm25_meta resolve, +1 stream_maintain_bm25_index's eager
     # same-row existence check.
-    assert n <= 24, f"driver-collect site count grew to {n}; review for scale"
+    # 27: +3 for bm25_join_indexed (meta row, summed stats row, and
+    # the query BATCH's distinct terms — the retrieval workload, which
+    # must be driver-enumerable to prune the postings buckets).
+    assert n <= 27, f"driver-collect site count grew to {n}; review for scale"
