@@ -60,13 +60,21 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: tuple | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 score for ``query`` (whitespace
     tokenization, the corpus-wide ``tokens`` rule; duplicate query
     terms count once, the standard short-query form). Only documents
     matching at least one term can score — the returned relation is
     ``(id, score, n_terms_matched)``, score-descending with the id as
-    the deterministic tiebreak."""
+    the deterministic tiebreak.
+
+    ``stats=(n_docs, sum_dl)`` lets pipeline callers who already
+    scanned the corpus skip the second stats scan this definitional
+    form otherwise pays (the values are exact integers, so a caller-
+    supplied pair that matches the derived one is bitwise-neutral —
+    pinned in tests); the persisted-index probes amortize it for
+    everyone else."""
     terms = sorted(set(query.split()))
     if not terms:
         raise ValueError("query has no terms")
@@ -91,13 +99,23 @@ def bm25_topk(
         F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )
 
-    # corpus stats: bounded 2-scalar collect (column-pruned scan)
-    stats = df.select(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("sum_dl")
-    ).head()
-    n_docs, sum_dl = int(stats.n), int(stats.sum_dl)
-    if n_docs == 0:
-        raise ValueError("corpus is empty")
+    if stats is not None:
+        n_docs, sum_dl = int(stats[0]), int(stats[1])
+        if n_docs <= 0 or sum_dl < 0:
+            raise ValueError(f"invalid precomputed stats {stats!r}")
+    else:
+        # corpus stats: bounded 2-scalar collect (column-pruned scan).
+        # n_docs first — on an empty corpus sum_dl is NULL, so
+        # converting it before the emptiness check would raise
+        # TypeError (ADVICE r10)
+        st = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(toks)).alias("sum_dl"),
+        ).head()
+        n_docs = int(st.n)
+        if n_docs == 0:
+            raise ValueError("corpus is empty")
+        sum_dl = int(st.sum_dl)
 
     # per-term document frequency: |terms|-row relation, broadcast
     # back. The idf's ln runs on THIS bounded table through ln_libm
@@ -166,6 +184,7 @@ def bm25_join(
     id_col: str = "doc_id",
     query_text_col: str = "text",
     query_id_col: str = "query_id",
+    stats: tuple | None = None,
 ) -> DataFrame:
     """Batch BM25 retrieval — the R-S form of :func:`bm25_topk`: score
     EVERY query of ``queries`` against ``docs`` in one relational job
@@ -188,7 +207,8 @@ def bm25_join(
     query's candidates, spilled by WindowExec if a query matches
     half the corpus. Floats: same discipline as bm25_topk (libm idf,
     fixed-shape contributions, strict (term)-ordered per-(query, doc)
-    fold) — the DuckDB oracle replays bit-for-bit."""
+    fold) — the DuckDB oracle replays bit-for-bit. ``stats=(n_docs,
+    sum_dl)`` skips the stats scan as in :func:`bm25_topk`."""
     from pyspark.sql import Window
 
     from .exactmath import ln_libm
@@ -217,13 +237,21 @@ def bm25_join(
         F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )
 
-    # bounded-collect: two corpus scalars (count + total length)
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("sum_dl")
-    ).head()
-    n_docs, sum_dl = int(stats.n), int(stats.sum_dl)
-    if n_docs == 0:
-        raise ValueError("corpus is empty")
+    if stats is not None:
+        n_docs, sum_dl = int(stats[0]), int(stats[1])
+        if n_docs <= 0 or sum_dl < 0:
+            raise ValueError(f"invalid precomputed stats {stats!r}")
+    else:
+        # bounded-collect: two corpus scalars (count + total length);
+        # n_docs checked before sum_dl conversion (NULL on empty)
+        st = docs.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(toks)).alias("sum_dl"),
+        ).head()
+        n_docs = int(st.n)
+        if n_docs == 0:
+            raise ValueError("corpus is empty")
+        sum_dl = int(st.sum_dl)
 
     df_t = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     df_t = df_t.select(
@@ -418,8 +446,13 @@ def build_bm25_index(
         root = path
         path = begin_generation(spark, root)
     else:
+        # clear ALL per-batch subdirs, not just postings/dft: a rebuild
+        # over a previously-appended index must not leave stale
+        # _bm25_stats partitions behind — probes SUM the stats rows, so
+        # a leftover batch row silently skews idf/avgdl (ADVICE r10)
         _rm_dir(spark, f"{path}/postings")
         _rm_dir(spark, f"{path}/dft")
+        _rm_dir(spark, f"{path}/_bm25_stats")
     toks = tokens(text_col)
     occ = spread_small_input(docs).select(
         F.col(id_col),
@@ -587,8 +620,13 @@ def compact_bm25_index(spark, path: str) -> None:
             spark, staging, f"{path}/{sub}",
             f"{path}/{sub}/ingest_batch_id=-1",
         )
-    if marker is not None:
-        _write_text(spark, f"{path}/postings/_ingest_stream", marker)
+        if sub == "postings" and marker is not None:
+            # re-arm the stream-identity marker IMMEDIATELY after the
+            # postings swap (the dir that carries it) — a crash between
+            # the swaps must not leave a marker-less base-only store
+            # that a fresh-checkpoint stream could silently adopt with
+            # a reset replay fence (ADVICE r10)
+            _write_text(spark, f"{path}/postings/_ingest_stream", marker)
 
 
 def bm25_topk_indexed(
@@ -777,9 +815,19 @@ def bm25_join_indexed(
     buckets = sorted(
         {int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets for t in terms}
     )
+    # re-created frame keeps the CALLER's query-id type — the scan-form
+    # twin bm25_join is id-type-agnostic, so this must be too
+    from pyspark.sql.types import StructField, StructType, StringType
+
+    qid_type = queries.schema[query_id_col].dataType
     qterms = spark.createDataFrame(
         [(r[0], r[1]) for r in qpairs],
-        f"{query_id_col} long, __tok string",
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("__tok", StringType()),
+            ]
+        ),
     )
     term_filter = F.col("tok").isin(terms)
     bucket_filter = F.col("tok_bucket").isin(buckets)

@@ -444,3 +444,148 @@ def test_bm25_join_indexed_equals_batch_scan(spark, tmp_path):
     empty_q = spark.createDataFrame([], "query_id long, text string")
     with _pytest.raises(ValueError, match="no terms"):
         bm25_join_indexed(spark, path, empty_q)
+
+
+def test_bm25_rebuild_after_append_clears_stale_stats(spark, tmp_path):
+    """ADVICE r10 (high): rebuilding over a previously-appended index
+    must clear _bm25_stats too — otherwise probes sum the stale batch
+    rows and return silently wrong scores (reproduced pre-fix:
+    0.7016 vs 0.1740)."""
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "spark join"), (2, "join window"), (3, "filter scan")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(10, "spark spark spark"), (11, "window join spark")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_bm25_index(a, path)
+    append_to_bm25_index(b, path, batch_id=0)
+    # rebuild from scratch over the SAME path with only corpus `a`
+    build_bm25_index(a, path)
+    got = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_indexed(spark, path, "spark join", k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk(a, "spark join", k=10).collect()
+    ]
+    assert got == want
+    # no appended doc leaks into the rebuilt index
+    assert all(i < 10 for i, _, _ in got)
+
+
+def test_bm25_empty_corpus_raises_value_error(spark):
+    """ADVICE r10 (low): an empty corpus must raise the intended
+    ValueError, not TypeError from int(NULL sum_dl)."""
+    from spark_sorted_spark.functions.retrieval import bm25_join, bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        bm25_topk(empty, "a").collect()
+    q = spark.createDataFrame([(1, "a")], "query_id long, text string")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        bm25_join(empty, q).collect()
+
+
+def test_bm25_join_indexed_string_query_ids(spark, tmp_path):
+    """ADVICE r10 (low): the indexed batch probe must accept any
+    query-id type its scan twin accepts — pinned on string ids."""
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_join,
+        bm25_join_indexed,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join shuffle"), (2, "join window"), (3, "filter scan"),
+         (4, "spark window filter")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("qa", "spark join"), ("qb", "filter window")],
+        "query_id string, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path)
+    want = sorted(
+        (r.query_id, r.doc_id, r.score, r.n_terms_matched, r.rank)
+        for r in bm25_join(docs, q, k=3).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.n_terms_matched, r.rank)
+        for r in bm25_join_indexed(spark, path, q, k=3).collect()
+    )
+    assert got == want
+
+
+def test_bm25_precomputed_stats_param(spark):
+    """stats=(n_docs, sum_dl): matching values are bitwise-neutral in
+    both scan forms; the scan count drops (no second stats aggregate);
+    invalid stats raise."""
+    from spark_sorted_spark.functions.retrieval import bm25_join, bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark join shuffle"), (2, "join window"), (3, "filter scan")],
+        "doc_id long, text string",
+    )
+    n_docs, sum_dl = 3, 7  # exact: 3+2+2 tokens
+    base = [(r.doc_id, r.score) for r in bm25_topk(docs, "spark join", k=5).collect()]
+    pre = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(docs, "spark join", k=5, stats=(n_docs, sum_dl)).collect()
+    ]
+    assert pre == base
+    q = spark.createDataFrame([(1, "spark join")], "query_id long, text string")
+    jbase = sorted((r.query_id, r.doc_id, r.score) for r in bm25_join(docs, q, k=5).collect())
+    jpre = sorted(
+        (r.query_id, r.doc_id, r.score)
+        for r in bm25_join(docs, q, k=5, stats=(n_docs, sum_dl)).collect()
+    )
+    assert jpre == jbase
+    with pytest.raises(ValueError, match="invalid precomputed stats"):
+        bm25_topk(docs, "spark", stats=(0, 5))
+
+
+def test_compact_bm25_rewrites_marker_right_after_postings_swap(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (low): a crash between the postings swap and the dft
+    swap must NOT leave a marker-less store — the marker is re-armed
+    immediately after the postings swap, so the half-compacted store
+    still refuses silent adoption by a fresh-checkpoint stream."""
+    import spark_sorted_spark.functions.retrieval as retrieval
+    from spark_sorted_spark.functions import dedup as dedup_mod
+    from spark_sorted_spark.functions.retrieval import build_bm25_index
+    from spark_sorted_spark.streaming.ingest import _read_text, _write_text
+
+    docs = spark.createDataFrame(
+        [(1, "spark join"), (2, "join window")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path)
+    _write_text(spark, f"{path}/postings/_ingest_stream", '{"id": "s1"}')
+
+    real_swap = dedup_mod._swap_in
+    calls = {"n": 0}
+
+    def crashing_swap(spark_, staging, dest, base):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the dft swap — crash after postings
+            raise RuntimeError("injected crash between swaps")
+        return real_swap(spark_, staging, dest, base)
+
+    monkeypatch.setattr(dedup_mod, "_swap_in", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retrieval.compact_bm25_index(spark, path)
+    # the marker survived the partial compaction
+    assert _read_text(spark, f"{path}/postings/_ingest_stream") == '{"id": "s1"}'
