@@ -501,6 +501,102 @@ def b41_bm25_join_indexed(spark):
     force(bm25_join_indexed(spark, _BM25_IDX_PATH, q, k=4))
 
 
+_HYBRID_IVF_PATH = None
+
+
+def b42_hybrid_indexed(spark):
+    # the 100 TB hybrid serving path: BM25 bucket-pruned probe + IVF
+    # nprobe-pruned probe + RRF fusion — both index builds amortized
+    # outside the timed body (shares b40's BM25 index)
+    global _BM25_IDX_PATH, _HYBRID_IVF_PATH
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.retrieval import (
+        build_bm25_index,
+        hybrid_topk_indexed,
+    )
+    from spark_sorted_spark.functions.similarity import build_ann_ivf_index
+    from spark_sorted_spark.sources.tpch import load_table
+
+    if _BM25_IDX_PATH is None:
+        import tempfile
+
+        _BM25_IDX_PATH = tempfile.mkdtemp(prefix="bench_bm25_") + "/idx"
+        build_bm25_index(
+            load_table(spark, "documents", SF_DIR), _BM25_IDX_PATH
+        )
+    emb = load_table(spark, "embeddings", SF_DIR)
+    if _HYBRID_IVF_PATH is None:
+        import tempfile
+
+        _HYBRID_IVF_PATH = tempfile.mkdtemp(prefix="bench_ivf_") + "/idx"
+        build_ann_ivf_index(
+            emb.filter(F.col("vec_id") != 0), _HYBRID_IVF_PATH
+        )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    force(
+        hybrid_topk_indexed(
+            spark,
+            _BM25_IDX_PATH,
+            _HYBRID_IVF_PATH,
+            "merge sort stream table",
+            qvec,
+            k=12,
+            n_candidates=40,
+        )
+    )
+
+
+_STREAM_BM25 = None
+
+
+def b43_stream_bm25_maintain(spark):
+    # streaming BM25 maintenance: one availableNow drain appending a
+    # fresh 10%-of-corpus batch to the persisted index — the per-batch
+    # overhead the nightly ingest loop pays (index build and stream
+    # scaffolding amortized outside the timed body, like b35; each
+    # call arrives NEW doc ids per the incremental-store contract)
+    global _STREAM_BM25
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.retrieval import build_bm25_index
+    from spark_sorted_spark.sources.tpch import load_table
+    from spark_sorted_spark.streaming import (
+        stream_maintain_bm25_index,
+        stream_table,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    if _STREAM_BM25 is None:
+        root = tempfile.mkdtemp(prefix="bench_sbm25_")
+        idx, ckpt, watch = f"{root}/idx", f"{root}/ckpt", f"{root}/in"
+        os.makedirs(watch)
+        build_bm25_index(docs.filter(F.col("doc_id") % 10 != 0), idx)
+        _STREAM_BM25 = {"idx": idx, "ckpt": ckpt, "watch": watch, "n": 0}
+    st = _STREAM_BM25
+    st["n"] += 1
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(st["n"] * 100_000_000)).alias("doc_id"),
+        "text",
+    )
+    staged = f"{st['watch']}_stage"
+    batch.coalesce(1).write.mode("overwrite").parquet(staged)
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            shutil.move(f"{staged}/{f}", f"{st['watch']}/b{st['n']}_{f}")
+    sdf = stream_table(spark, "documents", SF_DIR, path=st["watch"]).select(
+        "doc_id", "text"
+    )
+    stream_maintain_bm25_index(sdf, st["idx"], st["ckpt"], timeout_sec=300)
+
+
 BENCH = {
     "b1_layout": b1_layout,
     "b2_ema": b2_ema,
@@ -545,6 +641,8 @@ BENCH = {
     "b39_hybrid_topk": b39_hybrid_topk,
     "b40_bm25_indexed": b40_bm25_indexed,
     "b41_bm25_join_indexed": b41_bm25_join_indexed,
+    "b42_hybrid_indexed": b42_hybrid_indexed,
+    "b43_stream_bm25_maintain": b43_stream_bm25_maintain,
 }
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "bm25_topk",
     "bm25_join",
     "hybrid_topk",
+    "hybrid_topk_indexed",
     "build_bm25_index",
     "append_to_bm25_index",
     "compact_bm25_index",
@@ -371,6 +372,17 @@ def hybrid_topk(
         F.col(vec_id_col).alias("__id"),
         F.col("rank").cast("bigint").alias("rank_dense"),
     )
+    return _rrf_fuse(lex, dense, id_col, rrf_k, k)
+
+
+def _rrf_fuse(lex, dense, id_col: str, rrf_k: int, k: int) -> DataFrame:
+    """Reciprocal Rank Fusion of two (__id, rank_*) candidate
+    relations — the shared fusion layer of :func:`hybrid_topk` and
+    :func:`hybrid_topk_indexed` (both <= n_candidates rows per side,
+    so every window below is candidate-bounded). Engine-exact: a
+    fixed-order sum of reciprocals of exact integer ranks."""
+    from pyspark.sql import Window
+
     fused = lex.join(dense, "__id", "full_outer").select(
         F.col("__id").alias(id_col),
         (
@@ -395,6 +407,65 @@ def hybrid_topk(
         .orderBy("rank")
         .limit(int(k))
     )
+
+
+def hybrid_topk_indexed(
+    spark,
+    bm25_path: str,
+    ann_path: str,
+    query: str,
+    query_vec: list,
+    k: int = 10,
+    n_candidates: int = 50,
+    rrf_k: int = 60,
+    nprobe: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval against PERSISTED indexes on both sides — the
+    100 TB serving form of :func:`hybrid_topk`: the lexical candidates
+    come from the bucket-pruned BM25 inverted index
+    (:func:`bm25_topk_indexed` — reads only the query terms' postings
+    buckets, never corpus text) and the dense candidates from a
+    persisted IVF index (``similarity.ann_ivf_topk_indexed`` — scans
+    only the ``nprobe`` probed cell directories), fused by the same
+    engine-exact RRF layer. Neither side touches a full table: the
+    probe cost is O(query terms' postings + probed cells), independent
+    of corpus size.
+
+    With ``nprobe >= nlist`` (full probe) the dense side ranks by
+    exact cosine over all vectors, so the output is BITWISE the
+    scan-form :func:`hybrid_topk` (pinned in tests); at serving
+    defaults the dense side trades recall for the pruned scan, which
+    is the point. ``nprobe=None`` uses the similarity module's
+    default."""
+    from pyspark.sql import Window
+
+    from .similarity import ANN_NPROBE, ann_ivf_topk_indexed
+
+    if rrf_k < 1:
+        raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    lex = bm25_topk_indexed(
+        spark, bm25_path, query, k=n_candidates, k1=k1, b=b, id_col=id_col
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+        .cast("bigint")
+        .alias("rank_lex"),
+    )
+    dense = ann_ivf_topk_indexed(
+        spark,
+        ann_path,
+        [float(x) for x in query_vec],
+        k=n_candidates,
+        nprobe=ANN_NPROBE if nprobe is None else int(nprobe),
+    ).select(
+        F.col("vec_id").alias("__id"),
+        F.col("rank").cast("bigint").alias("rank_dense"),
+    )
+    return _rrf_fuse(lex, dense, id_col, rrf_k, k)
 
 
 def build_bm25_index(

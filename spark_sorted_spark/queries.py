@@ -2134,6 +2134,124 @@ def hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_topk_indexed",
+    # The 100 TB serving form: BOTH sides probe persisted indexes —
+    # lexical candidates from the bucket-pruned BM25 inverted index,
+    # dense candidates from the nprobe-pruned IVF index — fused by the
+    # same engine-exact RRF. The oracle composes the two existing
+    # replay chains verbatim: the bm25_topk CTE (the index is a
+    # layout — pinned bitwise) and the similarity_ann_ivf construction
+    # replay (seeded md5 centroid pick, max-dot assignment, nprobe
+    # cells, exact cosine within probed cells). Distinct term set /
+    # candidates from hybrid_topk so the two gated rows differ.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN ('merge', 'sort', 'stream', 'table')
+      GROUP BY doc_id, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) CROSS JOIN stats s),
+    lex AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 40),
+    lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rl
+      FROM lex),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS cell,
+             embedding AS cent
+      FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_ANN_NLIST}),
+    cscored AS (
+      SELECT b.vec_id, b.embedding, c.cell,
+             {_DOT_SQL.format(a="b.embedding", b="c.cent")} AS d
+      FROM base b CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell) AS rn
+        FROM cscored) WHERE rn = 1),
+    qprobe AS (
+      SELECT c.cell FROM cents c CROSS JOIN q
+      ORDER BY {_DOT_SQL.format(a="c.cent", b="q.qe")} DESC, c.cell
+      LIMIT {_ANN_NPROBE}),
+    dense AS (
+      SELECT a.vec_id, {_cos_sql("a.embedding", "q.qe")} AS cos
+      FROM assigned a CROSS JOIN q
+      WHERE a.cell IN (SELECT cell FROM qprobe)
+      ORDER BY cos DESC, a.vec_id LIMIT 40),
+    denser AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS rd
+      FROM dense),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.vec_id) AS doc_id,
+             coalesce(1.0e0 / (60 + l.rl), 0.0e0)
+             + coalesce(1.0e0 / (60 + d.rd), 0.0e0) AS rrf,
+             l.rl AS rank_lex, d.rd AS rank_dense
+      FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.vec_id)
+    SELECT doc_id, rrf, rank_lex, rank_dense,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 12
+    """,
+)
+def hybrid_topk_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed hybrid retrieval (functions/retrieval.py
+    hybrid_topk_indexed): RRF fusion where the lexical side reads only
+    the query terms' postings buckets of the persisted BM25 index and
+    the dense side scans only the nprobe probed IVF cell directories —
+    no full-table scan on either side. Shares the per-run BM25 index
+    with bm25_topk_indexed and the IVF index with similarity_ann_ivf."""
+    import os
+    import tempfile
+
+    from .functions.retrieval import build_bm25_index, hybrid_topk_indexed
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25_{os.getpid()}"
+    )
+    bm25_path = f"{base}/{os.path.basename(sf_dir)}"
+    if not os.path.exists(bm25_path):
+        build_bm25_index(docs, bm25_path)
+    ivf_path = _ann_index(spark, sf_dir, "ivf")
+    return hybrid_topk_indexed(
+        spark,
+        bm25_path,
+        ivf_path,
+        "merge sort stream table",
+        [float(x) for x in qvec],
+        k=12,
+        n_candidates=40,
+        nprobe=_ANN_NPROBE,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+@query(
     "similarity_ann_lsh",
     # Approximate in recall, deterministic in output: the oracle
     # replays the identical seeded 8-plane sign-bit bucket assignment
@@ -5319,14 +5437,25 @@ _GATE_ORDER = [
     # query — rotating it out would leave the family without a gated
     # row, so it stays through rotation #6)
     "multimodal_features",
-    # ---- round-10 rotation #6: gate the REST of the never-gated. 35
-    # catalog queries had never held a driver row through r9; 34 gate
-    # now (every rotatable slot), emptying the never-gated list except
-    # decontaminate_verbatim_short — the parameter-twin of the gated
-    # decontaminate_verbatim (same operator, shorter token probe),
-    # the weakest marginal signal and the one slot multimodal_features
-    # needed. First: the round-9 additions whose losslessness claims
-    # deserve the driver's independent confirmation.
+    # ---- round-11 rotation #7: gate the ENTIRE never-gated backlog —
+    # the whole round-10 retrieval/mix family (bm25 scan/indexed x
+    # single/batch, hybrid, DSIR, temperature mixing), the round-11
+    # hybrid_topk_indexed (registered straight into the window so it
+    # never joins the backlog), and decontaminate_verbatim_short (the
+    # last rotation-#6 holdover). After this window NO catalog query
+    # has never held a driver row.
+    "bm25_topk",
+    "bm25_join",
+    "bm25_topk_indexed",
+    "bm25_join_indexed",
+    "hybrid_topk",
+    "hybrid_topk_indexed",
+    "dsir_select",
+    "temperature_mix",
+    "decontaminate_verbatim_short",
+    # rotation-#6 rows holding a second consecutive round (all
+    # driver-green in CORRECTNESS_r10; the round-9/10 additions whose
+    # losslessness claims benefit most from repeated driver signal)
     "decontaminate_verbatim",
     "dedup_exact_normalized",
     "dedup_clusters_incremental",
@@ -5336,8 +5465,6 @@ _GATE_ORDER = [
     "dedup_clean_repeated_spans",
     "unigram_logprob",
     "dedup_semantic",
-    # longest-waiting carried rows (never gated r1-r9; all local-PASS
-    # in every full-catalog artifact since they registered)
     "unpivot_measures",
     "redact_pii",
     "build_vocab",
@@ -5349,24 +5476,28 @@ _GATE_ORDER = [
     "window_distribution",
     "stream_hll_by_source",
     "stream_len_quantiles",
-    # the 14 remaining TPC-H shapes earn first driver rows — after
-    # this window every TPC-H query in the catalog has been
-    # driver-confirmed at least once (q1/q3/q5 r1-r7, q9/q18/q21 r9)
+    # TPC-H keeps five in-window representatives — the structurally
+    # richest shapes (8-table join, outer-join distribution, max-
+    # subquery view, correlated scalar agg, nested semi-join); the
+    # other nine rotate out driver-green (first rows in r10)
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q20_part_promotion",
+    # --- gate cutoff (driver runs the 50 above) ---
+    # round-11 rotation #7 overflow: the nine TPC-H rows below were
+    # all driver-green in CORRECTNESS_r10 (their first driver rows);
+    # the family keeps the five representatives above in-window.
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
     "tpch_q10_returned_items",
     "tpch_q12_late_shipments",
-    "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
     "tpch_q16_supplier_diversity",
-    "tpch_q17_small_quantity",
     "tpch_q19_disjunctive_revenue",
-    "tpch_q20_part_promotion",
     "tpch_q22_sales_opportunity",
-    # --- gate cutoff (driver runs the 50 above) ---
     # round-10 rotation #6 overflow: the 34 rows rotated out were ALL
     # driver-green in CORRECTNESS_r09 (every family keeps in-window
     # representation: text via unigram_logprob/redact_pii/build_vocab/
@@ -5415,21 +5546,7 @@ _GATE_ORDER = [
     "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
     # earlier rotations' overflow (each driver-green when rotated out;
-    # origin comments preserved in git history). decontaminate_verbatim
-    # _short is the one never-gated row left: the gated
-    # decontaminate_verbatim runs the same contains_join operator with
-    # a longer probe — rotate it in next round.
-    # round-10 additions (overflow — rotation #6's window was already
-    # committed to the 34 standing never-gated rows; these two join
-    # decontaminate_verbatim_short as rotation #7 leads): BM25 lexical
-    # retrieval and DSIR importance selection, both vs full SQL replays
-    "bm25_topk",
-    "bm25_join",
-    "bm25_topk_indexed",
-    "bm25_join_indexed",
-    "hybrid_topk",
-    "dsir_select",
-    "temperature_mix",
+    # origin comments preserved in git history)
     "doc_fingerprint",
     "lang_id",
     "repetition_profile",
@@ -5460,7 +5577,6 @@ _GATE_ORDER = [
     "embedding_neardup",
     "rollup_agg",
     "cube_agg",
-    "decontaminate_verbatim_short",
 ]
 
 

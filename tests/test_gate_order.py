@@ -46,8 +46,19 @@ def test_gate_window_contents():
         "projection_chain",
         # the multimodal family representative (sole multimodal query)
         "multimodal_features",
-        # round-10 rotation #6: the round-9 additions whose losslessness
-        # claims deserve the driver signal
+        # round-11 rotation #7: the entire never-gated backlog — the
+        # round-10 retrieval/mix family, the round-11
+        # hybrid_topk_indexed, and the last rotation-#6 holdover
+        "bm25_topk",
+        "bm25_join",
+        "bm25_topk_indexed",
+        "bm25_join_indexed",
+        "hybrid_topk",
+        "hybrid_topk_indexed",
+        "dsir_select",
+        "temperature_mix",
+        "decontaminate_verbatim_short",
+        # rotation-#6 rows holding a second consecutive round
         "decontaminate_verbatim",
         "dedup_repeated_spans",
         "dedup_clean_repeated_spans",
@@ -57,7 +68,6 @@ def test_gate_window_contents():
         "unigram_logprob",
         "dedup_exact_normalized",
         "dedup_clusters_incremental",
-        # the longest-waiting carried rows
         "embedding_clusters",
         "stream_hll_by_source",
         "stream_len_quantiles",
@@ -66,14 +76,22 @@ def test_gate_window_contents():
         "negative_pairs",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
-    # after rotation #6 exactly ONE catalog query has never held a
-    # driver row: decontaminate_verbatim_short (parameter-twin of the
-    # gated decontaminate_verbatim) — rotate it in next round
+    # after rotation #7 NO catalog query has never held a driver row
+    # (pending CORRECTNESS_r11 confirming the window above).
     # overflow: every rotated-out row was driver-green in the round it
-    # left (rotation #6 rows all green in CORRECTNESS_r09); family
+    # left (the nine TPC-H rows below earned first rows in r10); family
     # representation justified in the _GATE_ORDER comments. All
     # overflow stays locally oracle-checked per round.
     assert names[50:] == [
+        "tpch_q4_order_priority",
+        "tpch_q6_forecast_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q10_returned_items",
+        "tpch_q12_late_shipments",
+        "tpch_q14_promo_revenue",
+        "tpch_q16_supplier_diversity",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q22_sales_opportunity",
         "text_stats",
         "quality_score",
         "normalize_text",
@@ -108,13 +126,6 @@ def test_gate_window_contents():
         "tpch_q9_product_profit",
         "tpch_q18_large_orders",
         "tpch_q21_waiting_suppliers",
-        "bm25_topk",
-        "bm25_join",
-        "bm25_topk_indexed",
-        "bm25_join_indexed",
-        "hybrid_topk",
-        "dsir_select",
-        "temperature_mix",
         "doc_fingerprint",
         "lang_id",
         "repetition_profile",
@@ -145,7 +156,6 @@ def test_gate_window_contents():
         "embedding_neardup",
         "rollup_agg",
         "cube_agg",
-        "decontaminate_verbatim_short",
     ]
 
 

@@ -589,3 +589,63 @@ def test_compact_bm25_rewrites_marker_right_after_postings_swap(
         retrieval.compact_bm25_index(spark, path)
     # the marker survived the partial compaction
     assert _read_text(spark, f"{path}/postings/_ingest_stream") == '{"id": "s1"}'
+
+
+def test_hybrid_topk_indexed_full_probe_equals_scan(spark, tmp_path):
+    """hybrid_topk_indexed with nprobe >= nlist (exact-recall probe)
+    must be BITWISE the scan-form hybrid_topk: the BM25 index is a
+    layout (pinned), and a full IVF probe ranks by exact cosine over
+    all vectors. At serving nprobe the dense side is a subset of the
+    exact candidates (recall trade, never a score change)."""
+    from spark_sorted_spark.functions.retrieval import (
+        build_bm25_index,
+        hybrid_topk,
+        hybrid_topk_indexed,
+    )
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        build_ann_ivf_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    base = emb.filter(F.col("vec_id") != 0)
+    bm25 = str(tmp_path / "bm25")
+    ivf = str(tmp_path / "ivf")
+    build_bm25_index(docs, bm25)
+    build_ann_ivf_index(base, ivf)
+    q = "spark join window filter"
+    want = [
+        (r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_topk(docs, base, q, qvec, k=10, n_candidates=50).collect()
+    ]
+    got = [
+        (r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_topk_indexed(
+            spark, bm25, ivf, q, qvec, k=10, n_candidates=50, nprobe=ANN_NLIST
+        ).collect()
+    ]
+    assert got == want
+    # serving nprobe: every dense-ranked id it returns carries a rank
+    # consistent with exact cosine ORDER WITHIN the probed subset —
+    # weak check here (strong recall floors live in test_ann_recall);
+    # the lexical side must be byte-identical either way
+    part = {
+        r.doc_id: (r.rank_lex,)
+        for r in hybrid_topk_indexed(
+            spark, bm25, ivf, q, qvec, k=10, n_candidates=50, nprobe=4
+        ).collect()
+    }
+    full_lex = {d: rl for d, _, rl, _, _ in want if rl is not None}
+    for d, (rl,) in part.items():
+        if rl is not None and d in full_lex:
+            assert rl == full_lex[d]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rrf_k"):
+        hybrid_topk_indexed(spark, bm25, ivf, q, qvec, rrf_k=0)
