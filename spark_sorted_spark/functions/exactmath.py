@@ -25,6 +25,11 @@ Portability note: "exact vs the oracle" means *this host's* libm on
 both sides. A cross-machine deployment pins determinism machine-to-
 itself (glibc's log has been stable across recent releases, but the
 contract worth documenting is same-libm, not same-planet).
+``tools/libm_fingerprint.py`` records this host's ln digest over a
+hostile-argument sample in ``LIBM_FINGERPRINT.json`` — run it with
+``--check`` on any other machine BEFORE trusting oracle artifacts
+generated here (a mismatch means regenerate locally, not chase
+per-query hash noise).
 """
 
 from __future__ import annotations

@@ -267,6 +267,14 @@ def stream_ingest_dedup(
             "stream_ingest_dedup reserves the 'ingest_batch_id' column "
             "for the corpus partition key; rename it in the input"
         )
+    from ..sources.manifest import resolve_root
+
+    # pin THIS run to the corpus's current generation (manifest-layout
+    # corpora — see compact_corpus(commit="manifest"); compaction
+    # mid-stream is forbidden on both layouts, so the pointer cannot
+    # move under a running drain). Rename-layout corpora resolve to
+    # themselves.
+    corpus_path = resolve_root(spark, corpus_path)
     base = _resolve_stream_base(spark, corpus_path, checkpoint_dir, allow_restart)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -376,7 +384,9 @@ def stream_ingest_dedup(
         q.stop()
 
 
-def compact_corpus(spark: SparkSession, corpus_path: str) -> None:
+def compact_corpus(
+    spark: SparkSession, corpus_path: str, commit: str | None = None
+) -> None:
     """Collapse a long-appended ingest corpus (one ``ingest_batch_id``
     partition per micro-batch) into a single partition holding the
     identical rows — the small-files maintenance an unbounded ingest
@@ -409,15 +419,65 @@ def compact_corpus(spark: SparkSession, corpus_path: str) -> None:
     after the swap; a crash in between leaves the full corpus in
     ``{corpus_path}.old`` and a marker-less live dir — the loud
     restart guard fires on the next start instead of anything
-    silently clobbering (recover: rename ``.old`` back)."""
-    from ..functions.dedup import _swap_in
+    silently clobbering (recover: rename ``.old`` back).
 
-    if _existing_max_batch(spark, corpus_path) is None:
-        raise ValueError(f"{corpus_path!r} holds no batch partitions")
-    marker = _read_text(spark, f"{corpus_path}/_ingest_stream")
-    df = spark.read.parquet(corpus_path)
+    ``commit`` controls the publish layout, closing the last
+    rename-only store (PARITY open item #3): ``None`` preserves
+    whatever layout the corpus already has; ``"manifest"`` publishes
+    the compacted corpus as a fresh GENERATION under the original
+    root (``sources/manifest.py`` — converts a rename-layout corpus
+    on its first use; object-store safe, concurrent-reader safe
+    because nothing under the old generation is touched until the
+    pointer PUT commits); ``"rename"`` insists on the in-place swap
+    and refuses a manifest-layout corpus (no down-migration — readers
+    may hold the pointer). After a manifest compaction the stream
+    resumes against the new generation automatically
+    (``stream_ingest_dedup`` resolves the pointer at start; the
+    identity marker is carried into the new generation so the replay
+    fence survives)."""
+    from ..functions.dedup import _swap_in
+    from ..sources.manifest import (
+        begin_generation,
+        commit_generation,
+        resolve_root,
+    )
+
+    if commit not in (None, "rename", "manifest"):
+        raise ValueError(
+            f"commit must be None, 'rename' or 'manifest', got {commit!r}"
+        )
+    root = corpus_path
+    cur = resolve_root(spark, root)
+    if commit == "rename" and cur != root:
+        raise ValueError(
+            f"corpus at {root!r} is manifest-layout; commit='rename' "
+            "would strand readers holding the generation pointer"
+        )
+    if _existing_max_batch(spark, cur) is None:
+        raise ValueError(f"{cur!r} holds no batch partitions")
+    marker = _read_text(spark, f"{cur}/_ingest_stream")
+    df = spark.read.parquet(cur)
     if "ingest_batch_id" in df.columns:
         df = df.drop("ingest_batch_id")
+    if commit == "manifest" or cur != root:
+        gen = begin_generation(spark, root)
+        df.write.mode("overwrite").parquet(f"{gen}/ingest_batch_id=-1")
+        if marker is not None:
+            _write_text(spark, f"{gen}/_ingest_stream", marker)
+        commit_generation(spark, root, gen)
+        if cur == root:
+            # first manifest commit over a rename-layout corpus: the
+            # old loose batch partitions now live INSIDE the committed
+            # generation's history only; remove them from the root so
+            # a pointer-unaware reader cannot double-read. The pointer
+            # is already committed, so a crash mid-cleanup leaves a
+            # bigger root dir, never a torn corpus.
+            fs, hpath, jvm = _fs_path(spark, root)
+            for status in fs.listStatus(hpath):
+                name = status.getPath().getName()
+                if name.startswith("ingest_batch_id=") or name == "_ingest_stream":
+                    fs.delete(status.getPath(), True)
+        return
     staging = f"{corpus_path}.compacting"
     df.write.mode("overwrite").parquet(staging)
     _swap_in(

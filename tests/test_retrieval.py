@@ -649,3 +649,28 @@ def test_hybrid_topk_indexed_full_probe_equals_scan(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="rrf_k"):
         hybrid_topk_indexed(spark, bm25, ivf, q, qvec, rrf_k=0)
+
+
+def test_libm_fingerprint_artifact_is_current():
+    """PARITY open item #4: the checked-in LIBM_FINGERPRINT.json must
+    match THIS host's libm (and DuckDB must agree bitwise) — a
+    cross-machine run whose libm differs fails here loudly instead of
+    surfacing as per-query oracle hash noise."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "tools")
+    )
+    try:
+        import libm_fingerprint as lf
+    finally:
+        sys.path.pop(0)
+
+    assert lf.ARTIFACT.exists(), "run python tools/libm_fingerprint.py"
+    rec = json.loads(lf.ARTIFACT.read_text())
+    here = lf.fingerprint()
+    assert here["duckdb_matches_libm"] is True
+    assert rec["ln_digest"] == here["ln_digest"]
+    assert rec["duckdb_ln_digest"] == here["duckdb_ln_digest"]

@@ -1737,3 +1737,95 @@ def test_stream_adopts_prebuilt_gram_store(spark, sf_dir, tmp_path):
         )
 
     assert snap(store) == snap(built_all)
+
+
+def test_compact_corpus_manifest_layout(spark, sf_dir, tmp_path):
+    """PARITY open item #3: the ingest corpus supports the
+    generation-pointer layout. compact_corpus(commit='manifest')
+    converts a rename-layout corpus (pointer committed LAST, loose
+    partitions swept after), reads resolve through the pointer with
+    identical rows, the identity marker is carried so the SAME stream
+    resumes against the new generation, a later compaction publishes
+    the next generation, and commit='rename' on a manifest corpus
+    refuses (readers may hold the pointer)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.dedup import build_minhash_band_store
+    from spark_sorted_spark.sources.manifest import resolve_root
+    from spark_sorted_spark.streaming import stream_table
+    from spark_sorted_spark.streaming.ingest import (
+        compact_corpus,
+        stream_ingest_dedup,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    store = str(tmp_path / "store")
+    build_minhash_band_store(spark.createDataFrame([], docs.schema), store)
+    corpus = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain():
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_ingest_dedup(sdf, store, corpus, audit, ckpt, timeout_sec=180)
+
+    arrive(b1, "b1")
+    drain()
+    arrive(b2, "b2")
+    drain()
+    before = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    marker = (tmp_path / "corpus" / "_ingest_stream").read_text()
+
+    compact_corpus(spark, corpus, commit="manifest")
+    assert os.path.exists(f"{corpus}/_current")
+    cur = resolve_root(spark, corpus)
+    assert cur == f"{corpus}/gen-0"
+    assert sorted(r.doc_id for r in spark.read.parquet(cur).collect()) == before
+    assert (
+        [d for d in os.listdir(cur) if d.startswith("ingest_batch_id=")]
+        == ["ingest_batch_id=-1"]
+    )
+    # marker carried into the generation; loose root partitions swept
+    assert (tmp_path / "corpus" / "gen-0" / "_ingest_stream").read_text() == marker
+    assert not [
+        d for d in os.listdir(corpus) if d.startswith("ingest_batch_id=")
+    ]
+    assert not os.path.exists(f"{corpus}/_ingest_stream")
+
+    # the SAME stream resumes against the new generation: the next
+    # batch dedups against the compacted corpus and lands beside it
+    arrive(b3, "b3")
+    drain()
+    after = sorted(r.doc_id for r in spark.read.parquet(cur).collect())
+    assert len(after) > len(before)
+    parts = {d for d in os.listdir(cur) if d.startswith("ingest_batch_id=")}
+    assert "ingest_batch_id=-1" in parts and len(parts) == 2
+
+    # a later compaction publishes the NEXT generation with the same
+    # rows and carries the marker again
+    compact_corpus(spark, corpus)
+    cur2 = resolve_root(spark, corpus)
+    assert cur2 == f"{corpus}/gen-1"
+    assert sorted(r.doc_id for r in spark.read.parquet(cur2).collect()) == after
+    assert (tmp_path / "corpus" / "gen-1" / "_ingest_stream").read_text() == marker
+
+    # no down-migration: readers may hold the pointer
+    with _pytest.raises(ValueError, match="manifest-layout"):
+        compact_corpus(spark, corpus, commit="rename")
+    with _pytest.raises(ValueError, match="commit must"):
+        compact_corpus(spark, corpus, commit="copy")
