@@ -550,6 +550,56 @@ def b42_hybrid_indexed(spark):
     )
 
 
+def b44_hybrid_join_indexed(spark):
+    # batch hybrid serving: the whole query batch's lexical candidates
+    # from pruned BM25 postings + dense candidates from the union of
+    # probed IVF cells, fused per query (shares b42's indexes)
+    global _BM25_IDX_PATH, _HYBRID_IVF_PATH
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.retrieval import (
+        build_bm25_index,
+        hybrid_join_indexed,
+    )
+    from spark_sorted_spark.functions.similarity import build_ann_ivf_index
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    emb = load_table(spark, "embeddings", SF_DIR)
+    if _BM25_IDX_PATH is None:
+        import tempfile
+
+        _BM25_IDX_PATH = tempfile.mkdtemp(prefix="bench_bm25_") + "/idx"
+        build_bm25_index(docs, _BM25_IDX_PATH)
+    if _HYBRID_IVF_PATH is None:
+        import tempfile
+
+        _HYBRID_IVF_PATH = tempfile.mkdtemp(prefix="bench_ivf_") + "/idx"
+        build_ann_ivf_index(
+            emb.filter(F.col("vec_id") != 0), _HYBRID_IVF_PATH
+        )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = (
+        docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23]))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("query_vec"),
+            ),
+            "query_id",
+        )
+    )
+    force(
+        hybrid_join_indexed(
+            spark, _BM25_IDX_PATH, _HYBRID_IVF_PATH, q, k=6, n_candidates=20
+        )
+    )
+
+
 _STREAM_BM25 = None
 
 
@@ -643,6 +693,7 @@ BENCH = {
     "b41_bm25_join_indexed": b41_bm25_join_indexed,
     "b42_hybrid_indexed": b42_hybrid_indexed,
     "b43_stream_bm25_maintain": b43_stream_bm25_maintain,
+    "b44_hybrid_join_indexed": b44_hybrid_join_indexed,
 }
 
 

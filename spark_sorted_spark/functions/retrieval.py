@@ -45,6 +45,8 @@ __all__ = [
     "bm25_join",
     "hybrid_topk",
     "hybrid_topk_indexed",
+    "hybrid_join",
+    "hybrid_join_indexed",
     "build_bm25_index",
     "append_to_bm25_index",
     "compact_bm25_index",
@@ -466,6 +468,202 @@ def hybrid_topk_indexed(
         F.col("rank").cast("bigint").alias("rank_dense"),
     )
     return _rrf_fuse(lex, dense, id_col, rrf_k, k)
+
+
+def _rrf_fuse_batch(
+    lex, dense, query_id_col: str, id_col: str, rrf_k: int, k: int
+) -> DataFrame:
+    """Per-query RRF fusion of two (query_id, __id, rank_*) candidate
+    relations — the batch twin of :func:`_rrf_fuse`. Both inputs are
+    <= n_candidates rows PER QUERY, so the fusion join and the final
+    window are candidate-bounded per partition key."""
+    from pyspark.sql import Window
+
+    fused = lex.join(dense, [query_id_col, "__id"], "full_outer").select(
+        F.col(query_id_col),
+        F.col("__id").alias(id_col),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_lex")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_dense")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+        "rank_lex",
+        "rank_dense",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hybrid_join(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch hybrid retrieval — the R-S form of :func:`hybrid_topk`:
+    fuse per-query BM25 (:func:`bm25_join`, one corpus text scan for
+    the whole batch) and per-query exact cosine
+    (``similarity.cosine_join``, one embedding scan) rankings by RRF.
+    ``queries`` carries BOTH modalities per row: ``(query_id, text,
+    query_vec)``. Returns ``(query_id, id, rrf, rank_lex, rank_dense,
+    rank)`` with rank 1..k per query; ranks NULL for the side that
+    did not retrieve the id.
+
+    Each side scans its table ONCE regardless of |queries|; the
+    fusion joins two <= |queries| x n_candidates relations. The
+    100 TB serving form is :func:`hybrid_join_indexed` (neither side
+    scans a full table)."""
+    from .similarity import cosine_join
+
+    if rrf_k < 1:
+        raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    lex = bm25_join(
+        docs,
+        queries,
+        k=n_candidates,
+        k1=k1,
+        b=b,
+        text_col=text_col,
+        id_col=id_col,
+        query_text_col=query_text_col,
+        query_id_col=query_id_col,
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("__id"),
+        F.col("rank").alias("rank_lex"),
+    )
+    dense = cosine_join(
+        embeddings,
+        queries,
+        k=n_candidates,
+        vec_col=vec_col,
+        id_col=vec_id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(
+        F.col(query_id_col),
+        F.col(vec_id_col).alias("__id"),
+        F.col("rank").alias("rank_dense"),
+    )
+    return _rrf_fuse_batch(lex, dense, query_id_col, id_col, rrf_k, k)
+
+
+def hybrid_join_indexed(
+    spark,
+    bm25_path: str,
+    ann_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    rrf_k: int = 60,
+    nprobe: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch hybrid retrieval against PERSISTED indexes on both sides
+    — completes the hybrid matrix (:func:`hybrid_topk` /
+    :func:`hybrid_topk_indexed` / :func:`hybrid_join` / this), and is
+    the shape a 100 TB RAG serving path actually runs: the whole
+    query batch's lexical candidates come from the bucket-pruned BM25
+    inverted index (:func:`bm25_join_indexed` — reads the batch
+    vocabulary's postings buckets only) and its dense candidates from
+    the IVF index (``similarity.ann_ivf_join_indexed`` — reads the
+    union of the batch's probed cells only), fused per query by the
+    same engine-exact RRF. No full-table scan anywhere.
+
+    With ``nprobe >= nlist`` the output is BITWISE :func:`hybrid_join`
+    (pinned in tests); at serving defaults the dense side trades
+    recall for the pruned scan."""
+    from .similarity import ANN_NPROBE, ann_ivf_join_indexed
+
+    if rrf_k < 1:
+        raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    # materialize the query batch ONCE: both sides must collect the
+    # workload anyway (terms -> postings buckets, vectors -> probe
+    # cells), and handing each a live DataFrame would re-run the
+    # caller's query-construction lineage per side
+    # bounded-collect: the retrieval workload (both sides re-collect
+    # from this local relation, which is free)
+    qrows = queries.select(
+        F.col(query_id_col),
+        F.col(query_text_col),
+        F.col(query_vec_col).cast("array<double>"),
+    ).collect()
+    if not qrows:
+        raise ValueError("query batch is empty")
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    qid_type = queries.schema[query_id_col].dataType
+    qlocal = spark.createDataFrame(
+        [(r[0], r[1], [float(x) for x in r[2]]) for r in qrows],
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField(query_text_col, StringType()),
+                StructField(query_vec_col, ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    lex = bm25_join_indexed(
+        spark,
+        bm25_path,
+        qlocal,
+        k=n_candidates,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        query_text_col=query_text_col,
+        query_id_col=query_id_col,
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("__id"),
+        F.col("rank").alias("rank_lex"),
+    )
+    dense = ann_ivf_join_indexed(
+        spark,
+        ann_path,
+        qlocal,
+        k=n_candidates,
+        nprobe=ANN_NPROBE if nprobe is None else int(nprobe),
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(
+        F.col(query_id_col),
+        F.col("vec_id").alias("__id"),
+        F.col("rank").alias("rank_dense"),
+    )
+    return _rrf_fuse_batch(lex, dense, query_id_col, id_col, rrf_k, k)
 
 
 def build_bm25_index(

@@ -50,9 +50,11 @@ __all__ = [
     "dot_strict",
     "dot_py",
     "ann_ivf_topk",
+    "ann_ivf_join_indexed",
     "knn_join_lsh",
     "cosine",
     "cosine_topk",
+    "cosine_join",
     "cosine_neardup_pairs",
     "cosine_neardup_pairs_lsh",
     "cosine_neardup_against_index",
@@ -162,6 +164,53 @@ def cosine_topk(
             .alias("rank"),
             "cos",
         )
+    )
+
+
+def cosine_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact batch top-``k`` by cosine — the R-S form of
+    :func:`cosine_topk`: score EVERY query vector of ``queries``
+    against ``embeddings`` in one job and keep each query's top ``k``.
+    Returns ``(query_id, id, cos, rank)`` with rank 1..k per query
+    (cos DESC, id tiebreak — the identical strict-fold doubles as the
+    single-query form, so the order is bitwise-reproducible).
+
+    Scale shape: ONE corpus scan regardless of |queries| — the query
+    batch rides along as a broadcast, so the |queries| x N candidate
+    stream is generated executor-side with no shuffle before the
+    per-query window. This is the honest exact DEFINITIONAL form
+    (dense scoring has no sparsity to prune); the 100 TB path is
+    :func:`ann_ivf_join_indexed`, which reads only probed cells."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    )
+    # declared-crossjoin: corpus x broadcast QUERY BATCH — the batch
+    # is the retrieval workload (bounded), not a second corpus; the
+    # product is the definitional exact score relation itself
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -858,6 +907,105 @@ def ann_ivf_topk_indexed(
     idx = spark.read.parquet(index_path)
     celled = idx.filter(F.col("cell").isin(probe))
     return _rank_topk(celled, query_vec, k, vec_col, id_col)
+
+
+def ann_ivf_join_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = ANN_NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch ANN against a persisted IVF index — the R-S form of
+    :func:`ann_ivf_topk_indexed`: probe the index for EVERY query of
+    ``queries`` in one job, reading ONLY the union of the batch's
+    probed cell directories. Returns ``(query_id, id, cos, rank)``,
+    rank 1..k per query (exact cosine within each query's probed
+    cells — same recall contract as the single-query probe; with
+    ``nprobe >= nlist`` it equals :func:`cosine_join` exactly).
+
+    Scale shape: per-query probe cells are ranked DRIVER-side against
+    the bounded nlist-row centroid table (the query batch is the
+    retrieval workload — collected like ``bm25_join_indexed``'s
+    terms); the index scan prunes to the union of probed cells at
+    planning time, and the (query, cell) pairs + query vectors ride
+    back as broadcasts, so candidate generation is shuffle-free up to
+    the per-query top-k window."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.manifest import resolve_root
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    index_path = resolve_root(spark, index_path)
+    # bounded-collect: nlist centroid rows from the index metadata
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
+    )
+    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    # bounded-collect: the query batch itself — the retrieval
+    # workload, needed driver-side to enumerate the probed cells the
+    # index scan prunes to (the bm25_join_indexed discipline)
+    qrows = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>")
+    ).collect()
+    if not qrows:
+        raise ValueError("query batch is empty")
+    qid_type = queries.schema[query_id_col].dataType
+    pairs = [
+        (r[0], int(cell))
+        for r in qrows
+        for cell in _ivf_probe_cells([float(x) for x in r[1]], cents, nprobe)
+    ]
+    cells = sorted({c for _, c in pairs})
+    qcells = spark.createDataFrame(
+        pairs,
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("cell", IntegerType()),
+            ]
+        ),
+    )
+    qvecs = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in qrows],
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("__qv", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    scored = (
+        idx.join(F.broadcast(qcells), "cell")
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 # ---------------------------------------------------------------------------

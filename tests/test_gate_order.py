@@ -55,6 +55,8 @@ def test_gate_window_contents():
         "bm25_join_indexed",
         "hybrid_topk",
         "hybrid_topk_indexed",
+        "hybrid_join",
+        "hybrid_join_indexed",
         "dsir_select",
         "temperature_mix",
         "decontaminate_verbatim_short",
@@ -73,7 +75,6 @@ def test_gate_window_contents():
         "stream_len_quantiles",
         "window_distribution",
         "unpivot_measures",
-        "negative_pairs",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # after rotation #7 NO catalog query has never held a driver row
@@ -83,6 +84,8 @@ def test_gate_window_contents():
     # representation justified in the _GATE_ORDER comments. All
     # overflow stays locally oracle-checked per round.
     assert names[50:] == [
+        "doc_keywords",
+        "negative_pairs",
         "tpch_q4_order_priority",
         "tpch_q6_forecast_revenue",
         "tpch_q7_volume_shipping",

@@ -674,3 +674,192 @@ def test_libm_fingerprint_artifact_is_current():
     assert here["duckdb_matches_libm"] is True
     assert rec["ln_digest"] == here["ln_digest"]
     assert rec["duckdb_ln_digest"] == here["duckdb_ln_digest"]
+
+
+def test_cosine_join_matches_per_query_topk(spark):
+    """The batch dense form must equal running cosine_topk per query
+    vector (identical strict-fold cos, identical tiebreaks)."""
+    from spark_sorted_spark.functions.similarity import cosine_join, cosine_topk
+    from spark_sorted_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin([3, 7, 11])).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qs.items()],
+        "query_id long, query_vec array<double>",
+    )
+    got = {
+        (r.query_id, r.vec_id): (r.cos, r.rank)
+        for r in cosine_join(emb, qdf, k=5).collect()
+    }
+    n = 0
+    for qid, qv in qs.items():
+        for r in cosine_topk(emb, qv, k=5).collect():
+            assert got[(qid, r.vec_id)] == (r.cos, r.rank)
+            n += 1
+    assert len(got) == n
+
+
+def test_ann_ivf_join_indexed_full_probe_equals_exact(spark, tmp_path):
+    """Batch IVF probe: nprobe >= nlist equals the exact cosine_join
+    bitwise; serving nprobe returns a subset whose scores are the
+    exact cosines; string query ids work (schema derived from the
+    caller, the bm25_join_indexed lesson)."""
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivf_join_indexed,
+        build_ann_ivf_index,
+        cosine_join,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") != 0)
+    idx = str(tmp_path / "ivf")
+    build_ann_ivf_index(base, idx)
+    qs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin([3, 7, 11])).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qs.items()],
+        "query_id long, query_vec array<double>",
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in cosine_join(base, qdf, k=8).collect()
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in ann_ivf_join_indexed(
+            spark, idx, qdf, k=8, nprobe=ANN_NLIST
+        ).collect()
+    )
+    assert got == want
+    exact_cos = {(q, v): c for q, v, c, _ in want}
+    part = ann_ivf_join_indexed(spark, idx, qdf, k=8, nprobe=4).collect()
+    assert part
+    full = {
+        (r.query_id, r.vec_id): r.cos
+        for r in cosine_join(base, qdf, k=10**6).collect()
+    }
+    for r in part:
+        assert full[(r.query_id, r.vec_id)] == r.cos
+    # string ids
+    sdf = spark.createDataFrame(
+        [(f"q{i}", v) for i, v in qs.items()],
+        "query_id string, query_vec array<double>",
+    )
+    srows = ann_ivf_join_indexed(spark, idx, sdf, k=3, nprobe=4).collect()
+    assert {r.query_id for r in srows} == {f"q{i}" for i in qs}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query batch is empty"):
+        ann_ivf_join_indexed(
+            spark,
+            idx,
+            spark.createDataFrame([], "query_id long, query_vec array<double>"),
+        )
+
+
+def test_hybrid_join_matches_per_query_hybrid_topk(spark):
+    """The batch hybrid must equal running hybrid_topk per query (the
+    same two candidate lists, the same exact RRF)."""
+    from spark_sorted_spark.functions.retrieval import hybrid_join, hybrid_topk
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qtexts = {
+        r.doc_id: r.qt
+        for r in docs.filter(F.col("doc_id").isin([3, 7]))
+        .select("doc_id", F.array_join(F.slice(toks, 1, 4), " ").alias("qt"))
+        .collect()
+    }
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin([3, 7])).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(i, qtexts[i], qvecs[i]) for i in (3, 7)],
+        "query_id long, text string, query_vec array<double>",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_join(docs, emb, qdf, k=6, n_candidates=20).collect()
+    }
+    n = 0
+    for qid in (3, 7):
+        single = hybrid_topk(
+            docs, emb, qtexts[qid], qvecs[qid], k=6, n_candidates=20
+        ).collect()
+        for r in single:
+            assert got[(qid, r.doc_id)] == (
+                r.rrf, r.rank_lex, r.rank_dense, r.rank
+            )
+            n += 1
+    assert len(got) == n
+
+
+def test_hybrid_join_indexed_full_probe_equals_scan(spark, tmp_path):
+    """hybrid_join_indexed with nprobe >= nlist is BITWISE the
+    scan-form hybrid_join (both indexes are layouts at full probe)."""
+    from spark_sorted_spark.functions.retrieval import (
+        build_bm25_index,
+        hybrid_join,
+        hybrid_join_indexed,
+    )
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        build_ann_ivf_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") != 0)
+    bm25 = str(tmp_path / "bm25")
+    ivf = str(tmp_path / "ivf")
+    build_bm25_index(docs, bm25)
+    build_ann_ivf_index(base, ivf)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qdf = (
+        docs.filter(F.col("doc_id").isin([3, 7, 11]))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("query_vec"),
+            ),
+            "query_id",
+        )
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_join(docs, base, qdf, k=6, n_candidates=20).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_join_indexed(
+            spark, bm25, ivf, qdf, k=6, n_candidates=20, nprobe=ANN_NLIST
+        ).collect()
+    )
+    assert got == want
+    # serving nprobe still returns k rows per query with exact lexical
+    # ranks (the dense side is the recall trade)
+    part = hybrid_join_indexed(
+        spark, bm25, ivf, qdf, k=6, n_candidates=20, nprobe=4
+    ).collect()
+    lex_want = {
+        (q, d): rl for q, d, _, rl, _, _ in want if rl is not None
+    }
+    for r in part:
+        if r.rank_lex is not None and (r.query_id, r.doc_id) in lex_want:
+            assert r.rank_lex == lex_want[(r.query_id, r.doc_id)]

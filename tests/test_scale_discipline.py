@@ -104,4 +104,11 @@ def test_collect_allowlist_is_small_and_known():
     # 27: +3 for bm25_join_indexed (meta row, summed stats row, and
     # the query BATCH's distinct terms — the retrieval workload, which
     # must be driver-enumerable to prune the postings buckets).
-    assert n <= 27, f"driver-collect site count grew to {n}; review for scale"
+    # 29 as of round 11: +2 for ann_ivf_join_indexed (nlist-row
+    # centroid table + the query batch — the same workload-collect
+    # contract as bm25_join_indexed, needed to enumerate probed cells
+    # for planning-time pruning).
+    # 30: +1 hybrid_join_indexed materializes the query batch once so
+    # its two sides don't each re-run the caller's query-construction
+    # lineage (both would collect the workload regardless).
+    assert n <= 30, f"driver-collect site count grew to {n}; review for scale"
