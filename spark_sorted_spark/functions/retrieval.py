@@ -52,6 +52,7 @@ __all__ = [
     "compact_bm25_index",
     "bm25_topk_indexed",
     "bm25_join_indexed",
+    "retrieval_metrics",
 ]
 
 
@@ -468,6 +469,129 @@ def hybrid_topk_indexed(
         F.col("rank").cast("bigint").alias("rank_dense"),
     )
     return _rrf_fuse(lex, dense, id_col, rrf_k, k)
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """Per-query retrieval quality — the eval half of the retrieval
+    surface: given a ranked result relation (``query_id, id, rank``,
+    rank 1-based — the output shape of :func:`bm25_join`,
+    :func:`hybrid_join_indexed`, ``similarity.cosine_join``, ...) and
+    a relevance-judgment relation (``query_id, id, grade`` with
+    grade > 0 relevant), compute the standard cutoff-``k`` metrics:
+
+    * ``recall``  = |relevant retrieved in top k| / |relevant|
+    * ``rr``      = 1 / rank of the first relevant hit (0 if none) —
+      average it for MRR@k
+    * ``ndcg``    = DCG@k / IDCG@k with linear gain,
+      DCG = sum_i grade_i / log2(rank_i + 1)
+
+    Returns ``(query_id, n_relevant, n_hits, recall, rr, ndcg)`` —
+    one row per query WITH at least one relevant judgment (the
+    convention every IR eval tool uses: unjudged queries are
+    excluded, retrieved-nothing queries score 0).
+
+    Scale shape: one cutoff filter + one join of results against
+    qrels (both workload-sized — at 100 TB the corpus appears only
+    through the ids results carry), two bounded per-query aggregates,
+    and a broadcast-friendly final join keyed by query. Float
+    discipline: every log2 runs through ``exactmath.ln_libm`` on the
+    bounded hit/judgment relations divided by the libm ``ln(2)``
+    literal, and the DCG/IDCG sums are strict rank-ordered folds — the
+    DuckDB oracle replays them bit-for-bit (recall and rr are single
+    IEEE divisions of exact integers)."""
+    import math as _math
+
+    from .exactmath import ln_libm
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ln2 = F.lit(_math.log(2.0))
+    rel = qrels.filter(F.col(grade_col) > 0).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(grade_col).cast("double").alias("__g"),
+    )
+    # per-query judgment totals + IDCG@k: the ideal ordering is the
+    # grades descending; the fold runs over the top-k of that ordering
+    # in strict position order (1-indexed, log2(i+1) via libm)
+    ideal = (
+        rel.groupBy(query_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_relevant"),
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list("__g"))), 1, int(k)
+            ).alias("__gs"),
+        )
+        .select(
+            query_id_col,
+            "n_relevant",
+            F.posexplode("__gs").alias("__i", "__g"),
+        )
+        .select(
+            query_id_col,
+            "n_relevant",
+            "__i",
+            (
+                F.col("__g")
+                / (ln_libm(F.col("__i") + F.lit(2.0)) / ln2)
+            ).alias("__t"),
+        )
+        .groupBy(query_id_col, "n_relevant")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("__i", "__t"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["__t"],
+            ).alias("__idcg")
+        )
+    )
+    hits = (
+        results.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_id_col), F.col(id_col), F.col(rank_col).alias("__r")
+        )
+        .join(rel, [query_id_col, id_col])
+        .select(
+            query_id_col,
+            "__r",
+            (
+                F.col("__g")
+                / (ln_libm(F.col("__r") + F.lit(1.0)) / ln2)
+            ).alias("__t"),
+        )
+    )
+    per_q = hits.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.lit(1.0) / F.min("__r")).alias("rr"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__r", "__t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__t"],
+        ).alias("__dcg"),
+    )
+    return (
+        ideal.join(per_q, query_id_col, "left")
+        .select(
+            query_id_col,
+            "n_relevant",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_relevant")
+            ).alias("recall"),
+            F.coalesce("rr", F.lit(0.0)).alias("rr"),
+            F.coalesce(
+                F.col("__dcg") / F.col("__idcg"), F.lit(0.0)
+            ).alias("ndcg"),
+        )
+    )
 
 
 def _rrf_fuse_batch(

@@ -2455,6 +2455,119 @@ def hybrid_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retrieval_eval",
+    # The eval half of the retrieval surface: score the 5-query BM25
+    # batch (the bm25_join chain, top-10) against synthetic relevance
+    # judgments — each query's SOURCE document (grade 2, queries are
+    # its first 4 tokens) and the next document (grade 1) — and
+    # compute recall@10 / RR@10 / nDCG@10 per query. Every log2 is
+    # ln/ln(2) through the SAME libm on both engines; the DCG/IDCG
+    # sums are strict position-ordered folds; recall and rr are single
+    # IEEE divisions of exact integers.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id AS query_id, list_slice(toks, 1, 4) AS qt
+      FROM docs WHERE doc_id IN (3, 7, 11, 19, 23)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS tok FROM q),
+    vocab AS (SELECT DISTINCT tok FROM qterms),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT qt.query_id, t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) JOIN qterms qt USING (tok)
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM scored) WHERE rank <= 10),
+    qrels AS (
+      SELECT query_id, doc_id, grade FROM (
+        SELECT doc_id AS query_id, doc_id, 2 AS grade
+        FROM docs WHERE doc_id IN (3, 7, 11, 19, 23)
+        UNION ALL
+        SELECT d.doc_id - 1 AS query_id, d.doc_id, 1 AS grade
+        FROM docs d WHERE d.doc_id IN (4, 8, 12, 20, 24))),
+    hits AS (
+      SELECT r.query_id, r.rank, qr.grade::DOUBLE AS g
+      FROM ranked r JOIN qrels qr USING (query_id, doc_id)),
+    perq AS (
+      SELECT query_id, count(*) AS n_hits, 1.0e0 / min(rank) AS rr,
+             list_reduce(
+               list_prepend(0.0,
+                 list(g / (ln(rank + 1.0e0) / ln(2.0e0)) ORDER BY rank)),
+               (a, x) -> a + x) AS dcg
+      FROM hits GROUP BY query_id),
+    ig AS (
+      SELECT query_id, grade::DOUBLE AS g,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY grade DESC) - 1 AS i
+      FROM qrels WHERE grade > 0),
+    ideal AS (
+      SELECT query_id, count(*) AS n_relevant,
+             list_reduce(
+               list_prepend(0.0,
+                 list(g / (ln(i + 2.0e0) / ln(2.0e0)) ORDER BY i)
+                 FILTER (i < 10)),
+               (a, x) -> a + x) AS idcg
+      FROM ig GROUP BY query_id)
+    SELECT i.query_id, i.n_relevant,
+           coalesce(p.n_hits, 0) AS n_hits,
+           coalesce(p.n_hits, 0) / i.n_relevant AS recall,
+           coalesce(p.rr, 0.0e0) AS rr,
+           coalesce(p.dcg / i.idcg, 0.0e0) AS ndcg
+    FROM ideal i LEFT JOIN perq p USING (query_id)
+    """,
+)
+def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (functions/retrieval.py retrieval_metrics):
+    recall@10 / RR@10 / nDCG@10 of the 5-query BM25 batch against
+    synthetic qrels (source doc grade 2, successor doc grade 1) — the
+    measurement loop a retrieval pipeline tunes against."""
+    from .functions.retrieval import bm25_join, retrieval_metrics
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ids = [3, 7, 11, 19, 23]
+    q = docs.filter(F.col("doc_id").isin(ids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    res = bm25_join(docs, q, k=10, k1=_BM25_K1, b=_BM25_B)
+    src = docs.filter(F.col("doc_id").isin(ids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("doc_id"),
+        F.lit(2).alias("grade"),
+    )
+    nxt = docs.filter(F.col("doc_id").isin([i + 1 for i in ids])).select(
+        (F.col("doc_id") - 1).alias("query_id"),
+        F.col("doc_id"),
+        F.lit(1).alias("grade"),
+    )
+    return retrieval_metrics(res, src.unionByName(nxt), k=10)
+
+
+@query(
     "similarity_ann_lsh",
     # Approximate in recall, deterministic in output: the oracle
     # replays the identical seeded 8-plane sign-bit bucket assignment
@@ -5657,6 +5770,7 @@ _GATE_ORDER = [
     "hybrid_join_indexed",
     "dsir_select",
     "temperature_mix",
+    "retrieval_eval",
     "decontaminate_verbatim_short",
     # rotation-#6 rows holding a second consecutive round (all
     # driver-green in CORRECTNESS_r10; the round-9/10 additions whose
@@ -5674,7 +5788,6 @@ _GATE_ORDER = [
     "redact_pii",
     "build_vocab",
     "embedding_clusters",
-    "cms_heavy_shingles",
     "hll_grouped_by_source",
     "window_distribution",
     "stream_hll_by_source",
@@ -5693,11 +5806,15 @@ _GATE_ORDER = [
     # rotate out driver-green (r10) to make room for the round-11
     # batch-hybrid pair above — their families keep in-window reps
     # (text: unigram_logprob/redact_pii/build_vocab; sampling:
-    # dsir_select/temperature_mix). The nine TPC-H rows below were
-    # all driver-green in CORRECTNESS_r10 (their first driver rows);
-    # the family keeps the five representatives above in-window.
+    # dsir_select/temperature_mix); cms_heavy_shingles likewise for
+    # retrieval_eval (sketches keep hll_grouped_by_source +
+    # stream_hll_by_source + stream_len_quantiles in-window). The
+    # nine TPC-H rows below were all driver-green in CORRECTNESS_r10
+    # (their first driver rows); the family keeps the five
+    # representatives above in-window.
     "doc_keywords",
     "negative_pairs",
+    "cms_heavy_shingles",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",

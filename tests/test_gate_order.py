@@ -59,6 +59,7 @@ def test_gate_window_contents():
         "hybrid_join_indexed",
         "dsir_select",
         "temperature_mix",
+        "retrieval_eval",
         "decontaminate_verbatim_short",
         # rotation-#6 rows holding a second consecutive round
         "decontaminate_verbatim",
@@ -86,6 +87,7 @@ def test_gate_window_contents():
     assert names[50:] == [
         "doc_keywords",
         "negative_pairs",
+        "cms_heavy_shingles",
         "tpch_q4_order_priority",
         "tpch_q6_forecast_revenue",
         "tpch_q7_volume_shipping",

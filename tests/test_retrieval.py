@@ -863,3 +863,61 @@ def test_hybrid_join_indexed_full_probe_equals_scan(spark, tmp_path):
     for r in part:
         if r.rank_lex is not None and (r.query_id, r.doc_id) in lex_want:
             assert r.rank_lex == lex_want[(r.query_id, r.doc_id)]
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """recall/rr/ndcg against hand-computed values, including a
+    judged-but-unretrieved query (scores 0) and an unjudged query
+    (excluded)."""
+    from spark_sorted_spark.functions.retrieval import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [
+            (1, 2, 1), (1, 7, 2), (1, 1, 3),
+            (2, 8, 1), (2, 5, 2),
+            (4, 1, 1),  # unjudged query: excluded from output
+        ],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 1), (2, 5, 1), (3, 9, 1)],
+        "query_id long, doc_id long, grade long",
+    )
+    got = {
+        r.query_id: (r.n_relevant, r.n_hits, r.recall, r.rr, r.ndcg)
+        for r in retrieval_metrics(results, qrels, k=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    def log2(x):
+        return math.log(x) / math.log(2.0)
+
+    # q1: hits doc2@1 (g2), doc1@3 (g1); ideal grades [2,1,1]
+    dcg1 = 2.0 / log2(2) + 1.0 / log2(4)
+    idcg1 = 2.0 / log2(2) + 1.0 / log2(3) + 1.0 / log2(4)
+    assert got[1] == (3, 2, 2 / 3, 1.0, dcg1 / idcg1)
+    # q2: one hit at rank 2
+    assert got[2] == (1, 1, 1.0, 0.5, (1.0 / log2(3)) / (1.0 / log2(2)))
+    # q3: judged, nothing retrieved
+    assert got[3] == (1, 0, 0.0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_perfect_retrieval_is_one(spark):
+    """Retrieving exactly the relevant set in ideal-grade order scores
+    recall = rr = ndcg = 1 for every query."""
+    from spark_sorted_spark.functions.retrieval import retrieval_metrics
+
+    qrels = spark.createDataFrame(
+        [(q, d, g) for q in (1, 2) for d, g in ((10, 3), (11, 2), (12, 1))],
+        "query_id long, doc_id long, grade long",
+    )
+    results = spark.createDataFrame(
+        [(q, 10 + i, i + 1) for q in (1, 2) for i in range(3)],
+        "query_id long, doc_id long, rank long",
+    )
+    for r in retrieval_metrics(results, qrels, k=5).collect():
+        assert (r.recall, r.rr, r.ndcg) == (1.0, 1.0, 1.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        retrieval_metrics(results, qrels, k=0)
