@@ -243,6 +243,63 @@ def main():
             bm25_topk_indexed(spark, path, "batch data order", k=15).collect()
         )
 
+    _hyb_cache: dict[str, tuple[str, str]] = {}
+
+    def _hyb_paths(d, e, tag):
+        # shared amortized indexes for the hybrid probes (built once
+        # per scale, outside every timed body)
+        from spark_sorted_spark.functions.retrieval import build_bm25_index
+        from spark_sorted_spark.functions.similarity import build_ann_ivf_index
+
+        if tag not in _hyb_cache:
+            bp, ip = f"{work}/hyb_bm25_{tag}", f"{work}/hyb_ivf_{tag}"
+            build_bm25_index(d, bp)
+            build_ann_ivf_index(e.filter(F.col("vec_id") != 0), ip)
+            _hyb_cache[tag] = (bp, ip)
+        return _hyb_cache[tag]
+
+    def b42(d, e, tag):
+        # indexed hybrid probe: BOTH sides pruned (postings buckets +
+        # IVF cells) — the scale claim is a near-flat probe cost
+        from spark_sorted_spark.functions.retrieval import hybrid_topk_indexed
+
+        bp, ip = _hyb_paths(d, e, tag)
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        ]
+        return lambda: len(
+            hybrid_topk_indexed(
+                spark, bp, ip, "merge sort stream table", qvec,
+                k=12, n_candidates=40,
+            ).collect()
+        )
+
+    def b44(d, e, tag):
+        # batch indexed hybrid: 5-query workload against the same
+        # shared indexes
+        from spark_sorted_spark.functions.retrieval import hybrid_join_indexed
+
+        bp, ip = _hyb_paths(d, e, tag)
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        q = (
+            d.filter(F.col("doc_id").isin([3, 7, 11, 19, 23]))
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+            )
+            .join(
+                e.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").cast("array<double>").alias("query_vec"),
+                ),
+                "query_id",
+            )
+        )
+        return lambda: hybrid_join_indexed(
+            spark, bp, ip, q, k=6, n_candidates=20
+        ).count()
+
     rows = []
     for name, f1, f10 in (
         ("b14_simhash_banded", b14(docs), b14(docs10)),
@@ -269,6 +326,12 @@ def main():
         ("b37_dsir_select", b37(docs), b37(docs10)),
         ("b38_bm25_join", b38(docs), b38(docs10)),
         ("b40_bm25_indexed", b40(docs, "1x"), b40(docs10, "10x")),
+        ("b42_hybrid_indexed", b42(docs, emb, "1x"), b42(docs10, emb10, "10x")),
+        (
+            "b44_hybrid_join_indexed",
+            b44(docs, emb, "1x"),
+            b44(docs10, emb10, "10x"),
+        ),
     ):
         t1, n1 = timed(f1) if f1 else (None, None)
         t10, n10 = timed(f10)
