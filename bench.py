@@ -600,6 +600,38 @@ def b44_hybrid_join_indexed(spark):
     )
 
 
+_IVFPQ_IDX_PATH = None
+
+
+def b45_ivfpq_join_indexed(spark):
+    # batch dense serving probe: 5 queries against the persisted
+    # IVF-PQ index — union-of-probed-cells directory pruning PLUS
+    # code-column-only reads (index build amortized outside the timed
+    # body, like b40/b42)
+    global _IVFPQ_IDX_PATH
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivfpq_join_indexed,
+        build_ann_ivfpq_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    if _IVFPQ_IDX_PATH is None:
+        import tempfile
+
+        _IVFPQ_IDX_PATH = tempfile.mkdtemp(prefix="bench_ivfpq_") + "/idx"
+        build_ann_ivfpq_index(
+            emb.filter(F.col("vec_id") != 0), _IVFPQ_IDX_PATH
+        )
+    q = emb.filter(F.col("vec_id").isin([0, 3, 7, 11, 19])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    force(ann_ivfpq_join_indexed(spark, _IVFPQ_IDX_PATH, q, k=10, nprobe=4))
+
+
 _STREAM_BM25 = None
 
 
@@ -694,6 +726,7 @@ BENCH = {
     "b42_hybrid_indexed": b42_hybrid_indexed,
     "b43_stream_bm25_maintain": b43_stream_bm25_maintain,
     "b44_hybrid_join_indexed": b44_hybrid_join_indexed,
+    "b45_ivfpq_join_indexed": b45_ivfpq_join_indexed,
 }
 
 

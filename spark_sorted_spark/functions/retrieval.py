@@ -425,6 +425,8 @@ def hybrid_topk_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    dense: str = "ivf",
+    dense_rerank: int | None = None,
 ) -> DataFrame:
     """Hybrid retrieval against PERSISTED indexes on both sides — the
     100 TB serving form of :func:`hybrid_topk`: the lexical candidates
@@ -437,18 +439,31 @@ def hybrid_topk_indexed(
     probe cost is O(query terms' postings + probed cells), independent
     of corpus size.
 
-    With ``nprobe >= nlist`` (full probe) the dense side ranks by
+    ``dense="ivfpq"`` probes an IVF-PQ index instead
+    (``similarity.ann_ivfpq_topk_indexed``) — same cell pruning PLUS
+    code-column-only reads (~16x less probe IO at the defaults);
+    ``dense_rerank=R`` adds the exact-cosine tail over each probe's
+    top-R ADC candidates. The fusion consumes ranks only, so either
+    dense arm slots in unchanged.
+
+    With ``nprobe >= nlist`` (full probe) the IVF dense side ranks by
     exact cosine over all vectors, so the output is BITWISE the
-    scan-form :func:`hybrid_topk` (pinned in tests); at serving
-    defaults the dense side trades recall for the pruned scan, which
-    is the point. ``nprobe=None`` uses the similarity module's
-    default."""
+    scan-form :func:`hybrid_topk` (pinned in tests; for ``ivfpq`` the
+    same holds with ``dense_rerank >= |corpus|``); at serving defaults
+    the dense side trades recall for the pruned scan, which is the
+    point. ``nprobe=None`` uses the similarity module's default."""
     from pyspark.sql import Window
 
-    from .similarity import ANN_NPROBE, ann_ivf_topk_indexed
+    from .similarity import (
+        ANN_NPROBE,
+        ann_ivf_topk_indexed,
+        ann_ivfpq_topk_indexed,
+    )
 
     if rrf_k < 1:
         raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    if dense not in ("ivf", "ivfpq"):
+        raise ValueError(f"dense must be 'ivf' or 'ivfpq', got {dense!r}")
     lex = bm25_topk_indexed(
         spark, bm25_path, query, k=n_candidates, k1=k1, b=b, id_col=id_col
     ).select(
@@ -458,17 +473,26 @@ def hybrid_topk_indexed(
         .cast("bigint")
         .alias("rank_lex"),
     )
-    dense = ann_ivf_topk_indexed(
-        spark,
-        ann_path,
-        [float(x) for x in query_vec],
-        k=n_candidates,
-        nprobe=ANN_NPROBE if nprobe is None else int(nprobe),
-    ).select(
+    np_ = ANN_NPROBE if nprobe is None else int(nprobe)
+    if dense == "ivfpq":
+        dense_df = ann_ivfpq_topk_indexed(
+            spark,
+            ann_path,
+            [float(x) for x in query_vec],
+            k=n_candidates,
+            nprobe=np_,
+            rerank=dense_rerank,
+        )
+    else:
+        dense_df = ann_ivf_topk_indexed(
+            spark, ann_path, [float(x) for x in query_vec],
+            k=n_candidates, nprobe=np_,
+        )
+    dense_df = dense_df.select(
         F.col("vec_id").alias("__id"),
         F.col("rank").cast("bigint").alias("rank_dense"),
     )
-    return _rrf_fuse(lex, dense, id_col, rrf_k, k)
+    return _rrf_fuse(lex, dense_df, id_col, rrf_k, k)
 
 
 def retrieval_metrics(
@@ -708,6 +732,8 @@ def hybrid_join_indexed(
     query_text_col: str = "text",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dense: str = "ivf",
+    dense_rerank: int | None = None,
 ) -> DataFrame:
     """Batch hybrid retrieval against PERSISTED indexes on both sides
     — completes the hybrid matrix (:func:`hybrid_topk` /
@@ -720,13 +746,26 @@ def hybrid_join_indexed(
     union of the batch's probed cells only), fused per query by the
     same engine-exact RRF. No full-table scan anywhere.
 
+    ``dense="ivfpq"`` probes an IVF-PQ index instead
+    (``similarity.ann_ivfpq_join_indexed``) — the union-of-cells scan
+    additionally reads the CODE column only (~16x less probe IO at
+    the defaults); ``dense_rerank=R`` adds the per-query exact-cosine
+    tail. The fusion consumes ranks only, so either arm slots in.
+
     With ``nprobe >= nlist`` the output is BITWISE :func:`hybrid_join`
-    (pinned in tests); at serving defaults the dense side trades
-    recall for the pruned scan."""
-    from .similarity import ANN_NPROBE, ann_ivf_join_indexed
+    (pinned in tests; for ``ivfpq`` the same holds with
+    ``dense_rerank >= |corpus|``); at serving defaults the dense side
+    trades recall for the pruned scan."""
+    from .similarity import (
+        ANN_NPROBE,
+        ann_ivf_join_indexed,
+        ann_ivfpq_join_indexed,
+    )
 
     if rrf_k < 1:
         raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    if dense not in ("ivf", "ivfpq"):
+        raise ValueError(f"dense must be 'ivf' or 'ivfpq', got {dense!r}")
     # materialize the query batch ONCE: both sides must collect the
     # workload anyway (terms -> postings buckets, vectors -> probe
     # cells), and handing each a live DataFrame would re-run the
@@ -774,20 +813,34 @@ def hybrid_join_indexed(
         F.col(id_col).alias("__id"),
         F.col("rank").alias("rank_lex"),
     )
-    dense = ann_ivf_join_indexed(
-        spark,
-        ann_path,
-        qlocal,
-        k=n_candidates,
-        nprobe=ANN_NPROBE if nprobe is None else int(nprobe),
-        query_id_col=query_id_col,
-        query_vec_col=query_vec_col,
-    ).select(
+    np_ = ANN_NPROBE if nprobe is None else int(nprobe)
+    if dense == "ivfpq":
+        dense_df = ann_ivfpq_join_indexed(
+            spark,
+            ann_path,
+            qlocal,
+            k=n_candidates,
+            nprobe=np_,
+            rerank=dense_rerank,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+    else:
+        dense_df = ann_ivf_join_indexed(
+            spark,
+            ann_path,
+            qlocal,
+            k=n_candidates,
+            nprobe=np_,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+    dense_df = dense_df.select(
         F.col(query_id_col),
         F.col("vec_id").alias("__id"),
         F.col("rank").alias("rank_dense"),
     )
-    return _rrf_fuse_batch(lex, dense, query_id_col, id_col, rrf_k, k)
+    return _rrf_fuse_batch(lex, dense_df, query_id_col, id_col, rrf_k, k)
 
 
 def build_bm25_index(

@@ -1541,6 +1541,307 @@ def ann_pq_topk_indexed(
     return _rank_topk(vecs, query_vec, k, vec_col, id_col)
 
 
+def _collect_query_batch(
+    queries: DataFrame, query_id_col: str, query_vec_col: str, dim: int
+):
+    """Collect the retrieval workload for a batch probe and validate
+    dimensions. Returns ``(qid_type, [(qid, [float...]), ...])`` — the
+    shared front door of every ``*_join_indexed`` dense probe (the
+    ``bm25_join_indexed`` discipline: the BATCH is bounded by
+    definition; the corpus never moves)."""
+    # bounded-collect: the query batch itself — the retrieval
+    # workload, needed driver-side to build per-query probe plans
+    qrows = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>")
+    ).collect()
+    if not qrows:
+        raise ValueError("query batch is empty")
+    qid_type = queries.schema[query_id_col].dataType
+    out = []
+    for r in qrows:
+        vec = [float(x) for x in r[1]]
+        if len(vec) != dim:
+            raise ValueError(
+                f"query {r[0]!r} dim {len(vec)} != index dim {dim}"
+            )
+        out.append((r[0], vec))
+    return qid_type, out
+
+
+def _adc_topk_batch(
+    scored_src: DataFrame,
+    qtbl: DataFrame,
+    init: Column,
+    m: int,
+    ksub: int,
+    take: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Per-query ADC top-``take`` over a (query_id-joined) code
+    relation: approximate dot = strict fold of per-subspace table
+    lookups starting from ``init`` (0.0 for flat PQ, the per-cell
+    centroid dot for IVF-PQ), deterministic (adot desc, id) window
+    per query. ``qtbl`` is the broadcast (query_id, __tbl) relation
+    (skipped when the source already carries ``__tbl`` — the flat-PQ
+    cross form)."""
+    from pyspark.sql import Window
+
+    scored = (
+        scored_src
+        if "__tbl" in scored_src.columns
+        else scored_src.join(F.broadcast(qtbl), query_id_col)
+    )
+    adot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        init,
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("__tbl"),
+            j * ksub + F.element_at(F.col("code"), j + 1) + 1,
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adot").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("adot", adot)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= take)
+        .select(query_id_col, id_col, "adot", "rank")
+    )
+
+
+def _batch_exact_rerank(
+    cand: DataFrame,
+    vecs: DataFrame,
+    qvecs: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact-cosine tail of a batch compressed probe: join embeddings
+    for the candidate (query, id) pairs ALONE (the corpus embedding
+    column stays on disk for everything else), score against the
+    broadcast query vectors, re-window to the final top-``k``. Returns
+    ``(query_id, id, cos, rank)`` — the ``cosine_join`` shape."""
+    from pyspark.sql import Window
+
+    scored = (
+        cand.join(vecs, id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_pq_join_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch ANN against a persisted PQ index — the R-S form of
+    :func:`ann_pq_topk_indexed`: score EVERY query of ``queries`` by
+    ADC in one job over ONE code-column scan (the embedding column is
+    pruned from the scan entirely — at the defaults the compressed
+    read is ~16x less IO than exact ranking, amortized across the
+    whole batch). Per-query ADC tables (m*ksub doubles each) are
+    computed driver-side in the same strict IEEE fold order as the
+    engine and ride back as one broadcast relation.
+
+    Returns ``(query_id, id, adot, rank)`` with rank 1..k per query;
+    ``rerank=R`` re-ranks each query's top-R ADC candidates by EXACT
+    cosine — reading embeddings for those |queries|*R ids alone — and
+    returns ``(query_id, id, cos, rank)`` (with ``R >= |corpus|`` the
+    output is BITWISE :func:`cosine_join`; pinned in tests).
+
+    Scale shape: flat PQ has no partition pruning (that is IVF-PQ's
+    job — :func:`ann_ivfpq_join_indexed`); its 100 TB story is the
+    columnar one: the scan reads m small ints per vector, scores the
+    whole batch against each Arrow batch executor-side (broadcast
+    tables, no shuffle before the per-query top-k window), and only
+    the rerank tail ever touches float data."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    path, m, ksub, dim, cbs = _load_pq_index(spark, index_path)
+    qid_type, qbatch = _collect_query_batch(
+        queries, query_id_col, query_vec_col, dim
+    )
+    qtbl = spark.createDataFrame(
+        [(qid, _pq_query_table(vec, cbs)) for qid, vec in qbatch],
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("__tbl", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    idx = spark.read.parquet(f"{path}/codes")
+    # declared-crossjoin: code scan x broadcast QUERY BATCH — the
+    # batch is the retrieval workload (bounded), and the product is
+    # the definitional ADC score relation (flat PQ scores every
+    # query against every code; IVF-PQ is the pruned form)
+    coded = idx.select(id_col, "code").crossJoin(F.broadcast(qtbl))
+    take = k if rerank is None else rerank
+    ranked = _adc_topk_batch(
+        coded, qtbl, F.lit(0.0), m, ksub, take, id_col, query_id_col
+    )
+    if rerank is None:
+        return ranked
+    qvecs = spark.createDataFrame(
+        qbatch,
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("__qv", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    cand = ranked.select(query_id_col, id_col)
+    return _batch_exact_rerank(
+        cand, idx.select(id_col, vec_col), qvecs, k,
+        vec_col, id_col, query_id_col,
+    )
+
+
+def ann_ivfpq_join_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = ANN_NPROBE,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch ANN against a persisted IVF-PQ index — the R-S form of
+    :func:`ann_ivfpq_topk_indexed` and the full 100 TB dense batch
+    probe: every query's ``nprobe`` best cells are ranked driver-side
+    against the bounded nlist-row centroid table, the index scan
+    prunes to the UNION of the batch's probed cell directories at
+    planning time (``PartitionFilters``) reading the CODE column only,
+    and each (query, candidate) pair scores by residual ADC —
+    ``dot(q, centroid(cell)) + ordered table fold`` — with the
+    per-(query, cell) centroid dots and per-query tables riding in as
+    broadcasts. Cell pruning x columnar pruning x batch amortization:
+    no full-table scan, no embedding bytes read (until the optional
+    rerank tail).
+
+    Returns ``(query_id, id, adot, rank)`` rank 1..k per query;
+    ``rerank=R`` re-ranks each query's top-R by exact cosine (reads
+    embeddings for those ids alone) returning
+    ``(query_id, id, cos, rank)``. With ``nprobe >= nlist`` and
+    ``rerank >= |corpus|`` the output is BITWISE :func:`cosine_join`
+    (pinned in tests)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.manifest import resolve_root
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    path = resolve_root(spark, index_path)
+    # bounded-collect: nlist centroid rows from the index metadata
+    cent_rows = (
+        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+    )
+    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    _p, m, ksub, dim, cbs = _load_pq_index(spark, path)
+    qid_type, qbatch = _collect_query_batch(
+        queries, query_id_col, query_vec_col, dim
+    )
+    # per-(query, cell) probe pairs + centroid dots, driver-side in
+    # the engine's strict fold order (the single-query probe's
+    # cell_dots, batched)
+    pairs = []
+    for qid, vec in qbatch:
+        for cell in _ivf_probe_cells(vec, cents, nprobe):
+            pairs.append((qid, int(cell), dot_py(vec, cents[cell][1])))
+    cells = sorted({c for _q, c, _d in pairs})
+    qcells = spark.createDataFrame(
+        pairs,
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("cell", IntegerType()),
+                StructField("__cd", DoubleType()),
+            ]
+        ),
+    )
+    qtbl = spark.createDataFrame(
+        [(qid, _pq_query_table(vec, cbs)) for qid, vec in qbatch],
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("__tbl", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    idx = spark.read.parquet(path)
+    coded = (
+        idx.filter(F.col("cell").isin(cells))
+        .select(id_col, "cell", "code")
+        .join(F.broadcast(qcells), "cell")
+    )
+    take = k if rerank is None else rerank
+    ranked = _adc_topk_batch(
+        coded, qtbl, F.col("__cd"), m, ksub, take, id_col, query_id_col
+    )
+    if rerank is None:
+        return ranked
+    qvecs = spark.createDataFrame(
+        qbatch,
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("__qv", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    cand = ranked.select(query_id_col, id_col)
+    return _batch_exact_rerank(
+        cand, idx.select(id_col, vec_col), qvecs, k,
+        vec_col, id_col, query_id_col,
+    )
+
+
 def auto_planes(n: int, target_bucket: int = 32) -> int:
     """Banding depth derived from corpus count — the LSH analogue of
     the shuffle-partition heuristic. Bucket occupancy is

@@ -4138,6 +4138,103 @@ def similarity_ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_ann_ivfpq_join",
+    # The BATCH IVF-PQ probe (the full 100 TB dense batch form: cell
+    # pruning x code-column pruning x batch amortization). Same
+    # construction replay as similarity_ann_ivfpq, then every chain
+    # keyed per query: per-query probe cells (row_number <= nprobe
+    # over each query's centroid dots), per-(query, cell) centroid
+    # dots as the ADC fold's initial term, per-query ordered subspace
+    # lookups, per-query (adot desc, vec_id) top-k window. Bitwise
+    # determinism end-to-end — every float is a strict IEEE fold.
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS qe
+               FROM embeddings WHERE vec_id IN (0, 3, 7)),
+    base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+             FROM embeddings WHERE vec_id != 0),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS cell, e AS cent
+      FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {{nlist}}),
+    scored AS (
+      SELECT b.vec_id, b.e, c.cell,
+             {_DOT_SQL.format(a="b.e", b="c.cent")} AS d
+      FROM base b CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT vec_id, e, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell) AS rn
+        FROM scored) WHERE rn = 1),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(list_zip(a.e, c.cent), s -> s[1] - s[2]) AS r
+      FROM assigned a JOIN cents c USING (cell)),
+    rseeds AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS c, r
+      FROM resid ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+    cb AS (
+      SELECT js.j, s.c, list_slice(s.r, js.j*16+1, (js.j+1)*16) AS sub
+      FROM rseeds s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT rr.vec_id, cb.j, cb.c,
+               row_number() OVER (PARTITION BY rr.vec_id, cb.j ORDER BY
+                 {_D2_SQL.format(a="list_slice(rr.r, cb.j*16+1, (cb.j+1)*16)", b="cb.sub")},
+                 cb.c) AS rn
+        FROM resid rr CROSS JOIN cb) WHERE rn = 1),
+    qprobe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_DOT_SQL.format(a="c.cent", b="q.qe")} DESC, c.cell) AS pr
+        FROM cents c CROSS JOIN q) WHERE pr <= {_ANN_NPROBE}),
+    celldot AS (
+      SELECT q.query_id, c.cell, {_DOT_SQL.format(a="q.qe", b="c.cent")} AS cd
+      FROM cents c CROSS JOIN q),
+    dots AS (
+      SELECT q.query_id, e.vec_id, e.j,
+             {_DOT_SQL.format(a="list_slice(q.qe, e.j*16+1, (e.j+1)*16)", b="cb.sub")} AS dj
+      FROM enc e JOIN cb ON cb.j = e.j AND cb.c = e.c CROSS JOIN q),
+    dots2 AS (
+      SELECT d.query_id, d.vec_id, d.j, d.dj, cdt.cd
+      FROM dots d
+      JOIN resid rr ON rr.vec_id = d.vec_id
+      JOIN celldot cdt ON cdt.cell = rr.cell AND cdt.query_id = d.query_id
+      JOIN qprobe qp ON qp.cell = rr.cell AND qp.query_id = d.query_id),
+    scored2 AS (
+      SELECT query_id, vec_id,
+             list_reduce(list_prepend(cd, list(dj ORDER BY j)),
+                         (acc, x) -> acc + x) AS adot
+      FROM dots2 GROUP BY query_id, vec_id, cd)
+    SELECT query_id, vec_id, adot, rank FROM (
+      SELECT query_id, vec_id, adot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adot DESC, vec_id) AS rank
+      FROM scored2) WHERE rank <= 5
+    """.replace("{nlist}", str(_ANN_NLIST)),
+)
+def similarity_ann_ivfpq_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ probe (functions/similarity.py
+    ann_ivfpq_join_indexed): every query's probe cells ranked driver-
+    side against the bounded centroid table, ONE scan pruned to the
+    union of the batch's cell directories reading codes only, residual
+    ADC per (query, candidate) — the R-S form of similarity_ann_ivfpq
+    and the dense arm hybrid_join_indexed(dense="ivfpq") composes."""
+    from .functions.similarity import ann_ivfpq_join_indexed
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qdf = emb.filter(F.col("vec_id").isin([0, 3, 7])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    idx = _ann_index(spark, sf_dir, "ivfpq")
+    return ann_ivfpq_join_indexed(spark, idx, qdf, k=5, nprobe=_ANN_NPROBE)
+
+
+@query(
     "similarity_ann_pq",
     # Full SQL replay of the PQ construction: seeded codebooks (the
     # md5-smallest 16 vectors, sliced into 4 subvectors each), argmin-L2
@@ -5780,6 +5877,11 @@ _GATE_ORDER = [
     "dedup_clusters_incremental",
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
+    # round-11 batch IVF-PQ probe — registered straight into the
+    # window (the no-backlog policy); hll_grouped_by_source rotates
+    # out driver-green (gated every round since r6; sketches keep
+    # stream_hll_by_source + stream_len_quantiles in-window)
+    "similarity_ann_ivfpq_join",
     "dedup_repeated_spans",
     "dedup_clean_repeated_spans",
     "unigram_logprob",
@@ -5788,7 +5890,6 @@ _GATE_ORDER = [
     "redact_pii",
     "build_vocab",
     "embedding_clusters",
-    "hll_grouped_by_source",
     "window_distribution",
     "stream_hll_by_source",
     "stream_len_quantiles",
@@ -5812,6 +5913,7 @@ _GATE_ORDER = [
     # nine TPC-H rows below were all driver-green in CORRECTNESS_r10
     # (their first driver rows); the family keeps the five
     # representatives above in-window.
+    "hll_grouped_by_source",
     "doc_keywords",
     "negative_pairs",
     "cms_heavy_shingles",

@@ -68,6 +68,9 @@ def test_gate_window_contents():
         "dedup_semantic",
         "similarity_ann_pq",
         "similarity_ann_ivfpq",
+        # round-11 batch IVF-PQ probe, registered straight into the
+        # window (no-backlog policy)
+        "similarity_ann_ivfpq_join",
         "unigram_logprob",
         "dedup_exact_normalized",
         "dedup_clusters_incremental",
@@ -76,6 +79,9 @@ def test_gate_window_contents():
         "stream_len_quantiles",
         "window_distribution",
         "unpivot_measures",
+        # NOT hll_grouped_by_source: rotated out driver-green after
+        # five consecutive rounds to admit similarity_ann_ivfpq_join
+        # (sketches keep the two streaming reps above in-window)
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # after rotation #7 NO catalog query has never held a driver row
@@ -85,6 +91,7 @@ def test_gate_window_contents():
     # representation justified in the _GATE_ORDER comments. All
     # overflow stays locally oracle-checked per round.
     assert names[50:] == [
+        "hll_grouped_by_source",
         "doc_keywords",
         "negative_pairs",
         "cms_heavy_shingles",

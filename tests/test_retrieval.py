@@ -765,6 +765,143 @@ def test_ann_ivf_join_indexed_full_probe_equals_exact(spark, tmp_path):
         )
 
 
+def test_ann_pq_join_indexed_matches_per_query_probe(spark, tmp_path):
+    """Batch flat-PQ ADC == running ann_pq_topk_indexed per query
+    (identical table folds, identical tiebreaks); rerank >= |corpus|
+    == cosine_join bitwise; string ids; validation."""
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_pq_join_indexed,
+        ann_pq_topk_indexed,
+        build_ann_pq_index,
+        cosine_join,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") != 0)
+    idx = str(tmp_path / "pq")
+    build_ann_pq_index(base, idx)
+    qs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin([3, 7, 11])).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qs.items()],
+        "query_id long, query_vec array<double>",
+    )
+    got = {
+        (r.query_id, r.vec_id): (r.adot, r.rank)
+        for r in ann_pq_join_indexed(spark, idx, qdf, k=5).collect()
+    }
+    n = 0
+    for qid, qv in qs.items():
+        for r in ann_pq_topk_indexed(spark, idx, qv, k=5).collect():
+            assert got[(qid, r.vec_id)] == (r.adot, r.rank)
+            n += 1
+    assert len(got) == n
+    # exact tail: rerank over the whole corpus == cosine_join bitwise
+    want = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in cosine_join(base, qdf, k=4).collect()
+    )
+    full = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in ann_pq_join_indexed(
+            spark, idx, qdf, k=4, rerank=10**6
+        ).collect()
+    )
+    assert full == want
+    # string ids (schema derived from the caller)
+    sdf = spark.createDataFrame(
+        [(f"q{i}", v) for i, v in qs.items()],
+        "query_id string, query_vec array<double>",
+    )
+    srows = ann_pq_join_indexed(spark, idx, sdf, k=3).collect()
+    assert {r.query_id for r in srows} == {f"q{i}" for i in qs}
+    with _pytest.raises(ValueError, match="query batch is empty"):
+        ann_pq_join_indexed(
+            spark,
+            idx,
+            spark.createDataFrame([], "query_id long, query_vec array<double>"),
+        )
+    with _pytest.raises(ValueError, match="rerank"):
+        ann_pq_join_indexed(spark, idx, qdf, k=5, rerank=3)
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "query_id long, query_vec array<double>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        ann_pq_join_indexed(spark, idx, bad, k=3)
+
+
+def test_ann_ivfpq_join_indexed_matches_per_query_probe(spark, tmp_path):
+    """Batch IVF-PQ residual ADC == running ann_ivfpq_topk_indexed per
+    query at serving nprobe; full probe + corpus-wide rerank ==
+    cosine_join bitwise; string ids; empty batch raises."""
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfpq_join_indexed,
+        ann_ivfpq_topk_indexed,
+        build_ann_ivfpq_index,
+        cosine_join,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") != 0)
+    idx = str(tmp_path / "ivfpq")
+    build_ann_ivfpq_index(base, idx)
+    qs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin([3, 7, 11])).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in qs.items()],
+        "query_id long, query_vec array<double>",
+    )
+    got = {
+        (r.query_id, r.vec_id): (r.adot, r.rank)
+        for r in ann_ivfpq_join_indexed(
+            spark, idx, qdf, k=5, nprobe=4
+        ).collect()
+    }
+    n = 0
+    for qid, qv in qs.items():
+        for r in ann_ivfpq_topk_indexed(
+            spark, idx, qv, k=5, nprobe=4
+        ).collect():
+            assert got[(qid, r.vec_id)] == (r.adot, r.rank)
+            n += 1
+    assert len(got) == n
+    # full probe + corpus-wide exact rerank == cosine_join bitwise
+    want = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in cosine_join(base, qdf, k=4).collect()
+    )
+    full = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in ann_ivfpq_join_indexed(
+            spark, idx, qdf, k=4, nprobe=ANN_NLIST, rerank=10**6
+        ).collect()
+    )
+    assert full == want
+    sdf = spark.createDataFrame(
+        [(f"q{i}", v) for i, v in qs.items()],
+        "query_id string, query_vec array<double>",
+    )
+    srows = ann_ivfpq_join_indexed(spark, idx, sdf, k=3, nprobe=4).collect()
+    assert {r.query_id for r in srows} == {f"q{i}" for i in qs}
+    with _pytest.raises(ValueError, match="query batch is empty"):
+        ann_ivfpq_join_indexed(
+            spark,
+            idx,
+            spark.createDataFrame([], "query_id long, query_vec array<double>"),
+        )
+
+
 def test_hybrid_join_matches_per_query_hybrid_topk(spark):
     """The batch hybrid must equal running hybrid_topk per query (the
     same two candidate lists, the same exact RRF)."""
@@ -863,6 +1000,90 @@ def test_hybrid_join_indexed_full_probe_equals_scan(spark, tmp_path):
     for r in part:
         if r.rank_lex is not None and (r.query_id, r.doc_id) in lex_want:
             assert r.rank_lex == lex_want[(r.query_id, r.doc_id)]
+
+
+def test_hybrid_indexed_ivfpq_dense_arm(spark, tmp_path):
+    """dense="ivfpq": full probe + corpus-wide exact rerank makes both
+    hybrid indexed forms BITWISE the scan forms (the dense ranks
+    collapse to exact cosine); serving settings still return k rows;
+    bad dense kind raises."""
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.retrieval import (
+        build_bm25_index,
+        hybrid_join,
+        hybrid_join_indexed,
+        hybrid_topk,
+        hybrid_topk_indexed,
+    )
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        build_ann_ivfpq_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") != 0)
+    bm25 = str(tmp_path / "bm25")
+    ivfpq = str(tmp_path / "ivfpq")
+    build_bm25_index(docs, bm25)
+    build_ann_ivfpq_index(base, ivfpq)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qdf = (
+        docs.filter(F.col("doc_id").isin([3, 7]))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("query_vec"),
+            ),
+            "query_id",
+        )
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_join(docs, base, qdf, k=6, n_candidates=20).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_join_indexed(
+            spark, bm25, ivfpq, qdf, k=6, n_candidates=20,
+            nprobe=ANN_NLIST, dense="ivfpq", dense_rerank=10**6,
+        ).collect()
+    )
+    assert got == want
+    # single-query form, same pin
+    qrow = qdf.filter(F.col("query_id") == 3).head()
+    swant = sorted(
+        (r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_topk(
+            docs, base, qrow.text, list(qrow.query_vec),
+            k=6, n_candidates=20,
+        ).collect()
+    )
+    sgot = sorted(
+        (r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_topk_indexed(
+            spark, bm25, ivfpq, qrow.text, list(qrow.query_vec),
+            k=6, n_candidates=20, nprobe=ANN_NLIST,
+            dense="ivfpq", dense_rerank=10**6,
+        ).collect()
+    )
+    assert sgot == swant
+    # serving settings: pruned cells, ADC ranks, no rerank
+    part = hybrid_join_indexed(
+        spark, bm25, ivfpq, qdf, k=6, n_candidates=20,
+        nprobe=4, dense="ivfpq",
+    ).collect()
+    assert {r.query_id for r in part} == {3, 7}
+    with _pytest.raises(ValueError, match="dense must be"):
+        hybrid_join_indexed(
+            spark, bm25, ivfpq, qdf, k=6, dense="flat"
+        )
 
 
 def test_retrieval_metrics_hand_computed(spark):

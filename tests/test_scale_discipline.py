@@ -111,4 +111,8 @@ def test_collect_allowlist_is_small_and_known():
     # 30: +1 hybrid_join_indexed materializes the query batch once so
     # its two sides don't each re-run the caller's query-construction
     # lineage (both would collect the workload regardless).
-    assert n <= 30, f"driver-collect site count grew to {n}; review for scale"
+    # 32 later in round 11: +1 _collect_query_batch (the shared
+    # workload-collect front door of the batch PQ/IVF-PQ probes) and
+    # +1 ann_ivfpq_join_indexed's nlist-row centroid load — the same
+    # bounded-metadata contract as ann_ivf_join_indexed.
+    assert n <= 32, f"driver-collect site count grew to {n}; review for scale"
