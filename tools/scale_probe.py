@@ -118,8 +118,14 @@ def main():
     from spark_sorted_spark.session import get_spark
     from spark_sorted_spark.sources.tpch import load_table
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    work = args[1] if len(args) > 1 else "/tmp/scale_probe"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -300,39 +306,73 @@ def main():
             spark, bp, ip, q, k=6, n_candidates=20
         ).count()
 
-    rows = []
-    for name, f1, f10 in (
-        ("b14_simhash_banded", b14(docs), b14(docs10)),
-        ("b16_dedup_clusters", b16(docs), b16(docs10)),
-        ("b17_knn_join (auto depth)", b17(emb), b17(emb10)),
-        ("b17_knn_join 10x fixed n_planes=4", None, b17(emb10, n_planes=4)),
-        ("b28_jaccard_prefix", b28(docs), b28(docs10)),
-        ("b29_decontaminate_exact (salt 8)", b29(docs), b29(docs10)),
-        ("b29_decontaminate_exact 10x unsalted", None, b29(docs10, hot_salt=1)),
+    def b45(e, tag):
+        # batch IVF-PQ probe: union-of-cells directory pruning plus
+        # code-column-only reads — near-flat probe cost is the claim
+        from spark_sorted_spark.functions.similarity import (
+            ann_ivfpq_join_indexed,
+            build_ann_ivfpq_index,
+        )
+
+        path = f"{work}/ivfpq_{tag}"
+        build_ann_ivfpq_index(e.filter(F.col("vec_id") != 0), path)
+        q = e.filter(F.col("vec_id").isin([0, 3, 7, 11, 19])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+        return lambda: ann_ivfpq_join_indexed(
+            spark, path, q, k=10, nprobe=4
+        ).count()
+
+    # entries are (name, maker) with maker LAZY — index builds inside
+    # b27/b40/b42/b44/b45 only run for entries --only selects
+    specs = [
+        ("b14_simhash_banded", lambda: (b14(docs), b14(docs10))),
+        ("b16_dedup_clusters", lambda: (b16(docs), b16(docs10))),
+        ("b17_knn_join (auto depth)", lambda: (b17(emb), b17(emb10))),
+        (
+            "b17_knn_join 10x fixed n_planes=4",
+            lambda: (None, b17(emb10, n_planes=4)),
+        ),
+        ("b28_jaccard_prefix", lambda: (b28(docs), b28(docs10))),
+        ("b29_decontaminate_exact (salt 8)", lambda: (b29(docs), b29(docs10))),
+        (
+            "b29_decontaminate_exact 10x unsalted",
+            lambda: (None, b29(docs10, hot_salt=1)),
+        ),
         (
             "b27_embed_dedup (auto-depth index)",
-            b27(emb, "1x", None),
-            b27(emb10, "10x", None),
+            lambda: (b27(emb, "1x", None), b27(emb10, "10x", None)),
         ),
         (
             "b27_embed_dedup 10x fixed-8 index",
-            None,
-            b27(emb10, "10f", 8),
+            lambda: (None, b27(emb10, "10f", 8)),
         ),
-        ("b33_repeated_spans", b33(docs), b33(docs10)),
-        ("b34_semantic_dedup (auto nlist)", b34(emb), b34(emb10)),
-        ("b34_semantic_dedup 10x fixed nlist=16", None, b34(emb10, nlist=16)),
-        ("b36_bm25_topk", b36(docs), b36(docs10)),
-        ("b37_dsir_select", b37(docs), b37(docs10)),
-        ("b38_bm25_join", b38(docs), b38(docs10)),
-        ("b40_bm25_indexed", b40(docs, "1x"), b40(docs10, "10x")),
-        ("b42_hybrid_indexed", b42(docs, emb, "1x"), b42(docs10, emb10, "10x")),
+        ("b33_repeated_spans", lambda: (b33(docs), b33(docs10))),
+        ("b34_semantic_dedup (auto nlist)", lambda: (b34(emb), b34(emb10))),
+        (
+            "b34_semantic_dedup 10x fixed nlist=16",
+            lambda: (None, b34(emb10, nlist=16)),
+        ),
+        ("b36_bm25_topk", lambda: (b36(docs), b36(docs10))),
+        ("b37_dsir_select", lambda: (b37(docs), b37(docs10))),
+        ("b38_bm25_join", lambda: (b38(docs), b38(docs10))),
+        ("b40_bm25_indexed", lambda: (b40(docs, "1x"), b40(docs10, "10x"))),
+        (
+            "b42_hybrid_indexed",
+            lambda: (b42(docs, emb, "1x"), b42(docs10, emb10, "10x")),
+        ),
         (
             "b44_hybrid_join_indexed",
-            b44(docs, emb, "1x"),
-            b44(docs10, emb10, "10x"),
+            lambda: (b44(docs, emb, "1x"), b44(docs10, emb10, "10x")),
         ),
-    ):
+        ("b45_ivfpq_join_indexed", lambda: (b45(emb, "1x"), b45(emb10, "10x"))),
+    ]
+    rows = []
+    for name, make in specs:
+        if only and only not in name:
+            continue
+        f1, f10 = make()
         t1, n1 = timed(f1) if f1 else (None, None)
         t10, n10 = timed(f10)
         ratio = f"{t10 / t1:.1f}x" if t1 else "—"
