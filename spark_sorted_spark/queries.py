@@ -1510,15 +1510,21 @@ def _hll_grouped_oracle_sql() -> str:
         ON g.source = mx.source AND g.reg = mx.reg
       GROUP BY g.source),
     ex AS (SELECT source, count(DISTINCT sh) AS exact_distinct
-           FROM shs GROUP BY source)
-    SELECT l.source, zero_registers,
-           list_reduce(list_prepend(0.0, terms), (a, x) -> a + x)
-               AS harmonic_sum,
-           {_alpha_const(256)!r} /
+           FROM shs GROUP BY source),
+    est AS (
+      SELECT l.source, zero_registers,
              list_reduce(list_prepend(0.0, terms), (a, x) -> a + x)
-               AS estimate,
+                 AS harmonic_sum,
+             {_alpha_const(256)!r} /
+               list_reduce(list_prepend(0.0, terms), (a, x) -> a + x)
+                 AS estimate
+      FROM lst l)
+    SELECT e.source, zero_registers, harmonic_sum, estimate,
+           CASE WHEN estimate <= 640.0 AND zero_registers > 0
+                THEN 256.0 * ln(256.0::DOUBLE / zero_registers)
+                ELSE estimate END AS corrected_estimate,
            ex.exact_distinct
-    FROM lst l JOIN ex ON ex.source = l.source
+    FROM est e JOIN ex ON ex.source = e.source
     """
 
 
@@ -1529,14 +1535,18 @@ def hll_grouped_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with m=256 integer registers of state per key instead of a
     per-key distinct shuffle. Same bitwise-reproducible fold as the
     global `hll_distinct_shingles`, one row per source; exact
-    distinct rides along for the audit."""
+    distinct rides along for the audit. corrected=True exercises the
+    linear-counting branch logic under the oracle's CASE/ln replay
+    (at this sf the raw estimate exceeds 2.5m so the CASE falls
+    through on both engines; the firing branch is duckdb-pinned in
+    tests/test_pipeline_ops.py)."""
     from .functions.dedup import shingles, spread_small_input
     from .functions.sketches import hll_estimate, hll_register_table
 
     docs = spread_small_input(load_table(spark, "documents", sf_dir))
     sh = docs.select("source", F.explode(shingles("text", 3)).alias("sh"))
     regs = hll_register_table(sh, "sh", keys=["source"])
-    est = hll_estimate(regs, keys=["source"])
+    est = hll_estimate(regs, keys=["source"], corrected=True)
     exact = sh.groupBy("source").agg(
         F.countDistinct("sh").alias("exact_distinct")
     )
@@ -1588,7 +1598,7 @@ def stream_hll_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
     drain()
 
-    est = read_hll_estimate(spark, store, keys="source")
+    est = read_hll_estimate(spark, store, keys="source", corrected=True)
     exact = sh_all.groupBy("source").agg(
         F.countDistinct("sh").alias("exact_distinct")
     )

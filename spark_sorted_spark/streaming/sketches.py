@@ -311,7 +311,14 @@ def read_hll_registers(spark, store_path: str, keys=()) -> DataFrame:
     return regs.groupBy(*keys, "reg").agg(F.max("max_rho").alias("max_rho"))
 
 
-def read_hll_estimate(spark, store_path: str, b: int = 8, keys=()) -> DataFrame:
+def read_hll_estimate(
+    spark, store_path: str, b: int = 8, keys=(), corrected: bool = False
+) -> DataFrame:
     """The store's current distinct-count estimate(s): merge-on-read
-    then the standard bitwise-reproducible fold."""
-    return hll_estimate(read_hll_registers(spark, store_path, keys), b, keys)
+    then the standard bitwise-reproducible fold. ``corrected=True``
+    adds the linear-counting ``corrected_estimate`` (see
+    ``functions.sketches.hll_estimate``)."""
+    return hll_estimate(
+        read_hll_registers(spark, store_path, keys), b, keys,
+        corrected=corrected,
+    )

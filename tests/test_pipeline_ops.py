@@ -619,12 +619,13 @@ class TestHllDistinct:
 
     def test_small_cardinality_raw_vs_linear_counting(self, spark):
         # PINS the small-n contract (module docstring): at n << m the
-        # RAW estimate is known-biased and the operator deliberately
-        # does NOT apply the linear-counting correction (it needs ln,
-        # a libm call with no cross-engine bit guarantee). The caller
-        # applies m * ln(m / zero_registers); this test documents both
-        # the raw error and that the consumer-side formula recovers n.
+        # RAW estimate is known-biased; corrected=True applies the
+        # linear-counting branch m * ln(m / zero_registers) IN-ENGINE
+        # through exactmath.ln_libm — bitwise the value DuckDB's ln
+        # (same glibc libm) computes, pinned below per n.
         import math
+
+        import duckdb
 
         from spark_sorted_spark.functions.sketches import hll_distinct
 
@@ -632,17 +633,42 @@ class TestHllDistinct:
         for n in (5, 20, 60):
             rows = [(i, f"small_{i % n}") for i in range(3 * n)]
             df = spark.createDataFrame(rows, "i bigint, v string")
-            r = hll_distinct(df, "v").collect()[0]
+            r = hll_distinct(df, "v", corrected=True).collect()[0]
             assert r.exact_distinct == n
             # the zero-register count is exact state, not an estimate
             assert r.zero_registers >= m - n
-            corrected = m * math.log(m / r.zero_registers)
+            # the branch fires here (n << m): bitwise vs the oracle's
+            # CASE arm AND vs driver-side math.log (same libm)
+            assert r.estimate <= 2.5 * m
+            want = duckdb.sql(
+                f"SELECT 256.0 * ln(256.0::DOUBLE / {int(r.zero_registers)})"
+            ).fetchone()[0]
+            assert r.corrected_estimate == want
+            assert r.corrected_estimate == m * math.log(
+                m / r.zero_registers
+            )
             # linear counting is tight at n << m (std err ~ sqrt(m)/m)
-            assert abs(corrected - n) <= max(3, 0.15 * n), (n, corrected)
+            assert abs(r.corrected_estimate - n) <= max(3, 0.15 * n), (
+                n, r.corrected_estimate,
+            )
             # and the raw estimate at n=5 is visibly biased — the
             # reason the correction branch exists at all
             if n == 5:
-                assert abs(r.estimate - n) > abs(corrected - n)
+                assert abs(r.estimate - n) > abs(r.corrected_estimate - n)
+
+    def test_corrected_estimate_passthrough_at_large_n(self, spark):
+        # zero empty registers (or raw estimate above 2.5m) => the
+        # corrected column IS the raw estimate, and the schema without
+        # corrected=True is unchanged (no surprise column)
+        from spark_sorted_spark.functions.sketches import hll_distinct
+
+        rows = [(i, f"value_{i}") for i in range(20000)]
+        df = spark.createDataFrame(rows, "i bigint, v string")
+        r = hll_distinct(df, "v", corrected=True).collect()[0]
+        assert r.estimate > 2.5 * 256
+        assert r.corrected_estimate == r.estimate
+        plain = hll_distinct(df, "v").columns
+        assert "corrected_estimate" not in plain
 
 
 class TestBloom:
