@@ -1427,6 +1427,75 @@ def build_ann_ivfpq_index(
         _publish_index(spark, staging, path)
 
 
+def append_to_ann_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Encode a new corpus batch against a persisted IVF-PQ index's
+    FROZEN centroids and residual codebooks and land it in its own
+    batch partition (cell-subpartitioned, so probes prune appended
+    data exactly like the base) — completes the growing-corpus story
+    for the composite layout the way the LSH/IVF/PQ appends do for
+    theirs. Neither the centroids nor the codebooks move on append
+    (both quantizations drift as the corpus grows; rebuild with
+    ``lloyd_iters`` / ``pq_lloyd_iters`` when probe recall warrants
+    it — the documented parents' trade-off, compounded).
+
+    Same idempotency contract as every store append: ``batch_id`` set
+    → overwrite-own-partition (replay-safe); unset → at-least-once
+    append to the base partition."""
+    from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import resolve_root
+    from .dedup import spread_small_input
+
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0, got {batch_id}: negative ids are "
+            "reserved (ingest_batch_id=-1 is the base partition the "
+            "build wrote)"
+        )
+    spark = df.sparkSession
+    path = resolve_root(spark, path)
+    # bounded-collect: nlist centroid rows from the index metadata
+    cent_rows = (
+        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+    )
+    if not cent_rows:
+        raise ValueError(f"{path!r} holds no centroid table; build first")
+    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    _p, _m, _ksub, _dim, cbs = _load_pq_index(spark, path)
+    cents_lit = _planes_lit([c for _cid, c in cents])
+    vd = F.col(vec_col).cast("array<double>")
+    cell = _ivf_cell_col(F.col(vec_col), cents)
+    resid = F.zip_with(
+        vd, F.element_at(cents_lit, cell + 1), lambda a, b: a - b
+    )
+    df = spread_small_input(df)
+    # materialize the residual as a REAL column first (the build's
+    # rdf pattern): element_at/zip_with inside the encode's
+    # interpreted HOF lambdas would re-evaluate it per d2 fold
+    rdf = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        cell.alias("cell"),
+        resid.alias("__resid"),
+    )
+    coded = rdf.select(
+        F.col(id_col),
+        F.col("cell"),
+        _pq_code_col(F.col("__resid"), cbs).alias("code"),
+        F.col(vec_col),
+    )
+    part = -1 if batch_id is None else batch_id
+    mode = "append" if batch_id is None else "overwrite"
+    write_partitioned(
+        coded, f"{path}/ingest_batch_id={part}", "cell", mode=mode
+    )
+
+
 def ann_ivfpq_topk_indexed(
     spark,
     index_path: str,

@@ -1788,6 +1788,72 @@ def test_ann_pq_index_incremental_append(spark, emb, tmp_path):
         append_to_ann_pq_index(half_b, inc, batch_id=-1)
 
 
+def test_ann_ivfpq_index_incremental_append(spark, emb, tmp_path):
+    """IVF-PQ append (completes the composite layout's growing-corpus
+    story): new batches encode against the persisted FROZEN centroids
+    AND residual codebooks in their own cell-subpartitioned idempotent
+    partitions; full probe + corpus-wide exact rerank over the
+    incremental index equals brute-force cosine over the union;
+    replay is idempotent; negative batch ids reserved; appending to a
+    missing index fails loudly."""
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfpq_join_indexed,
+        ann_ivfpq_topk_indexed,
+        append_to_ann_ivfpq_index,
+        build_ann_ivfpq_index,
+        cosine_join,
+        cosine_topk,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    half_a = corpus.filter(F.col("vec_id") % 2 == 1)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 0)
+
+    inc = str(tmp_path / "ivfpq_inc")
+    build_ann_ivfpq_index(half_a, inc)
+    append_to_ann_ivfpq_index(half_b, inc, batch_id=0)
+    # replay: same partition overwritten, no duplicate rows
+    append_to_ann_ivfpq_index(half_b, inc, batch_id=0)
+    idx = spark.read.parquet(inc)
+    assert idx.count() == corpus.count()
+    assert idx.select("vec_id").distinct().count() == corpus.count()
+
+    # full probe + corpus-wide exact rerank == brute force on the union
+    got = [
+        (r.vec_id, r.rank, r.cos)
+        for r in ann_ivfpq_topk_indexed(
+            spark, inc, qvec, k=5, nprobe=ANN_NLIST, rerank=10**6
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.rank, r.cos)
+        for r in cosine_topk(corpus, qvec, k=5).collect()
+    ]
+    assert got == want
+    # and the batch probe sees appended vectors too
+    qdf = spark.createDataFrame(
+        [(0, qvec)], "query_id long, query_vec array<double>"
+    )
+    bgot = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in ann_ivfpq_join_indexed(
+            spark, inc, qdf, k=5, nprobe=ANN_NLIST, rerank=10**6
+        ).collect()
+    )
+    bwant = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in cosine_join(corpus, qdf, k=5).collect()
+    )
+    assert bgot == bwant
+
+    with pytest.raises(ValueError, match="reserved"):
+        append_to_ann_ivfpq_index(half_b, inc, batch_id=-1)
+    with pytest.raises(Exception, match="centroid|PATH_NOT_FOUND|Path does not exist"):
+        append_to_ann_ivfpq_index(half_b, str(tmp_path / "nope"), batch_id=0)
+
+
 def test_ann_ivfpq_prunes_both_layers_and_reranks_exactly(spark, emb, tmp_path):
     """IVF-PQ: the probe must prune BOTH layers — cell directories
     (PartitionFilters) and the embedding column (ReadSchema) — and
