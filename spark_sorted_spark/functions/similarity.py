@@ -714,6 +714,45 @@ def _lloyd_refine(
     return cents
 
 
+_RESERVED_INDEX_COLS = ("cell", "code", "bucket", "t", "ingest_batch_id")
+
+
+def _check_extra_cols(extra_cols, id_col: str, vec_col: str) -> None:
+    bad = [
+        c
+        for c in extra_cols
+        if c in _RESERVED_INDEX_COLS or c in (id_col, vec_col)
+    ]
+    if bad:
+        raise ValueError(
+            f"extra_cols {bad} collide with index layout columns "
+            f"({_RESERVED_INDEX_COLS + (id_col, vec_col)})"
+        )
+
+
+def _index_extra_cols(idx: DataFrame, id_col: str, vec_col: str) -> list[str]:
+    """The metadata columns a persisted index carries beyond its
+    layout columns — appends introspect these so extras flow through
+    without a parameter (and a batch MISSING one fails loudly at the
+    select instead of writing silent nulls)."""
+    return [
+        c
+        for c in idx.columns
+        if c not in _RESERVED_INDEX_COLS and c not in (id_col, vec_col)
+    ]
+
+
+def _apply_where(df: DataFrame, where) -> DataFrame:
+    """Pre-filter semantics for indexed probes: the predicate runs
+    INSIDE the pruned scan (an ordinary Catalyst pushdown over the
+    index's stored metadata columns), so ranking only ever sees rows
+    that qualify — top-k OF the filtered set, not a filtered top-k.
+    Accepts a SQL string or a Column; None is a no-op."""
+    if where is None:
+        return df
+    return df.filter(F.expr(where) if isinstance(where, str) else where)
+
+
 def _ivf_probe_cells(query_vec, cents: list[tuple], nprobe: int) -> list[int]:
     order = sorted(
         range(len(cents)), key=lambda i: (-dot_py(query_vec, cents[i][1]), i)
@@ -767,6 +806,7 @@ def build_ann_ivf_index(
     id_col: str = "vec_id",
     lloyd_iters: int = 0,
     commit: str = "rename",
+    extra_cols: tuple[str, ...] = (),
 ) -> None:
     """Pick centroids and assign every vector to its cell ONCE; persist
     the assignment directory-partitioned by ``cell`` plus the centroid
@@ -793,7 +833,14 @@ def build_ann_ivf_index(
     ``commit``: same storage contract as :func:`build_ann_lsh_index` —
     ``"rename"`` (default; atomic on HDFS/local only) or
     ``"manifest"`` (generation + pointer; the object-store-safe
-    publish, see ``sources/manifest.py``)."""
+    publish, see ``sources/manifest.py``).
+
+    ``extra_cols`` stores passthrough METADATA columns in the index
+    rows (source, label, license, date, ...) — the filtered-ANN
+    enabler: a probe's ``where`` predicate then evaluates inside the
+    pruned scan as an ordinary parquet pushdown instead of a
+    post-hoc join against a metadata table. Appends introspect the
+    persisted schema and carry the same columns (or fail loudly)."""
     from ..sources.bucketed import write_partitioned
     from ..sources.manifest import begin_generation, commit_generation
     from .dedup import _rm_dir, spread_small_input
@@ -802,6 +849,7 @@ def build_ann_ivf_index(
         raise ValueError(f"lloyd_iters must be >= 0, got {lloyd_iters}")
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
+    _check_extra_cols(extra_cols, id_col, vec_col)
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
     if lloyd_iters and cents:
         cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
@@ -819,6 +867,7 @@ def build_ann_ivf_index(
         F.col(id_col),
         F.col(vec_col),
         _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
+        *[F.col(c) for c in extra_cols],
     )
     write_partitioned(celled, f"{staging}/ingest_batch_id=-1", "cell")
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
@@ -868,11 +917,15 @@ def append_to_ann_ivf_index(
     if not cent_rows:
         raise ValueError(f"{path!r} holds no centroid table; build first")
     cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    extras = _index_extra_cols(
+        spark.read.parquet(path), id_col, vec_col
+    )
     df = spread_small_input(df)
     celled = df.select(
         F.col(id_col),
         F.col(vec_col),
         _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
+        *[F.col(c) for c in extras],
     )
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
@@ -889,12 +942,16 @@ def ann_ivf_topk_indexed(
     nprobe: int = ANN_NPROBE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    where=None,
 ) -> DataFrame:
     """Probe a persisted IVF index (:func:`build_ann_ivf_index`): load
     the (bounded, nlist-row) centroid table, order cells by query dot
     driver-side, scan ONLY the ``nprobe`` probed cell directories, rank
     by exact cosine. Identical output to ``ann_ivf_topk`` on the same
-    data."""
+    data. ``where`` (SQL string or Column over the index's stored
+    ``extra_cols``) is the FILTERED-ANN form: the predicate pushes
+    into the pruned scan and ranking sees only qualifying rows —
+    top-k of the filtered set."""
     from ..sources.manifest import resolve_root
 
     index_path = resolve_root(spark, index_path)
@@ -905,7 +962,7 @@ def ann_ivf_topk_indexed(
     cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
     probe = _ivf_probe_cells(query_vec, cents, nprobe)
     idx = spark.read.parquet(index_path)
-    celled = idx.filter(F.col("cell").isin(probe))
+    celled = _apply_where(idx.filter(F.col("cell").isin(probe)), where)
     return _rank_topk(celled, query_vec, k, vec_col, id_col)
 
 
@@ -919,6 +976,7 @@ def ann_ivf_join_indexed(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    where=None,
 ) -> DataFrame:
     """Batch ANN against a persisted IVF index — the R-S form of
     :func:`ann_ivf_topk_indexed`: probe the index for EVERY query of
@@ -927,6 +985,8 @@ def ann_ivf_join_indexed(
     rank 1..k per query (exact cosine within each query's probed
     cells — same recall contract as the single-query probe; with
     ``nprobe >= nlist`` it equals :func:`cosine_join` exactly).
+    ``where`` filters inside the pruned scan (see
+    :func:`ann_ivf_topk_indexed`); it applies to the whole batch.
 
     Scale shape: per-query probe cells are ranked DRIVER-side against
     the bounded nlist-row centroid table (the query batch is the
@@ -989,7 +1049,10 @@ def ann_ivf_join_indexed(
             ]
         ),
     )
-    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    idx = _apply_where(
+        spark.read.parquet(index_path).filter(F.col("cell").isin(cells)),
+        where,
+    )
     scored = (
         idx.join(F.broadcast(qcells), "cell")
         .join(F.broadcast(qvecs), query_id_col)
@@ -1253,6 +1316,7 @@ def build_ann_pq_index(
     id_col: str = "vec_id",
     commit: str = "rename",
     lloyd_iters: int = 0,
+    extra_cols: tuple[str, ...] = (),
 ) -> None:
     """Encode the corpus ONCE and persist ``(id, code, embedding)``
     plus the codebooks (``_pq_codebooks``) and construction params
@@ -1260,12 +1324,14 @@ def build_ann_pq_index(
     column pruning — the embedding bytes stay on disk); exact rerank
     reads embeddings for the top-R candidate ids alone. Same staged
     publish contract as the LSH/IVF builds (``commit="rename"`` |
-    ``"manifest"``)."""
+    ``"manifest"``). ``extra_cols`` stores passthrough metadata for
+    filtered probes (see :func:`build_ann_ivf_index`)."""
     from ..sources.manifest import begin_generation, commit_generation
     from .dedup import _rm_dir, spread_small_input
 
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
+    _check_extra_cols(extra_cols, id_col, vec_col)
     cbs = pq_codebooks(df, m, ksub, dim, vec_col, id_col, lloyd_iters)
     spark = df.sparkSession
     if commit == "manifest":
@@ -1278,6 +1344,7 @@ def build_ann_pq_index(
         F.col(id_col),
         _pq_code_col(F.col(vec_col), cbs).alias("code"),
         F.col(vec_col),
+        *[F.col(c) for c in extra_cols],
     )
     # batch-partitioned like the LSH/IVF indexes: the build writes the
     # base partition; append_to_ann_pq_index adds later batches in
@@ -1325,11 +1392,15 @@ def append_to_ann_pq_index(
 
     spark = df.sparkSession
     path, _m, _ksub, dim, cbs = _load_pq_index(spark, path)
+    extras = _index_extra_cols(
+        spark.read.parquet(f"{path}/codes"), id_col, vec_col
+    )
     df = spread_small_input(df)
     coded = df.select(
         F.col(id_col),
         _pq_code_col(F.col(vec_col), cbs).alias("code"),
         F.col(vec_col),
+        *[F.col(c) for c in extras],
     )
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
@@ -1348,6 +1419,7 @@ def build_ann_ivfpq_index(
     lloyd_iters: int = 0,
     pq_lloyd_iters: int = 0,
     commit: str = "rename",
+    extra_cols: tuple[str, ...] = (),
 ) -> None:
     """IVF-PQ composite index — the canonical billion-scale ANN layout
     (FAISS's IVFPQ; Jégou et al., TPAMI 2011 §V): vectors are
@@ -1376,6 +1448,7 @@ def build_ann_ivfpq_index(
 
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
+    _check_extra_cols(extra_cols, id_col, vec_col)
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
     if lloyd_iters and cents:
         cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
@@ -1392,6 +1465,7 @@ def build_ann_ivfpq_index(
         F.col(vec_col),
         cell.alias("cell"),
         resid.alias("__resid"),
+        *[F.col(c) for c in extra_cols],
     )
     cbs = pq_codebooks(
         rdf, m, ksub, dim, vec_col="__resid", id_col=id_col,
@@ -1407,6 +1481,7 @@ def build_ann_ivfpq_index(
         F.col("cell"),
         _pq_code_col(F.col("__resid"), cbs).alias("code"),
         F.col(vec_col),
+        *[F.col(c) for c in extra_cols],
     )
     write_partitioned(coded, f"{staging}/ingest_batch_id=-1", "cell")
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
@@ -1467,6 +1542,9 @@ def append_to_ann_ivfpq_index(
         raise ValueError(f"{path!r} holds no centroid table; build first")
     cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
     _p, _m, _ksub, _dim, cbs = _load_pq_index(spark, path)
+    extras = _index_extra_cols(
+        spark.read.parquet(path), id_col, vec_col
+    )
     cents_lit = _planes_lit([c for _cid, c in cents])
     vd = F.col(vec_col).cast("array<double>")
     cell = _ivf_cell_col(F.col(vec_col), cents)
@@ -1482,12 +1560,14 @@ def append_to_ann_ivfpq_index(
         F.col(vec_col),
         cell.alias("cell"),
         resid.alias("__resid"),
+        *[F.col(c) for c in extras],
     )
     coded = rdf.select(
         F.col(id_col),
         F.col("cell"),
         _pq_code_col(F.col("__resid"), cbs).alias("code"),
         F.col(vec_col),
+        *[F.col(c) for c in extras],
     )
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
@@ -1505,13 +1585,16 @@ def ann_ivfpq_topk_indexed(
     rerank: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    where=None,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index: rank the ``nprobe`` best cells
     by centroid dot driver-side, scan ONLY those cell directories
     (``PartitionFilters``) reading the CODE column only, score by
     residual ADC (``cell_dot + ordered table fold``), deterministic
     top-k by (adot desc, id). ``rerank=R`` re-ranks the top-R by exact
-    cosine, reading embeddings for those R ids alone."""
+    cosine, reading embeddings for those R ids alone. ``where``
+    filters inside the doubly-pruned scan over the index's stored
+    ``extra_cols`` (pre-filter semantics)."""
     from ..sources.manifest import resolve_root
 
     path = resolve_root(spark, index_path)
@@ -1533,9 +1616,9 @@ def ann_ivfpq_topk_indexed(
     tbl = _flat_lit(_pq_query_table(query_vec, cbs))
     cd_lit = _flat_lit(cell_dots)
     idx = spark.read.parquet(path)
-    filt = idx.filter(F.col("cell").isin(probes)).select(
-        id_col, "cell", "code"
-    )
+    filt = _apply_where(
+        idx.filter(F.col("cell").isin(probes)), where
+    ).select(id_col, "cell", "code")
     adot = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.element_at(cd_lit, F.col("cell") + 1),
@@ -1587,19 +1670,22 @@ def ann_pq_topk_indexed(
     rerank: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    where=None,
 ) -> DataFrame:
     """Probe a persisted PQ index: ADC over the code column (the
     embedding column is pruned from the scan), identical output to
     ``ann_pq_topk`` with the same codebooks. ``rerank=R`` re-ranks the
     top-R ADC candidates by EXACT cosine (reads embeddings for those R
     ids only) and returns ``(id, rank, cos)`` — the standard
-    compressed-scan-then-exact-tail pattern."""
+    compressed-scan-then-exact-tail pattern. ``where`` filters inside
+    the scan over the index's stored ``extra_cols`` (pre-filter
+    semantics, see :func:`ann_ivf_topk_indexed`)."""
     path, m, ksub, dim, cbs = _load_pq_index(spark, index_path)
     if len(query_vec) != dim:
         raise ValueError(
             f"query dim {len(query_vec)} != index dim {dim}"
         )
-    idx = spark.read.parquet(f"{path}/codes")
+    idx = _apply_where(spark.read.parquet(f"{path}/codes"), where)
     coded = idx.select(id_col, "code")
     if rerank is None:
         return _pq_adc_rank(coded, query_vec, cbs, k, id_col)
@@ -1725,6 +1811,7 @@ def ann_pq_join_indexed(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    where=None,
 ) -> DataFrame:
     """Batch ANN against a persisted PQ index — the R-S form of
     :func:`ann_pq_topk_indexed`: score EVERY query of ``queries`` by
@@ -1771,7 +1858,7 @@ def ann_pq_join_indexed(
             ]
         ),
     )
-    idx = spark.read.parquet(f"{path}/codes")
+    idx = _apply_where(spark.read.parquet(f"{path}/codes"), where)
     # declared-crossjoin: code scan x broadcast QUERY BATCH — the
     # batch is the retrieval workload (bounded), and the product is
     # the definitional ADC score relation (flat PQ scores every
@@ -1810,6 +1897,7 @@ def ann_ivfpq_join_indexed(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    where=None,
 ) -> DataFrame:
     """Batch ANN against a persisted IVF-PQ index — the R-S form of
     :func:`ann_ivfpq_topk_indexed` and the full 100 TB dense batch
@@ -1885,7 +1973,7 @@ def ann_ivfpq_join_indexed(
     )
     idx = spark.read.parquet(path)
     coded = (
-        idx.filter(F.col("cell").isin(cells))
+        _apply_where(idx.filter(F.col("cell").isin(cells)), where)
         .select(id_col, "cell", "code")
         .join(F.broadcast(qcells), "cell")
     )

@@ -1887,6 +1887,10 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
             from .functions.similarity import build_ann_ivfpq_index
 
             build_ann_ivfpq_index(emb, path)
+        elif kind == "ivf_meta":
+            # the filtered-ANN scenario: the index rows carry the
+            # label metadata column so probes can predicate in-scan
+            build_ann_ivf_index(emb, path, extra_cols=("label",))
         else:
             build_ann_ivf_index(emb, path)
         _ANN_INDEX_CACHE[key] = path
@@ -4358,6 +4362,68 @@ def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk_indexed(spark, idx, [float(x) for x in qvec], k=10)
 
 
+@query(
+    "similarity_ann_filtered",
+    # FILTERED ANN — the metadata-constrained serving shape ("top-k
+    # nearest WITHIN license/language/label = X"): the index stores
+    # the metadata column in its rows (build extra_cols), and the
+    # probe's predicate evaluates INSIDE the cell-pruned scan
+    # (parquet pushdown — pre-filter semantics: top-k OF the filtered
+    # set). The oracle replays the identical IVF construction, probes
+    # the query's 4 best cells over the UNFILTERED corpus (cell
+    # ranking ignores the predicate, exactly like the engine), then
+    # filters the probed members by label before ranking.
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    base AS (SELECT vec_id, embedding, label
+             FROM embeddings WHERE vec_id != 0),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS cell,
+             embedding AS cent
+      FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_ANN_NLIST}),
+    scored AS (
+      SELECT b.vec_id, b.embedding, b.label, c.cell,
+             {_DOT_SQL.format(a="b.embedding", b="c.cent")} AS d
+      FROM base b CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, embedding, label, cell FROM (
+        SELECT vec_id, embedding, label, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell) AS rn
+        FROM scored) WHERE rn = 1),
+    qprobe AS (
+      SELECT c.cell FROM cents c CROSS JOIN q
+      ORDER BY {_DOT_SQL.format(a="c.cent", b="q.qe")} DESC, c.cell
+      LIMIT {_ANN_NPROBE}),
+    hits AS (
+      SELECT a.vec_id, {_cos_sql("a.embedding", "q.qe")} AS cos
+      FROM assigned a CROSS JOIN q
+      WHERE a.cell IN (SELECT cell FROM qprobe) AND a.label = 5)
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cos DESC, vec_id) AS rank,
+           cos
+    FROM hits ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_ann_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN probe (functions/similarity.py
+    ann_ivf_topk_indexed(where=...)): metadata-constrained top-k over
+    a persisted IVF index whose rows carry the label column — the
+    predicate pushes into the pruned scan instead of post-joining a
+    metadata table (pinned: full probe + where == brute force over
+    the filtered corpus, tests/test_northstar.py
+    test_filtered_ann_probes)."""
+    from .functions.similarity import ann_ivf_topk_indexed
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    idx = _ann_index(spark, sf_dir, "ivf_meta")
+    return ann_ivf_topk_indexed(
+        spark, idx, [float(x) for x in qvec], k=10, where="label = 5"
+    )
+
+
 # ===========================================================================
 # Scalar-function breadth: JSON extraction (events.props is a JSON
 # string) and analytic window functions (lag/rank) — SURVEY §2.6 notes
@@ -5887,18 +5953,20 @@ _GATE_ORDER = [
     "dedup_clusters_incremental",
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
-    # round-11 batch IVF-PQ probe — registered straight into the
-    # window (the no-backlog policy); hll_grouped_by_source rotates
-    # out driver-green (gated every round since r6; sketches keep
-    # stream_hll_by_source + stream_len_quantiles in-window)
+    # round-11 batch IVF-PQ probe and filtered-ANN probe — registered
+    # straight into the window (the no-backlog policy);
+    # hll_grouped_by_source and build_vocab rotate out driver-green
+    # (gated every round since r6/r8; sketches keep
+    # stream_hll_by_source + stream_len_quantiles in-window, text
+    # keeps unigram_logprob + redact_pii)
     "similarity_ann_ivfpq_join",
+    "similarity_ann_filtered",
     "dedup_repeated_spans",
     "dedup_clean_repeated_spans",
     "unigram_logprob",
     "dedup_semantic",
     "unpivot_measures",
     "redact_pii",
-    "build_vocab",
     "embedding_clusters",
     "window_distribution",
     "stream_hll_by_source",
@@ -5924,6 +5992,7 @@ _GATE_ORDER = [
     # (their first driver rows); the family keeps the five
     # representatives above in-window.
     "hll_grouped_by_source",
+    "build_vocab",
     "doc_keywords",
     "negative_pairs",
     "cms_heavy_shingles",

@@ -647,3 +647,85 @@ def stream_maintain_bm25_index(
             raise TimeoutError("stream_maintain_bm25_index did not finish")
     finally:
         q.stop()
+
+
+def stream_maintain_ann_ivfpq_index(
+    stream_vecs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    timeout_sec: int = 300,
+    allow_restart: bool = False,
+) -> None:
+    """Keep an IVF-PQ index
+    (``functions.similarity.build_ann_ivfpq_index`` layout) current
+    from an unbounded embedding stream — the dense-retrieval twin of
+    ``stream_maintain_bm25_index``, with the SAME restart protection
+    (checkpoint identity marker at the index root, idempotent
+    ``ingest_batch_id`` partitions, loud fresh-checkpoint failure,
+    ``allow_restart`` base offsetting).
+
+    The index must already exist (``build_ann_ivfpq_index`` records
+    the centroids, residual codebooks, and construction params; a
+    stream cannot train quantizers). Per-batch cost is O(batch): one
+    cell assignment + residual encode against the FROZEN metadata
+    (``append_to_ann_ivfpq_index``), cell-subpartitioned so probes
+    prune streamed data exactly like the base — the existing index is
+    never read beyond its bounded metadata tables. Rebuild with
+    ``lloyd_iters`` when quantization drift erodes probe recall (the
+    composite layout's documented trade-off)."""
+    from pyspark.errors import AnalysisException
+
+    from ..functions.similarity import append_to_ann_ivfpq_index
+    from ..sources.manifest import resolve_root
+
+    spark = stream_vecs.sparkSession
+    if "ingest_batch_id" in stream_vecs.columns:
+        raise ValueError(
+            "stream_maintain_ann_ivfpq_index reserves the "
+            "'ingest_batch_id' column for the index partition key; "
+            "rename it in the input"
+        )
+    # pin THIS run to the current generation (compaction/rebuild
+    # mid-stream is forbidden on both layouts)
+    index_path = resolve_root(spark, index_path)
+    # eager existence check — a missing index raised inside
+    # foreachBatch would surface as an opaque StreamingQueryException
+    # after the checkpoint is already created
+    try:
+        # bounded-collect: one construction-parameter row
+        spark.read.parquet(f"{index_path}/_pq_meta").collect()
+    except AnalysisException:
+        raise ValueError(
+            f"no IVF-PQ index at {index_path!r}: build it first with "
+            "build_ann_ivfpq_index (the stream cannot train the "
+            "centroids or codebooks)"
+        ) from None
+    base = _resolve_stream_base(
+        spark, index_path, checkpoint_dir, allow_restart
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_ann_ivfpq_index(
+            batch_df,
+            index_path,
+            batch_id=base + batch_id,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+
+    q = (
+        stream_vecs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                "stream_maintain_ann_ivfpq_index did not finish"
+            )
+    finally:
+        q.stop()

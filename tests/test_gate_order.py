@@ -68,9 +68,10 @@ def test_gate_window_contents():
         "dedup_semantic",
         "similarity_ann_pq",
         "similarity_ann_ivfpq",
-        # round-11 batch IVF-PQ probe, registered straight into the
-        # window (no-backlog policy)
+        # round-11 batch IVF-PQ probe + filtered-ANN probe, registered
+        # straight into the window (no-backlog policy)
         "similarity_ann_ivfpq_join",
+        "similarity_ann_filtered",
         "unigram_logprob",
         "dedup_exact_normalized",
         "dedup_clusters_incremental",
@@ -79,9 +80,11 @@ def test_gate_window_contents():
         "stream_len_quantiles",
         "window_distribution",
         "unpivot_measures",
-        # NOT hll_grouped_by_source: rotated out driver-green after
-        # five consecutive rounds to admit similarity_ann_ivfpq_join
-        # (sketches keep the two streaming reps above in-window)
+        # NOT hll_grouped_by_source / build_vocab: rotated out
+        # driver-green after 5+ consecutive rounds to admit
+        # similarity_ann_ivfpq_join and similarity_ann_filtered
+        # (sketches keep the two streaming reps above in-window; text
+        # keeps unigram_logprob + redact_pii)
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # after rotation #7 NO catalog query has never held a driver row
@@ -92,6 +95,7 @@ def test_gate_window_contents():
     # overflow stays locally oracle-checked per round.
     assert names[50:] == [
         "hll_grouped_by_source",
+        "build_vocab",
         "doc_keywords",
         "negative_pairs",
         "cms_heavy_shingles",

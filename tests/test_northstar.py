@@ -1889,6 +1889,114 @@ def test_ann_ivfpq_prunes_both_layers_and_reranks_exactly(spark, emb, tmp_path):
         ann_ivfpq_topk_indexed(spark, path, qvec, k=8, rerank=4)
 
 
+def test_filtered_ann_probes(spark, emb, tmp_path):
+    """Filtered ANN: indexes built with extra_cols store metadata in
+    the index rows; a probe's `where` evaluates INSIDE the pruned scan
+    (PushedFilters, pre-filter semantics), so full probe + where ==
+    brute force over the filtered corpus — single-query and batch,
+    IVF, flat PQ, and IVF-PQ; appends carry the extras through;
+    reserved-name extras raise."""
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivf_join_indexed,
+        ann_ivf_topk_indexed,
+        ann_ivfpq_topk_indexed,
+        ann_pq_topk_indexed,
+        append_to_ann_ivf_index,
+        build_ann_ivf_index,
+        build_ann_ivfpq_index,
+        build_ann_pq_index,
+        cosine_join,
+        cosine_topk,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "embedding", "label"
+    )
+    filt = corpus.filter(F.col("label") == 5)
+
+    ivf = str(tmp_path / "ivf_meta")
+    build_ann_ivf_index(corpus, ivf, extra_cols=("label",))
+    got = [
+        (r.vec_id, r.rank, r.cos)
+        for r in ann_ivf_topk_indexed(
+            spark, ivf, qvec, k=5, nprobe=ANN_NLIST, where="label = 5"
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.rank, r.cos)
+        for r in cosine_topk(filt, qvec, k=5).collect()
+    ]
+    assert got == want and got
+    # the predicate reaches the scan (pushed, not post-filtered)
+    probe = ann_ivf_topk_indexed(
+        spark, ivf, qvec, k=5, nprobe=ANN_NLIST, where="label = 5"
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan
+    # batch form, Column predicate
+    qdf = spark.createDataFrame(
+        [(0, qvec)], "query_id long, query_vec array<double>"
+    )
+    bgot = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in ann_ivf_join_indexed(
+            spark, ivf, qdf, k=5, nprobe=ANN_NLIST,
+            where=F.col("label") == 5,
+        ).collect()
+    )
+    bwant = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in cosine_join(filt, qdf, k=5).collect()
+    )
+    assert bgot == bwant
+    # appends introspect the persisted schema and carry the extras
+    ivf_inc = str(tmp_path / "ivf_meta_inc")
+    build_ann_ivf_index(
+        corpus.filter(F.col("vec_id") % 2 == 1), ivf_inc,
+        extra_cols=("label",),
+    )
+    append_to_ann_ivf_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), ivf_inc, batch_id=0
+    )
+    inc = spark.read.parquet(ivf_inc)
+    assert "label" in inc.columns
+    assert inc.filter(F.col("label").isNull()).count() == 0
+    assert inc.count() == corpus.count()
+    # a batch MISSING the extra fails loudly instead of writing nulls
+    with pytest.raises(Exception, match="label|UNRESOLVED_COLUMN"):
+        append_to_ann_ivf_index(
+            corpus.select("vec_id", "embedding"), ivf_inc, batch_id=1
+        )
+
+    # flat PQ: where + corpus-wide rerank == exact over filtered set
+    pq = str(tmp_path / "pq_meta")
+    build_ann_pq_index(corpus, pq, extra_cols=("label",))
+    pgot = [
+        (r.vec_id, r.rank, r.cos)
+        for r in ann_pq_topk_indexed(
+            spark, pq, qvec, k=5, rerank=10**6, where="label = 5"
+        ).collect()
+    ]
+    assert pgot == want
+
+    # IVF-PQ: full probe + where + corpus-wide rerank == exact
+    ivfpq = str(tmp_path / "ivfpq_meta")
+    build_ann_ivfpq_index(corpus, ivfpq, extra_cols=("label",))
+    cgot = [
+        (r.vec_id, r.rank, r.cos)
+        for r in ann_ivfpq_topk_indexed(
+            spark, ivfpq, qvec, k=5, nprobe=ANN_NLIST, rerank=10**6,
+            where="label = 5",
+        ).collect()
+    ]
+    assert cgot == want
+
+    with pytest.raises(ValueError, match="collide"):
+        build_ann_ivf_index(corpus, str(tmp_path / "bad"), extra_cols=("cell",))
+
+
 def test_ann_ivfpq_manifest_commit(spark, emb, tmp_path):
     import os
 

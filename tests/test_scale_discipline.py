@@ -117,4 +117,6 @@ def test_collect_allowlist_is_small_and_known():
     # bounded-metadata contract as ann_ivf_join_indexed.
     # 33: +1 append_to_ann_ivfpq_index's nlist-row centroid load (the
     # append twin of the IVF append's existing bounded read).
-    assert n <= 33, f"driver-collect site count grew to {n}; review for scale"
+    # 34: +1 stream_maintain_ann_ivfpq_index's eager one-row _pq_meta
+    # existence check (the stream_maintain_bm25_index pattern).
+    assert n <= 34, f"driver-collect site count grew to {n}; review for scale"

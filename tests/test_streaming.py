@@ -1687,6 +1687,92 @@ def test_stream_maintain_bm25_index_lifecycle(spark, sf_dir, tmp_path):
     assert probe() == scan(docs)
 
 
+def test_stream_maintain_ann_ivfpq_index_lifecycle(spark, sf_dir, tmp_path):
+    """Streaming IVF-PQ maintenance: two drains over a growing
+    embedding stream leave an index whose full probe + corpus-wide
+    exact rerank equals brute-force cosine over everything that
+    arrived; an idle drain changes nothing; a fresh checkpoint against
+    the populated index fails loudly; a missing index fails eagerly
+    (the stream cannot train quantizers)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfpq_topk_indexed,
+        build_ann_ivfpq_index,
+        cosine_topk,
+    )
+    from spark_sorted_spark.streaming import (
+        stream_maintain_ann_ivfpq_index,
+        stream_table,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]
+    ]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    base = corpus.filter(F.col("vec_id") % 3 == 0)
+    b1 = corpus.filter(F.col("vec_id") % 3 == 1)
+    b2 = corpus.filter(F.col("vec_id") % 3 == 2)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "stream_ivfpq_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(ckpt_dir):
+        sdf = stream_table(
+            spark, "embeddings", sf_dir, path=str(watch)
+        ).select("vec_id", "embedding")
+        stream_maintain_ann_ivfpq_index(sdf, idx, ckpt_dir, timeout_sec=180)
+
+    def probe():
+        return [
+            (r.vec_id, r.rank, r.cos)
+            for r in ann_ivfpq_topk_indexed(
+                spark, idx, qvec, k=5, nprobe=ANN_NLIST, rerank=10**6
+            ).collect()
+        ]
+
+    def brute(d):
+        return [
+            (r.vec_id, r.rank, r.cos)
+            for r in cosine_topk(d, qvec, k=5).collect()
+        ]
+
+    # the stream cannot create the index (quantizers are trained state)
+    arrive(b1, "b1")
+    with _pytest.raises(ValueError, match="build_ann_ivfpq_index"):
+        drain(ckpt)
+    build_ann_ivfpq_index(base, idx)
+    drain(ckpt)
+    assert probe() == brute(base.unionByName(b1))
+
+    arrive(b2, "b2")
+    drain(ckpt)
+    want = brute(corpus)
+    assert probe() == want
+
+    # idle drain: nothing changes
+    drain(ckpt)
+    assert probe() == want
+
+    # fresh checkpoint against the populated index: loud
+    with _pytest.raises(ValueError, match="different ingest stream"):
+        drain(str(tmp_path / "ckpt2"))
+
+
 def test_stream_adopts_prebuilt_gram_store(spark, sf_dir, tmp_path):
     """A store holding ONLY the build's reserved base partition
     (ingest_batch_id=-1) carries no stream batches to clobber — a new
