@@ -65,6 +65,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     stats: tuple | None = None,
+    where=None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 score for ``query`` (whitespace
     tokenization, the corpus-wide ``tokens`` rule; duplicate query
@@ -78,7 +79,16 @@ def bm25_topk(
     form otherwise pays (the values are exact integers, so a caller-
     supplied pair that matches the derived one is bitwise-neutral —
     pinned in tests); the persisted-index probes amortize it for
-    everyone else."""
+    everyone else.
+
+    ``where`` (SQL string or Column over ``docs``'s metadata columns)
+    is FILTERED retrieval: only qualifying documents can appear in
+    the top-k, while idf/avgdl stay CORPUS-WIDE (the standard
+    filtered-search contract — the filter restricts candidates, not
+    the collection statistics; this is what makes the indexed twin's
+    ``where`` bitwise-pinnable against this form)."""
+    from .similarity import _apply_where
+
     terms = sorted(set(query.split()))
     if not terms:
         raise ValueError("query has no terms")
@@ -138,6 +148,14 @@ def bm25_topk(
         ).alias("__idf"),
     )
 
+    # filtered retrieval: restrict CANDIDATES to qualifying docs
+    # (semi-join against the filtered id set) AFTER df_t derived from
+    # the unfiltered postings — collection statistics stay global,
+    # matching the indexed probe's where (df comes from the dft store)
+    if where is not None:
+        tf = tf.join(
+            _apply_where(df, where).select(id_col), id_col, "left_semi"
+        )
     contrib = tf.join(F.broadcast(df_t), "__tok").select(
         F.col(id_col),
         F.col("__tok"),
@@ -189,6 +207,7 @@ def bm25_join(
     query_text_col: str = "text",
     query_id_col: str = "query_id",
     stats: tuple | None = None,
+    where=None,
 ) -> DataFrame:
     """Batch BM25 retrieval — the R-S form of :func:`bm25_topk`: score
     EVERY query of ``queries`` against ``docs`` in one relational job
@@ -212,10 +231,13 @@ def bm25_join(
     half the corpus. Floats: same discipline as bm25_topk (libm idf,
     fixed-shape contributions, strict (term)-ordered per-(query, doc)
     fold) — the DuckDB oracle replays bit-for-bit. ``stats=(n_docs,
-    sum_dl)`` skips the stats scan as in :func:`bm25_topk`."""
+    sum_dl)`` skips the stats scan as in :func:`bm25_topk`; ``where``
+    is filtered retrieval with the same contract (candidates
+    restricted, collection statistics corpus-wide)."""
     from pyspark.sql import Window
 
     from .exactmath import ln_libm
+    from .similarity import _apply_where
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -267,6 +289,12 @@ def bm25_join(
         ).alias("__idf"),
     )
 
+    # filtered retrieval: candidates only — df_t above is already
+    # derived from the unfiltered postings (global statistics)
+    if where is not None:
+        tf = tf.join(
+            _apply_where(docs, where).select(id_col), id_col, "left_semi"
+        )
     contrib = (
         tf.join(df_t, "__tok")
         .join(qterms, "__tok")
@@ -330,6 +358,8 @@ def hybrid_topk(
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lex_where=None,
+    dense_where=None,
 ) -> DataFrame:
     """Hybrid retrieval: fuse lexical (BM25) and dense (exact cosine)
     rankings by Reciprocal Rank Fusion (Cormack et al., SIGIR'09):
@@ -351,16 +381,20 @@ def hybrid_topk(
     libm-idf discipline). Scale shape: each side is its own scale-safe
     top-``n_candidates`` (TakeOrderedAndProject); the fusion then
     joins two <= n_candidates-row relations — negligible at any corpus
-    size. The windows below run over those candidate rows only."""
+    size. The windows below run over those candidate rows only.
+
+    ``lex_where`` / ``dense_where`` restrict each side's candidates
+    (filtered hybrid — each arm's documented filter contract; pass
+    the same predicate to both when the corpora share metadata)."""
     from pyspark.sql import Window
 
-    from .similarity import cosine_topk
+    from .similarity import _apply_where, cosine_topk
 
     if rrf_k < 1:
         raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
     lex = bm25_topk(
         docs, query, k=n_candidates, k1=k1, b=b,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, where=lex_where,
     ).select(
         F.col(id_col).alias("__id"),
         F.row_number()
@@ -369,7 +403,8 @@ def hybrid_topk(
         .alias("rank_lex"),
     )
     dense = cosine_topk(
-        embeddings, [float(x) for x in query_vec], k=n_candidates,
+        _apply_where(embeddings, dense_where),
+        [float(x) for x in query_vec], k=n_candidates,
         vec_col=vec_col, id_col=vec_id_col,
     ).select(
         F.col(vec_id_col).alias("__id"),
@@ -427,6 +462,8 @@ def hybrid_topk_indexed(
     id_col: str = "doc_id",
     dense: str = "ivf",
     dense_rerank: int | None = None,
+    lex_where=None,
+    dense_where=None,
 ) -> DataFrame:
     """Hybrid retrieval against PERSISTED indexes on both sides — the
     100 TB serving form of :func:`hybrid_topk`: the lexical candidates
@@ -451,7 +488,10 @@ def hybrid_topk_indexed(
     scan-form :func:`hybrid_topk` (pinned in tests; for ``ivfpq`` the
     same holds with ``dense_rerank >= |corpus|``); at serving defaults
     the dense side trades recall for the pruned scan, which is the
-    point. ``nprobe=None`` uses the similarity module's default."""
+    point. ``nprobe=None`` uses the similarity module's default.
+    ``lex_where`` / ``dense_where`` restrict each arm's candidates
+    in-scan (filtered hybrid — both indexes must store the predicate
+    columns via their builds' ``extra_cols``)."""
     from pyspark.sql import Window
 
     from .similarity import (
@@ -465,7 +505,8 @@ def hybrid_topk_indexed(
     if dense not in ("ivf", "ivfpq"):
         raise ValueError(f"dense must be 'ivf' or 'ivfpq', got {dense!r}")
     lex = bm25_topk_indexed(
-        spark, bm25_path, query, k=n_candidates, k1=k1, b=b, id_col=id_col
+        spark, bm25_path, query, k=n_candidates, k1=k1, b=b,
+        id_col=id_col, where=lex_where,
     ).select(
         F.col(id_col).alias("__id"),
         F.row_number()
@@ -482,11 +523,12 @@ def hybrid_topk_indexed(
             k=n_candidates,
             nprobe=np_,
             rerank=dense_rerank,
+            where=dense_where,
         )
     else:
         dense_df = ann_ivf_topk_indexed(
             spark, ann_path, [float(x) for x in query_vec],
-            k=n_candidates, nprobe=np_,
+            k=n_candidates, nprobe=np_, where=dense_where,
         )
     dense_df = dense_df.select(
         F.col("vec_id").alias("__id"),
@@ -514,11 +556,14 @@ def retrieval_metrics(
     * ``recall``  = |relevant retrieved in top k| / |relevant|
     * ``rr``      = 1 / rank of the first relevant hit (0 if none) —
       average it for MRR@k
+    * ``ap``      = average precision@k: the j-th relevant hit (by
+      rank) contributes ``j / rank_j``; the sum is divided by
+      ``min(n_relevant, k)`` — average it for MAP@k
     * ``ndcg``    = DCG@k / IDCG@k with linear gain,
       DCG = sum_i grade_i / log2(rank_i + 1)
 
-    Returns ``(query_id, n_relevant, n_hits, recall, rr, ndcg)`` —
-    one row per query WITH at least one relevant judgment (the
+    Returns ``(query_id, n_relevant, n_hits, recall, rr, ap, ndcg)``
+    — one row per query WITH at least one relevant judgment (the
     convention every IR eval tool uses: unjudged queries are
     excluded, retrieved-nothing queries score 0).
 
@@ -600,6 +645,20 @@ def retrieval_metrics(
             F.lit(0.0),
             lambda acc, s: acc + s["__t"],
         ).alias("__dcg"),
+        # AP numerator: the j-th relevant hit by rank contributes
+        # j / rank_j (both exact integers — one IEEE division per
+        # term), summed in strict position order: sort the hit ranks,
+        # fold with a (count, sum) struct accumulator
+        F.aggregate(
+            F.array_sort(F.collect_list("__r")),
+            F.struct(
+                F.lit(0).alias("j"), F.lit(0.0).alias("s")
+            ),
+            lambda acc, r: F.struct(
+                (acc["j"] + 1).alias("j"),
+                (acc["s"] + (acc["j"] + 1) / r).alias("s"),
+            ),
+        )["s"].alias("__apsum"),
     )
     return (
         ideal.join(per_q, query_id_col, "left")
@@ -611,6 +670,11 @@ def retrieval_metrics(
                 F.coalesce("n_hits", F.lit(0)) / F.col("n_relevant")
             ).alias("recall"),
             F.coalesce("rr", F.lit(0.0)).alias("rr"),
+            F.coalesce(
+                F.col("__apsum")
+                / F.least(F.col("n_relevant"), F.lit(int(k))),
+                F.lit(0.0),
+            ).alias("ap"),
             F.coalesce(
                 F.col("__dcg") / F.col("__idcg"), F.lit(0.0)
             ).alias("ndcg"),
@@ -668,6 +732,8 @@ def hybrid_join(
     query_text_col: str = "text",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    lex_where=None,
+    dense_where=None,
 ) -> DataFrame:
     """Batch hybrid retrieval — the R-S form of :func:`hybrid_topk`:
     fuse per-query BM25 (:func:`bm25_join`, one corpus text scan for
@@ -681,8 +747,9 @@ def hybrid_join(
     Each side scans its table ONCE regardless of |queries|; the
     fusion joins two <= |queries| x n_candidates relations. The
     100 TB serving form is :func:`hybrid_join_indexed` (neither side
-    scans a full table)."""
-    from .similarity import cosine_join
+    scans a full table). ``lex_where`` / ``dense_where`` restrict
+    each side's candidates (filtered hybrid)."""
+    from .similarity import _apply_where, cosine_join
 
     if rrf_k < 1:
         raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
@@ -696,13 +763,14 @@ def hybrid_join(
         id_col=id_col,
         query_text_col=query_text_col,
         query_id_col=query_id_col,
+        where=lex_where,
     ).select(
         F.col(query_id_col),
         F.col(id_col).alias("__id"),
         F.col("rank").alias("rank_lex"),
     )
     dense = cosine_join(
-        embeddings,
+        _apply_where(embeddings, dense_where),
         queries,
         k=n_candidates,
         vec_col=vec_col,
@@ -734,6 +802,8 @@ def hybrid_join_indexed(
     query_vec_col: str = "query_vec",
     dense: str = "ivf",
     dense_rerank: int | None = None,
+    lex_where=None,
+    dense_where=None,
 ) -> DataFrame:
     """Batch hybrid retrieval against PERSISTED indexes on both sides
     — completes the hybrid matrix (:func:`hybrid_topk` /
@@ -755,7 +825,9 @@ def hybrid_join_indexed(
     With ``nprobe >= nlist`` the output is BITWISE :func:`hybrid_join`
     (pinned in tests; for ``ivfpq`` the same holds with
     ``dense_rerank >= |corpus|``); at serving defaults the dense side
-    trades recall for the pruned scan."""
+    trades recall for the pruned scan. ``lex_where`` /
+    ``dense_where`` restrict each arm's candidates in-scan (filtered
+    hybrid; both indexes must store the predicate columns)."""
     from .similarity import (
         ANN_NPROBE,
         ann_ivf_join_indexed,
@@ -808,6 +880,7 @@ def hybrid_join_indexed(
         id_col=id_col,
         query_text_col=query_text_col,
         query_id_col=query_id_col,
+        where=lex_where,
     ).select(
         F.col(query_id_col),
         F.col(id_col).alias("__id"),
@@ -824,6 +897,7 @@ def hybrid_join_indexed(
             rerank=dense_rerank,
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
+            where=dense_where,
         )
     else:
         dense_df = ann_ivf_join_indexed(
@@ -834,6 +908,7 @@ def hybrid_join_indexed(
             nprobe=np_,
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
+            where=dense_where,
         )
     dense_df = dense_df.select(
         F.col(query_id_col),
@@ -843,6 +918,37 @@ def hybrid_join_indexed(
     return _rrf_fuse_batch(lex, dense_df, query_id_col, id_col, rrf_k, k)
 
 
+_BM25_RESERVED_COLS = (
+    "tok", "tf", "dl", "df", "tok_bucket", "ingest_batch_id",
+    "n_docs", "sum_dl", "n_buckets",
+)
+
+
+def _check_bm25_extra_cols(extra_cols, id_col: str, text_col: str) -> None:
+    bad = [
+        c
+        for c in extra_cols
+        if c in _BM25_RESERVED_COLS or c in (id_col, text_col)
+    ]
+    if bad:
+        raise ValueError(
+            f"extra_cols {bad} collide with BM25 index layout columns "
+            f"({_BM25_RESERVED_COLS + (id_col, text_col)})"
+        )
+
+
+def _bm25_extra_cols(postings: DataFrame, id_col: str) -> list[str]:
+    """Metadata columns a persisted postings relation carries beyond
+    the layout — appends introspect these (the ANN-append pattern) so
+    extras flow through without a parameter, and a batch MISSING one
+    fails loudly at the select instead of writing silent nulls."""
+    return [
+        c
+        for c in postings.columns
+        if c not in _BM25_RESERVED_COLS and c != id_col
+    ]
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,
@@ -850,6 +956,7 @@ def build_bm25_index(
     id_col: str = "doc_id",
     n_buckets: int = 64,
     commit: str = "rename",
+    extra_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist the BM25 inverted index for a corpus — the repeated-
     retrieval twin of :func:`bm25_topk` (which rebuilds the query
@@ -877,7 +984,13 @@ def build_bm25_index(
     (idf and avgdl re-derive from the summed stats, so a probe after
     ``append_to_bm25_index`` equals a text scan of the UNION corpus).
     Append batches must hold NEW document ids (the shared
-    reserved-base contract of all the incremental stores)."""
+    reserved-base contract of all the incremental stores).
+
+    ``extra_cols`` stores passthrough metadata (source, language,
+    license) on every postings row — the filtered-retrieval enabler:
+    a probe's ``where`` then evaluates inside the bucket-pruned scan
+    (parquet pushdown). Per-(doc, term) duplication of the metadata
+    value is the standard stored-field trade; keep extras narrow."""
     from ..sources.bucketed import write_partitioned
     from ..sources.manifest import begin_generation, commit_generation
     from .dedup import _rm_dir, spread_small_input
@@ -887,6 +1000,7 @@ def build_bm25_index(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
+    _check_bm25_extra_cols(extra_cols, id_col, text_col)
     spark = docs.sparkSession
     if commit == "manifest":
         root = path
@@ -904,10 +1018,15 @@ def build_bm25_index(
         F.col(id_col),
         F.size(toks).alias("dl"),
         F.explode(toks).alias("tok"),
+        *[F.col(c) for c in extra_cols],
     )
     postings = (
         occ.groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("dl").alias("dl"),
+            *[F.first(c).alias(c) for c in extra_cols],
+        )
         .withColumn("tok_bucket", F.pmod(md5_int32(F.col("tok")), F.lit(n_buckets)))
     )
     write_partitioned(
@@ -967,6 +1086,9 @@ def append_to_bm25_index(
     path = resolve_root(spark, path)
     # bounded-collect: one parameter row from the index metadata
     n_buckets = int(spark.read.parquet(f"{path}/_bm25_meta").collect()[0][0])
+    extras = _bm25_extra_cols(
+        spark.read.parquet(f"{path}/postings"), id_col
+    )
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
     toks = tokens(text_col)
@@ -974,10 +1096,15 @@ def append_to_bm25_index(
         F.col(id_col),
         F.size(toks).alias("dl"),
         F.explode(toks).alias("tok"),
+        *[F.col(c) for c in extras],
     )
     postings = (
         occ.groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("dl").alias("dl"),
+            *[F.first(c).alias(c) for c in extras],
+        )
         .withColumn(
             "tok_bucket", F.pmod(md5_int32(F.col("tok")), F.lit(n_buckets))
         )
@@ -1084,14 +1211,20 @@ def bm25_topk_indexed(
     b: float = 0.75,
     id_col: str = "doc_id",
     before_batch: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Top-``k`` BM25 against a persisted index — NEVER touches corpus
     text: the probe reads only the query terms' postings buckets
     (directory-partition pruning on ``tok_bucket``), the |terms|-row
     df shard (idf via ln_libm), and the 1-row stats table. Bitwise the
-    scan-form :func:`bm25_topk` answer (pinned in tests)."""
+    scan-form :func:`bm25_topk` answer (pinned in tests). ``where``
+    (over the index's stored ``extra_cols``) is filtered retrieval:
+    the predicate evaluates inside the pruned postings scan,
+    restricting CANDIDATES while idf/avgdl stay corpus-wide — bitwise
+    the scan form's ``where`` (pinned)."""
     from ..sources.manifest import resolve_root
     from .exactmath import ln_libm
+    from .similarity import _apply_where
 
     terms = sorted(set(query.split()))
     if not terms:
@@ -1135,6 +1268,9 @@ def bm25_topk_indexed(
     if before_batch is not None:
         tf = tf.filter(F.col("ingest_batch_id") < before_batch)
         dft = dft.filter(F.col("ingest_batch_id") < before_batch)
+    # filtered retrieval: candidates only — df (below) comes from the
+    # dft store, so collection statistics stay corpus-wide
+    tf = _apply_where(tf, where)
     # merge per-append df DELTAS — for the probe's terms only, so the
     # merge aggregate is |terms|-row sized regardless of append count
     df_t = (
@@ -1199,6 +1335,7 @@ def bm25_join_indexed(
     query_text_col: str = "text",
     query_id_col: str = "query_id",
     before_batch: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Batch retrieval against a persisted index — completes the
     scan/indexed x single/batch matrix (:func:`bm25_topk` /
@@ -1215,9 +1352,12 @@ def bm25_join_indexed(
     not the corpus; a million-term batch is the point where
     :func:`bm25_join`'s full-scan form wins anyway). df deltas merge
     for these terms only; per-query top-k is the same spilling window
-    as bm25_join."""
+    as bm25_join. ``where`` is filtered retrieval over the index's
+    stored ``extra_cols`` (candidates restricted in-scan, statistics
+    corpus-wide), applied to the whole batch."""
     from ..sources.manifest import resolve_root
     from .exactmath import ln_libm
+    from .similarity import _apply_where
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1290,6 +1430,9 @@ def bm25_join_indexed(
     if before_batch is not None:
         tf = tf.filter(F.col("ingest_batch_id") < before_batch)
         dft = dft.filter(F.col("ingest_batch_id") < before_batch)
+    # filtered retrieval: candidates only; df from the dft store
+    # keeps collection statistics corpus-wide
+    tf = _apply_where(tf, where)
     df_t = (
         dft.groupBy("tok")
         .agg(F.sum("df").alias("df"))

@@ -616,6 +616,73 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_topk_filtered",
+    # FILTERED lexical retrieval (the metadata-constrained serving
+    # shape): candidates restricted to source='src0' INSIDE the
+    # bucket-pruned postings scan (the index stores source via
+    # extra_cols), while idf/avgdl stay CORPUS-WIDE — the standard
+    # filtered-search contract, replayed here: stats/dft over the
+    # full corpus, the contrib relation filtered by source before the
+    # per-doc fold.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, source, len(toks) AS dl, unnest(toks) AS tok
+      FROM docs),
+    tf AS (
+      SELECT doc_id, source, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN ('merge', 'sort', 'stream', 'table')
+      GROUP BY doc_id, source, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) CROSS JOIN stats s
+      WHERE t.source = 'src0'),
+    scored AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score, n_terms_matched FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered lexical retrieval (functions/retrieval.py
+    bm25_topk_indexed(where=...)): top-10 BM25 WITHIN source='src0'
+    against a persisted index whose postings rows carry the source
+    column — the predicate evaluates inside the bucket-pruned scan
+    (parquet pushdown), candidates restricted, collection statistics
+    corpus-wide (pinned bitwise to the scan form's where in
+    tests/test_retrieval.py)."""
+    import os
+    import tempfile
+
+    from .functions.retrieval import bm25_topk_indexed, build_bm25_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25meta_{os.getpid()}"
+    )
+    path = f"{base}/{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(path):
+        build_bm25_index(docs, path, extra_cols=("source",))
+    return bm25_topk_indexed(
+        spark, path, "merge sort stream table", k=10,
+        k1=_BM25_K1, b=_BM25_B, where="source = 'src0'",
+    )
+
+
+@query(
     "bm25_join",
     # batch (R-S) BM25: 5 queries — the first 4 tokens of documents
     # 3/7/11/19/23 — scored against the whole corpus in one job,
@@ -2532,6 +2599,16 @@ def hybrid_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list(g / (ln(rank + 1.0e0) / ln(2.0e0)) ORDER BY rank)),
                (a, x) -> a + x) AS dcg
       FROM hits GROUP BY query_id),
+    aps AS (
+      SELECT query_id, rank,
+             row_number() OVER (PARTITION BY query_id ORDER BY rank)::DOUBLE
+               / rank AS p
+      FROM hits),
+    apq AS (
+      SELECT query_id,
+             list_reduce(list_prepend(0.0, list(p ORDER BY rank)),
+                         (a, x) -> a + x) AS apsum
+      FROM aps GROUP BY query_id),
     ig AS (
       SELECT query_id, grade::DOUBLE AS g,
              row_number() OVER (
@@ -2549,15 +2626,17 @@ def hybrid_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(p.n_hits, 0) AS n_hits,
            coalesce(p.n_hits, 0) / i.n_relevant AS recall,
            coalesce(p.rr, 0.0e0) AS rr,
+           coalesce(a.apsum / least(i.n_relevant, 10), 0.0e0) AS ap,
            coalesce(p.dcg / i.idcg, 0.0e0) AS ndcg
     FROM ideal i LEFT JOIN perq p USING (query_id)
+    LEFT JOIN apq a USING (query_id)
     """,
 )
 def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval evaluation (functions/retrieval.py retrieval_metrics):
-    recall@10 / RR@10 / nDCG@10 of the 5-query BM25 batch against
-    synthetic qrels (source doc grade 2, successor doc grade 1) — the
-    measurement loop a retrieval pipeline tunes against."""
+    recall@10 / RR@10 / AP@10 / nDCG@10 of the 5-query BM25 batch
+    against synthetic qrels (source doc grade 2, successor doc grade
+    1) — the measurement loop a retrieval pipeline tunes against."""
     from .functions.retrieval import bm25_join, retrieval_metrics
 
     docs = load_table(spark, "documents", sf_dir)
@@ -5937,6 +6016,11 @@ _GATE_ORDER = [
     "bm25_join",
     "bm25_topk_indexed",
     "bm25_join_indexed",
+    # round-11 filtered lexical retrieval — straight into the window
+    # (no-backlog policy); redact_pii rotates out driver-green (text
+    # keeps unigram_logprob in-window; redact/vocab/keywords all hold
+    # past driver rows)
+    "bm25_topk_filtered",
     "hybrid_topk",
     "hybrid_topk_indexed",
     "hybrid_join",
@@ -5966,7 +6050,6 @@ _GATE_ORDER = [
     "unigram_logprob",
     "dedup_semantic",
     "unpivot_measures",
-    "redact_pii",
     "embedding_clusters",
     "window_distribution",
     "stream_hll_by_source",
@@ -5993,6 +6076,7 @@ _GATE_ORDER = [
     # representatives above in-window.
     "hll_grouped_by_source",
     "build_vocab",
+    "redact_pii",
     "doc_keywords",
     "negative_pairs",
     "cms_heavy_shingles",

@@ -53,6 +53,9 @@ def test_gate_window_contents():
         "bm25_join",
         "bm25_topk_indexed",
         "bm25_join_indexed",
+        # round-11 filtered lexical retrieval (no-backlog policy);
+        # redact_pii rotates out driver-green
+        "bm25_topk_filtered",
         "hybrid_topk",
         "hybrid_topk_indexed",
         "hybrid_join",
@@ -96,6 +99,7 @@ def test_gate_window_contents():
     assert names[50:] == [
         "hll_grouped_by_source",
         "build_vocab",
+        "redact_pii",
         "doc_keywords",
         "negative_pairs",
         "cms_heavy_shingles",

@@ -1086,6 +1086,160 @@ def test_hybrid_indexed_ivfpq_dense_arm(spark, tmp_path):
         )
 
 
+def test_filtered_bm25_scan_indexed_and_append(spark, tmp_path):
+    """Filtered lexical retrieval: where restricts CANDIDATES while
+    idf/avgdl stay corpus-wide — the scan form's filtered top-k must
+    equal the unfiltered scored relation restricted to qualifying
+    docs (scores unchanged), the indexed probe (extra_cols metadata,
+    in-scan predicate) must equal the scan form bitwise, batch forms
+    too, and appends must carry the metadata through."""
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        bm25_join,
+        bm25_join_indexed,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    q = "merge sort stream table"
+    # scores are filter-invariant: filtered top-k == (unfiltered
+    # scored relation restricted to src0) re-ranked
+    big = bm25_topk(docs, q, k=10**6).collect()
+    src0 = {r.doc_id for r in docs.filter(F.col("source") == "src0").collect()}
+    want = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in big
+        if r.doc_id in src0
+    ][:8]
+    got = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk(docs, q, k=8, where="source = 'src0'").collect()
+    ]
+    assert got == want and got
+    # indexed == scan bitwise, with the predicate in-scan
+    half = docs.filter(F.col("doc_id") % 2 == 1)
+    rest = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = str(tmp_path / "bm25_meta")
+    build_bm25_index(half, idx, extra_cols=("source",))
+    sgot = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_indexed(
+            spark, idx, q, k=8, where="source = 'src0'"
+        ).collect()
+    ]
+    swant = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk(half, q, k=8, where="source = 'src0'").collect()
+    ]
+    assert sgot == swant
+    # append introspects and carries the metadata; union == scan
+    append_to_bm25_index(rest, idx, batch_id=0)
+    agot = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_indexed(
+            spark, idx, q, k=8, where="source = 'src0'"
+        ).collect()
+    ]
+    assert agot == got
+    # batch forms: indexed == scan with the same where
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qdf = docs.filter(F.col("doc_id").isin([3, 7, 11])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    bwant = sorted(
+        (r.query_id, r.doc_id, r.score, r.n_terms_matched, r.rank)
+        for r in bm25_join(
+            docs, qdf, k=5, where=F.col("source") == "src0"
+        ).collect()
+    )
+    bgot = sorted(
+        (r.query_id, r.doc_id, r.score, r.n_terms_matched, r.rank)
+        for r in bm25_join_indexed(
+            spark, _full_bm25(spark, docs, tmp_path), qdf, k=5,
+            where=F.col("source") == "src0",
+        ).collect()
+    )
+    assert bgot == bwant and bgot
+    # a batch missing the metadata column fails loudly on append
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="source|UNRESOLVED_COLUMN"):
+        append_to_bm25_index(
+            rest.select("doc_id", "text"), idx, batch_id=1
+        )
+    with _pytest.raises(ValueError, match="collide"):
+        build_bm25_index(docs, str(tmp_path / "bad"), extra_cols=("tok",))
+
+
+def _full_bm25(spark, docs, tmp_path):
+    path = str(tmp_path / "bm25_meta_full")
+    import os
+
+    if not os.path.exists(path):
+        from spark_sorted_spark.functions.retrieval import build_bm25_index
+
+        build_bm25_index(docs, path, extra_cols=("source",))
+    return path
+
+
+def test_filtered_hybrid_indexed_equals_scan(spark, tmp_path):
+    """Filtered hybrid: lex_where/dense_where restrict each arm; at
+    full probe the indexed form is bitwise the scan form under the
+    same predicates."""
+    from spark_sorted_spark.functions.retrieval import (
+        build_bm25_index,
+        hybrid_join,
+        hybrid_join_indexed,
+    )
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        build_ann_ivf_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") != 0)
+    bm25 = str(tmp_path / "bm25")
+    ivf = str(tmp_path / "ivf")
+    build_bm25_index(docs, bm25, extra_cols=("source",))
+    build_ann_ivf_index(base, ivf, extra_cols=("label",))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qdf = (
+        docs.filter(F.col("doc_id").isin([3, 7]))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("query_vec"),
+            ),
+            "query_id",
+        )
+    )
+    kw = dict(
+        k=6, n_candidates=20,
+        lex_where="source IN ('src0', 'src1')", dense_where="label < 5",
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_join(docs, base, qdf, **kw).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_join_indexed(
+            spark, bm25, ivf, qdf, nprobe=ANN_NLIST, **kw
+        ).collect()
+    )
+    assert got == want and got
+
+
 def test_retrieval_metrics_hand_computed(spark):
     """recall/rr/ndcg against hand-computed values, including a
     judged-but-unretrieved query (scores 0) and an unjudged query
@@ -1105,7 +1259,7 @@ def test_retrieval_metrics_hand_computed(spark):
         "query_id long, doc_id long, grade long",
     )
     got = {
-        r.query_id: (r.n_relevant, r.n_hits, r.recall, r.rr, r.ndcg)
+        r.query_id: (r.n_relevant, r.n_hits, r.recall, r.rr, r.ap, r.ndcg)
         for r in retrieval_metrics(results, qrels, k=3).collect()
     }
     assert set(got) == {1, 2, 3}
@@ -1113,14 +1267,18 @@ def test_retrieval_metrics_hand_computed(spark):
     def log2(x):
         return math.log(x) / math.log(2.0)
 
-    # q1: hits doc2@1 (g2), doc1@3 (g1); ideal grades [2,1,1]
+    # q1: hits doc2@1 (g2), doc1@3 (g1); ideal grades [2,1,1];
+    # AP@3 = (1/1 + 2/3) / min(3, 3)
     dcg1 = 2.0 / log2(2) + 1.0 / log2(4)
     idcg1 = 2.0 / log2(2) + 1.0 / log2(3) + 1.0 / log2(4)
-    assert got[1] == (3, 2, 2 / 3, 1.0, dcg1 / idcg1)
-    # q2: one hit at rank 2
-    assert got[2] == (1, 1, 1.0, 0.5, (1.0 / log2(3)) / (1.0 / log2(2)))
+    ap1 = (1.0 / 1.0 + 2.0 / 3.0) / 3
+    assert got[1] == (3, 2, 2 / 3, 1.0, ap1, dcg1 / idcg1)
+    # q2: one hit at rank 2; AP = (1/2) / min(1, 3)
+    assert got[2] == (
+        1, 1, 1.0, 0.5, 0.5, (1.0 / log2(3)) / (1.0 / log2(2))
+    )
     # q3: judged, nothing retrieved
-    assert got[3] == (1, 0, 0.0, 0.0, 0.0)
+    assert got[3] == (1, 0, 0.0, 0.0, 0.0, 0.0)
 
 
 def test_retrieval_metrics_perfect_retrieval_is_one(spark):
@@ -1137,7 +1295,7 @@ def test_retrieval_metrics_perfect_retrieval_is_one(spark):
         "query_id long, doc_id long, rank long",
     )
     for r in retrieval_metrics(results, qrels, k=5).collect():
-        assert (r.recall, r.rr, r.ndcg) == (1.0, 1.0, 1.0)
+        assert (r.recall, r.rr, r.ap, r.ndcg) == (1.0, 1.0, 1.0, 1.0)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="k must"):
