@@ -1576,6 +1576,120 @@ def append_to_ann_ivfpq_index(
     )
 
 
+def _list_batch_dirs(spark, root: str) -> list[str]:
+    """Names of the ``ingest_batch_id=*`` partition dirs under
+    ``root`` (empty if the dir is missing)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("ingest_batch_id="):
+            out.append(name)
+    return out
+
+
+def compact_ann_index(spark, path: str) -> None:
+    """Collapse a long-appended ANN index's batch partitions back to
+    the base layout (``ingest_batch_id=-1``) — the ANN twin of
+    ``compact_bm25_index`` / ``compact_minhash_band_store``: reads
+    only the STORE (ids + codes/cells/buckets + vectors), never the
+    source embeddings, and leaves probes bitwise unchanged (the batch
+    column never participates in scoring — pinned in tests). Run it
+    when nightly appends make the per-batch directory count (file
+    listing, small files) matter; correctness never depends on it.
+
+    Layout is AUTODETECTED: flat PQ (``codes`` subdir), IVF / IVF-PQ
+    (``cell``-partitioned root), LSH (``bucket``-partitioned root).
+    Metadata tables (``_centroids``, ``_pq_*``, ``_lsh_meta``) and the
+    ``_ingest_stream`` marker are untouched on the rename layout and
+    carried into the new generation on the manifest layout.
+
+    On a MANIFEST-layout index the compacted data is a fresh
+    generation published by the atomic pointer PUT (object-store
+    safe, concurrent-reader safe). On the rename layout the swap is
+    in-place and NOT concurrency-safe — stop any maintenance stream
+    first (the shared compact contract); every crash point leaves a
+    recoverable copy (batch dirs move ASIDE to ``.old_batches``
+    before the staged base moves in; recovery = rename them back)."""
+    from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import (
+        begin_generation,
+        commit_generation,
+        resolve_root,
+    )
+    from ..streaming.ingest import _read_text, _write_text
+    from .dedup import _rename, _rm_dir
+
+    root = path
+    cur = resolve_root(spark, root)
+    jfs = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jfs(cur).getFileSystem(conf)
+
+    flat_pq = fs.exists(jfs(f"{cur}/codes"))
+    data_root = f"{cur}/codes" if flat_pq else cur
+    if flat_pq:
+        part_col = None
+    elif fs.exists(jfs(f"{cur}/_centroids")):
+        part_col = "cell"
+    else:
+        part_col = "bucket"
+    if not _list_batch_dirs(spark, data_root):
+        raise ValueError(f"{path!r} holds no batch partitions; build first")
+    merged = spark.read.parquet(data_root)
+    if "ingest_batch_id" in merged.columns:
+        merged = merged.drop("ingest_batch_id")
+
+    if cur != root:
+        # manifest layout: compacted index = next generation; bounded
+        # metadata tables are rewritten alongside, the stream marker
+        # (if any) carried — a draining stream must be stopped, same
+        # contract as every compact path
+        gen = begin_generation(spark, root)
+        data_dst = f"{gen}/codes" if flat_pq else gen
+        if part_col is None:
+            merged.write.mode("overwrite").parquet(
+                f"{data_dst}/ingest_batch_id=-1"
+            )
+        else:
+            write_partitioned(
+                merged, f"{data_dst}/ingest_batch_id=-1", part_col
+            )
+        for meta in ("_centroids", "_pq_codebooks", "_pq_meta", "_lsh_meta"):
+            if fs.exists(jfs(f"{cur}/{meta}")):
+                spark.read.parquet(f"{cur}/{meta}").coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{gen}/{meta}")
+        marker = _read_text(spark, f"{cur}/_ingest_stream")
+        if marker is not None:
+            _write_text(spark, f"{gen}/_ingest_stream", marker)
+        commit_generation(spark, root, gen)
+        return
+
+    # stage as a SIBLING of the data dir (writing into a child of the
+    # path being read is the trap the band store's *_compacting
+    # siblings avoid), then move the live batch dirs ASIDE, bring the
+    # staged base in, sweep last — each crash point leaves a full
+    # readable copy somewhere (recovery: rename .old_batches back)
+    staging = f"{data_root}.compacting"
+    _rm_dir(spark, staging)
+    if part_col is None:
+        merged.write.mode("overwrite").parquet(staging)
+    else:
+        write_partitioned(merged, staging, part_col)
+    aside = f"{data_root}.old_batches"
+    _rm_dir(spark, aside)
+    for name in _list_batch_dirs(spark, data_root):
+        _rename(spark, f"{data_root}/{name}", f"{aside}/{name}")
+    _rename(spark, staging, f"{data_root}/ingest_batch_id=-1")
+    _rm_dir(spark, aside)
+
+
 def ann_ivfpq_topk_indexed(
     spark,
     index_path: str,

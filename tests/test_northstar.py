@@ -1997,6 +1997,117 @@ def test_filtered_ann_probes(spark, emb, tmp_path):
         build_ann_ivf_index(corpus, str(tmp_path / "bad"), extra_cols=("cell",))
 
 
+def test_compact_ann_index_all_layouts(spark, emb, tmp_path):
+    """ANN index compaction: batch partitions collapse to the base,
+    probes stay bitwise identical, metadata and the stream marker
+    survive — flat PQ (codes subdir), IVF, IVF-PQ (rename layout),
+    LSH, and a manifest-layout IVF-PQ publishing a new generation."""
+    import os
+
+    from spark_sorted_spark.functions.similarity import (
+        _list_batch_dirs,
+        ann_ivf_topk_indexed,
+        ann_ivfpq_topk_indexed,
+        ann_lsh_topk_indexed,
+        ann_pq_topk_indexed,
+        append_to_ann_ivf_index,
+        append_to_ann_ivfpq_index,
+        append_to_ann_lsh_index,
+        append_to_ann_pq_index,
+        build_ann_ivf_index,
+        build_ann_ivfpq_index,
+        build_ann_lsh_index,
+        build_ann_pq_index,
+        compact_ann_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    half_a = corpus.filter(F.col("vec_id") % 2 == 1)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 0)
+
+    def roundtrip(kind, build, append, probe, data_sub=""):
+        p = str(tmp_path / kind)
+        build(half_a, p)
+        append(half_b, p, batch_id=0)
+        before = probe(p)
+        compact_ann_index(spark, p)
+        assert probe(p) == before
+        droot = f"{p}/{data_sub}" if data_sub else p
+        assert _list_batch_dirs(spark, droot) == ["ingest_batch_id=-1"]
+        assert not os.path.exists(f"{droot}.old_batches")
+        assert not os.path.exists(f"{droot}.compacting")
+
+    roundtrip(
+        "pq",
+        build_ann_pq_index,
+        append_to_ann_pq_index,
+        lambda p: [
+            (r.vec_id, r.rank, r.adot)
+            for r in ann_pq_topk_indexed(spark, p, qvec, k=6).collect()
+        ],
+        data_sub="codes",
+    )
+    roundtrip(
+        "ivf",
+        build_ann_ivf_index,
+        append_to_ann_ivf_index,
+        lambda p: [
+            (r.vec_id, r.rank, r.cos)
+            for r in ann_ivf_topk_indexed(spark, p, qvec, k=6).collect()
+        ],
+    )
+    roundtrip(
+        "ivfpq",
+        build_ann_ivfpq_index,
+        append_to_ann_ivfpq_index,
+        lambda p: [
+            (r.vec_id, r.rank, r.adot)
+            for r in ann_ivfpq_topk_indexed(spark, p, qvec, k=6).collect()
+        ],
+    )
+    roundtrip(
+        "lsh",
+        build_ann_lsh_index,
+        lambda d, p, batch_id: append_to_ann_lsh_index(d, p, batch_id=batch_id),
+        lambda p: [
+            (r.vec_id, r.rank, r.cos)
+            for r in ann_lsh_topk_indexed(spark, p, qvec, k=6).collect()
+        ],
+    )
+
+    # manifest layout: compaction publishes a new generation and
+    # carries the stream marker
+    from spark_sorted_spark.streaming.ingest import _read_text, _write_text
+
+    man = str(tmp_path / "ivfpq_man")
+    build_ann_ivfpq_index(half_a, man, commit="manifest")
+    append_to_ann_ivfpq_index(half_b, man, batch_id=0)
+    from spark_sorted_spark.sources.manifest import resolve_root
+
+    _write_text(spark, f"{resolve_root(spark, man)}/_ingest_stream", '{"id": "x", "base": 1}')
+    before = [
+        (r.vec_id, r.rank, r.adot)
+        for r in ann_ivfpq_topk_indexed(spark, man, qvec, k=6).collect()
+    ]
+    gen_before = resolve_root(spark, man)
+    compact_ann_index(spark, man)
+    gen_after = resolve_root(spark, man)
+    assert gen_after != gen_before
+    got = [
+        (r.vec_id, r.rank, r.adot)
+        for r in ann_ivfpq_topk_indexed(spark, man, qvec, k=6).collect()
+    ]
+    assert got == before
+    assert _list_batch_dirs(spark, gen_after) == ["ingest_batch_id=-1"]
+    assert _read_text(spark, f"{gen_after}/_ingest_stream") == '{"id": "x", "base": 1}'
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no batch partitions"):
+        compact_ann_index(spark, str(tmp_path / "missing"))
+
+
 def test_ann_ivfpq_manifest_commit(spark, emb, tmp_path):
     import os
 
