@@ -42,6 +42,8 @@ from .text import tokens
 
 __all__ = [
     "bm25_topk",
+    "bm25_topk_prf",
+    "expand_query_prf",
     "bm25_join",
     "hybrid_topk",
     "hybrid_topk_indexed",
@@ -194,6 +196,90 @@ def bm25_topk(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def expand_query_prf(
+    docs: DataFrame,
+    query: str,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    where=None,
+) -> str:
+    """Pseudo-relevance-feedback query expansion (the Rocchio/RM3
+    family, binary term weights): run BM25 once, take the top
+    ``fb_docs`` documents as pseudo-relevant, add the ``fb_terms``
+    most frequent tokens of that feedback set (total occurrence count
+    desc, token asc — deterministic, exact integers) that are not
+    already query terms, and return the expanded query string
+    (sorted unique terms — the set form every ``bm25_*`` entry point
+    consumes). Recall tool, precision trade: expansion terms carry
+    the same unit weight as originals (the binary simplification of
+    RM3's weighted variant, documented trade).
+
+    Scale shape: pass one is :func:`bm25_topk` (scale-safe top-k);
+    the feedback ids are a bounded workload-sized collect; the term
+    count is one explode over ``fb_docs`` documents ONLY (id-pruned
+    scan), top-``fb_terms`` via TakeOrderedAndProject. ``where``
+    scopes pass one AND the feedback docs (filtered retrieval's
+    contract carries through)."""
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1, got {fb_terms}")
+    terms = sorted(set(query.split()))
+    first = bm25_topk(
+        docs, query, k=fb_docs, k1=k1, b=b,
+        text_col=text_col, id_col=id_col, where=where,
+    )
+    # bounded-collect: fb_docs ids — the feedback set is k-sized by
+    # construction (pass one's TakeOrdered output)
+    fb_ids = [r[0] for r in first.select(id_col).collect()]
+    if not fb_ids:
+        return " ".join(terms)
+    fb_counts = (
+        docs.filter(F.col(id_col).isin(fb_ids))
+        .select(F.explode(tokens(text_col)).alias("__tok"))
+        .filter(~F.col("__tok").isin(terms))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("__tok").asc())
+        .limit(int(fb_terms))
+    )
+    # bounded-collect: fb_terms rows (TakeOrdered output)
+    new_terms = [r[0] for r in fb_counts.collect()]
+    return " ".join(sorted(set(terms) | set(new_terms)))
+
+
+def bm25_topk_prf(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    where=None,
+) -> DataFrame:
+    """Two-pass BM25 with pseudo-relevance feedback: expand via
+    :func:`expand_query_prf`, then score the expanded query with the
+    ordinary :func:`bm25_topk` (same float discipline — the expansion
+    layer is all exact-integer selection, so the whole composition
+    stays oracle-replayable; pinned against a DuckDB replay in
+    tests)."""
+    expanded = expand_query_prf(
+        docs, query, fb_docs=fb_docs, fb_terms=fb_terms, k1=k1, b=b,
+        text_col=text_col, id_col=id_col, where=where,
+    )
+    return bm25_topk(
+        docs, expanded, k=k, k1=k1, b=b,
+        text_col=text_col, id_col=id_col, where=where,
+    )
 
 
 def bm25_join(

@@ -1240,6 +1240,97 @@ def test_filtered_hybrid_indexed_equals_scan(spark, tmp_path):
     assert got == want and got
 
 
+def test_bm25_prf_matches_duckdb_replay(spark):
+    """PRF expansion + second pass replayed end-to-end in DuckDB
+    (both BM25 chains, the feedback-term selection by (count desc,
+    tok asc), the expanded-term union) — bitwise score equality, the
+    same oracle-grade check the gated rows get."""
+    import duckdb
+
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_topk_prf,
+        expand_query_prf,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf)
+    q = "merge sort stream"
+    terms = sorted(set(q.split()))
+    expanded = expand_query_prf(docs, q, fb_docs=3, fb_terms=5)
+    got = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_prf(docs, q, k=10, fb_docs=3, fb_terms=5).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    tl = ", ".join(f"'{t}'" for t in terms)
+    chain = """
+    tf{i} AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN {tset}
+      GROUP BY doc_id, tok, dl),
+    dft{i} AS (SELECT tok, count(*) AS dft FROM tf{i} GROUP BY tok),
+    contrib{i} AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * 2.2e0)
+             / (t.tf + 1.2e0 * (0.25e0
+                + 0.75e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf{i} t JOIN dft{i} d USING (tok) CROSS JOIN stats s),
+    scored{i} AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib{i} GROUP BY doc_id)
+    """
+    sql = (
+        """
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    """
+        + chain.format(i=1, tset=f"({tl})")
+        + f""",
+    fbdocs AS (
+      SELECT doc_id FROM scored1 ORDER BY score DESC, doc_id LIMIT 3),
+    fb AS (
+      SELECT o.tok, count(*) AS n FROM occ o
+      JOIN fbdocs USING (doc_id)
+      WHERE o.tok NOT IN ({tl})
+      GROUP BY o.tok ORDER BY n DESC, tok LIMIT 5),
+    terms2 AS (SELECT tok FROM fb UNION SELECT unnest([{tl}])),
+    """
+        + chain.format(i=2, tset="(SELECT tok FROM terms2)")
+        + """
+    SELECT doc_id, score, n_terms_matched FROM scored2
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+    )
+    want = [(r[0], r[1], r[2]) for r in con.sql(sql).fetchall()]
+    assert got == want
+    # the expansion itself matches the replay's term set
+    t2 = {r[0] for r in con.sql(
+        sql[: sql.index("SELECT doc_id, score")]
+        .rstrip().rstrip(",")
+        .replace("WITH docs", "WITH docs", 1)
+        + " SELECT tok FROM terms2"
+    ).fetchall()}
+    assert set(expanded.split()) == t2
+    assert set(terms) <= set(expanded.split())
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fb_docs"):
+        bm25_topk_prf(docs, q, fb_docs=0)
+    with _pytest.raises(ValueError, match="fb_terms"):
+        bm25_topk_prf(docs, q, fb_terms=0)
+
+
 def test_retrieval_metrics_hand_computed(spark):
     """recall/rr/ndcg against hand-computed values, including a
     judged-but-unretrieved query (scores 0) and an unjudged query
