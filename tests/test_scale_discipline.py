@@ -119,4 +119,7 @@ def test_collect_allowlist_is_small_and_known():
     # append twin of the IVF append's existing bounded read).
     # 34: +1 stream_maintain_ann_ivfpq_index's eager one-row _pq_meta
     # existence check (the stream_maintain_bm25_index pattern).
-    assert n <= 34, f"driver-collect site count grew to {n}; review for scale"
+    # 36: +2 expand_query_prf — the feedback doc ids and feedback
+    # terms, both TakeOrdered outputs (fb_docs- / fb_terms-row
+    # bounded); PRF is definitionally a two-pass protocol.
+    assert n <= 36, f"driver-collect site count grew to {n}; review for scale"
