@@ -45,6 +45,7 @@ __all__ = [
     "bm25_topk_prf",
     "expand_query_prf",
     "bm25_join",
+    "bm25_join_prf",
     "hybrid_topk",
     "hybrid_topk_indexed",
     "hybrid_join",
@@ -427,6 +428,116 @@ def bm25_join(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_join_prf(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    where=None,
+) -> DataFrame:
+    """Batch PRF retrieval — the R-S form of :func:`bm25_topk_prf`:
+    expand EVERY query of the batch from its own top-``fb_docs``
+    feedback documents, then rescore the expanded batch, with each
+    corpus pass shared across the whole batch (pass one is ONE
+    :func:`bm25_join`; the feedback term counts are one scan of the
+    union of all queries' feedback docs, grouped per query; pass two
+    is one :func:`bm25_join` over the expanded texts). Per-query
+    output is IDENTICAL to looping :func:`bm25_topk_prf` (pinned —
+    same selection rule: occurrence count desc, token asc, own terms
+    excluded, binary weights).
+
+    Driver traffic is workload-bounded only: the query texts, the
+    |Q| x fb_docs feedback pairs, and the |Q| x fb_terms expansion
+    terms (all TakeOrdered/window outputs)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1, got {fb_terms}")
+    spark = docs.sparkSession
+    # bounded-collect: the query batch texts — the retrieval workload
+    qrows = queries.select(F.col(query_id_col), F.col(query_text_col)).collect()
+    if not qrows:
+        raise ValueError("query batch is empty")
+    qid_type = queries.schema[query_id_col].dataType
+    orig = {r[0]: sorted(set(str(r[1]).split())) for r in qrows}
+    first = bm25_join(
+        docs, queries, k=fb_docs, k1=k1, b=b, text_col=text_col,
+        id_col=id_col, query_text_col=query_text_col,
+        query_id_col=query_id_col, where=where,
+    )
+    # bounded-collect: |Q| x fb_docs feedback pairs (pass one's
+    # per-query top-k window output)
+    fb_pairs = [(r[0], r[1]) for r in first.select(query_id_col, id_col).collect()]
+    if fb_pairs:
+        id_type = docs.schema[id_col].dataType
+        pair_df = spark.createDataFrame(
+            fb_pairs,
+            StructType(
+                [
+                    StructField(query_id_col, qid_type),
+                    StructField(id_col, id_type),
+                ]
+            ),
+        )
+        fb_ids = sorted({p[1] for p in fb_pairs})
+        orig_df = spark.createDataFrame(
+            [(q, t) for q, ts in orig.items() for t in ts],
+            StructType(
+                [
+                    StructField(query_id_col, qid_type),
+                    StructField("__tok", StringType()),
+                ]
+            ),
+        )
+        counts = (
+            docs.filter(F.col(id_col).isin(fb_ids))
+            .select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+            .join(F.broadcast(pair_df), id_col)
+            .groupBy(query_id_col, "__tok")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .join(F.broadcast(orig_df), [query_id_col, "__tok"], "left_anti")
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("__n").desc(), F.col("__tok").asc()
+        )
+        top = counts.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= int(fb_terms)
+        )
+        # bounded-collect: |Q| x fb_terms expansion terms
+        new_terms: dict = {}
+        for r in top.select(query_id_col, "__tok").collect():
+            new_terms.setdefault(r[0], set()).add(r[1])
+    else:
+        new_terms = {}
+    expanded = spark.createDataFrame(
+        [
+            (q, " ".join(sorted(set(ts) | new_terms.get(q, set()))))
+            for q, ts in orig.items()
+        ],
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField(query_text_col, StringType()),
+            ]
+        ),
+    )
+    return bm25_join(
+        docs, expanded, k=k, k1=k1, b=b, text_col=text_col,
+        id_col=id_col, query_text_col=query_text_col,
+        query_id_col=query_id_col, where=where,
     )
 
 

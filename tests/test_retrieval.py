@@ -1331,6 +1331,47 @@ def test_bm25_prf_matches_duckdb_replay(spark):
         bm25_topk_prf(docs, q, fb_terms=0)
 
 
+def test_bm25_join_prf_matches_per_query_loop(spark):
+    """Batch PRF == looping bm25_topk_prf per query (same feedback
+    selection, same expansion, same scores — exact)."""
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_join_prf,
+        bm25_topk_prf,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qdf = docs.filter(F.col("doc_id").isin([3, 7, 11])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.n_terms_matched, r.rank)
+        for r in bm25_join_prf(
+            docs, qdf, k=6, fb_docs=3, fb_terms=4
+        ).collect()
+    }
+    n = 0
+    for q in qdf.collect():
+        single = bm25_topk_prf(
+            docs, q.text, k=6, fb_docs=3, fb_terms=4
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(q.query_id, r.doc_id)] == (
+                r.score, r.n_terms_matched, rank
+            )
+            n += 1
+    assert len(got) == n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query batch is empty"):
+        bm25_join_prf(
+            docs,
+            spark.createDataFrame([], "query_id long, text string"),
+        )
+
+
 def test_retrieval_metrics_hand_computed(spark):
     """recall/rr/ndcg against hand-computed values, including a
     judged-but-unretrieved query (scores 0) and an unjudged query

@@ -122,4 +122,7 @@ def test_collect_allowlist_is_small_and_known():
     # 36: +2 expand_query_prf — the feedback doc ids and feedback
     # terms, both TakeOrdered outputs (fb_docs- / fb_terms-row
     # bounded); PRF is definitionally a two-pass protocol.
-    assert n <= 36, f"driver-collect site count grew to {n}; review for scale"
+    # 39: +3 bm25_join_prf — the batch texts, the |Q| x fb_docs
+    # feedback pairs, and the |Q| x fb_terms expansion terms (all
+    # workload-sized window/TakeOrdered outputs).
+    assert n <= 39, f"driver-collect site count grew to {n}; review for scale"
