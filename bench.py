@@ -632,6 +632,24 @@ def b45_ivfpq_join_indexed(spark):
     force(ann_ivfpq_join_indexed(spark, _IVFPQ_IDX_PATH, q, k=10, nprobe=4))
 
 
+def b46_bm25_prf(spark):
+    # two-pass PRF retrieval: pass-one top-3 feedback docs, +5
+    # expansion terms, rescore — the recall-tool shape (both passes
+    # are the scan form; the cost is ~2x b36 + the tiny feedback scan)
+    from spark_sorted_spark.functions.retrieval import bm25_topk_prf
+    from spark_sorted_spark.sources.tpch import load_table
+
+    force(
+        bm25_topk_prf(
+            load_table(spark, "documents", SF_DIR),
+            "spark join window filter",
+            k=15,
+            fb_docs=3,
+            fb_terms=5,
+        )
+    )
+
+
 _STREAM_BM25 = None
 
 
@@ -727,6 +745,7 @@ BENCH = {
     "b43_stream_bm25_maintain": b43_stream_bm25_maintain,
     "b44_hybrid_join_indexed": b44_hybrid_join_indexed,
     "b45_ivfpq_join_indexed": b45_ivfpq_join_indexed,
+    "b46_bm25_prf": b46_bm25_prf,
 }
 
 
