@@ -6074,6 +6074,11 @@ _GATE_ORDER = [
     # nine TPC-H rows below were all driver-green in CORRECTNESS_r10
     # (their first driver rows); the family keeps the five
     # representatives above in-window.
+    # late-round-11 rotations: three long-green rows (gated every
+    # round since r6/r8) made room for the round's new serving-shape
+    # registrations (similarity_ann_ivfpq_join, similarity_ann_filtered,
+    # bm25_topk_filtered); families keep in-window reps (sketches:
+    # stream_hll_by_source/stream_len_quantiles; text: unigram_logprob)
     "hll_grouped_by_source",
     "build_vocab",
     "redact_pii",
