@@ -615,6 +615,7 @@ def ann_lsh_topk_indexed(
     id_col: str = "vec_id",
     probe_bits: int = 0,
     probe_hamming: int = 1,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Probe a persisted LSH index (:func:`build_ann_lsh_index`):
     compute the probed buckets driver-side (query bucket + one/two-bit
@@ -622,7 +623,8 @@ def ann_lsh_topk_indexed(
     :func:`_multiprobe_buckets`), scan ONLY those bucket directories
     (partition-pruned), rank by exact cosine. Output is identical to
     ``ann_lsh_topk`` with the same probe settings on the same data
-    (same planes, same folds)."""
+    (same planes, same folds). ``before_batch`` fences the read to
+    earlier batch partitions (see :func:`_before_batch`)."""
     from ..sources.manifest import resolve_root
 
     index_path = resolve_root(spark, index_path)
@@ -632,7 +634,7 @@ def ann_lsh_topk_indexed(
     )
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     probes = _multiprobe_buckets(query_vec, planes, probe_bits, probe_hamming)
-    idx = spark.read.parquet(index_path)
+    idx = _before_batch(spark.read.parquet(index_path), before_batch)
     bucketed = idx.filter(F.col("bucket").isin(probes))
     return _rank_topk(bucketed, query_vec, k, vec_col, id_col)
 
@@ -751,6 +753,18 @@ def _apply_where(df: DataFrame, where) -> DataFrame:
     if where is None:
         return df
     return df.filter(F.expr(where) if isinstance(where, str) else where)
+
+
+def _before_batch(df: DataFrame, before_batch) -> DataFrame:
+    """Replay-fence read for batch-partitioned indexes: restrict the
+    probe to partitions written BEFORE the given ingest batch id —
+    the same time-travel contract as the BM25 probes' ``before_batch``
+    (the base partition is ``-1``, so any fence >= 0 includes the
+    build). Planning-time partition pruning, like every batch-id
+    filter in the repo."""
+    if before_batch is None:
+        return df
+    return df.filter(F.col("ingest_batch_id") < int(before_batch))
 
 
 def _ivf_probe_cells(query_vec, cents: list[tuple], nprobe: int) -> list[int]:
@@ -943,6 +957,7 @@ def ann_ivf_topk_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     where=None,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index (:func:`build_ann_ivf_index`): load
     the (bounded, nlist-row) centroid table, order cells by query dot
@@ -951,7 +966,8 @@ def ann_ivf_topk_indexed(
     data. ``where`` (SQL string or Column over the index's stored
     ``extra_cols``) is the FILTERED-ANN form: the predicate pushes
     into the pruned scan and ranking sees only qualifying rows —
-    top-k of the filtered set."""
+    top-k of the filtered set. ``before_batch`` fences the read to
+    earlier batch partitions (see :func:`_before_batch`)."""
     from ..sources.manifest import resolve_root
 
     index_path = resolve_root(spark, index_path)
@@ -961,7 +977,7 @@ def ann_ivf_topk_indexed(
     )
     cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
     probe = _ivf_probe_cells(query_vec, cents, nprobe)
-    idx = spark.read.parquet(index_path)
+    idx = _before_batch(spark.read.parquet(index_path), before_batch)
     celled = _apply_where(idx.filter(F.col("cell").isin(probe)), where)
     return _rank_topk(celled, query_vec, k, vec_col, id_col)
 
@@ -977,6 +993,7 @@ def ann_ivf_join_indexed(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     where=None,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Batch ANN against a persisted IVF index — the R-S form of
     :func:`ann_ivf_topk_indexed`: probe the index for EVERY query of
@@ -1050,7 +1067,8 @@ def ann_ivf_join_indexed(
         ),
     )
     idx = _apply_where(
-        spark.read.parquet(index_path).filter(F.col("cell").isin(cells)),
+        _before_batch(spark.read.parquet(index_path), before_batch)
+        .filter(F.col("cell").isin(cells)),
         where,
     )
     scored = (
@@ -1700,6 +1718,7 @@ def ann_ivfpq_topk_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     where=None,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index: rank the ``nprobe`` best cells
     by centroid dot driver-side, scan ONLY those cell directories
@@ -1729,7 +1748,7 @@ def ann_ivfpq_topk_indexed(
         cell_dots.append(acc)
     tbl = _flat_lit(_pq_query_table(query_vec, cbs))
     cd_lit = _flat_lit(cell_dots)
-    idx = spark.read.parquet(path)
+    idx = _before_batch(spark.read.parquet(path), before_batch)
     filt = _apply_where(
         idx.filter(F.col("cell").isin(probes)), where
     ).select(id_col, "cell", "code")
@@ -1785,6 +1804,7 @@ def ann_pq_topk_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     where=None,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Probe a persisted PQ index: ADC over the code column (the
     embedding column is pruned from the scan), identical output to
@@ -1799,7 +1819,10 @@ def ann_pq_topk_indexed(
         raise ValueError(
             f"query dim {len(query_vec)} != index dim {dim}"
         )
-    idx = _apply_where(spark.read.parquet(f"{path}/codes"), where)
+    idx = _apply_where(
+        _before_batch(spark.read.parquet(f"{path}/codes"), before_batch),
+        where,
+    )
     coded = idx.select(id_col, "code")
     if rerank is None:
         return _pq_adc_rank(coded, query_vec, cbs, k, id_col)
@@ -1926,6 +1949,7 @@ def ann_pq_join_indexed(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     where=None,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Batch ANN against a persisted PQ index — the R-S form of
     :func:`ann_pq_topk_indexed`: score EVERY query of ``queries`` by
@@ -1972,7 +1996,10 @@ def ann_pq_join_indexed(
             ]
         ),
     )
-    idx = _apply_where(spark.read.parquet(f"{path}/codes"), where)
+    idx = _apply_where(
+        _before_batch(spark.read.parquet(f"{path}/codes"), before_batch),
+        where,
+    )
     # declared-crossjoin: code scan x broadcast QUERY BATCH — the
     # batch is the retrieval workload (bounded), and the product is
     # the definitional ADC score relation (flat PQ scores every
@@ -2012,6 +2039,7 @@ def ann_ivfpq_join_indexed(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     where=None,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Batch ANN against a persisted IVF-PQ index — the R-S form of
     :func:`ann_ivfpq_topk_indexed` and the full 100 TB dense batch
@@ -2085,7 +2113,7 @@ def ann_ivfpq_join_indexed(
             ]
         ),
     )
-    idx = spark.read.parquet(path)
+    idx = _before_batch(spark.read.parquet(path), before_batch)
     coded = (
         _apply_where(idx.filter(F.col("cell").isin(cells)), where)
         .select(id_col, "cell", "code")

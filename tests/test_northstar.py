@@ -1997,6 +1997,72 @@ def test_filtered_ann_probes(spark, emb, tmp_path):
         build_ann_ivf_index(corpus, str(tmp_path / "bad"), extra_cols=("cell",))
 
 
+def test_ann_probe_before_batch_fence(spark, emb, tmp_path):
+    """before_batch fences an ANN probe to partitions written before
+    the given batch id — the BM25 probes' time-travel contract on the
+    dense side: a fenced probe equals a probe of an index that only
+    ever received the earlier batches (same frozen quantizers, so
+    bitwise)."""
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfpq_topk_indexed,
+        ann_lsh_topk_indexed,
+        append_to_ann_ivfpq_index,
+        append_to_ann_lsh_index,
+        build_ann_ivfpq_index,
+        build_ann_lsh_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    base = corpus.filter(F.col("vec_id") % 3 == 0)
+    b0 = corpus.filter(F.col("vec_id") % 3 == 1)
+    b1 = corpus.filter(F.col("vec_id") % 3 == 2)
+
+    full = str(tmp_path / "ivfpq_full")
+    build_ann_ivfpq_index(base, full)
+    append_to_ann_ivfpq_index(b0, full, batch_id=0)
+    append_to_ann_ivfpq_index(b1, full, batch_id=1)
+    ref = str(tmp_path / "ivfpq_ref")
+    build_ann_ivfpq_index(base, ref)
+    append_to_ann_ivfpq_index(b0, ref, batch_id=0)
+
+    def probe(p, **kw):
+        return [
+            (r.vec_id, r.rank, r.cos)
+            for r in ann_ivfpq_topk_indexed(
+                spark, p, qvec, k=5, nprobe=ANN_NLIST, rerank=10**6, **kw
+            ).collect()
+        ]
+
+    assert probe(full, before_batch=1) == probe(ref)
+    assert probe(full, before_batch=0) == probe(ref, before_batch=0)
+    # the fence genuinely excludes the later batch (id-set check is
+    # robust even if b1 held no top-5 hits)
+    ids_fenced = {
+        r.vec_id
+        for r in ann_ivfpq_topk_indexed(
+            spark, full, qvec, k=10**6, nprobe=ANN_NLIST, before_batch=1
+        ).collect()
+    }
+    b1_ids = {r.vec_id for r in b1.collect()}
+    assert not (ids_fenced & b1_ids)
+    assert ids_fenced == {r.vec_id for r in base.unionByName(b0).collect()}
+
+    # LSH twin, same contract
+    lf = str(tmp_path / "lsh_full")
+    build_ann_lsh_index(base, lf)
+    append_to_ann_lsh_index(b0, lf, batch_id=0)
+    append_to_ann_lsh_index(b1, lf, batch_id=1)
+    lids = {
+        r.vec_id
+        for r in ann_lsh_topk_indexed(
+            spark, lf, qvec, k=10**6, before_batch=1
+        ).collect()
+    }
+    assert not (lids & b1_ids)
+
+
 def test_compact_ann_index_all_layouts(spark, emb, tmp_path):
     """ANN index compaction: batch partitions collapse to the base,
     probes stay bitwise identical, metadata and the stream marker
