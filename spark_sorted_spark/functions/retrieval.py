@@ -56,6 +56,7 @@ __all__ = [
     "bm25_topk_indexed",
     "bm25_join_indexed",
     "retrieval_metrics",
+    "retrieval_metrics_summary",
 ]
 
 
@@ -876,6 +877,47 @@ def retrieval_metrics(
                 F.col("__dcg") / F.col("__idcg"), F.lit(0.0)
             ).alias("ndcg"),
         )
+    )
+
+
+def retrieval_metrics_summary(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+) -> DataFrame:
+    """One-row corpus-level summary of :func:`retrieval_metrics`:
+    ``(n_queries, recall, mrr, map, ndcg)`` — the means IR papers
+    report (MRR@k = mean rr, MAP@k = mean ap, ...). Means are strict
+    query-id-ordered folds divided by the exact integer count, so the
+    summary is bitwise-reproducible like the per-query relation it
+    folds (a plain ``avg`` would sum in partition order)."""
+    per_q = retrieval_metrics(
+        results, qrels, k=k, query_id_col=query_id_col, id_col=id_col,
+        rank_col=rank_col, grade_col=grade_col,
+    )
+
+    def mean_of(col: str):
+        return (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(query_id_col, col))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s[col],
+            )
+            / F.count(F.lit(1))
+        )
+
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        mean_of("recall").alias("recall"),
+        mean_of("rr").alias("mrr"),
+        mean_of("ap").alias("map"),
+        mean_of("ndcg").alias("ndcg"),
     )
 
 

@@ -1331,6 +1331,42 @@ def test_bm25_prf_matches_duckdb_replay(spark):
         bm25_topk_prf(docs, q, fb_terms=0)
 
 
+def test_retrieval_metrics_summary_is_mean_of_per_query(spark):
+    """The one-row summary equals driver-side means of the per-query
+    relation, computed in the same query-id-ordered strict fold."""
+    from spark_sorted_spark.functions.retrieval import (
+        retrieval_metrics,
+        retrieval_metrics_summary,
+    )
+
+    results = spark.createDataFrame(
+        [(1, 2, 1), (1, 7, 2), (1, 1, 3), (2, 8, 1), (2, 5, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 1), (2, 5, 1), (3, 9, 1)],
+        "query_id long, doc_id long, grade long",
+    )
+    per_q = sorted(
+        retrieval_metrics(results, qrels, k=3).collect(),
+        key=lambda r: r.query_id,
+    )
+    got = retrieval_metrics_summary(results, qrels, k=3).collect()[0]
+    n = len(per_q)
+    assert got.n_queries == n == 3
+
+    def fold_mean(vals):
+        acc = 0.0
+        for v in vals:
+            acc = acc + v
+        return acc / n
+
+    assert got.recall == fold_mean([r.recall for r in per_q])
+    assert got.mrr == fold_mean([r.rr for r in per_q])
+    assert got.map == fold_mean([r.ap for r in per_q])
+    assert got.ndcg == fold_mean([r.ndcg for r in per_q])
+
+
 def test_bm25_join_prf_matches_per_query_loop(spark):
     """Batch PRF == looping bm25_topk_prf per query (same feedback
     selection, same expansion, same scores — exact)."""
