@@ -815,12 +815,13 @@ def ann_ivf_topk(
 def build_ann_ivf_index(
     df: DataFrame,
     path: str,
-    nlist: int = ANN_NLIST,
+    nlist: int | None = ANN_NLIST,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     lloyd_iters: int = 0,
     commit: str = "rename",
     extra_cols: tuple[str, ...] = (),
+    target_cell: int = 256,
 ) -> None:
     """Pick centroids and assign every vector to its cell ONCE; persist
     the assignment directory-partitioned by ``cell`` plus the centroid
@@ -864,6 +865,14 @@ def build_ann_ivf_index(
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
     _check_extra_cols(extra_cols, id_col, vec_col)
+    if nlist is None:
+        # auto-size cells from the corpus count (ceil(n/target_cell) —
+        # the semantic_dedup rule; PARITY scale rows: fixed cells make
+        # probe candidate sets grow linearly with the corpus, auto
+        # keeps expected occupancy ~target_cell). The DEFAULT stays
+        # the fixed constant so gated constructions remain
+        # oracle-replayable; pass None at scale.
+        nlist = max(1, -(-df.count() // int(target_cell)))
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
     if lloyd_iters and cents:
         cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
@@ -1428,7 +1437,7 @@ def append_to_ann_pq_index(
 def build_ann_ivfpq_index(
     df: DataFrame,
     path: str,
-    nlist: int = ANN_NLIST,
+    nlist: int | None = ANN_NLIST,
     m: int = ANN_PQ_M,
     ksub: int = ANN_PQ_KSUB,
     dim: int = ANN_DIM,
@@ -1438,6 +1447,7 @@ def build_ann_ivfpq_index(
     pq_lloyd_iters: int = 0,
     commit: str = "rename",
     extra_cols: tuple[str, ...] = (),
+    target_cell: int = 256,
 ) -> None:
     """IVF-PQ composite index — the canonical billion-scale ANN layout
     (FAISS's IVFPQ; Jégou et al., TPAMI 2011 §V): vectors are
@@ -1467,6 +1477,10 @@ def build_ann_ivfpq_index(
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
     _check_extra_cols(extra_cols, id_col, vec_col)
+    if nlist is None:
+        # auto-size cells (see build_ann_ivf_index — same rule, same
+        # fixed-default-for-oracles / None-at-scale contract)
+        nlist = max(1, -(-df.count() // int(target_cell)))
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
     if lloyd_iters and cents:
         cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)

@@ -1997,6 +1997,36 @@ def test_filtered_ann_probes(spark, emb, tmp_path):
         build_ann_ivf_index(corpus, str(tmp_path / "bad"), extra_cols=("cell",))
 
 
+def test_ivf_builds_auto_size_nlist(spark, emb, tmp_path):
+    """nlist=None auto-sizes cells to ceil(n/target_cell) (the
+    semantic_dedup rule) for both IVF and IVF-PQ builds; the fixed
+    constant stays the default so gated constructions remain
+    oracle-replayable."""
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivf_topk_indexed,
+        ann_ivfpq_topk_indexed,
+        build_ann_ivf_index,
+        build_ann_ivfpq_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    n = corpus.count()
+    want_cells = -(-n // 100)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+
+    ivf = str(tmp_path / "ivf_auto")
+    build_ann_ivf_index(corpus, ivf, nlist=None, target_cell=100)
+    cents = spark.read.parquet(f"{ivf}/_centroids")
+    assert cents.count() == want_cells
+    assert ann_ivf_topk_indexed(spark, ivf, qvec, k=5).count() == 5
+
+    ivfpq = str(tmp_path / "ivfpq_auto")
+    build_ann_ivfpq_index(corpus, ivfpq, nlist=None, target_cell=100)
+    meta = spark.read.parquet(f"{ivfpq}/_pq_meta").collect()[0]
+    assert int(meta.nlist) == want_cells
+    assert ann_ivfpq_topk_indexed(spark, ivfpq, qvec, k=5).count() == 5
+
+
 def test_ann_probe_before_batch_fence(spark, emb, tmp_path):
     """before_batch fences an ANN probe to partitions written before
     the given batch id — the BM25 probes' time-travel contract on the
