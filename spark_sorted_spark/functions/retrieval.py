@@ -558,6 +558,8 @@ def hybrid_topk(
     vec_col: str = "embedding",
     lex_where=None,
     dense_where=None,
+    w_lex: float = 1.0,
+    w_dense: float = 1.0,
 ) -> DataFrame:
     """Hybrid retrieval: fuse lexical (BM25) and dense (exact cosine)
     rankings by Reciprocal Rank Fusion (Cormack et al., SIGIR'09):
@@ -608,26 +610,33 @@ def hybrid_topk(
         F.col(vec_id_col).alias("__id"),
         F.col("rank").cast("bigint").alias("rank_dense"),
     )
-    return _rrf_fuse(lex, dense, id_col, rrf_k, k)
+    return _rrf_fuse(lex, dense, id_col, rrf_k, k, w_lex, w_dense)
 
 
-def _rrf_fuse(lex, dense, id_col: str, rrf_k: int, k: int) -> DataFrame:
+def _rrf_fuse(
+    lex, dense, id_col: str, rrf_k: int, k: int,
+    w_lex: float = 1.0, w_dense: float = 1.0,
+) -> DataFrame:
     """Reciprocal Rank Fusion of two (__id, rank_*) candidate
     relations — the shared fusion layer of :func:`hybrid_topk` and
     :func:`hybrid_topk_indexed` (both <= n_candidates rows per side,
     so every window below is candidate-bounded). Engine-exact: a
-    fixed-order sum of reciprocals of exact integer ranks."""
+    fixed-order sum of reciprocals of exact integer ranks, each side
+    scaled by its weight (``w=1.0`` multiplies exactly, so the
+    defaults are bitwise the unweighted fusion)."""
     from pyspark.sql import Window
 
     fused = lex.join(dense, "__id", "full_outer").select(
         F.col("__id").alias(id_col),
         (
             F.coalesce(
-                F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_lex")),
+                F.lit(float(w_lex))
+                * (F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_lex"))),
                 F.lit(0.0),
             )
             + F.coalesce(
-                F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_dense")),
+                F.lit(float(w_dense))
+                * (F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_dense"))),
                 F.lit(0.0),
             )
         ).alias("rrf"),
@@ -662,6 +671,8 @@ def hybrid_topk_indexed(
     dense_rerank: int | None = None,
     lex_where=None,
     dense_where=None,
+    w_lex: float = 1.0,
+    w_dense: float = 1.0,
 ) -> DataFrame:
     """Hybrid retrieval against PERSISTED indexes on both sides — the
     100 TB serving form of :func:`hybrid_topk`: the lexical candidates
@@ -732,7 +743,7 @@ def hybrid_topk_indexed(
         F.col("vec_id").alias("__id"),
         F.col("rank").cast("bigint").alias("rank_dense"),
     )
-    return _rrf_fuse(lex, dense_df, id_col, rrf_k, k)
+    return _rrf_fuse(lex, dense_df, id_col, rrf_k, k, w_lex, w_dense)
 
 
 def retrieval_metrics(
@@ -922,7 +933,8 @@ def retrieval_metrics_summary(
 
 
 def _rrf_fuse_batch(
-    lex, dense, query_id_col: str, id_col: str, rrf_k: int, k: int
+    lex, dense, query_id_col: str, id_col: str, rrf_k: int, k: int,
+    w_lex: float = 1.0, w_dense: float = 1.0,
 ) -> DataFrame:
     """Per-query RRF fusion of two (query_id, __id, rank_*) candidate
     relations — the batch twin of :func:`_rrf_fuse`. Both inputs are
@@ -935,11 +947,13 @@ def _rrf_fuse_batch(
         F.col("__id").alias(id_col),
         (
             F.coalesce(
-                F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_lex")),
+                F.lit(float(w_lex))
+                * (F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_lex"))),
                 F.lit(0.0),
             )
             + F.coalesce(
-                F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_dense")),
+                F.lit(float(w_dense))
+                * (F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("rank_dense"))),
                 F.lit(0.0),
             )
         ).alias("rrf"),
@@ -973,6 +987,8 @@ def hybrid_join(
     query_vec_col: str = "query_vec",
     lex_where=None,
     dense_where=None,
+    w_lex: float = 1.0,
+    w_dense: float = 1.0,
 ) -> DataFrame:
     """Batch hybrid retrieval — the R-S form of :func:`hybrid_topk`:
     fuse per-query BM25 (:func:`bm25_join`, one corpus text scan for
@@ -1021,7 +1037,7 @@ def hybrid_join(
         F.col(vec_id_col).alias("__id"),
         F.col("rank").alias("rank_dense"),
     )
-    return _rrf_fuse_batch(lex, dense, query_id_col, id_col, rrf_k, k)
+    return _rrf_fuse_batch(lex, dense, query_id_col, id_col, rrf_k, k, w_lex, w_dense)
 
 
 def hybrid_join_indexed(
@@ -1043,6 +1059,8 @@ def hybrid_join_indexed(
     dense_rerank: int | None = None,
     lex_where=None,
     dense_where=None,
+    w_lex: float = 1.0,
+    w_dense: float = 1.0,
 ) -> DataFrame:
     """Batch hybrid retrieval against PERSISTED indexes on both sides
     — completes the hybrid matrix (:func:`hybrid_topk` /
@@ -1154,7 +1172,7 @@ def hybrid_join_indexed(
         F.col("vec_id").alias("__id"),
         F.col("rank").alias("rank_dense"),
     )
-    return _rrf_fuse_batch(lex, dense_df, query_id_col, id_col, rrf_k, k)
+    return _rrf_fuse_batch(lex, dense_df, query_id_col, id_col, rrf_k, k, w_lex, w_dense)
 
 
 _BM25_RESERVED_COLS = (

@@ -1331,6 +1331,51 @@ def test_bm25_prf_matches_duckdb_replay(spark):
         bm25_topk_prf(docs, q, fb_terms=0)
 
 
+def test_hybrid_weighted_rrf(spark):
+    """w_lex/w_dense scale each side's reciprocal-rank contribution:
+    the weighted rrf equals the hand fold over the unweighted run's
+    per-side ranks, and weight 1.0 is bitwise the unweighted fusion."""
+    from spark_sorted_spark.functions.retrieval import hybrid_topk
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    qrow = docs.filter(F.col("doc_id") == 3).head()
+    qtext = " ".join(qrow.text.split()[:4])
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).head().embedding
+    ]
+    base = hybrid_topk(docs, emb, qtext, qvec, k=50, n_candidates=20).collect()
+    ranks = {r.doc_id: (r.rank_lex, r.rank_dense) for r in base}
+    weighted = hybrid_topk(
+        docs, emb, qtext, qvec, k=50, n_candidates=20,
+        w_lex=2.0, w_dense=0.5,
+    ).collect()
+    for r in weighted:
+        rl, rd = ranks[r.doc_id]
+        want = (2.0 * (1.0 / (60 + rl)) if rl is not None else 0.0) + (
+            0.5 * (1.0 / (60 + rd)) if rd is not None else 0.0
+        )
+        assert r.rrf == want
+    # unit weights are bitwise the unweighted fusion
+    unit = hybrid_topk(
+        docs, emb, qtext, qvec, k=50, n_candidates=20,
+        w_lex=1.0, w_dense=1.0,
+    ).collect()
+    assert [(r.doc_id, r.rrf, r.rank) for r in unit] == [
+        (r.doc_id, r.rrf, r.rank) for r in base
+    ]
+    # zeroing a side orders purely by the other side's ranks
+    lex_only = hybrid_topk(
+        docs, emb, qtext, qvec, k=50, n_candidates=20, w_dense=0.0,
+    ).collect()
+    lex_ranked = [r for r in lex_only if r.rank_lex is not None]
+    assert [r.rank_lex for r in lex_ranked] == sorted(
+        r.rank_lex for r in lex_ranked
+    )
+
+
 def test_retrieval_metrics_summary_is_mean_of_per_query(spark):
     """The one-row summary equals driver-side means of the per-query
     relation, computed in the same query-id-ordered strict fold."""
