@@ -53,6 +53,7 @@ __all__ = [
     "build_bm25_index",
     "append_to_bm25_index",
     "compact_bm25_index",
+    "bm25_index_stats",
     "bm25_topk_indexed",
     "bm25_join_indexed",
     "retrieval_metrics",
@@ -1385,6 +1386,34 @@ def append_to_bm25_index(
     ).coalesce(1).write.mode(mode).parquet(
         f"{path}/_bm25_stats/ingest_batch_id={part}"
     )
+
+
+def bm25_index_stats(spark, path: str) -> DataFrame:
+    """Operational health report for a persisted BM25 index: one row
+    per ``(table, ingest_batch_id, tok_bucket)`` with its row count,
+    over the postings AND the df-delta store (``table`` in
+    ``('postings', 'dft')``). Many batch partitions or fat df-delta
+    counts -> :func:`compact_bm25_index`; persistently hot buckets ->
+    rebuild with a larger ``n_buckets``. Store-only read, aggregate
+    bounded by tables x batches x buckets."""
+    from ..sources.manifest import resolve_root
+
+    path = resolve_root(spark, path)
+    out = None
+    for table in ("postings", "dft"):
+        t = (
+            spark.read.parquet(f"{path}/{table}")
+            .groupBy(
+                F.lit(table).alias("table"),
+                F.col("ingest_batch_id").cast("bigint").alias(
+                    "ingest_batch_id"
+                ),
+                F.col("tok_bucket").cast("int").alias("tok_bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
 
 
 def compact_bm25_index(spark, path: str) -> None:

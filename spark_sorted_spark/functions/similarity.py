@@ -1722,6 +1722,42 @@ def compact_ann_index(spark, path: str) -> None:
     _rm_dir(spark, aside)
 
 
+def ann_index_stats(spark, path: str) -> DataFrame:
+    """Operational health report for a persisted ANN index (layout
+    autodetected like :func:`compact_ann_index`): one row per
+    ``(ingest_batch_id, unit)`` with its row count, where ``unit`` is
+    the cell (IVF / IVF-PQ), the bucket (LSH), or NULL (flat PQ).
+    This is the relation the two maintenance decisions read from:
+    many batch partitions -> :func:`compact_ann_index`; skewed or
+    oversized units -> rebuild with ``lloyd_iters`` / auto ``nlist``.
+    Store-only read (ids never leave the executors — the aggregate is
+    batchxunit-bounded)."""
+    from ..sources.manifest import resolve_root
+
+    cur = resolve_root(spark, path)
+    jfs = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jfs(cur).getFileSystem(conf)
+    flat_pq = fs.exists(jfs(f"{cur}/codes"))
+    data_root = f"{cur}/codes" if flat_pq else cur
+    if not _list_batch_dirs(spark, data_root):
+        raise ValueError(f"{path!r} holds no batch partitions; build first")
+    df = spark.read.parquet(data_root)
+    if flat_pq:
+        unit = F.lit(None).cast("int")
+    elif "cell" in df.columns:
+        unit = F.col("cell").cast("int")
+    else:
+        unit = F.col("bucket").cast("int")
+    return (
+        df.groupBy(
+            F.col("ingest_batch_id").cast("bigint").alias("ingest_batch_id"),
+            unit.alias("unit"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def ann_ivfpq_topk_indexed(
     spark,
     index_path: str,

@@ -1997,6 +1997,59 @@ def test_filtered_ann_probes(spark, emb, tmp_path):
         build_ann_ivf_index(corpus, str(tmp_path / "bad"), extra_cols=("cell",))
 
 
+def test_index_stats_report(spark, emb, docs, tmp_path):
+    """Index health reports: ann_index_stats rows sum to the stored
+    row count, expose the batch partitioning, and autodetect the
+    layout; bm25_index_stats covers postings AND df deltas."""
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        bm25_index_stats,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.functions.similarity import (
+        ann_index_stats,
+        append_to_ann_ivf_index,
+        build_ann_ivf_index,
+        build_ann_pq_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    half_a = corpus.filter(F.col("vec_id") % 2 == 1)
+    half_b = corpus.filter(F.col("vec_id") % 2 == 0)
+
+    ivf = str(tmp_path / "ivf")
+    build_ann_ivf_index(half_a, ivf)
+    append_to_ann_ivf_index(half_b, ivf, batch_id=0)
+    st = ann_index_stats(spark, ivf).collect()
+    assert sum(r.n for r in st) == corpus.count()
+    assert {r.ingest_batch_id for r in st} == {-1, 0}
+    assert all(r.unit is not None for r in st)
+
+    pq = str(tmp_path / "pq")
+    build_ann_pq_index(half_a, pq)
+    pst = ann_index_stats(spark, pq).collect()
+    assert sum(r.n for r in pst) == half_a.count()
+    assert all(r.unit is None for r in pst)
+
+    bm25 = str(tmp_path / "bm25")
+    d = docs.select("doc_id", "text")
+    build_bm25_index(d.filter(F.col("doc_id") % 2 == 1), bm25)
+    append_to_bm25_index(
+        d.filter(F.col("doc_id") % 2 == 0), bm25, batch_id=0
+    )
+    bst = bm25_index_stats(spark, bm25).collect()
+    tables = {r.table for r in bst}
+    assert tables == {"postings", "dft"}
+    assert {r.ingest_batch_id for r in bst} == {-1, 0}
+    n_postings = sum(r.n for r in bst if r.table == "postings")
+    assert n_postings == spark.read.parquet(f"{bm25}/postings").count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no batch partitions"):
+        ann_index_stats(spark, str(tmp_path / "missing"))
+
+
 def test_ivf_builds_auto_size_nlist(spark, emb, tmp_path):
     """nlist=None auto-sizes cells to ceil(n/target_cell) (the
     semantic_dedup rule) for both IVF and IVF-PQ builds; the fixed
