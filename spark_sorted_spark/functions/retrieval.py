@@ -43,6 +43,8 @@ from .text import tokens
 __all__ = [
     "bm25_topk",
     "bm25_topk_prf",
+    "bm25_topk_rm3",
+    "rm3_expand",
     "expand_query_prf",
     "bm25_join",
     "bm25_join_prf",
@@ -71,6 +73,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     stats: tuple | None = None,
     where=None,
+    weights: dict | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 score for ``query`` (whitespace
     tokenization, the corpus-wide ``tokens`` rule; duplicate query
@@ -91,10 +94,24 @@ def bm25_topk(
     the top-k, while idf/avgdl stay CORPUS-WIDE (the standard
     filtered-search contract — the filter restricts candidates, not
     the collection statistics; this is what makes the indexed twin's
-    ``where`` bitwise-pinnable against this form)."""
+    ``where`` bitwise-pinnable against this form).
+
+    ``weights`` (``{term: w}``) is WEIGHTED-QUERY BM25: each term's
+    contribution is scaled by its weight before the per-document fold
+    (term boosting / RM3 expansion weights — see :func:`rm3_expand`).
+    When given, the term set is the weight keys and ``query`` is
+    ignored for term extraction. Weights enter as exact literals and
+    multiply each contribution once, so the scoring stays
+    oracle-replayable."""
     from .similarity import _apply_where
 
-    terms = sorted(set(query.split()))
+    weights = dict(weights) if weights else None
+    if weights is not None:
+        terms = sorted(weights)
+        if any(w <= 0 for w in weights.values()):
+            raise ValueError("weights must be positive")
+    else:
+        terms = sorted(set(query.split()))
     if not terms:
         raise ValueError("query has no terms")
     if k < 1:
@@ -161,23 +178,34 @@ def bm25_topk(
         tf = tf.join(
             _apply_where(df, where).select(id_col), id_col, "left_semi"
         )
+    if weights is not None:
+        # per-term boost rides the |terms|-row idf table; the weight
+        # multiplies the WHOLE contribution (w * (idf * sat)) so the
+        # unweighted expression — and every existing oracle — is
+        # untouched when weights is None
+        wdf = df.sparkSession.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())],
+            "__tok string, __w double",
+        )
+        df_t = df_t.join(F.broadcast(wdf), "__tok")
+    base_c = (
+        F.col("__idf")
+        * (F.col("__tf") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("__tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b))
+                * F.col("__dl")
+                / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
+            )
+        )
+    )
     contrib = tf.join(F.broadcast(df_t), "__tok").select(
         F.col(id_col),
         F.col("__tok"),
-        (
-            F.col("__idf")
-            * (F.col("__tf") * F.lit(float(k1) + 1.0))
-            / (
-                F.col("__tf")
-                + F.lit(float(k1))
-                * (
-                    F.lit(1.0 - float(b))
-                    + F.lit(float(b))
-                    * F.col("__dl")
-                    / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
-                )
-            )
-        ).alias("__c"),
+        (base_c if weights is None else F.col("__w") * base_c).alias("__c"),
     )
     scored = (
         contrib.groupBy(id_col)
@@ -255,6 +283,110 @@ def expand_query_prf(
     # bounded-collect: fb_terms rows (TakeOrdered output)
     new_terms = [r[0] for r in fb_counts.collect()]
     return " ".join(sorted(set(terms) | set(new_terms)))
+
+
+def rm3_expand(
+    docs: DataFrame,
+    query: str,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    lam: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    where=None,
+) -> dict:
+    """RM3 query expansion with WEIGHTS (Abdul-Jaleel et al., TREC
+    2004 — the weighted upgrade of :func:`expand_query_prf`'s binary
+    form): the relevance model's term mass is estimated from the
+    top-``fb_docs`` feedback set and mixed with the original query's
+    uniform model,
+
+        w(t) = lam * 1[t in q]/|q|  +  (1-lam) * count_fb(t)/total_fb
+
+    over the union of the original terms and the ``fb_terms`` most
+    frequent non-query feedback tokens. Returns ``{term: weight}``
+    for :func:`bm25_topk(weights=...)`. Every weight is a Python
+    float built from exact integer counts by the same +*/ sequence a
+    SQL replay performs, so the downstream scoring stays
+    oracle-replayable. Same bounded-collect shape as the binary
+    form (feedback ids and term counts are TakeOrdered outputs)."""
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1, got {fb_terms}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    terms = sorted(set(query.split()))
+    first = bm25_topk(
+        docs, query, k=fb_docs, k1=k1, b=b,
+        text_col=text_col, id_col=id_col, where=where,
+    )
+    # bounded-collect: fb_docs ids (pass one's TakeOrdered output)
+    fb_ids = [r[0] for r in first.select(id_col).collect()]
+    fb_counts: dict = {}
+    total_fb = 0
+    if fb_ids:
+        all_counts = (
+            docs.filter(F.col(id_col).isin(fb_ids))
+            .select(F.explode(tokens(text_col)).alias("__tok"))
+            .groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # one-scalar total (the .head() stats pattern)
+        total_fb = int(
+            all_counts.agg(F.sum("__n").alias("t")).head().t or 0
+        )
+        keep = (
+            all_counts.filter(~F.col("__tok").isin(terms))
+            .orderBy(F.col("__n").desc(), F.col("__tok").asc())
+            .limit(int(fb_terms))
+            .unionByName(all_counts.filter(F.col("__tok").isin(terms)))
+        )
+        # bounded-collect: <= fb_terms + |q| count rows (TakeOrdered
+        # union the query's own terms)
+        fb_counts = {r[0]: int(r[1]) for r in keep.collect()}
+    out: dict = {}
+    nq = len(terms)
+    for t in sorted(set(terms) | set(fb_counts)):
+        w_orig = lam * (1.0 / nq) if t in terms else 0.0
+        w_fb = (
+            (1.0 - lam) * (fb_counts.get(t, 0) / total_fb)
+            if total_fb
+            else 0.0
+        )
+        w = w_orig + w_fb
+        if w > 0:
+            out[t] = w
+    return out
+
+
+def bm25_topk_rm3(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    lam: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    where=None,
+) -> DataFrame:
+    """Two-pass WEIGHTED relevance feedback: :func:`rm3_expand` then
+    weighted-query :func:`bm25_topk` — the full RM3 composition
+    (weights are exact-integer-derived literals, pinned against a
+    DuckDB replay of both passes in tests)."""
+    w = rm3_expand(
+        docs, query, fb_docs=fb_docs, fb_terms=fb_terms, lam=lam,
+        k1=k1, b=b, text_col=text_col, id_col=id_col, where=where,
+    )
+    return bm25_topk(
+        docs, query, k=k, k1=k1, b=b, text_col=text_col,
+        id_col=id_col, where=where, weights=w,
+    )
 
 
 def bm25_topk_prf(

@@ -1412,6 +1412,122 @@ def test_retrieval_metrics_summary_is_mean_of_per_query(spark):
     assert got.ndcg == fold_mean([r.ndcg for r in per_q])
 
 
+def test_bm25_rm3_matches_duckdb_replay(spark):
+    """Weighted RM3 replayed end-to-end in DuckDB: pass-one BM25, the
+    relevance-model weights w(t) = lam*1[t in q]/|q| +
+    (1-lam)*count_fb(t)/total_fb over orig ∪ top feedback terms, and
+    the weighted second pass (w * (idf * saturation)) — bitwise."""
+    import duckdb
+
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_topk,
+        bm25_topk_rm3,
+        rm3_expand,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf)
+    q = "merge sort stream"
+    terms = sorted(set(q.split()))
+    nq = len(terms)
+    got = [
+        (r.doc_id, r.score, r.n_terms_matched)
+        for r in bm25_topk_rm3(
+            docs, q, k=10, fb_docs=3, fb_terms=5, lam=0.5
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    tl = ", ".join(f"'{t}'" for t in terms)
+    sql = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf1 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN ({tl})
+      GROUP BY doc_id, tok, dl),
+    dft1 AS (SELECT tok, count(*) AS dft FROM tf1 GROUP BY tok),
+    contrib1 AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * 2.2e0)
+             / (t.tf + 1.2e0 * (0.25e0
+                + 0.75e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf1 t JOIN dft1 d USING (tok) CROSS JOIN stats s),
+    scored1 AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib1 GROUP BY doc_id),
+    fbdocs AS (
+      SELECT doc_id FROM scored1 ORDER BY score DESC, doc_id LIMIT 3),
+    fbcnt AS (
+      SELECT o.tok, count(*) AS n FROM occ o JOIN fbdocs USING (doc_id)
+      GROUP BY o.tok),
+    fbtot AS (SELECT sum(n) AS total FROM fbcnt),
+    fbtop AS (
+      SELECT tok, n FROM fbcnt WHERE tok NOT IN ({tl})
+      ORDER BY n DESC, tok LIMIT 5),
+    allterms AS (
+      SELECT tok FROM fbtop UNION SELECT unnest([{tl}])),
+    wterms AS (
+      SELECT a.tok,
+             (CASE WHEN a.tok IN ({tl})
+                   THEN 0.5e0 * (1.0e0 / {nq}) ELSE 0.0e0 END)
+             + (CASE WHEN c.n IS NOT NULL
+                     THEN 0.5e0 * (c.n::DOUBLE / t.total)
+                     ELSE 0.0e0 END) AS w
+      FROM allterms a LEFT JOIN fbcnt c USING (tok) CROSS JOIN fbtot t),
+    tf2 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN (SELECT tok FROM wterms WHERE w > 0)
+      GROUP BY doc_id, tok, dl),
+    dft2 AS (SELECT tok, count(*) AS dft FROM tf2 GROUP BY tok),
+    contrib2 AS (
+      SELECT t.doc_id, t.tok,
+             wt.w *
+             (ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+              * (t.tf * 2.2e0)
+              / (t.tf + 1.2e0 * (0.25e0
+                 + 0.75e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE))))
+               AS c
+      FROM tf2 t JOIN dft2 d USING (tok) JOIN wterms wt USING (tok)
+      CROSS JOIN stats s),
+    scored2 AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib2 GROUP BY doc_id)
+    SELECT doc_id, score, n_terms_matched FROM scored2
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+    want = [(r[0], r[1], r[2]) for r in con.sql(sql).fetchall()]
+    assert got == want
+    # the weight dict itself matches the replay's wterms
+    w = rm3_expand(docs, q, fb_docs=3, fb_terms=5, lam=0.5)
+    wrep = {
+        r[0]: r[1]
+        for r in con.sql(
+            sql[: sql.index("tf2 AS")].rstrip().rstrip(",")
+            + " SELECT tok, w FROM wterms WHERE w > 0"
+        ).fetchall()
+    }
+    assert w == wrep
+    # weighted-query validation + unit-weight neutrality on one term
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        bm25_topk(docs, q, weights={"merge": 0.0})
+    with _pytest.raises(ValueError, match="lam"):
+        bm25_topk_rm3(docs, q, lam=1.5)
+
+
 def test_bm25_join_prf_matches_per_query_loop(spark):
     """Batch PRF == looping bm25_topk_prf per query (same feedback
     selection, same expansion, same scores — exact)."""

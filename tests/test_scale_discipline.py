@@ -125,4 +125,7 @@ def test_collect_allowlist_is_small_and_known():
     # 39: +3 bm25_join_prf — the batch texts, the |Q| x fb_docs
     # feedback pairs, and the |Q| x fb_terms expansion terms (all
     # workload-sized window/TakeOrdered outputs).
-    assert n <= 39, f"driver-collect site count grew to {n}; review for scale"
+    # 41: +2 rm3_expand — the feedback ids and the
+    # <= fb_terms + |q| weighted-term count rows (same two-pass
+    # protocol as the binary PRF).
+    assert n <= 41, f"driver-collect site count grew to {n}; review for scale"
