@@ -108,7 +108,10 @@ def bm25_topk(
     weights = dict(weights) if weights else None
     if weights is not None:
         terms = sorted(weights)
-        if any(w <= 0 for w in weights.values()):
+        # not (w > 0) instead of w <= 0: NaN compares False BOTH ways,
+        # so the naive form would let a NaN weight silently poison
+        # every contribution (ADVICE r11)
+        if any(not (w > 0) for w in weights.values()):
             raise ValueError("weights must be positive")
     else:
         terms = sorted(set(query.split()))
@@ -300,13 +303,17 @@ def rm3_expand(
     """RM3 query expansion with WEIGHTS (Abdul-Jaleel et al., TREC
     2004 — the weighted upgrade of :func:`expand_query_prf`'s binary
     form): the relevance model's term mass is estimated from the
-    top-``fb_docs`` feedback set and mixed with the original query's
-    uniform model,
+    top-``fb_docs`` feedback set, TRUNCATED to the kept vocabulary,
+    renormalized over it (the standard RM3 truncate-then-renormalize
+    step), and mixed with the original query's uniform model,
 
-        w(t) = lam * 1[t in q]/|q|  +  (1-lam) * count_fb(t)/total_fb
+        w(t) = lam * 1[t in q]/|q|  +  (1-lam) * count_fb(t)/total_kept
 
-    over the union of the original terms and the ``fb_terms`` most
-    frequent non-query feedback tokens. Returns ``{term: weight}``
+    where the kept vocabulary is the union of the original terms and
+    the ``fb_terms`` most frequent non-query feedback tokens, and
+    ``total_kept`` sums the feedback counts of the KEPT terms only —
+    so the feedback component always carries its full (1-lam) mass
+    regardless of feedback-document length. Returns ``{term: weight}``
     for :func:`bm25_topk(weights=...)`. Every weight is a Python
     float built from exact integer counts by the same +*/ sequence a
     SQL replay performs, so the downstream scoring stays
@@ -326,17 +333,12 @@ def rm3_expand(
     # bounded-collect: fb_docs ids (pass one's TakeOrdered output)
     fb_ids = [r[0] for r in first.select(id_col).collect()]
     fb_counts: dict = {}
-    total_fb = 0
     if fb_ids:
         all_counts = (
             docs.filter(F.col(id_col).isin(fb_ids))
             .select(F.explode(tokens(text_col)).alias("__tok"))
             .groupBy("__tok")
             .agg(F.count(F.lit(1)).alias("__n"))
-        )
-        # one-scalar total (the .head() stats pattern)
-        total_fb = int(
-            all_counts.agg(F.sum("__n").alias("t")).head().t or 0
         )
         keep = (
             all_counts.filter(~F.col("__tok").isin(terms))
@@ -347,13 +349,18 @@ def rm3_expand(
         # bounded-collect: <= fb_terms + |q| count rows (TakeOrdered
         # union the query's own terms)
         fb_counts = {r[0]: int(r[1]) for r in keep.collect()}
+    # renormalizer over the KEPT vocabulary only (RM3's truncate-then-
+    # renormalize; ADVICE r11 — dividing by ALL feedback tokens would
+    # dampen expansion as feedback documents get longer). Exact
+    # integer sum of the already-collected kept counts — no extra scan.
+    total_kept = sum(fb_counts.values())
     out: dict = {}
     nq = len(terms)
     for t in sorted(set(terms) | set(fb_counts)):
         w_orig = lam * (1.0 / nq) if t in terms else 0.0
         w_fb = (
-            (1.0 - lam) * (fb_counts.get(t, 0) / total_fb)
-            if total_fb
+            (1.0 - lam) * (fb_counts.get(t, 0) / total_kept)
+            if total_kept
             else 0.0
         )
         w = w_orig + w_fb
@@ -606,7 +613,17 @@ def bm25_join_prf(
     if not qrows:
         raise ValueError("query batch is empty")
     qid_type = queries.schema[query_id_col].dataType
-    orig = {r[0]: sorted(set(str(r[1]).split())) for r in qrows}
+    # the documented contract is "identical to looping bm25_topk_prf":
+    # a duplicate id would silently collapse two queries into one dict
+    # slot, and a NULL text would stringify to the literal token
+    # 'None' — both must fail loudly instead (ADVICE r11), matching
+    # bm25_topk's own "query has no terms" validation
+    if len({r[0] for r in qrows}) != len(qrows):
+        raise ValueError("duplicate query ids in the batch")
+    for r in qrows:
+        if r[1] is None or not r[1].split():
+            raise ValueError(f"query {r[0]!r} has no terms")
+    orig = {r[0]: sorted(set(r[1].split())) for r in qrows}
     first = bm25_join(
         docs, queries, k=fb_docs, k1=k1, b=b, text_col=text_col,
         id_col=id_col, query_text_col=query_text_col,
@@ -746,6 +763,19 @@ def hybrid_topk(
     return _rrf_fuse(lex, dense, id_col, rrf_k, k, w_lex, w_dense)
 
 
+def _check_rrf_weights(w_lex: float, w_dense: float) -> None:
+    """Shared weight validation for every hybrid entry point (all four
+    route through _rrf_fuse/_rrf_fuse_batch): 0.0 legitimately
+    disables a side, but a NEGATIVE weight would silently invert that
+    side's rank contribution, and NaN (which compares False both ways)
+    would silently poison every fused score (ADVICE r11)."""
+    for name, w in (("w_lex", w_lex), ("w_dense", w_dense)):
+        if not (w >= 0):
+            raise ValueError(
+                f"{name} must be >= 0 (0 disables the side), got {w!r}"
+            )
+
+
 def _rrf_fuse(
     lex, dense, id_col: str, rrf_k: int, k: int,
     w_lex: float = 1.0, w_dense: float = 1.0,
@@ -759,6 +789,7 @@ def _rrf_fuse(
     defaults are bitwise the unweighted fusion)."""
     from pyspark.sql import Window
 
+    _check_rrf_weights(w_lex, w_dense)
     fused = lex.join(dense, "__id", "full_outer").select(
         F.col("__id").alias(id_col),
         (
@@ -1075,6 +1106,7 @@ def _rrf_fuse_batch(
     window are candidate-bounded per partition key."""
     from pyspark.sql import Window
 
+    _check_rrf_weights(w_lex, w_dense)
     fused = lex.join(dense, [query_id_col, "__id"], "full_outer").select(
         F.col(query_id_col),
         F.col("__id").alias(id_col),

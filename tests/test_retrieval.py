@@ -1374,6 +1374,15 @@ def test_hybrid_weighted_rrf(spark):
     assert [r.rank_lex for r in lex_ranked] == sorted(
         r.rank_lex for r in lex_ranked
     )
+    # negative weights invert a side's rank contribution and NaN
+    # poisons the fusion — both must raise at every hybrid entry point
+    # (shared _check_rrf_weights; ADVICE r11). 0.0 stays legal above.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="w_lex"):
+        hybrid_topk(docs, emb, qtext, qvec, k=5, w_lex=-1.0)
+    with _pytest.raises(ValueError, match="w_dense"):
+        hybrid_topk(docs, emb, qtext, qvec, k=5, w_dense=float("nan"))
 
 
 def test_retrieval_metrics_summary_is_mean_of_per_query(spark):
@@ -1415,8 +1424,10 @@ def test_retrieval_metrics_summary_is_mean_of_per_query(spark):
 def test_bm25_rm3_matches_duckdb_replay(spark):
     """Weighted RM3 replayed end-to-end in DuckDB: pass-one BM25, the
     relevance-model weights w(t) = lam*1[t in q]/|q| +
-    (1-lam)*count_fb(t)/total_fb over orig ∪ top feedback terms, and
-    the weighted second pass (w * (idf * saturation)) — bitwise."""
+    (1-lam)*count_fb(t)/total_kept over orig ∪ top feedback terms —
+    total_kept renormalizes over the KEPT vocabulary (RM3's standard
+    truncate-then-renormalize; ADVICE r11) — and the weighted second
+    pass (w * (idf * saturation)) — bitwise."""
     import duckdb
 
     from spark_sorted_spark.functions.retrieval import (
@@ -1470,12 +1481,14 @@ def test_bm25_rm3_matches_duckdb_replay(spark):
     fbcnt AS (
       SELECT o.tok, count(*) AS n FROM occ o JOIN fbdocs USING (doc_id)
       GROUP BY o.tok),
-    fbtot AS (SELECT sum(n) AS total FROM fbcnt),
     fbtop AS (
       SELECT tok, n FROM fbcnt WHERE tok NOT IN ({tl})
       ORDER BY n DESC, tok LIMIT 5),
     allterms AS (
       SELECT tok FROM fbtop UNION SELECT unnest([{tl}])),
+    fbtot AS (
+      SELECT sum(c.n) AS total
+      FROM allterms a LEFT JOIN fbcnt c USING (tok)),
     wterms AS (
       SELECT a.tok,
              (CASE WHEN a.tok IN ({tl})
@@ -1524,6 +1537,10 @@ def test_bm25_rm3_matches_duckdb_replay(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         bm25_topk(docs, q, weights={"merge": 0.0})
+    # NaN compares False both ways — not (w > 0) must catch it where
+    # the naive w <= 0 check would let it poison scores (ADVICE r11)
+    with _pytest.raises(ValueError, match="positive"):
+        bm25_topk(docs, q, weights={"merge": float("nan")})
     with _pytest.raises(ValueError, match="lam"):
         bm25_topk_rm3(docs, q, lam=1.5)
 
@@ -1566,6 +1583,32 @@ def test_bm25_join_prf_matches_per_query_loop(spark):
         bm25_join_prf(
             docs,
             spark.createDataFrame([], "query_id long, text string"),
+        )
+    # a duplicate id would silently collapse two queries into one dict
+    # slot; NULL/empty text would stringify to the token 'None' — both
+    # must break the "identical to looping" contract loudly (ADVICE r11)
+    with _pytest.raises(ValueError, match="duplicate query ids"):
+        bm25_join_prf(
+            docs,
+            spark.createDataFrame(
+                [(1, "merge sort"), (1, "stream join")],
+                "query_id long, text string",
+            ),
+        )
+    with _pytest.raises(ValueError, match="has no terms"):
+        bm25_join_prf(
+            docs,
+            spark.createDataFrame(
+                [(1, "merge sort"), (2, None)],
+                "query_id long, text string",
+            ),
+        )
+    with _pytest.raises(ValueError, match="has no terms"):
+        bm25_join_prf(
+            docs,
+            spark.createDataFrame(
+                [(1, "  ")], "query_id long, text string"
+            ),
         )
 
 

@@ -122,6 +122,8 @@ def main():
     only = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("usage: scale_probe.py [--only NAME] [SF_DIR] [WORKDIR]")
         only = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
