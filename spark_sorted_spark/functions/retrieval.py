@@ -599,7 +599,14 @@ def bm25_join_prf(
 
     Driver traffic is workload-bounded only: the query texts, the
     |Q| x fb_docs feedback pairs, and the |Q| x fb_terms expansion
-    terms (all TakeOrdered/window outputs)."""
+    terms (all TakeOrdered/window outputs).
+
+    |Q| ceiling: PRF is the one batch op that re-materializes the
+    EXPANDED query texts driver-side, so the practical bound is
+    |Q| x (fb_docs + fb_terms + |query| in tokens) strings — 10^5
+    queries at the defaults is tens of MB, fine; millions of queries
+    should chunk the batch (outputs are per-query independent, so
+    chunk-and-union is semantics-free)."""
     from pyspark.sql import Window
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -1249,7 +1256,13 @@ def hybrid_join_indexed(
     ``dense_rerank >= |corpus|``); at serving defaults the dense side
     trades recall for the pruned scan. ``lex_where`` /
     ``dense_where`` restrict each arm's candidates in-scan (filtered
-    hybrid; both indexes must store the predicate columns)."""
+    hybrid; both indexes must store the predicate columns).
+
+    |Q| ceiling: the query batch is driver-materialized BY DESIGN
+    (texts + vectors; ~100 bytes + 8*dim per query — 10^5 queries at
+    dim 64 is ~60 MB, far under driver memory). Millions of queries:
+    chunk the batch and union the outputs — per-query results are
+    independent, so chunking is semantics-free."""
     from .similarity import (
         ANN_NPROBE,
         ann_ivf_join_indexed,
@@ -1376,9 +1389,10 @@ def build_bm25_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_buckets: int = 64,
+    n_buckets: int | None = 64,
     commit: str = "rename",
     extra_cols: tuple[str, ...] = (),
+    target_bucket_docs: int = 1024,
 ) -> None:
     """Persist the BM25 inverted index for a corpus — the repeated-
     retrieval twin of :func:`bm25_topk` (which rebuilds the query
@@ -1412,12 +1426,32 @@ def build_bm25_index(
     license) on every postings row — the filtered-retrieval enabler:
     a probe's ``where`` then evaluates inside the bucket-pruned scan
     (parquet pushdown). Per-(doc, term) duplication of the metadata
-    value is the standard stored-field trade; keep extras narrow."""
+    value is the standard stored-field trade; keep extras narrow.
+
+    ``n_buckets=None`` AUTO-SIZES the bucket count from the corpus:
+    ``ceil(n_docs / target_bucket_docs)`` — the ``nlist=None`` rule of
+    the IVF builds carried to the lexical store. Fixed buckets make a
+    probe's per-bucket read grow linearly with the corpus (the b40
+    1.4-1.5x probe slope in PARITY's scaling note); auto keeps
+    expected postings-per-bucket roughly constant, so probe IO stays
+    flat as the corpus grows. The DEFAULT stays the fixed constant so
+    gated constructions remain oracle-replayable; pass ``None`` at
+    scale. Probes resolve whatever count was used from
+    ``_bm25_meta``, so nothing downstream changes."""
     from ..sources.bucketed import write_partitioned
     from ..sources.manifest import begin_generation, commit_generation
     from .dedup import _rm_dir, spread_small_input
     from .text import md5_int32, tokens
 
+    if n_buckets is None:
+        if target_bucket_docs < 1:
+            raise ValueError(
+                f"target_bucket_docs must be >= 1, got {target_bucket_docs}"
+            )
+        # one corpus scalar (count) sizing the layout
+        n_buckets = max(
+            1, -(-docs.count() // int(target_bucket_docs))
+        )
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if commit not in ("rename", "manifest"):

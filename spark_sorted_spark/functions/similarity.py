@@ -1020,7 +1020,13 @@ def ann_ivf_join_indexed(
     terms); the index scan prunes to the union of probed cells at
     planning time, and the (query, cell) pairs + query vectors ride
     back as broadcasts, so candidate generation is shuffle-free up to
-    the per-query top-k window."""
+    the per-query top-k window.
+
+    |Q| ceiling: the query batch is driver-materialized by design
+    (8*dim bytes per vector — 10^5 queries at dim 64 is ~50 MB, far
+    under driver memory); millions of queries should chunk the batch
+    and union the outputs (per-query independence makes chunking
+    semantics-free)."""
     from pyspark.sql import Window
     from pyspark.sql.types import (
         ArrayType,
@@ -2109,7 +2115,13 @@ def ann_ivfpq_join_indexed(
     embeddings for those ids alone) returning
     ``(query_id, id, cos, rank)``. With ``nprobe >= nlist`` and
     ``rerank >= |corpus|`` the output is BITWISE :func:`cosine_join`
-    (pinned in tests)."""
+    (pinned in tests).
+
+    |Q| ceiling: the query batch (vectors + per-query ADC tables,
+    8*(dim + m*ksub) bytes per query) is driver-materialized by
+    design — 10^5 queries at the defaults is well under 1 GB;
+    millions of queries should chunk the batch and union the outputs
+    (per-query independence makes chunking semantics-free)."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,

@@ -682,6 +682,185 @@ def bm25_topk_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PRF/RM3 query constants, shared between the Spark call and both
+# oracles (the oracle templates the SAME sorted term set and count).
+_PRF_QUERY = "merge sort stream"
+_PRF_TERMS = sorted(set(_PRF_QUERY.split()))
+_PRF_TL = ", ".join(f"'{t}'" for t in _PRF_TERMS)
+
+
+@query(
+    "bm25_topk_prf",
+    # full two-pass replay of functions/retrieval.py bm25_topk_prf
+    # (expand_query_prf + bm25_topk): pass-one BM25 over the original
+    # terms, feedback = its top-3 docs, expansion = the 5 most frequent
+    # non-query feedback tokens (count DESC, tok ASC — exact integers),
+    # pass two scores the expanded term set with the ordinary BM25
+    # chain. Same libm-ln / strict term-ordered fold discipline as
+    # bm25_topk, so the composition replays bitwise.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf1 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN ({_PRF_TL})
+      GROUP BY doc_id, tok, dl),
+    dft1 AS (SELECT tok, count(*) AS dft FROM tf1 GROUP BY tok),
+    contrib1 AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf1 t JOIN dft1 d USING (tok) CROSS JOIN stats s),
+    scored1 AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib1 GROUP BY doc_id),
+    fbdocs AS (
+      SELECT doc_id FROM scored1 ORDER BY score DESC, doc_id LIMIT 3),
+    fb AS (
+      SELECT o.tok, count(*) AS n FROM occ o
+      JOIN fbdocs USING (doc_id)
+      WHERE o.tok NOT IN ({_PRF_TL})
+      GROUP BY o.tok ORDER BY n DESC, tok LIMIT 5),
+    terms2 AS (SELECT tok FROM fb UNION SELECT unnest([{_PRF_TL}])),
+    tf2 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN (SELECT tok FROM terms2)
+      GROUP BY doc_id, tok, dl),
+    dft2 AS (SELECT tok, count(*) AS dft FROM tf2 GROUP BY tok),
+    contrib2 AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf2 t JOIN dft2 d USING (tok) CROSS JOIN stats s),
+    scored2 AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib2 GROUP BY doc_id)
+    SELECT doc_id, score, n_terms_matched FROM scored2
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_topk_prf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (functions/retrieval.py
+    bm25_topk_prf): two BM25 passes — the expansion layer is all
+    exact-integer selection (feedback ids and term counts are
+    TakeOrdered outputs), so the whole composition stays at the same
+    oracle grade as plain bm25_topk."""
+    from .functions.retrieval import bm25_topk_prf
+
+    return bm25_topk_prf(
+        load_table(spark, "documents", sf_dir),
+        _PRF_QUERY, k=15, fb_docs=3, fb_terms=5,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@query(
+    "bm25_topk_rm3",
+    # full two-pass replay of functions/retrieval.py bm25_topk_rm3
+    # (rm3_expand + weighted bm25_topk): relevance-model weights
+    # w(t) = lam*1[t in q]/|q| + (1-lam)*count_fb(t)/total_kept with
+    # total_kept renormalizing over the KEPT vocabulary (the standard
+    # RM3 truncate-then-renormalize; Abdul-Jaleel et al., TREC 2004),
+    # then each kept term's BM25 contribution scaled by w before the
+    # strict term-ordered per-doc fold — bitwise vs the engine.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf1 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN ({_PRF_TL})
+      GROUP BY doc_id, tok, dl),
+    dft1 AS (SELECT tok, count(*) AS dft FROM tf1 GROUP BY tok),
+    contrib1 AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf1 t JOIN dft1 d USING (tok) CROSS JOIN stats s),
+    scored1 AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib1 GROUP BY doc_id),
+    fbdocs AS (
+      SELECT doc_id FROM scored1 ORDER BY score DESC, doc_id LIMIT 3),
+    fbcnt AS (
+      SELECT o.tok, count(*) AS n FROM occ o JOIN fbdocs USING (doc_id)
+      GROUP BY o.tok),
+    fbtop AS (
+      SELECT tok, n FROM fbcnt WHERE tok NOT IN ({_PRF_TL})
+      ORDER BY n DESC, tok LIMIT 5),
+    allterms AS (
+      SELECT tok FROM fbtop UNION SELECT unnest([{_PRF_TL}])),
+    fbtot AS (
+      SELECT sum(c.n) AS total
+      FROM allterms a LEFT JOIN fbcnt c USING (tok)),
+    wterms AS (
+      SELECT a.tok,
+             (CASE WHEN a.tok IN ({_PRF_TL})
+                   THEN 0.5e0 * (1.0e0 / {len(_PRF_TERMS)}) ELSE 0.0e0 END)
+             + (CASE WHEN c.n IS NOT NULL
+                     THEN 0.5e0 * (c.n::DOUBLE / t.total)
+                     ELSE 0.0e0 END) AS w
+      FROM allterms a LEFT JOIN fbcnt c USING (tok) CROSS JOIN fbtot t),
+    tf2 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf FROM occ
+      WHERE tok IN (SELECT tok FROM wterms WHERE w > 0)
+      GROUP BY doc_id, tok, dl),
+    dft2 AS (SELECT tok, count(*) AS dft FROM tf2 GROUP BY tok),
+    contrib2 AS (
+      SELECT t.doc_id, t.tok,
+             wt.w *
+             (ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+              * (t.tf * {_BM25_K1 + 1.0!r}e0)
+              / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                 + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE))))
+               AS c
+      FROM tf2 t JOIN dft2 d USING (tok) JOIN wterms wt USING (tok)
+      CROSS JOIN stats s),
+    scored2 AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib2 GROUP BY doc_id)
+    SELECT doc_id, score, n_terms_matched FROM scored2
+    ORDER BY score DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_topk_rm3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted relevance feedback (functions/retrieval.py
+    bm25_topk_rm3): RM3 expansion weights from exact integer feedback
+    counts, mixed lam=0.5 with the uniform query model, scored by
+    weighted-query BM25 — the full composition at oracle grade."""
+    from .functions.retrieval import bm25_topk_rm3
+
+    return bm25_topk_rm3(
+        load_table(spark, "documents", sf_dir),
+        _PRF_QUERY, k=15, fb_docs=3, fb_terms=5, lam=0.5,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
 @query(
     "bm25_join",
     # batch (R-S) BM25: 5 queries — the first 4 tokens of documents
@@ -6005,65 +6184,83 @@ _GATE_ORDER = [
     # query — rotating it out would leave the family without a gated
     # row, so it stays through rotation #6)
     "multimodal_features",
-    # ---- round-11 rotation #7: gate the ENTIRE never-gated backlog —
-    # the whole round-10 retrieval/mix family (bm25 scan/indexed x
-    # single/batch, hybrid, DSIR, temperature mixing), the round-11
-    # hybrid_topk_indexed (registered straight into the window so it
-    # never joins the backlog), and decontaminate_verbatim_short (the
-    # last rotation-#6 holdover). After this window NO catalog query
-    # has never held a driver row.
-    "bm25_topk",
-    "bm25_join",
+    # ---- round-12 rotation #8: CHURN-BASED (VERDICT r11 item 1 —
+    # rotation picks by `git diff --stat` of each query's dependency
+    # set since its last driver row, NOT by tenure). Policy from this
+    # round on: rows whose underlying files were heavily rewritten
+    # since their last green driver row take priority over age-based
+    # candidates; the no-backlog rule for NEW registrations and the
+    # §2 permanent-resident pin above are unchanged.
+    #
+    # Rotated IN (churn): the seven overflow rows sitting on the
+    # round-11 rewrites (+830 LoC similarity.py, band-store code) with
+    # pre-r11 driver rows — similarity_topk, similarity_ann_lsh,
+    # similarity_ann_ivf, embedding_neardup_lsh, knn_join,
+    # embedding_dedup_incremental, dedup_minhash_lsh.
+    # Registered straight IN (no-backlog): bm25_topk_prf,
+    # bm25_topk_rm3 (round-12 registrations of the round-11 PRF/RM3
+    # ops, VERDICT r11 item 4).
+    # Rotated OUT (all driver-green in CORRECTNESS_r11, families keep
+    # in-window reps): bm25_topk + bm25_join (scan forms — both passes
+    # of the PRF/RM3 rows run the same scan-form code; indexed +
+    # filtered twins stay), hybrid_topk + hybrid_join (indexed twins
+    # stay), dsir_select (sampling keeps temperature_mix),
+    # decontaminate_verbatim (decontaminate_verbatim_short stays),
+    # embedding_clusters (clusters keep dedup_clusters_incremental;
+    # similarity gains five rows this window), window_distribution
+    # (windows keep top3_per_user + the window_rank family's past
+    # rows), tpch_q8_market_share (TPC-H keeps four reps).
     "bm25_topk_indexed",
     "bm25_join_indexed",
-    # round-11 filtered lexical retrieval — straight into the window
-    # (no-backlog policy); redact_pii rotates out driver-green (text
-    # keeps unigram_logprob in-window; redact/vocab/keywords all hold
-    # past driver rows)
     "bm25_topk_filtered",
-    "hybrid_topk",
+    "bm25_topk_prf",
+    "bm25_topk_rm3",
     "hybrid_topk_indexed",
-    "hybrid_join",
     "hybrid_join_indexed",
-    "dsir_select",
     "temperature_mix",
     "retrieval_eval",
     "decontaminate_verbatim_short",
-    # rotation-#6 rows holding a second consecutive round (all
-    # driver-green in CORRECTNESS_r10; the round-9/10 additions whose
-    # losslessness claims benefit most from repeated driver signal)
-    "decontaminate_verbatim",
     "dedup_exact_normalized",
     "dedup_clusters_incremental",
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
-    # round-11 batch IVF-PQ probe and filtered-ANN probe — registered
-    # straight into the window (the no-backlog policy);
-    # hll_grouped_by_source and build_vocab rotate out driver-green
-    # (gated every round since r6/r8; sketches keep
-    # stream_hll_by_source + stream_len_quantiles in-window, text
-    # keeps unigram_logprob + redact_pii)
     "similarity_ann_ivfpq_join",
     "similarity_ann_filtered",
+    # the churn block: rewritten code, stale driver rows
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "embedding_neardup_lsh",
+    "knn_join",
+    "embedding_dedup_incremental",
+    "dedup_minhash_lsh",
     "dedup_repeated_spans",
     "dedup_clean_repeated_spans",
     "unigram_logprob",
     "dedup_semantic",
     "unpivot_measures",
-    "embedding_clusters",
-    "window_distribution",
     "stream_hll_by_source",
     "stream_len_quantiles",
-    # TPC-H keeps five in-window representatives — the structurally
-    # richest shapes (8-table join, outer-join distribution, max-
-    # subquery view, correlated scalar agg, nested semi-join); the
-    # other nine rotate out driver-green (first rows in r10)
-    "tpch_q8_market_share",
+    # TPC-H keeps four in-window representatives (outer-join
+    # distribution, max-subquery view, correlated scalar agg, nested
+    # semi-join); q8 rotates out driver-green (r10+r11 rows)
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
     "tpch_q20_part_promotion",
     # --- gate cutoff (driver runs the 50 above) ---
+    # round-12 rotation #8 overflow head: the nine rows rotated out
+    # this round (every one driver-green in CORRECTNESS_r11; family
+    # justification in the rotation comment above).
+    "bm25_topk",
+    "bm25_join",
+    "hybrid_topk",
+    "hybrid_join",
+    "dsir_select",
+    "decontaminate_verbatim",
+    "embedding_clusters",
+    "window_distribution",
+    "tpch_q8_market_share",
     # round-11 rotation #7 overflow. doc_keywords and negative_pairs
     # rotate out driver-green (r10) to make room for the round-11
     # batch-hybrid pair above — their families keep in-window reps
@@ -6112,11 +6309,8 @@ _GATE_ORDER = [
     "normalize_text",
     "dedup_exact",
     "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
     "decontaminate_exact",
     "decontaminate_bloom",
-    "similarity_topk",
-    "similarity_ann_lsh",
     "stream_hourly_window",
     "stream_session_window",
     "stream_late_drop",
@@ -6131,8 +6325,6 @@ _GATE_ORDER = [
     "corpus_mix",
     "dedup_clusters",
     "dedup_incremental",
-    "embedding_dedup_incremental",
-    "knn_join",
     "sessionize_native",
     "length_quantiles_sketch",
     "pack_sequences",
@@ -6149,8 +6341,6 @@ _GATE_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_simhash_banded",
     "decontaminate",
-    "similarity_ann_ivf",
-    "embedding_neardup_lsh",
     "asof_join",
     "set_ops",
     "interval_overlap",

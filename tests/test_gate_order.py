@@ -46,57 +46,62 @@ def test_gate_window_contents():
         "projection_chain",
         # the multimodal family representative (sole multimodal query)
         "multimodal_features",
-        # round-11 rotation #7: the entire never-gated backlog — the
-        # round-10 retrieval/mix family, the round-11
-        # hybrid_topk_indexed, and the last rotation-#6 holdover
-        "bm25_topk",
-        "bm25_join",
+        # round-12 rotation #8 (CHURN-BASED, VERDICT r11 item 1): the
+        # retrieval serving forms stay; the scan twins bm25_topk/
+        # bm25_join/hybrid_topk/hybrid_join rotated out driver-green
+        # (the PRF/RM3 rows below exercise the same scan-form code)
         "bm25_topk_indexed",
         "bm25_join_indexed",
-        # round-11 filtered lexical retrieval (no-backlog policy);
-        # redact_pii rotates out driver-green
         "bm25_topk_filtered",
-        "hybrid_topk",
+        # round-12 PRF/RM3 registrations — straight into the window
+        # (no-backlog policy; VERDICT r11 item 4)
+        "bm25_topk_prf",
+        "bm25_topk_rm3",
         "hybrid_topk_indexed",
-        "hybrid_join",
         "hybrid_join_indexed",
-        "dsir_select",
         "temperature_mix",
         "retrieval_eval",
         "decontaminate_verbatim_short",
-        # rotation-#6 rows holding a second consecutive round
-        "decontaminate_verbatim",
         "dedup_repeated_spans",
         "dedup_clean_repeated_spans",
         "dedup_semantic",
         "similarity_ann_pq",
         "similarity_ann_ivfpq",
-        # round-11 batch IVF-PQ probe + filtered-ANN probe, registered
-        # straight into the window (no-backlog policy)
         "similarity_ann_ivfpq_join",
         "similarity_ann_filtered",
+        # the rotation-#8 churn block: overflow rows whose underlying
+        # files (similarity.py +830 LoC, band-store code) were
+        # rewritten in round 11 AFTER their last driver row
+        "similarity_topk",
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "embedding_neardup_lsh",
+        "knn_join",
+        "embedding_dedup_incremental",
+        "dedup_minhash_lsh",
         "unigram_logprob",
         "dedup_exact_normalized",
         "dedup_clusters_incremental",
-        "embedding_clusters",
         "stream_hll_by_source",
         "stream_len_quantiles",
-        "window_distribution",
         "unpivot_measures",
-        # NOT hll_grouped_by_source / build_vocab: rotated out
-        # driver-green after 5+ consecutive rounds to admit
-        # similarity_ann_ivfpq_join and similarity_ann_filtered
-        # (sketches keep the two streaming reps above in-window; text
-        # keeps unigram_logprob + redact_pii)
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
-    # after rotation #7 NO catalog query has never held a driver row
-    # (pending CORRECTNESS_r11 confirming the window above).
     # overflow: every rotated-out row was driver-green in the round it
-    # left (the nine TPC-H rows below earned first rows in r10); family
-    # representation justified in the _GATE_ORDER comments. All
-    # overflow stays locally oracle-checked per round.
+    # left (the nine rotation-#8 rows lead, all green in
+    # CORRECTNESS_r11); family representation justified in the
+    # _GATE_ORDER comments. All overflow stays locally oracle-checked
+    # per round.
     assert names[50:] == [
+        "bm25_topk",
+        "bm25_join",
+        "hybrid_topk",
+        "hybrid_join",
+        "dsir_select",
+        "decontaminate_verbatim",
+        "embedding_clusters",
+        "window_distribution",
+        "tpch_q8_market_share",
         "hll_grouped_by_source",
         "build_vocab",
         "redact_pii",
@@ -117,11 +122,8 @@ def test_gate_window_contents():
         "normalize_text",
         "dedup_exact",
         "dedup_jaccard_prefix",
-        "dedup_minhash_lsh",
         "decontaminate_exact",
         "decontaminate_bloom",
-        "similarity_topk",
-        "similarity_ann_lsh",
         "stream_hourly_window",
         "stream_session_window",
         "stream_late_drop",
@@ -136,8 +138,6 @@ def test_gate_window_contents():
         "corpus_mix",
         "dedup_clusters",
         "dedup_incremental",
-        "embedding_dedup_incremental",
-        "knn_join",
         "sessionize_native",
         "length_quantiles_sketch",
         "pack_sequences",
@@ -152,8 +152,6 @@ def test_gate_window_contents():
         "dedup_ngram_jaccard",
         "dedup_simhash_banded",
         "decontaminate",
-        "similarity_ann_ivf",
-        "embedding_neardup_lsh",
         "asof_join",
         "set_ops",
         "interval_overlap",

@@ -1,0 +1,156 @@
+"""Maintenance planner (functions/maintenance.py): each decision
+branch driven on a real synthetic store — the health reports feed the
+planner, the planner names the lifecycle entry point to run (VERDICT
+r11 item 6 closes the build/append/stream/compact loop)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_sorted_spark.functions.maintenance import maintenance_plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bm25_healthy_store_is_none(spark, tmp_path):
+    from spark_sorted_spark.functions.retrieval import build_bm25_index
+
+    docs = _docs(spark, [(i, f"tok{i} common") for i in range(10)])
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path, n_buckets=4)
+    row = maintenance_plan(spark, path).head()
+    assert (row.store, row.action) == ("bm25", "none")
+    assert "healthy" in row.reason
+
+
+def test_bm25_many_batches_is_compact(spark, tmp_path):
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+
+    docs = _docs(spark, [(i, "alpha beta") for i in range(4)])
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path, n_buckets=4)
+    for b in range(3):
+        append_to_bm25_index(
+            _docs(spark, [(100 + b, "alpha gamma")]), path, batch_id=b
+        )
+    row = maintenance_plan(spark, path, max_batches=2).head()
+    assert (row.store, row.action) == ("bm25", "compact")
+    assert "4 batch partitions > max_batches=2" in row.reason
+    # running what the planner says returns the store to healthy
+    compact_bm25_index(spark, path)
+    row2 = maintenance_plan(spark, path, max_batches=2).head()
+    assert row2.action == "none"
+
+
+def test_bm25_oversized_bucket_is_rebuild(spark, tmp_path):
+    from spark_sorted_spark.functions.retrieval import build_bm25_index
+
+    # every doc carries a distinct token -> ~60 postings rows spread
+    # over 2 buckets; max bucket > 10 rows with certainty
+    docs = _docs(spark, [(i, f"tok{i}") for i in range(60)])
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path, n_buckets=2)
+    row = maintenance_plan(spark, path, max_unit_rows=10).head()
+    assert (row.store, row.action) == ("bm25", "rebuild")
+    assert "oversized unit" in row.reason
+    assert "n_buckets=None" in row.reason  # names the auto-sizing knob
+
+
+def test_bm25_skewed_buckets_is_rebuild(spark, tmp_path):
+    from spark_sorted_spark.functions.retrieval import build_bm25_index
+
+    # one hot token in 40 docs (40 postings rows in ONE bucket) vs a
+    # spread of singleton tokens -> max/mean far above 3 whichever
+    # buckets the singletons hash to
+    rows = [(i, "hot") for i in range(40)]
+    rows += [(100 + i, f"rare{i}") for i in range(8)]
+    path = str(tmp_path / "idx")
+    build_bm25_index(_docs(spark, rows), path, n_buckets=64)
+    row = maintenance_plan(spark, path, skew_ratio=3.0).head()
+    assert (row.store, row.action) == ("bm25", "rebuild")
+    assert "skewed units" in row.reason
+
+
+def test_rebuild_outranks_compact(spark, tmp_path):
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+    )
+
+    docs = _docs(spark, [(i, f"tok{i}") for i in range(40)])
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path, n_buckets=2)
+    for b in range(3):
+        append_to_bm25_index(
+            _docs(spark, [(100 + b, f"new{b}")]), path, batch_id=b
+        )
+    row = maintenance_plan(
+        spark, path, max_batches=2, max_unit_rows=10
+    ).head()
+    assert row.action == "rebuild"
+    # but the batch finding still surfaces in the reason
+    assert "batch partitions" in row.reason
+
+
+def test_ann_ivf_branches(spark, tmp_path):
+    from spark_sorted_spark.functions.similarity import (
+        append_to_ann_ivf_index,
+        build_ann_ivf_index,
+        compact_ann_index,
+    )
+
+    vecs = _vecs(
+        spark, [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+    )
+    path = str(tmp_path / "ivf")
+    build_ann_ivf_index(vecs, path, nlist=4)
+    row = maintenance_plan(spark, path).head()
+    assert (row.store, row.action) == ("ann_ivf", "none")
+    for b in range(3):
+        append_to_ann_ivf_index(
+            _vecs(spark, [(100 + b, [1.0, 1.0])]), path, batch_id=b
+        )
+    row = maintenance_plan(spark, path, max_batches=2).head()
+    assert (row.store, row.action) == ("ann_ivf", "compact")
+    compact_ann_index(spark, path)
+    assert maintenance_plan(spark, path, max_batches=2).head().action == "none"
+    # oversized cell names the IVF auto-sizing knob
+    row = maintenance_plan(spark, path, max_unit_rows=5).head()
+    assert row.action == "rebuild"
+    assert "nlist=None" in row.reason
+
+
+def test_ann_flat_pq_skips_unit_checks(spark, tmp_path):
+    from spark_sorted_spark.functions.similarity import build_ann_pq_index
+
+    vecs = _vecs(
+        spark,
+        [(i, [float(i), float(i % 3), 1.0, 0.5]) for i in range(64)],
+    )
+    path = str(tmp_path / "pq")
+    build_ann_pq_index(vecs, path, m=2, ksub=4, dim=4)
+    # flat PQ has no pruning unit: even a tiny max_unit_rows cannot
+    # trigger a rebuild (unit is NULL in the health report)
+    row = maintenance_plan(spark, path, max_unit_rows=1).head()
+    assert (row.store, row.action) == ("ann_pq", "none")
+
+
+def test_validation_and_unknown_store(spark, tmp_path):
+    with pytest.raises(ValueError, match="max_batches"):
+        maintenance_plan(spark, str(tmp_path), max_batches=0)
+    with pytest.raises(ValueError, match="skew_ratio"):
+        maintenance_plan(spark, str(tmp_path), skew_ratio=float("nan"))
+    with pytest.raises(ValueError, match="max_unit_rows"):
+        maintenance_plan(spark, str(tmp_path), max_unit_rows=0)
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError, match="not a recognized index store"):
+        maintenance_plan(spark, str(tmp_path / "empty"))

@@ -407,6 +407,62 @@ def test_bm25_index_append_fence_compact_lifecycle(spark, tmp_path):
     assert resolve_root(spark, str(tmp_path / "idx_manifest")).endswith("gen-1")
 
 
+def test_bm25_index_auto_buckets_lifecycle(spark, tmp_path):
+    """n_buckets=None auto-sizes the bucket count from the corpus
+    (ceil(n_docs / target_bucket_docs) — the IVF nlist=None rule
+    carried to the lexical store; VERDICT r11 item 5), and the whole
+    append/fence/compact lifecycle holds at the resulting NON-DEFAULT
+    bucket count: every probe stays bitwise the text scan."""
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    n_corpus = corpus.count()
+    q = "spark join window filter"
+
+    path = str(tmp_path / "auto_idx")
+    build_bm25_index(corpus, path, n_buckets=None, target_bucket_docs=100)
+    # the persisted layout parameter is the documented formula
+    want_buckets = -(-n_corpus // 100)
+    assert want_buckets > 1  # non-default, non-trivial count
+    got_buckets = int(
+        spark.read.parquet(f"{path}/_bm25_meta").collect()[0][0]
+    )
+    assert got_buckets == want_buckets
+
+    def scan(d):
+        return [(r.doc_id, r.score, r.n_terms_matched)
+                for r in bm25_topk(d, q, k=25).collect()]
+
+    def probe(**kw):
+        return [(r.doc_id, r.score, r.n_terms_matched)
+                for r in bm25_topk_indexed(spark, path, q, k=25, **kw).collect()]
+
+    want_union, want_corpus = scan(docs), scan(corpus)
+    assert probe() == want_corpus
+    # append + fence + compact all hold at the auto-sized count
+    append_to_bm25_index(batch, path, batch_id=0)
+    assert probe() == want_union
+    assert probe(before_batch=0) == want_corpus
+    compact_bm25_index(spark, path)
+    assert probe() == want_union
+
+    # validation: explicit auto with a bad target fails loudly
+    with pytest.raises(ValueError, match="target_bucket_docs"):
+        build_bm25_index(
+            corpus, str(tmp_path / "bad"), n_buckets=None,
+            target_bucket_docs=0,
+        )
+
+
 def test_bm25_join_indexed_equals_batch_scan(spark, tmp_path):
     """The batch probe against the index (incl. after an append) is
     bitwise the batch scan of the union corpus; qpairs collect is the
