@@ -408,7 +408,7 @@ def build_ann_lsh_index(
     dim: int = ANN_DIM,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    target_bucket: int = 32,
+    target_bucket: int = 128,
     commit: str = "rename",
 ) -> None:
     """Compute each vector's sign-bit bucket ONCE and persist the
@@ -463,12 +463,26 @@ def build_ann_lsh_index(
     # copy before the lazy write ever ran (ADVICE r8), and it also
     # bypassed Spark's own cannot-read-and-overwrite-same-path check.
     spark = df.sparkSession
-    # n_planes=None derives the depth from the corpus count (the same
-    # auto_planes rule as the banded constructions — a fixed depth is
-    # the measured quadratic at 10x); the persisted _lsh_meta then
-    # makes the choice sticky for every append/probe. The default
-    # stays the shared constant so the oracle-gated queries keep a
-    # bucket space DuckDB can replay from the same constant.
+    # n_planes=None derives the depth from the corpus count (the
+    # auto_planes rule — a fixed depth is the measured quadratic at
+    # 10x); the persisted _lsh_meta then makes the choice sticky for
+    # every append/probe. The default stays the shared constant so the
+    # oracle-gated queries keep a bucket space DuckDB can replay from
+    # the same constant.
+    #
+    # target_bucket defaults to 128 here — FOUR TIMES the multi-table
+    # constructions' 32 — because this store is SINGLE-table: with no
+    # OR-construction, every extra plane multiplies per-pair recall at
+    # a given cosine by p_plane < 1 uncompensated, and the per-vector
+    # candidate budget of the multi-table forms (n_tables x 32 = 256)
+    # affords one table a fatter bucket. Adjudicated round 12 (PARITY
+    # "b27 auto-depth"): at 20k vectors the old target-32 auto depth
+    # (9) was SLOWER than depth 8 (7.93 vs 7.17 s min-of-3) AND found
+    # 37% fewer pairs (888 vs 1405) — the cost at this corpus size is
+    # 2^planes directory/file bookkeeping, not candidate volume; the
+    # target-128 depth (7) measured 4.42 s with 2165 pairs. Depth
+    # still grows with log2(n), so the verify stays linear-in-batch at
+    # the 100 TB design point.
     if n_planes is None:
         n_planes = auto_planes(df.count(), target_bucket)
     if commit == "manifest":

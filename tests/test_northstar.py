@@ -1239,7 +1239,11 @@ def test_lsh_index_auto_depth_build(spark, emb, tmp_path):
     path = str(tmp_path / "auto_idx")
     build_ann_lsh_index(corpus, path, n_planes=None)
     meta = spark.read.parquet(f"{path}/_lsh_meta").collect()[0]
-    assert meta.n_planes == auto_planes(corpus.count())
+    # the single-table build auto-sizes against target_bucket=128
+    # (adjudicated round 12, PARITY "b27 auto-depth": one table with
+    # no OR-construction needs fatter buckets for both recall and the
+    # directory-count cost term)
+    assert meta.n_planes == auto_planes(corpus.count(), 128)
     assert ann_lsh_topk_indexed(spark, path, qvec, k=3).collect()
 
 
