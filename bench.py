@@ -650,6 +650,19 @@ def b46_bm25_prf(spark):
     )
 
 
+def b47_bm25_join_rm3(spark):
+    # batch weighted relevance feedback: per-query RM3 weights from
+    # each query's own feedback, rescored in ONE weighted batch BM25
+    # job. Corpus passes regardless of |Q|: one stats aggregate
+    # (shared by both passes), pass one, the id-pruned feedback
+    # count, pass two — the two-pass scan-twin composition (~2x b38
+    # + feedback), the honest batch-RM3 floor; the indexed PRF/RM3
+    # forms are the serving path
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["bm25_join_rm3"](spark, SF_DIR))
+
+
 _STREAM_BM25 = None
 
 
@@ -746,6 +759,7 @@ BENCH = {
     "b44_hybrid_join_indexed": b44_hybrid_join_indexed,
     "b45_ivfpq_join_indexed": b45_ivfpq_join_indexed,
     "b46_bm25_prf": b46_bm25_prf,
+    "b47_bm25_join_rm3": b47_bm25_join_rm3,
 }
 
 

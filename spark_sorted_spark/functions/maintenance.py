@@ -3,8 +3,11 @@
 Round-11 added the health relations (``bm25_index_stats``,
 ``ann_index_stats``) but nothing consumed them (VERDICT r11 item 6);
 this module closes the lifecycle loop — build / append / stream /
-compact / REBUILD-WHEN-WARRANTED — by turning those relations into an
-actionable decision per the thresholds their docstrings document:
+compact / REBUILD-WHEN-WARRANTED — across EVERY persisted store in
+the repo (BM25 inverted index, LSH/IVF/PQ/IVF-PQ ANN indexes, the
+MinHash band store, the gram store) by turning those relations (or
+the store's own precomputed counts) into an actionable decision per
+the thresholds their docstrings document:
 
 * many batch partitions        -> ``compact``  (file listing + probe
   merge cost grows with the batch count; compaction re-totals);
@@ -39,9 +42,11 @@ MAX_UNIT_ROWS = 1 << 20
 
 def _detect_store(spark, path: str) -> str:
     """Classify the store layout at ``path`` by its metadata markers
-    (the ``compact_ann_index`` autodetection, plus the BM25 layout):
-    ``_bm25_meta`` -> bm25; ``codes`` subdir -> flat PQ; ``_centroids``
-    -> IVF (``_pq_meta`` too -> IVF-PQ); ``_lsh_meta`` -> LSH."""
+    (the ``compact_ann_index`` autodetection, plus the BM25/band/gram
+    layouts): ``_bm25_meta`` -> bm25; ``codes`` subdir -> flat PQ;
+    ``_centroids`` -> IVF (``_pq_meta`` too -> IVF-PQ); ``_lsh_meta``
+    -> LSH; ``bands`` + ``counts`` -> MinHash band store; ``grams`` +
+    ``_gram_meta`` -> gram store."""
     jfs = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     fs = jfs(path).getFileSystem(conf)
@@ -57,10 +62,25 @@ def _detect_store(spark, path: str) -> str:
         return "ann_ivfpq" if has("_pq_meta") else "ann_ivf"
     if has("_lsh_meta"):
         return "ann_lsh"
+    if has("bands") and has("counts"):
+        return "minhash_bands"
+    if has("grams") and has("_gram_meta"):
+        return "gram"
     raise ValueError(
         f"{path!r} is not a recognized index store (no _bm25_meta, "
-        "codes, _centroids, or _lsh_meta)"
+        "codes, _centroids, _lsh_meta, bands, or grams)"
     )
+
+
+# the re-layout knob a rebuild recommendation names, per store kind;
+# stores absent here have no depth/width knob (their hot-unit answer
+# is probe-side, or units do not exist)
+_REBUILD_KNOB = {
+    "bm25": "n_buckets=None",
+    "ann_ivf": "nlist=None",
+    "ann_ivfpq": "nlist=None",
+    "ann_lsh": "n_planes=None",
+}
 
 
 def maintenance_plan(
@@ -88,10 +108,14 @@ def maintenance_plan(
       ``lloyd_iters`` > 0).
 
     ``rebuild`` outranks ``compact`` — a rebuild re-totals the batch
-    partitions anyway. Unit checks are skipped for flat PQ (it has no
-    pruning unit; only the batch count matters there). Works on both
-    the rename and manifest layouts (the health reports resolve the
-    generation pointer themselves)."""
+    partitions anyway. Unit checks are skipped for flat PQ and the
+    gram store (no pruning unit; only the batch count matters there).
+    The MinHash band store's hot (band, band_key) buckets surface in
+    the REASON only — its documented hot-bucket response is the
+    probe-side ``max_bucket`` guard, not a store re-layout (there is
+    no depth knob in the banding scheme). Works on both the rename
+    and manifest layouts (the health reports resolve the generation
+    pointer themselves)."""
     from ..sources.manifest import resolve_root
 
     if max_batches < 1:
@@ -111,6 +135,28 @@ def maintenance_plan(
         # mirrors its layout (per-batch deltas over the same buckets)
         unit_stats = stats.filter(F.col("table") == "postings").select(
             "ingest_batch_id", F.col("tok_bucket").alias("unit"), "n"
+        )
+    elif kind == "minhash_bands":
+        # the store precomputes per-(band, band_key) member counts —
+        # the unit relation is free (counts summed across batches
+        # below); batch ids from the same table
+        unit_stats = spark.read.parquet(f"{cur}/counts").select(
+            F.col("ingest_batch_id").cast("bigint").alias(
+                "ingest_batch_id"
+            ),
+            F.concat_ws(
+                "/", F.col("band"), F.col("band_key")
+            ).alias("unit"),
+            F.col("store_n").alias("n"),
+        )
+    elif kind == "gram":
+        # one row per distinct gram — no pruning unit; batch count only
+        unit_stats = spark.read.parquet(f"{cur}/grams").select(
+            F.col("ingest_batch_id").cast("bigint").alias(
+                "ingest_batch_id"
+            ),
+            F.lit(None).cast("string").alias("unit"),
+            F.lit(1).alias("n"),
         )
     else:
         from .similarity import ann_index_stats
@@ -139,15 +185,29 @@ def maintenance_plan(
     max_rows = int(summary.max_rows) if summary.max_rows is not None else 0
     mean_rows = float(summary.mean_rows) if summary.mean_rows else 0.0
 
+    knob = _REBUILD_KNOB.get(kind)
     action, reasons = "none", []
     if max_rows > max_unit_rows:
-        action = "rebuild"
-        reasons.append(
-            f"oversized unit: {max_rows} rows > max_unit_rows="
-            f"{max_unit_rows}; rebuild with auto sizing "
-            f"({'n_buckets=None' if kind == 'bm25' else 'nlist=None'})"
-        )
-    if units >= 2 and mean_rows > 0 and max_rows / mean_rows > skew_ratio:
+        if knob:
+            action = "rebuild"
+            reasons.append(
+                f"oversized unit: {max_rows} rows > max_unit_rows="
+                f"{max_unit_rows}; rebuild with auto sizing ({knob})"
+            )
+        else:
+            # the band store has no depth knob — hot buckets are
+            # handled probe-side (informational only)
+            reasons.append(
+                f"hot unit: {max_rows} rows > max_unit_rows="
+                f"{max_unit_rows}; no re-layout knob for {kind} — use "
+                "the probe-side max_bucket guard"
+            )
+    if (
+        knob
+        and units >= 2
+        and mean_rows > 0
+        and max_rows / mean_rows > skew_ratio
+    ):
         action = "rebuild"
         reasons.append(
             f"skewed units: max/mean occupancy "

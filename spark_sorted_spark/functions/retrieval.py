@@ -48,6 +48,7 @@ __all__ = [
     "expand_query_prf",
     "bm25_join",
     "bm25_join_prf",
+    "bm25_join_rm3",
     "hybrid_topk",
     "hybrid_topk_indexed",
     "hybrid_join",
@@ -58,6 +59,8 @@ __all__ = [
     "bm25_index_stats",
     "bm25_topk_indexed",
     "bm25_join_indexed",
+    "bm25_topk_prf_indexed",
+    "bm25_topk_rm3_indexed",
     "retrieval_metrics",
     "retrieval_metrics_summary",
 ]
@@ -436,6 +439,7 @@ def bm25_join(
     query_id_col: str = "query_id",
     stats: tuple | None = None,
     where=None,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Batch BM25 retrieval — the R-S form of :func:`bm25_topk`: score
     EVERY query of ``queries`` against ``docs`` in one relational job
@@ -461,7 +465,21 @@ def bm25_join(
     fold) — the DuckDB oracle replays bit-for-bit. ``stats=(n_docs,
     sum_dl)`` skips the stats scan as in :func:`bm25_topk`; ``where``
     is filtered retrieval with the same contract (candidates
-    restricted, collection statistics corpus-wide)."""
+    restricted, collection statistics corpus-wide).
+
+    ``weights`` is WEIGHTED-QUERY batch BM25 — the R-S twin of
+    :func:`bm25_topk(weights=...)`: a relation with columns
+    ``(query_id_col, term, weight)`` giving each query its own
+    weighted term set (per-query boosting / RM3 expansion weights,
+    see :func:`bm25_join_rm3`). When given, the per-query term sets
+    come from the weights relation and ``queries``' text column is
+    ignored for term extraction; each term's contribution is scaled
+    ``w * (idf * saturation)`` — operand-for-operand the single-query
+    weighted form, so per-query output equals looping
+    ``bm25_topk(weights=w_q)`` bitwise (pinned). The relation is
+    workload-bounded (|Q| x terms); weights must be positive and
+    (query, term) pairs unique — validated with one bounded
+    aggregate."""
     from pyspark.sql import Window
 
     from .exactmath import ln_libm
@@ -472,13 +490,42 @@ def bm25_join(
     if not (k1 > 0 and 0.0 <= b <= 1.0):
         raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
 
-    qterms = (
-        queries.select(
+    if weights is not None:
+        wrel = weights.select(
             F.col(query_id_col),
-            F.explode(tokens(query_text_col)).alias("__tok"),
+            F.col("term").alias("__tok"),
+            F.col("weight").cast("double").alias("__w"),
         )
-        .distinct()
-    )
+        # one bounded aggregate over the workload-sized relation:
+        # Spark orders NaN ABOVE all doubles (so `weight > 0` would
+        # pass NaN — the engine-side twin of the ADVICE-r11 dict
+        # check), hence the explicit isnan
+        chk = wrel.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(query_id_col), F.col("__tok")).alias(
+                "nd"
+            ),
+            F.count(
+                F.when(
+                    F.isnan("__w") | (F.col("__w") <= 0), F.lit(1)
+                )
+            ).alias("bad"),
+        ).head()
+        if chk.n == 0:
+            raise ValueError("weights relation is empty")
+        if chk.bad:
+            raise ValueError("weights must be positive")
+        if chk.nd != chk.n:
+            raise ValueError("duplicate (query, term) rows in weights")
+        qterms = wrel
+    else:
+        qterms = (
+            queries.select(
+                F.col(query_id_col),
+                F.explode(tokens(query_text_col)).alias("__tok"),
+            )
+            .distinct()
+        )
     vocab = qterms.select("__tok").distinct()
 
     toks = tokens(text_col)
@@ -523,6 +570,20 @@ def bm25_join(
         tf = tf.join(
             _apply_where(docs, where).select(id_col), id_col, "left_semi"
         )
+    base_c = (
+        F.col("__idf")
+        * (F.col("__tf") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("__tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b))
+                * F.col("__dl")
+                / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
+            )
+        )
+    )
     contrib = (
         tf.join(df_t, "__tok")
         .join(qterms, "__tok")
@@ -530,20 +591,11 @@ def bm25_join(
             F.col(query_id_col),
             F.col(id_col),
             F.col("__tok"),
-            (
-                F.col("__idf")
-                * (F.col("__tf") * F.lit(float(k1) + 1.0))
-                / (
-                    F.col("__tf")
-                    + F.lit(float(k1))
-                    * (
-                        F.lit(1.0 - float(b))
-                        + F.lit(float(b))
-                        * F.col("__dl")
-                        / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
-                    )
-                )
-            ).alias("__c"),
+            # weighted form multiplies the WHOLE contribution once,
+            # operand-for-operand bm25_topk's `__w * base_c`
+            (base_c if weights is None else F.col("__w") * base_c).alias(
+                "__c"
+            ),
         )
     )
     scored = (
@@ -631,10 +683,21 @@ def bm25_join_prf(
         if r[1] is None or not r[1].split():
             raise ValueError(f"query {r[0]!r} has no terms")
     orig = {r[0]: sorted(set(r[1].split())) for r in qrows}
+    # corpus stats computed ONCE and shared by both passes (the
+    # documented bitwise-neutral stats= fast path — exact integers, so
+    # pass two equals a fresh derivation; saves one full-corpus
+    # tokenize+aggregate per call)
+    st = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(text_col))).alias("sum_dl"),
+    ).head()
+    if int(st.n) == 0:
+        raise ValueError("corpus is empty")
+    stats = (int(st.n), int(st.sum_dl))
     first = bm25_join(
         docs, queries, k=fb_docs, k1=k1, b=b, text_col=text_col,
         id_col=id_col, query_text_col=query_text_col,
-        query_id_col=query_id_col, where=where,
+        query_id_col=query_id_col, where=where, stats=stats,
     )
     # bounded-collect: |Q| x fb_docs feedback pairs (pass one's
     # per-query top-k window output)
@@ -695,7 +758,170 @@ def bm25_join_prf(
     return bm25_join(
         docs, expanded, k=k, k1=k1, b=b, text_col=text_col,
         id_col=id_col, query_text_col=query_text_col,
-        query_id_col=query_id_col, where=where,
+        query_id_col=query_id_col, where=where, stats=stats,
+    )
+
+
+def bm25_join_rm3(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    lam: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    where=None,
+) -> DataFrame:
+    """Batch RM3 retrieval — the R-S form of :func:`bm25_topk_rm3`,
+    completing the relevance-feedback matrix (binary PRF x weighted
+    RM3, single x batch): every query's relevance-model weights are
+    estimated from its OWN top-``fb_docs`` feedback set (pass one is
+    ONE :func:`bm25_join`; the feedback term counts are one scan of
+    the union of all queries' feedback docs, grouped per query), then
+    the whole weighted batch rescores in one weighted
+    :func:`bm25_join`. Per-query output is IDENTICAL to looping
+    :func:`bm25_topk_rm3` (pinned — same truncate-then-renormalize
+    weights over the kept vocabulary, same ``w * (idf * saturation)``
+    scoring).
+
+    Driver traffic is workload-bounded only: the query texts, the
+    |Q| x fb_docs feedback pairs, and the |Q| x (fb_terms + |q|)
+    kept-term counts (TakeOrdered/window outputs). Same |Q| ceiling
+    as :func:`bm25_join_prf` — millions of queries should chunk the
+    batch (per-query independence makes chunk-and-union
+    semantics-free)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1, got {fb_terms}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    spark = docs.sparkSession
+    # bounded-collect: the query batch texts — the retrieval workload
+    qrows = queries.select(F.col(query_id_col), F.col(query_text_col)).collect()
+    if not qrows:
+        raise ValueError("query batch is empty")
+    qid_type = queries.schema[query_id_col].dataType
+    # same loud validation as bm25_join_prf (ADVICE r11): duplicates
+    # collapse dict slots, NULL text stringifies to 'None'
+    if len({r[0] for r in qrows}) != len(qrows):
+        raise ValueError("duplicate query ids in the batch")
+    for r in qrows:
+        if r[1] is None or not r[1].split():
+            raise ValueError(f"query {r[0]!r} has no terms")
+    orig = {r[0]: sorted(set(r[1].split())) for r in qrows}
+    # corpus stats computed ONCE and shared by both passes (the
+    # documented bitwise-neutral stats= fast path; saves one
+    # full-corpus tokenize+aggregate per call)
+    st = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(text_col))).alias("sum_dl"),
+    ).head()
+    if int(st.n) == 0:
+        raise ValueError("corpus is empty")
+    stats = (int(st.n), int(st.sum_dl))
+    first = bm25_join(
+        docs, queries, k=fb_docs, k1=k1, b=b, text_col=text_col,
+        id_col=id_col, query_text_col=query_text_col,
+        query_id_col=query_id_col, where=where, stats=stats,
+    )
+    # bounded-collect: |Q| x fb_docs feedback pairs (pass one's
+    # per-query top-k window output)
+    fb_pairs = [(r[0], r[1]) for r in first.select(query_id_col, id_col).collect()]
+    fb_counts: dict = {q: {} for q in orig}
+    if fb_pairs:
+        id_type = docs.schema[id_col].dataType
+        pair_df = spark.createDataFrame(
+            fb_pairs,
+            StructType(
+                [
+                    StructField(query_id_col, qid_type),
+                    StructField(id_col, id_type),
+                ]
+            ),
+        )
+        fb_ids = sorted({p[1] for p in fb_pairs})
+        orig_df = spark.createDataFrame(
+            [(q, t) for q, ts in orig.items() for t in ts],
+            StructType(
+                [
+                    StructField(query_id_col, qid_type),
+                    StructField("__tok", StringType()),
+                ]
+            ),
+        )
+        counts = (
+            docs.filter(F.col(id_col).isin(fb_ids))
+            .select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+            .join(F.broadcast(pair_df), id_col)
+            .groupBy(query_id_col, "__tok")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # kept vocabulary per query: the fb_terms most frequent
+        # NON-query feedback tokens (count DESC, tok ASC) ...
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("__n").desc(), F.col("__tok").asc()
+        )
+        top = (
+            counts.join(
+                F.broadcast(orig_df), [query_id_col, "__tok"], "left_anti"
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(fb_terms))
+            .select(query_id_col, "__tok", "__n")
+        )
+        # ... plus the query's OWN terms present in its feedback set
+        own = counts.join(
+            F.broadcast(orig_df), [query_id_col, "__tok"], "left_semi"
+        ).select(query_id_col, "__tok", "__n")
+        # bounded-collect: <= |Q| x (fb_terms + |q|) kept-count rows
+        for r in top.unionByName(own).collect():
+            fb_counts[r[0]][r[1]] = int(r[2])
+    # weights driver-side: exact integer counts through the same
+    # truncate-then-renormalize +*/ sequence as rm3_expand
+    wrows = []
+    for q, ts in orig.items():
+        counts_q = fb_counts.get(q, {})
+        total_kept = sum(counts_q.values())
+        nq = len(ts)
+        for t in sorted(set(ts) | set(counts_q)):
+            w_orig = lam * (1.0 / nq) if t in ts else 0.0
+            w_fb = (
+                (1.0 - lam) * (counts_q.get(t, 0) / total_kept)
+                if total_kept
+                else 0.0
+            )
+            wv = w_orig + w_fb
+            if wv > 0:
+                wrows.append((q, t, wv))
+    wdf = spark.createDataFrame(
+        wrows,
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("term", StringType()),
+                StructField("weight", DoubleType()),
+            ]
+        ),
+    )
+    return bm25_join(
+        docs, queries, k=k, k1=k1, b=b, text_col=text_col,
+        id_col=id_col, query_text_col=query_text_col,
+        query_id_col=query_id_col, where=where, weights=wdf,
+        stats=stats,
     )
 
 
@@ -1696,6 +1922,7 @@ def bm25_topk_indexed(
     id_col: str = "doc_id",
     before_batch: int | None = None,
     where=None,
+    weights: dict | None = None,
 ) -> DataFrame:
     """Top-``k`` BM25 against a persisted index — NEVER touches corpus
     text: the probe reads only the query terms' postings buckets
@@ -1705,12 +1932,26 @@ def bm25_topk_indexed(
     (over the index's stored ``extra_cols``) is filtered retrieval:
     the predicate evaluates inside the pruned postings scan,
     restricting CANDIDATES while idf/avgdl stay corpus-wide — bitwise
-    the scan form's ``where`` (pinned)."""
+    the scan form's ``where`` (pinned).
+
+    ``weights`` (``{term: w}``) is WEIGHTED-QUERY probing, bitwise
+    the scan form's :func:`bm25_topk(weights=...)`: the term set is
+    the weight keys (``query`` ignored for term extraction) and each
+    term's contribution scales ``w * (idf * saturation)`` — the RM3
+    serving path against the index."""
     from ..sources.manifest import resolve_root
     from .exactmath import ln_libm
     from .similarity import _apply_where
 
-    terms = sorted(set(query.split()))
+    weights = dict(weights) if weights else None
+    if weights is not None:
+        terms = sorted(weights)
+        # not (w > 0): NaN compares False both ways (the scan form's
+        # ADVICE-r11 check, mirrored)
+        if any(not (w > 0) for w in weights.values()):
+            raise ValueError("weights must be positive")
+    else:
+        terms = sorted(set(query.split()))
     if not terms:
         raise ValueError("query has no terms")
     if k < 1:
@@ -1769,23 +2010,32 @@ def bm25_topk_indexed(
             ).alias("__idf"),
         )
     )
+    if weights is not None:
+        # per-term boost rides the |terms|-row idf table, exactly the
+        # scan form's construction (bitwise-pinned)
+        wdf = spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())],
+            "tok string, __w double",
+        )
+        df_t = df_t.join(F.broadcast(wdf), "tok")
+    base_c = (
+        F.col("__idf")
+        * (F.col("tf") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b))
+                * F.col("dl")
+                / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
+            )
+        )
+    )
     contrib = tf.join(F.broadcast(df_t), "tok").select(
         F.col(id_col),
         F.col("tok").alias("__tok"),
-        (
-            F.col("__idf")
-            * (F.col("tf") * F.lit(float(k1) + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(float(k1))
-                * (
-                    F.lit(1.0 - float(b))
-                    + F.lit(float(b))
-                    * F.col("dl")
-                    / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
-                )
-            )
-        ).alias("__c"),
+        (base_c if weights is None else F.col("__w") * base_c).alias("__c"),
     )
     scored = (
         contrib.groupBy(id_col)
@@ -1977,4 +2227,158 @@ def bm25_join_indexed(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _fb_counts_from_postings(
+    spark,
+    path: str,
+    fb_ids: list,
+    id_col: str = "doc_id",
+    before_batch: int | None = None,
+):
+    """Per-term occurrence counts of a feedback-doc set, read from the
+    PERSISTED index's postings instead of corpus text — the indexed
+    twin of the PRF/RM3 feedback scan: ``tf`` is already the per-(doc,
+    term) occurrence count, so summing it over the feedback ids equals
+    the scan form's explode-and-count exactly (integers). Cost shape:
+    one postings read pruned to three columns (tok, id, tf) with the
+    id filter pushed to parquet row groups — NOT bucket-pruned (a
+    document's terms span all buckets; this is the classic
+    inverted-index-without-forward-index trade), but it never touches
+    corpus text and the output is |fb vocabulary|-bounded."""
+    posts = spark.read.parquet(f"{path}/postings")
+    if before_batch is not None:
+        posts = posts.filter(F.col("ingest_batch_id") < before_batch)
+    return (
+        posts.filter(F.col(id_col).isin(fb_ids))
+        .groupBy("tok")
+        .agg(F.sum("tf").cast("bigint").alias("__n"))
+    )
+
+
+def bm25_topk_prf_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    before_batch: int | None = None,
+    where=None,
+) -> DataFrame:
+    """Two-pass PRF against a PERSISTED index — the serving form of
+    :func:`bm25_topk_prf`, bitwise-equal to it (pinned): pass one is
+    the bucket-pruned :func:`bm25_topk_indexed`, the feedback term
+    counts come from the index's own postings
+    (:func:`_fb_counts_from_postings` — tf summed over the feedback
+    ids equals the scan form's explode-and-count exactly), and pass
+    two probes the expanded term set. Corpus text is never read.
+    ``where`` scopes both probes (the scan twin's contract);
+    ``before_batch`` fences every read to the pre-append state."""
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1, got {fb_terms}")
+    from ..sources.manifest import resolve_root
+
+    terms = sorted(set(query.split()))
+    first = bm25_topk_indexed(
+        spark, path, query, k=fb_docs, k1=k1, b=b, id_col=id_col,
+        before_batch=before_batch, where=where,
+    )
+    # bounded-collect: fb_docs ids (pass one's TakeOrdered output)
+    fb_ids = [r[0] for r in first.select(id_col).collect()]
+    if not fb_ids:
+        return bm25_topk_indexed(
+            spark, path, query, k=k, k1=k1, b=b, id_col=id_col,
+            before_batch=before_batch, where=where,
+        )
+    fb_counts = (
+        _fb_counts_from_postings(
+            spark, resolve_root(spark, path), fb_ids, id_col, before_batch
+        )
+        .filter(~F.col("tok").isin(terms))
+        .orderBy(F.col("__n").desc(), F.col("tok").asc())
+        .limit(int(fb_terms))
+    )
+    # bounded-collect: fb_terms rows (TakeOrdered output)
+    new_terms = [r[0] for r in fb_counts.collect()]
+    expanded = " ".join(sorted(set(terms) | set(new_terms)))
+    return bm25_topk_indexed(
+        spark, path, expanded, k=k, k1=k1, b=b, id_col=id_col,
+        before_batch=before_batch, where=where,
+    )
+
+
+def bm25_topk_rm3_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    lam: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    before_batch: int | None = None,
+    where=None,
+) -> DataFrame:
+    """Weighted RM3 against a PERSISTED index — the serving form of
+    :func:`bm25_topk_rm3`, bitwise-equal to it (pinned): feedback term
+    counts from the index's postings, the same truncate-then-
+    renormalize weights over the kept vocabulary, and a weighted
+    bucket-pruned probe (:func:`bm25_topk_indexed(weights=...)`).
+    Corpus text is never read."""
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1, got {fb_terms}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    from ..sources.manifest import resolve_root
+
+    terms = sorted(set(query.split()))
+    first = bm25_topk_indexed(
+        spark, path, query, k=fb_docs, k1=k1, b=b, id_col=id_col,
+        before_batch=before_batch, where=where,
+    )
+    # bounded-collect: fb_docs ids (pass one's TakeOrdered output)
+    fb_ids = [r[0] for r in first.select(id_col).collect()]
+    fb_counts: dict = {}
+    if fb_ids:
+        all_counts = _fb_counts_from_postings(
+            spark, resolve_root(spark, path), fb_ids, id_col, before_batch
+        )
+        keep = (
+            all_counts.filter(~F.col("tok").isin(terms))
+            .orderBy(F.col("__n").desc(), F.col("tok").asc())
+            .limit(int(fb_terms))
+            .unionByName(all_counts.filter(F.col("tok").isin(terms)))
+        )
+        # bounded-collect: <= fb_terms + |q| count rows (TakeOrdered
+        # union the query's own terms — the scan form's shape)
+        fb_counts = {r[0]: int(r[1]) for r in keep.collect()}
+    # identical weight arithmetic to rm3_expand (truncate-then-
+    # renormalize over the kept vocabulary; exact integer counts)
+    total_kept = sum(fb_counts.values())
+    w: dict = {}
+    nq = len(terms)
+    for t in sorted(set(terms) | set(fb_counts)):
+        w_orig = lam * (1.0 / nq) if t in terms else 0.0
+        w_fb = (
+            (1.0 - lam) * (fb_counts.get(t, 0) / total_kept)
+            if total_kept
+            else 0.0
+        )
+        wv = w_orig + w_fb
+        if wv > 0:
+            w[t] = wv
+    return bm25_topk_indexed(
+        spark, path, query, k=k, k1=k1, b=b, id_col=id_col,
+        before_batch=before_batch, where=where, weights=w,
     )

@@ -926,6 +926,135 @@ def bm25_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_join_rm3",
+    # full per-query SQL replay of functions/retrieval.py
+    # bm25_join_rm3 (batch RM3): pass-one batch BM25 over each query's
+    # own terms, per-query feedback = its top-3 docs (window rank),
+    # per-query kept vocabulary = top-5 non-query feedback tokens
+    # (count DESC, tok ASC) + the query's own terms present in
+    # feedback, weights w(t) = lam*1[t in q]/|q| +
+    # (1-lam)*count_fb(t)/total_kept with total_kept renormalizing
+    # over the KEPT vocabulary (the single-form rm3 rule, per query),
+    # weighted second pass w * (idf * saturation) with the strict
+    # term-ordered per-(query, doc) fold — bitwise vs the engine.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    q AS (
+      SELECT doc_id AS query_id, list_slice(toks, 1, 4) AS qt
+      FROM docs WHERE doc_id IN (3, 7, 11, 19, 23)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS tok FROM q),
+    nq AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id),
+    vocab1 AS (SELECT DISTINCT tok FROM qterms),
+    tf1 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab1 USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft1 AS (SELECT tok, count(*) AS dft FROM tf1 GROUP BY tok),
+    contrib1 AS (
+      SELECT qt.query_id, t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf1 t JOIN dft1 d USING (tok) JOIN qterms qt USING (tok)
+      CROSS JOIN stats s),
+    scored1 AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib1 GROUP BY query_id, doc_id),
+    fbdocs AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        FROM scored1) WHERE rn <= 3),
+    fbcnt AS (
+      SELECT f.query_id, o.tok, count(*) AS n
+      FROM occ o JOIN fbdocs f USING (doc_id)
+      GROUP BY f.query_id, o.tok),
+    fbtop AS (
+      SELECT query_id, tok, n FROM (
+        SELECT c.query_id, c.tok, c.n, row_number() OVER (
+          PARTITION BY c.query_id ORDER BY c.n DESC, c.tok) AS rn
+        FROM fbcnt c ANTI JOIN qterms USING (query_id, tok))
+      WHERE rn <= 5),
+    allterms AS (
+      SELECT query_id, tok FROM fbtop
+      UNION SELECT query_id, tok FROM qterms),
+    fbtot AS (
+      SELECT a.query_id, sum(c.n) AS total
+      FROM allterms a LEFT JOIN fbcnt c USING (query_id, tok)
+      GROUP BY a.query_id),
+    wterms AS (
+      SELECT a.query_id, a.tok,
+             (CASE WHEN qt.tok IS NOT NULL
+                   THEN 0.5e0 * (1.0e0 / nq.n) ELSE 0.0e0 END)
+             + (CASE WHEN c.n IS NOT NULL AND t.total > 0
+                     THEN 0.5e0 * (c.n::DOUBLE / t.total)
+                     ELSE 0.0e0 END) AS w
+      FROM allterms a
+      LEFT JOIN qterms qt USING (query_id, tok)
+      LEFT JOIN fbcnt c USING (query_id, tok)
+      JOIN fbtot t ON a.query_id = t.query_id
+      JOIN nq ON a.query_id = nq.query_id),
+    wpos AS (SELECT query_id, tok, w FROM wterms WHERE w > 0),
+    vocab2 AS (SELECT DISTINCT tok FROM wpos),
+    tf2 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab2 USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft2 AS (SELECT tok, count(*) AS dft FROM tf2 GROUP BY tok),
+    contrib2 AS (
+      SELECT wp.query_id, t.doc_id, t.tok,
+             wp.w *
+             (ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+              * (t.tf * {_BM25_K1 + 1.0!r}e0)
+              / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                 + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE))))
+               AS c
+      FROM tf2 t JOIN dft2 d USING (tok) JOIN wpos wp USING (tok)
+      CROSS JOIN stats s),
+    scored2 AS (
+      SELECT query_id, doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib2 GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score, n_terms_matched,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored2)
+    SELECT query_id, doc_id, score, n_terms_matched, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def bm25_join_rm3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch weighted relevance feedback (functions/retrieval.py
+    bm25_join_rm3): per-query RM3 weights from each query's own
+    feedback set, rescored in ONE weighted batch BM25 job — completes
+    the relevance-feedback matrix (PRF/RM3 x single/batch) at oracle
+    grade; pinned == looping bm25_topk_rm3 in tests."""
+    from .functions.retrieval import bm25_join_rm3
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    queries = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    return bm25_join_rm3(
+        docs, queries, k=5, fb_docs=3, fb_terms=5, lam=0.5,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@query(
     "dsir_select",
     # full SQL replay of functions/sampling.py dsir_select (DSIR, Xie
     # et al. 2023): hashed unigram+bigram features (md5-prefix mod
@@ -6215,6 +6344,11 @@ _GATE_ORDER = [
     "bm25_topk_filtered",
     "bm25_topk_prf",
     "bm25_topk_rm3",
+    # round-12 batch RM3 (completes the relevance-feedback matrix) —
+    # straight into the window (no-backlog policy);
+    # tpch_q13_order_distribution rotates out driver-green (r10+r11
+    # rows; TPC-H keeps three reps: q15/q17/q20)
+    "bm25_join_rm3",
     "hybrid_topk_indexed",
     "hybrid_join_indexed",
     "temperature_mix",
@@ -6241,17 +6375,17 @@ _GATE_ORDER = [
     "unpivot_measures",
     "stream_hll_by_source",
     "stream_len_quantiles",
-    # TPC-H keeps four in-window representatives (outer-join
-    # distribution, max-subquery view, correlated scalar agg, nested
-    # semi-join); q8 rotates out driver-green (r10+r11 rows)
-    "tpch_q13_order_distribution",
+    # TPC-H keeps three in-window representatives (max-subquery view,
+    # correlated scalar agg, nested semi-join); q8 and q13 rotate out
+    # driver-green (r10+r11 rows)
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
     "tpch_q20_part_promotion",
     # --- gate cutoff (driver runs the 50 above) ---
-    # round-12 rotation #8 overflow head: the nine rows rotated out
-    # this round (every one driver-green in CORRECTNESS_r11; family
-    # justification in the rotation comment above).
+    # round-12 rotation #8 overflow head: the rows rotated out this
+    # round (every one driver-green in CORRECTNESS_r11; family
+    # justification in the rotation comments above).
+    "tpch_q13_order_distribution",
     "bm25_topk",
     "bm25_join",
     "hybrid_topk",

@@ -54,9 +54,12 @@ def test_gate_window_contents():
         "bm25_join_indexed",
         "bm25_topk_filtered",
         # round-12 PRF/RM3 registrations — straight into the window
-        # (no-backlog policy; VERDICT r11 item 4)
+        # (no-backlog policy; VERDICT r11 item 4); bm25_join_rm3
+        # completes the relevance-feedback matrix (tpch_q13 rotates
+        # out driver-green, TPC-H keeps q15/q17/q20)
         "bm25_topk_prf",
         "bm25_topk_rm3",
+        "bm25_join_rm3",
         "hybrid_topk_indexed",
         "hybrid_join_indexed",
         "temperature_mix",
@@ -93,6 +96,7 @@ def test_gate_window_contents():
     # _GATE_ORDER comments. All overflow stays locally oracle-checked
     # per round.
     assert names[50:] == [
+        "tpch_q13_order_distribution",
         "bm25_topk",
         "bm25_join",
         "hybrid_topk",

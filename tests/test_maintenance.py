@@ -144,6 +144,67 @@ def test_ann_flat_pq_skips_unit_checks(spark, tmp_path):
     assert (row.store, row.action) == ("ann_pq", "none")
 
 
+def test_band_store_branches(spark, tmp_path):
+    from spark_sorted_spark.functions.dedup import (
+        append_to_minhash_band_store,
+        build_minhash_band_store,
+        compact_minhash_band_store,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, f"alpha beta gamma delta epsilon tok{i}") for i in range(12)],
+    )
+    path = str(tmp_path / "bands")
+    build_minhash_band_store(docs, path)
+    row = maintenance_plan(spark, path).head()
+    assert (row.store, row.action) == ("minhash_bands", "none")
+    for b in range(3):
+        append_to_minhash_band_store(
+            _docs(spark, [(100 + b, f"zeta eta theta iota kappa x{b}")]),
+            path,
+            batch_id=b,
+        )
+    row = maintenance_plan(spark, path, max_batches=2).head()
+    assert (row.store, row.action) == ("minhash_bands", "compact")
+    compact_minhash_band_store(spark, path)
+    assert maintenance_plan(spark, path, max_batches=2).head().action == "none"
+    # hot buckets are INFORMATIONAL for the band store (no depth knob
+    # in the banding scheme — the documented response is the
+    # probe-side max_bucket guard), never a rebuild
+    row = maintenance_plan(spark, path, max_unit_rows=1).head()
+    assert row.action == "none"
+    assert "max_bucket guard" in row.reason
+
+
+def test_gram_store_compact_branch(spark, tmp_path):
+    from spark_sorted_spark.functions.dedup import (
+        append_to_gram_store,
+        build_gram_store,
+        compact_gram_store,
+    )
+
+    docs = _docs(
+        spark, [(i, "one two three four five six seven eight nine ten") for i in range(4)]
+    )
+    path = str(tmp_path / "grams")
+    build_gram_store(docs, path)
+    row = maintenance_plan(spark, path).head()
+    assert (row.store, row.action) == ("gram", "none")
+    for b in range(3):
+        append_to_gram_store(
+            _docs(spark, [(100 + b, "ten nine eight seven six five four three two one")]),
+            path,
+            batch_id=b,
+        )
+    row = maintenance_plan(spark, path, max_batches=2).head()
+    assert (row.store, row.action) == ("gram", "compact")
+    # the gram store has no pruning unit: unit thresholds are inert
+    compact_gram_store(spark, path)
+    row = maintenance_plan(spark, path, max_batches=2, max_unit_rows=1).head()
+    assert (row.store, row.action) == ("gram", "none")
+
+
 def test_validation_and_unknown_store(spark, tmp_path):
     with pytest.raises(ValueError, match="max_batches"):
         maintenance_plan(spark, str(tmp_path), max_batches=0)

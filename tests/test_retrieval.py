@@ -1668,6 +1668,135 @@ def test_bm25_join_prf_matches_per_query_loop(spark):
         )
 
 
+def test_bm25_join_rm3_matches_per_query_loop(spark):
+    """Batch RM3 == looping bm25_topk_rm3 per query (same feedback
+    selection, same truncate-then-renormalize weights, same weighted
+    scores — exact), and the weighted-batch validation raises on
+    malformed weights relations."""
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_join,
+        bm25_join_rm3,
+        bm25_topk_rm3,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qdf = docs.filter(F.col("doc_id").isin([3, 7, 11])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.n_terms_matched, r.rank)
+        for r in bm25_join_rm3(
+            docs, qdf, k=6, fb_docs=3, fb_terms=4, lam=0.5
+        ).collect()
+    }
+    n = 0
+    for q in qdf.collect():
+        single = bm25_topk_rm3(
+            docs, q.text, k=6, fb_docs=3, fb_terms=4, lam=0.5
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(q.query_id, r.doc_id)] == (
+                r.score, r.n_terms_matched, rank
+            )
+            n += 1
+    assert len(got) == n
+
+    # weighted-batch validation: NaN / non-positive / duplicate /
+    # empty weight relations all fail loudly (the engine-side twin of
+    # bm25_topk's dict checks — Spark orders NaN above all doubles,
+    # so `weight > 0` alone would pass it)
+    import pytest as _pytest
+
+    def wrel(rows):
+        return spark.createDataFrame(
+            rows, "query_id long, term string, weight double"
+        )
+
+    with _pytest.raises(ValueError, match="positive"):
+        bm25_join(docs, qdf, weights=wrel([(1, "merge", float("nan"))]))
+    with _pytest.raises(ValueError, match="positive"):
+        bm25_join(docs, qdf, weights=wrel([(1, "merge", 0.0)]))
+    with _pytest.raises(ValueError, match="duplicate"):
+        bm25_join(
+            docs, qdf,
+            weights=wrel([(1, "merge", 1.0), (1, "merge", 2.0)]),
+        )
+    with _pytest.raises(ValueError, match="empty"):
+        bm25_join(docs, qdf, weights=wrel([]))
+    with _pytest.raises(ValueError, match="lam"):
+        bm25_join_rm3(docs, qdf, lam=-0.1)
+    with _pytest.raises(ValueError, match="duplicate query ids"):
+        bm25_join_rm3(
+            docs,
+            spark.createDataFrame(
+                [(1, "merge sort"), (1, "stream join")],
+                "query_id long, text string",
+            ),
+        )
+
+
+def test_prf_rm3_indexed_equal_scan_forms(spark, tmp_path):
+    """Indexed PRF/RM3 == the scan forms bitwise: each probe is the
+    pinned-equal indexed probe, and the feedback counts from the
+    index's postings (tf summed over feedback ids) equal the scan
+    form's explode-and-count exactly — including after an append and
+    under a before_batch fence."""
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_indexed,
+        bm25_topk_prf,
+        bm25_topk_prf_indexed,
+        bm25_topk_rm3,
+        bm25_topk_rm3_indexed,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    q = "merge sort stream"
+    path = str(tmp_path / "idx")
+    build_bm25_index(corpus, path, n_buckets=16)
+    append_to_bm25_index(batch, path, batch_id=0)
+
+    def rows(df):
+        return [(r.doc_id, r.score, r.n_terms_matched) for r in df.collect()]
+
+    # PRF: union corpus and the pre-append fence
+    assert rows(
+        bm25_topk_prf_indexed(spark, path, q, k=10, fb_docs=3, fb_terms=5)
+    ) == rows(bm25_topk_prf(docs, q, k=10, fb_docs=3, fb_terms=5))
+    assert rows(
+        bm25_topk_prf_indexed(
+            spark, path, q, k=10, fb_docs=3, fb_terms=5, before_batch=0
+        )
+    ) == rows(bm25_topk_prf(corpus, q, k=10, fb_docs=3, fb_terms=5))
+    # RM3: weighted probe equals the weighted scan
+    assert rows(
+        bm25_topk_rm3_indexed(
+            spark, path, q, k=10, fb_docs=3, fb_terms=5, lam=0.5
+        )
+    ) == rows(bm25_topk_rm3(docs, q, k=10, fb_docs=3, fb_terms=5, lam=0.5))
+    # weighted indexed probe directly == weighted scan probe
+    from spark_sorted_spark.functions.retrieval import bm25_topk, rm3_expand
+
+    w = rm3_expand(docs, q, fb_docs=3, fb_terms=5, lam=0.5)
+    assert rows(bm25_topk_indexed(spark, path, q, k=10, weights=w)) == rows(
+        bm25_topk(docs, q, k=10, weights=w)
+    )
+    # validation mirrors the scan form
+    with pytest.raises(ValueError, match="positive"):
+        bm25_topk_indexed(spark, path, q, weights={"merge": float("nan")})
+    with pytest.raises(ValueError, match="fb_docs"):
+        bm25_topk_prf_indexed(spark, path, q, fb_docs=0)
+    with pytest.raises(ValueError, match="lam"):
+        bm25_topk_rm3_indexed(spark, path, q, lam=2.0)
+
+
 def test_retrieval_metrics_hand_computed(spark):
     """recall/rr/ndcg against hand-computed values, including a
     judged-but-unretrieved query (scores 0) and an unjudged query

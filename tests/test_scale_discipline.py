@@ -128,4 +128,13 @@ def test_collect_allowlist_is_small_and_known():
     # 41: +2 rm3_expand — the feedback ids and the
     # <= fb_terms + |q| weighted-term count rows (same two-pass
     # protocol as the binary PRF).
-    assert n <= 41, f"driver-collect site count grew to {n}; review for scale"
+    # 48 as of round 12: +3 bm25_join_rm3 (batch texts, |Q| x fb_docs
+    # feedback pairs, |Q| x (fb_terms + |q|) kept-count rows — the
+    # bm25_join_prf shape with per-query weights), +2
+    # bm25_topk_prf_indexed and +2 bm25_topk_rm3_indexed (feedback ids
+    # + kept counts, both TakeOrdered outputs read from the index's
+    # postings instead of corpus text). Note rm3_expand also DROPPED
+    # its total_fb aggregate collect this round (the kept-vocabulary
+    # renormalizer sums already-collected rows), but that site was a
+    # .head(), not counted here.
+    assert n <= 48, f"driver-collect site count grew to {n}; review for scale"
