@@ -44,7 +44,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "merge_clusters", "canonical_docs"]
+__all__ = [
+    "connected_components",
+    "merge_clusters",
+    "canonical_docs",
+    "select_representatives",
+]
 
 
 def connected_components(
@@ -305,3 +310,62 @@ def canonical_docs(
     """
     drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return docs.join(drop, on=id_col, how="left_anti")
+
+
+def select_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """QUALITY-based survivor selection — the production upgrade of
+    :func:`canonical_docs`' min-id rule: per near-dup cluster keep the
+    HIGHEST-quality member (``quality_col`` DESC, ``id_col`` ASC as
+    the deterministic tie-break), and every document outside any
+    cluster survives as its own singleton representative. This is the
+    step a corpus clean runs when duplicates differ in extraction
+    quality — the min-id rule keeps whichever copy was crawled first,
+    this keeps the best copy.
+
+    ``clusters`` is ``connected_components`` output (``id, cluster``
+    labelling over near-dup edges — only colliding docs appear);
+    ``quality`` is any ``(id, quality)`` relation
+    (:func:`functions.text.quality_score` is the in-repo producer).
+
+    Returns one row per SURVIVOR: ``(id, cluster_id, n_members,
+    quality)`` — singletons carry their own id as ``cluster_id`` and
+    ``n_members = 1``.
+
+    Scale shape: one left join labels the corpus (unlabelled docs
+    coalesce to their own id — no second pass), the member count is a
+    map-side-combining aggregate on the labelling, and the argmax is
+    one window partitioned by cluster — per-partition state is one
+    cluster's members, and near-dup clusters are tiny by
+    construction. No driver collects, no text movement (only ids,
+    labels, and the quality integers shuffle)."""
+    from pyspark.sql import Window
+
+    lab = (
+        docs.select(F.col(id_col))
+        .join(clusters.select(id_col, cluster_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(cluster_col), F.col(id_col)).alias(cluster_col),
+        )
+    )
+    sized = lab.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        lab.join(quality.select(id_col, quality_col), id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .join(sized, cluster_col)
+        .select(id_col, cluster_col, "n_members", quality_col)
+    )

@@ -73,6 +73,8 @@ __all__ = [
     "build_ann_ivfpq_index",
     "ann_ivfpq_topk_indexed",
     "semantic_dedup",
+    "quantize_embeddings",
+    "dequantize_embeddings",
     "auto_planes",
     "ANN_DIM",
     "ANN_N_PLANES",
@@ -2831,4 +2833,82 @@ def semantic_dedup(
             "cent_rank", "is_kept",
         )
         .unionByName(zero_norm)
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    storage-side compression a 100 TB vector corpus runs before
+    anything else (4x less scan IO than float32, 8x less than the
+    float64 the engine computes in; the standard SQ8 scheme of the
+    FAISS/Milvus family). Per vector:
+
+        scale   = max(|x_i|) / 127
+        code_i  = floor(x_i / scale + 0.5)        (scale > 0)
+
+    so every code lands in [-127, 127] by construction (|x|/scale <=
+    127 exactly) — no clamp branch, and the rounding rule is floor(x +
+    0.5) (half-towards-+inf), picked over banker's/HALF_UP rounding
+    because ``floor`` is bit-identical across engines, which keeps the
+    whole transform SQL-replayable. Zero vectors quantize to all-zero
+    codes with ``scale = 0`` (the CASE guard — IEEE x/0 would poison
+    the row with infinities).
+
+    Returns ``(id, scale, codes array<int>)``. Reconstruction error is
+    bounded per dimension by ``scale / 2`` (pinned in tests);
+    :func:`dequantize_embeddings` inverts. Pure Catalyst (transform +
+    aggregate folds) — JVM-side, no Python in the hot path, one
+    narrow projection over the corpus."""
+    vec_d = _to_double(F.col(vec_col))
+    absmax = F.aggregate(
+        F.transform(vec_d, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    # scale materialized as a REAL column first so the codes transform
+    # references it by name (one evaluation per row, not per dim)
+    staged = df.select(
+        F.col(id_col),
+        vec_d.alias("__v"),
+        (absmax / F.lit(127.0)).alias("scale"),
+    )
+    return staged.select(
+        id_col,
+        "scale",
+        F.when(
+            F.col("scale") > 0,
+            F.transform(
+                F.col("__v"),
+                lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast(
+                    "int"
+                ),
+            ),
+        )
+        .otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+        .alias("codes"),
+    )
+
+
+def dequantize_embeddings(
+    qdf: DataFrame,
+    id_col: str = "vec_id",
+    scale_col: str = "scale",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Invert :func:`quantize_embeddings`: ``x_i ~ code_i * scale``
+    (exact IEEE multiply of an integer by the stored scale — the
+    reconstruction every SQ8 serving path performs at probe time).
+    Returns ``(id, embedding array<double>)``; per-dimension error vs
+    the original is <= scale/2 by the rounding rule (pinned)."""
+    return qdf.select(
+        F.col(id_col),
+        F.transform(
+            F.col(codes_col),
+            lambda c: c.cast("double") * F.col(scale_col),
+        ).alias(vec_col),
     )

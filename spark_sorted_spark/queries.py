@@ -1641,6 +1641,110 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize",
+    # full SQL replay of functions/similarity.py quantize_embeddings
+    # (SQ8): per-vector scale = max(|x|)/127 (exact double fold —
+    # max is order-independent), codes = floor(x/scale + 0.5) — floor
+    # chosen over HALF_UP rounding precisely because it is
+    # bit-identical across engines; zero vectors -> scale 0, all-zero
+    # codes. The codes array compares elementwise (list -> tuple in
+    # the driver's normalize), so the whole transform is pinned
+    # bitwise, not just a summary.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_reduce(
+               list_prepend(0.0, list_transform(v, x -> abs(x))),
+               (a, x) -> greatest(a, x)) / 127.0e0 AS scale
+      FROM e)
+    SELECT vec_id, scale,
+           CASE WHEN scale > 0
+                THEN list_transform(v, x -> floor(x / scale + 0.5e0)::INTEGER)
+                ELSE list_transform(v, x -> 0) END AS codes
+    FROM s
+    """,
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus
+    (functions/similarity.py quantize_embeddings): the storage-side
+    SQ8 compression a 100 TB vector store runs before indexing — 4x
+    less scan IO than float32. Pure Catalyst transform/aggregate
+    folds; round-trip error <= scale/2 pinned in tests."""
+    from .functions.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, "embeddings", sf_dir))
+
+
+@query(
+    "dedup_survivors",
+    # QUALITY-based survivor selection over the same confirmed-LSH
+    # closure as dedup_clusters: per cluster keep the member with the
+    # highest quality_score (quality DESC, doc_id ASC tie-break);
+    # every unclustered doc survives as its own singleton. All-integer
+    # arithmetic (the quality score is a BIGINT), so the replay is
+    # exact by construction.
+    oracle=f"""
+    WITH RECURSIVE {{confirmed}},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM confirmed
+      UNION
+      SELECT doc_b, doc_a FROM confirmed),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+      FROM reach GROUP BY s),
+    t AS (
+      SELECT doc_id, length(text) AS n_chars,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             (least(100, len(toks) // 10)
+              + (100 * len(list_distinct(toks))) // len(toks)
+              + CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 20 ELSE 0 END
+             )::BIGINT AS quality
+      FROM t),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    sized AS (
+      SELECT cluster_id, count(*) AS n_members FROM lab
+      GROUP BY cluster_id),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id, q.quality,
+             row_number() OVER (
+               PARTITION BY l.cluster_id
+               ORDER BY q.quality DESC, l.doc_id) AS rn
+      FROM lab l JOIN q USING (doc_id))
+    SELECT r.doc_id, r.cluster_id, s.n_members, r.quality
+    FROM ranked r JOIN sized s USING (cluster_id) WHERE rn = 1
+    """.replace("{confirmed}", _lsh_confirmed_sql("documents")),
+)
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivor selection (functions/clusters.py
+    select_representatives): per near-dup cluster keep the HIGHEST-
+    quality member instead of canonical_docs' min-id rule — the corpus
+    clean that keeps the best extraction of each duplicate family;
+    singletons survive as themselves. One labelling join + one
+    cluster-bounded window; text never shuffles."""
+    from .functions.clusters import connected_components, select_representatives
+    from .functions.dedup import minhash_lsh_pairs
+    from .functions.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, tau_num=1, tau_den=2)
+    cc = connected_components(pairs, "doc_a", "doc_b", id_name="doc_id")
+    q = quality_score(docs).select("doc_id", "quality")
+    return select_representatives(docs, cc, q)
+
+
+@query(
     "dedup_clusters_incremental",
     # The INCREMENTAL clustering path must equal the one-shot answer:
     # the oracle is the SAME recursive-CTE closure over ALL confirmed
@@ -6354,7 +6458,12 @@ _GATE_ORDER = [
     "temperature_mix",
     "retrieval_eval",
     "decontaminate_verbatim_short",
-    "dedup_exact_normalized",
+    # round-12 SQ8 embedding quantization — straight into the window
+    # (no-backlog policy); dedup_exact_normalized rotates out
+    # driver-green (r10+r11 rows; dedup keeps five in-window reps:
+    # clusters_incremental, minhash_lsh, survivors, repeated_spans,
+    # semantic)
+    "embedding_quantize",
     "dedup_clusters_incremental",
     "similarity_ann_pq",
     "similarity_ann_ivfpq",
@@ -6368,8 +6477,12 @@ _GATE_ORDER = [
     "knn_join",
     "embedding_dedup_incremental",
     "dedup_minhash_lsh",
+    # round-12 quality-based survivor selection — straight into the
+    # window (no-backlog policy); dedup_clean_repeated_spans rotates
+    # out driver-green (r11 row; the spans family keeps
+    # dedup_repeated_spans in-window)
+    "dedup_survivors",
     "dedup_repeated_spans",
-    "dedup_clean_repeated_spans",
     "unigram_logprob",
     "dedup_semantic",
     "unpivot_measures",
@@ -6386,6 +6499,8 @@ _GATE_ORDER = [
     # round (every one driver-green in CORRECTNESS_r11; family
     # justification in the rotation comments above).
     "tpch_q13_order_distribution",
+    "dedup_clean_repeated_spans",
+    "dedup_exact_normalized",
     "bm25_topk",
     "bm25_join",
     "hybrid_topk",

@@ -66,7 +66,6 @@ def test_gate_window_contents():
         "retrieval_eval",
         "decontaminate_verbatim_short",
         "dedup_repeated_spans",
-        "dedup_clean_repeated_spans",
         "dedup_semantic",
         "similarity_ann_pq",
         "similarity_ann_ivfpq",
@@ -82,8 +81,14 @@ def test_gate_window_contents():
         "knn_join",
         "embedding_dedup_incremental",
         "dedup_minhash_lsh",
+        # round-12 quality-based survivor selection (no-backlog
+        # policy; dedup_clean_repeated_spans rotates out driver-green,
+        # the spans family keeps dedup_repeated_spans)
+        "dedup_survivors",
+        # round-12 SQ8 embedding quantization (no-backlog policy;
+        # dedup_exact_normalized rotates out driver-green)
+        "embedding_quantize",
         "unigram_logprob",
-        "dedup_exact_normalized",
         "dedup_clusters_incremental",
         "stream_hll_by_source",
         "stream_len_quantiles",
@@ -97,6 +102,8 @@ def test_gate_window_contents():
     # per round.
     assert names[50:] == [
         "tpch_q13_order_distribution",
+        "dedup_clean_repeated_spans",
+        "dedup_exact_normalized",
         "bm25_topk",
         "bm25_join",
         "hybrid_topk",

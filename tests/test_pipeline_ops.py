@@ -2007,3 +2007,99 @@ def test_dsir_fuzz_vs_replica(spark):
             assert g[1] == pytest.approx(w[1], rel=1e-12)
 
     check()
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """SQ8 quantization: codes land in [-127, 127] with no clamp (the
+    scale rule guarantees it), round-trip error per dimension is
+    <= scale/2 (the floor(x+0.5) rule), zero vectors quantize to
+    all-zero codes with scale 0, and dequantize inverts exactly as
+    code * scale."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    both = emb.select("vec_id", "embedding").unionByName(zero)
+    q = quantize_embeddings(both)
+    rows = {r.vec_id: (r.scale, list(r.codes)) for r in q.collect()}
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding] for r in both.collect()
+    }
+    assert rows[999_999][0] == 0.0
+    assert rows[999_999][1] == [0] * 64
+    for vid, (scale, codes) in rows.items():
+        vec = orig[vid]
+        assert len(codes) == len(vec)
+        if scale == 0.0:
+            continue
+        assert max(abs(c) for c in codes) <= 127
+        # the python replay of the documented rule, bit-for-bit
+        want = [math.floor(x / scale + 0.5) for x in vec]
+        assert codes == want
+        # round-trip error bound: |x - c*scale| <= scale/2
+        for x, c in zip(vec, codes):
+            assert abs(x - c * scale) <= scale / 2 + 1e-15
+    # dequantize is exactly code * scale
+    d = {
+        r.vec_id: list(r.embedding)
+        for r in dequantize_embeddings(q).collect()
+    }
+    for vid, (scale, codes) in rows.items():
+        assert d[vid] == [c * scale for c in codes]
+    # dequantized cosine stays close to the exact cosine (SQ8's point)
+    from spark_sorted_spark.functions.similarity import cosine_topk
+
+    qvec = orig[3]
+    exact = {
+        r.vec_id: r.rank
+        for r in cosine_topk(emb, qvec, k=5).collect()
+    }
+    approx = {
+        r.vec_id: r.rank
+        for r in cosine_topk(
+            dequantize_embeddings(quantize_embeddings(emb)), qvec, k=5
+        ).collect()
+    }
+    # top-1 must survive 8-bit quantization on this corpus
+    top1 = [v for v, rk in exact.items() if rk == 1][0]
+    assert approx.get(top1) is not None and approx[top1] <= 2
+
+
+def test_select_representatives_hand_built(spark):
+    """Quality-argmax survivor per cluster with (quality DESC, id ASC)
+    tie-break; unclustered docs survive as singletons (own id,
+    n_members 1)."""
+    from spark_sorted_spark.functions.clusters import select_representatives
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 9)], "doc_id long"
+    )
+    clusters = spark.createDataFrame(
+        # cluster 1 = {1,2,3}; cluster 4 = {4,5}
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        # cluster 1: doc 2 wins on quality; cluster 4: tie -> lower id
+        [(1, 10), (2, 30), (3, 20), (4, 7), (5, 7), (9, 1)],
+        "doc_id long, quality long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.n_members, r.quality)
+        for r in select_representatives(docs, clusters, quality).collect()
+    }
+    assert got == {
+        2: (1, 3, 30),   # highest quality in cluster 1
+        4: (4, 2, 7),    # tie with doc 5 -> lower id wins
+        9: (9, 1, 1),    # unclustered singleton survives as itself
+    }
