@@ -329,6 +329,31 @@ def main():
             spark, path, q, k=10, nprobe=4
         ).count()
 
+    def b47(d):
+        # batch RM3: per-query weights from each query's own feedback,
+        # one weighted batch rescore — corpus passes fixed at 3 + the
+        # id-pruned feedback count regardless of |Q|, so the slope
+        # should track bm25_join's (the scan-twin constant)
+        from spark_sorted_spark.functions.retrieval import bm25_join_rm3
+
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        q = d.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        return lambda: bm25_join_rm3(
+            d, q, k=5, fb_docs=3, fb_terms=5, lam=0.5
+        ).count()
+
+    def b48(e):
+        # SQ8 quantization: a 0-shuffle pure map — the slope IS the
+        # data volume (10x rows = 10x work), flat per row
+        from spark_sorted_spark.functions.similarity import (
+            quantize_embeddings,
+        )
+
+        return lambda: quantize_embeddings(e).count()
+
     # entries are (name, maker) with maker LAZY — index builds inside
     # b27/b40/b42/b44/b45 only run for entries --only selects
     specs = [
@@ -376,6 +401,8 @@ def main():
             lambda: (b44(docs, emb, "1x"), b44(docs10, emb10, "10x")),
         ),
         ("b45_ivfpq_join_indexed", lambda: (b45(emb, "1x"), b45(emb10, "10x"))),
+        ("b47_bm25_join_rm3", lambda: (b47(docs), b47(docs10))),
+        ("b48_embedding_quantize", lambda: (b48(emb), b48(emb10))),
     ]
     rows = []
     for name, make in specs:
