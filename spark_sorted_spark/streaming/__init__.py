@@ -18,6 +18,7 @@ checks.
 from .ann import stream_index_embeddings
 from .ingest import (
     stream_ingest_dedup,
+    stream_maintain_ann_ivf_index,
     stream_maintain_ann_ivfpq_index,
     stream_maintain_bm25_index,
     stream_maintain_gram_store,
@@ -51,6 +52,7 @@ __all__ = [
     "stream_maintain_gram_store",
     "stream_maintain_bm25_index",
     "stream_maintain_ann_ivfpq_index",
+    "stream_maintain_ann_ivf_index",
     "run_available_now",
     "stream_to_files",
     "stream_hll_distinct",

@@ -1915,3 +1915,97 @@ def test_compact_corpus_manifest_layout(spark, sf_dir, tmp_path):
         compact_corpus(spark, corpus, commit="rename")
     with _pytest.raises(ValueError, match="commit must"):
         compact_corpus(spark, corpus, commit="copy")
+
+
+def test_stream_maintain_ann_ivf_index_lifecycle(spark, sf_dir, tmp_path):
+    """Streaming plain-IVF maintenance: two drains leave an index
+    whose full probe equals brute-force cosine over everything that
+    arrived; an idle drain changes nothing; a fresh checkpoint against
+    the populated index fails loudly; a missing index fails eagerly;
+    an IVF-PQ index at the path is rejected (codes, not embeddings)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivf_topk_indexed,
+        build_ann_ivf_index,
+        build_ann_ivfpq_index,
+        cosine_topk,
+    )
+    from spark_sorted_spark.streaming import (
+        stream_maintain_ann_ivf_index,
+        stream_table,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    base = corpus.filter(F.col("vec_id") % 3 == 0)
+    b1 = corpus.filter(F.col("vec_id") % 3 == 1)
+    b2 = corpus.filter(F.col("vec_id") % 3 == 2)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "stream_ivf_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(ckpt_dir):
+        sdf = stream_table(
+            spark, "embeddings", sf_dir, path=str(watch)
+        ).select("vec_id", "embedding")
+        stream_maintain_ann_ivf_index(sdf, idx, ckpt_dir, timeout_sec=180)
+
+    def probe():
+        return [
+            (r.vec_id, r.rank, r.cos)
+            for r in ann_ivf_topk_indexed(
+                spark, idx, qvec, k=5, nprobe=ANN_NLIST
+            ).collect()
+        ]
+
+    def brute(d):
+        return [
+            (r.vec_id, r.rank, r.cos)
+            for r in cosine_topk(d, qvec, k=5).collect()
+        ]
+
+    # the stream cannot create the index (centroids are trained state)
+    arrive(b1, "b1")
+    with _pytest.raises(ValueError, match="build_ann_ivf_index"):
+        drain(ckpt)
+    # an IVF-PQ index at the path is the WRONG layout for this stream
+    pq_idx = str(tmp_path / "pq_idx")
+    build_ann_ivfpq_index(base, pq_idx)
+    with _pytest.raises(ValueError, match="_pq_meta"):
+        stream_maintain_ann_ivf_index(
+            stream_table(spark, "embeddings", sf_dir, path=str(watch))
+            .select("vec_id", "embedding"),
+            pq_idx,
+            str(tmp_path / "ckpt_pq"),
+        )
+    build_ann_ivf_index(base, idx)
+    drain(ckpt)
+    assert probe() == brute(base.unionByName(b1))
+
+    arrive(b2, "b2")
+    drain(ckpt)
+    want = brute(corpus)
+    assert probe() == want
+
+    # idle drain: nothing changes
+    drain(ckpt)
+    assert probe() == want
+
+    # fresh checkpoint against the populated index: loud
+    with _pytest.raises(ValueError, match="different ingest stream"):
+        drain(str(tmp_path / "ckpt2"))
