@@ -61,6 +61,8 @@ __all__ = [
     "bm25_join_indexed",
     "bm25_topk_prf_indexed",
     "bm25_topk_rm3_indexed",
+    "bm25_join_prf_indexed",
+    "bm25_join_rm3_indexed",
     "retrieval_metrics",
     "retrieval_metrics_summary",
 ]
@@ -2070,6 +2072,7 @@ def bm25_join_indexed(
     query_id_col: str = "query_id",
     before_batch: int | None = None,
     where=None,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Batch retrieval against a persisted index — completes the
     scan/indexed x single/batch matrix (:func:`bm25_topk` /
@@ -2077,6 +2080,17 @@ def bm25_join_indexed(
     whole query batch reading ONLY the batch vocabulary's postings
     buckets, never corpus text. Same output and semantics as
     :func:`bm25_join` (pinned bitwise-equal).
+
+    ``weights`` is the WEIGHTED batch probe — the indexed twin of
+    :func:`bm25_join(weights=...)`: a ``(query_id_col, term, weight)``
+    relation giving each query its own weighted term set (``queries``
+    is then ignored for term extraction; it may even be the weights
+    relation itself). Validation happens driver-side on the already-
+    collected workload (the batch probe collects the (query, term)
+    pairs regardless — that is what enumerates the postings buckets),
+    and contributions scale ``w * (idf * saturation)`` exactly like
+    every other weighted form. Per-query output equals looping
+    ``bm25_topk_indexed(weights=w_q)`` bitwise (pinned).
 
     Scale shape: the postings/df scans prune to the union of the query
     batch's term buckets at PLANNING time when the vocabulary is
@@ -2118,15 +2132,45 @@ def bm25_join_indexed(
     # bounded-collect: the query batch's (query_id, term) pairs — the
     # retrieval workload itself, needed driver-side to enumerate the
     # postings buckets the scans prune to
-    qpairs = (
-        queries.select(
-            F.col(query_id_col),
-            F.explode(tokens(query_text_col)).alias("__tok"),
-        )
-        .distinct()
-        # bounded-collect: workload-sized (the marker comment above)
-        .collect()
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
     )
+
+    if weights is not None:
+        # bounded-collect: the weighted workload (same contract as
+        # qpairs — it IS the (query, term) enumeration); validation is
+        # free here because the rows are already driver-side
+        wrows = weights.select(
+            F.col(query_id_col),
+            F.col("term"),
+            F.col("weight").cast("double"),
+        ).collect()
+        if not wrows:
+            raise ValueError("weights relation is empty")
+        seen = set()
+        for r in wrows:
+            # not (w > 0): catches NaN, None, and non-positives alike
+            if r[2] is None or not (r[2] > 0):
+                raise ValueError("weights must be positive")
+            if (r[0], r[1]) in seen:
+                raise ValueError("duplicate (query, term) rows in weights")
+            seen.add((r[0], r[1]))
+        qpairs = [(r[0], r[1]) for r in wrows]
+        qid_type = weights.schema[query_id_col].dataType
+    else:
+        qpairs = (
+            queries.select(
+                F.col(query_id_col),
+                F.explode(tokens(query_text_col)).alias("__tok"),
+            )
+            .distinct()
+            # bounded-collect: workload-sized (the marker comment above)
+            .collect()
+        )
+        qid_type = queries.schema[query_id_col].dataType
     if not qpairs:
         raise ValueError("query batch has no terms")
     terms = sorted({r[1] for r in qpairs})
@@ -2137,18 +2181,19 @@ def bm25_join_indexed(
     )
     # re-created frame keeps the CALLER's query-id type — the scan-form
     # twin bm25_join is id-type-agnostic, so this must be too
-    from pyspark.sql.types import StructField, StructType, StringType
-
-    qid_type = queries.schema[query_id_col].dataType
-    qterms = spark.createDataFrame(
-        [(r[0], r[1]) for r in qpairs],
-        StructType(
-            [
-                StructField(query_id_col, qid_type),
-                StructField("__tok", StringType()),
-            ]
-        ),
-    )
+    qfields = [
+        StructField(query_id_col, qid_type),
+        StructField("__tok", StringType()),
+    ]
+    if weights is not None:
+        qterms = spark.createDataFrame(
+            [(r[0], r[1], float(r[2])) for r in wrows],
+            StructType(qfields + [StructField("__w", DoubleType())]),
+        )
+    else:
+        qterms = spark.createDataFrame(
+            [(r[0], r[1]) for r in qpairs], StructType(qfields)
+        )
     term_filter = F.col("tok").isin(terms)
     bucket_filter = F.col("tok_bucket").isin(buckets)
     tf = (
@@ -2179,6 +2224,20 @@ def bm25_join_indexed(
             ).alias("__idf"),
         )
     )
+    base_c = (
+        F.col("__idf")
+        * (F.col("tf") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b))
+                * F.col("dl")
+                / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
+            )
+        )
+    )
     contrib = (
         tf.join(F.broadcast(df_t), "tok")
         .join(
@@ -2188,20 +2247,11 @@ def bm25_join_indexed(
             F.col(query_id_col),
             F.col(id_col),
             F.col("tok").alias("__tok"),
-            (
-                F.col("__idf")
-                * (F.col("tf") * F.lit(float(k1) + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(float(k1))
-                    * (
-                        F.lit(1.0 - float(b))
-                        + F.lit(float(b))
-                        * F.col("dl")
-                        / (F.lit(float(sum_dl)) / F.lit(float(n_docs)))
-                    )
-                )
-            ).alias("__c"),
+            # weighted form multiplies the whole contribution once,
+            # operand-for-operand every other weighted BM25 form
+            (base_c if weights is None else F.col("__w") * base_c).alias(
+                "__c"
+            ),
         )
     )
     scored = (
@@ -2381,4 +2431,270 @@ def bm25_topk_rm3_indexed(
     return bm25_topk_indexed(
         spark, path, query, k=k, k1=k1, b=b, id_col=id_col,
         before_batch=before_batch, where=where, weights=w,
+    )
+
+
+def _collect_query_texts(queries, query_id_col, query_text_col):
+    """Collect + validate a query batch (the shared front door of the
+    batch feedback forms): duplicate ids collapse dict slots and NULL
+    texts stringify to 'None', so both fail loudly (ADVICE r11)."""
+    # bounded-collect: the query batch texts — the retrieval workload
+    qrows = queries.select(
+        F.col(query_id_col), F.col(query_text_col)
+    ).collect()
+    if not qrows:
+        raise ValueError("query batch is empty")
+    if len({r[0] for r in qrows}) != len(qrows):
+        raise ValueError("duplicate query ids in the batch")
+    for r in qrows:
+        if r[1] is None or not r[1].split():
+            raise ValueError(f"query {r[0]!r} has no terms")
+    return {r[0]: sorted(set(r[1].split())) for r in qrows}
+
+
+def _fb_counts_per_query(
+    spark,
+    path: str,
+    fb_pairs: list,
+    qid_type,
+    id_type,
+    id_col: str,
+    query_id_col: str,
+    before_batch: int | None,
+):
+    """Per-(query, term) feedback counts from the INDEX's postings —
+    the batch twin of :func:`_fb_counts_from_postings`: one postings
+    read pruned to (tok, id, tf) and the union of all queries'
+    feedback ids, tf summed per (query, tok) through the broadcast
+    (query, fb_doc) pair relation. Output is |Q| x |fb vocabulary|-
+    bounded; corpus text is never read."""
+    from pyspark.sql.types import StructField, StructType
+
+    pair_df = spark.createDataFrame(
+        fb_pairs,
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField(id_col, id_type),
+            ]
+        ),
+    )
+    fb_ids = sorted({p[1] for p in fb_pairs})
+    posts = spark.read.parquet(f"{path}/postings")
+    if before_batch is not None:
+        posts = posts.filter(F.col("ingest_batch_id") < before_batch)
+    return (
+        posts.filter(F.col(id_col).isin(fb_ids))
+        .select(id_col, "tok", "tf")
+        .join(F.broadcast(pair_df), id_col)
+        .groupBy(query_id_col, F.col("tok").alias("__tok"))
+        .agg(F.sum("tf").cast("bigint").alias("__n"))
+    )
+
+
+def bm25_join_prf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    before_batch: int | None = None,
+    where=None,
+) -> DataFrame:
+    """Batch PRF against a PERSISTED index — the last PRF cell of the
+    {single, batch} x {scan, indexed} matrix: pass one is ONE
+    bucket-pruned :func:`bm25_join_indexed`, the per-query feedback
+    term counts come from the index's own postings (one pruned read
+    for the whole batch — :func:`_fb_counts_per_query`), and pass two
+    probes the expanded batch. Corpus text is never read; per-query
+    output is IDENTICAL to looping :func:`bm25_topk_prf_indexed`
+    (pinned), which in turn equals the scan-form PRF."""
+    from pyspark.sql import Window
+
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1, got {fb_terms}")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..sources.manifest import resolve_root
+
+    orig = _collect_query_texts(queries, query_id_col, query_text_col)
+    qid_type = queries.schema[query_id_col].dataType
+    first = bm25_join_indexed(
+        spark, path, queries, k=fb_docs, k1=k1, b=b, id_col=id_col,
+        query_text_col=query_text_col, query_id_col=query_id_col,
+        before_batch=before_batch, where=where,
+    )
+    # bounded-collect: |Q| x fb_docs feedback pairs
+    fb_pairs = [(r[0], r[1]) for r in first.select(query_id_col, id_col).collect()]
+    new_terms: dict = {}
+    if fb_pairs:
+        cur = resolve_root(spark, path)
+        id_type = spark.read.parquet(f"{cur}/postings").schema[
+            id_col
+        ].dataType
+        orig_df = spark.createDataFrame(
+            [(q, t) for q, ts in orig.items() for t in ts],
+            StructType(
+                [
+                    StructField(query_id_col, qid_type),
+                    StructField("__tok", StringType()),
+                ]
+            ),
+        )
+        counts = _fb_counts_per_query(
+            spark, cur, fb_pairs, qid_type, id_type, id_col,
+            query_id_col, before_batch,
+        ).join(F.broadcast(orig_df), [query_id_col, "__tok"], "left_anti")
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("__n").desc(), F.col("__tok").asc()
+        )
+        top = counts.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= int(fb_terms)
+        )
+        # bounded-collect: |Q| x fb_terms expansion terms
+        for r in top.select(query_id_col, "__tok").collect():
+            new_terms.setdefault(r[0], set()).add(r[1])
+    expanded = spark.createDataFrame(
+        [
+            (q, " ".join(sorted(set(ts) | new_terms.get(q, set()))))
+            for q, ts in orig.items()
+        ],
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField(query_text_col, StringType()),
+            ]
+        ),
+    )
+    return bm25_join_indexed(
+        spark, path, expanded, k=k, k1=k1, b=b, id_col=id_col,
+        query_text_col=query_text_col, query_id_col=query_id_col,
+        before_batch=before_batch, where=where,
+    )
+
+
+def bm25_join_rm3_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    lam: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+    before_batch: int | None = None,
+    where=None,
+) -> DataFrame:
+    """Batch RM3 against a PERSISTED index — the last cell of the full
+    relevance-feedback matrix ({PRF, RM3} x {single, batch} x {scan,
+    indexed}): per-query RM3 weights from one pruned postings read for
+    the whole batch, rescored in ONE weighted batch probe
+    (:func:`bm25_join_indexed(weights=...)`). Corpus text is never
+    read; per-query output is IDENTICAL to looping
+    :func:`bm25_topk_rm3_indexed` (pinned), which equals the scan-form
+    RM3."""
+    from pyspark.sql import Window
+
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1, got {fb_terms}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.manifest import resolve_root
+
+    orig = _collect_query_texts(queries, query_id_col, query_text_col)
+    qid_type = queries.schema[query_id_col].dataType
+    first = bm25_join_indexed(
+        spark, path, queries, k=fb_docs, k1=k1, b=b, id_col=id_col,
+        query_text_col=query_text_col, query_id_col=query_id_col,
+        before_batch=before_batch, where=where,
+    )
+    # bounded-collect: |Q| x fb_docs feedback pairs
+    fb_pairs = [(r[0], r[1]) for r in first.select(query_id_col, id_col).collect()]
+    fb_counts: dict = {q: {} for q in orig}
+    if fb_pairs:
+        cur = resolve_root(spark, path)
+        id_type = spark.read.parquet(f"{cur}/postings").schema[
+            id_col
+        ].dataType
+        orig_df = spark.createDataFrame(
+            [(q, t) for q, ts in orig.items() for t in ts],
+            StructType(
+                [
+                    StructField(query_id_col, qid_type),
+                    StructField("__tok", StringType()),
+                ]
+            ),
+        )
+        counts = _fb_counts_per_query(
+            spark, cur, fb_pairs, qid_type, id_type, id_col,
+            query_id_col, before_batch,
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("__n").desc(), F.col("__tok").asc()
+        )
+        top = (
+            counts.join(
+                F.broadcast(orig_df), [query_id_col, "__tok"], "left_anti"
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(fb_terms))
+            .select(query_id_col, "__tok", "__n")
+        )
+        own = counts.join(
+            F.broadcast(orig_df), [query_id_col, "__tok"], "left_semi"
+        ).select(query_id_col, "__tok", "__n")
+        # bounded-collect: <= |Q| x (fb_terms + |q|) kept-count rows
+        for r in top.unionByName(own).collect():
+            fb_counts[r[0]][r[1]] = int(r[2])
+    # identical weight arithmetic to rm3_expand / bm25_join_rm3
+    wrows = []
+    for q, ts in orig.items():
+        counts_q = fb_counts.get(q, {})
+        total_kept = sum(counts_q.values())
+        nq = len(ts)
+        for t in sorted(set(ts) | set(counts_q)):
+            w_orig = lam * (1.0 / nq) if t in ts else 0.0
+            w_fb = (
+                (1.0 - lam) * (counts_q.get(t, 0) / total_kept)
+                if total_kept
+                else 0.0
+            )
+            wv = w_orig + w_fb
+            if wv > 0:
+                wrows.append((q, t, wv))
+    wdf = spark.createDataFrame(
+        wrows,
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("term", StringType()),
+                StructField("weight", DoubleType()),
+            ]
+        ),
+    )
+    return bm25_join_indexed(
+        spark, path, queries, k=k, k1=k1, b=b, id_col=id_col,
+        query_text_col=query_text_col, query_id_col=query_id_col,
+        before_batch=before_batch, where=where, weights=wdf,
     )

@@ -1857,3 +1857,108 @@ def test_retrieval_metrics_perfect_retrieval_is_one(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         retrieval_metrics(results, qrels, k=0)
+
+
+def test_batch_indexed_prf_rm3_equal_loops(spark, tmp_path):
+    """The last cells of the feedback matrix: bm25_join_prf_indexed ==
+    looping bm25_topk_prf_indexed per query, and bm25_join_rm3_indexed
+    == looping bm25_topk_rm3_indexed — exact, including after an
+    append (the per-query counts come from ONE pruned postings read
+    for the whole batch). The weighted batch probe also equals the
+    weighted scan batch directly."""
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        bm25_join,
+        bm25_join_indexed,
+        bm25_join_prf_indexed,
+        bm25_join_rm3_indexed,
+        bm25_topk_prf_indexed,
+        bm25_topk_rm3_indexed,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qdf = docs.filter(F.col("doc_id").isin([3, 7, 11])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs.filter(F.col("doc_id") % 3 != 0), path, n_buckets=16)
+    append_to_bm25_index(docs.filter(F.col("doc_id") % 3 == 0), path, batch_id=0)
+
+    def batch_rows(df):
+        return {
+            (r.query_id, r.doc_id): (r.score, r.n_terms_matched, r.rank)
+            for r in df.collect()
+        }
+
+    # PRF: batch == loop
+    got = batch_rows(
+        bm25_join_prf_indexed(spark, path, qdf, k=6, fb_docs=3, fb_terms=4)
+    )
+    n = 0
+    for q in qdf.collect():
+        single = bm25_topk_prf_indexed(
+            spark, path, q.text, k=6, fb_docs=3, fb_terms=4
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(q.query_id, r.doc_id)] == (
+                r.score, r.n_terms_matched, rank
+            )
+            n += 1
+    assert len(got) == n
+    # RM3: batch == loop
+    got = batch_rows(
+        bm25_join_rm3_indexed(
+            spark, path, qdf, k=6, fb_docs=3, fb_terms=4, lam=0.5
+        )
+    )
+    n = 0
+    for q in qdf.collect():
+        single = bm25_topk_rm3_indexed(
+            spark, path, q.text, k=6, fb_docs=3, fb_terms=4, lam=0.5
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(q.query_id, r.doc_id)] == (
+                r.score, r.n_terms_matched, rank
+            )
+            n += 1
+    assert len(got) == n
+    # weighted batch probe == weighted scan batch, directly
+    wrel = spark.createDataFrame(
+        [(1, "merge", 2.0), (1, "sort", 0.5), (2, "stream", 1.5)],
+        "query_id long, term string, weight double",
+    )
+    want = batch_rows(bm25_join(docs, qdf, k=6, weights=wrel))
+    assert batch_rows(
+        bm25_join_indexed(spark, path, qdf, k=6, weights=wrel)
+    ) == want
+    # validation mirrors the scan form (driver-side, pre-checkpointed)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        bm25_join_indexed(
+            spark, path, qdf,
+            weights=spark.createDataFrame(
+                [(1, "merge", float("nan"))],
+                "query_id long, term string, weight double",
+            ),
+        )
+    with _pytest.raises(ValueError, match="duplicate"):
+        bm25_join_indexed(
+            spark, path, qdf,
+            weights=spark.createDataFrame(
+                [(1, "merge", 1.0), (1, "merge", 2.0)],
+                "query_id long, term string, weight double",
+            ),
+        )
+    with _pytest.raises(ValueError, match="duplicate query ids"):
+        bm25_join_rm3_indexed(
+            spark, path,
+            spark.createDataFrame(
+                [(1, "merge sort"), (1, "stream join")],
+                "query_id long, text string",
+            ),
+        )

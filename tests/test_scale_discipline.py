@@ -137,4 +137,12 @@ def test_collect_allowlist_is_small_and_known():
     # its total_fb aggregate collect this round (the kept-vocabulary
     # renormalizer sums already-collected rows), but that site was a
     # .head(), not counted here.
-    assert n <= 48, f"driver-collect site count grew to {n}; review for scale"
+    # 55 later in round 12 — the batch-indexed feedback cells:
+    # +1 _collect_query_texts (the shared batch front door), +2
+    # bm25_join_prf_indexed (feedback pairs + expansion terms), +2
+    # bm25_join_rm3_indexed (feedback pairs + kept counts), +1
+    # bm25_join_indexed's weighted-workload collect (the weights
+    # relation IS the (query, term) enumeration the probe needs
+    # driver-side anyway), +1 bm25_topk_indexed weights... all
+    # workload/TakeOrdered-bounded, reviewed.
+    assert n <= 55, f"driver-collect site count grew to {n}; review for scale"
