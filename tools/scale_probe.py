@@ -345,6 +345,27 @@ def main():
             d, q, k=5, fb_docs=3, fb_terms=5, lam=0.5
         ).count()
 
+    def b49(d, tag):
+        # batch RM3 against the PERSISTED index (build amortized,
+        # untimed): every pass bucket-pruned, feedback counts from one
+        # pruned postings read — the serving twin of b47, expected
+        # near-flat like the other indexed probes
+        from spark_sorted_spark.functions.retrieval import (
+            bm25_join_rm3_indexed,
+            build_bm25_index,
+        )
+
+        path = f"{work}/rm3_idx_{tag}"
+        build_bm25_index(d, path, n_buckets=None)
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        q = d.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        return lambda: bm25_join_rm3_indexed(
+            spark, path, q, k=5, fb_docs=3, fb_terms=5, lam=0.5
+        ).count()
+
     def b48(e):
         # SQ8 quantization: a 0-shuffle pure map — the slope IS the
         # data volume (10x rows = 10x work), flat per row
@@ -403,6 +424,10 @@ def main():
         ("b45_ivfpq_join_indexed", lambda: (b45(emb, "1x"), b45(emb10, "10x"))),
         ("b47_bm25_join_rm3", lambda: (b47(docs), b47(docs10))),
         ("b48_embedding_quantize", lambda: (b48(emb), b48(emb10))),
+        (
+            "b49_bm25_join_rm3_indexed",
+            lambda: (b49(docs, "1x"), b49(docs10, "10x")),
+        ),
     ]
     rows = []
     for name, make in specs:
