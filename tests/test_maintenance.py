@@ -215,3 +215,25 @@ def test_validation_and_unknown_store(spark, tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(ValueError, match="not a recognized index store"):
         maintenance_plan(spark, str(tmp_path / "empty"))
+
+
+def test_manifest_layout_store_is_planned(spark, tmp_path):
+    """The planner resolves the generation pointer transparently (the
+    docstring's both-layouts claim): a manifest-committed BM25 index
+    plans exactly like the rename layout, before and after appends."""
+    from spark_sorted_spark.functions.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+    )
+
+    docs = _docs(spark, [(i, f"tok{i} common") for i in range(10)])
+    path = str(tmp_path / "man_idx")
+    build_bm25_index(docs, path, n_buckets=4, commit="manifest")
+    row = maintenance_plan(spark, path).head()
+    assert (row.store, row.action) == ("bm25", "none")
+    for b in range(3):
+        append_to_bm25_index(
+            _docs(spark, [(100 + b, "common extra")]), path, batch_id=b
+        )
+    row = maintenance_plan(spark, path, max_batches=2).head()
+    assert (row.store, row.action) == ("bm25", "compact")
