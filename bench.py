@@ -663,6 +663,39 @@ def b47_bm25_join_rm3(spark):
     force(QUERIES["bm25_join_rm3"](spark, SF_DIR))
 
 
+_IVFSQ8_IDX_PATH = None
+
+
+def b50_ivfsq8_join_indexed(spark):
+    # batch scalar-quantized serving probe: 5 queries against the
+    # persisted IVF-SQ8 index — union-of-probed-cells directory
+    # pruning with (scale, codes)-only reads (4x less IO than the
+    # float32 IVF scan; index build amortized outside the timed body,
+    # like b45; b48/b49 are scale-probe-only names)
+    global _IVFSQ8_IDX_PATH
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivfsq8_join_indexed,
+        build_ann_ivfsq8_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    if _IVFSQ8_IDX_PATH is None:
+        import tempfile
+
+        _IVFSQ8_IDX_PATH = tempfile.mkdtemp(prefix="bench_ivfsq8_") + "/idx"
+        build_ann_ivfsq8_index(
+            emb.filter(F.col("vec_id") != 0), _IVFSQ8_IDX_PATH
+        )
+    q = emb.filter(F.col("vec_id").isin([0, 3, 7, 11, 19])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    force(ann_ivfsq8_join_indexed(spark, _IVFSQ8_IDX_PATH, q, k=10, nprobe=4))
+
+
 _STREAM_BM25 = None
 
 
@@ -760,6 +793,7 @@ BENCH = {
     "b45_ivfpq_join_indexed": b45_ivfpq_join_indexed,
     "b46_bm25_prf": b46_bm25_prf,
     "b47_bm25_join_rm3": b47_bm25_join_rm3,
+    "b50_ivfsq8_join_indexed": b50_ivfsq8_join_indexed,
 }
 
 

@@ -44,7 +44,8 @@ def _detect_store(spark, path: str) -> str:
     """Classify the store layout at ``path`` by its metadata markers
     (the ``compact_ann_index`` autodetection, plus the BM25/band/gram
     layouts): ``_bm25_meta`` -> bm25; ``codes`` subdir -> flat PQ;
-    ``_centroids`` -> IVF (``_pq_meta`` too -> IVF-PQ); ``_lsh_meta``
+    ``_centroids`` -> IVF (``_pq_meta`` too -> IVF-PQ, ``_sq_meta``
+    -> IVF-SQ8); ``_lsh_meta``
     -> LSH; ``bands`` + ``counts`` -> MinHash band store; ``grams`` +
     ``_gram_meta`` -> gram store."""
     jfs = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
@@ -59,7 +60,11 @@ def _detect_store(spark, path: str) -> str:
     if has("codes"):
         return "ann_pq"
     if has("_centroids"):
-        return "ann_ivfpq" if has("_pq_meta") else "ann_ivf"
+        if has("_pq_meta"):
+            return "ann_ivfpq"
+        if has("_sq_meta"):
+            return "ann_ivfsq8"
+        return "ann_ivf"
     if has("_lsh_meta"):
         return "ann_lsh"
     if has("bands") and has("counts"):
@@ -79,6 +84,7 @@ _REBUILD_KNOB = {
     "bm25": "n_buckets=None",
     "ann_ivf": "nlist=None",
     "ann_ivfpq": "nlist=None",
+    "ann_ivfsq8": "nlist=None",
     "ann_lsh": "n_planes=None",
 }
 

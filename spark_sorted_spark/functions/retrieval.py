@@ -1087,9 +1087,12 @@ def hybrid_topk_indexed(
     ``dense="ivfpq"`` probes an IVF-PQ index instead
     (``similarity.ann_ivfpq_topk_indexed``) — same cell pruning PLUS
     code-column-only reads (~16x less probe IO at the defaults);
+    ``dense="ivfsq8"`` probes an IVF-SQ8 index
+    (``similarity.ann_ivfsq8_topk_indexed`` — scalar-quantized codes,
+    ~4x less probe IO at near-exact recall, the middle ground).
     ``dense_rerank=R`` adds the exact-cosine tail over each probe's
-    top-R ADC candidates. The fusion consumes ranks only, so either
-    dense arm slots in unchanged.
+    top-R compressed candidates. The fusion consumes ranks only, so
+    any dense arm slots in unchanged.
 
     With ``nprobe >= nlist`` (full probe) the IVF dense side ranks by
     exact cosine over all vectors, so the output is BITWISE the
@@ -1106,12 +1109,15 @@ def hybrid_topk_indexed(
         ANN_NPROBE,
         ann_ivf_topk_indexed,
         ann_ivfpq_topk_indexed,
+        ann_ivfsq8_topk_indexed,
     )
 
     if rrf_k < 1:
         raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
-    if dense not in ("ivf", "ivfpq"):
-        raise ValueError(f"dense must be 'ivf' or 'ivfpq', got {dense!r}")
+    if dense not in ("ivf", "ivfpq", "ivfsq8"):
+        raise ValueError(
+            f"dense must be 'ivf', 'ivfpq', or 'ivfsq8', got {dense!r}"
+        )
     lex = bm25_topk_indexed(
         spark, bm25_path, query, k=n_candidates, k1=k1, b=b,
         id_col=id_col, where=lex_where,
@@ -1125,6 +1131,16 @@ def hybrid_topk_indexed(
     np_ = ANN_NPROBE if nprobe is None else int(nprobe)
     if dense == "ivfpq":
         dense_df = ann_ivfpq_topk_indexed(
+            spark,
+            ann_path,
+            [float(x) for x in query_vec],
+            k=n_candidates,
+            nprobe=np_,
+            rerank=dense_rerank,
+            where=dense_where,
+        )
+    elif dense == "ivfsq8":
+        dense_df = ann_ivfsq8_topk_indexed(
             spark,
             ann_path,
             [float(x) for x in query_vec],
@@ -1474,7 +1490,9 @@ def hybrid_join_indexed(
     same engine-exact RRF. No full-table scan anywhere.
 
     ``dense="ivfpq"`` probes an IVF-PQ index instead
-    (``similarity.ann_ivfpq_join_indexed``) — the union-of-cells scan
+    (``similarity.ann_ivfpq_join_indexed``); ``dense="ivfsq8"`` an
+    IVF-SQ8 index (``similarity.ann_ivfsq8_join_indexed``, the
+    scalar-quantized middle ground) — the union-of-cells scan
     additionally reads the CODE column only (~16x less probe IO at
     the defaults); ``dense_rerank=R`` adds the per-query exact-cosine
     tail. The fusion consumes ranks only, so either arm slots in.
@@ -1495,12 +1513,15 @@ def hybrid_join_indexed(
         ANN_NPROBE,
         ann_ivf_join_indexed,
         ann_ivfpq_join_indexed,
+        ann_ivfsq8_join_indexed,
     )
 
     if rrf_k < 1:
         raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
-    if dense not in ("ivf", "ivfpq"):
-        raise ValueError(f"dense must be 'ivf' or 'ivfpq', got {dense!r}")
+    if dense not in ("ivf", "ivfpq", "ivfsq8"):
+        raise ValueError(
+            f"dense must be 'ivf', 'ivfpq', or 'ivfsq8', got {dense!r}"
+        )
     # materialize the query batch ONCE: both sides must collect the
     # workload anyway (terms -> postings buckets, vectors -> probe
     # cells), and handing each a live DataFrame would re-run the
@@ -1552,6 +1573,18 @@ def hybrid_join_indexed(
     np_ = ANN_NPROBE if nprobe is None else int(nprobe)
     if dense == "ivfpq":
         dense_df = ann_ivfpq_join_indexed(
+            spark,
+            ann_path,
+            qlocal,
+            k=n_candidates,
+            nprobe=np_,
+            rerank=dense_rerank,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            where=dense_where,
+        )
+    elif dense == "ivfsq8":
+        dense_df = ann_ivfsq8_join_indexed(
             spark,
             ann_path,
             qlocal,

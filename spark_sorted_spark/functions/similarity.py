@@ -34,6 +34,13 @@
   residual-PQ codes — the canonical billion-scale layout: a probe
   touches ``nprobe/nlist`` of the corpus at code width.
 
+* IVF-SQ8 (round 12): IVF cells over per-vector int8 scalar-quantized
+  codes (the ``quantize_embeddings`` scheme persisted as an index) —
+  probes read ``(scale, codes)`` at nprobe/nlist of the corpus,
+  reconstruct inline, rank by exact cosine over the reconstruction;
+  no trained codebook, so appended batches quantize exactly like the
+  build (the drift-free member of the quantized family).
+
 At 100 TB the brute-force variants are per-partition narrow ops
 (embarrassingly parallel); the LSH/IVF variants turn top-k per query
 into a pruned scan of ~1/2^planes (resp. nprobe/nlist) of the data,
@@ -72,6 +79,10 @@ __all__ = [
     "ann_pq_topk_indexed",
     "build_ann_ivfpq_index",
     "ann_ivfpq_topk_indexed",
+    "build_ann_ivfsq8_index",
+    "append_to_ann_ivfsq8_index",
+    "ann_ivfsq8_topk_indexed",
+    "ann_ivfsq8_join_indexed",
     "semantic_dedup",
     "quantize_embeddings",
     "dequantize_embeddings",
@@ -732,7 +743,11 @@ def _lloyd_refine(
     return cents
 
 
-_RESERVED_INDEX_COLS = ("cell", "code", "bucket", "t", "ingest_batch_id")
+_RESERVED_INDEX_COLS = (
+    "cell", "code", "bucket", "t", "ingest_batch_id",
+    # SQ8 layout columns (build_ann_ivfsq8_index rows)
+    "scale", "codes",
+)
 
 
 def _check_extra_cols(extra_cols, id_col: str, vec_col: str) -> None:
@@ -949,6 +964,20 @@ def append_to_ann_ivf_index(
         )
     spark = df.sparkSession
     path = resolve_root(spark, path)
+    # layout guard: a quantized sibling at this path would be silently
+    # corrupted by raw-vector rows (probes would see NULL codes)
+    jfs = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jfs(path).getFileSystem(conf)
+    for meta, kind, fix in (
+        ("_pq_meta", "IVF-PQ", "append_to_ann_ivfpq_index"),
+        ("_sq_meta", "IVF-SQ8", "append_to_ann_ivfsq8_index"),
+    ):
+        if fs.exists(jfs(f"{path}/{meta}")):
+            raise ValueError(
+                f"index at {path!r} is {kind} (has {meta}): its rows "
+                f"carry codes, not raw embeddings — use {fix}"
+            )
     # bounded-collect: nlist centroid rows from the index metadata
     cent_rows = (
         spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
@@ -1714,7 +1743,9 @@ def compact_ann_index(spark, path: str) -> None:
             write_partitioned(
                 merged, f"{data_dst}/ingest_batch_id=-1", part_col
             )
-        for meta in ("_centroids", "_pq_codebooks", "_pq_meta", "_lsh_meta"):
+        for meta in (
+            "_centroids", "_pq_codebooks", "_pq_meta", "_lsh_meta", "_sq_meta"
+        ):
             if fs.exists(jfs(f"{cur}/{meta}")):
                 spark.read.parquet(f"{cur}/{meta}").coalesce(1).write.mode(
                     "overwrite"
@@ -2911,4 +2942,391 @@ def dequantize_embeddings(
             F.col(codes_col),
             lambda c: c.cast("double") * F.col(scale_col),
         ).alias(vec_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8 — the fifth persisted ANN layout, completing the quantized
+# index family (LSH / IVF / PQ / IVF-PQ / IVF-SQ8): IVF cell pruning
+# over vectors stored as per-vector int8 scalar-quantized codes (the
+# scheme of :func:`quantize_embeddings`; the FAISS/Milvus "IVF,SQ8"
+# middle ground between the exact IVF scan and the lossy PQ codes).
+# A probe reads nprobe/nlist of the corpus at CODE width — 4x less
+# scan IO than the IVF index's float32 (8x vs the float64 the engine
+# computes in) — and reconstructs x_i ~ code_i * scale inline as a
+# pure-Catalyst transform, ranking by exact cosine over the
+# reconstructed vectors (per-dimension reconstruction error <=
+# scale/2, so recall sits between IVF-exact and IVF-PQ's m-subspace
+# codes). Unlike IVF-PQ there is NO trained codebook: quantization is
+# per-vector arithmetic (scale = max|x_i| / 127, code = floor(x/scale
+# + 0.5)), so appends never drift from a training sample and the
+# whole construction — cell assignment, quantization, reconstruction,
+# cosine fold — is bitwise-replayable by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def _sq8_scale(vec_d: Column) -> Column:
+    """Per-vector SQ8 scale ``max(|x_i|) / 127`` — the
+    :func:`quantize_embeddings` fold (greatest-fold from 0.0, so the
+    oracle's ``list_reduce(list_prepend(0.0, ...), greatest)``
+    replays it bitwise)."""
+    absmax = F.aggregate(
+        F.transform(vec_d, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return absmax / F.lit(127.0)
+
+
+def _sq8_codes(vec_d: Column, scale: Column) -> Column:
+    """SQ8 codes ``floor(x / scale + 0.5)`` in [-127, 127] (zero
+    vectors -> all-zero codes; same CASE guard as
+    :func:`quantize_embeddings`)."""
+    return F.when(
+        scale > 0,
+        F.transform(
+            vec_d, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        ),
+    ).otherwise(F.transform(vec_d, lambda x: F.lit(0)))
+
+
+def _sq8_decode(codes: Column, scale: Column) -> Column:
+    """Reconstruct ``x_i ~ code_i * scale`` (exact IEEE multiply —
+    the :func:`dequantize_embeddings` transform inlined at probe
+    time; no Python, no shuffle)."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def _sq8_rows(
+    df: DataFrame,
+    cents: list[tuple],
+    vec_col: str,
+    id_col: str,
+    extras: tuple[str, ...] | list[str],
+) -> DataFrame:
+    """``(id, cell, scale, codes, vec, extras...)`` for every input
+    vector — the row layout both the build and the append land: cell
+    from the shared native argmax, scale/codes per vector. The raw
+    vector column is KEPT (like the IVF-PQ index) so ``rerank=R`` can
+    read exact embeddings for R ids alone; columnar pruning keeps it
+    out of code-only probe scans."""
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _to_double(F.col(vec_col)).alias("__v"),
+        _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
+        *[F.col(c) for c in extras],
+    ).withColumn("scale", _sq8_scale(F.col("__v")))
+    return staged.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("scale"),
+        _sq8_codes(F.col("__v"), F.col("scale")).alias("codes"),
+        F.col(vec_col),
+        *[F.col(c) for c in extras],
+    )
+
+
+def build_ann_ivfsq8_index(
+    df: DataFrame,
+    path: str,
+    nlist: int | None = ANN_NLIST,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lloyd_iters: int = 0,
+    commit: str = "rename",
+    extra_cols: tuple[str, ...] = (),
+    target_cell: int = 256,
+    dim: int = ANN_DIM,
+) -> None:
+    """Build a persisted IVF-SQ8 index: IVF cells (directory-
+    partitioned like :func:`build_ann_ivf_index`, same seeded
+    centroid pick / optional Lloyd refinement / auto ``nlist=None``
+    sizing) holding per-vector SQ8 codes instead of raw floats.
+    Layout: cell-partitioned rows ``(id, cell, scale, codes, vec,
+    extra_cols...)`` under ``ingest_batch_id=-1``, the centroid table
+    at ``<path>/_centroids``, and ``<path>/_sq_meta`` (dim + scheme)
+    marking the layout for autodetection (compaction, stats, the
+    maintenance planner). ``commit``/``extra_cols`` carry the shared
+    storage and filtered-ANN contracts of the IVF build."""
+    from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import begin_generation, commit_generation
+    from .dedup import _rm_dir, spread_small_input
+
+    if lloyd_iters < 0:
+        raise ValueError(f"lloyd_iters must be >= 0, got {lloyd_iters}")
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
+    _check_extra_cols(extra_cols, id_col, vec_col)
+    if nlist is None:
+        # auto-size cells (see build_ann_ivf_index — same rule, same
+        # fixed-default-for-oracles / None-at-scale contract)
+        nlist = max(1, -(-df.count() // int(target_cell)))
+    cents = _ivf_centroids(df, nlist, vec_col, id_col)
+    if lloyd_iters and cents:
+        cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
+    spark = df.sparkSession
+    if commit == "manifest":
+        staging = begin_generation(spark, path)
+    else:
+        staging = f"{path}.building"
+        _rm_dir(spark, staging)  # stale staging from a crashed build
+    df = spread_small_input(df)
+    celled = _sq8_rows(df, cents, vec_col, id_col, extra_cols)
+    write_partitioned(celled, f"{staging}/ingest_batch_id=-1", "cell")
+    cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "cell int, cent_id bigint, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_centroids")
+    spark.createDataFrame(
+        [(int(dim), "sq8_pervec")], "dim int, scheme string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_sq_meta")
+    if commit == "manifest":
+        commit_generation(spark, path, staging)
+    else:
+        _publish_index(spark, staging, path)
+
+
+def append_to_ann_ivfsq8_index(
+    df: DataFrame,
+    path: str,
+    batch_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Quantize a new corpus batch against a persisted IVF-SQ8 index's
+    EXISTING centroids and land it in its own batch partition — the
+    IVF append contract (:func:`append_to_ann_ivf_index`: centroids
+    do not move; ``batch_id`` set -> overwrite-own-partition
+    replay-safe, unset -> at-least-once base append). Because SQ8 has
+    no trained codebook, appended batches quantize EXACTLY like the
+    build — no quantizer drift, the property PQ appends give up."""
+    from ..sources.bucketed import write_partitioned
+    from ..sources.manifest import resolve_root
+    from .dedup import spread_small_input
+
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be >= 0, got {batch_id}: negative ids are "
+            "reserved (ingest_batch_id=-1 is the base partition the "
+            "build wrote)"
+        )
+    spark = df.sparkSession
+    path = resolve_root(spark, path)
+    jfs = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jfs(path).getFileSystem(conf)
+    if not fs.exists(jfs(f"{path}/_sq_meta")):
+        raise ValueError(
+            f"no IVF-SQ8 index at {path!r} (missing _sq_meta): build "
+            "it first with build_ann_ivfsq8_index, or use the append "
+            "matching the store's layout"
+        )
+    # bounded-collect: nlist centroid rows from the index metadata
+    cent_rows = (
+        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+    )
+    if not cent_rows:
+        raise ValueError(f"{path!r} holds no centroid table; build first")
+    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    extras = _index_extra_cols(spark.read.parquet(path), id_col, vec_col)
+    df = spread_small_input(df)
+    celled = _sq8_rows(df, cents, vec_col, id_col, extras)
+    part = -1 if batch_id is None else batch_id
+    mode = "append" if batch_id is None else "overwrite"
+    write_partitioned(
+        celled, f"{path}/ingest_batch_id={part}", "cell", mode=mode
+    )
+
+
+def ann_ivfsq8_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = ANN_NPROBE,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    where=None,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Probe a persisted IVF-SQ8 index: rank the ``nprobe`` best cells
+    by centroid dot driver-side, scan ONLY those cell directories
+    reading ``(id, scale, codes)`` (columnar pruning skips the stored
+    embedding), reconstruct ``code * scale`` inline, rank by exact
+    cosine over the reconstructed vectors — deterministic (acos desc,
+    id) top-k, returned as ``(id, rank, acos)``. ``rerank=R`` re-ranks
+    the top-R by exact cosine over the TRUE embeddings (read for those
+    R ids alone), returning ``(id, rank, cos)``. ``where`` filters
+    inside the pruned scan over stored ``extra_cols``;
+    ``before_batch`` fences the read to earlier batch partitions."""
+    from ..sources.manifest import resolve_root
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    path = resolve_root(spark, index_path)
+    meta = spark.read.parquet(f"{path}/_sq_meta").head()
+    if len(query_vec) != int(meta.dim):
+        raise ValueError(f"query dim {len(query_vec)} != index dim {meta.dim}")
+    # bounded-collect: nlist centroid rows from the index metadata
+    cent_rows = (
+        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+    )
+    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    probes = _ivf_probe_cells(query_vec, cents, nprobe)
+    idx = _before_batch(spark.read.parquet(path), before_batch)
+    filt = _apply_where(idx.filter(F.col("cell").isin(probes)), where)
+    dec = _sq8_decode(F.col("codes"), F.col("scale"))
+    take = k if rerank is None else rerank
+    # scale == 0 <=> the stored vector is all-zero: its reconstructed
+    # cosine is 0/0 — NULL it explicitly (sorts last under DESC) so
+    # ANSI mode never trips on the degenerate row
+    acos = F.when(
+        F.col("scale") > 0, cosine(dec, _vec_lit(query_vec))
+    )
+    ranked = (
+        filt.select(F.col(id_col), acos.alias("acos"))
+        .orderBy(F.desc("acos"), F.col(id_col))
+        .limit(take)
+    )
+    if rerank is None:
+        w = Window.orderBy(F.desc("acos"), F.col(id_col))
+        return ranked.select(
+            id_col, F.row_number().over(w).alias("rank"), "acos"
+        )
+    cand = ranked.select(id_col)
+    vecs = idx.select(id_col, vec_col).join(cand, id_col)
+    return _rank_topk(vecs, query_vec, k, vec_col, id_col)
+
+
+def ann_ivfsq8_join_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = ANN_NPROBE,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    where=None,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Batch ANN against a persisted IVF-SQ8 index — the R-S form of
+    :func:`ann_ivfsq8_topk_indexed` (per-query output identical to
+    looping the single probe): probe the index for EVERY query of
+    ``queries`` in one job, scanning only the union of the batch's
+    probed cell directories at code width. Returns
+    ``(query_id, id, acos, rank)``, rank 1..k per query by
+    reconstructed cosine.
+
+    ``rerank=R`` adds the per-query exact-cosine tail over each
+    query's top-R reconstructed candidates (embeddings read for those
+    (query, id) pairs alone), returning the ``cosine_join`` shape
+    ``(query_id, id, cos, rank)``.
+
+    Scale shape: same as :func:`ann_ivf_join_indexed` — per-query
+    probe cells ranked driver-side against the bounded nlist-row
+    centroid table, (query, cell) pairs + query vectors broadcast,
+    candidate generation shuffle-free up to the per-query top-k
+    window; the scan reads codes instead of floats (the SQ8 IO win).
+
+    |Q| ceiling: the query batch is driver-materialized by design
+    (8*dim bytes per vector — 10^5 queries at dim 64 is ~50 MB, far
+    under driver memory); millions of queries should chunk the batch
+    and union the outputs (per-query independence makes chunking
+    semantics-free)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.manifest import resolve_root
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    path = resolve_root(spark, index_path)
+    # bounded-collect: nlist centroid rows from the index metadata
+    cent_rows = (
+        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+    )
+    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    # bounded-collect: the query batch itself — the retrieval
+    # workload, needed driver-side to enumerate the probed cells the
+    # index scan prunes to (the bm25_join_indexed discipline)
+    qrows = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>")
+    ).collect()
+    if not qrows:
+        raise ValueError("query batch is empty")
+    qid_type = queries.schema[query_id_col].dataType
+    pairs = [
+        (r[0], int(cell))
+        for r in qrows
+        for cell in _ivf_probe_cells([float(x) for x in r[1]], cents, nprobe)
+    ]
+    cells = sorted({c for _, c in pairs})
+    qcells = spark.createDataFrame(
+        pairs,
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("cell", IntegerType()),
+            ]
+        ),
+    )
+    qvecs = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in qrows],
+        StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField("__qv", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    idx = _apply_where(
+        _before_batch(spark.read.parquet(path), before_batch)
+        .filter(F.col("cell").isin(cells)),
+        where,
+    )
+    dec = _sq8_decode(F.col("codes"), F.col("scale"))
+    scored = (
+        idx.join(F.broadcast(qcells), "cell")
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            # NULL for all-zero stored vectors (scale == 0) — same
+            # ANSI guard as the single probe
+            F.when(
+                F.col("scale") > 0, cosine(dec, F.col("__qv"))
+            ).alias("acos"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("acos").desc(), F.col(id_col).asc()
+    )
+    take = k if rerank is None else rerank
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= take)
+    )
+    if rerank is None:
+        return ranked
+    cand = ranked.select(query_id_col, id_col)
+    return _batch_exact_rerank(
+        cand, idx.select(id_col, vec_col), qvecs, k,
+        vec_col, id_col, query_id_col,
     )

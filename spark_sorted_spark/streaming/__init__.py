@@ -20,6 +20,7 @@ from .ingest import (
     stream_ingest_dedup,
     stream_maintain_ann_ivf_index,
     stream_maintain_ann_ivfpq_index,
+    stream_maintain_ann_ivfsq8_index,
     stream_maintain_bm25_index,
     stream_maintain_gram_store,
 )
@@ -53,6 +54,7 @@ __all__ = [
     "stream_maintain_bm25_index",
     "stream_maintain_ann_ivfpq_index",
     "stream_maintain_ann_ivf_index",
+    "stream_maintain_ann_ivfsq8_index",
     "run_available_now",
     "stream_to_files",
     "stream_hll_distinct",

@@ -80,6 +80,7 @@ __all__ = [
     "stream_maintain_gram_store",
     "stream_maintain_bm25_index",
     "stream_maintain_ann_ivf_index",
+    "stream_maintain_ann_ivfsq8_index",
 ]
 
 # test-only hook: a callable invoked as (sink_name, batch_part) right
@@ -744,9 +745,10 @@ def stream_maintain_ann_ivf_index(
 ) -> None:
     """Keep a plain IVF index
     (``functions.similarity.build_ann_ivf_index`` layout) current from
-    an unbounded embedding stream — completes the streaming-maintainer
+    an unbounded embedding stream — part of the streaming-maintainer
     fleet (LSH via ``streaming.ann.stream_index_embeddings``, IVF-PQ
-    via :func:`stream_maintain_ann_ivfpq_index`, BM25, gram store,
+    via :func:`stream_maintain_ann_ivfpq_index`, IVF-SQ8 via
+    :func:`stream_maintain_ann_ivfsq8_index`, BM25, gram store,
     corpus dedup) with the SAME restart protection: checkpoint
     identity marker at the index root, idempotent ``ingest_batch_id``
     partitions, loud fresh-checkpoint failure, ``allow_restart`` base
@@ -786,6 +788,12 @@ def stream_maintain_ann_ivf_index(
             "batches carry codes, not raw embeddings — use "
             "stream_maintain_ann_ivfpq_index"
         )
+    if fs.exists(jfs(f"{index_path}/_sq_meta")):
+        raise ValueError(
+            f"index at {index_path!r} is IVF-SQ8 (has _sq_meta): its "
+            "batches carry scale+codes — use "
+            "stream_maintain_ann_ivfsq8_index"
+        )
     try:
         # bounded-collect: nlist centroid rows (index metadata)
         spark.read.parquet(f"{index_path}/_centroids").collect()
@@ -817,5 +825,93 @@ def stream_maintain_ann_ivf_index(
     try:
         if not q.awaitTermination(timeout_sec):
             raise TimeoutError("stream_maintain_ann_ivf_index did not finish")
+    finally:
+        q.stop()
+
+
+def stream_maintain_ann_ivfsq8_index(
+    stream_vecs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    timeout_sec: int = 300,
+    allow_restart: bool = False,
+) -> None:
+    """Keep an IVF-SQ8 index
+    (``functions.similarity.build_ann_ivfsq8_index`` layout) current
+    from an unbounded embedding stream — the scalar-quantized member
+    of the maintainer fleet, with the SAME restart protection
+    (checkpoint identity marker at the index root, idempotent
+    ``ingest_batch_id`` partitions, loud fresh-checkpoint failure,
+    ``allow_restart`` base offsetting).
+
+    The index must already exist (the stream assigns to the FROZEN
+    persisted centroids); non-SQ8 stores at the path are rejected
+    loudly. Per-batch cost is O(batch): one cell assignment + the
+    per-vector SQ8 quantization (``append_to_ann_ivfsq8_index``) —
+    and because SQ8 has no trained codebook, streamed batches
+    quantize EXACTLY like the base build (no quantizer drift, the
+    property the IVF-PQ maintainer's docstring trades away)."""
+    from pyspark.errors import AnalysisException
+
+    from ..functions.similarity import append_to_ann_ivfsq8_index
+    from ..sources.manifest import resolve_root
+
+    spark = stream_vecs.sparkSession
+    if "ingest_batch_id" in stream_vecs.columns:
+        raise ValueError(
+            "stream_maintain_ann_ivfsq8_index reserves the "
+            "'ingest_batch_id' column for the index partition key; "
+            "rename it in the input"
+        )
+    # pin THIS run to the current generation (compaction/rebuild
+    # mid-stream is forbidden on both layouts)
+    index_path = resolve_root(spark, index_path)
+    # eager existence/type checks — failures inside foreachBatch
+    # surface as opaque StreamingQueryExceptions after the checkpoint
+    # is already created
+    jfs = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jfs(index_path).getFileSystem(conf)
+    if not fs.exists(jfs(f"{index_path}/_sq_meta")):
+        raise ValueError(
+            f"no IVF-SQ8 index at {index_path!r} (missing _sq_meta): "
+            "build it first with build_ann_ivfsq8_index (the stream "
+            "cannot train the centroids)"
+        )
+    try:
+        # bounded-collect: nlist centroid rows (index metadata)
+        spark.read.parquet(f"{index_path}/_centroids").collect()
+    except AnalysisException:
+        raise ValueError(
+            f"no centroid table at {index_path!r}: the store is "
+            "incomplete — rebuild with build_ann_ivfsq8_index"
+        ) from None
+    base = _resolve_stream_base(
+        spark, index_path, checkpoint_dir, allow_restart
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_ann_ivfsq8_index(
+            batch_df,
+            index_path,
+            batch_id=base + batch_id,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+
+    q = (
+        stream_vecs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                "stream_maintain_ann_ivfsq8_index did not finish"
+            )
     finally:
         q.stop()

@@ -56,7 +56,7 @@ def test_gate_window_contents():
         # round-12 PRF/RM3 registrations — straight into the window
         # (no-backlog policy; VERDICT r11 item 4); bm25_join_rm3
         # completes the relevance-feedback matrix (tpch_q13 rotates
-        # out driver-green, TPC-H keeps q15/q17/q20)
+        # out driver-green, TPC-H keeps q15/q17)
         "bm25_topk_prf",
         "bm25_topk_rm3",
         "bm25_join_rm3",
@@ -88,6 +88,9 @@ def test_gate_window_contents():
         # round-12 SQ8 embedding quantization (no-backlog policy;
         # dedup_exact_normalized rotates out driver-green)
         "embedding_quantize",
+        # round-12 IVF-SQ8 persisted index (no-backlog policy;
+        # tpch_q20 rotates out driver-green, TPC-H keeps q15/q17)
+        "similarity_ann_ivfsq8",
         "unigram_logprob",
         "dedup_clusters_incremental",
         "stream_hll_by_source",
@@ -96,11 +99,14 @@ def test_gate_window_contents():
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # overflow: every rotated-out row was driver-green in the round it
-    # left (the nine rotation-#8 rows lead, all green in
+    # left (tpch_q20 leads — rotated out
+    # for the round-12 IVF-SQ8 registration — then the nine
+    # rotation-#8 rows, all green in
     # CORRECTNESS_r11); family representation justified in the
     # _GATE_ORDER comments. All overflow stays locally oracle-checked
     # per round.
     assert names[50:] == [
+        "tpch_q20_part_promotion",
         "tpch_q13_order_distribution",
         "dedup_clean_repeated_spans",
         "dedup_exact_normalized",

@@ -237,3 +237,44 @@ def test_manifest_layout_store_is_planned(spark, tmp_path):
         )
     row = maintenance_plan(spark, path, max_batches=2).head()
     assert (row.store, row.action) == ("bm25", "compact")
+
+
+def test_ann_ivfsq8_store_detected_and_compact_branch(spark, tmp_path):
+    from spark_sorted_spark.functions.similarity import (
+        append_to_ann_ivfsq8_index,
+        build_ann_ivfsq8_index,
+        compact_ann_index,
+    )
+
+    vecs = _vecs(
+        spark, [(i, [float(i), 1.0, -0.5, 2.0]) for i in range(1, 30)]
+    )
+    path = str(tmp_path / "sq8")
+    build_ann_ivfsq8_index(vecs, path, nlist=4, dim=4)
+    row = maintenance_plan(spark, path).head()
+    assert (row.store, row.action) == ("ann_ivfsq8", "none")
+    for b in range(3):
+        append_to_ann_ivfsq8_index(
+            _vecs(spark, [(100 + b, [0.5, float(b), 1.0, -1.0])]),
+            path,
+            batch_id=b,
+        )
+    row2 = maintenance_plan(spark, path, max_batches=2).head()
+    assert (row2.store, row2.action) == ("ann_ivfsq8", "compact")
+    compact_ann_index(spark, path)
+    assert maintenance_plan(spark, path, max_batches=2).head().action == "none"
+
+
+def test_ann_ivfsq8_rebuild_names_auto_nlist(spark, tmp_path):
+    from spark_sorted_spark.functions.similarity import build_ann_ivfsq8_index
+
+    # one cell swallowing everything -> skew/oversize rebuild with the
+    # nlist=None knob in the reason
+    vecs = _vecs(
+        spark, [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(1, 40)]
+    )
+    path = str(tmp_path / "sq8skew")
+    build_ann_ivfsq8_index(vecs, path, nlist=4, dim=4)
+    row = maintenance_plan(spark, path, max_unit_rows=10).head()
+    assert (row.store, row.action) == ("ann_ivfsq8", "rebuild")
+    assert "nlist=None" in row.reason

@@ -2154,21 +2154,25 @@ def test_compact_ann_index_all_layouts(spark, emb, tmp_path):
     """ANN index compaction: batch partitions collapse to the base,
     probes stay bitwise identical, metadata and the stream marker
     survive — flat PQ (codes subdir), IVF, IVF-PQ (rename layout),
-    LSH, and a manifest-layout IVF-PQ publishing a new generation."""
+    IVF-SQ8, LSH, and a manifest-layout IVF-PQ publishing a new
+    generation."""
     import os
 
     from spark_sorted_spark.functions.similarity import (
         _list_batch_dirs,
         ann_ivf_topk_indexed,
         ann_ivfpq_topk_indexed,
+        ann_ivfsq8_topk_indexed,
         ann_lsh_topk_indexed,
         ann_pq_topk_indexed,
         append_to_ann_ivf_index,
         append_to_ann_ivfpq_index,
+        append_to_ann_ivfsq8_index,
         append_to_ann_lsh_index,
         append_to_ann_pq_index,
         build_ann_ivf_index,
         build_ann_ivfpq_index,
+        build_ann_ivfsq8_index,
         build_ann_lsh_index,
         build_ann_pq_index,
         compact_ann_index,
@@ -2217,6 +2221,15 @@ def test_compact_ann_index_all_layouts(spark, emb, tmp_path):
         lambda p: [
             (r.vec_id, r.rank, r.adot)
             for r in ann_ivfpq_topk_indexed(spark, p, qvec, k=6).collect()
+        ],
+    )
+    roundtrip(
+        "ivfsq8",
+        build_ann_ivfsq8_index,
+        append_to_ann_ivfsq8_index,
+        lambda p: [
+            (r.vec_id, r.rank, r.acos)
+            for r in ann_ivfsq8_topk_indexed(spark, p, qvec, k=6).collect()
         ],
     )
     roundtrip(
@@ -2785,3 +2798,244 @@ def test_semantic_dedup_lloyd_path_is_valid_partition(spark):
         by_cell.setdefault(r.cell, []).append(r.cent_rank)
     for ranks in by_cell.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8 persisted index (round 12) — the fifth ANN layout: IVF cell
+# pruning over per-vector int8 scalar-quantized codes. The probe's
+# reconstructed-cosine semantics are pinned against the composable
+# quantize/dequantize column ops; the full lifecycle (append, fence,
+# batch join, filtered probe, rerank) mirrors the IVF/IVF-PQ twins.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_ivfsq8_probe_matches_reconstructed_cosine(spark, emb, tmp_path):
+    """With nprobe = nlist the probe ranks the WHOLE corpus by cosine
+    over the reconstructed (dequantized) vectors — bitwise equal to
+    composing quantize -> dequantize -> cosine_topk, because the index
+    stores exactly the quantize_embeddings codes and the probe inlines
+    the dequantize_embeddings transform."""
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfsq8_topk_indexed,
+        build_ann_ivfsq8_index,
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    p = str(tmp_path / "sq8")
+    build_ann_ivfsq8_index(corpus, p)
+    got = [
+        (r.vec_id, r.rank, r.acos)
+        for r in ann_ivfsq8_topk_indexed(
+            spark, p, qvec, k=10, nprobe=ANN_NLIST
+        ).collect()
+    ]
+    dec = dequantize_embeddings(quantize_embeddings(corpus))
+    want = [
+        (r.vec_id, r.rank, r.cos)
+        for r in cosine_topk(dec, qvec, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_ann_ivfsq8_rerank_matches_exact_cosine(spark, emb, tmp_path):
+    """rerank=R re-ranks by exact cosine over the TRUE embeddings; at
+    full probe depth with R >= corpus the result equals brute-force
+    cosine_topk bitwise (the same guarantee the IVF-PQ rerank pins)."""
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfsq8_topk_indexed,
+        build_ann_ivfsq8_index,
+        cosine_topk,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    p = str(tmp_path / "sq8")
+    build_ann_ivfsq8_index(corpus, p)
+    n = corpus.count()
+    got = [
+        (r.vec_id, r.rank, r.cos)
+        for r in ann_ivfsq8_topk_indexed(
+            spark, p, qvec, k=10, nprobe=ANN_NLIST, rerank=n
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.rank, r.cos)
+        for r in cosine_topk(corpus, qvec, k=10).collect()
+    ]
+    assert got == want
+    # and the approximate scores sit within the SQ8 error envelope of
+    # the exact ones: reconstruction error <= scale/2 per dimension
+    # keeps cosine within ~1e-2 at dim 64 on unit-scale data
+    approx = {
+        r.vec_id: r.acos
+        for r in ann_ivfsq8_topk_indexed(
+            spark, p, qvec, k=10, nprobe=ANN_NLIST
+        ).collect()
+    }
+    exact = {r.vec_id: r.cos for r in cosine_topk(corpus, qvec, k=10).collect()}
+    for vid, cos in exact.items():
+        if vid in approx:
+            assert abs(approx[vid] - cos) < 2e-2
+
+
+def test_ann_ivfsq8_join_matches_single_probe_loop(spark, emb, tmp_path):
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivfsq8_join_indexed,
+        ann_ivfsq8_topk_indexed,
+        build_ann_ivfsq8_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    p = str(tmp_path / "sq8")
+    build_ann_ivfsq8_index(corpus, p)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.limit(4).collect()
+    ]
+    qdf = spark.createDataFrame(qs, "query_id bigint, query_vec array<double>")
+    batch = ann_ivfsq8_join_indexed(spark, p, qdf, k=5, nprobe=4).collect()
+    for qid, qv in qs:
+        single = [
+            (r.vec_id, r.rank, r.acos)
+            for r in ann_ivfsq8_topk_indexed(
+                spark, p, qv, k=5, nprobe=4
+            ).collect()
+        ]
+        got = sorted(
+            [(r.vec_id, r.rank, r.acos) for r in batch if r.query_id == qid],
+            key=lambda t: t[1],
+        )
+        assert got == single
+    with pytest.raises(ValueError, match="query batch is empty"):
+        ann_ivfsq8_join_indexed(spark, p, qdf.filter(F.lit(False)), k=5)
+
+
+def test_ann_ivfsq8_append_fence_and_filtered_probe(spark, emb, tmp_path):
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfsq8_topk_indexed,
+        append_to_ann_ivfsq8_index,
+        build_ann_ivfsq8_index,
+    )
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "embedding", "label"
+    )
+    p = str(tmp_path / "sq8")
+    build_ann_ivfsq8_index(corpus, p, extra_cols=("label",))
+    # filtered probe: predicate evaluates inside the pruned scan;
+    # every hit satisfies it
+    lab = emb.filter(F.col("vec_id") != 0).head().label
+    hits = ann_ivfsq8_topk_indexed(
+        spark, p, qvec, k=5, nprobe=ANN_NLIST, where=f"label = '{lab}'"
+    ).collect()
+    assert hits
+    labels = {
+        r.label
+        for r in spark.read.parquet(p)
+        .filter(F.col("vec_id").isin([h.vec_id for h in hits]))
+        .collect()
+    }
+    assert labels == {lab}
+    # append the held-out query vector; the unfenced probe finds it
+    # first (cos=1 with itself), the fenced probe does not see it
+    append_to_ann_ivfsq8_index(
+        emb.filter(F.col("vec_id") == 0).select(
+            "vec_id", "embedding", "label"
+        ),
+        p,
+        batch_id=0,
+    )
+    unfenced = ann_ivfsq8_topk_indexed(
+        spark, p, qvec, k=3, nprobe=ANN_NLIST
+    ).collect()
+    fenced = ann_ivfsq8_topk_indexed(
+        spark, p, qvec, k=3, nprobe=ANN_NLIST, before_batch=0
+    ).collect()
+    assert unfenced[0].vec_id == 0
+    assert all(r.vec_id != 0 for r in fenced)
+    # idempotent replay: overwriting the same batch does not duplicate
+    append_to_ann_ivfsq8_index(
+        emb.filter(F.col("vec_id") == 0).select(
+            "vec_id", "embedding", "label"
+        ),
+        p,
+        batch_id=0,
+    )
+    assert (
+        spark.read.parquet(p).filter(F.col("vec_id") == 0).count() == 1
+    )
+
+
+def test_ann_ivfsq8_validation_errors(spark, emb, tmp_path):
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivfsq8_topk_indexed,
+        append_to_ann_ivfsq8_index,
+        build_ann_ivfsq8_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    p = str(tmp_path / "sq8")
+    build_ann_ivfsq8_index(corpus, p)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        ann_ivfsq8_topk_indexed(spark, p, qvec, k=0)
+    with pytest.raises(ValueError, match="rerank"):
+        ann_ivfsq8_topk_indexed(spark, p, qvec, k=10, rerank=5)
+    with pytest.raises(ValueError, match="query dim"):
+        ann_ivfsq8_topk_indexed(spark, p, [1.0, 2.0], k=3)
+    with pytest.raises(ValueError, match="batch_id must be >= 0"):
+        append_to_ann_ivfsq8_index(corpus, p, batch_id=-1)
+    with pytest.raises(ValueError, match="commit must be"):
+        build_ann_ivfsq8_index(corpus, str(tmp_path / "x"), commit="nope")
+    with pytest.raises(ValueError, match="extra_cols"):
+        build_ann_ivfsq8_index(
+            corpus, str(tmp_path / "y"), extra_cols=("scale",)
+        )
+    # cross-layout appends corrupt silently without the guards: raw
+    # vectors into an SQ8 store, or scale+codes into a plain IVF store
+    from spark_sorted_spark.functions.similarity import (
+        append_to_ann_ivf_index,
+        build_ann_ivf_index,
+    )
+
+    with pytest.raises(ValueError, match="append_to_ann_ivfsq8_index"):
+        append_to_ann_ivf_index(corpus, p)
+    ivf = str(tmp_path / "plain_ivf")
+    build_ann_ivf_index(corpus, ivf)
+    with pytest.raises(ValueError, match="missing _sq_meta"):
+        append_to_ann_ivfsq8_index(corpus, ivf)
+
+
+def test_ann_ivfsq8_auto_nlist_and_zero_vector(spark, tmp_path):
+    """nlist=None auto-sizes cells like the IVF build; an all-zero
+    vector quantizes to zero codes with scale 0; its reconstructed
+    cosine is NULLed by the probe's scale-0 guard (0/0 would trip
+    ANSI mode) and sorts last, so zero vectors never rank."""
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivfsq8_topk_indexed,
+        build_ann_ivfsq8_index,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)]) for i in range(1, 40)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = str(tmp_path / "sq8auto")
+    build_ann_ivfsq8_index(df, p, nlist=None, target_cell=8, dim=4)
+    stored = spark.read.parquet(p)
+    ncells = stored.select("cell").distinct().count()
+    assert 3 <= ncells <= 8  # ceil(40/8)=5 seeded cells, some may merge
+    zero = stored.filter(F.col("vec_id") == 99).head()
+    assert zero.scale == 0.0 and set(zero.codes) == {0}
+    out = ann_ivfsq8_topk_indexed(
+        spark, p, [1.0, 0.5, -0.5, 2.0], k=5, nprobe=50
+    ).collect()
+    assert len(out) == 5
+    assert all(r.vec_id != 99 for r in out)

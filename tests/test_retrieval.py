@@ -1962,3 +1962,118 @@ def test_batch_indexed_prf_rm3_equal_loops(spark, tmp_path):
                 "query_id long, text string",
             ),
         )
+
+
+def test_hybrid_indexed_ivfsq8_dense_arm(spark, tmp_path):
+    """dense="ivfsq8": full probe + corpus-wide exact rerank makes
+    both hybrid indexed forms BITWISE the scan forms (the rerank tail
+    reads the TRUE embeddings, so reconstructed ranks collapse to
+    exact cosine); serving settings still return k rows per query."""
+    from spark_sorted_spark.functions.retrieval import (
+        build_bm25_index,
+        hybrid_join,
+        hybrid_join_indexed,
+        hybrid_topk,
+        hybrid_topk_indexed,
+    )
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        build_ann_ivfsq8_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") != 0)
+    bm25 = str(tmp_path / "bm25")
+    sq8 = str(tmp_path / "sq8")
+    build_bm25_index(docs, bm25)
+    build_ann_ivfsq8_index(base, sq8)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    qdf = (
+        docs.filter(F.col("doc_id").isin([3, 7]))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("query_vec"),
+            ),
+            "query_id",
+        )
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_join(docs, base, qdf, k=6, n_candidates=20).collect()
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_join_indexed(
+            spark, bm25, sq8, qdf, k=6, n_candidates=20,
+            nprobe=ANN_NLIST, dense="ivfsq8", dense_rerank=10**6,
+        ).collect()
+    )
+    assert got == want
+    # single-query form, same pin
+    qrow = qdf.filter(F.col("query_id") == 3).head()
+    swant = sorted(
+        (r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_topk(
+            docs, base, qrow.text, list(qrow.query_vec),
+            k=6, n_candidates=20,
+        ).collect()
+    )
+    sgot = sorted(
+        (r.doc_id, r.rrf, r.rank_lex, r.rank_dense, r.rank)
+        for r in hybrid_topk_indexed(
+            spark, bm25, sq8, qrow.text, list(qrow.query_vec),
+            k=6, n_candidates=20, nprobe=ANN_NLIST,
+            dense="ivfsq8", dense_rerank=10**6,
+        ).collect()
+    )
+    assert sgot == swant
+    # serving settings: pruned cells, reconstructed-cosine ranks
+    part = hybrid_join_indexed(
+        spark, bm25, sq8, qdf, k=6, n_candidates=20,
+        nprobe=4, dense="ivfsq8",
+    ).collect()
+    assert {r.query_id for r in part} == {3, 7}
+
+
+def test_ann_ivfsq8_batch_rerank_matches_cosine_join(spark, tmp_path):
+    """The batch SQ8 probe's rerank tail at full probe equals exact
+    cosine_join bitwise (the same guarantee the IVF-PQ batch rerank
+    pins) — and rerank < k raises."""
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfsq8_join_indexed,
+        build_ann_ivfsq8_index,
+        cosine_join,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base = emb.filter(F.col("vec_id") != 0)
+    p = str(tmp_path / "sq8")
+    build_ann_ivfsq8_index(base, p)
+    qdf = emb.filter(F.col("vec_id").isin([0, 5])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in ann_ivfsq8_join_indexed(
+            spark, p, qdf, k=5, nprobe=ANN_NLIST, rerank=10**6
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in cosine_join(base, qdf, k=5).collect()
+    )
+    assert got == want
+    with _pytest.raises(ValueError, match="rerank"):
+        ann_ivfsq8_join_indexed(spark, p, qdf, k=5, rerank=2)

@@ -145,4 +145,11 @@ def test_collect_allowlist_is_small_and_known():
     # relation IS the (query, term) enumeration the probe needs
     # driver-side anyway), +1 bm25_topk_indexed weights... all
     # workload/TakeOrdered-bounded, reviewed.
-    assert n <= 55, f"driver-collect site count grew to {n}; review for scale"
+    # 60 at round-12 IVF-SQ8: +1 append_to_ann_ivfsq8_index and
+    # +1 ann_ivfsq8_topk_indexed (nlist-row centroid loads — the
+    # bounded-metadata contract every IVF-family probe shares), +2
+    # ann_ivfsq8_join_indexed (centroid table + the query batch, the
+    # ann_ivf_join_indexed workload-collect shape), +1
+    # stream_maintain_ann_ivfsq8_index's eager centroid existence
+    # check (the maintainer-fleet pattern).
+    assert n <= 60, f"driver-collect site count grew to {n}; review for scale"

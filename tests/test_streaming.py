@@ -2009,3 +2009,111 @@ def test_stream_maintain_ann_ivf_index_lifecycle(spark, sf_dir, tmp_path):
     # fresh checkpoint against the populated index: loud
     with _pytest.raises(ValueError, match="different ingest stream"):
         drain(str(tmp_path / "ckpt2"))
+
+
+def test_stream_maintain_ann_ivfsq8_index_lifecycle(spark, sf_dir, tmp_path):
+    """Streaming IVF-SQ8 maintenance: two drains leave an index whose
+    full probe equals reconstructed-cosine brute force over everything
+    that arrived (streamed batches quantize EXACTLY like the build —
+    no codebook drift); an idle drain changes nothing; a fresh
+    checkpoint fails loudly; a plain-IVF index at the path is
+    rejected, as is the SQ8 index under the plain-IVF maintainer."""
+    import shutil
+
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfsq8_topk_indexed,
+        build_ann_ivf_index,
+        build_ann_ivfsq8_index,
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from spark_sorted_spark.streaming import (
+        stream_maintain_ann_ivf_index,
+        stream_maintain_ann_ivfsq8_index,
+        stream_table,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    base = corpus.filter(F.col("vec_id") % 3 == 0)
+    b1 = corpus.filter(F.col("vec_id") % 3 == 1)
+    b2 = corpus.filter(F.col("vec_id") % 3 == 2)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "stream_sq8_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(ckpt_dir):
+        sdf = stream_table(
+            spark, "embeddings", sf_dir, path=str(watch)
+        ).select("vec_id", "embedding")
+        stream_maintain_ann_ivfsq8_index(sdf, idx, ckpt_dir, timeout_sec=180)
+
+    def probe():
+        return [
+            (r.vec_id, r.rank, r.acos)
+            for r in ann_ivfsq8_topk_indexed(
+                spark, idx, qvec, k=5, nprobe=ANN_NLIST
+            ).collect()
+        ]
+
+    def brute(d):
+        dec = dequantize_embeddings(quantize_embeddings(d))
+        return [
+            (r.vec_id, r.rank, r.cos)
+            for r in cosine_topk(dec, qvec, k=5).collect()
+        ]
+
+    # the stream cannot create the index (centroids are trained state)
+    arrive(b1, "b1")
+    with _pytest.raises(ValueError, match="build_ann_ivfsq8_index"):
+        drain(ckpt)
+    # a plain-IVF index at the path is the WRONG layout for this
+    # stream — and vice versa
+    ivf_idx = str(tmp_path / "ivf_idx")
+    build_ann_ivf_index(base, ivf_idx)
+    with _pytest.raises(ValueError, match="_sq_meta"):
+        stream_maintain_ann_ivfsq8_index(
+            stream_table(spark, "embeddings", sf_dir, path=str(watch))
+            .select("vec_id", "embedding"),
+            ivf_idx,
+            str(tmp_path / "ckpt_ivf"),
+        )
+    build_ann_ivfsq8_index(base, idx)
+    with _pytest.raises(ValueError, match="stream_maintain_ann_ivfsq8"):
+        stream_maintain_ann_ivf_index(
+            stream_table(spark, "embeddings", sf_dir, path=str(watch))
+            .select("vec_id", "embedding"),
+            idx,
+            str(tmp_path / "ckpt_x"),
+        )
+
+    drain(ckpt)
+    assert probe() == brute(base.unionByName(b1))
+
+    arrive(b2, "b2")
+    drain(ckpt)
+    want = brute(corpus)
+    assert probe() == want
+
+    # idle drain: nothing changes
+    drain(ckpt)
+    assert probe() == want
+
+    # fresh checkpoint against the populated index: loud
+    with _pytest.raises(ValueError, match="different ingest stream"):
+        drain(str(tmp_path / "ckpt2"))

@@ -366,6 +366,25 @@ def main():
             spark, path, q, k=5, fb_docs=3, fb_terms=5, lam=0.5
         ).count()
 
+    def b50(e, tag):
+        # batch IVF-SQ8 probe: union-of-cells directory pruning with
+        # (scale, codes)-only reads — the near-flat claim of the
+        # indexed probes at 4x less IO than the raw-float IVF scan
+        from spark_sorted_spark.functions.similarity import (
+            ann_ivfsq8_join_indexed,
+            build_ann_ivfsq8_index,
+        )
+
+        path = f"{work}/ivfsq8_{tag}"
+        build_ann_ivfsq8_index(e.filter(F.col("vec_id") != 0), path)
+        q = e.filter(F.col("vec_id").isin([0, 3, 7, 11, 19])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+        return lambda: ann_ivfsq8_join_indexed(
+            spark, path, q, k=10, nprobe=4
+        ).count()
+
     def b48(e):
         # SQ8 quantization: a 0-shuffle pure map — the slope IS the
         # data volume (10x rows = 10x work), flat per row
@@ -424,6 +443,10 @@ def main():
         ("b45_ivfpq_join_indexed", lambda: (b45(emb, "1x"), b45(emb10, "10x"))),
         ("b47_bm25_join_rm3", lambda: (b47(docs), b47(docs10))),
         ("b48_embedding_quantize", lambda: (b48(emb), b48(emb10))),
+        (
+            "b50_ivfsq8_join_indexed",
+            lambda: (b50(emb, "1x"), b50(emb10, "10x")),
+        ),
         (
             "b49_bm25_join_rm3_indexed",
             lambda: (b49(docs, "1x"), b49(docs10, "10x")),
