@@ -41,6 +41,8 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 __all__ = [
+    "rerank_overlap",
+    "rerank_cross_encoder",
     "bm25_topk",
     "bm25_topk_prf",
     "bm25_topk_rm3",
@@ -924,6 +926,174 @@ def bm25_join_rm3(
         id_col=id_col, query_text_col=query_text_col,
         query_id_col=query_id_col, where=where, weights=wdf,
         stats=stats,
+    )
+
+
+def rerank_overlap(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+    query_text_col: str = "text",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Second-stage reranker over a first-stage candidate set — the
+    retrieve-then-rerank serving pattern: ``candidates`` is any
+    retriever's ``(query_id, id, ..., rank)`` output (BM25, hybrid,
+    ANN — shape is all that matters), and this stage re-scores ONLY
+    those |Q| x n_candidates pairs by distinct-token overlap
+    ``|q_tokens ∩ d_tokens| / |q_tokens|``, returning
+    ``(query_id, id, n_common, overlap, rank)`` with rank 1..k per
+    query by (n_common DESC, first-stage rank ASC, id ASC) — the
+    first-stage rank as tiebreak keeps the rerank a refinement, never
+    a coin flip. Native Catalyst end to end (array_distinct /
+    array_intersect), so the whole two-stage pipeline is
+    SQL-replayable; the model-scored variant with identical plumbing
+    is :func:`rerank_cross_encoder`.
+
+    Scale shape: the expensive relation (corpus text) is touched ONLY
+    for candidate ids — the broadcast candidate set joins into the
+    corpus scan, so stage-two cost is |Q| x n_candidates regardless
+    of corpus size; that asymmetry is the entire point of two-stage
+    retrieval."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cand = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(rank_col).alias("__rank1"),
+    )
+    dd = corpus.select(
+        F.col(id_col),
+        F.array_distinct(tokens(text_col)).alias("__dt"),
+    )
+    dq = queries.select(
+        F.col(query_id_col),
+        F.array_distinct(tokens(query_text_col)).alias("__qt"),
+    )
+    scored = (
+        dd.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(dq), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.size(F.array_intersect(F.col("__dt"), F.col("__qt"))).alias(
+                "n_common"
+            ),
+            F.size(F.col("__qt")).alias("__nq"),
+            F.col("__rank1"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("n_common").desc(), F.col("__rank1").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn(
+            "overlap",
+            F.col("n_common").cast("double") / F.col("__nq").cast("double"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "n_common", "overlap", "rank")
+    )
+
+
+def rerank_cross_encoder(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    scorer=None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+    query_text_col: str = "text",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Model-scored second stage with the SAME plumbing as
+    :func:`rerank_overlap`: the candidate (query, doc) TEXT pairs —
+    |Q| x n_candidates rows, never the corpus — flow through
+    ``mapInPandas`` in Arrow batches to ``scorer``, a callable
+    ``(pandas.Series q_text, pandas.Series d_text) -> pandas.Series
+    float`` (a cross-encoder forward pass in real deployments).
+    Returns ``(query_id, id, score, rank)``, rank 1..k per query by
+    (score DESC, first-stage rank ASC, id ASC).
+
+    No inference runtime ships in this environment, so ``scorer=None``
+    raises ``NotImplementedError`` at call time — the multimodal-
+    decoder contract (`functions/multimodal.py`): the Spark-side
+    plumbing (pair join shape, Arrow batching, schema, deterministic
+    final window) is real and test-pinned with an injected
+    deterministic scorer; the model is the one swap-in."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if scorer is None:
+        raise NotImplementedError(
+            "no cross-encoder runtime in this environment: pass "
+            "scorer=callable((q_text, d_text) pandas Series -> float "
+            "Series); rerank_overlap is the model-free native stage"
+        )
+    from pyspark.sql import Window
+
+    cand = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(rank_col).alias("__rank1"),
+    )
+    pairs = (
+        corpus.select(F.col(id_col), F.col(text_col).alias("__dtext"))
+        .join(F.broadcast(cand), id_col)
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col),
+                    F.col(query_text_col).alias("__qtext"),
+                )
+            ),
+            query_id_col,
+        )
+    )
+    qid_f = pairs.schema[query_id_col]
+    id_f = pairs.schema[id_col]
+    r1_f = pairs.schema["__rank1"]
+    out_schema = StructType(
+        [
+            StructField(query_id_col, qid_f.dataType),
+            StructField(id_col, id_f.dataType),
+            StructField("__rank1", r1_f.dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[[query_id_col, id_col, "__rank1"]].copy()
+            out["score"] = [
+                float(x) for x in scorer(pdf["__qtext"], pdf["__dtext"])
+            ]
+            yield out
+
+    scored = pairs.mapInPandas(run, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("__rank1").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
     )
 
 

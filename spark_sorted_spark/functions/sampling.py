@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_sample",
+    "training_order",
     "stratified_hash_sample",
     "hash_split",
     "negative_pairs",
@@ -93,6 +94,61 @@ def hash_split(
         branch_args = (bucket < F.lit(hi), F.lit(name))
         expr = F.when(*branch_args) if expr is None else expr.when(*branch_args)
     return df.withColumn(split_col, expr)
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-order assignment — the dataloader-facing
+    LAST step of a corpus pipeline: a seeded content-hash permutation
+    of the corpus split into ``n_shards`` files, each row tagged with
+    its shard and its 0-based position within that shard. Reruns,
+    backfills, and other engines produce the identical order
+    row-for-row (the ``hash_sample`` portability contract applied to
+    ORDERING); a different ``seed`` yields an independent permutation
+    — the per-epoch reshuffle without RNG state.
+
+    Construction: ``key = md5(seed || ':' || id)``; ``shard`` = the
+    key's leading-32-bit bucket mod ``n_shards``; ``pos`` = rank
+    within the shard by ``(key, id)``. Why no GLOBAL position: a
+    corpus-wide row_number is a single-partition sort (the one
+    ordering shape that cannot scale); per-shard positions are what a
+    sharded dataloader consumes anyway, and they parallelize as one
+    hash shuffle + per-shard sort — exactly the group_sort layout, so
+    the plan holds at any corpus size. Dropping to more shards than
+    executors keeps each sort partition-sized."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(str(int(seed))), F.col(id_col).cast("string")
+        )
+    )
+    keyed = df.withColumn("__to_key", key).withColumn(
+        shard_col,
+        F.pmod(
+            F.conv(F.substring(F.col("__to_key"), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(int(n_shards)),
+        ),
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("__to_key"), F.col(id_col)
+    )
+    return (
+        keyed.withColumn(
+            pos_col, (F.row_number().over(w) - 1).cast("bigint")
+        )
+        .drop("__to_key")
+    )
 
 
 def negative_pairs(

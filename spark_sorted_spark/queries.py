@@ -926,6 +926,95 @@ def bm25_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retrieval_rerank",
+    # two-stage retrieve-then-rerank: stage one is the bm25_join
+    # relation at n_candidates=20 (same SQL as the bm25_join row,
+    # wider rank cut), stage two re-scores ONLY those candidate pairs
+    # by distinct-token overlap |q ∩ d| / |q| with the first-stage
+    # rank as tiebreak — the full two-stage serving pipeline replayed
+    # in one SQL statement.
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id AS query_id, list_slice(toks, 1, 4) AS qt
+      FROM docs WHERE doc_id IN (3, 7, 11, 19, 23)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS tok FROM q),
+    vocab AS (SELECT DISTINCT tok FROM qterms),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT qt.query_id, t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {k1_plus}e0)
+             / (t.tf + {k1}e0 * ({one_minus_b}e0
+                + {b}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) JOIN qterms qt USING (tok)
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY query_id, doc_id),
+    cand AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank1
+      FROM scored QUALIFY rank1 <= 20),
+    dq AS (
+      SELECT query_id, list_distinct(qt) AS dqt,
+             len(list_distinct(qt)) AS nq
+      FROM q),
+    dd AS (SELECT doc_id, list_distinct(toks) AS ddt FROM docs),
+    rescored AS (
+      SELECT c.query_id, c.doc_id,
+             len(list_intersect(dd.ddt, dq.dqt)) AS n_common,
+             dq.nq, c.rank1
+      FROM cand c JOIN dd USING (doc_id) JOIN dq USING (query_id)),
+    rranked AS (
+      SELECT query_id, doc_id, n_common,
+             n_common::DOUBLE / nq::DOUBLE AS overlap,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY n_common DESC, rank1, doc_id) AS rank
+      FROM rescored)
+    SELECT query_id, doc_id, n_common::BIGINT AS n_common, overlap, rank
+    FROM rranked WHERE rank <= 5
+    """.replace("{k1_plus}", repr(_BM25_K1 + 1.0)).replace(
+        "{k1}", repr(_BM25_K1)
+    ).replace("{one_minus_b}", repr(1.0 - _BM25_B)).replace(
+        "{b}", repr(_BM25_B)
+    ),
+)
+def retrieval_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank (functions/retrieval.py
+    rerank_overlap): bm25_join candidates at n_candidates=20, then a
+    native distinct-token-overlap rescore of ONLY those pairs —
+    stage-two cost is |Q| x n_candidates regardless of corpus size,
+    the asymmetry the serving pattern exists for. The model-scored
+    twin (rerank_cross_encoder) shares this plumbing with a
+    cross-encoder swap-in."""
+    from .functions.retrieval import bm25_join, rerank_overlap
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    queries = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    cand = bm25_join(docs, queries, k=20, k1=_BM25_K1, b=_BM25_B)
+    out = rerank_overlap(cand, docs, queries, k=5)
+    return out.withColumn("n_common", F.col("n_common").cast("bigint"))
+
+
+@query(
     "bm25_join_rm3",
     # full per-query SQL replay of functions/retrieval.py
     # bm25_join_rm3 (batch RM3): pass-one batch BM25 over each query's
@@ -5606,6 +5695,38 @@ def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+@query(
+    "training_order",
+    # seeded content-hash permutation -> (shard, per-shard position):
+    # the dataloader-facing final step. Both engines compute the
+    # identical md5 key, leading-32-bit shard bucket, and per-shard
+    # (key, id) rank, so the full training order matches row-for-row.
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5('7:' || doc_id::VARCHAR) AS key
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, key,
+             ('0x' || substr(key, 1, 8))::BIGINT % 8 AS shard
+      FROM keyed)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+               - 1 AS pos
+    FROM sharded
+    """,
+)
+def training_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order assignment
+    (functions/sampling.py training_order): seeded md5 permutation,
+    shard = leading-32-bit bucket mod 8, pos = per-shard rank — one
+    hash shuffle + per-shard sort (the group_sort layout), no global
+    ordering bottleneck."""
+    from .functions.sampling import training_order
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return training_order(docs, n_shards=8, seed=7)
+
+
 # ===========================================================================
 # Extension join: bucketed interval (range) join — every click within
 # ±30 minutes of each purchase, per user. The batch twin of
@@ -6529,9 +6650,20 @@ _GATE_ORDER = [
     # tpch_q13_order_distribution rotates out driver-green (r10+r11
     # rows; TPC-H keeps three reps: q15/q17/q20)
     "bm25_join_rm3",
+    # round-12 two-stage rerank (second session) — straight into the
+    # window (no-backlog policy); stream_hll_by_source rotates out
+    # driver-green (r10+r11 rows; sketches keep stream_len_quantiles
+    # in-window, hll keeps hll_grouped_by_source in overflow)
+    "retrieval_rerank",
     "hybrid_topk_indexed",
     "hybrid_join_indexed",
     "temperature_mix",
+    # round-12 training-order assignment (second session) — straight
+    # into the window (no-backlog policy); similarity_ann_pq rotates
+    # out driver-green (r10+r11 rows, b31 watch adjudicated this
+    # round: driver-side constant, plan byte-identical; the quantized
+    # family keeps ivfpq + ivfpq_join + ivfsq8 in-window)
+    "training_order",
     "retrieval_eval",
     "decontaminate_verbatim_short",
     # round-12 SQ8 embedding quantization — straight into the window
@@ -6541,7 +6673,6 @@ _GATE_ORDER = [
     # semantic)
     "embedding_quantize",
     "dedup_clusters_incremental",
-    "similarity_ann_pq",
     "similarity_ann_ivfpq",
     "similarity_ann_ivfpq_join",
     "similarity_ann_filtered",
@@ -6567,7 +6698,6 @@ _GATE_ORDER = [
     "unigram_logprob",
     "dedup_semantic",
     "unpivot_measures",
-    "stream_hll_by_source",
     "stream_len_quantiles",
     # TPC-H keeps three in-window representatives (max-subquery view,
     # correlated scalar agg, nested semi-join); q8 and q13 rotate out
@@ -6578,6 +6708,8 @@ _GATE_ORDER = [
     # round-12 rotation #8 overflow head: the rows rotated out this
     # round (every one driver-green in CORRECTNESS_r11; family
     # justification in the rotation comments above).
+    "stream_hll_by_source",
+    "similarity_ann_pq",
     "tpch_q20_part_promotion",
     "tpch_q13_order_distribution",
     "dedup_clean_repeated_spans",

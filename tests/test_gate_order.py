@@ -60,6 +60,10 @@ def test_gate_window_contents():
         "bm25_topk_prf",
         "bm25_topk_rm3",
         "bm25_join_rm3",
+        # round-12 two-stage rerank (no-backlog policy;
+        # stream_hll_by_source rotates out driver-green, sketches
+        # keep stream_len_quantiles in-window)
+        "retrieval_rerank",
         "hybrid_topk_indexed",
         "hybrid_join_indexed",
         "temperature_mix",
@@ -67,7 +71,10 @@ def test_gate_window_contents():
         "decontaminate_verbatim_short",
         "dedup_repeated_spans",
         "dedup_semantic",
-        "similarity_ann_pq",
+        # round-12 training-order assignment (no-backlog policy;
+        # similarity_ann_pq rotates out driver-green — b31 watch
+        # adjudicated, quantized family keeps ivfpq/ivfpq_join/ivfsq8)
+        "training_order",
         "similarity_ann_ivfpq",
         "similarity_ann_ivfpq_join",
         "similarity_ann_filtered",
@@ -93,19 +100,22 @@ def test_gate_window_contents():
         "similarity_ann_ivfsq8",
         "unigram_logprob",
         "dedup_clusters_incremental",
-        "stream_hll_by_source",
         "stream_len_quantiles",
         "unpivot_measures",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # overflow: every rotated-out row was driver-green in the round it
-    # left (tpch_q20 leads — rotated out
-    # for the round-12 IVF-SQ8 registration — then the nine
+    # left (stream_hll_by_source,
+    # similarity_ann_pq, and tpch_q20 lead — rotated out for the
+    # round-12 retrieval_rerank, training_order, and IVF-SQ8
+    # registrations — then the nine
     # rotation-#8 rows, all green in
     # CORRECTNESS_r11); family representation justified in the
     # _GATE_ORDER comments. All overflow stays locally oracle-checked
     # per round.
     assert names[50:] == [
+        "stream_hll_by_source",
+        "similarity_ann_pq",
         "tpch_q20_part_promotion",
         "tpch_q13_order_distribution",
         "dedup_clean_repeated_spans",

@@ -3039,3 +3039,35 @@ def test_ann_ivfsq8_auto_nlist_and_zero_vector(spark, tmp_path):
     ).collect()
     assert len(out) == 5
     assert all(r.vec_id != 99 for r in out)
+
+
+def test_training_order_deterministic_complete_and_seeded(spark, docs):
+    """training_order: every doc gets exactly one (shard, pos); per
+    shard the positions are 0..n-1 dense; the assignment is invariant
+    to partitioning (content-hash only); a different seed yields a
+    different permutation; n_shards < 1 raises."""
+    from spark_sorted_spark.functions.sampling import training_order
+
+    d = docs.select("doc_id")
+    out = training_order(d, n_shards=4, seed=7).collect()
+    assert len(out) == d.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # partitioning-invariant: identical rows from a 7-partition input
+    again = training_order(d.repartition(7), n_shards=4, seed=7).collect()
+    assert sorted((r.doc_id, r.shard, r.pos) for r in out) == sorted(
+        (r.doc_id, r.shard, r.pos) for r in again
+    )
+    # a different seed is a different permutation (overwhelmingly)
+    other = training_order(d, n_shards=4, seed=8).collect()
+    assert sorted((r.doc_id, r.shard, r.pos) for r in out) != sorted(
+        (r.doc_id, r.shard, r.pos) for r in other
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        training_order(d, n_shards=0)

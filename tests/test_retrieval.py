@@ -2077,3 +2077,92 @@ def test_ann_ivfsq8_batch_rerank_matches_cosine_join(spark, tmp_path):
     assert got == want
     with _pytest.raises(ValueError, match="rerank"):
         ann_ivfsq8_join_indexed(spark, p, qdf, k=5, rerank=2)
+
+
+def test_rerank_overlap_refines_and_bounds(spark):
+    """rerank_overlap: scores only the candidate pairs, rank is by
+    (n_common DESC, first-stage rank ASC, id ASC), overlap in [0, 1],
+    k validation raises."""
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_join,
+        rerank_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta"),
+            (3, "alpha zeta eta theta"),
+            (4, "iota kappa"),
+            (5, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(10, "alpha beta gamma")], "query_id long, text string"
+    )
+    cand = bm25_join(docs, qs, k=5)
+    out = rerank_overlap(cand, docs, qs, k=3).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    # docs 1 and 5 share all three query tokens; both beat doc 2
+    assert {by_rank[0].doc_id, by_rank[1].doc_id} == {1, 5}
+    assert by_rank[0].n_common == 3 and abs(by_rank[0].overlap - 1.0) < 1e-15
+    assert all(0.0 <= r.overlap <= 1.0 for r in out)
+    # candidates-only: doc 4 (no shared token) never outranks within
+    # the candidate set; pairs outside candidates never appear
+    assert all(r.doc_id in {1, 2, 3, 4, 5} for r in out)
+    with _pytest.raises(ValueError, match="k must be"):
+        rerank_overlap(cand, docs, qs, k=0)
+
+
+def test_rerank_cross_encoder_plumbing_and_stub(spark):
+    """rerank_cross_encoder: scorer=None raises NotImplementedError
+    (no inference runtime here — the multimodal stub contract); with
+    an injected deterministic scorer that recomputes token overlap in
+    pandas, the output ORDER equals rerank_overlap's (same plumbing,
+    same tiebreaks) and scores round-trip through Arrow as doubles."""
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_join,
+        rerank_cross_encoder,
+        rerank_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta"),
+            (3, "alpha zeta eta theta"),
+            (4, "iota kappa"),
+            (5, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "iota kappa zeta")],
+        "query_id long, text string",
+    )
+    cand = bm25_join(docs, qs, k=5)
+    with _pytest.raises(NotImplementedError, match="cross-encoder"):
+        rerank_cross_encoder(cand, docs, qs).count()
+
+    def overlap_scorer(qt, dt):
+        return [
+            len(set(q.split()) & set(d.split())) / len(set(q.split()))
+            for q, d in zip(qt, dt)
+        ]
+
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in rerank_cross_encoder(
+            cand, docs, qs, scorer=overlap_scorer, k=3
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.overlap, r.rank)
+        for r in rerank_overlap(cand, docs, qs, k=3).collect()
+    )
+    assert got == want

@@ -139,6 +139,39 @@ def measure(
         lambda q: pq_rerank(q, cbs_trained, R=150)
     )
 
+    # IVF-SQ8: the persisted scalar-quantized index — nprobe=nlist
+    # (full probe) isolates the QUANTIZATION-only recall loss (rank
+    # inversions where reconstructed cosines cross near ties); the
+    # serving nprobe adds the same cell-pruning loss as plain IVF
+    # (identical cell assignment — it runs on the raw vectors);
+    # rerank=50 closes the quantization part of the tail
+    import shutil
+    import tempfile
+
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivfsq8_topk_indexed,
+        build_ann_ivfsq8_index,
+    )
+
+    sq8_root = tempfile.mkdtemp(prefix="ann_recall_sq8_")
+    sq8 = f"{sq8_root}/idx"
+    build_ann_ivfsq8_index(emb, sq8)
+    out["ivfsq8_fullprobe_quantonly"] = mean_recall(
+        lambda q: ann_ivfsq8_topk_indexed(
+            spark, sq8, q, k=k, nprobe=ANN_NLIST
+        )
+    )
+    out["ivfsq8_nprobe_4"] = mean_recall(
+        lambda q: ann_ivfsq8_topk_indexed(spark, sq8, q, k=k, nprobe=4)
+    )
+    out["ivfsq8_nprobe_4_rerank50"] = mean_recall(
+        lambda q: ann_ivfsq8_topk_indexed(
+            spark, sq8, q, k=k, nprobe=4, rerank=50
+        )
+    )
+    shutil.rmtree(sq8_root, ignore_errors=True)
+
     # knn_join, catalog shape (odd queries x even index, k=3)
     kj = 3
     left = emb.filter(F.col("vec_id") % 2 == 1)
