@@ -61,6 +61,10 @@ __all__ = [
     "histogram_sketch",
     "histogram_merge",
     "histogram_quantiles",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_estimate",
+    "kmv_overlap",
 ]
 
 _HASH_BITS = 60  # md5-derived h60 (15 hex chars), nonnegative in int64
@@ -745,3 +749,152 @@ def histogram_quantiles(
         for num, den, alias in qs
     ]
     return base.groupBy(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) sketch [Bar-Yossef et al. 2002;
+# Beyer et al., SIGMOD 2007] — the set-OPERATION sketch the HLL family
+# cannot be: because the state is the k smallest distinct hash values
+# themselves (not register ranks), two sketches support union,
+# INTERSECTION, and Jaccard estimation — "how much does corpus A
+# overlap corpus B?" answered from a few hundred integers per side,
+# the decontamination-sizing / corpus-dedup-planning question at
+# 100 TB. Same md5-h60 hash as the HLL registers, so the whole
+# construction is deterministic and the DuckDB oracle replays every
+# estimate BITWISE (the estimates are deterministic functions of the
+# data — no RNG anywhere).
+# ---------------------------------------------------------------------------
+
+
+def _h60(v: Column) -> Column:
+    """The shared 60-bit md5 hash (15 hex chars -> nonnegative int64)
+    — identical expression in DuckDB: ('0x' || substr(md5(v), 1,
+    15))::BIGINT."""
+    return F.conv(F.substring(F.md5(v), 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame, value: Column | str, k: int = 256, keys=()
+) -> DataFrame:
+    """The KMV sketch: ``(keys..., kmv array<bigint>)`` — the k
+    SMALLEST distinct h60 hashes of ``value`` per key group, sorted
+    ascending (fewer than k when the group has fewer distinct values
+    — then the sketch is exact). Mergeable: the k smallest of two
+    sketches' union IS the union's sketch (:func:`kmv_merge`, pinned
+    row-identical to sketching the union).
+
+    Scale shape: one distinct aggregate + a per-group bounded window
+    — the same cost class as the grouped HLL build; state is <= k
+    int64s per group. Deliberately NO collect_set-then-slice (that
+    would buffer every distinct value of a group in one executor
+    row); the window keeps memory at the sort buffer."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    v = F.col(value) if isinstance(value, str) else value
+    from pyspark.sql import Window
+
+    hashed = df.select(*keys, _h60(v).alias("__h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("__h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int, keys=()) -> DataFrame:
+    """Merge KMV sketches built with the SAME ``k`` (and keys): the k
+    smallest of the concatenated hash sets. Exact by construction —
+    row-identical to :func:`kmv_sketch` over the unioned inputs
+    (pinned by test), the same composability contract as
+    :func:`hll_merge`."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    merged = sketches[0]
+    for t in sketches[1:]:
+        merged = merged.unionByName(t)
+    from pyspark.sql import Window
+
+    ex = merged.select(
+        *keys, F.explode("kmv").alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("__h")
+    return (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+
+
+def _kmv_est(kmv: Column, k: int) -> Column:
+    """Distinct-count estimate of one sketch column: exact when the
+    group had fewer than k distinct values (the sketch holds ALL of
+    them); else the classic (k-1) / normalized k-th minimum — written
+    as ``(k-1)*2^60 / h_k`` with the numerator folded to one exact
+    float literal so both engines evaluate the identical division."""
+    num = float((k - 1) * (1 << 60))
+    return F.when(
+        F.size(kmv) < k, F.size(kmv).cast("double")
+    ).otherwise(F.lit(num) / F.element_at(kmv, k).cast("double"))
+
+
+def kmv_estimate(sk: DataFrame, k: int, keys=()) -> DataFrame:
+    """``(keys..., est double)`` distinct-count estimate per group.
+    Standard error ~ 1/sqrt(k-2) (~6% at k=256)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return sk.select(*keys, _kmv_est(F.col("kmv"), k).alias("est"))
+
+
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, k: int, keys=()
+) -> DataFrame:
+    """Set-overlap estimates between two KMV sketches (same ``k``;
+    joined on ``keys``, or one row x one row when ``keys`` is empty):
+    ``(keys..., est_a, est_b, est_union, est_jaccard,
+    est_intersection)``.
+
+    Construction [Beyer et al. 2007]: the union sketch is the k
+    smallest of A ∪ B; the Jaccard estimate is the fraction of those
+    union-sketch hashes present in BOTH sides (each union-sketch hash
+    is a uniform sample of the union, so membership-in-both is a
+    Bernoulli draw of the Jaccard); intersection = jaccard x union
+    estimate. Everything is integer set algebra + two IEEE divisions
+    — bitwise SQL-replayable, no randomness."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    al = a.select(*keys, F.col("kmv").alias("__ka"))
+    bl = b.select(*keys, F.col("kmv").alias("__kb"))
+    if keys:
+        j = al.join(bl, keys)
+    else:
+        # declared-crossjoin: two ONE-ROW sketch relations (the
+        # group-less overlap question) — a 1x1 product by contract
+        j = al.crossJoin(F.broadcast(bl))
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
+    )
+    staged = j.select(*keys, "__ka", "__kb", u.alias("__u"))
+    matched = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("__u"), F.col("__ka")), F.col("__kb")
+        )
+    )
+    union_est = _kmv_est(F.col("__u"), k)
+    jacc = matched.cast("double") / F.size(F.col("__u")).cast("double")
+    return staged.select(
+        *keys,
+        _kmv_est(F.col("__ka"), k).alias("est_a"),
+        _kmv_est(F.col("__kb"), k).alias("est_b"),
+        union_est.alias("est_union"),
+        jacc.alias("est_jaccard"),
+        (jacc * union_est).alias("est_intersection"),
+    )

@@ -1496,6 +1496,70 @@ def _shingle_sql(src: str = "documents") -> str:
 _SHINGLE_SQL = _shingle_sql("documents")
 
 
+_KMV_K = 128
+_KMV_NUM = repr(float((_KMV_K - 1) * (1 << 60)))
+
+
+@query(
+    "kmv_shingle_overlap",
+    # KMV (bottom-k) cross-corpus overlap: distinct 3-gram shingles of
+    # src0 documents vs the rest, k=128 smallest md5-h60 hashes per
+    # side, Beyer et al. 2007 union/Jaccard/intersection estimators.
+    # Deterministic end to end (md5 hash, integer set algebra, two
+    # IEEE divisions) — the oracle replays every ESTIMATE bitwise.
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    lab AS (
+      SELECT s.sh, d.source
+      FROM sh s JOIN documents d USING (doc_id)),
+    ha AS (SELECT DISTINCT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+           FROM lab WHERE source = 'src0'),
+    hb AS (SELECT DISTINCT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+           FROM lab WHERE source != 'src0'),
+    ka AS (SELECT list_sort(list(h)) AS kmv
+           FROM (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K})),
+    kb AS (SELECT list_sort(list(h)) AS kmv
+           FROM (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K})),
+    uu AS (
+      SELECT ka.kmv AS a, kb.kmv AS b,
+             list_slice(list_sort(list_distinct(list_concat(ka.kmv, kb.kmv))),
+                        1, {_KMV_K}) AS u
+      FROM ka CROSS JOIN kb),
+    est AS (
+      SELECT
+        CASE WHEN len(a) < {_KMV_K} THEN len(a)::DOUBLE
+             ELSE {_KMV_NUM} / a[{_KMV_K}]::DOUBLE END AS est_a,
+        CASE WHEN len(b) < {_KMV_K} THEN len(b)::DOUBLE
+             ELSE {_KMV_NUM} / b[{_KMV_K}]::DOUBLE END AS est_b,
+        CASE WHEN len(u) < {_KMV_K} THEN len(u)::DOUBLE
+             ELSE {_KMV_NUM} / u[{_KMV_K}]::DOUBLE END AS est_union,
+        len(list_intersect(list_intersect(u, a), b))::DOUBLE
+            / len(u)::DOUBLE AS est_jaccard
+      FROM uu)
+    SELECT est_a, est_b, est_union, est_jaccard,
+           est_jaccard * est_union AS est_intersection
+    FROM est
+    """,
+)
+def kmv_shingle_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap estimation from KMV sketches
+    (functions/sketches.py kmv_sketch/kmv_overlap): how much do src0
+    documents' shingles overlap the rest of the corpus — union,
+    Jaccard, and INTERSECTION estimates from <= k int64s per side,
+    the set-operation question HLL registers cannot answer (the
+    decontamination-sizing shape at 100 TB)."""
+    from .functions.dedup import shingles
+    from .functions.sketches import kmv_overlap, kmv_sketch
+
+    docs = load_table(spark, "documents", sf_dir)
+    ex = docs.select(
+        "source", F.explode(shingles("text", 3)).alias("sh")
+    )
+    a = kmv_sketch(ex.filter(F.col("source") == "src0"), "sh", k=_KMV_K)
+    b = kmv_sketch(ex.filter(F.col("source") != "src0"), "sh", k=_KMV_K)
+    return kmv_overlap(a, b, k=_KMV_K)
+
+
 @query(
     "dedup_ngram_jaccard",
     # Replays ngram_jaccard_pairs incl. the max_bucket=50 fan-out
@@ -6696,7 +6760,12 @@ _GATE_ORDER = [
     "dedup_survivors",
     "dedup_repeated_spans",
     "unigram_logprob",
-    "dedup_semantic",
+    # round-12 KMV overlap sketch (second session) — straight into
+    # the window (no-backlog policy); dedup_semantic rotates out
+    # driver-green (r11 row; dedup keeps clusters_incremental,
+    # minhash_lsh, survivors, repeated_spans in-window and the
+    # semantic path stays exercised by the similarity block)
+    "kmv_shingle_overlap",
     "unpivot_measures",
     "stream_len_quantiles",
     # TPC-H keeps three in-window representatives (max-subquery view,
@@ -6708,6 +6777,7 @@ _GATE_ORDER = [
     # round-12 rotation #8 overflow head: the rows rotated out this
     # round (every one driver-green in CORRECTNESS_r11; family
     # justification in the rotation comments above).
+    "dedup_semantic",
     "stream_hll_by_source",
     "similarity_ann_pq",
     "tpch_q20_part_promotion",

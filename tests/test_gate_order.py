@@ -70,7 +70,10 @@ def test_gate_window_contents():
         "retrieval_eval",
         "decontaminate_verbatim_short",
         "dedup_repeated_spans",
-        "dedup_semantic",
+        # round-12 KMV overlap sketch (no-backlog policy;
+        # dedup_semantic rotates out driver-green, dedup keeps four
+        # in-window reps)
+        "kmv_shingle_overlap",
         # round-12 training-order assignment (no-backlog policy;
         # similarity_ann_pq rotates out driver-green — b31 watch
         # adjudicated, quantized family keeps ivfpq/ivfpq_join/ivfsq8)
@@ -105,15 +108,17 @@ def test_gate_window_contents():
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # overflow: every rotated-out row was driver-green in the round it
-    # left (stream_hll_by_source,
-    # similarity_ann_pq, and tpch_q20 lead — rotated out for the
-    # round-12 retrieval_rerank, training_order, and IVF-SQ8
-    # registrations — then the nine
+    # left (dedup_semantic,
+    # stream_hll_by_source, similarity_ann_pq, and tpch_q20 lead —
+    # rotated out for the round-12 kmv_shingle_overlap,
+    # retrieval_rerank, training_order, and IVF-SQ8 registrations —
+    # then the nine
     # rotation-#8 rows, all green in
     # CORRECTNESS_r11); family representation justified in the
     # _GATE_ORDER comments. All overflow stays locally oracle-checked
     # per round.
     assert names[50:] == [
+        "dedup_semantic",
         "stream_hll_by_source",
         "similarity_ann_pq",
         "tpch_q20_part_promotion",

@@ -182,3 +182,81 @@ def test_histogram_sketch_rejects_negative_loudly(spark):
     df = spark.createDataFrame([(1,), (-3,)], "v bigint")
     with pytest.raises(SparkRuntimeException, match="non-NULL v >= 0"):
         histogram_sketch(df, "v").collect()
+
+
+def _py_kmv(values, k):
+    hs = sorted({_h60(v) for v in values})
+    return hs[:k]
+
+
+def _py_kmv_est(kmv, k):
+    if len(kmv) < k:
+        return float(len(kmv))
+    return float((k - 1) * (1 << 60)) / float(kmv[k - 1])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=120),
+    st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=120),
+)
+def test_kmv_matches_python_replica_bitwise(spark, va, vb):
+    """KMV sketch, merge, estimate, and overlap vs a pure-Python
+    replica on the same md5-h60 hashes: hash lists identical, merge ==
+    sketching the union (row-identical), every estimate bitwise."""
+    from spark_sorted_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    k = 16
+    da = spark.createDataFrame([(v,) for v in va], "v string")
+    db = spark.createDataFrame([(v,) for v in vb], "v string")
+    sa, sb = kmv_sketch(da, "v", k=k), kmv_sketch(db, "v", k=k)
+    pa, pb = _py_kmv(va, k), _py_kmv(vb, k)
+    assert list(sa.head().kmv) == pa
+    assert list(sb.head().kmv) == pb
+    assert kmv_estimate(sa, k).head().est == _py_kmv_est(pa, k)
+    # merge == sketch of the union, bitwise
+    m = kmv_merge(sa, sb, k=k).head().kmv
+    assert list(m) == _py_kmv(va + vb, k)
+    # overlap estimators vs replica arithmetic
+    u = sorted(set(pa) | set(pb))[:k]
+    matched = len([h for h in u if h in set(pa) and h in set(pb)])
+    jacc = float(matched) / float(len(u))
+    row = kmv_overlap(sa, sb, k=k).head()
+    assert row.est_a == _py_kmv_est(pa, k)
+    assert row.est_b == _py_kmv_est(pb, k)
+    assert row.est_union == _py_kmv_est(u, k)
+    assert row.est_jaccard == jacc
+    assert row.est_intersection == jacc * _py_kmv_est(u, k)
+
+
+def test_kmv_grouped_and_validation(spark):
+    from spark_sorted_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    import pytest as _pytest
+
+    rows = [(i % 3, str(i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "g int, v string")
+    sk = kmv_sketch(df, "v", k=8, keys=("g",))
+    assert sk.count() == 3
+    for r in sk.collect():
+        assert len(r.kmv) == 8 and list(r.kmv) == sorted(r.kmv)
+    est = {r.g: r.est for r in kmv_estimate(sk, 8, keys=("g",)).collect()}
+    # 30 distinct per group; k=8 estimate should land within 3x
+    assert all(8 <= e <= 120 for e in est.values())
+    # below-k groups are EXACT
+    small = spark.createDataFrame([(0, "a"), (0, "b")], "g int, v string")
+    ssk = kmv_sketch(small, "v", k=8, keys=("g",))
+    assert kmv_estimate(ssk, 8, keys=("g",)).head().est == 2.0
+    with _pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_sketch(df, "v", k=1)
+    with _pytest.raises(ValueError, match="at least one sketch"):
+        kmv_merge(k=8)

@@ -385,6 +385,29 @@ def main():
             spark, path, q, k=10, nprobe=4
         ).count()
 
+    def b51(d):
+        # KMV overlap: distinct-shingle aggregate + per-group bounded
+        # window — the grouped-HLL cost class; slope should track the
+        # shingle volume (linear), state fixed at k int64s per side
+        from spark_sorted_spark.functions.dedup import shingles
+        from spark_sorted_spark.functions.sketches import (
+            kmv_overlap,
+            kmv_sketch,
+        )
+
+        ex = d.select(
+            "source", F.explode(shingles("text", 3)).alias("sh")
+        )
+        def run():
+            a = kmv_sketch(
+                ex.filter(F.col("source") == "src0"), "sh", k=128
+            )
+            b = kmv_sketch(
+                ex.filter(F.col("source") != "src0"), "sh", k=128
+            )
+            return kmv_overlap(a, b, k=128).count()
+        return run
+
     def b48(e):
         # SQ8 quantization: a 0-shuffle pure map — the slope IS the
         # data volume (10x rows = 10x work), flat per row
@@ -447,6 +470,7 @@ def main():
             "b50_ivfsq8_join_indexed",
             lambda: (b50(emb, "1x"), b50(emb10, "10x")),
         ),
+        ("b51_kmv_overlap", lambda: (b51(docs), b51(docs10))),
         (
             "b49_bm25_join_rm3_indexed",
             lambda: (b49(docs, "1x"), b49(docs10, "10x")),
