@@ -970,13 +970,19 @@ def rerank_overlap(
         F.col(id_col),
         F.col(rank_col).alias("__rank1"),
     )
+    # NULL text coalesces to the empty token set — without this,
+    # size(NULL array) is -1 in Spark (a nonsense score the oracle's
+    # len(NULL)=NULL would diverge from)
+    empty = F.array().cast("array<string>")
     dd = corpus.select(
         F.col(id_col),
-        F.array_distinct(tokens(text_col)).alias("__dt"),
+        F.coalesce(F.array_distinct(tokens(text_col)), empty).alias("__dt"),
     )
     dq = queries.select(
         F.col(query_id_col),
-        F.array_distinct(tokens(query_text_col)).alias("__qt"),
+        F.coalesce(
+            F.array_distinct(tokens(query_text_col)), empty
+        ).alias("__qt"),
     )
     scored = (
         dd.join(F.broadcast(cand), id_col)

@@ -794,7 +794,15 @@ def kmv_sketch(
     v = F.col(value) if isinstance(value, str) else value
     from pyspark.sql import Window
 
-    hashed = df.select(*keys, _h60(v).alias("__h")).distinct()
+    # md5(NULL) is NULL; Spark sorts NULLs FIRST ascending while
+    # DuckDB sorts them last, so an unfiltered NULL would both poison
+    # the sketch and desynchronize the oracle — drop it explicitly
+    # (a NULL value is not a set member)
+    hashed = (
+        df.select(*keys, _h60(v).alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*keys).orderBy("__h")
     return (
         hashed.withColumn("__rn", F.row_number().over(w))

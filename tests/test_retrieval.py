@@ -2115,6 +2115,22 @@ def test_rerank_overlap_refines_and_bounds(spark):
     assert all(r.doc_id in {1, 2, 3, 4, 5} for r in out)
     with _pytest.raises(ValueError, match="k must be"):
         rerank_overlap(cand, docs, qs, k=0)
+    # NULL text scores as the empty token set (n_common 0), never -1
+    docs_null = docs.union(
+        docs.sparkSession.createDataFrame(
+            [(9, None)], "doc_id long, text string"
+        )
+    )
+    cand9 = cand.union(
+        docs.sparkSession.createDataFrame(
+            [(10, 9, 0.0, 0, 99)],
+            "query_id long, doc_id long, score double, "
+            "n_terms_matched long, rank long",
+        )
+    )
+    out9 = rerank_overlap(cand9, docs_null, qs, k=6).collect()
+    row9 = [r for r in out9 if r.doc_id == 9]
+    assert row9 and row9[0].n_common == 0 and row9[0].overlap == 0.0
 
 
 def test_rerank_cross_encoder_plumbing_and_stub(spark):

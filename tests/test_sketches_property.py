@@ -258,5 +258,13 @@ def test_kmv_grouped_and_validation(spark):
     assert kmv_estimate(ssk, 8, keys=("g",)).head().est == 2.0
     with _pytest.raises(ValueError, match="k must be >= 2"):
         kmv_sketch(df, "v", k=1)
+    # NULL values are not set members: they never enter the sketch
+    # (Spark would otherwise sort the NULL hash FIRST and poison
+    # every estimate; DuckDB sorts NULLs last — divergence either way)
+    withnull = spark.createDataFrame(
+        [(0, "a"), (0, None), (0, "b")], "g int, v string"
+    )
+    nsk = kmv_sketch(withnull, "v", k=8, keys=("g",)).head()
+    assert len(nsk.kmv) == 2 and all(h is not None for h in nsk.kmv)
     with _pytest.raises(ValueError, match="at least one sketch"):
         kmv_merge(k=8)
