@@ -33,10 +33,13 @@ from .sketches import (
     read_histogram,
     read_hll_estimate,
     read_hll_registers,
+    read_kmv,
+    read_kmv_estimate,
     stream_bloom,
     stream_cms_counts,
     stream_histogram,
     stream_hll_distinct,
+    stream_kmv,
 )
 from .source import stream_table
 from .stateful import stream_fold_by_key
@@ -58,6 +61,9 @@ __all__ = [
     "run_available_now",
     "stream_to_files",
     "stream_hll_distinct",
+    "stream_kmv",
+    "read_kmv",
+    "read_kmv_estimate",
     "read_hll_registers",
     "read_hll_estimate",
     "stream_cms_counts",

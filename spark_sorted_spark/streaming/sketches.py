@@ -42,6 +42,9 @@ __all__ = [
     "read_histogram",
     "stream_bloom",
     "read_bloom",
+    "stream_kmv",
+    "read_kmv",
+    "read_kmv_estimate",
     "compact_sketch_store",
 ]
 
@@ -241,12 +244,91 @@ def read_histogram(spark, store_path: str, keys=()) -> DataFrame:
     return sk.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
-def compact_sketch_store(spark, store_path: str, kind: str, keys=()) -> None:
+def stream_kmv(
+    stream_df: DataFrame,
+    value: str,
+    store_path: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    keys=(),
+    timeout_sec: int = 300,
+) -> None:
+    """Drain ``stream_df`` (bounded, availableNow) into a KMV store:
+    one ``ingest_batch_id={N}`` partition per micro-batch holding that
+    batch's bottom-k sketch (``functions.sketches.kmv_sketch``).
+
+    Replay story: same class as the HLL store — the bottom-k merge is
+    an idempotent, commutative, associative MIN-SELECTION (the k
+    smallest of X ∪ X are the k smallest of X), so a replayed batch
+    changes nothing and correctness needs no fencing; the batch-keyed
+    overwrite only bounds storage. Per-batch state is <= k int64s per
+    key group regardless of batch size, and the store keeps the full
+    set-operation power of the batch sketch: :func:`read_kmv` merges
+    to one sketch that feeds ``kmv_estimate`` / ``kmv_overlap`` — the
+    streaming half of the cross-corpus overlap question."""
+    from ..functions.sketches import kmv_sketch
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(batch_df, value, k=k, keys=keys)
+        sk.write.mode("overwrite").parquet(
+            f"{store_path}/ingest_batch_id={batch_id}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("stream_kmv did not finish")
+    finally:
+        q.stop()
+
+
+def read_kmv(spark, store_path: str, k: int, keys=()) -> DataFrame:
+    """Merge every batch partition of a KMV store into ONE sketch per
+    key group (the k smallest across all batches) — row-identical to
+    sketching the union of the drained batches (the
+    ``kmv_merge`` == ``kmv_sketch``-of-union pin)."""
+    from pyspark.sql import Window
+
+    from ..functions.sketches import kmv_sketch  # noqa: F401 (contract)
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sk = spark.read.parquet(store_path)
+    ex = sk.select(*keys, F.explode("kmv").alias("__h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("__h")
+    return (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+
+
+def read_kmv_estimate(spark, store_path: str, k: int, keys=()) -> DataFrame:
+    """The store's current distinct-count estimate(s): merge-on-read
+    then the standard deterministic estimator."""
+    from ..functions.sketches import kmv_estimate
+
+    return kmv_estimate(read_kmv(spark, store_path, k, keys), k, keys)
+
+
+def compact_sketch_store(
+    spark, store_path: str, kind: str, keys=(), k: int | None = None
+) -> None:
     """Collapse a long-appended sketch store (one ``ingest_batch_id``
     partition per micro-batch) back to a single partition holding the
     merged state — the small-files maintenance an unbounded stream
     eventually needs. The merge is the store's own read-side merge
-    (max for HLL, sum for CMS/histogram), so the compacted store
+    (max for HLL, sum for CMS/histogram, bottom-k for KMV — pass the
+    store's ``k``), so the compacted store
     answers every read identically (pinned by test).
 
     The compacted partition keeps the store's MAX batch id, so a
@@ -267,11 +349,13 @@ def compact_sketch_store(spark, store_path: str, kind: str, keys=()) -> None:
     from ..functions.dedup import _swap_in
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    if kind not in ("hll", "cms", "histogram", "bloom"):
+    if kind not in ("hll", "cms", "histogram", "bloom", "kmv"):
         raise ValueError(
             f"unknown sketch store kind {kind!r}: expected "
-            "'hll', 'bloom', 'cms' or 'histogram'"
+            "'hll', 'bloom', 'cms', 'histogram' or 'kmv'"
         )
+    if kind == "kmv" and (k is None or k < 2):
+        raise ValueError("kind='kmv' requires the store's k (>= 2)")
     # find the max batch partition BEFORE any read: an empty dir must
     # be a clean ValueError, not a schema-inference failure
     jvm = spark.sparkContext._jvm
@@ -291,6 +375,8 @@ def compact_sketch_store(spark, store_path: str, kind: str, keys=()) -> None:
         merged = read_bloom(spark, store_path)
     elif kind == "cms":
         merged = read_cms_cells(spark, store_path)
+    elif kind == "kmv":
+        merged = read_kmv(spark, store_path, k, keys)
     else:
         merged = read_histogram(spark, store_path, keys)
     staging = f"{store_path}.compacting"

@@ -2117,3 +2117,99 @@ def test_stream_maintain_ann_ivfsq8_index_lifecycle(spark, sf_dir, tmp_path):
     # fresh checkpoint against the populated index: loud
     with _pytest.raises(ValueError, match="different ingest stream"):
         drain(str(tmp_path / "ckpt2"))
+
+
+def test_stream_kmv_matches_batch_and_survives_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streaming KMV store: after two drains the merged sketch (and
+    its estimate) must be ROW-IDENTICAL to the batch sketch over all
+    data (bottom-k merge is exact); a full replay (fresh checkpoint,
+    same files) changes nothing because the merge is an idempotent
+    min-selection; compaction collapses the partitions and answers
+    every read identically."""
+    import shutil
+
+    from spark_sorted_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from spark_sorted_spark.streaming import (
+        compact_sketch_store,
+        read_kmv,
+        read_kmv_estimate,
+        stream_kmv,
+        stream_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = docs.filter(F.col("doc_id") % 2 == 0)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    store = str(tmp_path / "kmv_store")
+    k = 32
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain(ckpt):
+        sdf = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_kmv(
+            sdf, "text", store, str(tmp_path / ckpt),
+            k=k, keys="source", timeout_sec=180,
+        )
+
+    arrive(b1, "b1")
+    drain("ckpt")
+    arrive(b2, "b2")
+    drain("ckpt")
+
+    want_sk = sorted(
+        (r.source, list(r.kmv))
+        for r in kmv_sketch(docs, "text", k=k, keys="source").collect()
+    )
+    got_sk = sorted(
+        (r.source, list(r.kmv))
+        for r in read_kmv(spark, store, k, keys="source").collect()
+    )
+    assert got_sk == want_sk
+    want_est = sorted(
+        map(
+            tuple,
+            kmv_estimate(
+                kmv_sketch(docs, "text", k=k, keys="source"),
+                k, keys="source",
+            ).collect(),
+        )
+    )
+    got_est = sorted(
+        map(
+            tuple,
+            read_kmv_estimate(spark, store, k, keys="source").collect(),
+        )
+    )
+    assert got_est == want_est
+
+    # replay from a fresh checkpoint: idempotent — nothing changes
+    drain("ckpt2")
+    assert sorted(
+        (r.source, list(r.kmv))
+        for r in read_kmv(spark, store, k, keys="source").collect()
+    ) == want_sk
+
+    # compaction answers every read identically
+    compact_sketch_store(spark, store, "kmv", keys="source", k=k)
+    assert sorted(
+        (r.source, list(r.kmv))
+        for r in read_kmv(spark, store, k, keys="source").collect()
+    ) == want_sk
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires the store's k"):
+        compact_sketch_store(spark, store, "kmv", keys="source")
