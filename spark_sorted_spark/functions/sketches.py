@@ -65,6 +65,7 @@ __all__ = [
     "kmv_merge",
     "kmv_estimate",
     "kmv_overlap",
+    "kmv_overlap_matrix",
 ]
 
 _HASH_BITS = 60  # md5-derived h60 (15 hex chars), nonnegative in int64
@@ -900,6 +901,45 @@ def kmv_overlap(
     jacc = matched.cast("double") / F.size(F.col("__u")).cast("double")
     return staged.select(
         *keys,
+        _kmv_est(F.col("__ka"), k).alias("est_a"),
+        _kmv_est(F.col("__kb"), k).alias("est_b"),
+        union_est.alias("est_union"),
+        jacc.alias("est_jaccard"),
+        (jacc * union_est).alias("est_intersection"),
+    )
+
+
+def kmv_overlap_matrix(sk: DataFrame, k: int, key: str) -> DataFrame:
+    """Pairwise overlap report across ALL key groups of one grouped
+    sketch (:func:`kmv_sketch` with ``keys=(key,)``): one row per
+    unordered group pair ``(key_a < key_b)`` with the
+    :func:`kmv_overlap` estimate columns — the corpus-mix overlap
+    matrix ("which sources duplicate each other?") from sketch state
+    alone. G groups -> G(G-1)/2 rows; the join is sketch x sketch
+    (<= k int64s per row), never data x data."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    a = sk.select(
+        F.col(key).alias(f"{key}_a"), F.col("kmv").alias("__ka")
+    )
+    b = sk.select(
+        F.col(key).alias(f"{key}_b"), F.col("kmv").alias("__kb")
+    )
+    j = a.join(b, F.col(f"{key}_a") < F.col(f"{key}_b"))
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
+    )
+    staged = j.select(f"{key}_a", f"{key}_b", "__ka", "__kb", u.alias("__u"))
+    matched = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("__u"), F.col("__ka")), F.col("__kb")
+        )
+    )
+    union_est = _kmv_est(F.col("__u"), k)
+    jacc = matched.cast("double") / F.size(F.col("__u")).cast("double")
+    return staged.select(
+        f"{key}_a",
+        f"{key}_b",
         _kmv_est(F.col("__ka"), k).alias("est_a"),
         _kmv_est(F.col("__kb"), k).alias("est_b"),
         union_est.alias("est_union"),

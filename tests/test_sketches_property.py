@@ -268,3 +268,38 @@ def test_kmv_grouped_and_validation(spark):
     assert len(nsk.kmv) == 2 and all(h is not None for h in nsk.kmv)
     with _pytest.raises(ValueError, match="at least one sketch"):
         kmv_merge(k=8)
+
+
+def test_kmv_overlap_matrix_matches_pairwise_overlap(spark):
+    """The grouped overlap matrix is row-for-row the pairwise
+    kmv_overlap of the per-group sketches (pinned identity — same
+    estimators, same arithmetic), one row per unordered pair."""
+    from spark_sorted_spark.functions.sketches import (
+        kmv_overlap,
+        kmv_overlap_matrix,
+        kmv_sketch,
+    )
+
+    rows = [(f"s{i % 3}", str(i)) for i in range(300)]
+    rows += [(f"s{(i % 2) + 1}", str(i)) for i in range(0, 300, 2)]
+    df = spark.createDataFrame(rows, "source string, v string")
+    k = 16
+    from pyspark.sql import functions as F
+
+    sk = kmv_sketch(df, "v", k=k, keys=("source",))
+    mat = {
+        (r.source_a, r.source_b): (
+            r.est_a, r.est_b, r.est_union, r.est_jaccard,
+            r.est_intersection,
+        )
+        for r in kmv_overlap_matrix(sk, k, "source").collect()
+    }
+    assert set(mat) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+    for ga, gb in mat:
+        a = sk.filter(F.col("source") == ga).drop("source")
+        b = sk.filter(F.col("source") == gb).drop("source")
+        r = kmv_overlap(a, b, k=k).head()
+        assert mat[(ga, gb)] == (
+            r.est_a, r.est_b, r.est_union, r.est_jaccard,
+            r.est_intersection,
+        )
