@@ -1086,6 +1086,10 @@ def rerank_cross_encoder(
 
     def run(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                # never hand an empty batch to the user's scorer (a
+                # model forward pass on zero rows is a common crash)
+                continue
             out = pdf[[query_id_col, id_col, "__rank1"]].copy()
             out["score"] = [
                 float(x) for x in scorer(pdf["__qtext"], pdf["__dtext"])
