@@ -1003,7 +1003,14 @@ def rerank_overlap(
     return (
         scored.withColumn(
             "overlap",
-            F.col("n_common").cast("double") / F.col("__nq").cast("double"),
+            # a query with NO tokens (NULL/blank text) defines
+            # overlap as 0.0 — the 0/0 division would kill the job
+            # under ANSI (the SQ8 zero-vector precedent)
+            F.when(
+                F.col("__nq") > 0,
+                F.col("n_common").cast("double")
+                / F.col("__nq").cast("double"),
+            ).otherwise(F.lit(0.0)),
         )
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)

@@ -743,11 +743,13 @@ def _lloyd_refine(
     return cents
 
 
-_RESERVED_INDEX_COLS = (
-    "cell", "code", "bucket", "t", "ingest_batch_id",
-    # SQ8 layout columns (build_ann_ivfsq8_index rows)
-    "scale", "codes",
-)
+_RESERVED_INDEX_COLS = ("cell", "code", "bucket", "t", "ingest_batch_id")
+
+# SQ8 layout columns — reserved ONLY for the IVF-SQ8 build/append
+# (a pre-existing IVF/LSH index with a user extra named "scale" keeps
+# working; reserving these repo-wide would make its appends silently
+# drop the column)
+_SQ8_RESERVED_COLS = ("scale", "codes")
 
 
 def _check_extra_cols(extra_cols, id_col: str, vec_col: str) -> None:
@@ -2895,32 +2897,20 @@ def quantize_embeddings(
     aggregate folds) — JVM-side, no Python in the hot path, one
     narrow projection over the corpus."""
     vec_d = _to_double(F.col(vec_col))
-    absmax = F.aggregate(
-        F.transform(vec_d, lambda x: F.abs(x)),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, x),
-    )
     # scale materialized as a REAL column first so the codes transform
-    # references it by name (one evaluation per row, not per dim)
+    # references it by name (one evaluation per row, not per dim);
+    # the expressions are the SHARED _sq8_* helpers — the persisted
+    # IVF-SQ8 index and this column op must stay bitwise-identical
+    # (the probe==dequantize-compose equivalence is test-pinned)
     staged = df.select(
         F.col(id_col),
         vec_d.alias("__v"),
-        (absmax / F.lit(127.0)).alias("scale"),
+        _sq8_scale(vec_d).alias("scale"),
     )
     return staged.select(
         id_col,
         "scale",
-        F.when(
-            F.col("scale") > 0,
-            F.transform(
-                F.col("__v"),
-                lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast(
-                    "int"
-                ),
-            ),
-        )
-        .otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
-        .alias("codes"),
+        _sq8_codes(F.col("__v"), F.col("scale")).alias("codes"),
     )
 
 
@@ -2938,10 +2928,7 @@ def dequantize_embeddings(
     the original is <= scale/2 by the rounding rule (pinned)."""
     return qdf.select(
         F.col(id_col),
-        F.transform(
-            F.col(codes_col),
-            lambda c: c.cast("double") * F.col(scale_col),
-        ).alias(vec_col),
+        _sq8_decode(F.col(codes_col), F.col(scale_col)).alias(vec_col),
     )
 
 
@@ -3058,6 +3045,12 @@ def build_ann_ivfsq8_index(
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
     _check_extra_cols(extra_cols, id_col, vec_col)
+    bad_sq8 = [c for c in extra_cols if c in _SQ8_RESERVED_COLS]
+    if bad_sq8:
+        raise ValueError(
+            f"extra_cols {bad_sq8} collide with the IVF-SQ8 layout "
+            f"columns {_SQ8_RESERVED_COLS}"
+        )
     if nlist is None:
         # auto-size cells (see build_ann_ivf_index — same rule, same
         # fixed-default-for-oracles / None-at-scale contract)
@@ -3129,7 +3122,11 @@ def append_to_ann_ivfsq8_index(
     if not cent_rows:
         raise ValueError(f"{path!r} holds no centroid table; build first")
     cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
-    extras = _index_extra_cols(spark.read.parquet(path), id_col, vec_col)
+    extras = [
+        c
+        for c in _index_extra_cols(spark.read.parquet(path), id_col, vec_col)
+        if c not in _SQ8_RESERVED_COLS
+    ]
     df = spread_small_input(df)
     celled = _sq8_rows(df, cents, vec_col, id_col, extras)
     part = -1 if batch_id is None else batch_id
@@ -3165,6 +3162,8 @@ def ann_ivfsq8_topk_indexed(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if rerank is not None and rerank < k:
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
     path = resolve_root(spark, index_path)
@@ -3258,6 +3257,7 @@ def ann_ivfsq8_join_indexed(
     if rerank is not None and rerank < k:
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
     path = resolve_root(spark, index_path)
+    dim = int(spark.read.parquet(f"{path}/_sq_meta").head().dim)
     # bounded-collect: nlist centroid rows from the index metadata
     cent_rows = (
         spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
@@ -3271,6 +3271,14 @@ def ann_ivfsq8_join_indexed(
     ).collect()
     if not qrows:
         raise ValueError("query batch is empty")
+    for r in qrows:
+        if r[1] is None or len(r[1]) != dim:
+            got = "NULL" if r[1] is None else len(r[1])
+            raise ValueError(
+                f"query {r[0]!r} dim {got} != index dim {dim}: a "
+                "mismatched vector would NULL-fold every cosine and "
+                "silently return garbage ranks"
+            )
     qid_type = queries.schema[query_id_col].dataType
     pairs = [
         (r[0], int(cell))

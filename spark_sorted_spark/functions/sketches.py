@@ -774,6 +774,24 @@ def _h60(v: Column) -> Column:
     return F.conv(F.substring(F.md5(v), 1, 15), 16, 10).cast("bigint")
 
 
+def _kmv_bottomk(hashed: DataFrame, k: int, keys) -> DataFrame:
+    """The shared bottom-k pipeline every KMV construction ends with:
+    distinct hashes -> per-group window rank -> k smallest collected
+    as one ascending array. ONE canonical implementation — sketch,
+    merge, and the streaming store's read-side merge all call this,
+    so a future tie/NULL-handling tweak cannot desynchronize them."""
+    from pyspark.sql import Window
+
+    ex = hashed.filter(F.col("__h").isNotNull()).distinct()
+    w = Window.partitionBy(*keys).orderBy("__h")
+    return (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+
+
 def kmv_sketch(
     df: DataFrame, value: Column | str, k: int = 256, keys=()
 ) -> DataFrame:
@@ -793,23 +811,12 @@ def kmv_sketch(
         raise ValueError(f"k must be >= 2, got {k}")
     keys = [keys] if isinstance(keys, str) else list(keys)
     v = F.col(value) if isinstance(value, str) else value
-    from pyspark.sql import Window
-
     # md5(NULL) is NULL; Spark sorts NULLs FIRST ascending while
     # DuckDB sorts them last, so an unfiltered NULL would both poison
-    # the sketch and desynchronize the oracle — drop it explicitly
+    # the sketch and desynchronize the oracle — _kmv_bottomk drops it
     # (a NULL value is not a set member)
-    hashed = (
-        df.select(*keys, _h60(v).alias("__h"))
-        .filter(F.col("__h").isNotNull())
-        .distinct()
-    )
-    w = Window.partitionBy(*keys).orderBy("__h")
-    return (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .groupBy(*keys)
-        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    return _kmv_bottomk(
+        df.select(*keys, _h60(v).alias("__h")), k, keys
     )
 
 
@@ -827,17 +834,8 @@ def kmv_merge(*sketches: DataFrame, k: int, keys=()) -> DataFrame:
     merged = sketches[0]
     for t in sketches[1:]:
         merged = merged.unionByName(t)
-    from pyspark.sql import Window
-
-    ex = merged.select(
-        *keys, F.explode("kmv").alias("__h")
-    ).distinct()
-    w = Window.partitionBy(*keys).orderBy("__h")
-    return (
-        ex.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .groupBy(*keys)
-        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    return _kmv_bottomk(
+        merged.select(*keys, F.explode("kmv").alias("__h")), k, keys
     )
 
 
@@ -860,6 +858,34 @@ def kmv_estimate(sk: DataFrame, k: int, keys=()) -> DataFrame:
         raise ValueError(f"k must be >= 2, got {k}")
     keys = [keys] if isinstance(keys, str) else list(keys)
     return sk.select(*keys, _kmv_est(F.col("kmv"), k).alias("est"))
+
+
+def _kmv_overlap_cols(staged: DataFrame, out_keys, k: int) -> DataFrame:
+    """The shared estimator projection of both overlap forms: from a
+    row holding ``__ka``/``__kb``/``__u`` arrays, emit the five
+    estimate columns. ONE canonical implementation (kmv_overlap and
+    kmv_overlap_matrix) so the estimators cannot diverge."""
+    matched = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("__u"), F.col("__ka")), F.col("__kb")
+        )
+    )
+    union_est = _kmv_est(F.col("__u"), k)
+    jacc = matched.cast("double") / F.size(F.col("__u")).cast("double")
+    return staged.select(
+        *out_keys,
+        _kmv_est(F.col("__ka"), k).alias("est_a"),
+        _kmv_est(F.col("__kb"), k).alias("est_b"),
+        union_est.alias("est_union"),
+        jacc.alias("est_jaccard"),
+        (jacc * union_est).alias("est_intersection"),
+    )
+
+
+def _kmv_union_col(k: int) -> Column:
+    return F.slice(
+        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
+    )
 
 
 def kmv_overlap(
@@ -888,25 +914,8 @@ def kmv_overlap(
         # declared-crossjoin: two ONE-ROW sketch relations (the
         # group-less overlap question) — a 1x1 product by contract
         j = al.crossJoin(F.broadcast(bl))
-    u = F.slice(
-        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
-    )
-    staged = j.select(*keys, "__ka", "__kb", u.alias("__u"))
-    matched = F.size(
-        F.array_intersect(
-            F.array_intersect(F.col("__u"), F.col("__ka")), F.col("__kb")
-        )
-    )
-    union_est = _kmv_est(F.col("__u"), k)
-    jacc = matched.cast("double") / F.size(F.col("__u")).cast("double")
-    return staged.select(
-        *keys,
-        _kmv_est(F.col("__ka"), k).alias("est_a"),
-        _kmv_est(F.col("__kb"), k).alias("est_b"),
-        union_est.alias("est_union"),
-        jacc.alias("est_jaccard"),
-        (jacc * union_est).alias("est_intersection"),
-    )
+    staged = j.select(*keys, "__ka", "__kb", _kmv_union_col(k).alias("__u"))
+    return _kmv_overlap_cols(staged, keys, k)
 
 
 def kmv_overlap_matrix(sk: DataFrame, k: int, key: str) -> DataFrame:
@@ -926,23 +935,7 @@ def kmv_overlap_matrix(sk: DataFrame, k: int, key: str) -> DataFrame:
         F.col(key).alias(f"{key}_b"), F.col("kmv").alias("__kb")
     )
     j = a.join(b, F.col(f"{key}_a") < F.col(f"{key}_b"))
-    u = F.slice(
-        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
+    staged = j.select(
+        f"{key}_a", f"{key}_b", "__ka", "__kb", _kmv_union_col(k).alias("__u")
     )
-    staged = j.select(f"{key}_a", f"{key}_b", "__ka", "__kb", u.alias("__u"))
-    matched = F.size(
-        F.array_intersect(
-            F.array_intersect(F.col("__u"), F.col("__ka")), F.col("__kb")
-        )
-    )
-    union_est = _kmv_est(F.col("__u"), k)
-    jacc = matched.cast("double") / F.size(F.col("__u")).cast("double")
-    return staged.select(
-        f"{key}_a",
-        f"{key}_b",
-        _kmv_est(F.col("__ka"), k).alias("est_a"),
-        _kmv_est(F.col("__kb"), k).alias("est_b"),
-        union_est.alias("est_union"),
-        jacc.alias("est_jaccard"),
-        (jacc * union_est).alias("est_intersection"),
-    )
+    return _kmv_overlap_cols(staged, [f"{key}_a", f"{key}_b"], k)

@@ -268,6 +268,10 @@ def stream_kmv(
     streaming half of the cross-corpus overlap question."""
     from ..functions.sketches import kmv_sketch
 
+    # eager: a bad k raised inside foreachBatch would surface as an
+    # opaque StreamingQueryException after the checkpoint is created
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -294,22 +298,14 @@ def read_kmv(spark, store_path: str, k: int, keys=()) -> DataFrame:
     key group (the k smallest across all batches) — row-identical to
     sketching the union of the drained batches (the
     ``kmv_merge`` == ``kmv_sketch``-of-union pin)."""
-    from pyspark.sql import Window
-
-    from ..functions.sketches import kmv_sketch  # noqa: F401 (contract)
+    from ..functions.sketches import _kmv_bottomk
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     keys = [keys] if isinstance(keys, str) else list(keys)
     sk = spark.read.parquet(store_path)
-    ex = sk.select(*keys, F.explode("kmv").alias("__h")).distinct()
-    w = Window.partitionBy(*keys).orderBy("__h")
-    return (
-        ex.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .groupBy(*keys)
-        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
-    )
+    ex = sk.select(*keys, F.explode("kmv").alias("__h"))
+    return _kmv_bottomk(ex, k, keys)
 
 
 def read_kmv_estimate(spark, store_path: str, k: int, keys=()) -> DataFrame:
