@@ -2991,6 +2991,19 @@ def test_ann_ivfsq8_validation_errors(spark, emb, tmp_path):
         ann_ivfsq8_topk_indexed(spark, p, qvec, k=10, rerank=5)
     with pytest.raises(ValueError, match="query dim"):
         ann_ivfsq8_topk_indexed(spark, p, [1.0, 2.0], k=3)
+    with pytest.raises(ValueError, match="nprobe must be"):
+        ann_ivfsq8_topk_indexed(spark, p, qvec, k=3, nprobe=0)
+    # the batch twin validates every query's dim against _sq_meta —
+    # a mismatched vector would NULL-fold every cosine silently
+    from spark_sorted_spark.functions.similarity import (
+        ann_ivfsq8_join_indexed,
+    )
+
+    badq = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "query_id bigint, query_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="!= index dim"):
+        ann_ivfsq8_join_indexed(spark, p, badq, k=3)
     with pytest.raises(ValueError, match="batch_id must be >= 0"):
         append_to_ann_ivfsq8_index(corpus, p, batch_id=-1)
     with pytest.raises(ValueError, match="commit must be"):
