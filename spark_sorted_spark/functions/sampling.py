@@ -121,14 +121,36 @@ def training_order(
     sharded dataloader consumes anyway, and they parallelize as one
     hash shuffle + per-shard sort — exactly the group_sort layout, so
     the plan holds at any corpus size. Dropping to more shards than
-    executors keeps each sort partition-sized."""
+    executors keeps each sort partition-sized.
+
+    ID CONTRACT (ADVICE r12): ``id_col`` must be non-NULL and unique.
+    A NULL id raises at compute time (a row-level guard, no extra
+    scan) — Spark's ``concat_ws`` silently SKIPS NULLs, so a NULL id
+    would hash as ``md5('<seed>')`` and get a stable-looking but
+    meaningless slot while the documented DuckDB replay
+    (``'<seed>:' || id``) yields NULL — a cross-engine divergence
+    with no error. Duplicate ids share one ``(key, id)`` sort key, so
+    their relative positions are partition-order nondeterminism:
+    dedupe first (this is the dataloader-facing LAST step of a
+    pipeline whose earlier stages own dedup)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     from pyspark.sql import Window
 
-    key = F.md5(
-        F.concat_ws(
-            ":", F.lit(str(int(seed))), F.col(id_col).cast("string")
+    key = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"training_order: NULL {id_col} — the seeded "
+                "content-hash permutation requires non-NULL unique ids "
+                "(a NULL would silently hash as md5('<seed>'))"
+            )
+        ),
+    ).otherwise(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(str(int(seed))), F.col(id_col).cast("string")
+            )
         )
     )
     keyed = df.withColumn("__to_key", key).withColumn(

@@ -476,6 +476,7 @@ def build_ann_lsh_index(
     # copy before the lazy write ever ran (ADVICE r8), and it also
     # bypassed Spark's own cannot-read-and-overwrite-same-path check.
     spark = df.sparkSession
+    _check_corpus_dim(df, vec_col, dim, "build_ann_lsh_index")
     # n_planes=None derives the depth from the corpus count (the
     # auto_planes rule — a fixed depth is the measured quadratic at
     # 10x); the persisted _lsh_meta then makes the choice sticky for
@@ -1412,6 +1413,7 @@ def build_ann_pq_index(
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
     _check_extra_cols(extra_cols, id_col, vec_col)
+    _check_corpus_dim(df, vec_col, dim, "build_ann_pq_index")
     cbs = pq_codebooks(df, m, ksub, dim, vec_col, id_col, lloyd_iters)
     spark = df.sparkSession
     if commit == "manifest":
@@ -1530,6 +1532,7 @@ def build_ann_ivfpq_index(
     if commit not in ("rename", "manifest"):
         raise ValueError(f"commit must be 'rename' or 'manifest', got {commit!r}")
     _check_extra_cols(extra_cols, id_col, vec_col)
+    _check_corpus_dim(df, vec_col, dim, "build_ann_ivfpq_index")
     if nlist is None:
         # auto-size cells (see build_ann_ivf_index — same rule, same
         # fixed-default-for-oracles / None-at-scale contract)
@@ -1938,6 +1941,28 @@ def ann_pq_topk_indexed(
     return _rank_topk(vecs, query_vec, k, vec_col, id_col)
 
 
+def _check_corpus_dim(df: DataFrame, vec_col: str, dim: int, caller: str) -> None:
+    """Build-side half of the dim discipline (ADVICE r12): validate
+    one sampled corpus vector's length against the dim about to be
+    persisted in the index meta. A mislabeled dim written to meta is
+    the silent-garbage mode the probe-side checks can't catch — every
+    VALID query gets rejected at probe time, and a query matching the
+    wrong meta dim passes validation and NULL-folds every score."""
+    # bounded-collect: one sampled row for eager schema validation
+    sample = (
+        df.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
+    )
+    if sample is None:
+        return  # empty / all-NULL corpus: nothing to validate against
+    got = len(sample[0])
+    if got != dim:
+        raise ValueError(
+            f"{caller}: corpus {vec_col!r} has dim {got} but dim={dim} "
+            "was declared — the meta would reject every valid query "
+            "at probe time"
+        )
+
+
 def _collect_query_batch(
     queries: DataFrame, query_id_col: str, query_vec_col: str, dim: int
 ):
@@ -1956,12 +1981,14 @@ def _collect_query_batch(
     qid_type = queries.schema[query_id_col].dataType
     out = []
     for r in qrows:
-        vec = [float(x) for x in r[1]]
-        if len(vec) != dim:
+        if r[1] is None or len(r[1]) != dim:
+            got = "NULL" if r[1] is None else len(r[1])
             raise ValueError(
-                f"query {r[0]!r} dim {len(vec)} != index dim {dim}"
+                f"query {r[0]!r} dim {got} != index dim {dim}: a "
+                "mismatched vector would NULL-fold every score and "
+                "silently return garbage ranks"
             )
-        out.append((r[0], vec))
+        out.append((r[0], [float(x) for x in r[1]]))
     return qid_type, out
 
 
@@ -3051,6 +3078,7 @@ def build_ann_ivfsq8_index(
             f"extra_cols {bad_sq8} collide with the IVF-SQ8 layout "
             f"columns {_SQ8_RESERVED_COLS}"
         )
+    _check_corpus_dim(df, vec_col, dim, "build_ann_ivfsq8_index")
     if nlist is None:
         # auto-size cells (see build_ann_ivf_index — same rule, same
         # fixed-default-for-oracles / None-at-scale contract)
@@ -3115,6 +3143,8 @@ def append_to_ann_ivfsq8_index(
             "it first with build_ann_ivfsq8_index, or use the append "
             "matching the store's layout"
         )
+    meta_dim = int(spark.read.parquet(f"{path}/_sq_meta").head().dim)
+    _check_corpus_dim(df, vec_col, meta_dim, "append_to_ann_ivfsq8_index")
     # bounded-collect: nlist centroid rows from the index metadata
     cent_rows = (
         spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
@@ -3263,27 +3293,16 @@ def ann_ivfsq8_join_indexed(
         spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
     )
     cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
-    # bounded-collect: the query batch itself — the retrieval
-    # workload, needed driver-side to enumerate the probed cells the
-    # index scan prunes to (the bm25_join_indexed discipline)
-    qrows = queries.select(
-        F.col(query_id_col), F.col(query_vec_col).cast("array<double>")
-    ).collect()
-    if not qrows:
-        raise ValueError("query batch is empty")
-    for r in qrows:
-        if r[1] is None or len(r[1]) != dim:
-            got = "NULL" if r[1] is None else len(r[1])
-            raise ValueError(
-                f"query {r[0]!r} dim {got} != index dim {dim}: a "
-                "mismatched vector would NULL-fold every cosine and "
-                "silently return garbage ranks"
-            )
-    qid_type = queries.schema[query_id_col].dataType
+    # shared batch-probe front door (collect + empty check + NULL/dim
+    # validation) — the same helper the IVF-PQ twin uses, so the dense
+    # batch probes cannot drift apart (ADVICE r12)
+    qid_type, qbatch = _collect_query_batch(
+        queries, query_id_col, query_vec_col, dim
+    )
     pairs = [
-        (r[0], int(cell))
-        for r in qrows
-        for cell in _ivf_probe_cells([float(x) for x in r[1]], cents, nprobe)
+        (qid, int(cell))
+        for qid, vec in qbatch
+        for cell in _ivf_probe_cells(vec, cents, nprobe)
     ]
     cells = sorted({c for _, c in pairs})
     qcells = spark.createDataFrame(
@@ -3296,7 +3315,7 @@ def ann_ivfsq8_join_indexed(
         ),
     )
     qvecs = spark.createDataFrame(
-        [(r[0], [float(x) for x in r[1]]) for r in qrows],
+        qbatch,
         StructType(
             [
                 StructField(query_id_col, qid_type),

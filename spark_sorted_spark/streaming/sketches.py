@@ -244,6 +244,60 @@ def read_histogram(spark, store_path: str, keys=()) -> DataFrame:
     return sk.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def _kmv_meta_read(spark, store_path: str) -> int | None:
+    """The store's build ``k`` from ``<store>/_kmv_meta``, or None for
+    a legacy store written before the meta existed (ADVICE r12:
+    without the persisted k, a read with a too-large k makes the
+    estimator treat a saturated sketch as an exact count)."""
+    jvm = spark.sparkContext._jvm
+    jfs = jvm.org.apache.hadoop.fs.Path
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    meta = f"{store_path}/_kmv_meta"
+    fs = jfs(store_path).getFileSystem(conf)
+    if not fs.exists(jfs(meta)):
+        return None
+    return int(spark.read.parquet(meta).head().k)
+
+
+def _kmv_meta_write(spark, store_path: str, k: int) -> None:
+    # underscore-prefixed dir: Hadoop's hidden-file filter keeps it
+    # invisible to spark.read.parquet(store_path) (the _sq_meta
+    # pattern from the ANN indexes)
+    spark.createDataFrame([(int(k),)], "k int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/_kmv_meta")
+
+
+def _kmv_k_or_meta(spark, store_path: str, k: int | None, caller: str) -> int:
+    """Resolve the effective read-side k against the persisted meta.
+
+    ``k=None`` requires the meta (legacy stores must pass k
+    explicitly). A caller k LARGER than the build k is rejected: the
+    merged sketch can never hold more than build-k hashes, so
+    ``_kmv_est`` would take its ``size < k`` exact-count branch and
+    silently return the saturated sketch size as the estimate. A
+    SMALLER k is valid (the k' smallest of the bottom-k are the k'
+    smallest overall) and is accepted as a deliberate downsample."""
+    meta_k = _kmv_meta_read(spark, store_path)
+    if k is None:
+        if meta_k is None:
+            raise ValueError(
+                f"{caller}: store {store_path!r} has no _kmv_meta "
+                "(legacy store) — pass the build k explicitly"
+            )
+        return meta_k
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if meta_k is not None and k > meta_k:
+        raise ValueError(
+            f"{caller}: k={k} exceeds the store's build k={meta_k} "
+            f"(persisted in {store_path}/_kmv_meta); a larger read k "
+            "would make the estimator treat the saturated sketch as "
+            "an exact count"
+        )
+    return k
+
+
 def stream_kmv(
     stream_df: DataFrame,
     value: str,
@@ -273,6 +327,19 @@ def stream_kmv(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     keys = [keys] if isinstance(keys, str) else list(keys)
+    # persist the build k (ADVICE r12): reads/compactions validate
+    # against it instead of trusting the caller; a resumed drain with
+    # a DIFFERENT k would mix incompatible sketches — reject eagerly
+    spark = stream_df.sparkSession
+    meta_k = _kmv_meta_read(spark, store_path)
+    if meta_k is None:
+        _kmv_meta_write(spark, store_path, k)
+    elif meta_k != k:
+        raise ValueError(
+            f"stream_kmv: store {store_path!r} was built with k="
+            f"{meta_k} (persisted in _kmv_meta); resuming with k={k} "
+            "would mix incompatible sketches"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sk = kmv_sketch(batch_df, value, k=k, keys=keys)
@@ -293,26 +360,32 @@ def stream_kmv(
         q.stop()
 
 
-def read_kmv(spark, store_path: str, k: int, keys=()) -> DataFrame:
+def read_kmv(spark, store_path: str, k: int | None = None, keys=()) -> DataFrame:
     """Merge every batch partition of a KMV store into ONE sketch per
     key group (the k smallest across all batches) — row-identical to
     sketching the union of the drained batches (the
-    ``kmv_merge`` == ``kmv_sketch``-of-union pin)."""
+    ``kmv_merge`` == ``kmv_sketch``-of-union pin).
+
+    ``k`` defaults to the store's persisted build k (``_kmv_meta``);
+    an explicit k may only shrink it (see ``_kmv_k_or_meta``)."""
     from ..functions.sketches import _kmv_bottomk
 
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
+    k = _kmv_k_or_meta(spark, store_path, k, "read_kmv")
     keys = [keys] if isinstance(keys, str) else list(keys)
     sk = spark.read.parquet(store_path)
     ex = sk.select(*keys, F.explode("kmv").alias("__h"))
     return _kmv_bottomk(ex, k, keys)
 
 
-def read_kmv_estimate(spark, store_path: str, k: int, keys=()) -> DataFrame:
+def read_kmv_estimate(
+    spark, store_path: str, k: int | None = None, keys=()
+) -> DataFrame:
     """The store's current distinct-count estimate(s): merge-on-read
-    then the standard deterministic estimator."""
+    then the standard deterministic estimator. ``k`` defaults to the
+    store's persisted build k."""
     from ..functions.sketches import kmv_estimate
 
+    k = _kmv_k_or_meta(spark, store_path, k, "read_kmv_estimate")
     return kmv_estimate(read_kmv(spark, store_path, k, keys), k, keys)
 
 
@@ -350,8 +423,10 @@ def compact_sketch_store(
             f"unknown sketch store kind {kind!r}: expected "
             "'hll', 'bloom', 'cms', 'histogram' or 'kmv'"
         )
-    if kind == "kmv" and (k is None or k < 2):
-        raise ValueError("kind='kmv' requires the store's k (>= 2)")
+    if kind == "kmv":
+        # resolves k from _kmv_meta (or validates the caller's k
+        # against it); legacy meta-less stores still require k
+        k = _kmv_k_or_meta(spark, store_path, k, "compact_sketch_store")
     # find the max batch partition BEFORE any read: an empty dir must
     # be a clean ValueError, not a schema-inference failure
     jvm = spark.sparkContext._jvm
@@ -378,6 +453,12 @@ def compact_sketch_store(
     staging = f"{store_path}.compacting"
     merged.write.mode("overwrite").parquet(staging)
     _swap_in(spark, staging, store_path, f"{store_path}/ingest_batch_id={max_id}")
+    if kind == "kmv":
+        # the swap replaced the whole live dir with the merged batch
+        # partition — restore the build-k meta so post-compact reads
+        # keep their validation (this also upgrades a legacy
+        # meta-less store: the caller's k was just used as build k)
+        _kmv_meta_write(spark, store_path, k)
 
 
 def read_hll_registers(spark, store_path: str, keys=()) -> DataFrame:

@@ -3084,3 +3084,11 @@ def test_training_order_deterministic_complete_and_seeded(spark, docs):
 
     with _pytest.raises(ValueError, match="n_shards"):
         training_order(d, n_shards=0)
+    # ADVICE r12: a NULL id raises at compute time instead of
+    # silently hashing as md5('<seed>') (which the DuckDB replay —
+    # '<seed>:' || NULL -> NULL — would never reproduce)
+    withnull = spark.createDataFrame(
+        [(1,), (None,)], "doc_id bigint"
+    )
+    with _pytest.raises(Exception, match="NULL doc_id"):
+        training_order(withnull, n_shards=2).collect()

@@ -2202,14 +2202,43 @@ def test_stream_kmv_matches_batch_and_survives_replay(
         for r in read_kmv(spark, store, k, keys="source").collect()
     ) == want_sk
 
-    # compaction answers every read identically
-    compact_sketch_store(spark, store, "kmv", keys="source", k=k)
+    # ADVICE r12: the build k is persisted in _kmv_meta — reads and
+    # compactions resolve it without the caller re-stating it, and a
+    # k LARGER than the build k (which would flip the estimator into
+    # its exact-count branch on a saturated sketch) is rejected
+    assert sorted(
+        (r.source, list(r.kmv))
+        for r in read_kmv(spark, store, keys="source").collect()
+    ) == want_sk
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds the store's build k"):
+        read_kmv(spark, store, k * 2, keys="source")
+    with _pytest.raises(ValueError, match="incompatible sketches"):
+        drain_k = stream_table(spark, "documents", sf_dir, path=str(watch))
+        stream_kmv(
+            drain_k, "text", store, str(tmp_path / "ckpt3"),
+            k=k * 2, keys="source", timeout_sec=180,
+        )
+
+    # compaction answers every read identically (k resolved from meta)
+    compact_sketch_store(spark, store, "kmv", keys="source")
+    assert sorted(
+        (r.source, list(r.kmv))
+        for r in read_kmv(spark, store, keys="source").collect()
+    ) == want_sk
+    # ... and the meta survives the compaction swap
     assert sorted(
         (r.source, list(r.kmv))
         for r in read_kmv(spark, store, k, keys="source").collect()
     ) == want_sk
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="requires the store's k"):
-        compact_sketch_store(spark, store, "kmv", keys="source")
+    # legacy meta-less store: k is required again, loudly
+    shutil.rmtree(f"{store}/_kmv_meta")
+    with _pytest.raises(ValueError, match="legacy store"):
+        read_kmv(spark, store, keys="source")
+    assert sorted(
+        (r.source, list(r.kmv))
+        for r in read_kmv(spark, store, k, keys="source").collect()
+    ) == want_sk

@@ -84,7 +84,16 @@ def type_mismatches(spark_schema, duck_cols, duck_types):
     return bad
 
 
-def normalize(rows, cols):
+def normalize(rows, cols, qname=None, _warned=set()):
+    # WARN-LOUD list handling (VERDICT r12 item 2): the DRIVER's canon
+    # sorts a pandas frame and dies on list-valued cells (`TypeError:
+    # unhashable type: 'list'` — the round-12 embedding_quantize red
+    # row). This harness can compare lists (tuple-ified below), which
+    # is fine for OVERFLOW rows the driver never runs — but a GATED
+    # row with an array column is a guaranteed driver fail that this
+    # leniency used to hide. tests/test_gate_shape.py pins the gated
+    # window to scalar columns; the warning here keeps ad-hoc runs of
+    # this tool honest about the divergence.
     out = []
     for r in rows:
         vals = []
@@ -95,6 +104,15 @@ def normalize(rows, cols):
             if hasattr(v, "isoformat"):
                 v = v.isoformat().replace("+00:00", "")
             if isinstance(v, (list, tuple)):
+                if (qname, c) not in _warned:
+                    _warned.add((qname, c))
+                    print(
+                        f"WARN  {qname or '?'}: column {c!r} is "
+                        "list-valued — local canon tuple-ifies it, but "
+                        "the DRIVER canon cannot sort lists; a gated "
+                        "row with this shape WILL go red on the driver "
+                        "(see tests/test_gate_shape.py)"
+                    )
                 v = tuple(v)
             vals.append(v)
         out.append(tuple(vals))
@@ -176,8 +194,8 @@ def main():
             }
             failures += 1
             continue
-        sn = normalize([r.asDict() for r in srows], scols)
-        dn = normalize(drows, dcols)
+        sn = normalize([r.asDict() for r in srows], scols, qname=name)
+        dn = normalize(drows, dcols, qname=name)
         if sn != dn:
             bad = sum(1 for a, b in zip(sn, dn) if a != b)
             print(f"FAIL  {name}: {bad}/{len(sn)} rows differ")
