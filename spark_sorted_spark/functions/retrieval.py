@@ -1018,6 +1018,38 @@ def rerank_overlap(
     )
 
 
+def default_cross_scorer(q_texts, d_texts):
+    """Deterministic model-free pair scorer — the shipped default for
+    :func:`rerank_cross_encoder` (VERDICT r12 item 6), so the op runs
+    end-to-end without an inference runtime while keeping ``scorer=``
+    injection for real cross-encoders.
+
+    Per pair, from whitespace-distinct token sets: overlap
+    ``|q∩d|/|q|``, containment ``|q∩d|/|d|``, and the length ratio
+    ``min(|q|,|d|)/max(|q|,|d|)``, combined through a FIXED logistic
+    ``sigmoid(-2 + 3*overlap + 1.5*containment + 0.5*len_ratio)``.
+    The weights are constants, not trained — the scorer is a
+    deterministic heuristic standing where a model forward pass goes,
+    strictly increasing in overlap/containment so planted duplicates
+    rank first (pinned in tests, bitwise: pure float64 + libm exp).
+    NULL text scores as the empty token set."""
+    import math
+
+    import pandas as pd
+
+    out = []
+    for q, d in zip(q_texts, d_texts):
+        qt = set(q.split()) if isinstance(q, str) else set()
+        dt = set(d.split()) if isinstance(d, str) else set()
+        inter = len(qt & dt)
+        ov = inter / len(qt) if qt else 0.0
+        ct = inter / len(dt) if dt else 0.0
+        lr = min(len(qt), len(dt)) / max(len(qt), len(dt)) if qt and dt else 0.0
+        z = -2.0 + 3.0 * ov + 1.5 * ct + 0.5 * lr
+        out.append(1.0 / (1.0 + math.exp(-z)))
+    return pd.Series(out, dtype="float64")
+
+
 def rerank_cross_encoder(
     candidates: DataFrame,
     corpus: DataFrame,
@@ -1039,12 +1071,12 @@ def rerank_cross_encoder(
     Returns ``(query_id, id, score, rank)``, rank 1..k per query by
     (score DESC, first-stage rank ASC, id ASC).
 
-    No inference runtime ships in this environment, so ``scorer=None``
-    raises ``NotImplementedError`` at call time — the multimodal-
-    decoder contract (`functions/multimodal.py`): the Spark-side
-    plumbing (pair join shape, Arrow batching, schema, deterministic
-    final window) is real and test-pinned with an injected
-    deterministic scorer; the model is the one swap-in."""
+    ``scorer=None`` uses :func:`default_cross_scorer` — a
+    deterministic token-feature logistic, so the op is usable
+    end-to-end in environments without an inference runtime; pass a
+    real model's batch forward for production quality. The plumbing
+    (pair join shape, Arrow batching, schema, deterministic final
+    window) is identical either way and test-pinned."""
     from pyspark.sql.types import (
         DoubleType,
         StructField,
@@ -1054,11 +1086,7 @@ def rerank_cross_encoder(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if scorer is None:
-        raise NotImplementedError(
-            "no cross-encoder runtime in this environment: pass "
-            "scorer=callable((q_text, d_text) pandas Series -> float "
-            "Series); rerank_overlap is the model-free native stage"
-        )
+        scorer = default_cross_scorer
     from pyspark.sql import Window
 
     cand = candidates.select(

@@ -1028,11 +1028,7 @@ def ann_ivf_topk_indexed(
     from ..sources.manifest import resolve_root
 
     index_path = resolve_root(spark, index_path)
-    # bounded-collect: nlist centroid rows from the index metadata
-    cent_rows = (
-        spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
-    )
-    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    cents = _load_centroids(spark, index_path)
     probe = _ivf_probe_cells(query_vec, cents, nprobe)
     idx = _before_batch(spark.read.parquet(index_path), before_batch)
     celled = _apply_where(idx.filter(F.col("cell").isin(probe)), where)
@@ -1091,11 +1087,7 @@ def ann_ivf_join_indexed(
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     index_path = resolve_root(spark, index_path)
-    # bounded-collect: nlist centroid rows from the index metadata
-    cent_rows = (
-        spark.read.parquet(f"{index_path}/_centroids").orderBy("cell").collect()
-    )
-    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    cents = _load_centroids(spark, index_path)
     # bounded-collect: the query batch itself — the retrieval
     # workload, needed driver-side to enumerate the probed cells the
     # index scan prunes to (the bm25_join_indexed discipline)
@@ -1839,11 +1831,7 @@ def ann_ivfpq_topk_indexed(
     from ..sources.manifest import resolve_root
 
     path = resolve_root(spark, index_path)
-    # bounded-collect: nlist centroid rows from the index metadata
-    cent_rows = (
-        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
-    )
-    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    cents = _load_centroids(spark, path)
     _p, m, ksub, dim, cbs = _load_pq_index(spark, path)
     if len(query_vec) != dim:
         raise ValueError(f"query dim {len(query_vec)} != index dim {dim}")
@@ -1884,22 +1872,89 @@ def ann_ivfpq_topk_indexed(
     return _rank_topk(vecs, query_vec, k, vec_col, id_col)
 
 
+_INDEX_DRIVER_CACHE: dict = {}
+
+
+def _cached_driver_read(spark, path: str, sub: str, load):
+    """Driver-side cache for bounded index metadata (codebooks,
+    centroid tables, meta rows) keyed by the metadata dir's publish
+    mtime (VERDICT r12 item 8: the b31 adjudication located ~0.6 s of
+    CONSTANT per-probe driver overhead in the codebook collect +
+    literal construction — repeated probes against the same index
+    generation now skip the collect).
+
+    Staleness: every publish path replaces the metadata directory —
+    the rename layout stages to a sibling and swaps whole dirs, the
+    manifest layout resolves to a fresh ``gen-{k}`` path — so the
+    (resolved path, sub) mtime changes on rebuild and a stale hit
+    cannot survive a republish. Appends never rewrite these dirs
+    (codebooks/centroids are frozen by contract), so append-then-probe
+    correctly reuses the cache. If the mtime is unreadable the load
+    runs uncached (missing metadata keeps its loud error). One entry
+    per (path, sub): a republish evicts the prior generation."""
+    jfs = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    try:
+        fs = jfs(path).getFileSystem(conf)
+        gen = fs.getFileStatus(jfs(f"{path}/{sub}")).getModificationTime()
+    except Exception:
+        return load()
+    key = (path, sub)
+    hit = _INDEX_DRIVER_CACHE.get(key)
+    if hit is not None and hit[0] == gen:
+        return hit[1]
+    val = load()
+    _INDEX_DRIVER_CACHE[key] = (gen, val)
+    return val
+
+
+def _load_centroids(spark, path: str):
+    """Cached ``(cent_id, vector)`` centroid table of a RESOLVED index
+    path — the shared front door of every IVF-family probe (see
+    :func:`_cached_driver_read` for the staleness contract; appends
+    keep reading the table directly, uncached, since they also need
+    its emptiness as a loud build-first error)."""
+
+    def _load():
+        # bounded-collect: nlist centroid rows from the index metadata
+        rows = (
+            spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+        )
+        return [(r.cent_id, [float(x) for x in r.centroid]) for r in rows]
+
+    return _cached_driver_read(spark, path, "_centroids", _load)
+
+
+def _load_sq_meta_dim(spark, path: str) -> int:
+    """Cached SQ8 meta dim of a RESOLVED index path."""
+
+    def _load():
+        return int(spark.read.parquet(f"{path}/_sq_meta").head().dim)
+
+    return _cached_driver_read(spark, path, "_sq_meta", _load)
+
+
 def _load_pq_index(spark, path: str):
     from ..sources.manifest import resolve_root
 
     path = resolve_root(spark, path)
-    # bounded-collect: one construction-parameter row
-    meta = spark.read.parquet(f"{path}/_pq_meta").collect()
-    if not meta:
-        raise ValueError(f"{path!r} holds no _pq_meta; build first")
-    m, ksub, dim = int(meta[0].m), int(meta[0].ksub), int(meta[0].dim)
-    # bounded-collect: m*ksub codebook rows from the index metadata
-    cb_rows = spark.read.parquet(f"{path}/_pq_codebooks").collect()
-    cbs: list[list[list[float]]] = [
-        [None] * ksub for _ in range(m)  # type: ignore[list-item]
-    ]
-    for r in cb_rows:
-        cbs[int(r.j)][int(r.c)] = [float(x) for x in r.sub]
+
+    def _load():
+        # bounded-collect: one construction-parameter row
+        meta = spark.read.parquet(f"{path}/_pq_meta").collect()
+        if not meta:
+            raise ValueError(f"{path!r} holds no _pq_meta; build first")
+        m, ksub, dim = int(meta[0].m), int(meta[0].ksub), int(meta[0].dim)
+        # bounded-collect: m*ksub codebook rows from the index metadata
+        cb_rows = spark.read.parquet(f"{path}/_pq_codebooks").collect()
+        cbs: list[list[list[float]]] = [
+            [None] * ksub for _ in range(m)  # type: ignore[list-item]
+        ]
+        for r in cb_rows:
+            cbs[int(r.j)][int(r.c)] = [float(x) for x in r.sub]
+        return m, ksub, dim, cbs
+
+    m, ksub, dim, cbs = _cached_driver_read(spark, path, "_pq_meta", _load)
     return path, m, ksub, dim, cbs
 
 
@@ -2215,11 +2270,7 @@ def ann_ivfpq_join_indexed(
     if rerank is not None and rerank < k:
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
     path = resolve_root(spark, index_path)
-    # bounded-collect: nlist centroid rows from the index metadata
-    cent_rows = (
-        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
-    )
-    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    cents = _load_centroids(spark, path)
     _p, m, ksub, dim, cbs = _load_pq_index(spark, path)
     qid_type, qbatch = _collect_query_batch(
         queries, query_id_col, query_vec_col, dim
@@ -3197,14 +3248,10 @@ def ann_ivfsq8_topk_indexed(
     if rerank is not None and rerank < k:
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
     path = resolve_root(spark, index_path)
-    meta = spark.read.parquet(f"{path}/_sq_meta").head()
-    if len(query_vec) != int(meta.dim):
-        raise ValueError(f"query dim {len(query_vec)} != index dim {meta.dim}")
-    # bounded-collect: nlist centroid rows from the index metadata
-    cent_rows = (
-        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
-    )
-    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    meta_dim = _load_sq_meta_dim(spark, path)
+    if len(query_vec) != meta_dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {meta_dim}")
+    cents = _load_centroids(spark, path)
     probes = _ivf_probe_cells(query_vec, cents, nprobe)
     idx = _before_batch(spark.read.parquet(path), before_batch)
     filt = _apply_where(idx.filter(F.col("cell").isin(probes)), where)
@@ -3287,12 +3334,8 @@ def ann_ivfsq8_join_indexed(
     if rerank is not None and rerank < k:
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
     path = resolve_root(spark, index_path)
-    dim = int(spark.read.parquet(f"{path}/_sq_meta").head().dim)
-    # bounded-collect: nlist centroid rows from the index metadata
-    cent_rows = (
-        spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
-    )
-    cents = [(r.cent_id, [float(x) for x in r.centroid]) for r in cent_rows]
+    dim = _load_sq_meta_dim(spark, path)
+    cents = _load_centroids(spark, path)
     # shared batch-probe front door (collect + empty check + NULL/dim
     # validation) — the same helper the IVF-PQ twin uses, so the dense
     # batch probes cannot drift apart (ADVICE r12)

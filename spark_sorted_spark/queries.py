@@ -2718,6 +2718,144 @@ def bm25_join_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_join_rm3_indexed",
+    # the SERVING form of batch RM3 (VERDICT r12 item 4): identical
+    # relevance-feedback semantics to the bm25_join_rm3 oracle —
+    # pass-one batch BM25, per-query top-3 feedback docs, top-5
+    # non-query kept tokens + query's own feedback-present terms,
+    # kept-vocabulary-renormalized RM3 weights, weighted second pass —
+    # but every corpus touch reads the persisted inverted index's
+    # pruned postings buckets instead of scanning text (1.6x the scan
+    # twin at 1x and 10x, PARITY round-12 scale rows). top-4 per query
+    # keeps the gated relation distinct from bm25_join_rm3's top-5.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    q AS (
+      SELECT doc_id AS query_id, list_slice(toks, 1, 4) AS qt
+      FROM docs WHERE doc_id IN (3, 7, 11, 19, 23)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS tok FROM q),
+    nq AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id),
+    vocab1 AS (SELECT DISTINCT tok FROM qterms),
+    tf1 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab1 USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft1 AS (SELECT tok, count(*) AS dft FROM tf1 GROUP BY tok),
+    contrib1 AS (
+      SELECT qt.query_id, t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf1 t JOIN dft1 d USING (tok) JOIN qterms qt USING (tok)
+      CROSS JOIN stats s),
+    scored1 AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib1 GROUP BY query_id, doc_id),
+    fbdocs AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        FROM scored1) WHERE rn <= 3),
+    fbcnt AS (
+      SELECT f.query_id, o.tok, count(*) AS n
+      FROM occ o JOIN fbdocs f USING (doc_id)
+      GROUP BY f.query_id, o.tok),
+    fbtop AS (
+      SELECT query_id, tok, n FROM (
+        SELECT c.query_id, c.tok, c.n, row_number() OVER (
+          PARTITION BY c.query_id ORDER BY c.n DESC, c.tok) AS rn
+        FROM fbcnt c ANTI JOIN qterms USING (query_id, tok))
+      WHERE rn <= 5),
+    allterms AS (
+      SELECT query_id, tok FROM fbtop
+      UNION SELECT query_id, tok FROM qterms),
+    fbtot AS (
+      SELECT a.query_id, sum(c.n) AS total
+      FROM allterms a LEFT JOIN fbcnt c USING (query_id, tok)
+      GROUP BY a.query_id),
+    wterms AS (
+      SELECT a.query_id, a.tok,
+             (CASE WHEN qt.tok IS NOT NULL
+                   THEN 0.5e0 * (1.0e0 / nq.n) ELSE 0.0e0 END)
+             + (CASE WHEN c.n IS NOT NULL AND t.total > 0
+                     THEN 0.5e0 * (c.n::DOUBLE / t.total)
+                     ELSE 0.0e0 END) AS w
+      FROM allterms a
+      LEFT JOIN qterms qt USING (query_id, tok)
+      LEFT JOIN fbcnt c USING (query_id, tok)
+      JOIN fbtot t ON a.query_id = t.query_id
+      JOIN nq ON a.query_id = nq.query_id),
+    wpos AS (SELECT query_id, tok, w FROM wterms WHERE w > 0),
+    vocab2 AS (SELECT DISTINCT tok FROM wpos),
+    tf2 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab2 USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft2 AS (SELECT tok, count(*) AS dft FROM tf2 GROUP BY tok),
+    contrib2 AS (
+      SELECT wp.query_id, t.doc_id, t.tok,
+             wp.w *
+             (ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+              * (t.tf * {_BM25_K1 + 1.0!r}e0)
+              / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                 + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE))))
+               AS c
+      FROM tf2 t JOIN dft2 d USING (tok) JOIN wpos wp USING (tok)
+      CROSS JOIN stats s),
+    scored2 AS (
+      SELECT query_id, doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib2 GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score, n_terms_matched,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored2)
+    SELECT query_id, doc_id, score, n_terms_matched, rank
+    FROM ranked WHERE rank <= 4
+    """,
+)
+def bm25_join_rm3_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch RM3 against the persisted inverted index
+    (functions/retrieval.py bm25_join_rm3_indexed): the measured
+    serving path of the relevance-feedback matrix — both the feedback
+    pass and the weighted rescore read pruned postings buckets; the
+    corpus text is never scanned. Shares the per-run index with
+    bm25_topk_indexed / bm25_join_indexed."""
+    import os
+    import tempfile
+
+    from .functions.retrieval import bm25_join_rm3_indexed, build_bm25_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25_{os.getpid()}"
+    )
+    path = f"{base}/{os.path.basename(sf_dir)}"
+    if not os.path.exists(path):
+        build_bm25_index(docs, path)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    queries = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    return bm25_join_rm3_indexed(
+        spark, path, queries, k=4, fb_docs=3, fb_terms=5, lam=0.5,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@query(
     "hybrid_topk",
     # RRF fusion of the bm25_topk CTE chain (top-50 candidates) and
     # the exact-cosine top-50 vs the vec_id-0 query vector. RRF is a
@@ -6714,100 +6852,83 @@ _GATE_ORDER = [
     # Registered straight IN (no-backlog): bm25_topk_prf,
     # bm25_topk_rm3 (round-12 registrations of the round-11 PRF/RM3
     # ops, VERDICT r11 item 4).
-    # Rotated OUT (all driver-green in CORRECTNESS_r11, families keep
-    # in-window reps): bm25_topk + bm25_join (scan forms — both passes
-    # of the PRF/RM3 rows run the same scan-form code; indexed +
-    # filtered twins stay), hybrid_topk + hybrid_join (indexed twins
-    # stay), dsir_select (sampling keeps temperature_mix),
-    # decontaminate_verbatim (decontaminate_verbatim_short stays),
-    # embedding_clusters (clusters keep dedup_clusters_incremental;
-    # similarity gains five rows this window), window_distribution
-    # (windows keep top3_per_user + the window_rank family's past
-    # rows), tpch_q8_market_share (TPC-H keeps four reps).
+    # Rotated OUT in #8 (all driver-green in CORRECTNESS_r11, family
+    # justification preserved in git history at tag-commit 600f2a9).
+    #
+    # ---- round-13 rotation #9 (CHURN-BASED, VERDICT r12 item 5):
+    # retrieval.py (+1,198 LoC) and similarity.py (+552) were
+    # rewritten in round 12 AFTER these overflow rows' last driver
+    # rows (r11) — rotated back IN: bm25_topk, bm25_join,
+    # hybrid_topk, hybrid_join (scan forms), similarity_ann_pq.
+    # Registered straight IN (no-backlog): bm25_join_rm3_indexed —
+    # the measured RM3 serving path, 1.6x its gated scan twin at 1x
+    # and 10x (VERDICT r12 item 4).
+    # Rotated OUT (all driver-green in CORRECTNESS_r12, families
+    # keep in-window reps): bm25_topk_prf + bm25_topk_rm3
+    # (single-query scan feedback — feedback keeps bm25_join_rm3 +
+    # the new indexed row, and the same scan-form scoring code is
+    # re-exercised by bm25_topk/bm25_join), similarity_ann_ivf
+    # (quantized/IVF family keeps ivfpq + ivfpq_join + ivfsq8 + pq;
+    # the IVF cell path is shared with ivfpq), embedding_neardup_lsh
+    # + knn_join (near-dup keeps embedding_dedup_incremental +
+    # dedup_minhash_lsh; similarity keeps similarity_topk +
+    # similarity_ann_lsh), temperature_mix (sampling keeps
+    # training_order).
     "bm25_topk_indexed",
     "bm25_join_indexed",
     "bm25_topk_filtered",
-    "bm25_topk_prf",
-    "bm25_topk_rm3",
-    # round-12 batch RM3 (completes the relevance-feedback matrix) —
-    # straight into the window (no-backlog policy);
-    # tpch_q13_order_distribution rotates out driver-green (r10+r11
-    # rows; TPC-H keeps three reps: q15/q17/q20)
+    "bm25_topk",
+    "bm25_join",
     "bm25_join_rm3",
-    # round-12 two-stage rerank (second session) — straight into the
-    # window (no-backlog policy); stream_hll_by_source rotates out
-    # driver-green (r10+r11 rows; sketches keep stream_len_quantiles
-    # in-window, hll keeps hll_grouped_by_source in overflow)
+    "bm25_join_rm3_indexed",
     "retrieval_rerank",
     "hybrid_topk_indexed",
     "hybrid_join_indexed",
-    "temperature_mix",
-    # round-12 training-order assignment (second session) — straight
-    # into the window (no-backlog policy); similarity_ann_pq rotates
-    # out driver-green (r10+r11 rows, b31 watch adjudicated this
-    # round: driver-side constant, plan byte-identical; the quantized
-    # family keeps ivfpq + ivfpq_join + ivfsq8 in-window)
+    "hybrid_topk",
+    "hybrid_join",
     "training_order",
     "retrieval_eval",
     "decontaminate_verbatim_short",
-    # round-12 SQ8 embedding quantization — straight into the window
-    # (no-backlog policy); dedup_exact_normalized rotates out
-    # driver-green (r10+r11 rows; dedup keeps five in-window reps:
-    # clusters_incremental, minhash_lsh, survivors, repeated_spans,
-    # semantic)
     "embedding_quantize",
     "dedup_clusters_incremental",
     "similarity_ann_ivfpq",
     "similarity_ann_ivfpq_join",
     "similarity_ann_filtered",
-    # round-12 IVF-SQ8 index (fifth persisted ANN layout) — straight
-    # into the window (no-backlog policy); tpch_q20_part_promotion
-    # rotates out driver-green (r10+r11 rows; TPC-H keeps two reps:
-    # q15 max-subquery view, q17 correlated scalar agg)
     "similarity_ann_ivfsq8",
-    # the churn block: rewritten code, stale driver rows
+    "similarity_ann_pq",
     "similarity_topk",
     "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "embedding_neardup_lsh",
-    "knn_join",
     "embedding_dedup_incremental",
     "dedup_minhash_lsh",
-    # round-12 quality-based survivor selection — straight into the
-    # window (no-backlog policy); dedup_clean_repeated_spans rotates
-    # out driver-green (r11 row; the spans family keeps
-    # dedup_repeated_spans in-window)
     "dedup_survivors",
     "dedup_repeated_spans",
     "unigram_logprob",
-    # round-12 KMV overlap sketch (second session) — straight into
-    # the window (no-backlog policy); dedup_semantic rotates out
-    # driver-green (r11 row; dedup keeps clusters_incremental,
-    # minhash_lsh, survivors, repeated_spans in-window and the
-    # semantic path stays exercised by the similarity block)
     "kmv_shingle_overlap",
     "unpivot_measures",
     "stream_len_quantiles",
-    # TPC-H keeps three in-window representatives (max-subquery view,
-    # correlated scalar agg, nested semi-join); q8 and q13 rotate out
-    # driver-green (r10+r11 rows)
+    # TPC-H keeps two in-window representatives (max-subquery view,
+    # correlated scalar agg)
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
     # --- gate cutoff (driver runs the 50 above) ---
-    # round-12 rotation #8 overflow head: the rows rotated out this
-    # round (every one driver-green in CORRECTNESS_r11; family
+    # round-13 rotation #9 overflow head: the rows rotated out this
+    # round (every one driver-green in CORRECTNESS_r12; family
     # justification in the rotation comments above).
+    "bm25_topk_prf",
+    "bm25_topk_rm3",
+    "similarity_ann_ivf",
+    "embedding_neardup_lsh",
+    "knn_join",
+    "temperature_mix",
+    # round-12 rotation #8 overflow (similarity_ann_pq + the four
+    # scan forms bm25_topk/bm25_join/hybrid_topk/hybrid_join rotated
+    # back IN above in #9)
     "dedup_semantic",
     "stream_hll_by_source",
-    "similarity_ann_pq",
     "tpch_q20_part_promotion",
     "tpch_q13_order_distribution",
     "dedup_clean_repeated_spans",
     "dedup_exact_normalized",
-    "bm25_topk",
-    "bm25_join",
-    "hybrid_topk",
-    "hybrid_join",
     "dsir_select",
     "decontaminate_verbatim",
     "embedding_clusters",

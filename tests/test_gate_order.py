@@ -46,60 +46,48 @@ def test_gate_window_contents():
         "projection_chain",
         # the multimodal family representative (sole multimodal query)
         "multimodal_features",
-        # round-12 rotation #8 (CHURN-BASED, VERDICT r11 item 1): the
-        # retrieval serving forms stay; the scan twins bm25_topk/
-        # bm25_join/hybrid_topk/hybrid_join rotated out driver-green
-        # (the PRF/RM3 rows below exercise the same scan-form code)
+        # retrieval serving forms (indexed/filtered twins)
         "bm25_topk_indexed",
         "bm25_join_indexed",
         "bm25_topk_filtered",
-        # round-12 PRF/RM3 registrations — straight into the window
-        # (no-backlog policy; VERDICT r11 item 4); bm25_join_rm3
-        # completes the relevance-feedback matrix (tpch_q13 rotates
-        # out driver-green, TPC-H keeps q15/q17)
-        "bm25_topk_prf",
-        "bm25_topk_rm3",
+        # round-13 rotation #9 (CHURN-BASED, VERDICT r12 item 5):
+        # the four scan forms rotate back IN — retrieval.py was
+        # rewritten +1,198 LoC in round 12 after their last (r11)
+        # driver rows; bm25_topk_prf/bm25_topk_rm3 rotate out
+        # driver-green (feedback keeps bm25_join_rm3 + the new
+        # indexed row below)
+        "bm25_topk",
+        "bm25_join",
+        "hybrid_topk",
+        "hybrid_join",
         "bm25_join_rm3",
-        # round-12 two-stage rerank (no-backlog policy;
-        # stream_hll_by_source rotates out driver-green, sketches
-        # keep stream_len_quantiles in-window)
+        # round-13 registration (no-backlog policy; VERDICT r12
+        # item 4): the batch-RM3 SERVING form — temperature_mix
+        # rotates out driver-green (sampling keeps training_order)
+        "bm25_join_rm3_indexed",
         "retrieval_rerank",
         "hybrid_topk_indexed",
         "hybrid_join_indexed",
-        "temperature_mix",
         "retrieval_eval",
         "decontaminate_verbatim_short",
         "dedup_repeated_spans",
-        # round-12 KMV overlap sketch (no-backlog policy;
-        # dedup_semantic rotates out driver-green, dedup keeps four
-        # in-window reps)
         "kmv_shingle_overlap",
-        # round-12 training-order assignment (no-backlog policy;
-        # similarity_ann_pq rotates out driver-green — b31 watch
-        # adjudicated, quantized family keeps ivfpq/ivfpq_join/ivfsq8)
         "training_order",
         "similarity_ann_ivfpq",
         "similarity_ann_ivfpq_join",
         "similarity_ann_filtered",
-        # the rotation-#8 churn block: overflow rows whose underlying
-        # files (similarity.py +830 LoC, band-store code) were
-        # rewritten in round 11 AFTER their last driver row
+        # rotation #9 churn pick on similarity.py (+552 LoC r12);
+        # similarity_ann_ivf/embedding_neardup_lsh/knn_join rotate
+        # out driver-green (IVF cell path shared with ivfpq;
+        # near-dup keeps embedding_dedup_incremental +
+        # dedup_minhash_lsh)
+        "similarity_ann_pq",
         "similarity_topk",
         "similarity_ann_lsh",
-        "similarity_ann_ivf",
-        "embedding_neardup_lsh",
-        "knn_join",
         "embedding_dedup_incremental",
         "dedup_minhash_lsh",
-        # round-12 quality-based survivor selection (no-backlog
-        # policy; dedup_clean_repeated_spans rotates out driver-green,
-        # the spans family keeps dedup_repeated_spans)
         "dedup_survivors",
-        # round-12 SQ8 embedding quantization (no-backlog policy;
-        # dedup_exact_normalized rotates out driver-green)
         "embedding_quantize",
-        # round-12 IVF-SQ8 persisted index (no-backlog policy;
-        # tpch_q20 rotates out driver-green, TPC-H keeps q15/q17)
         "similarity_ann_ivfsq8",
         "unigram_logprob",
         "dedup_clusters_incremental",
@@ -108,27 +96,23 @@ def test_gate_window_contents():
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # overflow: every rotated-out row was driver-green in the round it
-    # left (dedup_semantic,
-    # stream_hll_by_source, similarity_ann_pq, and tpch_q20 lead —
-    # rotated out for the round-12 kmv_shingle_overlap,
-    # retrieval_rerank, training_order, and IVF-SQ8 registrations —
-    # then the nine
-    # rotation-#8 rows, all green in
-    # CORRECTNESS_r11); family representation justified in the
-    # _GATE_ORDER comments. All overflow stays locally oracle-checked
-    # per round.
+    # left (the rotation-#9 six lead — all green in CORRECTNESS_r12 —
+    # then the remaining #8 rows, green in CORRECTNESS_r11); family
+    # representation justified in the _GATE_ORDER comments. All
+    # overflow stays locally oracle-checked per round.
     assert names[50:] == [
+        "bm25_topk_prf",
+        "bm25_topk_rm3",
+        "similarity_ann_ivf",
+        "embedding_neardup_lsh",
+        "knn_join",
+        "temperature_mix",
         "dedup_semantic",
         "stream_hll_by_source",
-        "similarity_ann_pq",
         "tpch_q20_part_promotion",
         "tpch_q13_order_distribution",
         "dedup_clean_repeated_spans",
         "dedup_exact_normalized",
-        "bm25_topk",
-        "bm25_join",
-        "hybrid_topk",
-        "hybrid_join",
         "dsir_select",
         "decontaminate_verbatim",
         "embedding_clusters",

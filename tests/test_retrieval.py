@@ -2079,6 +2079,31 @@ def test_ann_ivfsq8_batch_rerank_matches_cosine_join(spark, tmp_path):
         ann_ivfsq8_join_indexed(spark, p, qdf, k=5, rerank=2)
 
 
+def test_default_cross_scorer_fixed_logistic_values():
+    """Spark-free bitwise pin of default_cross_scorer: the fixed
+    logistic over (overlap, containment, length-ratio) features, with
+    NULL text as the empty token set. Exact equality — pure float64
+    arithmetic and one libm exp per row."""
+    import math
+
+    import pandas as pd
+
+    from spark_sorted_spark.functions.retrieval import default_cross_scorer
+
+    def sig(z):
+        return 1.0 / (1.0 + math.exp(-z))
+
+    q = pd.Series(["a b", "a b", None, "a", ""])
+    d = pd.Series(["a b", "c d", "a", "a", "a"])
+    got = list(default_cross_scorer(q, d))
+    assert got[0] == sig(-2.0 + 3.0 * 1.0 + 1.5 * 1.0 + 0.5 * 1.0)
+    assert got[1] == sig(-2.0 + 0.5)  # disjoint equal-length sets
+    assert got[2] == sig(-2.0)  # NULL query: every feature 0
+    assert got[3] == sig(3.0)  # identical singletons
+    assert got[4] == sig(-2.0)  # empty-string query
+    assert got[0] > got[1] > got[2]  # monotone in overlap
+
+
 def test_rerank_overlap_refines_and_bounds(spark):
     """rerank_overlap: scores only the candidate pairs, rank is by
     (n_common DESC, first-stage rank ASC, id ASC), overlap in [0, 1],
@@ -2134,13 +2159,13 @@ def test_rerank_overlap_refines_and_bounds(spark):
 
 
 def test_rerank_cross_encoder_plumbing_and_stub(spark):
-    """rerank_cross_encoder: scorer=None raises NotImplementedError
-    (no inference runtime here — the multimodal stub contract); with
-    an injected deterministic scorer that recomputes token overlap in
-    pandas, the output ORDER equals rerank_overlap's (same plumbing,
-    same tiebreaks) and scores round-trip through Arrow as doubles."""
-    import pytest as _pytest
-
+    """rerank_cross_encoder: with an injected deterministic scorer
+    that recomputes token overlap in pandas, the output ORDER equals
+    rerank_overlap's (same plumbing, same tiebreaks) and scores
+    round-trip through Arrow as doubles. scorer=None runs the shipped
+    default_cross_scorer end-to-end (VERDICT r12 item 6): the default
+    is bitwise-deterministic across runs and ranks the planted exact
+    near-duplicate of the query first."""
     from spark_sorted_spark.functions.retrieval import (
         bm25_join,
         rerank_cross_encoder,
@@ -2162,8 +2187,22 @@ def test_rerank_cross_encoder_plumbing_and_stub(spark):
         "query_id long, text string",
     )
     cand = bm25_join(docs, qs, k=5)
-    with _pytest.raises(NotImplementedError, match="cross-encoder"):
-        rerank_cross_encoder(cand, docs, qs).count()
+    # scorer=None: the deterministic default runs end-to-end
+    dflt = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in rerank_cross_encoder(cand, docs, qs, k=3).collect()
+    )
+    assert dflt  # non-empty, no stub raise
+    # bitwise-identical on rerun (pure float64 + libm exp)
+    again = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in rerank_cross_encoder(cand, docs, qs, k=3).collect()
+    )
+    assert dflt == again
+    # doc 5 is a verbatim superset-free match of query 10 (overlap 1,
+    # containment 1, equal lengths) — the default must rank it first
+    top10 = [t for t in dflt if t[0] == 10 and t[3] == 1]
+    assert top10 and top10[0][1] == 5
 
     def overlap_scorer(qt, dt):
         return [
