@@ -696,6 +696,67 @@ def b50_ivfsq8_join_indexed(spark):
     force(ann_ivfsq8_join_indexed(spark, _IVFSQ8_IDX_PATH, q, k=10, nprobe=4))
 
 
+def b52_bm25_join_rm3_indexed(spark):
+    # the batch-RM3 SERVING path (round-13 gated row): both passes +
+    # the per-query feedback counts read pruned postings buckets of
+    # the shared amortized index — the measured 1.6x-vs-scan form
+    global _BM25_IDX_PATH
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_join_rm3_indexed,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    if _BM25_IDX_PATH is None:
+        import tempfile
+
+        _BM25_IDX_PATH = tempfile.mkdtemp(prefix="bench_bm25_") + "/idx"
+        build_bm25_index(docs, _BM25_IDX_PATH)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    force(
+        bm25_join_rm3_indexed(
+            spark, _BM25_IDX_PATH, q, k=4, fb_docs=3, fb_terms=5, lam=0.5
+        )
+    )
+
+
+def b53_bm25_join_prf_indexed(spark):
+    # the batch-PRF serving path (round-13 gated row): binary-weight
+    # expansion, same pruned-postings discipline as b52
+    global _BM25_IDX_PATH
+    from pyspark.sql import functions as F
+
+    from spark_sorted_spark.functions.retrieval import (
+        bm25_join_prf_indexed,
+        build_bm25_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    if _BM25_IDX_PATH is None:
+        import tempfile
+
+        _BM25_IDX_PATH = tempfile.mkdtemp(prefix="bench_bm25_") + "/idx"
+        build_bm25_index(docs, _BM25_IDX_PATH)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    force(
+        bm25_join_prf_indexed(
+            spark, _BM25_IDX_PATH, q, k=6, fb_docs=3, fb_terms=5
+        )
+    )
+
+
 _STREAM_BM25 = None
 
 
@@ -794,6 +855,8 @@ BENCH = {
     "b46_bm25_prf": b46_bm25_prf,
     "b47_bm25_join_rm3": b47_bm25_join_rm3,
     "b50_ivfsq8_join_indexed": b50_ivfsq8_join_indexed,
+    "b52_bm25_join_rm3_indexed": b52_bm25_join_rm3_indexed,
+    "b53_bm25_join_prf_indexed": b53_bm25_join_prf_indexed,
 }
 
 

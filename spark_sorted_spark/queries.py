@@ -2856,6 +2856,124 @@ def bm25_join_rm3_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_join_prf_indexed",
+    # batch PRF against the persisted index — the last serving cell
+    # of the {PRF, RM3} x {single, batch} x {scan, indexed} matrix to
+    # carry its own driver oracle (PARITY open item 4): per-query
+    # pass-one batch BM25, feedback = top-3 docs (window rank),
+    # expansion = top-5 non-query feedback tokens (count DESC, tok
+    # ASC, exact integers), pass two scores the expanded term set
+    # UNION query terms with BINARY weights (plain BM25 — the PRF/RM3
+    # difference) using the strict term-ordered fold. top-6 per query
+    # keeps the gated relation distinct from every other BM25 row.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    q AS (
+      SELECT doc_id AS query_id, list_slice(toks, 1, 4) AS qt
+      FROM docs WHERE doc_id IN (3, 7, 11, 19, 23)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS tok FROM q),
+    vocab1 AS (SELECT DISTINCT tok FROM qterms),
+    tf1 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab1 USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft1 AS (SELECT tok, count(*) AS dft FROM tf1 GROUP BY tok),
+    contrib1 AS (
+      SELECT qt.query_id, t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf1 t JOIN dft1 d USING (tok) JOIN qterms qt USING (tok)
+      CROSS JOIN stats s),
+    scored1 AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib1 GROUP BY query_id, doc_id),
+    fbdocs AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        FROM scored1) WHERE rn <= 3),
+    fbcnt AS (
+      SELECT f.query_id, o.tok, count(*) AS n
+      FROM occ o JOIN fbdocs f USING (doc_id)
+      GROUP BY f.query_id, o.tok),
+    fbtop AS (
+      SELECT query_id, tok FROM (
+        SELECT c.query_id, c.tok, c.n, row_number() OVER (
+          PARTITION BY c.query_id ORDER BY c.n DESC, c.tok) AS rn
+        FROM fbcnt c ANTI JOIN qterms USING (query_id, tok))
+      WHERE rn <= 5),
+    terms2 AS (
+      SELECT query_id, tok FROM fbtop
+      UNION SELECT query_id, tok FROM qterms),
+    vocab2 AS (SELECT DISTINCT tok FROM terms2),
+    tf2 AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab2 USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft2 AS (SELECT tok, count(*) AS dft FROM tf2 GROUP BY tok),
+    contrib2 AS (
+      SELECT t2.query_id, t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {_BM25_K1 + 1.0!r}e0)
+             / (t.tf + {_BM25_K1!r}e0 * ({1.0 - _BM25_B!r}e0
+                + {_BM25_B!r}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf2 t JOIN dft2 d USING (tok) JOIN terms2 t2 USING (tok)
+      CROSS JOIN stats s),
+    scored2 AS (
+      SELECT query_id, doc_id, count(*) AS n_terms_matched,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib2 GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score, n_terms_matched,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored2)
+    SELECT query_id, doc_id, score, n_terms_matched, rank
+    FROM ranked WHERE rank <= 6
+    """,
+)
+def bm25_join_prf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PRF against the persisted inverted index
+    (functions/retrieval.py bm25_join_prf_indexed): pass one, feedback
+    term counts, and the expanded pass two all read pruned postings
+    buckets — corpus text is never scanned. Shares the per-run index
+    with the other indexed BM25 rows."""
+    import os
+    import tempfile
+
+    from .functions.retrieval import bm25_join_prf_indexed, build_bm25_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25_{os.getpid()}"
+    )
+    path = f"{base}/{os.path.basename(sf_dir)}"
+    if not os.path.exists(path):
+        build_bm25_index(docs, path)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    queries = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    return bm25_join_prf_indexed(
+        spark, path, queries, k=6, fb_docs=3, fb_terms=5,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@query(
     "hybrid_topk",
     # RRF fusion of the bm25_topk CTE chain (top-50 candidates) and
     # the exact-cosine top-50 vs the vec_id-0 query vector. RRF is a
@@ -6881,6 +6999,13 @@ _GATE_ORDER = [
     "bm25_join",
     "bm25_join_rm3",
     "bm25_join_rm3_indexed",
+    # round-13 second registration (no-backlog): batch PRF serving
+    # form — the last {PRF,RM3}x{single,batch}x{scan,indexed} cell to
+    # get its own driver oracle (PARITY open item 4);
+    # stream_len_quantiles rotates out driver-green (r12 row;
+    # sketches keep kmv_shingle_overlap in-window, streaming keeps
+    # the permanent sessionize_stream)
+    "bm25_join_prf_indexed",
     "retrieval_rerank",
     "hybrid_topk_indexed",
     "hybrid_join_indexed",
@@ -6905,7 +7030,6 @@ _GATE_ORDER = [
     "unigram_logprob",
     "kmv_shingle_overlap",
     "unpivot_measures",
-    "stream_len_quantiles",
     # TPC-H keeps two in-window representatives (max-subquery view,
     # correlated scalar agg)
     "tpch_q15_top_supplier",
@@ -6914,6 +7038,7 @@ _GATE_ORDER = [
     # round-13 rotation #9 overflow head: the rows rotated out this
     # round (every one driver-green in CORRECTNESS_r12; family
     # justification in the rotation comments above).
+    "stream_len_quantiles",
     "bm25_topk_prf",
     "bm25_topk_rm3",
     "similarity_ann_ivf",

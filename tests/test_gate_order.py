@@ -61,10 +61,14 @@ def test_gate_window_contents():
         "hybrid_topk",
         "hybrid_join",
         "bm25_join_rm3",
-        # round-13 registration (no-backlog policy; VERDICT r12
-        # item 4): the batch-RM3 SERVING form — temperature_mix
-        # rotates out driver-green (sampling keeps training_order)
+        # round-13 registrations (no-backlog policy): the batch-RM3
+        # SERVING form (VERDICT r12 item 4; temperature_mix rotates
+        # out driver-green, sampling keeps training_order) and the
+        # batch-PRF serving form (PARITY open item 4;
+        # stream_len_quantiles rotates out driver-green, sketches
+        # keep kmv_shingle_overlap)
         "bm25_join_rm3_indexed",
+        "bm25_join_prf_indexed",
         "retrieval_rerank",
         "hybrid_topk_indexed",
         "hybrid_join_indexed",
@@ -91,7 +95,6 @@ def test_gate_window_contents():
         "similarity_ann_ivfsq8",
         "unigram_logprob",
         "dedup_clusters_incremental",
-        "stream_len_quantiles",
         "unpivot_measures",
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
@@ -101,6 +104,7 @@ def test_gate_window_contents():
     # representation justified in the _GATE_ORDER comments. All
     # overflow stays locally oracle-checked per round.
     assert names[50:] == [
+        "stream_len_quantiles",
         "bm25_topk_prf",
         "bm25_topk_rm3",
         "similarity_ann_ivf",

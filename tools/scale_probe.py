@@ -366,6 +366,26 @@ def main():
             spark, path, q, k=5, fb_docs=3, fb_terms=5, lam=0.5
         ).count()
 
+    def b54(d, tag):
+        # batch PRF against the PERSISTED index (round-13 gated row):
+        # same pass structure as b49 with binary-weight expansion —
+        # expected the same near-flat indexed-probe slope
+        from spark_sorted_spark.functions.retrieval import (
+            bm25_join_prf_indexed,
+            build_bm25_index,
+        )
+
+        path = f"{work}/prf_idx_{tag}"
+        build_bm25_index(d, path, n_buckets=None)
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        q = d.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        return lambda: bm25_join_prf_indexed(
+            spark, path, q, k=6, fb_docs=3, fb_terms=5
+        ).count()
+
     def b50(e, tag):
         # batch IVF-SQ8 probe: union-of-cells directory pruning with
         # (scale, codes)-only reads — the near-flat claim of the
@@ -474,6 +494,10 @@ def main():
         (
             "b49_bm25_join_rm3_indexed",
             lambda: (b49(docs, "1x"), b49(docs10, "10x")),
+        ),
+        (
+            "b54_bm25_join_prf_indexed",
+            lambda: (b54(docs, "1x"), b54(docs10, "10x")),
         ),
     ]
     rows = []
