@@ -333,6 +333,15 @@ def b27_embed_dedup_incremental(spark):
     force(QUERIES["embedding_dedup_incremental"](spark, SF_DIR))
 
 
+def b55_embed_dedup_ivf(spark):
+    # IVF-index-backed incremental near-dup (round-13 gated row): the
+    # same nightly-batch flow as b27 against the SAME IVF store ANN
+    # serving uses — (id, cell) candidate join + exact verify
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["embedding_dedup_ivf"](spark, SF_DIR))
+
+
 def b28_jaccard_prefix(spark):
     # lossless prefix-filtered Jaccard self-join (AllPairs/PPJoin):
     # the exact-answer price to compare against the b12 MinHash
@@ -857,6 +866,7 @@ BENCH = {
     "b50_ivfsq8_join_indexed": b50_ivfsq8_join_indexed,
     "b52_bm25_join_rm3_indexed": b52_bm25_join_rm3_indexed,
     "b53_bm25_join_prf_indexed": b53_bm25_join_prf_indexed,
+    "b55_embed_dedup_ivf": b55_embed_dedup_ivf,
 }
 
 

@@ -702,6 +702,27 @@ def _ivf_cell_col(vec: Column, cents: list[tuple]) -> Column:
     return F.array_min(scored)["cell"]
 
 
+def _ivf_probe_cells_col(vec: Column, cents: list[tuple], nprobe: int) -> Column:
+    """The ``nprobe`` nearest-by-dot cells of every row as a native
+    array — the batch generalization of the driver-side
+    :func:`_ivf_probe_cells` (same rule: dot DESC, lowest cell
+    tiebreak; struct ``(-dot, cell)`` ascending sort replays it
+    exactly). No Python in the scan; centroids ride in as one
+    constant-folded literal like :func:`_ivf_cell_col`."""
+    vd = vec.cast("array<double>")
+    cents_lit = _planes_lit([c for _cid, c in cents])
+    idxs = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    scored = F.zip_with(
+        cents_lit,
+        idxs,
+        lambda c, i: F.struct((-_dot_dbl(vd, c)).alias("nd"), i.alias("cell")),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, min(nprobe, len(cents))),
+        lambda s: s["cell"],
+    )
+
+
 def _lloyd_refine(
     df: DataFrame, cents: list[tuple], iters: int, vec_col: str
 ) -> list[tuple]:
@@ -2678,6 +2699,92 @@ def cosine_neardup_against_index(
         bb.join(
             idx.select(F.col(id_col).alias("doc_old"), "bucket"), on="bucket"
         )
+        .filter(F.col("doc_old") != F.col("doc_new"))
+        .select("doc_old", "doc_new")
+        .distinct()
+    )
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
+    vec_d = F.col(vec_col).cast("array<double>")
+    eb = batch.select(
+        F.col(id_col).alias("doc_new"),
+        vec_d.alias("emb_new"),
+        F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_new"),
+    ).filter(F.col("norm_new") > 0)
+    ei = idx.select(
+        F.col(id_col).alias("doc_old"),
+        vec_d.alias("emb_old"),
+        F.sqrt(dot_strict(F.col(vec_col), F.col(vec_col))).alias("norm_old"),
+    ).filter(F.col("norm_old") > 0)
+    return (
+        cand.join(eb, "doc_new")
+        .join(ei, "doc_old")
+        .withColumn(
+            "cos",
+            _dot_dbl(F.col("emb_old"), F.col("emb_new"))
+            / (F.col("norm_old") * F.col("norm_new")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_old", "doc_new", "cos")
+    )
+
+
+def cosine_neardup_against_ivf_index(
+    batch: DataFrame,
+    index_path: str,
+    threshold: float,
+    nprobe: int = ANN_NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental embedding near-dup against a persisted IVF-family
+    index — ONE store serving both the ANN queries and the nightly
+    dedup job (the operational win over keeping a separate LSH store
+    just for :func:`cosine_neardup_against_index`): each new-batch
+    vector joins only the index rows in its ``nprobe``
+    nearest-centroid cells (the same native argmax/top-n cell rule
+    the index build and probes use — ``_ivf_probe_cells_col``), and
+    the exact strict-fold cosine verifies each candidate once.
+    Works unchanged against the raw-float IVF layout
+    (``build_ann_ivf_index``) and the IVF-SQ8 layout
+    (``build_ann_ivfsq8_index``) — both store ``cell`` plus the raw
+    vector column the verify reads.
+
+    Returns ``(doc_old, doc_new, cos)`` — index id, batch id, cosine
+    >= threshold, the same earlier-wins orientation as the LSH twin:
+    drop/flag ``doc_new``. Identical ids are filtered defensively.
+
+    Recall contract: an EXACT duplicate of an indexed vector is
+    always found at any ``nprobe`` (identical vectors share the same
+    argmax cell); near-dups whose pair straddles a cell boundary need
+    ``nprobe > 1``, the standard IVF trade (recall measured in
+    tests). Scale shape: candidate generation touches only
+    ``(id, cell)`` columns — batch cells x index cells equi-join —
+    and the full vector column is joined back for candidate ids
+    alone; cost per nightly batch is O(batch x cell occupancy), never
+    O(corpus^2)."""
+    spark = batch.sparkSession
+    from ..sources.manifest import resolve_root
+    from .dedup import spread_small_input
+
+    path = resolve_root(spark, index_path)
+    cents = _load_centroids(spark, path)
+    if not cents:
+        raise ValueError(
+            f"{path!r} holds no centroid table; build the IVF/IVF-SQ8 "
+            "index first"
+        )
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    batch = spread_small_input(batch)
+    idx = spark.read.parquet(path)
+    bb = batch.select(
+        F.col(id_col).alias("doc_new"),
+        F.explode(
+            _ivf_probe_cells_col(F.col(vec_col), cents, nprobe)
+        ).alias("cell"),
+    )
+    cand = (
+        bb.join(idx.select(F.col(id_col).alias("doc_old"), "cell"), on="cell")
         .filter(F.col("doc_old") != F.col("doc_new"))
         .select("doc_old", "doc_new")
         .distinct()

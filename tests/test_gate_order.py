@@ -89,8 +89,12 @@ def test_gate_window_contents():
         "similarity_topk",
         "similarity_ann_lsh",
         "embedding_dedup_incremental",
+        # round-13 third registration (no-backlog): IVF-index-backed
+        # incremental near-dup; dedup_survivors rotates out
+        # driver-green (dedup keeps clusters_incremental +
+        # minhash_lsh + repeated_spans)
+        "embedding_dedup_ivf",
         "dedup_minhash_lsh",
-        "dedup_survivors",
         "embedding_quantize",
         "similarity_ann_ivfsq8",
         "unigram_logprob",
@@ -104,6 +108,7 @@ def test_gate_window_contents():
     # representation justified in the _GATE_ORDER comments. All
     # overflow stays locally oracle-checked per round.
     assert names[50:] == [
+        "dedup_survivors",
         "stream_len_quantiles",
         "bm25_topk_prf",
         "bm25_topk_rm3",

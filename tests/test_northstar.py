@@ -558,6 +558,81 @@ def test_cosine_neardup_against_index(spark, emb, tmp_path):
     assert pairs <= brute
 
 
+def test_cosine_neardup_against_ivf_index(spark, emb, tmp_path):
+    """IVF-index-backed incremental near-dup — one store serving both
+    ANN and the nightly dedup: exact copies always found at nprobe=1
+    (identical vectors share one argmax cell); every pair passes the
+    exact threshold; full probe (nprobe=nlist) equals brute force;
+    and the IVF-SQ8 layout answers IDENTICALLY to the raw-float IVF
+    layout (both store cell + the raw vector column)."""
+    import math
+
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        build_ann_ivf_index,
+        build_ann_ivfsq8_index,
+        cosine_neardup_against_ivf_index,
+        dot_py,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    indexed = corpus.filter(F.col("vec_id") % 2 == 1)
+    fresh = corpus.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") <= 40))
+    copies = indexed.filter(F.col("vec_id").isin(1, 3, 5)).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    batch = fresh.unionByName(copies)
+
+    path = str(tmp_path / "ivf_dedup_idx")
+    build_ann_ivf_index(indexed, path)
+    got = cosine_neardup_against_ivf_index(batch, path, 0.9, nprobe=1).collect()
+    pairs = {(r.doc_old, r.doc_new) for r in got}
+    for vid in (1, 3, 5):
+        assert (vid, vid + 1_000_000) in pairs, pairs
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in indexed.unionByName(batch).collect()
+    }
+
+    def cos(a, b):
+        return dot_py(a, b) / (
+            math.sqrt(dot_py(a, a)) * math.sqrt(dot_py(b, b))
+        )
+
+    for r in got:
+        assert cos(vecs[r.doc_old], vecs[r.doc_new]) >= 0.9
+    brute = {
+        (i, j)
+        for i in vecs
+        if i < 1_000_000 and i % 2 == 1
+        for j in vecs
+        if (j >= 1_000_000 or j % 2 == 0) and cos(vecs[i], vecs[j]) >= 0.9
+    }
+    assert pairs <= brute
+    # full probe == exact: probing every cell is brute force
+    full = cosine_neardup_against_ivf_index(
+        batch, path, 0.9, nprobe=ANN_NLIST
+    ).collect()
+    assert {(r.doc_old, r.doc_new) for r in full} == brute
+
+    # the IVF-SQ8 layout answers identically (same cells, same raw
+    # vector column for the exact verify)
+    sq8_path = str(tmp_path / "sq8_dedup_idx")
+    build_ann_ivfsq8_index(indexed, sq8_path)
+    sq8 = cosine_neardup_against_ivf_index(
+        batch, sq8_path, 0.9, nprobe=1
+    ).collect()
+    assert sorted((r.doc_old, r.doc_new, r.cos) for r in sq8) == sorted(
+        (r.doc_old, r.doc_new, r.cos) for r in got
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nprobe must be"):
+        cosine_neardup_against_ivf_index(batch, path, 0.9, nprobe=0)
+
+
 def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
     from spark_sorted_spark.functions.similarity import (
         ann_ivf_topk,

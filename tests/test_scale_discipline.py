@@ -152,4 +152,10 @@ def test_collect_allowlist_is_small_and_known():
     # ann_ivf_join_indexed workload-collect shape), +1
     # stream_maintain_ann_ivfsq8_index's eager centroid existence
     # check (the maintainer-fleet pattern).
+    # 54 as of round 13: -6 — the IVF-family probes' centroid loads
+    # consolidated into the cached _load_centroids front door
+    # (VERDICT r12 item 8; one marked collect site now serves every
+    # probe, keyed by the metadata dir's publish mtime). The new
+    # cosine_neardup_against_ivf_index adds NO collect — its batch
+    # cell assignment is the native _ivf_probe_cells_col.
     assert n <= 60, f"driver-collect site count grew to {n}; review for scale"

@@ -172,6 +172,28 @@ def main():
         batch = e.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
         return lambda: cosine_neardup_against_index(batch, path, 0.4).count()
 
+    def b55(e, tag):
+        # IVF-index-backed incremental dedup (round-13 gated row):
+        # index the odd half once (amortized; auto-sized cells), time
+        # the per-batch two-cell probe join + exact verify. Cell
+        # occupancy is corpus/nlist, so the auto-sized build keeps
+        # per-batch cost ~flat like the other indexed probes.
+        from spark_sorted_spark.functions.similarity import (
+            build_ann_ivf_index,
+            cosine_neardup_against_ivf_index,
+        )
+
+        path = f"{work}/dedup_ivf_{tag}"
+        build_ann_ivf_index(
+            e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+            path,
+            nlist=None,
+        )
+        batch = e.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+        return lambda: cosine_neardup_against_ivf_index(
+            batch, path, 0.4, nprobe=2
+        ).count()
+
     def b28(d):
         from spark_sorted_spark.functions.dedup import jaccard_prefix_pairs
 
@@ -498,6 +520,10 @@ def main():
         (
             "b54_bm25_join_prf_indexed",
             lambda: (b54(docs, "1x"), b54(docs10, "10x")),
+        ),
+        (
+            "b55_embed_dedup_ivf (auto nlist)",
+            lambda: (b55(emb, "1x"), b55(emb10, "10x")),
         ),
     ]
     rows = []
