@@ -1926,6 +1926,23 @@ def _cached_driver_read(spark, path: str, sub: str, load):
         return hit[1]
     val = load()
     _INDEX_DRIVER_CACHE[key] = (gen, val)
+    # manifest-layout eviction: a republish resolves to a NEW
+    # ``{root}/gen-{k}`` path, so the rename-layout same-key
+    # replacement above never fires — drop the prior generations of
+    # the same root or a long-lived serving driver leaks one centroid
+    # table/codebook set per nightly republish
+    import re
+
+    root = re.sub(r"/gen-\d+$", "", path)
+    if root != path:
+        for stale in [
+            k2
+            for k2 in _INDEX_DRIVER_CACHE
+            if k2 != key
+            and k2[1] == sub
+            and re.sub(r"/gen-\d+$", "", k2[0]) == root
+        ]:
+            del _INDEX_DRIVER_CACHE[stale]
     return val
 
 
@@ -2766,6 +2783,8 @@ def cosine_neardup_against_ivf_index(
     from ..sources.manifest import resolve_root
     from .dedup import spread_small_input
 
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     path = resolve_root(spark, index_path)
     cents = _load_centroids(spark, path)
     if not cents:
@@ -2773,8 +2792,6 @@ def cosine_neardup_against_ivf_index(
             f"{path!r} holds no centroid table; build the IVF/IVF-SQ8 "
             "index first"
         )
-    if nprobe < 1:
-        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     batch = spread_small_input(batch)
     idx = spark.read.parquet(path)
     bb = batch.select(

@@ -268,8 +268,25 @@ def _kmv_meta_write(spark, store_path: str, k: int) -> None:
     ).parquet(f"{store_path}/_kmv_meta")
 
 
-def _kmv_k_or_meta(spark, store_path: str, k: int | None, caller: str) -> int:
-    """Resolve the effective read-side k against the persisted meta.
+def _kmv_has_batches(spark, store_path: str) -> bool:
+    """True when the store dir exists and holds at least one
+    ``ingest_batch_id=`` partition (a drained store)."""
+    jvm = spark.sparkContext._jvm
+    jfs = jvm.org.apache.hadoop.fs.Path
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jfs(store_path).getFileSystem(conf)
+    if not fs.exists(jfs(store_path)):
+        return False
+    return any(
+        s.getPath().getName().startswith("ingest_batch_id=")
+        for s in fs.listStatus(jfs(store_path))
+    )
+
+
+def _kmv_resolve_k(
+    meta_k: int | None, k: int | None, store_path: str, caller: str
+) -> int:
+    """Resolve the effective read-side k against an already-read meta.
 
     ``k=None`` requires the meta (legacy stores must pass k
     explicitly). A caller k LARGER than the build k is rejected: the
@@ -278,7 +295,6 @@ def _kmv_k_or_meta(spark, store_path: str, k: int | None, caller: str) -> int:
     silently return the saturated sketch size as the estimate. A
     SMALLER k is valid (the k' smallest of the bottom-k are the k'
     smallest overall) and is accepted as a deliberate downsample."""
-    meta_k = _kmv_meta_read(spark, store_path)
     if k is None:
         if meta_k is None:
             raise ValueError(
@@ -296,6 +312,15 @@ def _kmv_k_or_meta(spark, store_path: str, k: int | None, caller: str) -> int:
             "an exact count"
         )
     return k
+
+
+def _kmv_k_or_meta(spark, store_path: str, k: int | None, caller: str) -> int:
+    """Read the persisted meta and resolve k against it (one FS
+    round-trip; callers needing both the meta and the resolved k use
+    :func:`_kmv_meta_read` + :func:`_kmv_resolve_k` directly)."""
+    return _kmv_resolve_k(
+        _kmv_meta_read(spark, store_path), k, store_path, caller
+    )
 
 
 def stream_kmv(
@@ -333,6 +358,19 @@ def stream_kmv(
     spark = stream_df.sparkSession
     meta_k = _kmv_meta_read(spark, store_path)
     if meta_k is None:
+        if _kmv_has_batches(spark, store_path):
+            # a LEGACY store (drained before the meta existed): we
+            # cannot know its true build k, and silently stamping the
+            # caller's k would re-open the saturated-sketch-as-exact-
+            # count bug for a k larger than the real one. Compaction
+            # stamps a VALIDATED k (<= the observed sketch lengths).
+            raise ValueError(
+                f"stream_kmv: store {store_path!r} holds batches but "
+                "no _kmv_meta (legacy store); stamp the build k first "
+                "with compact_sketch_store(kind='kmv', k=<build k>) "
+                "— it validates k against the stored sketch lengths "
+                "— or drain into a fresh store"
+            )
         _kmv_meta_write(spark, store_path, k)
     elif meta_k != k:
         raise ValueError(
@@ -360,6 +398,16 @@ def stream_kmv(
         q.stop()
 
 
+def _read_kmv_resolved(spark, store_path: str, k: int, keys) -> DataFrame:
+    """The merge itself, with k already resolved/validated."""
+    from ..functions.sketches import _kmv_bottomk
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sk = spark.read.parquet(store_path)
+    ex = sk.select(*keys, F.explode("kmv").alias("__h"))
+    return _kmv_bottomk(ex, k, keys)
+
+
 def read_kmv(spark, store_path: str, k: int | None = None, keys=()) -> DataFrame:
     """Merge every batch partition of a KMV store into ONE sketch per
     key group (the k smallest across all batches) — row-identical to
@@ -367,14 +415,9 @@ def read_kmv(spark, store_path: str, k: int | None = None, keys=()) -> DataFrame
     ``kmv_merge`` == ``kmv_sketch``-of-union pin).
 
     ``k`` defaults to the store's persisted build k (``_kmv_meta``);
-    an explicit k may only shrink it (see ``_kmv_k_or_meta``)."""
-    from ..functions.sketches import _kmv_bottomk
-
+    an explicit k may only shrink it (see ``_kmv_resolve_k``)."""
     k = _kmv_k_or_meta(spark, store_path, k, "read_kmv")
-    keys = [keys] if isinstance(keys, str) else list(keys)
-    sk = spark.read.parquet(store_path)
-    ex = sk.select(*keys, F.explode("kmv").alias("__h"))
-    return _kmv_bottomk(ex, k, keys)
+    return _read_kmv_resolved(spark, store_path, k, keys)
 
 
 def read_kmv_estimate(
@@ -382,11 +425,12 @@ def read_kmv_estimate(
 ) -> DataFrame:
     """The store's current distinct-count estimate(s): merge-on-read
     then the standard deterministic estimator. ``k`` defaults to the
-    store's persisted build k."""
+    store's persisted build k (resolved ONCE — the nested merge skips
+    the second meta round-trip)."""
     from ..functions.sketches import kmv_estimate
 
     k = _kmv_k_or_meta(spark, store_path, k, "read_kmv_estimate")
-    return kmv_estimate(read_kmv(spark, store_path, k, keys), k, keys)
+    return kmv_estimate(_read_kmv_resolved(spark, store_path, k, keys), k, keys)
 
 
 def compact_sketch_store(
@@ -423,10 +467,33 @@ def compact_sketch_store(
             f"unknown sketch store kind {kind!r}: expected "
             "'hll', 'bloom', 'cms', 'histogram' or 'kmv'"
         )
+    kmv_meta_k = None
     if kind == "kmv":
         # resolves k from _kmv_meta (or validates the caller's k
         # against it); legacy meta-less stores still require k
-        k = _kmv_k_or_meta(spark, store_path, k, "compact_sketch_store")
+        kmv_meta_k = _kmv_meta_read(spark, store_path)
+        k = _kmv_resolve_k(kmv_meta_k, k, store_path, "compact_sketch_store")
+        if kmv_meta_k is None:
+            # LEGACY store: before stamping the caller's k as the
+            # build k, bound it by the stored sketch lengths — a
+            # sketch of length L may be saturated at build k = L, so
+            # any k > max(L) risks the exact-count estimator branch
+            # on a saturated sketch. k <= max(L) is always safe
+            # (bottom-k of a valid bottom-L is a valid bottom-k).
+            maxlen = (
+                spark.read.parquet(store_path)
+                .select(F.max(F.size("kmv")).alias("m"))
+                .head()
+                .m
+            )
+            if maxlen is not None and k > int(maxlen):
+                raise ValueError(
+                    f"compact_sketch_store: k={k} exceeds the longest "
+                    f"stored sketch ({maxlen}) of legacy store "
+                    f"{store_path!r} — its build k cannot have been "
+                    f"larger than {maxlen}; pass k <= {maxlen} (a "
+                    "smaller k is always a valid downsample)"
+                )
     # find the max batch partition BEFORE any read: an empty dir must
     # be a clean ValueError, not a schema-inference failure
     jvm = spark.sparkContext._jvm
@@ -447,7 +514,7 @@ def compact_sketch_store(
     elif kind == "cms":
         merged = read_cms_cells(spark, store_path)
     elif kind == "kmv":
-        merged = read_kmv(spark, store_path, k, keys)
+        merged = _read_kmv_resolved(spark, store_path, k, keys)
     else:
         merged = read_histogram(spark, store_path, keys)
     staging = f"{store_path}.compacting"
@@ -457,7 +524,11 @@ def compact_sketch_store(
         # the swap replaced the whole live dir with the merged batch
         # partition — restore the build-k meta so post-compact reads
         # keep their validation (this also upgrades a legacy
-        # meta-less store: the caller's k was just used as build k)
+        # meta-less store: the caller's k was length-validated above).
+        # A crash between the swap and this write leaves a meta-less
+        # store whose sketches are ALL length <= k — recovery is this
+        # same compact (or any read) with the explicit k, which the
+        # length bound accepts.
         _kmv_meta_write(spark, store_path, k)
 
 

@@ -158,4 +158,4 @@ def test_collect_allowlist_is_small_and_known():
     # probe, keyed by the metadata dir's publish mtime). The new
     # cosine_neardup_against_ivf_index adds NO collect — its batch
     # cell assignment is the native _ivf_probe_cells_col.
-    assert n <= 60, f"driver-collect site count grew to {n}; review for scale"
+    assert n <= 54, f"driver-collect site count grew to {n}; review for scale"

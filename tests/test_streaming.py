@@ -2242,3 +2242,33 @@ def test_stream_kmv_matches_batch_and_survives_replay(
         (r.source, list(r.kmv))
         for r in read_kmv(spark, store, k, keys="source").collect()
     ) == want_sk
+    # a resume into the legacy store refuses to stamp a guessed k
+    # (the true build k is unknowable; compaction stamps a VALIDATED
+    # one instead)
+    with _pytest.raises(ValueError, match="legacy store"):
+        drain_legacy = stream_table(
+            spark, "documents", sf_dir, path=str(watch)
+        )
+        stream_kmv(
+            drain_legacy, "text", store, str(tmp_path / "ckpt4"),
+            k=k, keys="source", timeout_sec=180,
+        )
+    # legacy compact bounds k by the stored sketch lengths: these
+    # sketches are UNSATURATED (longest < k), so even the true build
+    # k is indistinguishable from a saturated smaller build and is
+    # rejected — the guard must assume the worst...
+    with _pytest.raises(ValueError, match="longest stored sketch"):
+        compact_sketch_store(spark, store, "kmv", keys="source", k=k)
+    # ...while any k <= the longest sketch is a provably valid
+    # downsample: it compacts, re-stamps the meta, and the store then
+    # answers reads exactly like batch-sketching all data at that k
+    k2 = 8
+    compact_sketch_store(spark, store, "kmv", keys="source", k=k2)
+    want_k2 = sorted(
+        (r.source, list(r.kmv))
+        for r in kmv_sketch(docs, "text", k=k2, keys="source").collect()
+    )
+    assert sorted(
+        (r.source, list(r.kmv))
+        for r in read_kmv(spark, store, keys="source").collect()
+    ) == want_k2
