@@ -96,6 +96,84 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def semantic_mix(
+    df: DataFrame,
+    embeddings: DataFrame,
+    total: int,
+    temperature: float = 2.0,
+    n_clusters: int = 16,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """Cluster-balanced corpus mix — :func:`temperature_mix` at
+    EMBEDDING-CLUSTER granularity: where the source-level recipe
+    flattens over-represented DOMAINS, this flattens over-represented
+    TOPICS (boilerplate families, templates, near-duplicate themes a
+    source label cannot see). Every embedding is assigned to its
+    seeded-centroid cluster (the IVF construction: deterministic
+    ``(md5(id), id)`` seeded pick + the native struct-argmax
+    assignment, optional Lloyd refinement), cluster counts feed
+    :func:`temperature_quotas`, and each cluster's quota is filled in
+    the content-deterministic ``(md5(id), id)`` hash order — the same
+    coin every sampler in this module flips, so reruns and other
+    engines select identical rows. Returns ``(id, cluster, rank)``
+    with rank 1..quota within cluster. Documents without an embedding
+    row are dropped (embed-first is the pipeline contract).
+
+    Scale shape: centroid pick + per-cluster counts are bounded
+    collects (n_clusters rows); assignment is one narrow map against
+    a constant-folded centroid literal; selection is ONE window over
+    the cluster partitioning; the quota relation broadcasts. T=2
+    (sqrt weights) keeps the whole quota arithmetic IEEE-correctly-
+    rounded, hence SQL-replayable bitwise (see temperature_quotas)."""
+    from .similarity import _ivf_cell_col, _ivf_centroids, _lloyd_refine
+
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    cents = _ivf_centroids(embeddings, n_clusters, vec_col, vec_id_col)
+    if not cents:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, cluster int, rank bigint"
+        )
+    if lloyd_iters:
+        cents = _lloyd_refine(embeddings, cents, lloyd_iters, vec_col)
+    assigned = embeddings.select(
+        F.col(vec_id_col).alias(id_col),
+        _ivf_cell_col(F.col(vec_col), cents).alias("cluster"),
+    )
+    counts = {
+        int(r[0]): int(r[1])
+        # bounded-collect: one row per cluster (n_clusters is a
+        # bounded parameter, not data-sized)
+        for r in assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    quotas = temperature_quotas(counts, total, temperature)
+    from pyspark.sql import Window
+
+    qdf = df.sparkSession.createDataFrame(
+        sorted(quotas.items()), "cluster int, __q bigint"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = (
+        df.select(id_col)
+        .join(assigned, id_col)
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+    )
+    return ranked.join(F.broadcast(qdf), "cluster").filter(
+        F.col("rank") <= F.col("__q")
+    ).select(id_col, "cluster", "rank")
+
+
 def training_order(
     df: DataFrame,
     n_shards: int,

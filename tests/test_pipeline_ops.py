@@ -1973,6 +1973,74 @@ class TestTemperatureMix:
         assert temperature_mix(df, 10).count() == 0
 
 
+class TestSemanticMix:
+    """Cluster-balanced corpus mix (functions/sampling.py
+    semantic_mix — temperature_mix at embedding-cluster
+    granularity)."""
+
+    @staticmethod
+    def _toy(spark):
+        # two well-separated directions: ~90 ids point along +x (the
+        # over-represented "topic"), ~10 along +y. The +y group is
+        # placed on the id with the SECOND-smallest (md5(id), id) so
+        # the two seeded centroids deterministically land one per
+        # topic (the same seeded pick rule the operator uses).
+        import hashlib
+
+        order = sorted(
+            range(100), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        y_ids = {order[1]} | set(order[-9:])
+        rows = [
+            (i, [0.0, 1.0] if i in y_ids else [1.0, 0.02 * (i % 7)])
+            for i in range(100)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        docs = spark.createDataFrame(
+            [(i,) for i in range(100)], "doc_id long"
+        )
+        return docs, emb
+
+    def test_flattens_heavy_cluster_and_is_deterministic(self, spark):
+        from spark_sorted_spark.functions.sampling import semantic_mix
+
+        docs, emb = self._toy(spark)
+        out1 = semantic_mix(docs, emb, total=40, n_clusters=2).collect()
+        out2 = semantic_mix(
+            docs.repartition(7), emb.repartition(5), total=40, n_clusters=2
+        ).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        by_cluster: dict[int, int] = {}
+        for r in out1:
+            by_cluster[r.cluster] = by_cluster.get(r.cluster, 0) + 1
+        sizes = sorted(by_cluster.values())
+        # T=2 flattening: the 90/10 natural mix must NOT survive —
+        # sqrt weights give the small topic ~25% of the take, far
+        # above its 10% natural share
+        assert len(sizes) == 2
+        assert sizes[0] / sum(sizes) > 0.15
+        # ranks are 1..quota dense within each cluster
+        for c in by_cluster:
+            ranks = sorted(r.rank for r in out1 if r.cluster == c)
+            assert ranks == list(range(1, len(ranks) + 1))
+
+    def test_docs_without_embeddings_drop_and_validation(self, spark):
+        from spark_sorted_spark.functions.sampling import semantic_mix
+
+        docs, emb = self._toy(spark)
+        extra = docs.union(
+            spark.createDataFrame([(999,)], "doc_id long")
+        )
+        out = semantic_mix(extra, emb, total=1000, n_clusters=2).collect()
+        assert {r.doc_id for r in out} <= set(range(100))
+        with pytest.raises(ValueError, match="n_clusters"):
+            semantic_mix(docs, emb, total=10, n_clusters=0)
+        with pytest.raises(ValueError, match="temperature"):
+            semantic_mix(docs, emb, total=10, temperature=0.0)
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert semantic_mix(docs, empty, total=10).count() == 0
+
+
 def test_dsir_fuzz_vs_replica(spark):
     """Hypothesis fuzz for dsir_select: random raw/target corpora from
     a tiny vocabulary — full selected ordering equals the pure-Python
