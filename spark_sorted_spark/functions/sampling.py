@@ -29,6 +29,7 @@ __all__ = [
     "dsir_select",
     "temperature_quotas",
     "temperature_mix",
+    "semantic_mix",
 ]
 
 
@@ -96,6 +97,49 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def _empty_mix(df: DataFrame, id_col: str, strata_field) -> DataFrame:
+    """Empty (id, stratum, rank) frame whose id column keeps the
+    INPUT's type — the output schema must not depend on whether the
+    input was empty."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return df.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [df.schema[id_col], strata_field, StructField("rank", LongType())]
+        ),
+    )
+
+
+def _quota_take(
+    strat: DataFrame, strata_col: str, quotas: Mapping, id_col: str,
+    strata_type: str,
+) -> DataFrame:
+    """The shared quota-take tail of the mix operators: rank each
+    stratum's members by the content-deterministic ``(md5(id), id)``
+    order — the same coin every sampler in this module flips — and
+    keep rank <= quota. One window over the stratum partitioning (a
+    skewed stratum degrades to WindowExec's spill path, never a
+    driver materialization); the quota relation is a broadcast
+    |strata|-row literal."""
+    from pyspark.sql import Window
+
+    qdf = strat.sparkSession.createDataFrame(
+        sorted(quotas.items()), f"{strata_col} {strata_type}, __q bigint"
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = strat.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+    return ranked.join(F.broadcast(qdf), strata_col).filter(
+        F.col("rank") <= F.col("__q")
+    ).select(id_col, strata_col, "rank")
+
+
 def semantic_mix(
     df: DataFrame,
     embeddings: DataFrame,
@@ -114,13 +158,18 @@ def semantic_mix(
     source label cannot see). Every embedding is assigned to its
     seeded-centroid cluster (the IVF construction: deterministic
     ``(md5(id), id)`` seeded pick + the native struct-argmax
-    assignment, optional Lloyd refinement), cluster counts feed
-    :func:`temperature_quotas`, and each cluster's quota is filled in
-    the content-deterministic ``(md5(id), id)`` hash order — the same
-    coin every sampler in this module flips, so reruns and other
-    engines select identical rows. Returns ``(id, cluster, rank)``
-    with rank 1..quota within cluster. Documents without an embedding
-    row are dropped (embed-first is the pipeline contract).
+    assignment, optional Lloyd refinement); the cluster counts OF THE
+    FRAME BEING MIXED (``df`` joined to its assignments — like
+    temperature_mix, quotas describe the frame it mixes, never a
+    larger embedding universe) feed :func:`temperature_quotas`; and
+    each cluster's quota is filled in the content-deterministic
+    ``(md5(id), id)`` hash order, so reruns and other engines select
+    identical rows. Returns ``(id, cluster, rank)`` with rank
+    1..quota within cluster. Documents without an embedding row are
+    dropped (embed-first is the pipeline contract); ids must identify
+    ONE vector — exact-duplicate (id, vector) rows collapse
+    deterministically, conflicting vectors per id are a data bug the
+    distinct cannot repair.
 
     Scale shape: centroid pick + per-cluster counts are bounded
     collects (n_clusters rows); assignment is one narrow map against
@@ -128,50 +177,45 @@ def semantic_mix(
     the cluster partitioning; the quota relation broadcasts. T=2
     (sqrt weights) keeps the whole quota arithmetic IEEE-correctly-
     rounded, hence SQL-replayable bitwise (see temperature_quotas)."""
+    from pyspark.sql.types import IntegerType, StructField
+
     from .similarity import _ivf_cell_col, _ivf_centroids, _lloyd_refine
 
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
-    cents = _ivf_centroids(embeddings, n_clusters, vec_col, vec_id_col)
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if temperature <= 0:
+        # validate BEFORE the centroid/count Spark jobs run (the
+        # validate-before-IO rule the IVF probes follow)
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    # dedupe ONCE up front: exact-duplicate (id, vector) rows must not
+    # perturb the seeded centroid pick (a duplicated seed id would
+    # yield two identical centroids) nor double-count clusters
+    emb_d = embeddings.select(
+        F.col(vec_id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).distinct()
+    cents = _ivf_centroids(emb_d, n_clusters, vec_col, vec_id_col)
+    cluster_field = StructField("cluster", IntegerType())
     if not cents:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} bigint, cluster int, rank bigint"
-        )
+        return _empty_mix(df, id_col, cluster_field)
     if lloyd_iters:
-        cents = _lloyd_refine(embeddings, cents, lloyd_iters, vec_col)
-    assigned = embeddings.select(
+        cents = _lloyd_refine(emb_d, cents, lloyd_iters, vec_col)
+    assigned = emb_d.select(
         F.col(vec_id_col).alias(id_col),
         _ivf_cell_col(F.col(vec_col), cents).alias("cluster"),
     )
+    mixed = df.select(id_col).join(assigned, id_col)
     counts = {
         int(r[0]): int(r[1])
         # bounded-collect: one row per cluster (n_clusters is a
         # bounded parameter, not data-sized)
-        for r in assigned.groupBy("cluster")
+        for r in mixed.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
     quotas = temperature_quotas(counts, total, temperature)
-    from pyspark.sql import Window
-
-    qdf = df.sparkSession.createDataFrame(
-        sorted(quotas.items()), "cluster int, __q bigint"
-    )
-    w = Window.partitionBy("cluster").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
-    ranked = (
-        df.select(id_col)
-        .join(assigned, id_col)
-        .select(
-            F.col(id_col),
-            F.col("cluster"),
-            F.row_number().over(w).cast("bigint").alias("rank"),
-        )
-    )
-    return ranked.join(F.broadcast(qdf), "cluster").filter(
-        F.col("rank") <= F.col("__q")
-    ).select(id_col, "cluster", "rank")
+    return _quota_take(mixed, "cluster", quotas, id_col, "int")
 
 
 def training_order(
@@ -536,23 +580,6 @@ def temperature_mix(
         .collect()
     }
     if not counts:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} bigint, {source_col} string, rank bigint"
-        )
+        return _empty_mix(df, id_col, df.schema[source_col])
     quotas = temperature_quotas(counts, total, temperature)
-    from pyspark.sql import Window
-
-    qdf = df.sparkSession.createDataFrame(
-        sorted(quotas.items()), f"{source_col} string, __q bigint"
-    )
-    w = Window.partitionBy(source_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
-    ranked = df.select(
-        F.col(id_col),
-        F.col(source_col),
-        F.row_number().over(w).cast("bigint").alias("rank"),
-    )
-    return ranked.join(F.broadcast(qdf), source_col).filter(
-        F.col("rank") <= F.col("__q")
-    ).select(id_col, source_col, "rank")
+    return _quota_take(df, source_col, quotas, id_col, "string")

@@ -6983,9 +6983,12 @@ def embedding_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vec_id) — the seeded IVF pick both engines compute identically;
     # every vector is assigned to its max-dot centroid (strict-fold
     # dots, ties to the lowest cluster — row_number mirrors the
-    # native struct argmin); per-cluster sqrt weights at T=2 (IEEE
-    # correctly rounded), weight sum folded in cluster order (the
-    # order the Python driver sums), floor quotas, md5-rank take.
+    # native struct argmin); the counts are of the MIXED frame
+    # (documents joined to assignments — quotas describe the frame
+    # being mixed, like temperature_mix); per-cluster sqrt weights at
+    # T=2 (IEEE correctly rounded), weight sum folded in cluster
+    # order (the order the Python driver sums), floor quotas,
+    # md5-rank take.
     oracle=f"""
     WITH cents AS (
       SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
@@ -6999,9 +7002,12 @@ def embedding_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY {_DOT_SQL.format(a="e.embedding", b="c.cent")} DESC,
                           c.cluster) AS rn
         FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    mixed AS (
+      SELECT d.doc_id, a.cluster
+      FROM documents d JOIN assigned a USING (doc_id)),
     ws AS (
       SELECT cluster, count(*) AS c, sqrt(count(*)) AS w
-      FROM assigned GROUP BY cluster),
+      FROM mixed GROUP BY cluster),
     tot AS (
       SELECT list_reduce(list_prepend(0.0, list(w ORDER BY cluster)),
                          (a, x) -> a + x) AS sw
@@ -7010,11 +7016,11 @@ def embedding_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cluster, floor(200 * w / sw)::BIGINT AS q
       FROM ws CROSS JOIN tot),
     ranked AS (
-      SELECT d.doc_id, a.cluster,
+      SELECT doc_id, cluster,
              row_number() OVER (
-               PARTITION BY a.cluster
-               ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rank
-      FROM documents d JOIN assigned a USING (doc_id))
+               PARTITION BY cluster
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
+      FROM mixed)
     SELECT doc_id, cluster, rank
     FROM ranked JOIN quota USING (cluster)
     WHERE rank <= q

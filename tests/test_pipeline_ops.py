@@ -2024,6 +2024,37 @@ class TestSemanticMix:
             ranks = sorted(r.rank for r in out1 if r.cluster == c)
             assert ranks == list(range(1, len(ranks) + 1))
 
+    def test_quotas_describe_the_mixed_frame(self, spark):
+        """Quotas must come from the frame BEING MIXED (df joined to
+        assignments), not the embedding universe — mixing the
+        survivors of an upstream filter re-balances on the surviving
+        counts (the review-caught universe-count bug gave the
+        minority topic a 7-doc quota from the 90/10 universe and left
+        the majority's quota unfillable)."""
+        import hashlib
+
+        from spark_sorted_spark.functions.sampling import semantic_mix
+
+        docs, emb = self._toy(spark)
+        order = sorted(
+            range(100),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        y_ids = {order[1]} | set(order[-9:])
+        keep = y_ids | set(sorted(set(range(100)) - y_ids)[:3])
+        survivors = docs.filter(
+            F.col("doc_id").isin([int(i) for i in keep])
+        )
+        out = semantic_mix(survivors, emb, total=30, n_clusters=2).collect()
+        by_c: dict[int, int] = {}
+        for r in out:
+            by_c[r.cluster] = by_c.get(r.cluster, 0) + 1
+        # survivor counts {3, 10} at T=2 -> quotas {10, 19}: the
+        # 3-doc cluster fills all 3, the 10-doc cluster all 10
+        # (universe counts {90, 10} would have capped the minority
+        # at 7)
+        assert sorted(by_c.values()) == [3, 10]
+
     def test_docs_without_embeddings_drop_and_validation(self, spark):
         from spark_sorted_spark.functions.sampling import semantic_mix
 
@@ -2033,12 +2064,27 @@ class TestSemanticMix:
         )
         out = semantic_mix(extra, emb, total=1000, n_clusters=2).collect()
         assert {r.doc_id for r in out} <= set(range(100))
+        # duplicate (id, vector) embedding rows collapse
+        # deterministically (the distinct) — counts/quotas unchanged
+        dup = semantic_mix(docs, emb.union(emb), total=40, n_clusters=2)
+        base = semantic_mix(docs, emb, total=40, n_clusters=2)
+        assert sorted(map(tuple, dup.collect())) == sorted(
+            map(tuple, base.collect())
+        )
         with pytest.raises(ValueError, match="n_clusters"):
             semantic_mix(docs, emb, total=10, n_clusters=0)
         with pytest.raises(ValueError, match="temperature"):
             semantic_mix(docs, emb, total=10, temperature=0.0)
+        with pytest.raises(ValueError, match="total"):
+            semantic_mix(docs, emb, total=-1)
+        # empty embeddings: empty OUTPUT with the input's id type
         empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
-        assert semantic_mix(docs, empty, total=10).count() == 0
+        out_e = semantic_mix(docs, empty, total=10)
+        assert out_e.count() == 0
+        assert out_e.schema["doc_id"].dataType == docs.schema["doc_id"].dataType
+        sdocs = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+        out_s = semantic_mix(sdocs, empty, total=10)
+        assert out_s.schema["doc_id"].dataType.simpleString() == "string"
 
 
 def test_dsir_fuzz_vs_replica(spark):
