@@ -2752,6 +2752,7 @@ def cosine_neardup_against_ivf_index(
     nprobe: int = ANN_NPROBE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup against a persisted IVF-family
     index — ONE store serving both the ANN queries and the nightly
@@ -2778,19 +2779,49 @@ def cosine_neardup_against_ivf_index(
     ``(id, cell)`` columns — batch cells x index cells equi-join —
     and the full vector column is joined back for candidate ids
     alone; cost per nightly batch is O(batch x cell occupancy), never
-    O(corpus^2)."""
+    O(corpus^2).
+
+    ``max_cell`` (optional) is the hot-cell guard, mirroring the LSH
+    twin's ``max_bucket`` and the MinHash family's hot-bucket bound:
+    index cells holding more than ``max_cell`` vectors are dropped
+    from candidate generation — the degenerate-blob bound for corpora
+    where one boilerplate cluster lands in a single IVF cell and the
+    batch x occupancy candidate set for that cell goes quadratic in
+    the blob. Recall trade: pairs whose INDEXED member sits in a
+    dropped hot cell are not reported (auto-nlist sizing keeps
+    average occupancy near the target, so only degenerate cells hit
+    the bound). Default ``None`` keeps the construction exact w.r.t.
+    the ``nprobe`` probe rule — the oracle-gated row relies on
+    that."""
     spark = batch.sparkSession
     from ..sources.manifest import resolve_root
     from .dedup import spread_small_input
 
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if max_cell is not None and max_cell < 1:
+        raise ValueError(f"max_cell must be >= 1, got {max_cell}")
     path = resolve_root(spark, index_path)
     cents = _load_centroids(spark, path)
     if not cents:
         raise ValueError(
             f"{path!r} holds no centroid table; build the IVF/IVF-SQ8 "
             "index first"
+        )
+    # dim discipline (ADVICE r13): a wrong-dim batch vector NULL-folds
+    # every centroid dot in _ivf_probe_cells_col AND every verify
+    # cosine, so the job would silently report ZERO duplicate pairs —
+    # duplicates would survive the nightly dedup. Same loud error the
+    # probe paths raise via _collect_query_batch/_check_corpus_dim.
+    # bounded-collect: one sampled row for eager dim validation
+    sample = batch.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
+    if sample is not None and len(sample[0]) != len(cents[0][1]):
+        raise ValueError(
+            f"cosine_neardup_against_ivf_index: batch {vec_col!r} has "
+            f"dim {len(sample[0])} but the index at {path!r} holds "
+            f"dim-{len(cents[0][1])} centroids — a mismatched batch "
+            "would NULL-fold every cell assignment and silently "
+            "return zero duplicate pairs"
         )
     batch = spread_small_input(batch)
     idx = spark.read.parquet(path)
@@ -2800,8 +2831,20 @@ def cosine_neardup_against_ivf_index(
             _ivf_probe_cells_col(F.col(vec_col), cents, nprobe)
         ).alias("cell"),
     )
+    idxc = idx.select(F.col(id_col).alias("doc_old"), "cell")
+    if max_cell is not None:
+        # hot-cell guard (VERDICT r13 #1): occupancy is measured on
+        # the INDEX side — that is the factor that multiplies every
+        # colliding batch vector's candidate count
+        occ = (
+            idxc.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cn"))
+            .filter(F.col("cn") <= max_cell)
+            .drop("cn")
+        )
+        idxc = idxc.join(occ, on="cell")
     cand = (
-        bb.join(idx.select(F.col(id_col).alias("doc_old"), "cell"), on="cell")
+        bb.join(idxc, on="cell")
         .filter(F.col("doc_old") != F.col("doc_new"))
         .select("doc_old", "doc_new")
         .distinct()

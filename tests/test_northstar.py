@@ -633,6 +633,89 @@ def test_cosine_neardup_against_ivf_index(spark, emb, tmp_path):
         cosine_neardup_against_ivf_index(batch, path, 0.9, nprobe=0)
 
 
+def test_cosine_neardup_ivf_hot_cell_guard(spark, tmp_path):
+    """max_cell (VERDICT r13 #1): index cells past the bound are
+    dropped from candidate generation — the degenerate-blob bound.
+    One planted boilerplate blob (20 identical vectors, one argmax
+    cell) exceeds max_cell=10; the guarded run reports exactly the
+    unguarded pairs whose INDEXED member sits in a cell within the
+    bound, and the unguarded default still finds the blob pairs."""
+    from spark_sorted_spark.functions.similarity import (
+        build_ann_ivf_index,
+        cosine_neardup_against_ivf_index,
+    )
+
+    blob = [(100 + i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    scattered = [(200, [0.0, 1.0, 0.0, 0.0]), (300, [0.0, 0.0, 1.0, 0.0])]
+    indexed = spark.createDataFrame(
+        blob + scattered, "vec_id bigint, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(900001, [1.0, 0.0, 0.0, 0.0]), (900002, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "hot_cell_idx")
+    build_ann_ivf_index(indexed, path, nlist=4)
+
+    unguarded = {
+        (r.doc_old, r.doc_new)
+        for r in cosine_neardup_against_ivf_index(
+            batch, path, 0.99, nprobe=1
+        ).collect()
+    }
+    # the blob copies ARE found without the guard (exact-dup contract)
+    assert (100, 900001) in unguarded
+
+    idx = spark.read.parquet(path)
+    cell_of = {r.vec_id: r.cell for r in idx.select("vec_id", "cell").collect()}
+    occ: dict = {}
+    for c in cell_of.values():
+        occ[c] = occ.get(c, 0) + 1
+    assert occ[cell_of[100]] >= 20  # the blob really is one hot cell
+
+    guarded = {
+        (r.doc_old, r.doc_new)
+        for r in cosine_neardup_against_ivf_index(
+            batch, path, 0.99, nprobe=1, max_cell=10
+        ).collect()
+    }
+    # guard semantics by construction: keep exactly the unguarded
+    # pairs whose indexed member's cell is within the bound
+    expected = {p for p in unguarded if occ[cell_of[p[0]]] <= 10}
+    assert guarded == expected
+    assert all(p[0] < 100 or p[0] >= 200 for p in guarded)  # blob gone
+    if occ[cell_of[200]] <= 10:
+        assert (200, 900002) in guarded  # cold cells untouched
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_cell must be"):
+        cosine_neardup_against_ivf_index(batch, path, 0.9, max_cell=0)
+
+
+def test_cosine_neardup_ivf_rejects_wrong_dim_batch(spark, tmp_path):
+    """ADVICE r13 (medium): a wrong-dim batch would NULL-fold every
+    centroid dot and verify cosine, silently returning zero pairs —
+    it must fail loudly instead."""
+    from spark_sorted_spark.functions.similarity import (
+        build_ann_ivf_index,
+        cosine_neardup_against_ivf_index,
+    )
+
+    indexed = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(1, 9)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "dim_idx")
+    build_ann_ivf_index(indexed, path, nlist=2)
+    bad = spark.createDataFrame(
+        [(900001, [1.0, 0.0, 0.0])],  # dim 3 vs index dim 4
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dim 3"):
+        cosine_neardup_against_ivf_index(bad, path, 0.9)
+
+
 def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
     from spark_sorted_spark.functions.similarity import (
         ann_ivf_topk,
