@@ -6990,18 +6990,24 @@ def embedding_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order (the order the Python driver sums), floor quotas,
     # md5-rank take.
     oracle=f"""
-    WITH cents AS (
+    WITH emb_d AS (
+      -- the operator's dedupe-first construction (VERDICT r13 #2):
+      -- exact-duplicate (vec_id, embedding) rows collapse BEFORE the
+      -- seeded pick and the assignment, so a duplicated row can
+      -- neither occupy two seed slots nor double-count a cluster
+      SELECT DISTINCT vec_id, embedding FROM embeddings),
+    cents AS (
       SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
                  AS cluster,
              embedding AS cent
-      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      FROM emb_d ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
     assigned AS (
       SELECT vec_id AS doc_id, cluster FROM (
         SELECT e.vec_id, c.cluster,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY {_DOT_SQL.format(a="e.embedding", b="c.cent")} DESC,
                           c.cluster) AS rn
-        FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        FROM emb_d e CROSS JOIN cents c) WHERE rn = 1),
     mixed AS (
       SELECT d.doc_id, a.cluster
       FROM documents d JOIN assigned a USING (doc_id)),

@@ -2086,6 +2086,58 @@ class TestSemanticMix:
         out_s = semantic_mix(sdocs, empty, total=10)
         assert out_s.schema["doc_id"].dataType.simpleString() == "string"
 
+    def test_oracle_matches_operator_on_duplicate_input(
+        self, spark, sf_dir, tmp_path
+    ):
+        """VERDICT r13 #2: the gate oracle must replay the operator's
+        dedupe-first construction on NON-unique (vec_id, embedding)
+        input — a duplicated row must neither occupy two of the
+        oracle's 8 seed slots nor double-count a cluster. Runs the
+        union-with-itself fixture through the same compare the
+        check_correctness harness applies (both engines read the SAME
+        duplicated parquet)."""
+        import duckdb
+
+        import __spark_entry__ as e
+        from spark_sorted_spark.functions.sampling import semantic_mix
+        from spark_sorted_spark.sources.tpch import load_table
+
+        dup_dir = str(tmp_path / "emb_dup")
+        load_table(spark, "embeddings", sf_dir).unionByName(
+            load_table(spark, "embeddings", sf_dir)
+        ).write.parquet(dup_dir)
+
+        got = semantic_mix(
+            load_table(spark, "documents", sf_dir),
+            spark.read.parquet(dup_dir),
+            total=200,
+            temperature=2.0,
+            n_clusters=8,
+        ).collect()
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        con.sql(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{dup_dir}/*.parquet'"
+        )
+        want = con.sql(e.oracle_sql()["semantic_mix"]).fetchall()
+        assert sorted((r.doc_id, r.cluster, r.rank) for r in got) == sorted(
+            (int(a), int(b), int(c)) for a, b, c in want
+        )
+        # and the duplicated input selects the same rows as the clean
+        # one — the dedupe-first contract, end to end
+        clean = semantic_mix(
+            load_table(spark, "documents", sf_dir),
+            load_table(spark, "embeddings", sf_dir),
+            total=200,
+            temperature=2.0,
+            n_clusters=8,
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, clean))
+
 
 def test_dsir_fuzz_vs_replica(spark):
     """Hypothesis fuzz for dsir_select: random raw/target corpora from
