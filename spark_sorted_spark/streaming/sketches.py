@@ -473,13 +473,17 @@ def compact_sketch_store(
         # against it); legacy meta-less stores still require k
         kmv_meta_k = _kmv_meta_read(spark, store_path)
         k = _kmv_resolve_k(kmv_meta_k, k, store_path, "compact_sketch_store")
-        if kmv_meta_k is None:
+        if kmv_meta_k is None and _kmv_has_batches(spark, store_path):
             # LEGACY store: before stamping the caller's k as the
             # build k, bound it by the stored sketch lengths — a
             # sketch of length L may be saturated at build k = L, so
             # any k > max(L) risks the exact-count estimator branch
             # on a saturated sketch. k <= max(L) is always safe
             # (bottom-k of a valid bottom-L is a valid bottom-k).
+            # Gated on _kmv_has_batches (ADVICE r13): an empty or
+            # missing legacy store must reach the clean 'holds no
+            # batch partitions' ValueError below, not die here on
+            # schema inference.
             maxlen = (
                 spark.read.parquet(store_path)
                 .select(F.max(F.size("kmv")).alias("m"))

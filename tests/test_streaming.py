@@ -1172,6 +1172,13 @@ def test_compact_sketch_store_all_kinds(spark, sf_dir, tmp_path):
 
         os.makedirs(empty)
         compact_sketch_store(spark, empty, "cms")
+    # an EMPTY meta-less KMV store must hit the same clean error, not
+    # a schema-inference AnalysisException from the legacy maxlen
+    # probe (ADVICE r13)
+    with _pytest.raises(ValueError, match="no batch partitions"):
+        empty_kmv = str(tmp_path / "none_kmv")
+        os.makedirs(empty_kmv)
+        compact_sketch_store(spark, empty_kmv, "kmv", k=16)
 
 
 def test_stream_bloom_matches_batch_idempotent_replay(spark, sf_dir, tmp_path):
