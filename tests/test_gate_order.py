@@ -50,53 +50,48 @@ def test_gate_window_contents():
         "bm25_topk_indexed",
         "bm25_join_indexed",
         "bm25_topk_filtered",
-        # round-13 rotation #9 (CHURN-BASED, VERDICT r12 item 5):
-        # the four scan forms rotate back IN — retrieval.py was
-        # rewritten +1,198 LoC in round 12 after their last (r11)
-        # driver rows; bm25_topk_prf/bm25_topk_rm3 rotate out
-        # driver-green (feedback keeps bm25_join_rm3 + the new
-        # indexed row below)
-        "bm25_topk",
+        # scan-form representatives (bm25_topk/hybrid_topk rotated out
+        # driver-green in round-14 rotation #10; the join scans keep
+        # the scan scoring code gated)
         "bm25_join",
-        "hybrid_topk",
         "hybrid_join",
-        "bm25_join_rm3",
-        # round-13 registrations (no-backlog policy): the batch-RM3
-        # SERVING form (VERDICT r12 item 4; temperature_mix rotates
-        # out driver-green, sampling keeps training_order) and the
-        # batch-PRF serving form (PARITY open item 4;
-        # stream_len_quantiles rotates out driver-green, sketches
-        # keep kmv_shingle_overlap)
+        # indexed feedback serving forms (bm25_join_rm3 rotated out
+        # driver-green in #10 — its 2-scan batch protocol is the
+        # documented slow floor of the indexed twin)
         "bm25_join_rm3_indexed",
         "bm25_join_prf_indexed",
         "retrieval_rerank",
         "hybrid_topk_indexed",
         "hybrid_join_indexed",
-        # round-13 fourth registration (no-backlog): cluster-balanced
-        # semantic mix; retrieval_eval rotates out driver-green
-        # (retrieval keeps ten in-window reps)
+        # round-14 rotation #10 churn picks (VERDICT r13 item 3):
+        # overflow rows sitting on the round-13 rewrites rotate back
+        # IN — retrieval_eval (retrieval.py), temperature_mix +
+        # dsir_select (sampling.py), stream_len_quantiles
+        # (streaming/sketches.py)
+        "retrieval_eval",
+        "temperature_mix",
+        "dsir_select",
+        "stream_len_quantiles",
         "semantic_mix",
         "decontaminate_verbatim_short",
         "dedup_repeated_spans",
-        "kmv_shingle_overlap",
         "training_order",
         "similarity_ann_ivfpq",
         "similarity_ann_ivfpq_join",
         "similarity_ann_filtered",
-        # rotation #9 churn pick on similarity.py (+552 LoC r12);
-        # similarity_ann_ivf/embedding_neardup_lsh/knn_join rotate
-        # out driver-green (IVF cell path shared with ivfpq;
-        # near-dup keeps embedding_dedup_incremental +
-        # dedup_minhash_lsh)
-        "similarity_ann_pq",
         "similarity_topk",
-        "similarity_ann_lsh",
         "embedding_dedup_incremental",
-        # round-13 third registration (no-backlog): IVF-index-backed
-        # incremental near-dup; dedup_survivors rotates out
-        # driver-green (dedup keeps clusters_incremental +
-        # minhash_lsh + repeated_spans)
         "embedding_dedup_ivf",
+        # round-14 registrations (no-backlog, VERDICT r13 item 4):
+        # the drain-then-read streaming rows — the last catalog ops
+        # whose driver evidence was transitive (pinned batch-twin
+        # identity only). similarity_ann_pq/similarity_ann_lsh/
+        # kmv_shingle_overlap rotate out driver-green (quantized
+        # family keeps ivfpq+ivfpq_join+ivfsq8+embedding_quantize;
+        # LSH buckets stay exercised by embedding_dedup_incremental;
+        # the KMV path IS the code under stream_kmv_by_source)
+        "stream_ivf_maintain",
+        "stream_kmv_by_source",
         "dedup_minhash_lsh",
         "embedding_quantize",
         "similarity_ann_ivfsq8",
@@ -106,27 +101,29 @@ def test_gate_window_contents():
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # overflow: every rotated-out row was driver-green in the round it
-    # left (the rotation-#9 six lead — all green in CORRECTNESS_r12 —
-    # then the remaining #8 rows, green in CORRECTNESS_r11); family
-    # representation justified in the _GATE_ORDER comments. All
+    # left (the rotation-#10 six lead — all green in CORRECTNESS_r13 —
+    # then the remaining #9/#8 rows, green in CORRECTNESS_r12/r11);
+    # family representation justified in the _GATE_ORDER comments. All
     # overflow stays locally oracle-checked per round.
     assert names[50:] == [
-        "retrieval_eval",
+        "bm25_topk",
+        "hybrid_topk",
+        "bm25_join_rm3",
+        "similarity_ann_pq",
+        "similarity_ann_lsh",
+        "kmv_shingle_overlap",
         "dedup_survivors",
-        "stream_len_quantiles",
         "bm25_topk_prf",
         "bm25_topk_rm3",
         "similarity_ann_ivf",
         "embedding_neardup_lsh",
         "knn_join",
-        "temperature_mix",
         "dedup_semantic",
         "stream_hll_by_source",
         "tpch_q20_part_promotion",
         "tpch_q13_order_distribution",
         "dedup_clean_repeated_spans",
         "dedup_exact_normalized",
-        "dsir_select",
         "decontaminate_verbatim",
         "embedding_clusters",
         "window_distribution",
