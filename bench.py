@@ -342,6 +342,16 @@ def b55_embed_dedup_ivf(spark):
     force(QUERIES["embedding_dedup_ivf"](spark, SF_DIR))
 
 
+def b56_semantic_mix(spark):
+    # cluster-balanced corpus mix (round-13 gated row): seeded
+    # centroid pick + native argmax assignment + one window over the
+    # cluster partitioning + broadcast quota join — the only r13 op
+    # without a measured wall-clock (VERDICT r13 item 5)
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["semantic_mix"](spark, SF_DIR))
+
+
 def b28_jaccard_prefix(spark):
     # lossless prefix-filtered Jaccard self-join (AllPairs/PPJoin):
     # the exact-answer price to compare against the b12 MinHash
@@ -867,6 +877,7 @@ BENCH = {
     "b52_bm25_join_rm3_indexed": b52_bm25_join_rm3_indexed,
     "b53_bm25_join_prf_indexed": b53_bm25_join_prf_indexed,
     "b55_embed_dedup_ivf": b55_embed_dedup_ivf,
+    "b56_semantic_mix": b56_semantic_mix,
 }
 
 

@@ -28,7 +28,12 @@ measures the no-argument default at both scales (the round-7 rule is
 now automatic) plus the old fixed-4 at 10x as the regression
 contrast.
 
-Usage: python tools/scale_probe.py [sf_dir] [workdir]
+Usage: python tools/scale_probe.py [--only NAME] [--replicas N] \
+           [sf_dir] [workdir]
+
+``--replicas N`` (default 10) sets the replica count — the round-14
+30x rows (VERDICT r13 item 8) run the same harness at N=30 so the
+100 TB story rests on a second measured point past 10x.
 """
 
 from __future__ import annotations
@@ -123,8 +128,23 @@ def main():
     if "--only" in args:
         i = args.index("--only")
         if i + 1 >= len(args):
-            sys.exit("usage: scale_probe.py [--only NAME] [SF_DIR] [WORKDIR]")
+            sys.exit(
+                "usage: scale_probe.py [--only NAME] [--replicas N] "
+                "[SF_DIR] [WORKDIR]"
+            )
         only = args[i + 1]
+        del args[i : i + 2]
+    replicas = 10
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        if i + 1 >= len(args):
+            sys.exit(
+                "usage: scale_probe.py [--only NAME] [--replicas N] "
+                "[SF_DIR] [WORKDIR]"
+            )
+        replicas = int(args[i + 1])
+        if replicas < 2:
+            sys.exit("--replicas must be >= 2")
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     work = args[1] if len(args) > 1 else "/tmp/scale_probe"
@@ -134,10 +154,11 @@ def main():
     docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    replicate_docs(docs).write.parquet(f"{work}/documents10")
-    replicate_embeddings(emb).write.parquet(f"{work}/embeddings10")
+    replicate_docs(docs, replicas).write.parquet(f"{work}/documents10")
+    replicate_embeddings(emb, replicas).write.parquet(f"{work}/embeddings10")
     docs10 = spark.read.parquet(f"{work}/documents10")
     emb10 = spark.read.parquet(f"{work}/embeddings10")
+    nx = f"{replicas}x"
     print(f"docs {docs.count()} -> {docs10.count()}; "
           f"emb {emb.count()} -> {emb10.count()}")
 
@@ -450,6 +471,19 @@ def main():
             return kmv_overlap(a, b, k=128).count()
         return run
 
+    def b56(d, e):
+        # cluster-balanced mix (round-13 gated row): seeded pick +
+        # native argmax assignment + ONE window over the cluster
+        # partitioning + broadcast quota join. The watch item at 10x
+        # is the window: few clusters => few window partitions, so the
+        # quota take's rank is the potential hot-partition stage
+        # (VERDICT r13 item 5)
+        from spark_sorted_spark.functions.sampling import semantic_mix
+
+        return lambda: semantic_mix(
+            d, e, total=200, temperature=2.0, n_clusters=8
+        ).count()
+
     def b48(e):
         # SQ8 quantization: a 0-shuffle pure map — the slope IS the
         # data volume (10x rows = 10x work), flat per row
@@ -518,12 +552,16 @@ def main():
             lambda: (b49(docs, "1x"), b49(docs10, "10x")),
         ),
         (
-            "b54_bm25_join_prf_indexed",
+            "b53_bm25_join_prf_indexed",
             lambda: (b54(docs, "1x"), b54(docs10, "10x")),
         ),
         (
             "b55_embed_dedup_ivf (auto nlist)",
             lambda: (b55(emb, "1x"), b55(emb10, "10x")),
+        ),
+        (
+            "b56_semantic_mix",
+            lambda: (b56(docs, emb), b56(docs10, emb10)),
         ),
     ]
     rows = []
@@ -536,7 +574,7 @@ def main():
         ratio = f"{t10 / t1:.1f}x" if t1 else "—"
         base = f"{t1:.2f} s ({n1} rows)" if t1 else "—"
         rows.append((name, base, f"{t10:.2f} s ({n10} rows)", ratio))
-    print("| workload | 1x (sf0.1) | 10x | ratio |")
+    print(f"| workload | 1x (sf0.1) | {nx} | ratio |")
     print("|---|---|---|---|")
     for r in rows:
         print("| " + " | ".join(r) + " |")
