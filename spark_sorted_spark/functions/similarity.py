@@ -508,7 +508,9 @@ def build_ann_lsh_index(
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     assigned = df.select(
         F.col(id_col),
-        F.col(vec_col),
+        _dim_guard_col(F.col(vec_col), dim, "build_ann_lsh_index").alias(
+            vec_col
+        ),
         _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
     write_partitioned(assigned, f"{staging}/ingest_batch_id=-1", "bucket")
@@ -623,7 +625,9 @@ def append_to_ann_lsh_index(
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     assigned = df.select(
         F.col(id_col),
-        F.col(vec_col),
+        _dim_guard_col(
+            F.col(vec_col), dim, "append_to_ann_lsh_index"
+        ).alias(vec_col),
         _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
     part = -1 if batch_id is None else batch_id
@@ -941,9 +945,16 @@ def build_ann_ivf_index(
         staging = f"{path}.building"
         _rm_dir(spark, staging)  # stale staging from a crashed build
     df = spread_small_input(df)
+    vcol = (
+        _dim_guard_col(
+            F.col(vec_col), len(cents[0][1]), "build_ann_ivf_index"
+        ).alias(vec_col)
+        if cents
+        else F.col(vec_col)
+    )
     celled = df.select(
         F.col(id_col),
-        F.col(vec_col),
+        vcol,
         _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
         *[F.col(c) for c in extra_cols],
     )
@@ -1015,7 +1026,9 @@ def append_to_ann_ivf_index(
     df = spread_small_input(df)
     celled = df.select(
         F.col(id_col),
-        F.col(vec_col),
+        _dim_guard_col(
+            F.col(vec_col), len(cents[0][1]), "append_to_ann_ivf_index"
+        ).alias(vec_col),
         _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
         *[F.col(c) for c in extras],
     )
@@ -1438,7 +1451,9 @@ def build_ann_pq_index(
     coded = df.select(
         F.col(id_col),
         _pq_code_col(F.col(vec_col), cbs).alias("code"),
-        F.col(vec_col),
+        _dim_guard_col(F.col(vec_col), dim, "build_ann_pq_index").alias(
+            vec_col
+        ),
         *[F.col(c) for c in extra_cols],
     )
     # batch-partitioned like the LSH/IVF indexes: the build writes the
@@ -1494,7 +1509,9 @@ def append_to_ann_pq_index(
     coded = df.select(
         F.col(id_col),
         _pq_code_col(F.col(vec_col), cbs).alias("code"),
-        F.col(vec_col),
+        _dim_guard_col(F.col(vec_col), dim, "append_to_ann_pq_index").alias(
+            vec_col
+        ),
         *[F.col(c) for c in extras],
     )
     part = -1 if batch_id is None else batch_id
@@ -1581,7 +1598,9 @@ def build_ann_ivfpq_index(
         F.col(id_col),
         F.col("cell"),
         _pq_code_col(F.col("__resid"), cbs).alias("code"),
-        F.col(vec_col),
+        _dim_guard_col(F.col(vec_col), dim, "build_ann_ivfpq_index").alias(
+            vec_col
+        ),
         *[F.col(c) for c in extra_cols],
     )
     write_partitioned(coded, f"{staging}/ingest_batch_id=-1", "cell")
@@ -1667,7 +1686,9 @@ def append_to_ann_ivfpq_index(
         F.col(id_col),
         F.col("cell"),
         _pq_code_col(F.col("__resid"), cbs).alias("code"),
-        F.col(vec_col),
+        _dim_guard_col(
+            F.col(vec_col), _dim, "append_to_ann_ivfpq_index"
+        ).alias(vec_col),
         *[F.col(c) for c in extras],
     )
     part = -1 if batch_id is None else batch_id
@@ -1908,16 +1929,30 @@ def _cached_driver_read(spark, path: str, sub: str, load):
     the rename layout stages to a sibling and swaps whole dirs, the
     manifest layout resolves to a fresh ``gen-{k}`` path — so the
     (resolved path, sub) mtime changes on rebuild and a stale hit
-    cannot survive a republish. Appends never rewrite these dirs
-    (codebooks/centroids are frozen by contract), so append-then-probe
-    correctly reuses the cache. If the mtime is unreadable the load
-    runs uncached (missing metadata keeps its loud error). One entry
-    per (path, sub): a republish evicts the prior generation."""
+    cannot survive a republish. Because directory mtimes are
+    millisecond-granular and SYNTHETIC (often 0) on object stores
+    like S3A (ADVICE r13), the generation stamp also folds in the
+    dir's file listing (names + lengths): a rename-layout republish
+    at the same resolved path swaps in differently-named part files
+    (Spark part filenames embed the write's task/attempt UUID), so
+    the listing changes even where the mtime does not. Appends never
+    rewrite these dirs (codebooks/centroids are frozen by contract),
+    so append-then-probe correctly reuses the cache. If the metadata
+    dir is unreadable the load runs uncached (missing metadata keeps
+    its loud error). One entry per (path, sub): a republish evicts
+    the prior generation."""
     jfs = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     try:
         fs = jfs(path).getFileSystem(conf)
-        gen = fs.getFileStatus(jfs(f"{path}/{sub}")).getModificationTime()
+        st = fs.getFileStatus(jfs(f"{path}/{sub}"))
+        listing = tuple(
+            sorted(
+                (s.getPath().getName(), s.getLen())
+                for s in fs.listStatus(jfs(f"{path}/{sub}"))
+            )
+        )
+        gen = (st.getModificationTime(), listing)
     except Exception:
         return load()
     key = (path, sub)
@@ -2035,12 +2070,15 @@ def ann_pq_topk_indexed(
 
 
 def _check_corpus_dim(df: DataFrame, vec_col: str, dim: int, caller: str) -> None:
-    """Build-side half of the dim discipline (ADVICE r12): validate
-    one sampled corpus vector's length against the dim about to be
-    persisted in the index meta. A mislabeled dim written to meta is
-    the silent-garbage mode the probe-side checks can't catch — every
-    VALID query gets rejected at probe time, and a query matching the
-    wrong meta dim passes validation and NULL-folds every score."""
+    """EAGER build-side half of the dim discipline (ADVICE r12):
+    validate one sampled corpus vector's length against the dim about
+    to be persisted in the index meta, BEFORE any work runs. A
+    mislabeled dim written to meta is the silent-garbage mode the
+    probe-side checks can't catch — every VALID query gets rejected
+    at probe time, and a query matching the wrong meta dim passes
+    validation and NULL-folds every score. MIXED-length corpora slip
+    past this one-row sample; the exact per-row complement is
+    :func:`_dim_guard_col` in the builds' write paths (ADVICE r13)."""
     # bounded-collect: one sampled row for eager schema validation
     sample = (
         df.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
@@ -2054,6 +2092,28 @@ def _check_corpus_dim(df: DataFrame, vec_col: str, dim: int, caller: str) -> Non
             "was declared — the meta would reject every valid query "
             "at probe time"
         )
+
+
+def _dim_guard_col(vec: Column, dim: int, caller: str) -> Column:
+    """EXACT write-path half of the dim discipline (ADVICE r13):
+    :func:`_check_corpus_dim` samples ONE row, so a corpus with MIXED
+    vector lengths can still build — every non-matching row would be
+    persisted/encoded and NULL-fold at probe time, silently degrading
+    recall. Wrapping the column an index build persists (or encodes)
+    makes any non-NULL wrong-length row fail the BUILD loudly
+    instead. NULL vectors pass through (probes already skip them via
+    the norm filter). One size() comparison per row — noise next to
+    the per-row encode/dot folds."""
+    return F.when(
+        vec.isNotNull() & (F.size(vec) != dim),
+        F.raise_error(
+            F.lit(
+                f"{caller}: corpus vector with length != declared dim "
+                f"{dim} — persisting it would NULL-fold at probe time "
+                "with silently degraded recall"
+            )
+        ),
+    ).otherwise(vec)
 
 
 def _collect_query_batch(
@@ -3235,16 +3295,24 @@ def _sq8_rows(
     vec_col: str,
     id_col: str,
     extras: tuple[str, ...] | list[str],
+    dim: int | None = None,
+    caller: str = "_sq8_rows",
 ) -> DataFrame:
     """``(id, cell, scale, codes, vec, extras...)`` for every input
     vector — the row layout both the build and the append land: cell
     from the shared native argmax, scale/codes per vector. The raw
     vector column is KEPT (like the IVF-PQ index) so ``rerank=R`` can
     read exact embeddings for R ids alone; columnar pruning keeps it
-    out of code-only probe scans."""
+    out of code-only probe scans. ``dim`` (when known) arms the exact
+    write-path guard (:func:`_dim_guard_col`)."""
+    vcol = (
+        _dim_guard_col(F.col(vec_col), dim, caller).alias(vec_col)
+        if dim is not None
+        else F.col(vec_col)
+    )
     staged = df.select(
         F.col(id_col),
-        F.col(vec_col),
+        vcol,
         _to_double(F.col(vec_col)).alias("__v"),
         _ivf_cell_col(F.col(vec_col), cents).alias("cell"),
         *[F.col(c) for c in extras],
@@ -3311,7 +3379,10 @@ def build_ann_ivfsq8_index(
         staging = f"{path}.building"
         _rm_dir(spark, staging)  # stale staging from a crashed build
     df = spread_small_input(df)
-    celled = _sq8_rows(df, cents, vec_col, id_col, extra_cols)
+    celled = _sq8_rows(
+        df, cents, vec_col, id_col, extra_cols,
+        dim=dim, caller="build_ann_ivfsq8_index",
+    )
     write_partitioned(celled, f"{staging}/ingest_batch_id=-1", "cell")
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
     spark.createDataFrame(
@@ -3376,7 +3447,10 @@ def append_to_ann_ivfsq8_index(
         if c not in _SQ8_RESERVED_COLS
     ]
     df = spread_small_input(df)
-    celled = _sq8_rows(df, cents, vec_col, id_col, extras)
+    celled = _sq8_rows(
+        df, cents, vec_col, id_col, extras,
+        dim=meta_dim, caller="append_to_ann_ivfsq8_index",
+    )
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
     write_partitioned(

@@ -1478,6 +1478,79 @@ def test_ann_ivf_rebuild_from_own_read_survives(spark, emb, tmp_path):
     assert not os.path.exists(f"{path}.old")
 
 
+def test_index_builds_reject_mixed_dim_corpus(spark, tmp_path):
+    """ADVICE r13: _check_corpus_dim samples ONE row, so a corpus with
+    MIXED vector lengths slipped past it — the wrong-length rows were
+    persisted and NULL-folded at probe time with silently degraded
+    recall. The exact write-path guard (_dim_guard_col) must fail the
+    BUILD/APPEND loudly instead."""
+    from pyspark.errors import SparkRuntimeException
+
+    from spark_sorted_spark.functions.similarity import (
+        append_to_ann_ivf_index,
+        build_ann_ivf_index,
+        build_ann_ivfsq8_index,
+        build_ann_lsh_index,
+    )
+
+    good = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(1, 30)]
+    mixed = spark.createDataFrame(
+        good + [(99, [1.0, 0.0, 0.0])],  # one dim-3 row among dim-4
+        "vec_id bigint, embedding array<double>",
+    )
+    clean = spark.createDataFrame(
+        good, "vec_id bigint, embedding array<double>"
+    )
+
+    with pytest.raises(SparkRuntimeException, match="declared dim 4"):
+        build_ann_ivf_index(mixed, str(tmp_path / "ivf"), nlist=2)
+    with pytest.raises(SparkRuntimeException, match="declared dim 4"):
+        build_ann_lsh_index(mixed, str(tmp_path / "lsh"), dim=4)
+    with pytest.raises(SparkRuntimeException, match="declared dim 4"):
+        build_ann_ivfsq8_index(mixed, str(tmp_path / "sq8"), nlist=2, dim=4)
+    # the append path carries the same guard (streamed batches are the
+    # realistic malformed source)
+    path = str(tmp_path / "ivf_ok")
+    build_ann_ivf_index(clean, path, nlist=2)
+    with pytest.raises(SparkRuntimeException, match="declared dim 4"):
+        append_to_ann_ivf_index(
+            mixed.filter(F.col("vec_id") == 99), path, batch_id=1
+        )
+    # a clean corpus builds and probes unchanged
+    build_ann_ivf_index(clean, str(tmp_path / "ivf_clean"), nlist=2)
+    assert spark.read.parquet(str(tmp_path / "ivf_clean")).count() == 29
+
+
+def test_driver_cache_survives_synthetic_mtime_republish(spark, emb, tmp_path):
+    """ADVICE r13: on object stores, directory mtimes are synthetic
+    (often 0), so a republish at the same resolved path could serve
+    stale centroids from the long-lived driver cache if mtime were
+    the only staleness key. The cache key also folds in the metadata
+    dir's file listing (names + lengths) — simulated here by
+    rebuilding with DIFFERENT data and forcing the _centroids dir
+    mtime back to its pre-rebuild value: the probe must still see the
+    new centroids."""
+    import os
+
+    from spark_sorted_spark.functions.similarity import (
+        _load_centroids,
+        build_ann_ivf_index,
+    )
+
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    path = str(tmp_path / "mtime_idx")
+    build_ann_ivf_index(corpus.filter(F.col("vec_id") <= 100), path)
+    meta = f"{path}/_centroids"
+    st = os.stat(meta)
+    before = _load_centroids(spark, path)  # populates the cache
+
+    build_ann_ivf_index(corpus.filter(F.col("vec_id") > 100), path)
+    # pin the dir mtime back: the object-store synthetic-mtime case
+    os.utime(meta, (st.st_atime, st.st_mtime))
+    after = _load_centroids(spark, path)
+    assert after != before, "driver cache served stale centroids"
+
+
 def test_append_negative_batch_id_is_reserved(spark, emb, tmp_path):
     """batch_id=-1 (or any negative) on the append paths would silently
     OVERWRITE the ingest_batch_id=-1 base partition the build wrote —
