@@ -7050,6 +7050,84 @@ def stream_ivf_maintain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sq8_maintain",
+    # Streaming IVF-SQ8 index maintenance (round 14, the last
+    # maintainer whose driver evidence was transitive): same
+    # drain-then-read lifecycle as stream_ivf_maintain but through
+    # the QUANTIZING maintainer — streamed batches must quantize
+    # EXACTLY like the build (no codebook, so no drift by
+    # construction). The oracle replays cell assignment AND the
+    # per-vector SQ8 scale (max|x|/127, the exact greatest-fold) for
+    # every row, built or streamed.
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings WHERE vec_id != 0),
+    buildv AS (SELECT * FROM base WHERE vec_id % 2 = 1),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                 AS cell,
+             embedding AS cent
+      FROM buildv ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_ANN_NLIST}),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT b.vec_id, b.v, c.cell,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY {_DOT_SQL.format(a="b.embedding", b="c.cent")} DESC,
+                          c.cell) AS rn
+        FROM base b CROSS JOIN cents c) WHERE rn = 1)
+    SELECT vec_id, cell,
+           list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+                       (a, x) -> greatest(a, x)) / 127.0e0 AS scale
+    FROM assigned
+    """,
+)
+def stream_sq8_maintain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF-SQ8 maintenance end to end
+    (streaming/ingest.py stream_maintain_ann_ivfsq8_index): build the
+    quantized index on the accepted half, drain the arriving half in
+    two micro-batches against the FROZEN centroids, return every
+    row's (vec_id, cell, scale) — cell pruning plus the quantization
+    the probes decode."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.similarity import build_ann_ivfsq8_index
+    from .streaming import stream_maintain_ann_ivfsq8_index, stream_table
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+    )
+    base = tempfile.mkdtemp(prefix="stream_sq8_maintain_")
+    atexit.register(lambda: shutil.rmtree(base, ignore_errors=True))
+    src = os.path.join(base, "src")
+    idx = os.path.join(base, "idx")
+    ckpt = os.path.join(base, "ckpt")
+
+    build_ann_ivfsq8_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    evens.filter(F.col("vec_id") % 4 == 0).write.parquet(src)
+
+    def drain():
+        sdf = stream_table(spark, "embeddings", sf_dir, path=src).select(
+            "vec_id", "embedding"
+        )
+        stream_maintain_ann_ivfsq8_index(sdf, idx, ckpt, timeout_sec=180)
+
+    drain()
+    evens.filter(F.col("vec_id") % 4 != 0).write.mode("append").parquet(src)
+    drain()
+    return spark.read.parquet(idx).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "scale"
+    )
+
+
+@query(
     "stream_kmv_by_source",
     # Streaming KMV store (round 14, VERDICT r13 item 4: stream_kmv's
     # first direct driver row). Documents arrive in two micro-batch
@@ -7323,8 +7401,15 @@ _GATE_ORDER = [
     # maintenance end to end — drain twice, read the maintained
     # (vec_id, cell) relation
     "stream_ivf_maintain",
+    # round-14 third registration (no-backlog): the QUANTIZING
+    # maintainer's drain-then-read row (cell + SQ8 scale oracle) —
+    # the last catalog op whose driver evidence was transitive.
+    # dedup_repeated_spans rotates out driver-green (r13 row; dedup
+    # keeps clusters_incremental + minhash_lsh + both embedding
+    # dedup rows in-window, and its remove_repeated_spans code was
+    # untouched in r13/r14)
+    "stream_sq8_maintain",
     "dedup_minhash_lsh",
-    "dedup_repeated_spans",
     "unigram_logprob",
     # round-14 second registration (no-backlog): streaming KMV store
     # drain-then-estimate — the stream write path of the KMV family
@@ -7338,7 +7423,8 @@ _GATE_ORDER = [
     # --- gate cutoff (driver runs the 50 above) ---
     # round-14 rotation #10 overflow head: the rows rotated out this
     # round (every one driver-green in CORRECTNESS_r13; family
-    # justification in the rotation comment above).
+    # justification in the rotation comments above).
+    "dedup_repeated_spans",
     "bm25_topk",
     "hybrid_topk",
     "bm25_join_rm3",

@@ -74,7 +74,6 @@ def test_gate_window_contents():
         "stream_len_quantiles",
         "semantic_mix",
         "decontaminate_verbatim_short",
-        "dedup_repeated_spans",
         "training_order",
         "similarity_ann_ivfpq",
         "similarity_ann_ivfpq_join",
@@ -91,6 +90,7 @@ def test_gate_window_contents():
         # LSH buckets stay exercised by embedding_dedup_incremental;
         # the KMV path IS the code under stream_kmv_by_source)
         "stream_ivf_maintain",
+        "stream_sq8_maintain",
         "stream_kmv_by_source",
         "dedup_minhash_lsh",
         "embedding_quantize",
@@ -106,6 +106,7 @@ def test_gate_window_contents():
     # family representation justified in the _GATE_ORDER comments. All
     # overflow stays locally oracle-checked per round.
     assert names[50:] == [
+        "dedup_repeated_spans",
         "bm25_topk",
         "hybrid_topk",
         "bm25_join_rm3",
