@@ -2562,18 +2562,22 @@ def _multi_table_buckets(
     )
 
 
-def _occupancy_filter(b: DataFrame, max_bucket: int) -> DataFrame:
-    """Drop (t, bucket) cells holding more than ``max_bucket`` members
-    — the degenerate-cluster guard shared by the self near-dup and
-    knn-join constructions (one implementation so the two can't
-    diverge)."""
+def _occupancy_filter(
+    b: DataFrame, max_bucket: int, keys: tuple = ("t", "bucket")
+) -> DataFrame:
+    """Drop ``keys`` groups holding more than ``max_bucket`` members —
+    the degenerate-cluster guard shared by the self near-dup and
+    knn-join constructions (``(t, bucket)``) and the IVF near-dup's
+    ``max_cell`` (``("cell",)``): ONE implementation so the guards
+    can't diverge."""
+    keys = list(keys)
     occ = (
-        b.groupBy("t", "bucket")
+        b.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("bn"))
         .filter(F.col("bn") <= max_bucket)
         .drop("bn")
     )
-    return b.join(occ, on=["t", "bucket"])
+    return b.join(occ, on=keys)
 
 
 def knn_join_lsh(
@@ -2871,24 +2875,30 @@ def cosine_neardup_against_ivf_index(
     # dim discipline (ADVICE r13): a wrong-dim batch vector NULL-folds
     # every centroid dot in _ivf_probe_cells_col AND every verify
     # cosine, so the job would silently report ZERO duplicate pairs —
-    # duplicates would survive the nightly dedup. Same loud error the
-    # probe paths raise via _collect_query_batch/_check_corpus_dim.
+    # duplicates would survive the nightly dedup. Eager one-row check
+    # first (fails before any work, like the probes), then the exact
+    # per-row _dim_guard_col below catches MIXED-dim batches the
+    # sample can't see.
     # bounded-collect: one sampled row for eager dim validation
+    cdim = len(cents[0][1])
     sample = batch.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
-    if sample is not None and len(sample[0]) != len(cents[0][1]):
+    if sample is not None and len(sample[0]) != cdim:
         raise ValueError(
             f"cosine_neardup_against_ivf_index: batch {vec_col!r} has "
             f"dim {len(sample[0])} but the index at {path!r} holds "
-            f"dim-{len(cents[0][1])} centroids — a mismatched batch "
+            f"dim-{cdim} centroids — a mismatched batch "
             "would NULL-fold every cell assignment and silently "
             "return zero duplicate pairs"
         )
     batch = spread_small_input(batch)
     idx = spark.read.parquet(path)
+    guarded_vec = _dim_guard_col(
+        F.col(vec_col), cdim, "cosine_neardup_against_ivf_index"
+    )
     bb = batch.select(
         F.col(id_col).alias("doc_new"),
         F.explode(
-            _ivf_probe_cells_col(F.col(vec_col), cents, nprobe)
+            _ivf_probe_cells_col(guarded_vec, cents, nprobe)
         ).alias("cell"),
     )
     idxc = idx.select(F.col(id_col).alias("doc_old"), "cell")
@@ -2896,13 +2906,7 @@ def cosine_neardup_against_ivf_index(
         # hot-cell guard (VERDICT r13 #1): occupancy is measured on
         # the INDEX side — that is the factor that multiplies every
         # colliding batch vector's candidate count
-        occ = (
-            idxc.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("cn"))
-            .filter(F.col("cn") <= max_cell)
-            .drop("cn")
-        )
-        idxc = idxc.join(occ, on="cell")
+        idxc = _occupancy_filter(idxc, max_cell, keys=("cell",))
     cand = (
         bb.join(idxc, on="cell")
         .filter(F.col("doc_old") != F.col("doc_new"))

@@ -6975,6 +6975,47 @@ def embedding_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_against_ivf_index(batch, idx_path, 0.4, nprobe=2)
 
 
+def _drain_maintained_index(spark, sf_dir, build, maintain, prefix):
+    """Shared scaffolding of the drain-then-read maintainer gate rows:
+    build the index on the odd-id half (the accepted corpus), stream
+    the even-id half in TWO availableNow micro-batch drains through
+    ``maintain`` against the frozen centroids, return the maintained
+    index's path. ONE implementation so a drain-protocol fix (split
+    rule, checkpoint handling, timeout) cannot silently miss a row."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import stream_table
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+    )
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(lambda: shutil.rmtree(base, ignore_errors=True))
+    src = os.path.join(base, "src")
+    idx = os.path.join(base, "idx")
+    ckpt = os.path.join(base, "ckpt")
+
+    build(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    evens.filter(F.col("vec_id") % 4 == 0).write.parquet(src)
+
+    def drain():
+        sdf = stream_table(spark, "embeddings", sf_dir, path=src).select(
+            "vec_id", "embedding"
+        )
+        maintain(sdf, idx, ckpt, timeout_sec=180)
+
+    drain()
+    evens.filter(F.col("vec_id") % 4 != 0).write.mode("append").parquet(src)
+    drain()
+    return idx
+
+
 @query(
     "stream_ivf_maintain",
     # Streaming IVF index maintenance (round 14, VERDICT r13 item 4:
@@ -7012,38 +7053,13 @@ def stream_ivf_maintain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted half, drain the arriving half in two micro-batches
     against the FROZEN centroids, return the maintained index's full
     (vec_id, cell) assignment — the relation every probe prunes by."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from .functions.similarity import build_ann_ivf_index
-    from .streaming import stream_maintain_ann_ivf_index, stream_table
+    from .streaming import stream_maintain_ann_ivf_index
 
-    emb = (
-        load_table(spark, "embeddings", sf_dir)
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id", "embedding")
+    idx = _drain_maintained_index(
+        spark, sf_dir, build_ann_ivf_index,
+        stream_maintain_ann_ivf_index, "stream_ivf_maintain_",
     )
-    base = tempfile.mkdtemp(prefix="stream_ivf_maintain_")
-    atexit.register(lambda: shutil.rmtree(base, ignore_errors=True))
-    src = os.path.join(base, "src")
-    idx = os.path.join(base, "idx")
-    ckpt = os.path.join(base, "ckpt")
-
-    build_ann_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
-    evens = emb.filter(F.col("vec_id") % 2 == 0)
-    evens.filter(F.col("vec_id") % 4 == 0).write.parquet(src)
-
-    def drain():
-        sdf = stream_table(spark, "embeddings", sf_dir, path=src).select(
-            "vec_id", "embedding"
-        )
-        stream_maintain_ann_ivf_index(sdf, idx, ckpt, timeout_sec=180)
-
-    drain()
-    evens.filter(F.col("vec_id") % 4 != 0).write.mode("append").parquet(src)
-    drain()
     return spark.read.parquet(idx).select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
@@ -7090,38 +7106,13 @@ def stream_sq8_maintain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     two micro-batches against the FROZEN centroids, return every
     row's (vec_id, cell, scale) — cell pruning plus the quantization
     the probes decode."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from .functions.similarity import build_ann_ivfsq8_index
-    from .streaming import stream_maintain_ann_ivfsq8_index, stream_table
+    from .streaming import stream_maintain_ann_ivfsq8_index
 
-    emb = (
-        load_table(spark, "embeddings", sf_dir)
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id", "embedding")
+    idx = _drain_maintained_index(
+        spark, sf_dir, build_ann_ivfsq8_index,
+        stream_maintain_ann_ivfsq8_index, "stream_sq8_maintain_",
     )
-    base = tempfile.mkdtemp(prefix="stream_sq8_maintain_")
-    atexit.register(lambda: shutil.rmtree(base, ignore_errors=True))
-    src = os.path.join(base, "src")
-    idx = os.path.join(base, "idx")
-    ckpt = os.path.join(base, "ckpt")
-
-    build_ann_ivfsq8_index(emb.filter(F.col("vec_id") % 2 == 1), idx)
-    evens = emb.filter(F.col("vec_id") % 2 == 0)
-    evens.filter(F.col("vec_id") % 4 == 0).write.parquet(src)
-
-    def drain():
-        sdf = stream_table(spark, "embeddings", sf_dir, path=src).select(
-            "vec_id", "embedding"
-        )
-        stream_maintain_ann_ivfsq8_index(sdf, idx, ckpt, timeout_sec=180)
-
-    drain()
-    evens.filter(F.col("vec_id") % 4 != 0).write.mode("append").parquet(src)
-    drain()
     return spark.read.parquet(idx).select(
         "vec_id", F.col("cell").cast("int").alias("cell"), "scale"
     )

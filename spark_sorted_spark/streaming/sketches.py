@@ -498,11 +498,14 @@ def compact_sketch_store(
                     f"larger than {maxlen}; pass k <= {maxlen} (a "
                     "smaller k is always a valid downsample)"
                 )
-    # find the max batch partition BEFORE any read: an empty dir must
-    # be a clean ValueError, not a schema-inference failure
+    # find the max batch partition BEFORE any read: an empty OR
+    # MISSING dir must be a clean ValueError, not a schema-inference
+    # failure / py4j FileNotFoundException
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(store_path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise ValueError(f"{store_path!r} holds no batch partitions")
     max_id = None
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()

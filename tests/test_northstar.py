@@ -714,6 +714,17 @@ def test_cosine_neardup_ivf_rejects_wrong_dim_batch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dim 3"):
         cosine_neardup_against_ivf_index(bad, path, 0.9)
+    # a MIXED batch slips past the one-row eager sample; the per-row
+    # _dim_guard_col in the probe projection must fail it loudly
+    # instead of NULL-folding the wrong-dim rows' pairs away
+    from pyspark.errors import SparkRuntimeException
+
+    mixed = spark.createDataFrame(
+        [(900001, [1.0, 1.0, 0.0, 0.0]), (900002, [1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(SparkRuntimeException, match="declared dim 4"):
+        cosine_neardup_against_ivf_index(mixed, path, 0.9).collect()
 
 
 def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):

@@ -1179,6 +1179,10 @@ def test_compact_sketch_store_all_kinds(spark, sf_dir, tmp_path):
         empty_kmv = str(tmp_path / "none_kmv")
         os.makedirs(empty_kmv)
         compact_sketch_store(spark, empty_kmv, "kmv", k=16)
+    # a MISSING store likewise (not a py4j FileNotFoundException from
+    # the max-batch listStatus)
+    with _pytest.raises(ValueError, match="no batch partitions"):
+        compact_sketch_store(spark, str(tmp_path / "never_made"), "kmv", k=16)
 
 
 def test_stream_bloom_matches_batch_idempotent_replay(spark, sf_dir, tmp_path):

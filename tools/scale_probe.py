@@ -154,11 +154,11 @@ def main():
     docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
-    replicate_docs(docs, replicas).write.parquet(f"{work}/documents10")
-    replicate_embeddings(emb, replicas).write.parquet(f"{work}/embeddings10")
-    docs10 = spark.read.parquet(f"{work}/documents10")
-    emb10 = spark.read.parquet(f"{work}/embeddings10")
     nx = f"{replicas}x"
+    replicate_docs(docs, replicas).write.parquet(f"{work}/documents{nx}")
+    replicate_embeddings(emb, replicas).write.parquet(f"{work}/embeddings{nx}")
+    docs10 = spark.read.parquet(f"{work}/documents{nx}")
+    emb10 = spark.read.parquet(f"{work}/embeddings{nx}")
     print(f"docs {docs.count()} -> {docs10.count()}; "
           f"emb {emb.count()} -> {emb10.count()}")
 
@@ -500,22 +500,22 @@ def main():
         ("b16_dedup_clusters", lambda: (b16(docs), b16(docs10))),
         ("b17_knn_join (auto depth)", lambda: (b17(emb), b17(emb10))),
         (
-            "b17_knn_join 10x fixed n_planes=4",
+            f"b17_knn_join {nx} fixed n_planes=4",
             lambda: (None, b17(emb10, n_planes=4)),
         ),
         ("b28_jaccard_prefix", lambda: (b28(docs), b28(docs10))),
         ("b29_decontaminate_exact (salt 8)", lambda: (b29(docs), b29(docs10))),
         (
-            "b29_decontaminate_exact 10x unsalted",
+            f"b29_decontaminate_exact {nx} unsalted",
             lambda: (None, b29(docs10, hot_salt=1)),
         ),
         (
             "b27_embed_dedup (auto-depth index)",
-            lambda: (b27(emb, "1x", None), b27(emb10, "10x", None)),
+            lambda: (b27(emb, "1x", None), b27(emb10, nx, None)),
         ),
         (
-            "b27_embed_dedup 10x fixed-8 index",
-            lambda: (None, b27(emb10, "10f", 8)),
+            f"b27_embed_dedup {nx} fixed-8 index",
+            lambda: (None, b27(emb10, f"{replicas}f", 8)),
         ),
         ("b33_repeated_spans", lambda: (b33(docs), b33(docs10))),
         ("b34_semantic_dedup (auto nlist)", lambda: (b34(emb), b34(emb10))),
@@ -526,38 +526,38 @@ def main():
         ("b36_bm25_topk", lambda: (b36(docs), b36(docs10))),
         ("b37_dsir_select", lambda: (b37(docs), b37(docs10))),
         ("b38_bm25_join", lambda: (b38(docs), b38(docs10))),
-        ("b40_bm25_indexed", lambda: (b40(docs, "1x"), b40(docs10, "10x"))),
+        ("b40_bm25_indexed", lambda: (b40(docs, "1x"), b40(docs10, nx))),
         (
             "b40_bm25_indexed (auto-buckets)",
-            lambda: (b40(docs, "1a", None), b40(docs10, "10a", None)),
+            lambda: (b40(docs, "1a", None), b40(docs10, f"{replicas}a", None)),
         ),
         (
             "b42_hybrid_indexed",
-            lambda: (b42(docs, emb, "1x"), b42(docs10, emb10, "10x")),
+            lambda: (b42(docs, emb, "1x"), b42(docs10, emb10, nx)),
         ),
         (
             "b44_hybrid_join_indexed",
-            lambda: (b44(docs, emb, "1x"), b44(docs10, emb10, "10x")),
+            lambda: (b44(docs, emb, "1x"), b44(docs10, emb10, nx)),
         ),
-        ("b45_ivfpq_join_indexed", lambda: (b45(emb, "1x"), b45(emb10, "10x"))),
+        ("b45_ivfpq_join_indexed", lambda: (b45(emb, "1x"), b45(emb10, nx))),
         ("b47_bm25_join_rm3", lambda: (b47(docs), b47(docs10))),
         ("b48_embedding_quantize", lambda: (b48(emb), b48(emb10))),
         (
             "b50_ivfsq8_join_indexed",
-            lambda: (b50(emb, "1x"), b50(emb10, "10x")),
+            lambda: (b50(emb, "1x"), b50(emb10, nx)),
         ),
         ("b51_kmv_overlap", lambda: (b51(docs), b51(docs10))),
         (
             "b49_bm25_join_rm3_indexed",
-            lambda: (b49(docs, "1x"), b49(docs10, "10x")),
+            lambda: (b49(docs, "1x"), b49(docs10, nx)),
         ),
         (
             "b53_bm25_join_prf_indexed",
-            lambda: (b54(docs, "1x"), b54(docs10, "10x")),
+            lambda: (b54(docs, "1x"), b54(docs10, nx)),
         ),
         (
             "b55_embed_dedup_ivf (auto nlist)",
-            lambda: (b55(emb, "1x"), b55(emb10, "10x")),
+            lambda: (b55(emb, "1x"), b55(emb10, nx)),
         ),
         (
             "b56_semantic_mix",
