@@ -2738,6 +2738,7 @@ def cosine_neardup_against_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_bits: int = 0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup: new-batch vectors vs a
     PERSISTED LSH index (built by ``build_ann_lsh_index``, grown by
@@ -2762,11 +2763,22 @@ def cosine_neardup_against_index(
     >= threshold — the same earlier-wins orientation as
     ``dedup_against_store``: drop/flag ``doc_new``. Assumes batch and
     index ids are distinct namespaces; identical ids are filtered
-    defensively (a vector must not near-dup itself)."""
+    defensively (a vector must not near-dup itself).
+
+    ``max_bucket`` (optional) is the hot-bucket guard of the IVF
+    twin's ``max_cell`` (round 14 — the incremental LSH form was the
+    one remaining candidate join without a degenerate-blob bound):
+    index buckets holding more than ``max_bucket`` vectors are
+    dropped from candidate generation. Recall trade: pairs whose
+    INDEXED member sits in a dropped hot bucket are not reported.
+    Default ``None`` keeps the construction exact w.r.t. the bucket
+    rule — the oracle-gated row relies on that."""
     spark = batch.sparkSession
     from ..sources.manifest import resolve_root
     from .dedup import spread_small_input
 
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
     index_path = resolve_root(spark, index_path)
     n_planes, dim = _resolve_lsh_params(
         spark, index_path, n_planes, dim, "cosine_neardup_against_index"
@@ -2776,10 +2788,14 @@ def cosine_neardup_against_index(
     bb = _multi_table_buckets(
         batch, n_planes, 1, dim, vec_col, id_col, probe_bits
     ).select(F.col(id_col).alias("doc_new"), "bucket")
+    idxb = idx.select(F.col(id_col).alias("doc_old"), "bucket")
+    if max_bucket is not None:
+        # hot-bucket guard: occupancy measured on the INDEX side (the
+        # factor multiplying every colliding batch vector's candidate
+        # count) — the shared _occupancy_filter, like the IVF twin
+        idxb = _occupancy_filter(idxb, max_bucket, keys=("bucket",))
     cand = (
-        bb.join(
-            idx.select(F.col(id_col).alias("doc_old"), "bucket"), on="bucket"
-        )
+        bb.join(idxb, on="bucket")
         .filter(F.col("doc_old") != F.col("doc_new"))
         .select("doc_old", "doc_new")
         .distinct()

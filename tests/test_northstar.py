@@ -693,6 +693,64 @@ def test_cosine_neardup_ivf_hot_cell_guard(spark, tmp_path):
         cosine_neardup_against_ivf_index(batch, path, 0.9, max_cell=0)
 
 
+def test_cosine_neardup_lsh_index_hot_bucket_guard(spark, tmp_path):
+    """max_bucket on the incremental LSH form (round 14 — the one
+    remaining candidate join without a degenerate-blob bound): a
+    planted 20-copy blob shares one sign bucket; the guarded run
+    reports exactly the unguarded pairs whose INDEXED member sits in
+    a bucket within the bound."""
+    from spark_sorted_spark.functions.similarity import (
+        build_ann_lsh_index,
+        cosine_neardup_against_index,
+    )
+
+    blob = [(100 + i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    scattered = [(200, [-1.0, 0.5, 0.25, -0.5])]
+    indexed = spark.createDataFrame(
+        blob + scattered, "vec_id bigint, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(900001, [1.0, 0.0, 0.0, 0.0]), (900002, [-1.0, 0.5, 0.25, -0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "hot_bucket_lsh")
+    build_ann_lsh_index(indexed, path, n_planes=4, dim=4)
+
+    unguarded = {
+        (r.doc_old, r.doc_new)
+        for r in cosine_neardup_against_index(
+            batch, path, 0.99, dim=4
+        ).collect()
+    }
+    assert (100, 900001) in unguarded
+
+    idx = spark.read.parquet(path)
+    bucket_of = {
+        r.vec_id: r.bucket for r in idx.select("vec_id", "bucket").collect()
+    }
+    occ: dict = {}
+    for b in bucket_of.values():
+        occ[b] = occ.get(b, 0) + 1
+    assert occ[bucket_of[100]] >= 20  # the blob really is one bucket
+
+    guarded = {
+        (r.doc_old, r.doc_new)
+        for r in cosine_neardup_against_index(
+            batch, path, 0.99, dim=4, max_bucket=10
+        ).collect()
+    }
+    expected = {p for p in unguarded if occ[bucket_of[p[0]]] <= 10}
+    assert guarded == expected
+    assert all(p[0] < 100 or p[0] >= 200 for p in guarded)  # blob gone
+    if occ[bucket_of[200]] <= 10:
+        assert (200, 900002) in guarded  # cold buckets untouched
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket must be"):
+        cosine_neardup_against_index(batch, path, 0.9, dim=4, max_bucket=0)
+
+
 def test_cosine_neardup_ivf_rejects_wrong_dim_batch(spark, tmp_path):
     """ADVICE r13 (medium): a wrong-dim batch would NULL-fold every
     centroid dot and verify cosine, silently returning zero pairs —
