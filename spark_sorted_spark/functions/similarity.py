@@ -2842,10 +2842,12 @@ def cosine_neardup_against_ivf_index(
     nearest-centroid cells (the same native argmax/top-n cell rule
     the index build and probes use — ``_ivf_probe_cells_col``), and
     the exact strict-fold cosine verifies each candidate once.
-    Works unchanged against the raw-float IVF layout
-    (``build_ann_ivf_index``) and the IVF-SQ8 layout
-    (``build_ann_ivfsq8_index``) — both store ``cell`` plus the raw
-    vector column the verify reads.
+    Works unchanged against every IVF-family layout — raw-float
+    (``build_ann_ivf_index``), IVF-SQ8 (``build_ann_ivfsq8_index``)
+    and IVF-PQ (``build_ann_ivfpq_index``) — all three store ``cell``
+    plus the raw vector column the verify reads, and all three use
+    the same seeded centroid pick, so the three layouts answer the
+    dedup question row-identically (pinned in tests).
 
     Returns ``(doc_old, doc_new, cos)`` — index id, batch id, cosine
     >= threshold, the same earlier-wins orientation as the LSH twin:

@@ -627,6 +627,22 @@ def test_cosine_neardup_against_ivf_index(spark, emb, tmp_path):
         (r.doc_old, r.doc_new, r.cos) for r in got
     )
 
+    # ... and so does the IVF-PQ layout (round 14: same seeded
+    # centroid pick, cell partitioning, and raw vector column — one
+    # nightly dedup job serves whichever layout ANN serving chose)
+    from spark_sorted_spark.functions.similarity import (
+        build_ann_ivfpq_index,
+    )
+
+    pq_path = str(tmp_path / "pq_dedup_idx")
+    build_ann_ivfpq_index(indexed, pq_path)
+    pq = cosine_neardup_against_ivf_index(
+        batch, pq_path, 0.9, nprobe=1
+    ).collect()
+    assert sorted((r.doc_old, r.doc_new, r.cos) for r in pq) == sorted(
+        (r.doc_old, r.doc_new, r.cos) for r in got
+    )
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="nprobe must be"):
