@@ -161,6 +161,18 @@ def _exploded_shingles(
     )
 
 
+def _check_max_bucket(max_bucket, caller: str) -> None:
+    """Centralized hot-bucket bound validation (round-14 review):
+    ``max_bucket=0`` would drop EVERY bucket and silently report zero
+    pairs — the silent-empty failure class the dim guards exist to
+    prevent. ``None`` (exhaustive / unguarded) is always valid."""
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(
+            f"{caller}: max_bucket must be >= 1, got {max_bucket} "
+            "(0 would drop every bucket and silently report zero pairs)"
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -190,6 +202,7 @@ def ngram_jaccard_pairs(
     trade production dedup pipelines make when dropping stop-shingles.
     Pass ``max_bucket=None`` for the exhaustive O(sum bucket^2)
     baseline."""
+    _check_max_bucket(max_bucket, "ngram_jaccard_pairs")
     df = spread_small_input(df)
     sh = _exploded_shingles(df, text_col, id_col, n)
     if max_bucket is not None:
@@ -870,6 +883,7 @@ def minhash_lsh_pairs(
     affects recall). Buckets larger than ``max_bucket`` are dropped
     (degenerate boilerplate guard, keeps worst-case fan-out bounded).
     """
+    _check_max_bucket(max_bucket, "minhash_lsh_pairs")
     df = spread_small_input(df)
     # materialize the band table ONCE: it feeds the bucket-size guard
     # AND both sides of the candidate self-join, and its lineage is
@@ -1260,6 +1274,7 @@ def dedup_against_store(
 
     ``corpus_df`` must contain every id the store indexes (it is the
     verify-time source of existing documents' text)."""
+    _check_max_bucket(max_bucket, "dedup_against_store")
     spark = new_df.sparkSession
     store_counts = None
     if isinstance(store, str):
@@ -1504,6 +1519,7 @@ def ngram_overlap_across(
     at the cost of not counting ubiquitous shingles toward overlap —
     the trade decontamination pipelines make deliberately.
     """
+    _check_max_bucket(max_bucket, "ngram_overlap_across")
     c_sh = _exploded_shingles(corpus, text_col, id_col, n)
     b_sh = _exploded_shingles(benchmark, text_col, id_col, n).withColumnRenamed(
         id_col, "bench_id"

@@ -2563,13 +2563,21 @@ def _multi_table_buckets(
 
 
 def _occupancy_filter(
-    b: DataFrame, max_bucket: int, keys: tuple = ("t", "bucket")
+    b: DataFrame,
+    max_bucket: int,
+    keys: tuple = ("t", "bucket"),
+    arg_name: str = "max_bucket",
 ) -> DataFrame:
     """Drop ``keys`` groups holding more than ``max_bucket`` members —
     the degenerate-cluster guard shared by the self near-dup and
-    knn-join constructions (``(t, bucket)``) and the IVF near-dup's
-    ``max_cell`` (``("cell",)``): ONE implementation so the guards
-    can't diverge."""
+    knn-join constructions (``(t, bucket)``), the incremental LSH
+    form (``("bucket",)``) and the IVF near-dup's ``max_cell``
+    (``("cell",)``): ONE implementation so the guards can't diverge.
+    Validates the bound centrally (round-14 review): ``0`` would drop
+    EVERY bucket and silently report zero pairs — the silent-empty
+    failure class the dim guards exist to prevent."""
+    if max_bucket < 1:
+        raise ValueError(f"{arg_name} must be >= 1, got {max_bucket}")
     keys = list(keys)
     occ = (
         b.groupBy(*keys)
@@ -2755,9 +2763,12 @@ def cosine_neardup_against_index(
     ``probe_bits`` lifts recall exactly as in :func:`knn_join_lsh`
     (measured there: 0.67 -> 0.96 @ 2 probes): the batch side also
     joins the buckets at one-bit flips of its least-confident planes.
-    Exact duplicates are ALWAYS found at any setting (identical
-    vectors share identical sign bits). Precision is 1.0 (exact
-    verify).
+    Exact duplicates are ALWAYS found at any ``probe_bits`` when
+    ``max_bucket`` is unset (identical vectors share identical sign
+    bits); with ``max_bucket`` set, an exact duplicate whose indexed
+    copy sits in a dropped hot bucket is NOT reported — collapse
+    identical-vector blobs with ``exact_dedup`` first. Precision is
+    1.0 (exact verify).
 
     Returns ``(doc_old, doc_new, cos)`` — index id, batch id, cosine
     >= threshold — the same earlier-wins orientation as
@@ -2924,7 +2935,9 @@ def cosine_neardup_against_ivf_index(
         # hot-cell guard (VERDICT r13 #1): occupancy is measured on
         # the INDEX side — that is the factor that multiplies every
         # colliding batch vector's candidate count
-        idxc = _occupancy_filter(idxc, max_cell, keys=("cell",))
+        idxc = _occupancy_filter(
+            idxc, max_cell, keys=("cell",), arg_name="max_cell"
+        )
     cand = (
         bb.join(idxc, on="cell")
         .filter(F.col("doc_old") != F.col("doc_new"))

@@ -709,6 +709,46 @@ def test_cosine_neardup_ivf_hot_cell_guard(spark, tmp_path):
         cosine_neardup_against_ivf_index(batch, path, 0.9, max_cell=0)
 
 
+def test_max_bucket_zero_rejected_everywhere(spark):
+    """Round-14 review: max_bucket=0 would drop EVERY bucket and
+    silently report zero pairs — every hot-bucket-guarded entry point
+    must reject it loudly (centralized in dedup._check_max_bucket and
+    similarity._occupancy_filter so the contract cannot diverge)."""
+    from spark_sorted_spark.functions.dedup import (
+        dedup_against_store,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        ngram_overlap_across,
+    )
+    from spark_sorted_spark.functions.similarity import (
+        cosine_neardup_pairs_lsh,
+        knn_join_lsh,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    attempts = [
+        lambda: ngram_jaccard_pairs(docs, max_bucket=0),
+        lambda: minhash_lsh_pairs(docs, max_bucket=0),
+        lambda: ngram_overlap_across(docs, docs, max_bucket=0),
+        lambda: dedup_against_store(docs, docs, docs, max_bucket=0),
+        lambda: cosine_neardup_pairs_lsh(
+            emb, 0.5, n_planes=2, dim=2, max_bucket=0
+        ),
+        lambda: knn_join_lsh(
+            emb, emb, k=1, n_planes=2, dim=2, max_bucket=0
+        ),
+    ]
+    for fn in attempts:
+        with pytest.raises(ValueError, match="max_bucket must be >= 1"):
+            fn()
+
+
 def test_cosine_neardup_lsh_index_hot_bucket_guard(spark, tmp_path):
     """max_bucket on the incremental LSH form (round 14 — the one
     remaining candidate join without a degenerate-blob bound): a
