@@ -984,8 +984,20 @@ def test_ngram_overlap_across_guard_and_boundary(spark):
     assert [(r["doc_id"], r["bench_id"], r["n_common"]) for r in out] == [(1, 10, 3)]
     # min_common just above the overlap → empty
     assert ngram_overlap_across(corpus, bench, min_common=4).count() == 0
-    # max_bucket=0 drops every benchmark shingle → empty (guard active)
-    assert ngram_overlap_across(corpus, bench, min_common=1, max_bucket=0).count() == 0
+    # max_bucket=0 would drop EVERY benchmark shingle and silently
+    # report a clean corpus — since round 14 that is a loud error
+    # (test_max_bucket_zero_rejected_everywhere pins all six sites);
+    # max_bucket=1 pins the guard's real behavior: the shared "z z z"
+    # shingle (bench 11 has one distinct shingle, occupancy 1) keeps
+    # working while nothing degenerate exists at this size
+    with pytest.raises(ValueError, match="max_bucket must be >= 1"):
+        ngram_overlap_across(corpus, bench, min_common=1, max_bucket=0)
+    out1 = ngram_overlap_across(
+        corpus, bench, min_common=3, max_bucket=1
+    ).collect()
+    assert [(r["doc_id"], r["bench_id"], r["n_common"]) for r in out1] == [
+        (1, 10, 3)
+    ]
 
 
 def _wav_bytes(freq_hz: float, n_frames: int, rate: int = 8000) -> bytes:
