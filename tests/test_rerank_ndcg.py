@@ -29,9 +29,12 @@ def test_default_cross_scorer_ndcg_beats_overlap_and_first_stage(spark):
     # overlap ties diluted/exact and inherits the first-stage order —
     # its documented refinement contract, pinned as equality
     assert abs(ov - first) < 1e-12, (ov, first)
-    # the default scorer's containment term fixes the tie: perfect
-    # order on this fixture, strictly better than both
+    # the default scorer's containment term fixes the tie: near-perfect
+    # order on this fixture, strictly better than both. The floors pin
+    # the CLAIM (a wide margin over the first stage), not the round-14
+    # measured constants (ADVICE r14: an exact ce == 1.0 and the
+    # 0.82-0.87 first-stage band would trip on any benign BM25
+    # constant or tokenizer tweak even while the ordering holds; the
+    # measured values — first 0.843, ce 1.000 — live in PARITY.md)
     assert ce > ov + 0.1, (ce, ov)
-    assert ce == 1.0, ce
-    # regression floors for the measured values (PARITY round-14 row)
-    assert 0.82 <= first <= 0.87, first
+    assert ce >= 0.95, ce

@@ -409,8 +409,9 @@ def main():
             spark, path, q, k=5, fb_docs=3, fb_terms=5, lam=0.5
         ).count()
 
-    def b54(d, tag):
-        # batch PRF against the PERSISTED index (round-13 gated row):
+    def b53(d, tag):
+        # batch PRF against the PERSISTED index (round-13 gated row,
+        # bench key b53_bm25_join_prf_indexed):
         # same pass structure as b49 with binary-weight expansion —
         # expected the same near-flat indexed-probe slope
         from spark_sorted_spark.functions.retrieval import (
@@ -553,7 +554,7 @@ def main():
         ),
         (
             "b53_bm25_join_prf_indexed",
-            lambda: (b54(docs, "1x"), b54(docs10, nx)),
+            lambda: (b53(docs, "1x"), b53(docs10, nx)),
         ),
         (
             "b55_embed_dedup_ivf (auto nlist)",
