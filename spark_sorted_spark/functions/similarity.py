@@ -935,6 +935,18 @@ def build_ann_ivf_index(
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
     if lloyd_iters and cents:
         cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
+    if cents:
+        # the write-path guard below adopts the SEEDED CENTROID's
+        # length as the declared dim; if the seeded pick sampled a
+        # minority wrong-length row of a mixed-dim corpus, that guard
+        # would fire on the MAJORITY rows with a misleading "declared
+        # dim" naming the minority length (ADVICE r14). Cross-check
+        # one corpus row against the centroid dim up front so the
+        # loud failure names both lengths (cosmetic — the build fails
+        # loudly either way).
+        _check_corpus_dim(
+            df, vec_col, len(cents[0][1]), "build_ann_ivf_index"
+        )
     spark = df.sparkSession
     # staged rebuild, same rationale as build_ann_lsh_index: the input
     # may READ the live index (rebuild-from-index flow), so the old
@@ -2094,6 +2106,40 @@ def _check_corpus_dim(df: DataFrame, vec_col: str, dim: int, caller: str) -> Non
         )
 
 
+def _dim_guard_wrap(out: Column, vec: Column, dim: int, msg: str) -> Column:
+    """Shared per-row dim-guard shape: return ``out``, unless ``vec``
+    is non-NULL with length != ``dim`` — then raise ``msg`` for that
+    row. Wrapping an OUTPUT expression (a probe-cells array, a bucket
+    projection) instead of the vector fed into it is the read-path
+    form (ADVICE r14): expressions referenced inside interpreted HOF
+    lambdas are re-evaluated per element (the r6 ``__bits`` note), so
+    a guarded VECTOR would recompute the size() check per centroid or
+    plane, while a guarded output evaluates it once per row."""
+    return F.when(
+        vec.isNotNull() & (F.size(vec) != dim),
+        F.raise_error(F.lit(msg)),
+    ).otherwise(out)
+
+
+def _batch_dim_guard(out: Column, vec: Column, dim: int, caller: str) -> Column:
+    """Read-path per-row dim guard for batch/query vectors joining a
+    persisted index: the complement of the builds' write-path
+    :func:`_dim_guard_col` — a MIXED-dim batch slips past the callers'
+    eager one-row sample, and its wrong-length rows would NULL-fold
+    every bucket/cell assignment and verify cosine, silently dropping
+    exactly those rows' duplicate pairs (ADVICE r14: the silent-empty
+    failure class)."""
+    return _dim_guard_wrap(
+        out,
+        vec,
+        dim,
+        f"{caller}: batch vector with length != declared dim {dim} — "
+        "a mismatched vector would NULL-fold its bucket/cell "
+        "assignment and every verify cosine, silently dropping its "
+        "duplicate pairs",
+    )
+
+
 def _dim_guard_col(vec: Column, dim: int, caller: str) -> Column:
     """EXACT write-path half of the dim discipline (ADVICE r13):
     :func:`_check_corpus_dim` samples ONE row, so a corpus with MIXED
@@ -2104,16 +2150,14 @@ def _dim_guard_col(vec: Column, dim: int, caller: str) -> Column:
     instead. NULL vectors pass through (probes already skip them via
     the norm filter). One size() comparison per row — noise next to
     the per-row encode/dot folds."""
-    return F.when(
-        vec.isNotNull() & (F.size(vec) != dim),
-        F.raise_error(
-            F.lit(
-                f"{caller}: corpus vector with length != declared dim "
-                f"{dim} — persisting it would NULL-fold at probe time "
-                "with silently degraded recall"
-            )
-        ),
-    ).otherwise(vec)
+    return _dim_guard_wrap(
+        vec,
+        vec,
+        dim,
+        f"{caller}: corpus vector with length != declared dim "
+        f"{dim} — persisting it would NULL-fold at probe time "
+        "with silently degraded recall",
+    )
 
 
 def _collect_query_batch(
@@ -2452,6 +2496,7 @@ def _multi_table_buckets(
     vec_col: str,
     id_col: str,
     probe_bits: int = 0,
+    guard_caller: str | None = None,
 ) -> DataFrame:
     """(id, t, bucket) rows for the multi-table sign-bit LSH — table
     ``t`` buckets by the sign bits of planes ``t*n_planes ..
@@ -2470,7 +2515,15 @@ def _multi_table_buckets(
     construction before Spark ever saw the plan — 70%+ of b13's
     wall-clock was driver-side expression building, not execution.
     Worker-side math is untouched: same planes, same strict left-fold
-    dot, bitwise-identical buckets."""
+    dot, bitwise-identical buckets.
+
+    ``guard_caller`` (ADVICE r14) arms the per-row read-path dim
+    guard: the ``__bits``/``__dots`` projection that materializes the
+    sign construction is wrapped with :func:`_batch_dim_guard`, so a
+    MIXED-dim input fails loudly at bucket time instead of NULL-
+    folding its rows' buckets away. Riding the already-materialized
+    column keeps the size() check at once per row (wrapping the
+    VECTOR would re-evaluate it per plane inside the HOF lambdas)."""
     if probe_bits < 0:
         raise ValueError(f"probe_bits must be >= 0, got {probe_bits}")
     flat = [
@@ -2488,6 +2541,8 @@ def _multi_table_buckets(
     bits = F.transform(
         planes, lambda p: F.when(_dot_dbl(vec_d, p) >= 0, 1).otherwise(0)
     )
+    if guard_caller is not None:
+        bits = _batch_dim_guard(bits, F.col(vec_col), dim, guard_caller)
     pow2 = F.array(*[F.lit(1 << p) for p in range(n_planes)])
     bcol = F.col("__bits")
 
@@ -2523,6 +2578,8 @@ def _multi_table_buckets(
     # ranked per table with array_sort, and each flip is one XOR of
     # the base bucket with that plane's power of two.
     dots = F.transform(planes, lambda p: _dot_dbl(vec_d, p))
+    if guard_caller is not None:
+        dots = _batch_dim_guard(dots, F.col(vec_col), dim, guard_caller)
     dcol = F.col("__dots")
     bits_from_dots = F.transform(
         dcol, lambda d: F.when(d >= 0, 1).otherwise(0)
@@ -2794,10 +2851,34 @@ def cosine_neardup_against_index(
     n_planes, dim = _resolve_lsh_params(
         spark, index_path, n_planes, dim, "cosine_neardup_against_index"
     )
+    # dim discipline (ADVICE r14 — the IVF twin's r13 contract): a
+    # wrong-dim batch NULL-folds every sign-bit dot AND every verify
+    # cosine, so the job would silently report ZERO duplicate pairs —
+    # duplicates would survive the nightly dedup. Eager one-row check
+    # against the resolved _lsh_meta dim first (fails before any
+    # work); the per-row guard armed below (guard_caller) catches
+    # MIXED-dim batches the sample can't see.
+    # bounded-collect: one sampled row for eager dim validation
+    sample = batch.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
+    if sample is not None and len(sample[0]) != dim:
+        raise ValueError(
+            f"cosine_neardup_against_index: batch {vec_col!r} has dim "
+            f"{len(sample[0])} but the index at {index_path!r} holds "
+            f"dim-{dim} buckets — a mismatched batch would NULL-fold "
+            "every bucket assignment and silently return zero "
+            "duplicate pairs"
+        )
     batch = spread_small_input(batch)
     idx = spark.read.parquet(index_path)
     bb = _multi_table_buckets(
-        batch, n_planes, 1, dim, vec_col, id_col, probe_bits
+        batch,
+        n_planes,
+        1,
+        dim,
+        vec_col,
+        id_col,
+        probe_bits,
+        guard_caller="cosine_neardup_against_index",
     ).select(F.col(id_col).alias("doc_new"), "bucket")
     idxb = idx.select(F.col(id_col).alias("doc_old"), "bucket")
     if max_bucket is not None:
@@ -2921,14 +3002,22 @@ def cosine_neardup_against_ivf_index(
         )
     batch = spread_small_input(batch)
     idx = spark.read.parquet(path)
-    guarded_vec = _dim_guard_col(
-        F.col(vec_col), cdim, "cosine_neardup_against_ivf_index"
+    # the per-row guard wraps the probe OUTPUT, not the vector fed
+    # into the HOF folds (ADVICE r14): expressions referenced inside
+    # interpreted HOF lambdas are re-evaluated per element (the r6
+    # __bits note), so a guarded VECTOR recomputes the size() check
+    # per centroid; wrapping the probe-cells array evaluates it ONCE
+    # per row — explode materializes its child a single time — while
+    # the centroid folds reference the raw column attribute.
+    probe_cells = _batch_dim_guard(
+        _ivf_probe_cells_col(F.col(vec_col), cents, nprobe),
+        F.col(vec_col),
+        cdim,
+        "cosine_neardup_against_ivf_index",
     )
     bb = batch.select(
         F.col(id_col).alias("doc_new"),
-        F.explode(
-            _ivf_probe_cells_col(guarded_vec, cents, nprobe)
-        ).alias("cell"),
+        F.explode(probe_cells).alias("cell"),
     )
     idxc = idx.select(F.col(id_col).alias("doc_old"), "cell")
     if max_cell is not None:

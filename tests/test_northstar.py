@@ -841,6 +841,46 @@ def test_cosine_neardup_ivf_rejects_wrong_dim_batch(spark, tmp_path):
         cosine_neardup_against_ivf_index(mixed, path, 0.9).collect()
 
 
+def test_cosine_neardup_lsh_rejects_wrong_dim_batch(spark, tmp_path):
+    """ADVICE r14 (the IVF twin's r13 contract, closed for the LSH
+    form): a wrong-dim batch NULL-folds every sign-bit dot and verify
+    cosine and silently returns zero duplicate pairs — it must fail
+    loudly, eagerly for a uniform batch and per-row for a MIXED one."""
+    from spark_sorted_spark.functions.similarity import (
+        build_ann_lsh_index,
+        cosine_neardup_against_index,
+    )
+
+    indexed = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(1, 9)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "dim_lsh_idx")
+    build_ann_lsh_index(indexed, path, n_planes=4, dim=4)
+    bad = spark.createDataFrame(
+        [(900001, [1.0, 0.0, 0.0])],  # dim 3 vs recorded _lsh_meta dim 4
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dim 3"):
+        cosine_neardup_against_index(bad, path, 0.9)
+    # a MIXED batch slips past the one-row eager sample; the per-row
+    # guard riding the bucket projection must fail it loudly instead
+    # of NULL-folding the wrong-dim rows' pairs away
+    from pyspark.errors import SparkRuntimeException
+
+    mixed = spark.createDataFrame(
+        [(900001, [1.0, 1.0, 0.0, 0.0]), (900002, [1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(SparkRuntimeException, match="declared dim 4"):
+        cosine_neardup_against_index(mixed, path, 0.9).collect()
+    # multiprobe path shares the guard (it wraps __dots there)
+    with pytest.raises(SparkRuntimeException, match="declared dim 4"):
+        cosine_neardup_against_index(
+            mixed, path, 0.9, probe_bits=1
+        ).collect()
+
+
 def test_ann_ivf_persisted_index_pruned_probe(spark, emb, tmp_path):
     from spark_sorted_spark.functions.similarity import (
         ann_ivf_topk,
