@@ -514,6 +514,16 @@ def build_ann_lsh_index(
         _sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
     write_partitioned(assigned, f"{staging}/ingest_batch_id=-1", "bucket")
+    # occupancy side table (VERDICT r14 item 2): counted from a
+    # read-back of the partition just written — bucket is the
+    # directory name, so the aggregate reads no data columns
+    _write_occ_counts(
+        spark.read.parquet(f"{staging}/ingest_batch_id=-1"),
+        "bucket",
+        staging,
+        -1,
+        "overwrite",
+    )
     spark.createDataFrame(
         [(int(n_planes), int(dim))], "n_planes int, dim int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_lsh_meta")
@@ -635,6 +645,12 @@ def append_to_ann_lsh_index(
     write_partitioned(
         assigned, f"{path}/ingest_batch_id={part}", "bucket", mode=mode
     )
+    # occupancy delta for this batch (VERDICT r14 item 2): counted
+    # from the assignment frame itself — a read-back of the target
+    # partition would be wrong under append mode (it holds prior
+    # rows). One extra batch-scale pass over the bucket projection;
+    # column pruning keeps the vector guard out of it.
+    _write_occ_counts(assigned, "bucket", path, part, mode)
 
 
 def ann_lsh_topk_indexed(
@@ -971,6 +987,16 @@ def build_ann_ivf_index(
         *[F.col(c) for c in extra_cols],
     )
     write_partitioned(celled, f"{staging}/ingest_batch_id=-1", "cell")
+    # occupancy side table (VERDICT r14 item 2): read-back of the
+    # partition just written — cell is the directory name, no data
+    # columns touched
+    _write_occ_counts(
+        spark.read.parquet(f"{staging}/ingest_batch_id=-1"),
+        "cell",
+        staging,
+        -1,
+        "overwrite",
+    )
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
     spark.createDataFrame(
         cent_rows, "cell int, cent_id bigint, centroid array<double>"
@@ -1049,6 +1075,10 @@ def append_to_ann_ivf_index(
     write_partitioned(
         celled, f"{path}/ingest_batch_id={part}", "cell", mode=mode
     )
+    # occupancy delta for this batch (VERDICT r14 item 2) — from the
+    # assignment frame (a target-partition read-back is wrong under
+    # append mode); pruning keeps the aggregate to the cell fold
+    _write_occ_counts(celled, "cell", path, part, mode)
 
 
 def ann_ivf_topk_indexed(
@@ -1616,6 +1646,15 @@ def build_ann_ivfpq_index(
         *[F.col(c) for c in extra_cols],
     )
     write_partitioned(coded, f"{staging}/ingest_batch_id=-1", "cell")
+    # occupancy side table (VERDICT r14 item 2): read-back, no data
+    # columns touched (cell is the directory name)
+    _write_occ_counts(
+        spark.read.parquet(f"{staging}/ingest_batch_id=-1"),
+        "cell",
+        staging,
+        -1,
+        "overwrite",
+    )
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
     spark.createDataFrame(
         cent_rows, "cell int, cent_id bigint, centroid array<double>"
@@ -1708,6 +1747,10 @@ def append_to_ann_ivfpq_index(
     write_partitioned(
         coded, f"{path}/ingest_batch_id={part}", "cell", mode=mode
     )
+    # occupancy delta for this batch (VERDICT r14 item 2) — from the
+    # pre-encode frame (rdf already carries the cell assignment;
+    # pruning keeps the PQ encode out of the aggregate)
+    _write_occ_counts(rdf, "cell", path, part, mode)
 
 
 def _list_batch_dirs(spark, root: str) -> list[str]:
@@ -1725,6 +1768,70 @@ def _list_batch_dirs(spark, root: str) -> list[str]:
         if name.startswith("ingest_batch_id="):
             out.append(name)
     return out
+
+
+# Persisted per-cell/bucket occupancy of the ANN index stores
+# (VERDICT r14 item 2, the band store's ``counts`` precedent): every
+# build/append/compact writes the occupancy of the batch partition it
+# lands under ``{index}/_occ_counts/ingest_batch_id={b}`` (underscore
+# → invisible to the partitioned data read), so the hot-cell/bucket
+# guards (``max_cell``/``max_bucket``) read a METADATA-scale side
+# table instead of paying a corpus-scale groupBy over the full index
+# per nightly run. Delta-row semantics mirror the band store: an
+# idempotent (batch_id-keyed) write overwrites its own stats
+# partition alongside its data partition; a base-partition append
+# appends delta rows, and readers sum per key.
+_OCC_DIR = "_occ_counts"
+
+
+def _write_occ_counts(
+    counted: DataFrame, key: str, root: str, part: int, mode: str
+) -> None:
+    """Persist the per-``key`` occupancy of ONE batch partition's rows
+    (``counted``: the rows that were just written — a read-back of the
+    fresh partition for builds/compacts, the assignment frame itself
+    for appends) under ``{root}/_occ_counts/ingest_batch_id={part}``.
+    Column pruning keeps the aggregate scan to the key column alone —
+    for a read-back of a just-written partition the key IS the
+    directory name, so the job reads no data columns at all.
+
+    Crash contract (shared with the band store, whose ``counts`` table
+    this mirrors): data lands first, stats second — a crash in
+    between leaves a batch-id-keyed write detectably stale (its stats
+    partition is missing, so :func:`_load_occ_counts` refuses the side
+    table and guards fall back to the recount) and a base-partition
+    append recoverable by the store's documented replay."""
+    (
+        counted.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("occ_n"))
+        .write.mode(mode)
+        .parquet(f"{root}/{_OCC_DIR}/ingest_batch_id={part}")
+    )
+
+
+def _load_occ_counts(spark, path: str, key: str) -> DataFrame | None:
+    """The persisted occupancy side table of a RESOLVED index path as
+    ``(key, occ_n)`` delta rows, or ``None`` when the guards must fall
+    back to recounting the index: the table is absent (a store built
+    before round 15), holds a different key (layout mismatch), or its
+    batch partitions don't mirror the data's (a foreign writer
+    bypassed the build/append API, or a crash landed data without
+    stats) — the same driver-side listing that keys the metadata
+    cache, so freshness costs a directory listing, never a scan."""
+    from pyspark.errors import AnalysisException
+
+    occ_root = f"{path}/{_OCC_DIR}"
+    data_batches = set(_list_batch_dirs(spark, path))
+    occ_batches = set(_list_batch_dirs(spark, occ_root))
+    if not occ_batches or occ_batches != data_batches:
+        return None
+    try:
+        occ = spark.read.parquet(occ_root)
+    except AnalysisException:
+        return None
+    if key not in occ.columns or "occ_n" not in occ.columns:
+        return None
+    return occ.select(key, "occ_n")
 
 
 def compact_ann_index(spark, path: str) -> None:
@@ -1794,6 +1901,16 @@ def compact_ann_index(spark, path: str) -> None:
             write_partitioned(
                 merged, f"{data_dst}/ingest_batch_id=-1", part_col
             )
+            # fresh occupancy side table for the compacted generation
+            # (the delta partitions collapse with the data they
+            # describe); flat PQ has no cell/bucket key and no guards
+            _write_occ_counts(
+                spark.read.parquet(f"{data_dst}/ingest_batch_id=-1"),
+                part_col,
+                data_dst,
+                -1,
+                "overwrite",
+            )
         for meta in (
             "_centroids", "_pq_codebooks", "_pq_meta", "_lsh_meta", "_sq_meta"
         ):
@@ -1824,6 +1941,20 @@ def compact_ann_index(spark, path: str) -> None:
         _rename(spark, f"{data_root}/{name}", f"{aside}/{name}")
     _rename(spark, staging, f"{data_root}/ingest_batch_id=-1")
     _rm_dir(spark, aside)
+    if part_col is not None:
+        # rewrite the occupancy side table to match the collapsed
+        # layout (its old per-batch partitions describe dirs that no
+        # longer exist; in the window before this write the listing
+        # mismatch makes guards fall back to the recount — stats are
+        # derived data, every crash point self-heals via fallback)
+        _rm_dir(spark, f"{data_root}/{_OCC_DIR}")
+        _write_occ_counts(
+            spark.read.parquet(f"{data_root}/ingest_batch_id=-1"),
+            part_col,
+            data_root,
+            -1,
+            "overwrite",
+        )
 
 
 def ann_index_stats(spark, path: str) -> DataFrame:
@@ -2624,6 +2755,7 @@ def _occupancy_filter(
     max_bucket: int,
     keys: tuple = ("t", "bucket"),
     arg_name: str = "max_bucket",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Drop ``keys`` groups holding more than ``max_bucket`` members —
     the degenerate-cluster guard shared by the self near-dup and
@@ -2632,10 +2764,35 @@ def _occupancy_filter(
     (``("cell",)``): ONE implementation so the guards can't diverge.
     Validates the bound centrally (round-14 review): ``0`` would drop
     EVERY bucket and silently report zero pairs — the silent-empty
-    failure class the dim guards exist to prevent."""
+    failure class the dim guards exist to prevent.
+
+    ``stats`` (VERDICT r14 item 2): the persisted ``(key, occ_n)``
+    delta rows from :func:`_load_occ_counts`. When given, the guard
+    never aggregates ``b`` at all — at 10^10 index rows that groupBy
+    is a corpus-scale shuffle paid per nightly guarded run. Instead
+    the HOT keys (occupancy > ``max_bucket``: the rare degenerate
+    ones, bounded above by the whole bucket/cell space — nlist cells
+    or <= 2^16 LSH buckets, always broadcastable metadata) come from
+    a metadata-scale sum of the side table and are removed with a
+    broadcast ANTI join: a map-side filter over ``b``, no shuffle.
+    The side table covers every row the write paths landed, so the
+    surviving candidate pairs are identical to the recount's (pinned
+    in tests/test_occ_stats.py; the one formal difference — an anti
+    join keeps NULL-key rows the recount's inner join dropped — is
+    invisible downstream, since a NULL key can never match the
+    candidate equi-join). Callers pass ``None`` (recount) for ad-hoc
+    relations with no persisted store."""
     if max_bucket < 1:
         raise ValueError(f"{arg_name} must be >= 1, got {max_bucket}")
     keys = list(keys)
+    if stats is not None:
+        hot = (
+            stats.groupBy(*keys)
+            .agg(F.sum("occ_n").alias("bn"))
+            .filter(F.col("bn") > max_bucket)
+            .drop("bn")
+        )
+        return b.join(F.broadcast(hot), on=keys, how="left_anti")
     occ = (
         b.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("bn"))
@@ -2884,8 +3041,16 @@ def cosine_neardup_against_index(
     if max_bucket is not None:
         # hot-bucket guard: occupancy measured on the INDEX side (the
         # factor multiplying every colliding batch vector's candidate
-        # count) — the shared _occupancy_filter, like the IVF twin
-        idxb = _occupancy_filter(idxb, max_bucket, keys=("bucket",))
+        # count) — the shared _occupancy_filter, like the IVF twin.
+        # The persisted _occ_counts side table (written by every
+        # build/append/compact) makes the guard a metadata read; a
+        # store whose stats are absent or stale recounts (r15).
+        idxb = _occupancy_filter(
+            idxb,
+            max_bucket,
+            keys=("bucket",),
+            stats=_load_occ_counts(spark, index_path, "bucket"),
+        )
     cand = (
         bb.join(idxb, on="bucket")
         .filter(F.col("doc_old") != F.col("doc_new"))
@@ -3023,9 +3188,16 @@ def cosine_neardup_against_ivf_index(
     if max_cell is not None:
         # hot-cell guard (VERDICT r13 #1): occupancy is measured on
         # the INDEX side — that is the factor that multiplies every
-        # colliding batch vector's candidate count
+        # colliding batch vector's candidate count. The persisted
+        # _occ_counts side table (written by every build/append/
+        # compact) makes the guard a metadata read; a store whose
+        # stats are absent or stale recounts (r15).
         idxc = _occupancy_filter(
-            idxc, max_cell, keys=("cell",), arg_name="max_cell"
+            idxc,
+            max_cell,
+            keys=("cell",),
+            arg_name="max_cell",
+            stats=_load_occ_counts(spark, path, "cell"),
         )
     cand = (
         bb.join(idxc, on="cell")
@@ -3508,6 +3680,15 @@ def build_ann_ivfsq8_index(
         dim=dim, caller="build_ann_ivfsq8_index",
     )
     write_partitioned(celled, f"{staging}/ingest_batch_id=-1", "cell")
+    # occupancy side table (VERDICT r14 item 2): read-back, no data
+    # columns touched (cell is the directory name)
+    _write_occ_counts(
+        spark.read.parquet(f"{staging}/ingest_batch_id=-1"),
+        "cell",
+        staging,
+        -1,
+        "overwrite",
+    )
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
     spark.createDataFrame(
         cent_rows, "cell int, cent_id bigint, centroid array<double>"
@@ -3580,6 +3761,10 @@ def append_to_ann_ivfsq8_index(
     write_partitioned(
         celled, f"{path}/ingest_batch_id={part}", "cell", mode=mode
     )
+    # occupancy delta for this batch (VERDICT r14 item 2) — from the
+    # assignment frame; pruning keeps the SQ8 encode out of the
+    # aggregate
+    _write_occ_counts(celled, "cell", path, part, mode)
 
 
 def ann_ivfsq8_topk_indexed(
