@@ -7363,6 +7363,28 @@ _GATE_ORDER = [
     # kmv_shingle_overlap (the KMV sketch/merge/estimate path is THE
     # code under the new stream_kmv_by_source row; sketches also keep
     # stream_len_quantiles rotating back in).
+    # ---- round-15 rotation #11 (CHURN-BASED, VERDICT r14 item 1 —
+    # the r14 close-out's own prescription): round 14 rewrote
+    # similarity.py (hot-cell/bucket guards, per-row dim guards, the
+    # listing-fingerprint cache key) and streaming/sketches.py (KMV
+    # meta) AFTER these overflow rows' last green driver rows (r13),
+    # and round 15 rewrites similarity.py AGAIN (persisted _occ_counts
+    # occupancy side tables, read-path dim guards) — rotated back IN:
+    # similarity_ann_pq + similarity_ann_lsh (similarity.py, r13
+    # rows), kmv_shingle_overlap (KMV sketch path, r13 row),
+    # dedup_repeated_spans (r13 row; its family sat one round out).
+    # Rotated OUT (ALL driver-green in CORRECTNESS_r14 at r14 HEAD —
+    # the freshest possible evidence — and their underlying files are
+    # untouched in r15; families keep in-window reps):
+    # retrieval_eval (retrieval keeps NINE gated rows: four bm25
+    # serving forms, two indexed feedback joins, rerank, two hybrid
+    # rows), temperature_mix (sampling keeps training_order +
+    # semantic_mix + dsir_select), stream_len_quantiles (sketches/
+    # streaming keep stream_kmv_by_source + both drain-then-read
+    # maintainers + sessionize_stream, and kmv_shingle_overlap
+    # rotates back in), tpch_q15_top_supplier (TPC-H keeps
+    # tpch_q17_small_quantity; its oracle-only SQL shape is
+    # registry-stable since r10).
     "bm25_topk_indexed",
     "bm25_join_indexed",
     "bm25_topk_filtered",
@@ -7370,13 +7392,11 @@ _GATE_ORDER = [
     "bm25_join_rm3_indexed",
     "bm25_join_prf_indexed",
     "retrieval_rerank",
-    "retrieval_eval",
     "hybrid_topk_indexed",
     "hybrid_join_indexed",
     "hybrid_join",
     "training_order",
     "semantic_mix",
-    "temperature_mix",
     "dsir_select",
     "decontaminate_verbatim_short",
     "embedding_quantize",
@@ -7386,6 +7406,8 @@ _GATE_ORDER = [
     "similarity_ann_filtered",
     "similarity_ann_ivfsq8",
     "similarity_topk",
+    "similarity_ann_pq",
+    "similarity_ann_lsh",
     "embedding_dedup_incremental",
     "embedding_dedup_ivf",
     # round-14 first registration (no-backlog): streaming IVF index
@@ -7401,27 +7423,29 @@ _GATE_ORDER = [
     # untouched in r13/r14)
     "stream_sq8_maintain",
     "dedup_minhash_lsh",
+    "dedup_repeated_spans",
     "unigram_logprob",
     # round-14 second registration (no-backlog): streaming KMV store
     # drain-then-estimate — the stream write path of the KMV family
     "stream_kmv_by_source",
-    "stream_len_quantiles",
+    "kmv_shingle_overlap",
     "unpivot_measures",
-    # TPC-H keeps two in-window representatives (max-subquery view,
-    # correlated scalar agg)
-    "tpch_q15_top_supplier",
+    # TPC-H keeps one in-window representative (correlated scalar agg)
     "tpch_q17_small_quantity",
     # --- gate cutoff (driver runs the 50 above) ---
-    # round-14 rotation #10 overflow head: the rows rotated out this
-    # round (every one driver-green in CORRECTNESS_r13; family
+    # round-15 rotation #11 overflow head: the rows rotated out this
+    # round (every one driver-green in CORRECTNESS_r14; family
     # justification in the rotation comments above).
-    "dedup_repeated_spans",
+    "retrieval_eval",
+    "temperature_mix",
+    "stream_len_quantiles",
+    "tpch_q15_top_supplier",
+    # round-14 rotation #10 overflow (dedup_repeated_spans,
+    # similarity_ann_pq, similarity_ann_lsh and kmv_shingle_overlap
+    # rotated back IN above in #11)
     "bm25_topk",
     "hybrid_topk",
     "bm25_join_rm3",
-    "similarity_ann_pq",
-    "similarity_ann_lsh",
-    "kmv_shingle_overlap",
     # round-13 rotation #9 overflow (retrieval_eval,
     # stream_len_quantiles, temperature_mix and dsir_select rotated
     # back IN above in #10)

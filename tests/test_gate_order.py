@@ -63,15 +63,17 @@ def test_gate_window_contents():
         "retrieval_rerank",
         "hybrid_topk_indexed",
         "hybrid_join_indexed",
-        # round-14 rotation #10 churn picks (VERDICT r13 item 3):
-        # overflow rows sitting on the round-13 rewrites rotate back
-        # IN — retrieval_eval (retrieval.py), temperature_mix +
-        # dsir_select (sampling.py), stream_len_quantiles
-        # (streaming/sketches.py)
-        "retrieval_eval",
-        "temperature_mix",
+        # round-15 rotation #11 churn picks (VERDICT r14 item 1):
+        # overflow rows sitting on the r14 similarity.py/KMV rewrites
+        # (and now the r15 _occ_counts rewrite) rotate back IN;
+        # retrieval_eval / temperature_mix / stream_len_quantiles /
+        # tpch_q15_top_supplier rotate out driver-green (r14 rows,
+        # families keep in-window reps — see the _GATE_ORDER comment)
+        "similarity_ann_pq",
+        "similarity_ann_lsh",
+        "kmv_shingle_overlap",
+        "dedup_repeated_spans",
         "dsir_select",
-        "stream_len_quantiles",
         "semantic_mix",
         "decontaminate_verbatim_short",
         "training_order",
@@ -84,11 +86,9 @@ def test_gate_window_contents():
         # round-14 registrations (no-backlog, VERDICT r13 item 4):
         # the drain-then-read streaming rows — the last catalog ops
         # whose driver evidence was transitive (pinned batch-twin
-        # identity only). similarity_ann_pq/similarity_ann_lsh/
-        # kmv_shingle_overlap rotate out driver-green (quantized
-        # family keeps ivfpq+ivfpq_join+ivfsq8+embedding_quantize;
-        # LSH buckets stay exercised by embedding_dedup_incremental;
-        # the KMV path IS the code under stream_kmv_by_source)
+        # identity only); the rows rotation #10 displaced for them
+        # (similarity_ann_pq/ann_lsh/kmv_shingle_overlap) rotated
+        # back in above via #11
         "stream_ivf_maintain",
         "stream_sq8_maintain",
         "stream_kmv_by_source",
@@ -101,18 +101,19 @@ def test_gate_window_contents():
     ):
         assert must in gated, f"{must} fell out of the driver gate window"
     # overflow: every rotated-out row was driver-green in the round it
-    # left (the rotation-#10 six lead — all green in CORRECTNESS_r13 —
-    # then the remaining #9/#8 rows, green in CORRECTNESS_r12/r11);
-    # family representation justified in the _GATE_ORDER comments. All
-    # overflow stays locally oracle-checked per round.
+    # left (the rotation-#11 four lead — all green in CORRECTNESS_r14
+    # at r14 HEAD — then the remaining #10/#9/#8 rows, green in
+    # CORRECTNESS_r13/r12/r11); family representation justified in the
+    # _GATE_ORDER comments. All overflow stays locally oracle-checked
+    # per round.
     assert names[50:] == [
-        "dedup_repeated_spans",
+        "retrieval_eval",
+        "temperature_mix",
+        "stream_len_quantiles",
+        "tpch_q15_top_supplier",
         "bm25_topk",
         "hybrid_topk",
         "bm25_join_rm3",
-        "similarity_ann_pq",
-        "similarity_ann_lsh",
-        "kmv_shingle_overlap",
         "dedup_survivors",
         "bm25_topk_prf",
         "bm25_topk_rm3",
