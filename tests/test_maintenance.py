@@ -278,3 +278,84 @@ def test_ann_ivfsq8_rebuild_names_auto_nlist(spark, tmp_path):
     row = maintenance_plan(spark, path, max_unit_rows=10).head()
     assert (row.store, row.action) == ("ann_ivfsq8", "rebuild")
     assert "nlist=None" in row.reason
+
+
+def test_planner_chain_on_streamed_store_e2e(spark, sf_dir, tmp_path):
+    """VERDICT r14 item 6 — the full lifecycle on a REAL streamed
+    store, not a synthetic one: build -> two availableNow drains of
+    the IVF maintainer -> the planner recommends compact (batch
+    partitions past the threshold) -> compact_ann_index -> probes are
+    bitwise unchanged and the planner settles at 'none'. This chains
+    the three pieces that were previously verified separately (the
+    maintainer's driver row, the planner's synthetic branches, the
+    compactor's probe-equality pin)."""
+    import shutil
+
+    from spark_sorted_spark.functions.similarity import (
+        ANN_NLIST,
+        ann_ivf_topk_indexed,
+        build_ann_ivf_index,
+        compact_ann_index,
+    )
+    from spark_sorted_spark.sources.tpch import load_table
+    from spark_sorted_spark.streaming import (
+        stream_maintain_ann_ivf_index,
+        stream_table,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    base = corpus.filter(F.col("vec_id") % 3 == 0)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "chain_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(batch, name):
+        staged = tmp_path / f"stage_{name}"
+        batch.coalesce(1).write.mode("overwrite").parquet(str(staged))
+        for f in staged.glob("*.parquet"):
+            shutil.move(str(f), str(watch / f"{name}_{f.name}"))
+
+    def drain():
+        sdf = stream_table(
+            spark, "embeddings", sf_dir, path=str(watch)
+        ).select("vec_id", "embedding")
+        stream_maintain_ann_ivf_index(sdf, idx, ckpt, timeout_sec=180)
+
+    def probe():
+        return [
+            (r.vec_id, r.rank, r.cos)
+            for r in ann_ivf_topk_indexed(
+                spark, idx, qvec, k=5, nprobe=ANN_NLIST
+            ).collect()
+        ]
+
+    build_ann_ivf_index(base, idx)
+    arrive(corpus.filter(F.col("vec_id") % 3 == 1), "b1")
+    drain()
+    arrive(corpus.filter(F.col("vec_id") % 3 == 2), "b2")
+    drain()
+
+    # base + two streamed batch partitions > max_batches=2 -> compact.
+    # skew_ratio is lifted out of the way: the sf0.001 embedding
+    # corpus IS cell-skewed at the fixed default nlist, and the chain
+    # under test is the batch-count branch (skew rebuild is covered
+    # on synthetic stores above).
+    row = maintenance_plan(
+        spark, idx, max_batches=2, skew_ratio=1e9
+    ).head()
+    assert (row.store, row.action) == ("ann_ivf", "compact")
+    assert "3 batch partitions" in row.reason
+
+    before = probe()
+    compact_ann_index(spark, idx)
+    assert probe() == before  # advice executed, probes bitwise stable
+    after = maintenance_plan(
+        spark, idx, max_batches=2, skew_ratio=1e9
+    ).head()
+    assert after.action == "none"
