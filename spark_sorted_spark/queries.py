@@ -7417,10 +7417,8 @@ _GATE_ORDER = [
     # round-14 third registration (no-backlog): the QUANTIZING
     # maintainer's drain-then-read row (cell + SQ8 scale oracle) —
     # the last catalog op whose driver evidence was transitive.
-    # dedup_repeated_spans rotates out driver-green (r13 row; dedup
-    # keeps clusters_incremental + minhash_lsh + both embedding
-    # dedup rows in-window, and its remove_repeated_spans code was
-    # untouched in r13/r14)
+    # (dedup_repeated_spans, which #10 displaced for it, rotated back
+    # in below via #11 after one round out)
     "stream_sq8_maintain",
     "dedup_minhash_lsh",
     "dedup_repeated_spans",
