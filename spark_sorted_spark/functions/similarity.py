@@ -518,7 +518,7 @@ def build_ann_lsh_index(
     # read-back of the partition just written — bucket is the
     # directory name, so the aggregate reads no data columns
     _write_occ_counts(
-        spark.read.parquet(f"{staging}/ingest_batch_id=-1"),
+        _occ_read_back(spark, f"{staging}/ingest_batch_id=-1", "bucket"),
         "bucket",
         staging,
         -1,
@@ -642,15 +642,14 @@ def append_to_ann_lsh_index(
     )
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
+    if mode == "overwrite":
+        _invalidate_occ_counts(df.sparkSession, path, part)
     write_partitioned(
         assigned, f"{path}/ingest_batch_id={part}", "bucket", mode=mode
     )
-    # occupancy delta for this batch (VERDICT r14 item 2): counted
-    # from the assignment frame itself — a read-back of the target
-    # partition would be wrong under append mode (it holds prior
-    # rows). One extra batch-scale pass over the bucket projection;
-    # column pruning keeps the vector guard out of it.
-    _write_occ_counts(assigned, "bucket", path, part, mode)
+    # occupancy delta for this batch (VERDICT r14 item 2): read-back
+    # for batch-keyed writes, the assignment frame for base appends
+    _append_occ_counts(assigned, "bucket", path, part, mode)
 
 
 def ann_lsh_topk_indexed(
@@ -991,7 +990,7 @@ def build_ann_ivf_index(
     # partition just written — cell is the directory name, no data
     # columns touched
     _write_occ_counts(
-        spark.read.parquet(f"{staging}/ingest_batch_id=-1"),
+        _occ_read_back(spark, f"{staging}/ingest_batch_id=-1", "cell"),
         "cell",
         staging,
         -1,
@@ -1072,13 +1071,14 @@ def append_to_ann_ivf_index(
     )
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
+    if mode == "overwrite":
+        _invalidate_occ_counts(df.sparkSession, path, part)
     write_partitioned(
         celled, f"{path}/ingest_batch_id={part}", "cell", mode=mode
     )
-    # occupancy delta for this batch (VERDICT r14 item 2) — from the
-    # assignment frame (a target-partition read-back is wrong under
-    # append mode); pruning keeps the aggregate to the cell fold
-    _write_occ_counts(celled, "cell", path, part, mode)
+    # occupancy delta for this batch (VERDICT r14 item 2): read-back
+    # for batch-keyed writes, the assignment frame for base appends
+    _append_occ_counts(celled, "cell", path, part, mode)
 
 
 def ann_ivf_topk_indexed(
@@ -1649,7 +1649,7 @@ def build_ann_ivfpq_index(
     # occupancy side table (VERDICT r14 item 2): read-back, no data
     # columns touched (cell is the directory name)
     _write_occ_counts(
-        spark.read.parquet(f"{staging}/ingest_batch_id=-1"),
+        _occ_read_back(spark, f"{staging}/ingest_batch_id=-1", "cell"),
         "cell",
         staging,
         -1,
@@ -1744,13 +1744,16 @@ def append_to_ann_ivfpq_index(
     )
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
+    if mode == "overwrite":
+        _invalidate_occ_counts(df.sparkSession, path, part)
     write_partitioned(
         coded, f"{path}/ingest_batch_id={part}", "cell", mode=mode
     )
-    # occupancy delta for this batch (VERDICT r14 item 2) — from the
-    # pre-encode frame (rdf already carries the cell assignment;
-    # pruning keeps the PQ encode out of the aggregate)
-    _write_occ_counts(rdf, "cell", path, part, mode)
+    # occupancy delta for this batch (VERDICT r14 item 2): read-back
+    # for batch-keyed writes; base appends count the pre-encode frame
+    # (rdf already carries the cell assignment — pruning keeps the PQ
+    # encode out of the aggregate)
+    _append_occ_counts(rdf, "cell", path, part, mode)
 
 
 def _list_batch_dirs(spark, root: str) -> list[str]:
@@ -1778,8 +1781,8 @@ def _list_batch_dirs(spark, root: str) -> list[str]:
 # guards (``max_cell``/``max_bucket``) read a METADATA-scale side
 # table instead of paying a corpus-scale groupBy over the full index
 # per nightly run. Delta-row semantics mirror the band store: an
-# idempotent (batch_id-keyed) write overwrites its own stats
-# partition alongside its data partition; a base-partition append
+# idempotent (batch_id-keyed) write invalidates then rewrites its own
+# stats partition around its data partition; a base-partition append
 # appends delta rows, and readers sum per key.
 _OCC_DIR = "_occ_counts"
 
@@ -1789,24 +1792,78 @@ def _write_occ_counts(
 ) -> None:
     """Persist the per-``key`` occupancy of ONE batch partition's rows
     (``counted``: the rows that were just written — a read-back of the
-    fresh partition for builds/compacts, the assignment frame itself
-    for appends) under ``{root}/_occ_counts/ingest_batch_id={part}``.
-    Column pruning keeps the aggregate scan to the key column alone —
-    for a read-back of a just-written partition the key IS the
-    directory name, so the job reads no data columns at all.
+    fresh partition for builds/compacts and batch-id-keyed appends,
+    the assignment frame itself for base-partition appends) under
+    ``{root}/_occ_counts/ingest_batch_id={part}``. Column pruning
+    keeps the aggregate scan to the key column alone — for a read-back
+    of a just-written partition the key IS the directory name, so the
+    job reads no data columns at all.
 
     Crash contract (shared with the band store, whose ``counts`` table
-    this mirrors): data lands first, stats second — a crash in
-    between leaves a batch-id-keyed write detectably stale (its stats
-    partition is missing, so :func:`_load_occ_counts` refuses the side
-    table and guards fall back to the recount) and a base-partition
-    append recoverable by the store's documented replay."""
+    this mirrors): a batch-id-keyed write drops its stats partition
+    FIRST (:func:`_invalidate_occ_counts`), then lands data, then
+    stats — every crash point leaves the batch's stats MISSING, which
+    :func:`_load_occ_counts`'s listing check detects (guards fall back
+    to the recount) even when the batch is a RE-LAND of an id whose
+    earlier attempt completed both writes. A base-partition append has
+    no stats partition of its own to drop; a crash between its two
+    appended writes is recoverable by the store's documented replay."""
     (
         counted.groupBy(key)
         .agg(F.count(F.lit(1)).alias("occ_n"))
         .write.mode(mode)
         .parquet(f"{root}/{_OCC_DIR}/ingest_batch_id={part}")
     )
+
+
+def _occ_read_back(spark, part_dir: str, key: str) -> DataFrame:
+    """The just-written batch partition of ``part_dir`` re-read for
+    occupancy counting: ``key`` is the partition directory name, so
+    the count job reads NO data columns — and, unlike counting the
+    assignment frame a second time, it cannot disagree with the data
+    when the input is nondeterministic (a sample/limit/changing
+    source re-executed between the data write and the stats write).
+    An EMPTY corpus writes only ``_SUCCESS`` (no parquet files, so
+    schema inference fails) — return an explicit empty frame so empty
+    builds stay a supported bootstrap path (build empty, then
+    append/stream into it)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(part_dir)
+    except AnalysisException:
+        return spark.createDataFrame([], f"{key} int")
+
+
+def _invalidate_occ_counts(spark, root: str, part: int) -> None:
+    """Drop the stats partition of a batch ABOUT to be overwritten,
+    BEFORE its data partition is touched: a crash anywhere between
+    then and the stats rewrite leaves the batch's stats MISSING
+    (listing-detectable — guards recount) rather than silently stale
+    (describing the replaced rows of a re-landed batch id, which the
+    listing check alone cannot see). No-op when the batch is new."""
+    from .dedup import _rm_dir
+
+    _rm_dir(spark, f"{root}/{_OCC_DIR}/ingest_batch_id={part}")
+
+
+def _append_occ_counts(
+    assigned: DataFrame, key: str, root: str, part: int, mode: str
+) -> None:
+    """Write the occupancy stats for an append batch. Overwrite mode
+    (batch-id-keyed) counts from a read-back of the partition just
+    written — directory-name key, no second execution of the
+    assignment expressions (sign-dots / centroid-dots run once per
+    batch, which also keeps streaming maintainers at one assignment
+    pass per micro-batch). Append mode counts from the frame: a
+    read-back of the base partition would include prior rows."""
+    if mode == "overwrite":
+        counted = _occ_read_back(
+            assigned.sparkSession, f"{root}/ingest_batch_id={part}", key
+        )
+    else:
+        counted = assigned
+    _write_occ_counts(counted, key, root, part, mode)
 
 
 def _load_occ_counts(spark, path: str, key: str) -> DataFrame | None:
@@ -1905,7 +1962,9 @@ def compact_ann_index(spark, path: str) -> None:
             # (the delta partitions collapse with the data they
             # describe); flat PQ has no cell/bucket key and no guards
             _write_occ_counts(
-                spark.read.parquet(f"{data_dst}/ingest_batch_id=-1"),
+                _occ_read_back(
+                    spark, f"{data_dst}/ingest_batch_id=-1", part_col
+                ),
                 part_col,
                 data_dst,
                 -1,
@@ -1949,7 +2008,9 @@ def compact_ann_index(spark, path: str) -> None:
         # derived data, every crash point self-heals via fallback)
         _rm_dir(spark, f"{data_root}/{_OCC_DIR}")
         _write_occ_counts(
-            spark.read.parquet(f"{data_root}/ingest_batch_id=-1"),
+            _occ_read_back(
+                spark, f"{data_root}/ingest_batch_id=-1", part_col
+            ),
             part_col,
             data_root,
             -1,
@@ -2214,27 +2275,38 @@ def ann_pq_topk_indexed(
 
 def _check_corpus_dim(df: DataFrame, vec_col: str, dim: int, caller: str) -> None:
     """EAGER build-side half of the dim discipline (ADVICE r12):
-    validate one sampled corpus vector's length against the dim about
-    to be persisted in the index meta, BEFORE any work runs. A
-    mislabeled dim written to meta is the silent-garbage mode the
-    probe-side checks can't catch — every VALID query gets rejected
-    at probe time, and a query matching the wrong meta dim passes
-    validation and NULL-folds every score. MIXED-length corpora slip
-    past this one-row sample; the exact per-row complement is
-    :func:`_dim_guard_col` in the builds' write paths (ADVICE r13)."""
-    # bounded-collect: one sampled row for eager schema validation
-    sample = (
-        df.filter(F.col(vec_col).isNotNull()).select(vec_col).head()
-    )
-    if sample is None:
+    validate a small sample of corpus vectors against the dim about to
+    be persisted in the index meta, BEFORE any work runs. A mislabeled
+    dim written to meta is the silent-garbage mode the probe-side
+    checks can't catch — every VALID query gets rejected at probe
+    time, and a query matching the wrong meta dim passes validation
+    and NULL-folds every score. The sample is 8 rows, not 1 (ADVICE
+    r14): a one-row sample can land on the very minority-length row a
+    seeded centroid pick adopted as the declared dim, passing the
+    cross-check and leaving the per-row guard to fail the MAJORITY
+    rows with a misleading message. A mixed corpus whose first 8
+    non-null rows are ALL the minority length still slips through to
+    the exact per-row complement, :func:`_dim_guard_col` in the
+    builds' write paths (ADVICE r13)."""
+    # bounded-collect: eight sampled rows for eager schema validation
+    sample = df.filter(F.col(vec_col).isNotNull()).select(vec_col).head(8)
+    if not sample:
         return  # empty / all-NULL corpus: nothing to validate against
-    got = len(sample[0])
-    if got != dim:
+    lens = sorted({len(r[0]) for r in sample})
+    if lens == [dim]:
+        return
+    if len(lens) > 1:
         raise ValueError(
-            f"{caller}: corpus {vec_col!r} has dim {got} but dim={dim} "
-            "was declared — the meta would reject every valid query "
-            "at probe time"
+            f"{caller}: corpus {vec_col!r} holds MIXED vector lengths "
+            f"{lens} (declared dim={dim}) — a mixed index would "
+            "NULL-fold every minority-length row's scores; fix the "
+            "corpus before building"
         )
+    raise ValueError(
+        f"{caller}: corpus {vec_col!r} has dim {lens[0]} but dim={dim} "
+        "was declared — the meta would reject every valid query "
+        "at probe time"
+    )
 
 
 def _dim_guard_wrap(out: Column, vec: Column, dim: int, msg: str) -> Column:
@@ -3683,7 +3755,7 @@ def build_ann_ivfsq8_index(
     # occupancy side table (VERDICT r14 item 2): read-back, no data
     # columns touched (cell is the directory name)
     _write_occ_counts(
-        spark.read.parquet(f"{staging}/ingest_batch_id=-1"),
+        _occ_read_back(spark, f"{staging}/ingest_batch_id=-1", "cell"),
         "cell",
         staging,
         -1,
@@ -3758,13 +3830,15 @@ def append_to_ann_ivfsq8_index(
     )
     part = -1 if batch_id is None else batch_id
     mode = "append" if batch_id is None else "overwrite"
+    if mode == "overwrite":
+        _invalidate_occ_counts(df.sparkSession, path, part)
     write_partitioned(
         celled, f"{path}/ingest_batch_id={part}", "cell", mode=mode
     )
-    # occupancy delta for this batch (VERDICT r14 item 2) — from the
-    # assignment frame; pruning keeps the SQ8 encode out of the
-    # aggregate
-    _write_occ_counts(celled, "cell", path, part, mode)
+    # occupancy delta for this batch (VERDICT r14 item 2): read-back
+    # for batch-keyed writes; base appends count the assignment frame
+    # (pruning keeps the SQ8 encode out of the aggregate)
+    _append_occ_counts(celled, "cell", path, part, mode)
 
 
 def ann_ivfsq8_topk_indexed(

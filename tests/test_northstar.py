@@ -1698,6 +1698,24 @@ def test_index_builds_reject_mixed_dim_corpus(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "ivf_clean")).count() == 29
 
 
+def test_check_corpus_dim_catches_mixed_sample(spark):
+    """ADVICE r14 follow-through: the eager check samples 8 rows, so
+    a mixed-dim corpus whose MINORITY-length row leads (the case a
+    one-row sample plus a seeded-centroid pick of that same row
+    turned into a misleading majority-rows failure) is caught up
+    front with BOTH lengths named."""
+    from spark_sorted_spark.functions.similarity import _check_corpus_dim
+
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])]
+        + [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(1, 5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # declared dim 3 = the minority length the seed would have adopted
+    with pytest.raises(ValueError, match=r"MIXED vector lengths \[3, 4\]"):
+        _check_corpus_dim(mixed, "embedding", 3, "t")
+
+
 def test_driver_cache_survives_synthetic_mtime_republish(spark, emb, tmp_path):
     """ADVICE r13: on object stores, directory mtimes are synthetic
     (often 0), so a republish at the same resolved path could serve

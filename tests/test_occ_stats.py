@@ -258,3 +258,67 @@ def test_sq8_and_pq_builds_write_occ_stats(spark, tmp_path):
     pq = str(tmp_path / "ivfpq_occ")
     build_ann_ivfpq_index(corpus, pq, nlist=3, m=2, ksub=4, dim=4)
     assert _load_occ_counts(spark, pq, "cell") is not None
+
+
+def test_empty_corpus_build_then_append(spark, tmp_path):
+    """Regression (round-15 review): the occ-stats read-back of a
+    just-written EMPTY base partition (only _SUCCESS, no parquet
+    files) crashed every empty-corpus build with
+    UNABLE_TO_INFER_SCHEMA — but build-empty-then-append is a
+    supported bootstrap flow (_check_corpus_dim explicitly tolerates
+    empty corpora, and the streaming maintainers start from it)."""
+    from spark_sorted_spark.functions.similarity import (
+        ann_lsh_topk_indexed,
+        append_to_ann_lsh_index,
+        build_ann_lsh_index,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "lsh_bootstrap")
+    build_ann_lsh_index(empty, path, n_planes=4, dim=4)
+    append_to_ann_lsh_index(
+        _blob_and_cold(spark, n_blob=5), path, batch_id=0
+    )
+    got = ann_lsh_topk_indexed(spark, path, [1.0, 0.0, 0.0, 0.0], k=3)
+    assert got.count() == 3
+
+
+def test_reland_batch_stats_match_new_rows(spark, tmp_path):
+    """A RE-LANDED batch id (replay of a batch whose earlier attempt
+    completed BOTH writes) must leave stats describing the NEW rows.
+    The invalidate-first ordering is what makes every crash point
+    between the data overwrite and the stats rewrite
+    listing-detectable (stats partition missing -> guards recount)
+    instead of silently stale."""
+    from spark_sorted_spark.functions.similarity import (
+        _invalidate_occ_counts,
+        _load_occ_counts,
+        append_to_ann_ivf_index,
+        build_ann_ivf_index,
+    )
+
+    corpus = _blob_and_cold(spark)
+    path = str(tmp_path / "ivf_reland")
+    build_ann_ivf_index(corpus, path, nlist=3)
+    append_to_ann_ivf_index(
+        _blob_and_cold(spark, n_blob=10, id0=100), path, batch_id=5
+    )
+    stats = _load_occ_counts(spark, path, "cell")
+    assert stats is not None
+    assert stats.agg(F.sum("occ_n")).head()[0] == 33 + 13
+
+    # re-land batch 5 with a DIFFERENT (smaller) row set
+    append_to_ann_ivf_index(
+        _blob_and_cold(spark, n_blob=2, id0=300), path, batch_id=5
+    )
+    stats = _load_occ_counts(spark, path, "cell")
+    assert stats is not None
+    assert stats.agg(F.sum("occ_n")).head()[0] == 33 + 5
+
+    # the crash-window primitive a re-land runs BEFORE touching data:
+    # dropping the batch's stats partition makes the listing mismatch,
+    # so the side table is refused until the stats rewrite lands
+    _invalidate_occ_counts(spark, path, 5)
+    assert _load_occ_counts(spark, path, "cell") is None

@@ -44,7 +44,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from rerank_ndcg import _dcg, ndcg_at_k  # noqa: E402,F401  (shared nDCG math)
+from rerank_ndcg import mean_ndcg  # noqa: E402  (shared nDCG math)
 
 N_QUERIES = 10
 K = 3
@@ -109,14 +109,9 @@ def fixture(spark):
 
 
 def _mean_ndcg(rows, grades, id_attr="doc_id"):
-    per_q: dict = {}
-    for r in rows:
-        per_q.setdefault(r.query_id, []).append((r.rank, r[id_attr]))
-    vals = []
-    for q in range(N_QUERIES):
-        ranked = [d for _r, d in sorted(per_q.get(q, []))]
-        vals.append(ndcg_at_k(ranked, grades, q, k=K))
-    return sum(vals) / len(vals)
+    return mean_ndcg(
+        rows, grades, id_attr=id_attr, k=K, n_queries=N_QUERIES
+    )
 
 
 def measure(spark):

@@ -106,15 +106,19 @@ def ndcg_at_k(ranked_ids, grades, query_id, k=K):
     return _dcg(gains) / idcg if idcg > 0 else 0.0
 
 
-def mean_ndcg(rows, grades, rank_col="rank"):
-    """rows: collected (query_id, doc_id, ..., rank) rows."""
+def mean_ndcg(
+    rows, grades, rank_col="rank", id_attr="doc_id", k=K, n_queries=N_QUERIES
+):
+    """rows: collected (query_id, <id_attr>, ..., rank) rows. Shared
+    with tools/hybrid_ndcg.py, whose dense arm ranks embedding rows
+    (id_attr='vec_id') at its own k/n_queries."""
     per_q: dict = {}
     for r in rows:
-        per_q.setdefault(r.query_id, []).append((r[rank_col], r.doc_id))
+        per_q.setdefault(r.query_id, []).append((r[rank_col], r[id_attr]))
     vals = []
-    for q in range(N_QUERIES):
+    for q in range(n_queries):
         ranked = [d for _r, d in sorted(per_q.get(q, []))]
-        vals.append(ndcg_at_k(ranked, grades, q))
+        vals.append(ndcg_at_k(ranked, grades, q, k=k))
     return sum(vals) / len(vals)
 
 
