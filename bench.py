@@ -352,6 +352,16 @@ def b56_semantic_mix(spark):
     force(QUERIES["semantic_mix"](spark, SF_DIR))
 
 
+def b57_rerank_mmr(spark):
+    # diversity-aware second stage (round-15 gated row): bm25_join
+    # candidates at n_candidates=20, then greedy MMR at lam=0.5 —
+    # stage two is |Q| x n_candidates^2 token-set work in one
+    # candidate-bounded applyInPandas, corpus-size-free
+    from spark_sorted_spark.queries import QUERIES
+
+    force(QUERIES["retrieval_rerank_mmr"](spark, SF_DIR))
+
+
 def b28_jaccard_prefix(spark):
     # lossless prefix-filtered Jaccard self-join (AllPairs/PPJoin):
     # the exact-answer price to compare against the b12 MinHash
@@ -878,6 +888,7 @@ BENCH = {
     "b53_bm25_join_prf_indexed": b53_bm25_join_prf_indexed,
     "b55_embed_dedup_ivf": b55_embed_dedup_ivf,
     "b56_semantic_mix": b56_semantic_mix,
+    "b57_rerank_mmr": b57_rerank_mmr,
 }
 
 

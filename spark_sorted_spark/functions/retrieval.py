@@ -1142,6 +1142,132 @@ def rerank_cross_encoder(
     )
 
 
+def rerank_mmr(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Diversity-aware second stage — Maximal Marginal Relevance
+    (Carbonell & Goldstein, SIGIR 1998; public literature,
+    independently implemented), the standard answer to a first stage
+    that returns k near-copies of the same passage: after scraping,
+    boilerplate near-dups dominate BM25/ANN top-k, and a RAG or
+    training-data consumer wants COVERAGE of the result space, not
+    five copies of one document. Greedy selection over each query's
+    candidate set:
+
+        pick_1 = the best first-stage rank
+        pick_s = argmax  lam * (-rank1)
+                       - (1 - lam) * max_{c in picked} jaccard(d, c)
+
+    Relevance is the NEGATED FIRST-STAGE RANK — model-agnostic (works
+    identically downstream of BM25, hybrid RRF, or ANN, whose score
+    scales differ) and integer-exact. Redundancy is distinct-token
+    Jaccard ``|t_d ∩ t_c| / |t_d ∪ t_c|`` between candidate
+    documents (empty-union pairs score 0.0). ``lam=1`` degenerates to
+    the first-stage order; ``lam=0`` is pure anti-redundancy after
+    the first pick (both pinned in tests). Ties break by
+    (score DESC, rank1 ASC, id ASC) — a refinement, never a coin
+    flip (the rerank-family contract shared with
+    :func:`rerank_overlap`). Returns ``(query_id, id, rank1,
+    mmr_rank)`` with ``mmr_rank`` 1..k per query; candidates missing
+    from the corpus are dropped (the inner-join contract the other
+    rerankers share).
+
+    Tier choice: greedy selection is sequential in s by definition,
+    so this is a documented Arrow tier (``applyInPandas`` per query
+    group), not Catalyst — sanctioned because every group is
+    CANDIDATE-bounded, never corpus-bounded: the corpus text is
+    joined only for the broadcast candidate ids, so stage-two cost is
+    |Q| x n_candidates^2 token-set intersections regardless of corpus
+    size (n_candidates is the first stage's k — tens, not millions).
+    Selection floats are replayed bitwise by the DuckDB oracle:
+    Python and DuckDB share IEEE-754 double semantics, and the score
+    uses the same division / multiply / subtract shapes on
+    integer-exact inputs; the RETURNED columns are all integers."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .text import tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    one_minus_lam = 1.0 - lam
+    cand = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col(rank_col).alias("__rank1"),
+    )
+    # NULL text coalesces to the empty token set (the rerank_overlap
+    # precedent; size(NULL)=-1 nonsense otherwise)
+    empty = F.array().cast("array<string>")
+    dd = corpus.select(
+        F.col(id_col),
+        F.coalesce(F.array_distinct(tokens(text_col)), empty).alias("__dt"),
+    )
+    joined = dd.join(F.broadcast(cand), id_col)
+    qid_f = joined.schema[query_id_col]
+    id_f = joined.schema[id_col]
+    r1_f = joined.schema["__rank1"]
+    out_schema = StructType(
+        [
+            StructField(query_id_col, qid_f.dataType),
+            StructField(id_col, id_f.dataType),
+            StructField("rank1", r1_f.dataType),
+            StructField("mmr_rank", LongType()),
+        ]
+    )
+
+    def per_query(pdf):
+        import pandas as pd
+
+        toks = [set(t) for t in pdf["__dt"]]
+        rank1 = [int(r) for r in pdf["__rank1"]]
+        ids = list(pdf[id_col])
+        qids = list(pdf[query_id_col])
+        # candidate indices in tiebreak order (rank1 ASC, id ASC):
+        # iterating in this order with a STRICT > comparison makes
+        # the argmax resolve ties exactly like the oracle's
+        # row_number ORDER BY score DESC, rank1, doc_id
+        remaining = sorted(
+            range(len(ids)), key=lambda i: (rank1[i], ids[i])
+        )
+        picked: list = []
+        rows = []
+        while remaining and len(picked) < k:
+            if not picked:
+                best = remaining[0]
+            else:
+                best, best_score = None, None
+                for i in remaining:
+                    ti = toks[i]
+                    mj = 0.0
+                    for j in picked:
+                        tj = toks[j]
+                        inter = len(ti & tj)
+                        union = len(ti) + len(tj) - inter
+                        jac = inter / union if union else 0.0
+                        if jac > mj:
+                            mj = jac
+                    s = lam * (-rank1[i]) - one_minus_lam * mj
+                    if best is None or s > best_score:
+                        best, best_score = i, s
+            picked.append(best)
+            remaining.remove(best)
+            rows.append((qids[best], ids[best], rank1[best], len(picked)))
+        return pd.DataFrame(
+            rows, columns=[query_id_col, id_col, "rank1", "mmr_rank"]
+        )
+
+    return joined.groupBy(query_id_col).applyInPandas(per_query, out_schema)
+
+
 def hybrid_topk(
     docs: DataFrame,
     embeddings: DataFrame,

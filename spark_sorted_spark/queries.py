@@ -1015,6 +1015,126 @@ def retrieval_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retrieval_rerank_mmr",
+    # diversity-aware second stage: stage one is the same bm25_join
+    # relation at n_candidates=20 as the retrieval_rerank row; stage
+    # two is greedy Maximal Marginal Relevance at lam=0.5, k=3 —
+    # relevance = negated first-stage rank (integer-exact), redundancy
+    # = distinct-token Jaccard between CANDIDATE docs. The oracle
+    # unrolls the three greedy steps: s1 = best first-stage rank,
+    # s2/s3 = argmax of 0.5*(-rank1) - 0.5*max_jaccard-to-picked with
+    # the engine's exact tiebreak (score DESC, rank1, doc_id). The
+    # selection floats share IEEE shapes (int/int division, halving,
+    # subtract) so the greedy picks replay bitwise; the RETURNED
+    # columns are all integers.
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id AS query_id, list_slice(toks, 1, 4) AS qt
+      FROM docs WHERE doc_id IN (3, 7, 11, 19, 23)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS tok FROM q),
+    vocab AS (SELECT DISTINCT tok FROM qterms),
+    stats AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM docs),
+    occ AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM docs),
+    tf AS (
+      SELECT doc_id, tok, dl, count(*) AS tf
+      FROM occ JOIN vocab USING (tok)
+      GROUP BY doc_id, tok, dl),
+    dft AS (SELECT tok, count(*) AS dft FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT qt.query_id, t.doc_id, t.tok,
+             ln(1.0e0 + (s.n::DOUBLE - d.dft + 0.5e0) / (d.dft + 0.5e0))
+             * (t.tf * {k1_plus}e0)
+             / (t.tf + {k1}e0 * ({one_minus_b}e0
+                + {b}e0 * t.dl / (s.sum_dl::DOUBLE / s.n::DOUBLE)))
+               AS c
+      FROM tf t JOIN dft d USING (tok) JOIN qterms qt USING (tok)
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0, list(c ORDER BY tok)),
+                         (a, x) -> a + x) AS score
+      FROM contrib GROUP BY query_id, doc_id),
+    cand AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank1
+      FROM scored QUALIFY rank1 <= 20),
+    dd AS (SELECT doc_id, list_distinct(toks) AS ddt FROM docs),
+    cd AS (
+      SELECT c.query_id, c.doc_id, c.rank1, dd.ddt, len(dd.ddt) AS nd
+      FROM cand c JOIN dd USING (doc_id)),
+    pj AS (
+      SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+             CASE WHEN a.nd + b.nd - len(list_intersect(a.ddt, b.ddt)) = 0
+                  THEN 0.0e0
+                  ELSE len(list_intersect(a.ddt, b.ddt))::DOUBLE
+                       / (a.nd + b.nd
+                          - len(list_intersect(a.ddt, b.ddt)))::DOUBLE
+             END AS jac
+      FROM cd a JOIN cd b
+        ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+    s1 AS (
+      SELECT query_id, doc_id, rank1 FROM cd
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY rank1, doc_id) = 1),
+    s2 AS (
+      SELECT c.query_id, c.doc_id, c.rank1 FROM cd c
+      JOIN s1 ON c.query_id = s1.query_id AND c.doc_id <> s1.doc_id
+      JOIN pj p1 ON p1.query_id = c.query_id AND p1.da = c.doc_id
+                AND p1.db = s1.doc_id
+      QUALIFY row_number() OVER (PARTITION BY c.query_id
+        ORDER BY (0.5e0 * (-c.rank1) - 0.5e0 * p1.jac) DESC,
+                 c.rank1, c.doc_id) = 1),
+    s3 AS (
+      SELECT c.query_id, c.doc_id, c.rank1 FROM cd c
+      JOIN s1 ON c.query_id = s1.query_id
+      JOIN s2 ON c.query_id = s2.query_id
+      JOIN pj p1 ON p1.query_id = c.query_id AND p1.da = c.doc_id
+                AND p1.db = s1.doc_id
+      JOIN pj p2 ON p2.query_id = c.query_id AND p2.da = c.doc_id
+                AND p2.db = s2.doc_id
+      WHERE c.doc_id <> s1.doc_id AND c.doc_id <> s2.doc_id
+      QUALIFY row_number() OVER (PARTITION BY c.query_id
+        ORDER BY (0.5e0 * (-c.rank1)
+                  - 0.5e0 * greatest(p1.jac, p2.jac)) DESC,
+                 c.rank1, c.doc_id) = 1)
+    SELECT query_id, doc_id, rank1::BIGINT AS rank1,
+           1::BIGINT AS mmr_rank
+    FROM s1
+    UNION ALL
+    SELECT query_id, doc_id, rank1::BIGINT, 2::BIGINT FROM s2
+    UNION ALL
+    SELECT query_id, doc_id, rank1::BIGINT, 3::BIGINT FROM s3
+    """.replace("{k1_plus}", repr(_BM25_K1 + 1.0)).replace(
+        "{k1}", repr(_BM25_K1)
+    ).replace("{one_minus_b}", repr(1.0 - _BM25_B)).replace(
+        "{b}", repr(_BM25_B)
+    ),
+)
+def retrieval_rerank_mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware two-stage retrieval (functions/retrieval.py
+    rerank_mmr): bm25_join candidates at n_candidates=20, then greedy
+    Maximal Marginal Relevance (lam=0.5, k=3) — the near-dup-heavy
+    first stage's top-k traded for coverage. Candidate-bounded Arrow
+    tier: |Q| x n_candidates^2 token-set intersections regardless of
+    corpus size."""
+    from .functions.retrieval import bm25_join, rerank_mmr
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    queries = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+    )
+    cand = bm25_join(docs, queries, k=20, k1=_BM25_K1, b=_BM25_B)
+    return rerank_mmr(cand, docs, k=3, lam=0.5)
+
+
+@query(
     "bm25_join_rm3",
     # full per-query SQL replay of functions/retrieval.py
     # bm25_join_rm3 (batch RM3): pass-one batch BM25 over each query's
@@ -7392,10 +7512,15 @@ _GATE_ORDER = [
     "bm25_join_rm3_indexed",
     "bm25_join_prf_indexed",
     "retrieval_rerank",
+    # round-15 registration (no-backlog): MMR diversified rerank —
+    # the rerank family's third member (overlap refinement,
+    # cross-encoder scoring, now diversity). training_order rotates
+    # out driver-green (r14 row; sampling keeps semantic_mix +
+    # dsir_select in-window, and sampling.py is untouched in r15)
+    "retrieval_rerank_mmr",
     "hybrid_topk_indexed",
     "hybrid_join_indexed",
     "hybrid_join",
-    "training_order",
     "semantic_mix",
     "dsir_select",
     "decontaminate_verbatim_short",
@@ -7433,7 +7558,10 @@ _GATE_ORDER = [
     # --- gate cutoff (driver runs the 50 above) ---
     # round-15 rotation #11 overflow head: the rows rotated out this
     # round (every one driver-green in CORRECTNESS_r14; family
-    # justification in the rotation comments above).
+    # justification in the rotation comments above; training_order
+    # displaced late-round by the retrieval_rerank_mmr registration
+    # under the no-backlog rule).
+    "training_order",
     "retrieval_eval",
     "temperature_mix",
     "stream_len_quantiles",

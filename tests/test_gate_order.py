@@ -61,6 +61,11 @@ def test_gate_window_contents():
         "bm25_join_rm3_indexed",
         "bm25_join_prf_indexed",
         "retrieval_rerank",
+        # round-15 registration (no-backlog): MMR diversified rerank —
+        # training_order rotated out driver-green for it (r14 row;
+        # sampling keeps semantic_mix + dsir_select, sampling.py
+        # untouched in r15)
+        "retrieval_rerank_mmr",
         "hybrid_topk_indexed",
         "hybrid_join_indexed",
         # round-15 rotation #11 churn picks (VERDICT r14 item 1):
@@ -76,7 +81,6 @@ def test_gate_window_contents():
         "dsir_select",
         "semantic_mix",
         "decontaminate_verbatim_short",
-        "training_order",
         "similarity_ann_ivfpq",
         "similarity_ann_ivfpq_join",
         "similarity_ann_filtered",
@@ -107,6 +111,7 @@ def test_gate_window_contents():
     # _GATE_ORDER comments. All overflow stays locally oracle-checked
     # per round.
     assert names[50:] == [
+        "training_order",
         "retrieval_eval",
         "temperature_mix",
         "stream_len_quantiles",

@@ -2221,3 +2221,102 @@ def test_rerank_cross_encoder_plumbing_and_stub(spark):
         for r in rerank_overlap(cand, docs, qs, k=3).collect()
     )
     assert got == want
+
+
+def _mmr_fixture(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),
+            (11, "alpha beta gamma delta"),  # exact dup of 10 (jac 1)
+            (12, "epsilon zeta eta theta"),  # orthogonal (jac 0 vs 10)
+            (13, "alpha beta epsilon zeta"),  # half-overlap both ways
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4)],
+        "query_id long, doc_id long, rank long",
+    )
+    return corpus, cand
+
+
+def test_rerank_mmr_demotes_near_duplicates(spark):
+    """The MMR point: an exact duplicate of the top hit at first-stage
+    rank 2 falls BELOW the orthogonal rank-3 doc once redundancy
+    outweighs the one-rank relevance gap (lam=0.4: step-2 scores
+    dup = .4*-2 - .6*1.0 = -1.4 vs orth = .4*-3 - 0 = -1.2)."""
+    from spark_sorted_spark.functions.retrieval import rerank_mmr
+
+    corpus, cand = _mmr_fixture(spark)
+    got = [
+        (r.doc_id, r.rank1, r.mmr_rank)
+        for r in rerank_mmr(cand, corpus, k=4, lam=0.4)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    # step 3 (picked {10, 12}): dup -1.4 beats half-overlap
+    # .4*-4 - .6*(2/6) = -1.8, so the full order is hit, orthogonal,
+    # dup, half-overlap
+    assert got == [(10, 1, 1), (12, 3, 2), (11, 2, 3), (13, 4, 4)]
+
+
+def test_rerank_mmr_lam_one_is_first_stage_order(spark):
+    from spark_sorted_spark.functions.retrieval import rerank_mmr
+
+    corpus, cand = _mmr_fixture(spark)
+    got = [
+        (r.doc_id, r.mmr_rank)
+        for r in rerank_mmr(cand, corpus, k=4, lam=1.0)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == [(10, 1), (11, 2), (12, 3), (13, 4)]
+
+
+def test_rerank_mmr_score_tie_breaks_to_first_stage_rank(spark):
+    """lam=0.5 makes the dup (rank 2, jac 1 -> -1.5) TIE the
+    orthogonal doc (rank 3, jac 0 -> -1.5): the refinement contract
+    (ties inherit the first-stage order) keeps the dup at 2 — the
+    strict-> argmax over rank-sorted candidates, same as the oracle's
+    row_number tiebreak."""
+    from spark_sorted_spark.functions.retrieval import rerank_mmr
+
+    corpus, cand = _mmr_fixture(spark)
+    cand3 = cand.filter(F.col("doc_id") != 13)
+    got = [
+        (r.doc_id, r.mmr_rank)
+        for r in rerank_mmr(cand3, corpus, k=3, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == [(10, 1), (11, 2), (12, 3)]
+
+
+def test_rerank_mmr_k_missing_docs_and_validation(spark):
+    import pytest as _pytest
+
+    from spark_sorted_spark.functions.retrieval import rerank_mmr
+
+    corpus, cand = _mmr_fixture(spark)
+    # k caps the output per query
+    assert rerank_mmr(cand, corpus, k=2, lam=0.4).count() == 2
+    # candidates missing from the corpus are dropped (inner-join
+    # contract shared with the other rerankers)
+    cand_extra = cand.union(
+        spark.createDataFrame([(1, 99, 5)], cand.schema)
+    )
+    ids = {
+        r.doc_id for r in rerank_mmr(cand_extra, corpus, k=10).collect()
+    }
+    assert ids == {10, 11, 12, 13}
+    # per-query independence: a second query reranks its own set
+    two = cand.union(
+        spark.createDataFrame([(2, 12, 1), (2, 13, 2)], cand.schema)
+    )
+    got = rerank_mmr(two, corpus, k=10, lam=0.4)
+    assert got.filter(F.col("query_id") == 2).count() == 2
+    assert got.filter(F.col("query_id") == 1).count() == 4
+    with _pytest.raises(ValueError, match="k must be"):
+        rerank_mmr(cand, corpus, k=0)
+    with _pytest.raises(ValueError, match="lam must be"):
+        rerank_mmr(cand, corpus, lam=1.5)

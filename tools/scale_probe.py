@@ -430,6 +430,26 @@ def main():
             spark, path, q, k=6, fb_docs=3, fb_terms=5
         ).count()
 
+    def b57(d):
+        # diversity-aware second stage (round-15 gated row): stage one
+        # is the bm25_join scan (grows with the corpus like b38);
+        # stage two is the candidate-bounded greedy MMR — |Q| x
+        # n_candidates^2 token-set work, corpus-size-free, so the
+        # slope should track the b38 scan class, not exceed it
+        from spark_sorted_spark.functions.retrieval import (
+            bm25_join,
+            rerank_mmr,
+        )
+
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        q = d.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 4), " ").alias("text"),
+        )
+        return lambda: rerank_mmr(
+            bm25_join(d, q, k=20), d, k=3, lam=0.5
+        ).count()
+
     def b50(e, tag):
         # batch IVF-SQ8 probe: union-of-cells directory pruning with
         # (scale, codes)-only reads — the near-flat claim of the
@@ -556,6 +576,7 @@ def main():
             "b53_bm25_join_prf_indexed",
             lambda: (b53(docs, "1x"), b53(docs10, nx)),
         ),
+        ("b57_rerank_mmr", lambda: (b57(docs), b57(docs10))),
         (
             "b55_embed_dedup_ivf (auto nlist)",
             lambda: (b55(emb, "1x"), b55(emb10, nx)),
