@@ -1162,12 +1162,17 @@ def rerank_mmr(
     candidate set:
 
         pick_1 = the best first-stage rank
-        pick_s = argmax  lam * (-rank1)
+        pick_s = argmax  lam * (1 / rank1)
                        - (1 - lam) * max_{c in picked} jaccard(d, c)
 
-    Relevance is the NEGATED FIRST-STAGE RANK — model-agnostic (works
-    identically downstream of BM25, hybrid RRF, or ANN, whose score
-    scales differ) and integer-exact. Redundancy is distinct-token
+    Relevance is the RECIPROCAL FIRST-STAGE RANK — the RRF convention
+    this repo's hybrid fusion already uses, for the same reason:
+    scale-free across BM25 / hybrid / ANN stage ones (whose score
+    scales differ), and here additionally SCALE-MATCHED to the [0,1]
+    Jaccard redundancy term, so ``lam=0.5`` genuinely balances the
+    two. (A linear-in-rank relevance would make lam=0.5 degenerate:
+    with integer ranks, a redundancy delta bounded by 1 can never
+    outweigh a 1-rank relevance gap.) Redundancy is distinct-token
     Jaccard ``|t_d ∩ t_c| / |t_d ∪ t_c|`` between candidate
     documents (empty-union pairs score 0.0). ``lam=1`` degenerates to
     the first-stage order; ``lam=0`` is pure anti-redundancy after
@@ -1255,7 +1260,7 @@ def rerank_mmr(
                         jac = inter / union if union else 0.0
                         if jac > mj:
                             mj = jac
-                    s = lam * (-rank1[i]) - one_minus_lam * mj
+                    s = lam * (1.0 / rank1[i]) - one_minus_lam * mj
                     if best is None or s > best_score:
                         best, best_score = i, s
             picked.append(best)

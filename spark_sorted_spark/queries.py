@@ -1019,14 +1019,15 @@ def retrieval_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diversity-aware second stage: stage one is the same bm25_join
     # relation at n_candidates=20 as the retrieval_rerank row; stage
     # two is greedy Maximal Marginal Relevance at lam=0.5, k=3 —
-    # relevance = negated first-stage rank (integer-exact), redundancy
-    # = distinct-token Jaccard between CANDIDATE docs. The oracle
+    # relevance = RECIPROCAL first-stage rank (the RRF convention,
+    # scale-matched to the [0,1] Jaccard term), redundancy =
+    # distinct-token Jaccard between CANDIDATE docs. The oracle
     # unrolls the three greedy steps: s1 = best first-stage rank,
-    # s2/s3 = argmax of 0.5*(-rank1) - 0.5*max_jaccard-to-picked with
-    # the engine's exact tiebreak (score DESC, rank1, doc_id). The
-    # selection floats share IEEE shapes (int/int division, halving,
-    # subtract) so the greedy picks replay bitwise; the RETURNED
-    # columns are all integers.
+    # s2/s3 = argmax of 0.5*(1/rank1) - 0.5*max_jaccard-to-picked
+    # with the engine's exact tiebreak (score DESC, rank1, doc_id).
+    # The selection floats share IEEE shapes (int/int division,
+    # halving, subtract) so the greedy picks replay bitwise; the
+    # RETURNED columns are all integers.
     oracle="""
     WITH docs AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -1087,7 +1088,7 @@ def retrieval_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN pj p1 ON p1.query_id = c.query_id AND p1.da = c.doc_id
                 AND p1.db = s1.doc_id
       QUALIFY row_number() OVER (PARTITION BY c.query_id
-        ORDER BY (0.5e0 * (-c.rank1) - 0.5e0 * p1.jac) DESC,
+        ORDER BY (0.5e0 * (1.0e0 / c.rank1) - 0.5e0 * p1.jac) DESC,
                  c.rank1, c.doc_id) = 1),
     s3 AS (
       SELECT c.query_id, c.doc_id, c.rank1 FROM cd c
@@ -1099,7 +1100,7 @@ def retrieval_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AND p2.db = s2.doc_id
       WHERE c.doc_id <> s1.doc_id AND c.doc_id <> s2.doc_id
       QUALIFY row_number() OVER (PARTITION BY c.query_id
-        ORDER BY (0.5e0 * (-c.rank1)
+        ORDER BY (0.5e0 * (1.0e0 / c.rank1)
                   - 0.5e0 * greatest(p1.jac, p2.jac)) DESC,
                  c.rank1, c.doc_id) = 1)
     SELECT query_id, doc_id, rank1::BIGINT AS rank1,

@@ -2241,23 +2241,24 @@ def _mmr_fixture(spark):
 
 
 def test_rerank_mmr_demotes_near_duplicates(spark):
-    """The MMR point: an exact duplicate of the top hit at first-stage
-    rank 2 falls BELOW the orthogonal rank-3 doc once redundancy
-    outweighs the one-rank relevance gap (lam=0.4: step-2 scores
-    dup = .4*-2 - .6*1.0 = -1.4 vs orth = .4*-3 - 0 = -1.2)."""
+    """The MMR point, at the DEFAULT lam=0.5: an exact duplicate of
+    the top hit at first-stage rank 2 falls to LAST once redundancy
+    outweighs its reciprocal-rank relevance (step-2 scores:
+    dup = .5*(1/2) - .5*1.0 = -0.25; orthogonal = .5*(1/3) - 0 =
+    +0.167; half-overlap = .5*(1/4) - .5*(1/3) = -0.042)."""
     from spark_sorted_spark.functions.retrieval import rerank_mmr
 
     corpus, cand = _mmr_fixture(spark)
     got = [
         (r.doc_id, r.rank1, r.mmr_rank)
-        for r in rerank_mmr(cand, corpus, k=4, lam=0.4)
+        for r in rerank_mmr(cand, corpus, k=4, lam=0.5)
         .orderBy("mmr_rank")
         .collect()
     ]
-    # step 3 (picked {10, 12}): dup -1.4 beats half-overlap
-    # .4*-4 - .6*(2/6) = -1.8, so the full order is hit, orthogonal,
-    # dup, half-overlap
-    assert got == [(10, 1, 1), (12, 3, 2), (11, 2, 3), (13, 4, 4)]
+    # step 3 (picked {10, 12}): half-overlap -0.042 still beats the
+    # dup's -0.25, so the full order is hit, orthogonal,
+    # half-overlap, dup
+    assert got == [(10, 1, 1), (12, 3, 2), (13, 4, 3), (11, 2, 4)]
 
 
 def test_rerank_mmr_lam_one_is_first_stage_order(spark):
@@ -2274,22 +2275,36 @@ def test_rerank_mmr_lam_one_is_first_stage_order(spark):
 
 
 def test_rerank_mmr_score_tie_breaks_to_first_stage_rank(spark):
-    """lam=0.5 makes the dup (rank 2, jac 1 -> -1.5) TIE the
-    orthogonal doc (rank 3, jac 0 -> -1.5): the refinement contract
-    (ties inherit the first-stage order) keeps the dup at 2 — the
-    strict-> argmax over rank-sorted candidates, same as the oracle's
-    row_number tiebreak."""
+    """An EXACT score tie (dyadic jaccards make it float-exact:
+    rank 2 at jac 1/2 -> .5*.5 - .5*.5 = 0.0 ties rank 4 at jac 1/4
+    -> .5*.25 - .5*.25 = 0.0) resolves to the better first-stage
+    rank — the refinement contract, via the strict-> argmax over
+    rank-sorted candidates, same as the oracle's row_number
+    tiebreak."""
     from spark_sorted_spark.functions.retrieval import rerank_mmr
 
-    corpus, cand = _mmr_fixture(spark)
-    cand3 = cand.filter(F.col("doc_id") != 13)
+    corpus = spark.createDataFrame(
+        [
+            (20, "w x y z"),  # the top hit
+            (21, "w x"),  # jac 1/2 to the hit
+            (22, "w x y z"),  # exact dup (step-2 score -1/3, filler)
+            (23, "w"),  # jac 1/4 to the hit
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 20, 1), (1, 21, 2), (1, 22, 3), (1, 23, 4)],
+        "query_id long, doc_id long, rank long",
+    )
     got = [
         (r.doc_id, r.mmr_rank)
-        for r in rerank_mmr(cand3, corpus, k=3, lam=0.5)
+        for r in rerank_mmr(cand, corpus, k=4, lam=0.5)
         .orderBy("mmr_rank")
         .collect()
     ]
-    assert got == [(10, 1), (11, 2), (12, 3)]
+    # step 2: 21 and 23 tie at exactly 0.0 -> 21 (rank 2) wins; then
+    # 23 (-0.125 vs the dup's -1/3), the dup last
+    assert got == [(20, 1), (21, 2), (23, 3), (22, 4)]
 
 
 def test_rerank_mmr_k_missing_docs_and_validation(spark):
