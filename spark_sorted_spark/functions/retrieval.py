@@ -1234,6 +1234,14 @@ def rerank_mmr(
 
         toks = [set(t) for t in pdf["__dt"]]
         rank1 = [int(r) for r in pdf["__rank1"]]
+        bad = [r for r in rank1 if r < 1]
+        if bad:
+            raise ValueError(
+                "rerank_mmr: first-stage ranks must be >= 1 (the "
+                f"1-based row_number contract), got {sorted(bad)[:3]} — "
+                "a 0-based rank would divide by zero and a negative "
+                "one silently inverts relevance"
+            )
         ids = list(pdf[id_col])
         qids = list(pdf[query_id_col])
         # candidate indices in tiebreak order (rank1 ASC, id ASC):
@@ -1243,29 +1251,33 @@ def rerank_mmr(
         remaining = sorted(
             range(len(ids)), key=lambda i: (rank1[i], ids[i])
         )
-        picked: list = []
+        # running max-jaccard-to-picked per candidate: only the NEWEST
+        # pick can raise it, so updating after each pick keeps the
+        # documented n_candidates^2 intersection bound (a fresh max
+        # over all picked per step would be ~k/2 x that); max over
+        # the same IEEE values in any order is exact, so picks are
+        # identical either way
+        mj = [0.0] * len(ids)
         rows = []
-        while remaining and len(picked) < k:
-            if not picked:
+        while remaining and len(rows) < k:
+            if not rows:
                 best = remaining[0]
             else:
                 best, best_score = None, None
                 for i in remaining:
-                    ti = toks[i]
-                    mj = 0.0
-                    for j in picked:
-                        tj = toks[j]
-                        inter = len(ti & tj)
-                        union = len(ti) + len(tj) - inter
-                        jac = inter / union if union else 0.0
-                        if jac > mj:
-                            mj = jac
-                    s = lam * (1.0 / rank1[i]) - one_minus_lam * mj
+                    s = lam * (1.0 / rank1[i]) - one_minus_lam * mj[i]
                     if best is None or s > best_score:
                         best, best_score = i, s
-            picked.append(best)
             remaining.remove(best)
-            rows.append((qids[best], ids[best], rank1[best], len(picked)))
+            rows.append((qids[best], ids[best], rank1[best], len(rows) + 1))
+            tb = toks[best]
+            for i in remaining:
+                ti = toks[i]
+                inter = len(ti & tb)
+                union = len(ti) + len(tb) - inter
+                jac = inter / union if union else 0.0
+                if jac > mj[i]:
+                    mj[i] = jac
         return pd.DataFrame(
             rows, columns=[query_id_col, id_col, "rank1", "mmr_rank"]
         )

@@ -1824,14 +1824,20 @@ def _occ_read_back(spark, part_dir: str, key: str) -> DataFrame:
     when the input is nondeterministic (a sample/limit/changing
     source re-executed between the data write and the stats write).
     An EMPTY corpus writes only ``_SUCCESS`` (no parquet files, so
-    schema inference fails) — return an explicit empty frame so empty
-    builds stay a supported bootstrap path (build empty, then
-    append/stream into it)."""
+    schema inference fails with UNABLE_TO_INFER_SCHEMA) — return an
+    explicit empty frame so empty builds stay a supported bootstrap
+    path (build empty, then append/stream into it). ONLY that
+    condition is folded to empty: any other read failure (missing
+    path, corrupt layout) must stay loud — silently counting an
+    empty frame would write zero-row stats for a batch that has
+    data, and the listing check could not see it."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(part_dir)
-    except AnalysisException:
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
         return spark.createDataFrame([], f"{key} int")
 
 

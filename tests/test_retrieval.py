@@ -2335,3 +2335,10 @@ def test_rerank_mmr_k_missing_docs_and_validation(spark):
         rerank_mmr(cand, corpus, k=0)
     with _pytest.raises(ValueError, match="lam must be"):
         rerank_mmr(cand, corpus, lam=1.5)
+    # 0-based first-stage ranks violate the 1-based row_number
+    # contract: a clear per-group error, not a ZeroDivisionError
+    zero_based = spark.createDataFrame(
+        [(1, 10, 0), (1, 11, 1)], cand.schema
+    )
+    with _pytest.raises(Exception, match="ranks must be >= 1"):
+        rerank_mmr(zero_based, corpus, k=2).collect()
