@@ -35,10 +35,47 @@ bit-for-bit, same as the cosine and ln folds elsewhere in the repo.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+
+# Driver-side bitwise twin of text.tokens() (= F.split(F.trim(c),
+# r"\s+")): Spark's trim strips 0x20 only, and Java's \s is the ASCII
+# class [ \t\n\x0B\f\r] (no unicode spaces) with limit=-1 keeping
+# leading/trailing empty strings — Python's str.split() differs on all
+# three, so the batch forms that enumerate query terms driver-side use
+# THIS to reproduce the relational explode(tokens(...)) exactly
+# (pinned against the relational form in tests/test_retrieval.py).
+_JAVA_WS_RE = _re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _tokens_py(text: str) -> list[str]:
+    return _JAVA_WS_RE.split(text.strip(" "))
+
+
+def _local_rows_df(spark, rows, schema) -> DataFrame:
+    """Driver-side workload rows -> DataFrame with a ROW-COUNT-derived
+    slice count instead of ``defaultParallelism``. A bare
+    ``createDataFrame(list)`` parallelizes into one pickled slice PER
+    CORE, so every tiny (query, term)/feedback/weight relation in the
+    retrieval stack fanned out to 32 near-empty Python-worker tasks
+    per materialization (round-15 profile: ~200-300 ms of executor
+    time EACH, several such relations per batch query). One slice per
+    50k rows keeps the construction a single JVM-scheduled task for
+    the usual tens-of-rows workload while staying scale-adaptive for
+    a genuinely large batch (guide §2: partition counts derive from
+    data size, not from the local core count)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n_slices = min(
+        len(rows) // 50_000 + 1, spark.sparkContext.defaultParallelism
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
 
 __all__ = [
     "rerank_overlap",
@@ -193,7 +230,7 @@ def bm25_topk(
         # multiplies the WHOLE contribution (w * (idf * sat)) so the
         # unweighted expression — and every existing oracle — is
         # untouched when weights is None
-        wdf = df.sparkSession.createDataFrame(
+        wdf = _local_rows_df(df.sparkSession,
             [(t, float(w)) for t, w in sorted(weights.items())],
             "__tok string, __w double",
         )
@@ -456,34 +493,46 @@ def bm25_join(
     Returns ``(query_id, id, score, n_terms_matched, rank)`` with
     rank 1..k per query (score DESC, id tiebreak).
 
-    Scale shape: the corpus explode is filtered by ONE semi-join
-    against the distinct term vocabulary of the whole query batch —
-    the corpus is scanned once regardless of |queries| (AQE picks the
-    join strategy; the term table is workload-bounded, typically
-    broadcast). df(t) aggregates over matched postings only; idf's ln
-    runs on that |terms|-row table via ln_libm. Per-query top-k is a
-    window over the query partitioning — per-partition state is one
-    query's candidates, spilled by WindowExec if a query matches
-    half the corpus. Floats: same discipline as bm25_topk (libm idf,
-    fixed-shape contributions, strict (term)-ordered per-(query, doc)
-    fold) — the DuckDB oracle replays bit-for-bit. ``stats=(n_docs,
-    sum_dl)`` skips the stats scan as in :func:`bm25_topk`; ``where``
-    is filtered retrieval with the same contract (candidates
-    restricted, collection statistics corpus-wide).
+    Scale shape: the query batch is collected driver-side (bounded —
+    the retrieval WORKLOAD, the same contract as
+    :func:`bm25_join_indexed`, whose probe must enumerate it anyway)
+    and the corpus explode is filtered against the literal batch
+    vocabulary INSIDE the scan stage — the corpus is scanned once
+    regardless of |queries|, with no vocabulary relation, no join and
+    no distinct exchanges (round-15: the former relational form let
+    the planner BROADCAST the corpus token stream — built by one
+    single-threaded task — against the unestimatable vocabulary side;
+    guide §2.4/§3.1). df(t) aggregates over matched postings only;
+    idf's ln runs on that |terms|-row table via ln_libm; the per-term
+    idf and (query, term) tables join back as explicit broadcasts.
+    Per-query top-k is a window over the query partitioning —
+    per-partition state is one query's candidates, spilled by
+    WindowExec if a query matches half the corpus. A million-term
+    query batch is the point where chunk-and-union (per-query
+    independence makes it semantics-free) beats one literal IN-set.
+    Floats: same discipline as bm25_topk (libm idf, fixed-shape
+    contributions, strict (term)-ordered per-(query, doc) fold) — the
+    DuckDB oracle replays bit-for-bit. ``stats=(n_docs, sum_dl)``
+    skips the stats scan as in :func:`bm25_topk`; ``where`` is
+    filtered retrieval with the same contract (candidates restricted,
+    collection statistics corpus-wide).
 
     ``weights`` is WEIGHTED-QUERY batch BM25 — the R-S twin of
     :func:`bm25_topk(weights=...)`: a relation with columns
     ``(query_id_col, term, weight)`` giving each query its own
     weighted term set (per-query boosting / RM3 expansion weights,
-    see :func:`bm25_join_rm3`). When given, the per-query term sets
-    come from the weights relation and ``queries``' text column is
-    ignored for term extraction; each term's contribution is scaled
-    ``w * (idf * saturation)`` — operand-for-operand the single-query
-    weighted form, so per-query output equals looping
-    ``bm25_topk(weights=w_q)`` bitwise (pinned). The relation is
-    workload-bounded (|Q| x terms); weights must be positive and
-    (query, term) pairs unique — validated with one bounded
-    aggregate."""
+    see :func:`bm25_join_rm3`), or — internal fast path for the
+    feedback wrappers that already hold the rows driver-side — a
+    plain list of ``(query_id, term, weight)`` tuples. When given,
+    the per-query term sets come from the weights and ``queries``'
+    text column is ignored for term extraction; each term's
+    contribution is scaled ``w * (idf * saturation)`` —
+    operand-for-operand the single-query weighted form, so per-query
+    output equals looping ``bm25_topk(weights=w_q)`` bitwise
+    (pinned). The relation is workload-bounded (|Q| x terms); weights
+    must be positive and (query, term) pairs unique — validated
+    driver-side on the collected workload (the indexed twin's
+    contract)."""
     from pyspark.sql import Window
 
     from .exactmath import ln_libm
@@ -494,50 +543,122 @@ def bm25_join(
     if not (k1 > 0 and 0.0 <= b <= 1.0):
         raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
 
-    if weights is not None:
-        wrel = weights.select(
-            F.col(query_id_col),
-            F.col("term").alias("__tok"),
-            F.col("weight").cast("double").alias("__w"),
-        )
-        # one bounded aggregate over the workload-sized relation:
-        # Spark orders NaN ABOVE all doubles (so `weight > 0` would
-        # pass NaN — the engine-side twin of the ADVICE-r11 dict
-        # check), hence the explicit isnan
-        chk = wrel.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(query_id_col), F.col("__tok")).alias(
-                "nd"
-            ),
-            F.count(
-                F.when(
-                    F.isnan("__w") | (F.col("__w") <= 0), F.lit(1)
-                )
-            ).alias("bad"),
-        ).head()
-        if chk.n == 0:
-            raise ValueError("weights relation is empty")
-        if chk.bad:
-            raise ValueError("weights must be positive")
-        if chk.nd != chk.n:
-            raise ValueError("duplicate (query, term) rows in weights")
-        qterms = wrel
-    else:
-        qterms = (
-            queries.select(
-                F.col(query_id_col),
-                F.explode(tokens(query_text_col)).alias("__tok"),
-            )
-            .distinct()
-        )
-    vocab = qterms.select("__tok").distinct()
+    import math
 
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .dedup import spread_small_input
+
+    spark = docs.sparkSession
+    if weights is not None:
+        if isinstance(weights, DataFrame):
+            # bounded-collect: the weighted workload — it IS the
+            # per-query term enumeration (the bm25_join_indexed
+            # precedent); validation is free driver-side on the
+            # already-collected rows. NaN compares False both ways
+            # (`w <= 0` alone would pass it — ADVICE r11), hence the
+            # explicit isnan.
+            wsel = weights.select(
+                F.col(query_id_col),
+                F.col("term"),
+                F.col("weight").cast("double"),
+            )
+            # bounded-collect: |Q| x terms weight rows (see above)
+            wrows = [(r[0], r[1], r[2]) for r in wsel.collect()]
+            qid_type = weights.schema[query_id_col].dataType
+        else:
+            # internal fast path (bm25_join_rm3 / bm25_join_prf): the
+            # weight rows are already driver-side — same validation,
+            # no round-trip through a relation
+            wrows = [(q, t, float(w)) for q, t, w in weights]
+            qid_type = queries.schema[query_id_col].dataType
+        if not wrows:
+            raise ValueError("weights relation is empty")
+        if any(
+            w is not None and (math.isnan(w) or w <= 0)
+            for _, _, w in wrows
+        ):
+            raise ValueError("weights must be positive")
+        # count_distinct semantics: NULL-containing pairs never count
+        # as distinct, so any null (query, term) component trips the
+        # duplicate check exactly like the old relational aggregate
+        nd = len(
+            {
+                (q, t)
+                for q, t, _ in wrows
+                if q is not None and t is not None
+            }
+        )
+        if nd != len(wrows):
+            raise ValueError("duplicate (query, term) rows in weights")
+        qterms = _local_rows_df(
+            spark,
+            wrows,
+            StructType(
+                [
+                    StructField(query_id_col, qid_type),
+                    StructField("__tok", StringType()),
+                    StructField("__w", DoubleType()),
+                ]
+            ),
+        )
+        vocab_terms = sorted({t for _, t, _ in wrows if t is not None})
+    else:
+        # bounded-collect: the query batch texts — the retrieval
+        # workload (the _collect_query_texts / bm25_join_indexed
+        # precedent). Terms re-derive through _tokens_py, the bitwise
+        # twin of the old relational explode(tokens(...)).distinct(),
+        # so the (query, term) pairs — and every score downstream —
+        # are unchanged.
+        qrows = queries.select(
+            F.col(query_id_col), F.col(query_text_col)
+        ).collect()
+        pairs = sorted(
+            {
+                (r[0], t)
+                for r in qrows
+                if r[1] is not None
+                for t in _tokens_py(r[1])
+            },
+            key=lambda p: (repr(p[0]), p[1]),
+        )
+        qid_type = queries.schema[query_id_col].dataType
+        qterms = _local_rows_df(
+            spark,
+            pairs,
+            StructType(
+                [
+                    StructField(query_id_col, qid_type),
+                    StructField("__tok", StringType()),
+                ]
+            ),
+        )
+        vocab_terms = sorted({t for _, t in pairs})
+
+    # a small parquet corpus arrives as ONE scan partition, which
+    # would serialize the tokenize+explode onto a single core (and
+    # round 15 measured exactly that: the old plan broadcast the
+    # whole corpus token stream built by one 5.5 s task); no-op at
+    # corpus scale where splits >= cores
+    docs = spread_small_input(docs)
     toks = tokens(text_col)
+    # the vocabulary is a driver-side literal, so the explode is
+    # filtered in the SAME codegen stage — no vocabulary relation, no
+    # join, no distinct exchanges (guide §2.4), matching bm25_topk's
+    # single-query shape
+    tok_in_vocab = (
+        F.col("__tok").isin(vocab_terms) if vocab_terms else F.lit(False)
+    )
     occ = docs.select(
         F.col(id_col),
         F.size(toks).alias("__dl"),
         F.explode(toks).alias("__tok"),
-    ).join(vocab, "__tok")
+    ).filter(tok_in_vocab)
     tf = occ.groupBy(id_col, "__tok").agg(
         F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )
@@ -589,8 +710,8 @@ def bm25_join(
         )
     )
     contrib = (
-        tf.join(df_t, "__tok")
-        .join(qterms, "__tok")
+        tf.join(F.broadcast(df_t), "__tok")
+        .join(F.broadcast(qterms), "__tok")
         .select(
             F.col(query_id_col),
             F.col(id_col),
@@ -708,7 +829,8 @@ def bm25_join_prf(
     fb_pairs = [(r[0], r[1]) for r in first.select(query_id_col, id_col).collect()]
     if fb_pairs:
         id_type = docs.schema[id_col].dataType
-        pair_df = spark.createDataFrame(
+        pair_df = _local_rows_df(
+            spark,
             fb_pairs,
             StructType(
                 [
@@ -718,7 +840,8 @@ def bm25_join_prf(
             ),
         )
         fb_ids = sorted({p[1] for p in fb_pairs})
-        orig_df = spark.createDataFrame(
+        orig_df = _local_rows_df(
+            spark,
             [(q, t) for q, ts in orig.items() for t in ts],
             StructType(
                 [
@@ -747,7 +870,8 @@ def bm25_join_prf(
             new_terms.setdefault(r[0], set()).add(r[1])
     else:
         new_terms = {}
-    expanded = spark.createDataFrame(
+    expanded = _local_rows_df(
+        spark,
         [
             (q, " ".join(sorted(set(ts) | new_terms.get(q, set()))))
             for q, ts in orig.items()
@@ -848,7 +972,8 @@ def bm25_join_rm3(
     fb_counts: dict = {q: {} for q in orig}
     if fb_pairs:
         id_type = docs.schema[id_col].dataType
-        pair_df = spark.createDataFrame(
+        pair_df = _local_rows_df(
+            spark,
             fb_pairs,
             StructType(
                 [
@@ -858,7 +983,8 @@ def bm25_join_rm3(
             ),
         )
         fb_ids = sorted({p[1] for p in fb_pairs})
-        orig_df = spark.createDataFrame(
+        orig_df = _local_rows_df(
+            spark,
             [(q, t) for q, ts in orig.items() for t in ts],
             StructType(
                 [
@@ -911,20 +1037,12 @@ def bm25_join_rm3(
             wv = w_orig + w_fb
             if wv > 0:
                 wrows.append((q, t, wv))
-    wdf = spark.createDataFrame(
-        wrows,
-        StructType(
-            [
-                StructField(query_id_col, qid_type),
-                StructField("term", StringType()),
-                StructField("weight", DoubleType()),
-            ]
-        ),
-    )
+    # weight rows are already driver-side — bm25_join's internal list
+    # fast path skips the createDataFrame -> re-collect round-trip
     return bm25_join(
         docs, queries, k=k, k1=k1, b=b, text_col=text_col,
         id_col=id_col, query_text_col=query_text_col,
-        query_id_col=query_id_col, where=where, weights=wdf,
+        query_id_col=query_id_col, where=where, weights=wrows,
         stats=stats,
     )
 
@@ -1902,7 +2020,8 @@ def hybrid_join_indexed(
     )
 
     qid_type = queries.schema[query_id_col].dataType
-    qlocal = spark.createDataFrame(
+    qlocal = _local_rows_df(
+        spark,
         [(r[0], r[1], [float(x) for x in r[2]]) for r in qrows],
         StructType(
             [
@@ -2121,7 +2240,8 @@ def build_bm25_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_bm25_stats/ingest_batch_id=-1"
     )
-    spark.createDataFrame(
+    _local_rows_df(
+        spark,
         [(int(n_buckets),)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_bm25_meta")
     if commit == "manifest":
@@ -2406,7 +2526,8 @@ def bm25_topk_indexed(
     if weights is not None:
         # per-term boost rides the |terms|-row idf table, exactly the
         # scan form's construction (bitwise-pinned)
-        wdf = spark.createDataFrame(
+        wdf = _local_rows_df(
+            spark,
             [(t, float(w)) for t, w in sorted(weights.items())],
             "tok string, __w double",
         )
@@ -2577,12 +2698,14 @@ def bm25_join_indexed(
         StructField("__tok", StringType()),
     ]
     if weights is not None:
-        qterms = spark.createDataFrame(
+        qterms = _local_rows_df(
+            spark,
             [(r[0], r[1], float(r[2])) for r in wrows],
             StructType(qfields + [StructField("__w", DoubleType())]),
         )
     else:
-        qterms = spark.createDataFrame(
+        qterms = _local_rows_df(
+            spark,
             [(r[0], r[1]) for r in qpairs], StructType(qfields)
         )
     term_filter = F.col("tok").isin(terms)
@@ -2861,7 +2984,8 @@ def _fb_counts_per_query(
     bounded; corpus text is never read."""
     from pyspark.sql.types import StructField, StructType
 
-    pair_df = spark.createDataFrame(
+    pair_df = _local_rows_df(
+        spark,
         fb_pairs,
         StructType(
             [
@@ -2931,7 +3055,8 @@ def bm25_join_prf_indexed(
         id_type = spark.read.parquet(f"{cur}/postings").schema[
             id_col
         ].dataType
-        orig_df = spark.createDataFrame(
+        orig_df = _local_rows_df(
+            spark,
             [(q, t) for q, ts in orig.items() for t in ts],
             StructType(
                 [
@@ -2953,7 +3078,8 @@ def bm25_join_prf_indexed(
         # bounded-collect: |Q| x fb_terms expansion terms
         for r in top.select(query_id_col, "__tok").collect():
             new_terms.setdefault(r[0], set()).add(r[1])
-    expanded = spark.createDataFrame(
+    expanded = _local_rows_df(
+        spark,
         [
             (q, " ".join(sorted(set(ts) | new_terms.get(q, set()))))
             for q, ts in orig.items()
@@ -3028,7 +3154,8 @@ def bm25_join_rm3_indexed(
         id_type = spark.read.parquet(f"{cur}/postings").schema[
             id_col
         ].dataType
-        orig_df = spark.createDataFrame(
+        orig_df = _local_rows_df(
+            spark,
             [(q, t) for q, ts in orig.items() for t in ts],
             StructType(
                 [
@@ -3074,7 +3201,8 @@ def bm25_join_rm3_indexed(
             wv = w_orig + w_fb
             if wv > 0:
                 wrows.append((q, t, wv))
-    wdf = spark.createDataFrame(
+    wdf = _local_rows_df(
+        spark,
         wrows,
         StructType(
             [

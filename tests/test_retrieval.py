@@ -2342,3 +2342,41 @@ def test_rerank_mmr_k_missing_docs_and_validation(spark):
     )
     with _pytest.raises(Exception, match="ranks must be >= 1"):
         rerank_mmr(zero_based, corpus, k=2).collect()
+
+
+def test_tokens_py_is_bitwise_twin_of_relational_tokens(spark):
+    """Round-15 optimization pin: bm25_join now enumerates the query
+    batch's (query, term) pairs driver-side through ``_tokens_py``;
+    it must reproduce the old relational
+    ``explode(tokens(text)).distinct()`` exactly — including the Java
+    \\s ASCII class (NO unicode spaces), trim-strips-0x20-only, and
+    limit=-1 keeping leading/trailing empty tokens."""
+    from spark_sorted_spark.functions.retrieval import _tokens_py
+    from spark_sorted_spark.functions.text import tokens
+
+    hostile = [
+        "",
+        " ",
+        "  ",
+        "a b",
+        " a  b ",
+        "\ta",
+        "a\t",
+        "a\x0bb",
+        "a\nb\rc",
+        "\t\t",
+        " x",          # nbsp: NOT whitespace to Java \s
+        " wide ", # em-space: NOT whitespace to Java \s
+        " mixed\ttabs and  runs\n",
+        "\f page \f",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(hostile)], "i long, t string")
+    got = {
+        r[0]: r[1]
+        for r in df.select("i", tokens("t").alias("toks")).collect()
+    }
+    for i, s in enumerate(hostile):
+        assert got[i] == _tokens_py(s), (
+            f"tokenizer twin diverged on {s!r}: "
+            f"relational {got[i]!r} vs driver {_tokens_py(s)!r}"
+        )

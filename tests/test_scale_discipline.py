@@ -161,4 +161,12 @@ def test_collect_allowlist_is_small_and_known():
     # 55 later in round 13: +1 semantic_mix's per-cluster counts
     # (n_clusters rows — a bounded parameter, the temperature_mix
     # per-source-count contract at cluster granularity).
-    assert n <= 55, f"driver-collect site count grew to {n}; review for scale"
+    # 57 as of round 15 (optimization): +2 bm25_join collects its
+    # query batch / weights relation driver-side — the SAME workload
+    # bound (and the same front-door contract) as bm25_join_indexed,
+    # replacing the relational qterms/vocab distincts whose
+    # unestimatable plan made Catalyst broadcast the corpus token
+    # stream (single-task build, measured 5.5 s at sf0.1); the
+    # weighted form's old chk aggregate (.head(), never counted here)
+    # is gone in exchange.
+    assert n <= 57, f"driver-collect site count grew to {n}; review for scale"
