@@ -29,7 +29,9 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .local_rows import local_rows_df
 from .text import md5_int32, tokens
+
 
 __all__ = [
     "exact_dedup",
@@ -1802,7 +1804,8 @@ def build_gram_store(
         .write.mode("overwrite")
         .parquet(f"{path}/grams/ingest_batch_id=-1")
     )
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(int(min_len),)], "min_len int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_gram_meta")
     if commit == "manifest":
@@ -1887,8 +1890,8 @@ def append_to_gram_store(
         # first-batch store creation (the streaming path starts with
         # no prior build): record the width so later appends/cleans
         # resolve and pin it like a built store's
-        spark.createDataFrame(
-            [(int(min_len),)], "min_len int"
+        local_rows_df(
+            spark, [(int(min_len),)], "min_len int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_gram_meta")
 
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .local_rows import local_rows_df
+
 __all__ = ["maintenance_plan"]
 
 # documented defaults — the thresholds the health-report docstrings
@@ -231,7 +233,8 @@ def maintenance_plan(
             f"healthy: {n_batches} batch partition(s), "
             f"{units} occupied unit(s), max {max_rows} rows/unit"
         )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(kind, action, "; ".join(reasons))],
         "store string, action string, reason string",
     )

@@ -40,6 +40,7 @@ import re as _re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .local_rows import local_rows_df as _local_rows_df
 from .text import tokens
 
 # Driver-side bitwise twin of text.tokens() (= F.split(F.trim(c),
@@ -56,26 +57,6 @@ def _tokens_py(text: str) -> list[str]:
     return _JAVA_WS_RE.split(text.strip(" "))
 
 
-def _local_rows_df(spark, rows, schema) -> DataFrame:
-    """Driver-side workload rows -> DataFrame with a ROW-COUNT-derived
-    slice count instead of ``defaultParallelism``. A bare
-    ``createDataFrame(list)`` parallelizes into one pickled slice PER
-    CORE, so every tiny (query, term)/feedback/weight relation in the
-    retrieval stack fanned out to 32 near-empty Python-worker tasks
-    per materialization (round-15 profile: ~200-300 ms of executor
-    time EACH, several such relations per batch query). One slice per
-    50k rows keeps the construction a single JVM-scheduled task for
-    the usual tens-of-rows workload while staying scale-adaptive for
-    a genuinely large batch (guide §2: partition counts derive from
-    data size, not from the local core count)."""
-    if not rows:
-        return spark.createDataFrame([], schema)
-    n_slices = min(
-        len(rows) // 50_000 + 1, spark.sparkContext.defaultParallelism
-    )
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, n_slices), schema
-    )
 
 __all__ = [
     "rerank_overlap",

@@ -20,6 +20,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .local_rows import local_rows_df
+
 __all__ = [
     "hash_sample",
     "training_order",
@@ -103,7 +105,8 @@ def _empty_mix(df: DataFrame, id_col: str, strata_field) -> DataFrame:
     input was empty."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    return df.sparkSession.createDataFrame(
+    return local_rows_df(
+        df.sparkSession,
         [],
         StructType(
             [df.schema[id_col], strata_field, StructField("rank", LongType())]
@@ -124,7 +127,8 @@ def _quota_take(
     |strata|-row literal."""
     from pyspark.sql import Window
 
-    qdf = strat.sparkSession.createDataFrame(
+    qdf = local_rows_df(
+        strat.sparkSession,
         sorted(quotas.items()), f"{strata_col} {strata_type}, __q bigint"
     )
     w = Window.partitionBy(strata_col).orderBy(
@@ -471,7 +475,8 @@ def dsir_select(
     # every bucket a raw document can produce is present in cr (the
     # raw LM is fit on raw itself); absent target buckets smooth to
     # ln(1 / (n_tgt + B))
-    lam = raw.sparkSession.createDataFrame(
+    lam = local_rows_df(
+        raw.sparkSession,
         [
             (
                 int(b),

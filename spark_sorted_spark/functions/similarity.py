@@ -53,6 +53,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .local_rows import local_rows_df
+
 __all__ = [
     "dot_strict",
     "dot_py",
@@ -524,7 +526,8 @@ def build_ann_lsh_index(
         -1,
         "overwrite",
     )
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(int(n_planes), int(dim))], "n_planes int, dim int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_lsh_meta")
     if commit == "manifest":
@@ -997,7 +1000,8 @@ def build_ann_ivf_index(
         "overwrite",
     )
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         cent_rows, "cell int, cent_id bigint, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_centroids")
     if commit == "manifest":
@@ -1179,7 +1183,8 @@ def ann_ivf_join_indexed(
         for cell in _ivf_probe_cells([float(x) for x in r[1]], cents, nprobe)
     ]
     cells = sorted({c for _, c in pairs})
-    qcells = spark.createDataFrame(
+    qcells = local_rows_df(
+        spark,
         pairs,
         StructType(
             [
@@ -1188,7 +1193,8 @@ def ann_ivf_join_indexed(
             ]
         ),
     )
-    qvecs = spark.createDataFrame(
+    qvecs = local_rows_df(
+        spark,
         [(r[0], [float(x) for x in r[1]]) for r in qrows],
         StructType(
             [
@@ -1507,10 +1513,12 @@ def build_ann_pq_index(
         for j in range(m)
         for c in range(ksub)
     ]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         rows, "j int, c int, sub array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_pq_codebooks")
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(int(m), int(ksub), int(dim))], "m int, ksub int, dim int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_pq_meta")
     if commit == "manifest":
@@ -1656,14 +1664,17 @@ def build_ann_ivfpq_index(
         "overwrite",
     )
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         cent_rows, "cell int, cent_id bigint, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_centroids")
     cb_rows = [(j, c, cbs[j][c]) for j in range(m) for c in range(ksub)]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         cb_rows, "j int, c int, sub array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_pq_codebooks")
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(int(m), int(ksub), int(dim), int(nlist))],
         "m int, ksub int, dim int, nlist int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_pq_meta")
@@ -1838,7 +1849,7 @@ def _occ_read_back(spark, part_dir: str, key: str) -> DataFrame:
     except AnalysisException as e:
         if "UNABLE_TO_INFER_SCHEMA" not in str(e):
             raise
-        return spark.createDataFrame([], f"{key} int")
+        return local_rows_df(spark, [], f"{key} int")
 
 
 def _invalidate_occ_counts(spark, root: str, part: int) -> None:
@@ -2525,7 +2536,8 @@ def ann_pq_join_indexed(
     qid_type, qbatch = _collect_query_batch(
         queries, query_id_col, query_vec_col, dim
     )
-    qtbl = spark.createDataFrame(
+    qtbl = local_rows_df(
+        spark,
         [(qid, _pq_query_table(vec, cbs)) for qid, vec in qbatch],
         StructType(
             [
@@ -2549,7 +2561,8 @@ def ann_pq_join_indexed(
     )
     if rerank is None:
         return ranked
-    qvecs = spark.createDataFrame(
+    qvecs = local_rows_df(
+        spark,
         qbatch,
         StructType(
             [
@@ -2634,7 +2647,8 @@ def ann_ivfpq_join_indexed(
         for cell in _ivf_probe_cells(vec, cents, nprobe):
             pairs.append((qid, int(cell), dot_py(vec, cents[cell][1])))
     cells = sorted({c for _q, c, _d in pairs})
-    qcells = spark.createDataFrame(
+    qcells = local_rows_df(
+        spark,
         pairs,
         StructType(
             [
@@ -2644,7 +2658,8 @@ def ann_ivfpq_join_indexed(
             ]
         ),
     )
-    qtbl = spark.createDataFrame(
+    qtbl = local_rows_df(
+        spark,
         [(qid, _pq_query_table(vec, cbs)) for qid, vec in qbatch],
         StructType(
             [
@@ -2665,7 +2680,8 @@ def ann_ivfpq_join_indexed(
     )
     if rerank is None:
         return ranked
-    qvecs = spark.createDataFrame(
+    qvecs = local_rows_df(
+        spark,
         qbatch,
         StructType(
             [
@@ -3488,7 +3504,8 @@ def semantic_dedup(
     cents = _ivf_centroids(df, nlist, vec_col, id_col)
     if lloyd_iters:
         cents = _lloyd_refine(df, cents, lloyd_iters, vec_col)
-    cent_df = df.sparkSession.createDataFrame(
+    cent_df = local_rows_df(
+        df.sparkSession,
         [(i, c) for i, (_cid, c) in enumerate(cents)],
         "cell int, __cent array<double>",
     )
@@ -3768,10 +3785,12 @@ def build_ann_ivfsq8_index(
         "overwrite",
     )
     cent_rows = [(i, cid, vec) for i, (cid, vec) in enumerate(cents)]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         cent_rows, "cell int, cent_id bigint, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_centroids")
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(int(dim), "sq8_pervec")], "dim int, scheme string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/_sq_meta")
     if commit == "manifest":
@@ -3978,7 +3997,8 @@ def ann_ivfsq8_join_indexed(
         for cell in _ivf_probe_cells(vec, cents, nprobe)
     ]
     cells = sorted({c for _, c in pairs})
-    qcells = spark.createDataFrame(
+    qcells = local_rows_df(
+        spark,
         pairs,
         StructType(
             [
@@ -3987,7 +4007,8 @@ def ann_ivfsq8_join_indexed(
             ]
         ),
     )
-    qvecs = spark.createDataFrame(
+    qvecs = local_rows_df(
+        spark,
         qbatch,
         StructType(
             [

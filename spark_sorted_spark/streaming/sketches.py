@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.local_rows import local_rows_df
+
 from ..functions.sketches import hll_estimate, hll_register_table
 
 __all__ = [
@@ -263,7 +265,7 @@ def _kmv_meta_write(spark, store_path: str, k: int) -> None:
     # underscore-prefixed dir: Hadoop's hidden-file filter keeps it
     # invisible to spark.read.parquet(store_path) (the _sq_meta
     # pattern from the ANN indexes)
-    spark.createDataFrame([(int(k),)], "k int").coalesce(1).write.mode(
+    local_rows_df(spark, [(int(k),)], "k int").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{store_path}/_kmv_meta")
 
