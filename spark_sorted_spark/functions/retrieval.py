@@ -257,6 +257,23 @@ def bm25_topk(
     ).limit(int(k))
 
 
+def _corpus_stats(docs: DataFrame, text_col: str) -> tuple:
+    """One bounded 2-scalar corpus-stats scan — EXACTLY the aggregate
+    :func:`bm25_topk` derives internally (count + sum of tokenized
+    lengths), factored out so two-pass wrappers pay it ONCE and thread
+    it through both passes via the bitwise-neutral ``stats=`` contract
+    (round-15: each pass otherwise re-tokenized the whole corpus for
+    the same two integers — guide §1.4/§2.4)."""
+    st = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(text_col))).alias("sum_dl"),
+    ).head()
+    n_docs = int(st.n)
+    if n_docs == 0:
+        raise ValueError("corpus is empty")
+    return n_docs, int(st.sum_dl)
+
+
 def expand_query_prf(
     docs: DataFrame,
     query: str,
@@ -267,6 +284,7 @@ def expand_query_prf(
     text_col: str = "text",
     id_col: str = "doc_id",
     where=None,
+    stats: tuple | None = None,
 ) -> str:
     """Pseudo-relevance-feedback query expansion (the Rocchio/RM3
     family, binary term weights): run BM25 once, take the top
@@ -292,7 +310,7 @@ def expand_query_prf(
     terms = sorted(set(query.split()))
     first = bm25_topk(
         docs, query, k=fb_docs, k1=k1, b=b,
-        text_col=text_col, id_col=id_col, where=where,
+        text_col=text_col, id_col=id_col, where=where, stats=stats,
     )
     # bounded-collect: fb_docs ids — the feedback set is k-sized by
     # construction (pass one's TakeOrdered output)
@@ -324,6 +342,7 @@ def rm3_expand(
     text_col: str = "text",
     id_col: str = "doc_id",
     where=None,
+    stats: tuple | None = None,
 ) -> dict:
     """RM3 query expansion with WEIGHTS (Abdul-Jaleel et al., TREC
     2004 — the weighted upgrade of :func:`expand_query_prf`'s binary
@@ -353,7 +372,7 @@ def rm3_expand(
     terms = sorted(set(query.split()))
     first = bm25_topk(
         docs, query, k=fb_docs, k1=k1, b=b,
-        text_col=text_col, id_col=id_col, where=where,
+        text_col=text_col, id_col=id_col, where=where, stats=stats,
     )
     # bounded-collect: fb_docs ids (pass one's TakeOrdered output)
     fb_ids = [r[0] for r in first.select(id_col).collect()]
@@ -410,14 +429,18 @@ def bm25_topk_rm3(
     """Two-pass WEIGHTED relevance feedback: :func:`rm3_expand` then
     weighted-query :func:`bm25_topk` — the full RM3 composition
     (weights are exact-integer-derived literals, pinned against a
-    DuckDB replay of both passes in tests)."""
+    DuckDB replay of both passes in tests). The corpus stats scan
+    runs ONCE and threads through both passes (bitwise-neutral by the
+    ``stats=`` contract)."""
+    stats = _corpus_stats(docs, text_col)
     w = rm3_expand(
         docs, query, fb_docs=fb_docs, fb_terms=fb_terms, lam=lam,
         k1=k1, b=b, text_col=text_col, id_col=id_col, where=where,
+        stats=stats,
     )
     return bm25_topk(
         docs, query, k=k, k1=k1, b=b, text_col=text_col,
-        id_col=id_col, where=where, weights=w,
+        id_col=id_col, where=where, weights=w, stats=stats,
     )
 
 
@@ -438,14 +461,16 @@ def bm25_topk_prf(
     ordinary :func:`bm25_topk` (same float discipline — the expansion
     layer is all exact-integer selection, so the whole composition
     stays oracle-replayable; pinned against a DuckDB replay in
-    tests)."""
+    tests). The corpus stats scan runs ONCE and threads through both
+    passes (bitwise-neutral by the ``stats=`` contract)."""
+    stats = _corpus_stats(docs, text_col)
     expanded = expand_query_prf(
         docs, query, fb_docs=fb_docs, fb_terms=fb_terms, k1=k1, b=b,
-        text_col=text_col, id_col=id_col, where=where,
+        text_col=text_col, id_col=id_col, where=where, stats=stats,
     )
     return bm25_topk(
         docs, expanded, k=k, k1=k1, b=b,
-        text_col=text_col, id_col=id_col, where=where,
+        text_col=text_col, id_col=id_col, where=where, stats=stats,
     )
 
 

@@ -3477,6 +3477,8 @@ def semantic_dedup(
         raise ValueError(f"tau must be in (0, 1], got {tau}")
     from pyspark.sql import Window
 
+    from .dedup import spread_small_input
+
     # zero-norm embeddings (empty documents) have no defined cosine to
     # ANYTHING — they can neither be duplicates nor remove others — so
     # exclude them BEFORE cell assignment (same contract as
@@ -3493,7 +3495,13 @@ def semantic_dedup(
         F.lit(0).cast("long").alias("cent_rank"),
         F.lit(1).alias("is_kept"),
     )
-    df = df.filter(dot_strict(F.col(vec_col), F.col(vec_col)) > 0)
+    # round-15: a small parquet corpus arrives as one split, which
+    # serialized the per-row assignment fold onto a single core
+    # (profile: 3 consecutive 1-task ~1 s stages); no-op at corpus
+    # scale where splits >= cores (guide §2.2)
+    df = spread_small_input(
+        df.filter(dot_strict(F.col(vec_col), F.col(vec_col)) > 0)
+    )
 
     if nlist is None:
         # one count job; same pattern as auto_planes for the kNN join
@@ -3540,8 +3548,34 @@ def semantic_dedup(
         F.col("__vd").alias("__vq"), "cell",
         F.col("cent_rank").alias("__rq"), F.col("__norm").alias("__nq"),
     )
+    # round-15 (guide §2.3): the verify join keys on `cell`, so its
+    # parallelism is capped at nlist — and AQE coalesces the tiny-BYTES
+    # shuffle to ~1 partition while the PAIR work is quadratic CPU
+    # (profile: the whole verify ran as one task). Salt the join: p
+    # keeps one salt per row, q replicates salt_n ways, so the pair
+    # multiset is IDENTICAL while the work spreads over nlist x salt_n
+    # keys; the explicit numbered repartition is exempt from AQE's
+    # byte-driven coalescing (which under-provisions CPU-quadratic
+    # stages at ANY scale). salt_n = ceil(cores / nlist) capped at 8:
+    # at corpus scale the auto-sized nlist >= cores, salt_n == 1 and
+    # the salt column is a constant 0 — replication cost exists only
+    # where it buys idle cores. The path is UNCONDITIONAL so the plan
+    # shape (and the PLANS.md pin) is identical at every parallelism;
+    # the join width is nlist-derived but capped at 4x cores so a
+    # billion-cell corpus does not explode into nlist tasks.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    salt_n = min(8, max(1, -(-par // int(nlist))))
+    num_parts = salt_n * min(int(nlist), 4 * par)
+    p = p.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_n)).cast("int"),
+    ).repartition(num_parts, F.col("cell"), F.col("__salt"))
+    q = q.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_n)])),
+    )
     removed = (
-        p.join(q, "cell")
+        p.join(q, ["cell", "__salt"])
         .filter(F.col("__rq") < F.col("__rp"))
         .filter(
             _dot_dbl(F.col("__vp"), F.col("__vq"))
