@@ -175,6 +175,115 @@ def _check_max_bucket(max_bucket, caller: str) -> None:
         )
 
 
+_VERIFY_SCOPES = ("auto", "corpus", "candidates")
+
+_DEFAULT_BROADCAST_BYTES = 10 * 1024 * 1024
+
+
+def _parse_byte_conf(raw) -> int:
+    """Parse a Spark byte-string conf value (``10485760b``, ``10MB``,
+    plain int, ...) into bytes. Unparseable values fall back to the
+    10 MB default rather than raising — this only feeds a lossless
+    plan choice, never an answer."""
+    import re
+
+    m = re.fullmatch(r"\s*(-?\d+)\s*([kmgtp]?i?b?)\s*", str(raw).lower())
+    if not m:
+        return _DEFAULT_BROADCAST_BYTES
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+    return int(m.group(1)) * mult.get(m.group(2)[:1].rstrip("b"), 1)
+
+
+def _resolve_verify_scope(
+    df: DataFrame, text_col: str, id_col: str, scope: str, caller: str
+) -> str:
+    """Pick the exact-verify build form for the pair operators — both
+    forms are LOSSLESS; this chooses on cost only (the same contract
+    as ``_probably_has_hot_shingle``'s plan probe).
+
+    ``corpus``: project every document's shingle set and join the
+    candidate id pairs against it. Below
+    ``spark.sql.autoBroadcastJoinThreshold`` the planner broadcasts
+    that side, so the sets are built once per side inside the
+    broadcast build and the verify pays zero extra scheduling
+    barriers — the cheapest form for small relations (and the one the
+    recorded bench plans pin).
+
+    ``candidates``: materialize the candidate pairs
+    (``localCheckpoint``) and semi-join the relation to the ids that
+    actually appear in a pair BEFORE computing shingle sets. Costs a
+    fixed extra barrier (~0.25 s measured at sf0.1) but makes the
+    verify's compute AND shuffle bytes candidate-bounded: past the
+    broadcast threshold the corpus form degrades into a full shuffle
+    of per-document shingle ARRAYS on both join sides — a
+    corpus-scale exchange of heavy payloads serving a
+    candidate-bounded answer (guide §2.3/§3.1's wrong-side shape),
+    which is exactly what a 100 TB corpus cannot afford.
+
+    ``auto`` switches to ``candidates`` at the point the corpus form
+    stops broadcasting, using the planner's own size estimate of the
+    ``(id, text)`` projection vs the session broadcast threshold — so
+    for parquet-backed inputs at bench/test scale the plan is
+    byte-identical to the recorded ``corpus`` form, and the flip
+    happens exactly where the corpus form's cost model changes regime.
+    Relations the planner cannot estimate (RDD-backed inputs default
+    to ``Long.MaxValue``; join outputs multiply and over-estimate)
+    resolve to ``candidates`` — the conservative direction: when the
+    size is unknown, take the form whose cost is bounded by the
+    candidate set rather than the corpus."""
+    if scope not in _VERIFY_SCOPES:
+        raise ValueError(
+            f"{caller}: verify_scope must be one of {_VERIFY_SCOPES}, "
+            f"got {scope!r}"
+        )
+    if scope != "auto":
+        return scope
+    spark = df.sparkSession
+    thr = _parse_byte_conf(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    )
+    if thr <= 0:
+        # auto-broadcast disabled: the corpus form is in the shuffle
+        # regime at ANY size; keep the broadcast-threshold default as
+        # the cheap/heavy crossover
+        thr = _DEFAULT_BROADCAST_BYTES
+    est = int(
+        df.select(F.col(id_col), F.col(text_col))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .sizeInBytes()
+    )
+    return "candidates" if est > thr else "corpus"
+
+
+def _verify_side_sets(
+    df: DataFrame,
+    cand: DataFrame,
+    pair_col: str,
+    id_col: str,
+    text_col: str,
+    n: int,
+    scope: str,
+    out_col: str,
+) -> DataFrame:
+    """One side's ``(pair_col, shingle set)`` relation for the exact
+    verify. Under ``candidates`` scope the relation is first
+    semi-joined to the ids present in the (checkpointed) candidate
+    table, so shingle arrays are computed only for documents that
+    appear in some pair — the inner join against ``cand`` keeps
+    exactly those rows either way, hence bitwise-identical output."""
+    if scope == "candidates":
+        df = df.join(
+            cand.select(F.col(pair_col).alias(id_col)),
+            on=id_col,
+            how="leftsemi",
+        )
+    return df.select(
+        F.col(id_col).alias(pair_col), shingles(text_col, n).alias(out_col)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -183,10 +292,17 @@ def ngram_jaccard_pairs(
     tau_num: int = 1,
     tau_den: int = 2,
     max_bucket: int | None = 50,
+    verify_scope: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs: documents whose distinct-shingle Jaccard
     >= tau_num/tau_den, via shingle-collision candidates + exact
     verify. Integer threshold ``tau_den*c >= tau_num*(na+nb-c)``.
+
+    ``verify_scope`` picks the exact-verify build form (lossless
+    either way — see :func:`_resolve_verify_scope`): ``corpus``
+    projects every document's shingle set, ``candidates`` bounds the
+    verify to documents that appear in a candidate pair, ``auto``
+    (default) switches at the broadcast threshold.
 
     Fan-out guard (mirrors ``minhash_lsh_pairs``): shingles shared by
     more than ``max_bucket`` documents are excluded from CANDIDATE
@@ -205,6 +321,9 @@ def ngram_jaccard_pairs(
     Pass ``max_bucket=None`` for the exhaustive O(sum bucket^2)
     baseline."""
     _check_max_bucket(max_bucket, "ngram_jaccard_pairs")
+    scope = _resolve_verify_scope(
+        df, text_col, id_col, verify_scope, "ngram_jaccard_pairs"
+    )
     df = spread_small_input(df)
     sh = _exploded_shingles(df, text_col, id_col, n)
     if max_bucket is not None:
@@ -228,9 +347,10 @@ def ngram_jaccard_pairs(
     # AQE coalesces the tiny id-pair shuffle to ~1 partition, which
     # would serialize the array_intersect verify; re-spread explicitly
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sets = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
-    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    if scope == "candidates":
+        cand = cand.localCheckpoint(eager=True)
+    sa = _verify_side_sets(df, cand, "doc_a", id_col, text_col, n, scope, "sh_a")
+    sb = _verify_side_sets(df, cand, "doc_b", id_col, text_col, n, scope, "sh_b")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -279,6 +399,7 @@ def jaccard_prefix_pairs(
     hot_shingle_rows: int | None = 100_000,
     hot_salt: int = 16,
     hot_probe_fraction: float = 0.001,
+    verify_scope: str = "auto",
 ) -> DataFrame:
     """LOSSLESS near-duplicate pairs via prefix filtering (AllPairs /
     PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
@@ -357,6 +478,9 @@ def jaccard_prefix_pairs(
             f"threshold must satisfy 0 < tau_num <= tau_den, got "
             f"{tau_num}/{tau_den}"
         )
+    scope = _resolve_verify_scope(
+        df, text_col, id_col, verify_scope, "jaccard_prefix_pairs"
+    )
     df = spread_small_input(df)
     # Explode WITHOUT materializing the shingle array as a filtered
     # column: Filter(size(sh) > 0) over Project(sh) makes Catalyst
@@ -461,9 +585,10 @@ def jaccard_prefix_pairs(
     # AQE coalesces the tiny id-pair shuffle to ~1 partition, which
     # would serialize the array_intersect verify; re-spread explicitly
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    full = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
-    sa = full.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = full.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    if scope == "candidates":
+        cand = cand.localCheckpoint(eager=True)
+    sa = _verify_side_sets(df, cand, "doc_a", id_col, text_col, n, scope, "sh_a")
+    sb = _verify_side_sets(df, cand, "doc_b", id_col, text_col, n, scope, "sh_b")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -487,6 +612,7 @@ def jaccard_prefix_join(
     tau_num: int = 1,
     tau_den: int = 2,
     hot_salt: int = 8,
+    verify_scope: str = "auto",
 ) -> DataFrame:
     """Cross-corpus (R-S) form of :func:`jaccard_prefix_pairs`:
     EXACTLY the (left, right) document pairs with distinct-shingle
@@ -552,6 +678,11 @@ def jaccard_prefix_join(
             f"threshold must satisfy 0 < tau_num <= tau_den, got "
             f"{tau_num}/{tau_den}"
         )
+    # scope decided on the LEFT relation (the decontamination shape's
+    # big corpus side); `candidates` bounds BOTH verify sides
+    scope = _resolve_verify_scope(
+        left, text_col, id_col, verify_scope, "jaccard_prefix_join"
+    )
     left = spread_small_input(left)
     right = spread_small_input(right)
     # explode() (not a filtered array column) for the same
@@ -627,11 +758,13 @@ def jaccard_prefix_join(
         .distinct()
     )
     cand = cand.repartition(left.sparkSession.sparkContext.defaultParallelism)
-    sl = left.select(
-        F.col(id_col).alias("left_id"), shingles(text_col, n).alias("sh_l")
+    if scope == "candidates":
+        cand = cand.localCheckpoint(eager=True)
+    sl = _verify_side_sets(
+        left, cand, "left_id", id_col, text_col, n, scope, "sh_l"
     )
-    sr = right.select(
-        F.col(id_col).alias("right_id"), shingles(text_col, n).alias("sh_r")
+    sr = _verify_side_sets(
+        right, cand, "right_id", id_col, text_col, n, scope, "sh_r"
     )
     return (
         cand.join(sl, "left_id")
@@ -655,6 +788,7 @@ def contains_join(
     id_col: str = "doc_id",
     n: int = 3,
     short_docs: str = "drop",
+    verify_scope: str = "auto",
 ) -> DataFrame:
     """Token-aligned VERBATIM containment join — the exact-leak form of
     decontamination: ``(left_id, right_id)`` pairs where RIGHT's
@@ -706,7 +840,17 @@ def contains_join(
     right doc is its min-df, and a right doc whose EVERY shingle is
     corpus-hot is itself evidence of boilerplate worth special-casing);
     the verify joins full texts for candidate ids only.
+
+    ``verify_scope`` (see :func:`_resolve_verify_scope`, decided on
+    LEFT): under ``candidates`` the normalized-text verify relations
+    are semi-joined to the candidate ids first, so past the broadcast
+    threshold the verify never broadcasts/shuffles corpus-wide text.
     """
+    # the verify here carries normalized TEXT (not shingle arrays);
+    # same corpus-vs-candidate-bounded trade, same resolver
+    scope = _resolve_verify_scope(
+        left, text_col, id_col, verify_scope, "contains_join"
+    )
     left = spread_small_input(left)
     right = spread_small_input(right)
     exl = left.select(
@@ -782,16 +926,29 @@ def contains_join(
     def norm(c: Column) -> Column:
         return F.concat(F.lit(" "), F.concat_ws(" ", tokens(c)), F.lit(" "))
 
-    tl = left.select(
-        F.col(id_col).alias("left_id"), norm(F.col(text_col)).alias("__tl")
-    )
-    tr = right.select(
-        F.col(id_col).alias("right_id"), norm(F.col(text_col)).alias("__tr")
-    )
     # AQE would coalesce the small candidate id-pair set onto few
     # partitions and serialize the contains verify — re-spread, as the
     # other candidate-verify pipelines do
     cand = cand.repartition(left.sparkSession.sparkContext.defaultParallelism)
+    lsrc, rsrc = left, right
+    if scope == "candidates":
+        cand = cand.localCheckpoint(eager=True)
+        lsrc = left.join(
+            cand.select(F.col("left_id").alias(id_col)),
+            on=id_col,
+            how="leftsemi",
+        )
+        rsrc = right.join(
+            cand.select(F.col("right_id").alias(id_col)),
+            on=id_col,
+            how="leftsemi",
+        )
+    tl = lsrc.select(
+        F.col(id_col).alias("left_id"), norm(F.col(text_col)).alias("__tl")
+    )
+    tr = rsrc.select(
+        F.col(id_col).alias("right_id"), norm(F.col(text_col)).alias("__tr")
+    )
     return (
         cand.join(tl, "left_id")
         .join(tr, "right_id")
@@ -877,6 +1034,7 @@ def minhash_lsh_pairs(
     tau_num: int = 1,
     tau_den: int = 2,
     max_bucket: int = 50,
+    verify_scope: str = "auto",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the 16-perm signature into 4
     bands of 4; documents colliding on any band's full sub-signature
@@ -884,8 +1042,13 @@ def minhash_lsh_pairs(
     distinct-shingle Jaccard (so output precision is 1.0 — LSH only
     affects recall). Buckets larger than ``max_bucket`` are dropped
     (degenerate boilerplate guard, keeps worst-case fan-out bounded).
+    ``verify_scope`` picks the verify build form (lossless either way;
+    see :func:`_resolve_verify_scope`).
     """
     _check_max_bucket(max_bucket, "minhash_lsh_pairs")
+    scope = _resolve_verify_scope(
+        df, text_col, id_col, verify_scope, "minhash_lsh_pairs"
+    )
     df = spread_small_input(df)
     # materialize the band table ONCE: it feeds the bucket-size guard
     # AND both sides of the candidate self-join, and its lineage is
@@ -918,9 +1081,10 @@ def minhash_lsh_pairs(
     # see ngram_jaccard_pairs: keep the CPU-heavy exact verify spread
     # across cores despite AQE's bytes-based coalescing
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sets = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
-    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    if scope == "candidates":
+        cand = cand.localCheckpoint(eager=True)
+    sa = _verify_side_sets(df, cand, "doc_a", id_col, text_col, n, scope, "sh_a")
+    sb = _verify_side_sets(df, cand, "doc_b", id_col, text_col, n, scope, "sh_b")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

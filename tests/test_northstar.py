@@ -1912,8 +1912,15 @@ def test_jaccard_prefix_join_salt_is_lossless_and_splits_key(spark):
             ).collect()
         )
         assert salted == unsalted
-    # plan pin: the candidate equi-join includes __blk in its keys
-    out = jaccard_prefix_join(left, right, tau_num=1, tau_den=5)
+    # plan pin: the candidate equi-join includes __blk in its keys.
+    # Pinned on the corpus verify scope: under `candidates` (the auto
+    # resolution for these RDD-backed inputs, whose size the planner
+    # cannot estimate) the candidate subtree executes eagerly behind a
+    # localCheckpoint and is invisible to the final plan string — the
+    # salt join still runs, inside the checkpointed lineage.
+    out = jaccard_prefix_join(
+        left, right, tau_num=1, tau_den=5, verify_scope="corpus"
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__blk" in plan
 
@@ -1970,8 +1977,16 @@ def test_contains_join_token_aligned_and_lossless(spark):
     assert got == brute
 
     # candidate generation broadcasts the one-probe-per-prompt side:
-    # the corpus is never shuffled for candidates
-    plan = contains_join(corpus, prompts)._jdf.queryExecution().executedPlan().toString()
+    # the corpus is never shuffled for candidates. Pinned on the
+    # corpus verify scope — under `candidates` (auto for RDD-backed
+    # inputs) the candidate subtree executes behind a localCheckpoint
+    # and the final plan string no longer shows it.
+    plan = (
+        contains_join(corpus, prompts, verify_scope="corpus")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in plan
 
 
