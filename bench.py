@@ -34,6 +34,41 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
+    line, or None where unavailable. Ambient telemetry ONLY — feeds
+    the additive "ambient" JSON key so a contended host run is
+    machine-adjudicable (round 15 lost a whole round's comparison to
+    hypervisor steal that was invisible in the bench JSON)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return None
+
+
+def _load1() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    if before is None or after is None:
+        return None
+    dt = after[1] - before[1]
+    if dt <= 0:
+        return None
+    return round(100.0 * (after[0] - before[0]) / dt, 3)
+
+
 def b1_layout(spark):
     events = load_table(spark, "events", SF_DIR)
     gs = group_sort(
@@ -917,7 +952,14 @@ def main():
     NOISY = {"b5_scan", "b5_scan_stream", "b6_agg", "b7_stream",
              "b7_arrow", "b11_stream_window"}
     times: dict[str, float] = {}
+    # ambient contention telemetry (additions-only; VERDICT r15 item 3):
+    # hypervisor steal% and 1-min load sampled around each entry's
+    # warmup+timed window, so a contaminated run is adjudicable from
+    # the JSON alone instead of costing a round of forensics
+    ambient: dict[str, dict] = {}
+    run_t0 = _cpu_ticks()
     for name, fn in BENCH.items():
+        e_t0, l0 = _cpu_ticks(), _load1()
         fn(spark)  # warmup (untimed)
         best = float("inf")
         for _ in range(3 if name in NOISY else 2):
@@ -925,7 +967,16 @@ def main():
             fn(spark)
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        e_t1, l1 = _cpu_ticks(), _load1()
+        ambient[name] = {
+            "steal_pct": _steal_pct(e_t0, e_t1),
+            "load1": max(x for x in (l0, l1, -1.0) if x is not None),
+        }
     total = round(sum(times.values()), 3)
+    steals = [
+        a["steal_pct"] for a in ambient.values() if a["steal_pct"] is not None
+    ]
+    loads = [a["load1"] for a in ambient.values() if a["load1"] >= 0]
     print(
         json.dumps(
             {
@@ -934,6 +985,12 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": SF_DIR,
+                "ambient": {
+                    "per_query": ambient,
+                    "steal_pct_run": _steal_pct(run_t0, _cpu_ticks()),
+                    "steal_pct_max": max(steals) if steals else None,
+                    "load1_max": max(loads) if loads else None,
+                },
             }
         )
     )

@@ -181,22 +181,21 @@ def bm25_topk(
             raise ValueError("corpus is empty")
         sum_dl = int(st.sum_dl)
 
-    # per-term document frequency: |terms|-row relation, broadcast
-    # back. The idf's ln runs on THIS bounded table through ln_libm
-    # (bitwise the oracle's libm; JVM F.log disagrees on ~4.4% of
-    # arguments — functions/exactmath.py); everything after it is
-    # IEEE-deterministic +|*|/ arithmetic.
-    from .exactmath import ln_libm
-
-    df_t = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
-    df_t = df_t.select(
-        "__tok",
-        ln_libm(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
-            / (F.col("__df") + F.lit(0.5))
-        ).alias("__idf"),
-    )
+    # per-term document frequency: |terms|-row relation, collected and
+    # turned into a (term, idf) broadcast LITERAL. The idf's ln runs
+    # driver-side through math.log — the same libm call the former
+    # ln_libm pandas UDF made (bitwise; JVM F.log disagrees on ~4.4%
+    # of arguments — functions/exactmath.py), so this removes the
+    # ArrowEvalPython node and its broadcast-build job (round 16,
+    # guide §4) without touching a single output bit. The df aggregate
+    # is the same extra corpus pass Catalyst already planned for the
+    # broadcast build (it prunes the tf aggregate differently, so the
+    # exchange was never reused); bounded-collect: |terms| rows.
+    dfrows = [
+        (r[0], int(r[1]))
+        for r in tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")).collect()
+    ]
+    df_t = _idf_literal(df.sparkSession, dfrows, n_docs, "__tok")
 
     # filtered retrieval: restrict CANDIDATES to qualifying docs
     # (semi-join against the filtered id set) AFTER df_t derived from
@@ -255,6 +254,33 @@ def bm25_topk(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def _idf_literal(spark, df_rows, n_docs: int, tok_name: str):
+    """(term, idf) literal relation from driver-side ``(term, df)``
+    rows: ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` evaluated with
+    Python's ``math.log`` — the SAME glibc libm call ``ln_libm``'s
+    pandas UDF made, on an argument computed in IEEE-754 doubles in
+    the same operation order as the former Catalyst expression
+    (``+ - /`` are exactly specified and ``df < 2^53`` casts exactly),
+    so every idf is bitwise-identical to the ArrowEvalPython form this
+    replaces. The round-16 point (guide §4): the df table is
+    |terms|-row — workload-bounded — and the terms are already
+    enumerated driver-side by every caller, so the Python-worker
+    round trip (one ArrowEvalPython node + its broadcast build per
+    retrieval pass) buys nothing; collect the tiny aggregate, do the
+    ln on the driver, ship the result back as a broadcast literal."""
+    import math
+
+    n = float(n_docs)
+    rows = [
+        (
+            t,
+            math.log(1.0 + (((n - float(df)) + 0.5) / (float(df) + 0.5))),
+        )
+        for t, df in df_rows
+    ]
+    return _local_rows_df(spark, rows, f"{tok_name} string, __idf double")
 
 
 def _corpus_stats(docs: DataFrame, text_col: str) -> tuple:
@@ -685,15 +711,16 @@ def bm25_join(
             raise ValueError("corpus is empty")
         sum_dl = int(st.sum_dl)
 
-    df_t = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
-    df_t = df_t.select(
-        "__tok",
-        ln_libm(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
-            / (F.col("__df") + F.lit(0.5))
-        ).alias("__idf"),
-    )
+    # (term, idf) broadcast literal via the driver-side libm ln —
+    # bitwise the former ln_libm ArrowEvalPython form, minus the
+    # Python-worker round trip and its broadcast-build corpus pass's
+    # Arrow tail (see bm25_topk; round 16, guide §4). bounded-collect:
+    # |batch vocabulary| rows.
+    dfrows = [
+        (r[0], int(r[1]))
+        for r in tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")).collect()
+    ]
+    df_t = _idf_literal(spark, dfrows, n_docs, "__tok")
 
     # filtered retrieval: candidates only — df_t above is already
     # derived from the unfiltered postings (global statistics)
@@ -2516,19 +2543,17 @@ def bm25_topk_indexed(
     # dft store, so collection statistics stay corpus-wide
     tf = _apply_where(tf, where)
     # merge per-append df DELTAS — for the probe's terms only, so the
-    # merge aggregate is |terms|-row sized regardless of append count
-    df_t = (
-        dft.groupBy("tok")
-        .agg(F.sum("df").alias("df"))
-        .select(
-            "tok",
-            ln_libm(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ).alias("__idf"),
-        )
-    )
+    # merge aggregate is |terms|-row sized regardless of append count;
+    # collected, ln'd driver-side (same libm, bitwise — see
+    # _idf_literal), and shipped back as a broadcast literal: the
+    # pruned dft read that fed the former broadcast build now feeds a
+    # |terms|-row collect, and the ArrowEvalPython node disappears
+    # (round 16, guide §4)
+    dfrows = [
+        (r[0], int(r[1]))
+        for r in dft.groupBy("tok").agg(F.sum("df").alias("df")).collect()
+    ]
+    df_t = _idf_literal(spark, dfrows, n_docs, "tok")
     if weights is not None:
         # per-term boost rides the |terms|-row idf table, exactly the
         # scan form's construction (bitwise-pinned)
@@ -2732,18 +2757,14 @@ def bm25_join_indexed(
     # filtered retrieval: candidates only; df from the dft store
     # keeps collection statistics corpus-wide
     tf = _apply_where(tf, where)
-    df_t = (
-        dft.groupBy("tok")
-        .agg(F.sum("df").alias("df"))
-        .select(
-            "tok",
-            ln_libm(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ).alias("__idf"),
-        )
-    )
+    # (term, idf) broadcast literal from the |batch vocabulary|-row
+    # dft merge, ln'd driver-side (same libm, bitwise — _idf_literal;
+    # round 16, guide §4): no ArrowEvalPython, no broadcast-build job
+    dfrows = [
+        (r[0], int(r[1]))
+        for r in dft.groupBy("tok").agg(F.sum("df").alias("df")).collect()
+    ]
+    df_t = _idf_literal(spark, dfrows, n_docs, "tok")
     base_c = (
         F.col("__idf")
         * (F.col("tf") * F.lit(float(k1) + 1.0))
